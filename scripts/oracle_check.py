@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Reads the Verify output dir (one parquet dir per query + oracle_sql.json),
+runs each oracle SQL in DuckDB over the same sf tables, and compares:
+row count, column names (sorted), and exact values after sorting columns
+by name. Exit code 1 if any query mismatches.
+
+Usage: oracle_check.py <sfDir> <verifyOutDir>
+"""
+import sys, os, json, glob
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # canonicalize types for comparison
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.reset_index(drop=True)
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+
+    failures, passed, no_oracle = [], [], []
+    for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
+        if not os.path.isdir(qdir):
+            continue
+        name = os.path.basename(qdir)
+        files = glob.glob(os.path.join(qdir, "*.parquet"))
+        spark_df = pq.ParquetDataset(files).read().to_pandas() if files else pd.DataFrame()
+        if name not in oracles:
+            no_oracle.append((name, len(spark_df)))
+            continue
+        try:
+            duck_df = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            failures.append((name, f"oracle SQL error: {e}"))
+            continue
+        s, d = norm(spark_df), norm(duck_df)
+        if list(s.columns) != list(d.columns):
+            failures.append((name, f"columns spark={list(s.columns)} duck={list(d.columns)}"))
+            continue
+        if len(s) != len(d):
+            failures.append((name, f"rowcount spark={len(s)} duck={len(d)}"))
+            continue
+        diffs = []
+        for c in s.columns:
+            sv, dv = s[c], d[c]
+            try:
+                if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
+                    eq = ((sv.astype(float) == dv.astype(float)) |
+                          (sv.isna() & dv.isna()))
+                else:
+                    eq = (sv.astype(object).where(~sv.isna(), None) ==
+                          dv.astype(object).where(~dv.isna(), None)) | (sv.isna() & dv.isna())
+                if not bool(eq.all()):
+                    bad = (~eq).idxmax()
+                    diffs.append(f"col {c} row {bad}: spark={sv[bad]!r} duck={dv[bad]!r}")
+            except Exception as e:
+                diffs.append(f"col {c}: compare error {e}")
+        if diffs:
+            failures.append((name, "; ".join(diffs[:3])))
+        else:
+            passed.append(name)
+
+    for n in passed:
+        print(f"PASS  {n}")
+    for n, rows in no_oracle:
+        print(f"NOORACLE  {n} rows={rows}" + ("  !! EMPTY" if rows == 0 else ""))
+    for n, msg in failures:
+        print(f"FAIL  {n}: {msg}")
+    print(f"\n{len(passed)} pass, {len(no_oracle)} rows-only, {len(failures)} fail")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the scale-aware defaults this engine assumes.
+  *
+  * Local mode is a stand-in for a real cluster: shuffle partitions sized
+  * to cores (not the 200 default), AQE enabled so skewed joins and
+  * too-small/too-large partitions re-plan at runtime exactly as they
+  * would on a 1000-executor cluster.
+  */
+object GraftSession {
+  def builder(appName: String = "graft", cores: Int = defaultCores): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def defaultCores: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(
+      math.min(32, Runtime.getRuntime.availableProcessors()))
+
+  def local(appName: String = "graft"): SparkSession = {
+    val spark = builder(appName).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

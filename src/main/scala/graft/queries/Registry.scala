@@ -1,0 +1,11 @@
+package graft.queries
+
+/** The full operator inventory exposed to the driver via
+  * [[graft.SparkEntry]]. Sub-objects group SURVEY.md §2 families.
+  */
+object Registry {
+  val flagship: OpQuery = Relational.q1_agg
+
+  def all: Seq[OpQuery] =
+    Relational.all
+}
