@@ -20,6 +20,11 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // The reference pipeline ran under pre-ANSI (permissive) SQL
+      // semantics: failed casts yield NULL rather than throwing. Parity
+      // requires the same here; queries in SparkEntry stay ANSI-safe
+      // regardless (they run under the driver's own default session).
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   def defaultCores: Int =

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Delta-MERGE emulation as relational rewrites (SURVEY.md §2.1 S6/S7,
+  * §7.3). No Delta jars locally, so MERGE becomes anti/semi-join algebra
+  * plus an atomic table swap — Catalyst still optimizes the joins
+  * (broadcast when the source is small, shuffle-hash otherwise, AQE
+  * re-plans skew), so the rewrite scales the same way Delta's own
+  * merge-on-read does.
+  *
+  * Scale note: both merges shuffle on the key columns only; at 100 TB the
+  * dominant cost is the full rewrite of the target, which is inherent to
+  * copy-on-write MERGE without a transaction log. A log-structured
+  * append (insert-only case) avoids rewriting the target entirely.
+  */
+object Merge {
+
+  /** S6 — insert-only MERGE: insert source rows whose key is absent from
+    * the target; never update existing rows.
+    * Ref: 02_bronze.ipynb:300-320 (cell-8), 03_silver.ipynb:642-662,
+    * 04d:313-335 (cell-6).
+    */
+  def insertOnly(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+    val missing = source.join(target.select(keys.map(col): _*), keys, "left_anti")
+    target.unionByName(missing.select(target.columns.map(col): _*))
+  }
+
+  /** S7 — SCD Type 1 MERGE: matched target rows take the source's values
+    * for `updateCols` (other target columns kept); unmatched source rows
+    * are inserted whole.
+    * Ref: 04a_gold_dim_athletes.ipynb:300-333 (cell-10), 04b:425-444,
+    * 04c:368-387.
+    */
+  def scd1(
+      target: DataFrame,
+      source: DataFrame,
+      keys: Seq[String],
+      updateCols: Seq[String]): DataFrame = {
+    val keptCols = target.columns.filterNot(updateCols.contains)
+    // matched: target's kept columns + source's updated columns
+    val updated = target
+      .select(keptCols.map(col): _*)
+      .join(source.select((keys ++ updateCols).distinct.map(col): _*), keys, "inner")
+      .select(target.columns.map(col): _*)
+    val survivors = target.join(source.select(keys.map(col): _*), keys, "left_anti")
+    val inserts = source.join(target.select(keys.map(col): _*), keys, "left_anti")
+      .select(target.columns.map(col): _*)
+    updated.unionByName(survivors).unionByName(inserts)
+  }
+
+  /** Apply a merge result atomically through the store. */
+  def mergeInto(
+      store: TableStore,
+      table: String,
+      source: DataFrame,
+      keys: Seq[String],
+      updateCols: Seq[String] = Nil): Unit = {
+    if (!store.exists(table)) store.overwrite(table, source)
+    else {
+      val target = store.read(table)
+      val merged =
+        if (updateCols.isEmpty) insertOnly(target, source, keys)
+        else scd1(target, source, keys, updateCols)
+      store.overwrite(table, merged)
+    }
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Parquet-backed warehouse with Delta-like table semantics (SURVEY.md
+  * §7.3): the local Spark has no Delta jars, so full-load overwrite,
+  * table-exists probes, and atomic replace are provided over plain
+  * parquet directories.
+  *
+  * Atomicity model: writers always write to a fresh `.tmp-<nonce>`
+  * directory, then swap it in with two renames (current → trash, tmp →
+  * current). Readers that already resolved files keep reading their
+  * snapshot (parquet files are immutable); new reads see the new table.
+  * This is the same swap trick Delta's transaction log makes unnecessary,
+  * re-expressed at directory level — sufficient for a single-writer
+  * medallion pipeline (the reference's Airflow DAG runs with
+  * max_active_runs=1, ironman_dag.py:195).
+  */
+final class TableStore(val spark: SparkSession, val root: String) {
+
+  private def dir(table: String): Path = Paths.get(root, table)
+
+  def exists(table: String): Boolean = Files.exists(dir(table))
+
+  def read(table: String): DataFrame = spark.read.parquet(dir(table).toString)
+
+  /** Full-load: overwrite + implicit overwriteSchema (a fresh directory
+    * has whatever schema the writer declares).
+    * Ref semantics: 02_bronze.ipynb:303-310 (cell-8) et al.
+    */
+  def overwrite(table: String, df: DataFrame, numFiles: Int = 0): Unit = {
+    val tmp = stage(table, df, numFiles)
+    swapIn(table, tmp)
+  }
+
+  /** `OPTIMIZE`-style compaction (ref: 02:354, 03:721, 04d:501): rewrite
+    * the table into `numFiles` files. On a real cluster this is a
+    * bin-packing rewrite; the semantic contract here is only "idempotent
+    * and efficient to re-read".
+    */
+  def compact(table: String, numFiles: Int): Unit =
+    overwrite(table, read(table), numFiles)
+
+  private def stage(table: String, df: DataFrame, numFiles: Int): Path = {
+    val tmp = Paths.get(root, s".tmp-$table-${System.nanoTime()}")
+    val out = if (numFiles > 0) df.coalesce(numFiles) else df
+    out.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    tmp
+  }
+
+  private def swapIn(table: String, tmp: Path): Unit = {
+    val target = dir(table)
+    val trash = Paths.get(root, s".trash-$table-${System.nanoTime()}")
+    if (Files.exists(target)) Files.move(target, trash)
+    Files.move(tmp, target)
+    if (Files.exists(trash)) deleteRecursively(trash)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+      .forEach(f => Files.delete(f))
+}
