@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Merge
+
+/** SURVEY.md §2.1 S6/S7 — the Delta-MERGE emulation, surfaced as oracle
+  * queries: target/source are deterministic slices of `orders`/`customer`
+  * and the oracle SQL states the MERGE contract relationally, so the
+  * DuckDB compare proves the rewrite's semantics (not just row counts).
+  */
+object MergeQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** S6 insert-only MERGE: keys already in the target are never updated;
+    * absent keys are inserted. Target = orders with key % 3 != 0; source =
+    * all orders restamped 'SRC' (so any update would be visible).
+    * Ref: 02_bronze.ipynb:300-320 (cell-8).
+    */
+  val s6_insert_only_merge = OpQuery(
+    "s6_insert_only_merge",
+    """WITH target AS (
+      |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 3 <> 0
+      |), source AS (
+      |  SELECT o_orderkey, 'SRC' AS o_orderstatus FROM orders
+      |)
+      |SELECT o_orderkey, o_orderstatus FROM target
+      |UNION ALL
+      |SELECT s.o_orderkey, s.o_orderstatus FROM source s
+      |WHERE NOT EXISTS (SELECT 1 FROM target x WHERE x.o_orderkey = s.o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    val orders = t(spark, dir, "orders")
+    val target = orders.filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val source = orders.select(col("o_orderkey"), lit("SRC").as("o_orderstatus"))
+    Merge.insertOnly(target, source, Seq("o_orderkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** S7 SCD1 MERGE: matched keys take the source's listed attributes and
+    * keep the rest; unmatched source keys are inserted whole. Target =
+    * customers with key % 4 != 0 plus a 'stable' column the merge must
+    * not touch; source = all customers with an updated segment.
+    * Ref: 04a_gold_dim_athletes.ipynb:300-333 (cell-10).
+    */
+  val s7_scd1_merge = OpQuery(
+    "s7_scd1_merge",
+    """WITH target AS (
+      |  SELECT c_custkey, c_mktsegment, concat('orig_', CAST(c_nationkey AS VARCHAR)) AS stable
+      |  FROM customer WHERE c_custkey % 4 <> 0
+      |), source AS (
+      |  SELECT c_custkey, concat('NEW_', c_mktsegment) AS c_mktsegment,
+      |         'src_stable' AS stable
+      |  FROM customer
+      |)
+      |SELECT t.c_custkey, s.c_mktsegment, t.stable
+      |FROM target t JOIN source s ON t.c_custkey = s.c_custkey
+      |UNION ALL
+      |SELECT s.c_custkey, s.c_mktsegment, s.stable
+      |FROM source s
+      |WHERE NOT EXISTS (SELECT 1 FROM target x WHERE x.c_custkey = s.c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    val customer = t(spark, dir, "customer")
+    val target = customer.filter(col("c_custkey") % 4 =!= 0)
+      .select(
+        col("c_custkey"), col("c_mktsegment"),
+        concat(lit("orig_"), col("c_nationkey").cast("string")).as("stable"))
+    val source = customer.select(
+      col("c_custkey"),
+      concat(lit("NEW_"), col("c_mktsegment")).as("c_mktsegment"),
+      lit("src_stable").as("stable"))
+    Merge.scd1(target, source, Seq("c_custkey"), updateCols = Seq("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val all: Seq[OpQuery] = Seq(s6_insert_only_merge, s7_scd1_merge)
+}

@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.IronmanExprs
+
+/** SURVEY.md §2.7 scalar-function families + §2.8 derived semantics,
+  * exercised over the synthetic tables with DuckDB oracles.
+  *
+  * Engine-diff rules baked into the oracles (verified empirically):
+  * DuckDB regexp_replace needs the 'g' flag to match Spark's
+  * replace-all; DuckDB lists are 1-indexed (Spark arrays 0-indexed);
+  * Spark `concat` is NULL if any argument is NULL (DuckDB skips NULLs)
+  * so oracles avoid nullable concat args; Spark dayofweek is 1-based
+  * Sunday, DuckDB 0-based.
+  */
+object Scalars {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** String family: lower/upper/trim/regexp_replace/regexp_extract/
+    * split+index/element_at(-1)/size/concat/concat_ws/lpad/substring/
+    * startswith/contains (ref usages: 02:211-212, 03:252-303, 04a:133-136,
+    * 04c:148-205, 05:613-618).
+    */
+  val f_string = OpQuery(
+    "f_string",
+    """SELECT p_partkey,
+      |  lower(p_name) AS name_lower,
+      |  upper(p_brand) AS brand_upper,
+      |  trim(p_type) AS type_trim,
+      |  regexp_replace(p_name, '[^a-zA-Z0-9]', '', 'g') AS name_clean,
+      |  regexp_extract(p_type, '([A-Z]+)', 1) AS type_first_upper,
+      |  list_extract(string_split(p_name, ' '), 1) AS first_token,
+      |  string_split(p_name, ' ')[-1] AS last_token,
+      |  CAST(length(string_split(p_name, ' ')) AS INT) AS n_tokens,
+      |  concat(p_brand, '#', p_type) AS brand_type,
+      |  concat_ws('_', p_brand, p_type) AS brand_type_ws,
+      |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+      |  substring(p_name, 1, 5) AS name_prefix,
+      |  starts_with(p_brand, 'Brand') AS is_brand,
+      |  contains(p_type, 'a') AS has_a
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+    val parts = split(col("p_name"), " ")
+    t(spark, dir, "part").select(
+      col("p_partkey"),
+      lower(col("p_name")).as("name_lower"),
+      upper(col("p_brand")).as("brand_upper"),
+      trim(col("p_type")).as("type_trim"),
+      regexp_replace(col("p_name"), "[^a-zA-Z0-9]", "").as("name_clean"),
+      regexp_extract(col("p_type"), "([A-Z]+)", 1).as("type_first_upper"),
+      get(parts, lit(0)).as("first_token"),
+      element_at(parts, -1).as("last_token"),
+      size(parts).as("n_tokens"),
+      concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+      concat_ws("_", col("p_brand"), col("p_type")).as("brand_type_ws"),
+      lpad(col("p_size").cast("string"), 4, "0").as("size_padded"),
+      substring(col("p_name"), 1, 5).as("name_prefix"),
+      col("p_brand").startsWith("Brand").as("is_brand"),
+      col("p_type").contains("a").as("has_a"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Conditional/null family: when/otherwise chains, coalesce, nullif,
+    * null-sentinel handling (ref: pervasive, e.g. 03:257-295, 05:693-697).
+    */
+  val f_conditional = OpQuery(
+    "f_conditional",
+    """SELECT c_custkey,
+      |  CASE WHEN c_acctbal < 0 THEN 'negative'
+      |       WHEN c_acctbal < 5000 THEN 'low'
+      |       ELSE 'high' END AS bal_band,
+      |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_masked,
+      |  CASE WHEN c_nationkey % 2 = 0 THEN c_name END AS name_evens_only
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    t(spark, dir, "customer").select(
+      col("c_custkey"),
+      when(col("c_acctbal") < 0, "negative")
+        .when(col("c_acctbal") < 5000, "low")
+        .otherwise("high").as("bal_band"),
+      coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER"))
+        .as("segment_masked"),
+      when(col("c_nationkey") % 2 === 0, col("c_name")).as("name_evens_only"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Math family: abs/round/floor/ceil/pmod/integer arithmetic
+    * (ref: 03:134-139, 04a:194, 05:553-558,615-618). pmod has no DuckDB
+    * twin; the oracle spells out ((x % n) + n) % n.
+    */
+  val f_math = OpQuery(
+    "f_math",
+    """SELECT s_suppkey,
+      |  abs(s_acctbal) AS bal_abs,
+      |  CAST(round(s_acctbal, 1) AS DOUBLE) AS bal_round1,
+      |  CAST(floor(s_acctbal) AS BIGINT) AS bal_floor,
+      |  CAST(ceil(s_acctbal) AS BIGINT) AS bal_ceil,
+      |  CAST(((s_suppkey * 37 % 10) + 10) % 10 AS BIGINT) AS key_pmod,
+      |  CAST(s_suppkey * 3600 + s_nationkey * 60 AS BIGINT) AS synthetic_secs
+      |FROM supplier
+      |ORDER BY s_suppkey""".stripMargin) { (spark, dir) =>
+    t(spark, dir, "supplier").select(
+      col("s_suppkey"),
+      abs(col("s_acctbal")).as("bal_abs"),
+      round(col("s_acctbal"), 1).cast("double").as("bal_round1"),
+      floor(col("s_acctbal")).as("bal_floor"),
+      ceil(col("s_acctbal")).as("bal_ceil"),
+      pmod(col("s_suppkey") * 37, lit(10)).cast("long").as("key_pmod"),
+      (col("s_suppkey") * 3600 + col("s_nationkey") * 60).cast("long")
+        .as("synthetic_secs"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Date/time family: year/month/day/date_trunc/date_format/datediff
+    * (ref: current_timestamp/current_date 02:150-151 are nondeterministic
+    * so the deterministic extraction family stands in).
+    */
+  val f_datetime = OpQuery(
+    "f_datetime",
+    """SELECT o_orderkey,
+      |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+      |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+      |  CAST(EXTRACT(day FROM o_orderdate) AS INT) AS order_day,
+      |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow_sunday1,
+      |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date_str,
+      |  CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_92
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    t(spark, dir, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("order_year"),
+      month(col("o_orderdate")).as("order_month"),
+      dayofmonth(col("o_orderdate")).as("order_day"),
+      dayofweek(col("o_orderdate")).as("dow_sunday1"),
+      date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+        .as("month_start"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date_str"),
+      datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+        .as("days_since_92"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** D1 + the H:MM:SS formatter, round-tripped over synthetic seconds:
+    * format → parse must reproduce the input (property pinned by the
+    * oracle recomputing both directions in SQL).
+    */
+  val d1_time_roundtrip = OpQuery(
+    "d1_time_roundtrip",
+    """WITH secs AS (
+      |  SELECT event_id, CAST((event_id * 7919) % 86399 + 1 AS BIGINT) AS s
+      |  FROM events
+      |), fmt AS (
+      |  SELECT event_id, s,
+      |         concat(CAST(s // 3600 AS VARCHAR), ':',
+      |                lpad(CAST((s % 3600) // 60 AS VARCHAR), 2, '0'), ':',
+      |                lpad(CAST(s % 60 AS VARCHAR), 2, '0')) AS hms
+      |  FROM secs
+      |)
+      |SELECT event_id, s, hms,
+      |  CAST(CAST(string_split(hms, ':')[1] AS INT) * 3600 +
+      |       CAST(string_split(hms, ':')[2] AS INT) * 60 +
+      |       CAST(string_split(hms, ':')[3] AS INT) AS BIGINT) AS s_roundtrip
+      |FROM fmt
+      |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    t(spark, dir, "events")
+      .select(
+        col("event_id"),
+        ((col("event_id") * 7919) % 86399 + 1).cast("long").as("s"))
+      .withColumn("hms", IronmanExprs.formatSeconds(col("s")))
+      .withColumn("s_roundtrip",
+        IronmanExprs.parseTimeToSeconds(col("hms")).cast("long"))
+      .orderBy(col("event_id"))
+  }
+
+  /** D3 natural-key semantics over customer names: clean + concat_ws with
+    * an UNKNOWN fallback for a nullable column (ref: 04a:130-139).
+    */
+  val d3_natural_key = OpQuery(
+    "d3_natural_key",
+    """SELECT c_custkey,
+      |  lower(concat_ws('_',
+      |    regexp_replace(c_name, '[^a-zA-Z0-9]', '', 'g'),
+      |    coalesce(nullif(c_mktsegment, 'MACHINERY'), 'UNKNOWN'))) AS natural_key
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    val seg = nullif(col("c_mktsegment"), lit("MACHINERY"))
+    t(spark, dir, "customer").select(
+      col("c_custkey"),
+      IronmanExprs.athleteNaturalKey(col("c_name"), seg).as("natural_key"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** D4 surrogate keys — abs(Murmur3 hash). Not SQL-oracle-expressible
+    * (DuckDB's hash is a different function); covered by rows-only check
+    * here and exact-equality unit tests in IronmanExprsSpec.
+    */
+  val d4_surrogate_key = OpQuery.noOracle("d4_surrogate_key") { (spark, dir) =>
+    t(spark, dir, "customer").select(
+      col("c_custkey"),
+      IronmanExprs.surrogateKey(col("c_name")).as("customer_sk"),
+      IronmanExprs.athleteSurrogateKey(col("c_name"), col("c_mktsegment"))
+        .as("composite_sk"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** D10 division parsing applied to a synthetic division-shaped string
+    * built from part attributes, exercising startswith/contains/
+    * regexp_extract/split in the exact reference composition.
+    */
+  val d10_division_parse = OpQuery(
+    "d10_division_parse",
+    """WITH div AS (
+      |  SELECT p_partkey,
+      |         CASE WHEN p_size % 3 = 0 THEN concat('M', CAST(p_size AS VARCHAR), '-', CAST(p_size + 4 AS VARCHAR))
+      |              WHEN p_size % 3 = 1 THEN concat('F', CAST(p_size AS VARCHAR), '-', CAST(p_size + 4 AS VARCHAR))
+      |              ELSE 'XPRO' END AS division
+      |  FROM part
+      |)
+      |SELECT p_partkey, division,
+      |  CASE WHEN starts_with(division, 'M') THEN 'M'
+      |       WHEN starts_with(division, 'F') THEN 'F'
+      |       ELSE 'UNKNOWN' END AS gender,
+      |  contains(division, 'PRO') AS is_professional,
+      |  CAST(CASE WHEN regexp_extract(division, '(\d+\-\d+)', 1) != ''
+      |       THEN CAST(string_split(regexp_extract(division, '(\d+\-\d+)', 1), '-')[1] AS INT) END AS INT) AS age_start,
+      |  CAST(CASE WHEN regexp_extract(division, '(\d+\-\d+)', 1) != ''
+      |       THEN CAST(string_split(regexp_extract(division, '(\d+\-\d+)', 1), '-')[2] AS INT) END AS INT) AS age_end
+      |FROM div
+      |ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+    val division = when(col("p_size") % 3 === 0,
+        concat(lit("M"), col("p_size").cast("string"), lit("-"),
+          (col("p_size") + 4).cast("string")))
+      .when(col("p_size") % 3 === 1,
+        concat(lit("F"), col("p_size").cast("string"), lit("-"),
+          (col("p_size") + 4).cast("string")))
+      .otherwise(lit("XPRO"))
+    t(spark, dir, "part")
+      .withColumn("division", division)
+      .select(
+        col("p_partkey"),
+        col("division"),
+        IronmanExprs.divisionGender(col("division")).as("gender"),
+        IronmanExprs.isProfessional(col("division")).as("is_professional"),
+        IronmanExprs.ageGroupStart(col("division")).as("age_start"),
+        IronmanExprs.ageGroupEnd(col("division")).as("age_end"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val all: Seq[OpQuery] = Seq(
+    f_string, f_conditional, f_math, f_datetime,
+    d1_time_roundtrip, d3_natural_key, d4_surrogate_key, d10_division_parse)
+}
