@@ -37,6 +37,17 @@ def main():
         oracles = json.load(f)
 
     failures, passed, no_oracle = [], [], []
+    # a query that errored in Verify leaves no output dir — that is a FAIL,
+    # not a silent skip (the driver counts it against correctness)
+    present = {os.path.basename(d) for d in glob.glob(os.path.join(out_dir, "*"))
+               if os.path.isdir(d)}
+    declared = set(oracles)
+    manifest = os.path.join(out_dir, "queries.json")
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            declared |= set(json.load(f))
+    for name in sorted(declared - present):
+        failures.append((name, "no Verify output (query raised — see stderr)"))
     for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
         if not os.path.isdir(qdir):
             continue

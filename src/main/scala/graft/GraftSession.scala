@@ -25,6 +25,9 @@ object GraftSession {
       // requires the same here; queries in SparkEntry stay ANSI-safe
       // regardless (they run under the driver's own default session).
       .config("spark.sql.ansi.enabled", "false")
+      // the driver-generated events table stores TIMESTAMP(NANOS), which
+      // the parquet reader otherwise rejects (see Tables.load)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def defaultCores: Int =

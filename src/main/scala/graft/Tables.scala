@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.LongType
 
 /** Loader for the driver-generated synthetic tables (see TESTDATA.md).
   *
@@ -13,8 +15,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects. Sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[graft.GraftSession]]
+    * / Verify / Bench) so the column arrives as nanos-since-epoch LONG;
+    * this loader converts it back to a proper timestamp (microsecond
+    * precision — Spark's native resolution).
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
 
   /** Register every table as a temp view named after itself, so SQL text
     * identical to the DuckDB oracle runs on Spark too.

@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, language ID, quality scoring, and
+  * document fingerprinting. All pure `Column` expressions (codegen'd, no
+  * UDFs) so they run at full scan speed over 100 TB of documents.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (the baseline for jaccard/minhash). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column =
+    when(text.isNull || trim(text) === "", lit(0)).otherwise(size(tokens(text)))
+
+  /** BPE-ish token counting: alphanumeric runs and single non-space
+    * symbols counted separately — the standard cheap estimator when a
+    * real tokenizer is too expensive for a first pass. (Pattern kept
+    * RE2-compatible so the DuckDB oracle can replicate it.)
+    */
+  def bpeIshTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Distinct lowercase tokens, the unit set for jaccard similarity. */
+  def distinctTokens(text: Column): Column =
+    array_distinct(tokens(lower(text)))
+
+  /** Character n-gram shingles (for minhash/simhash). Expressed with
+    * sequence+transform so it stays a codegen'd expression.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val s = lower(text)
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(length(s) - n, lit(0))),
+        i => substring(s, lit(1) + i, lit(n))))
+  }
+
+  /** Language-ID marker words: tiny per-language stopword sets. The
+    * heuristic is marker-hit counting — argmax of
+    * |tokens ∩ markers(lang)|, 'und' (undetermined) when no marker hits.
+    * An n-gram-frequency model would be the production upgrade; the
+    * operator shape (scan + argmax over per-language scores) is the same.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with", "for", "it"),
+    "es" -> Seq("el", "la", "de", "que", "los", "las", "una", "por", "para", "con"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "für", "auf"),
+    "fr" -> Seq("le", "les", "des", "est", "dans", "pour", "que", "une", "sur", "avec"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = distinctTokens(text)
+    langMarkers.map { case (lang, markers) =>
+      lang -> size(array_intersect(toks, array(markers.map(lit): _*)))
+    }
+  }
+
+  /** argmax over language scores with deterministic tie-break (first in
+    * langMarkers order wins); 'und' when every score is 0.
+    */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val chain = scores.tail.foldLeft(
+      when(scores.head._2 === best && best > 0, lit(scores.head._1))) {
+      case (c, (lang, score)) => c.when(score === best && best > 0, lit(lang))
+    }
+    chain.otherwise(lit("und"))
+  }
+
+  /** Quality-score components: doc length, alpha ratio, punctuation
+    * ratio, stopword ratio, mean token length — the standard cheap
+    * heuristics (Gopher/C4-style rules) for pretraining-data filtering.
+    */
+  def alphaRatio(text: Column): Column = {
+    val len = length(text)
+    when(len === 0 || text.isNull, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double") / len)
+  }
+
+  def punctRatio(text: Column): Column = {
+    val len = length(text)
+    when(len === 0 || text.isNull, lit(0.0))
+      .otherwise(
+        length(regexp_replace(text, "[^.,;:!?'\"()-]", "")).cast("double") / len)
+  }
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val stops = array(langMarkers.flatMap(_._2).distinct.map(lit): _*)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(
+        size(filter(toks, t => array_contains(stops, t))).cast("double") / size(toks))
+  }
+
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: weighted blend of the components,
+    * clipped. Weights are the operator's parameters, not truth — the
+    * point is the single-pass, codegen'd scoring scan.
+    */
+  def qualityScore(text: Column): Column = {
+    val lengthScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val raw = lengthScore * 0.3 + alphaRatio(text) * 0.3 +
+      stopwordRatio(text) * 0.2 + (lit(1.0) - punctRatio(text)) * 0.2
+    round(greatest(least(raw, lit(1.0)), lit(0.0)), 4)
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text —
+    * the exact-dedup key. (Content-defined rolling-hash chunking is the
+    * upgrade path for near-identical long docs.)
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+}

@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around its 100 TB shuffle profile:
+  *
+  *  - exact:     one hash-shuffle on a 128-bit fingerprint (the optimal
+  *               plan — nothing beats a single shuffle for exact dedup)
+  *  - minhash:   LSH banding so candidate generation shuffles on band
+  *               buckets (tiny keys), never on document pairs; the O(n²)
+  *               pair space is touched only inside buckets
+  *  - simhash:   pigeonhole banding over a 64-bit signature for
+  *               hamming-distance candidates, same bucket-join shape
+  *  - ngram:     exact jaccard via inverted-index self-join — correct but
+  *               quadratic in the worst case; the small-data oracle that
+  *               validates the sketch-based paths
+  *  - embedding: cosine near-dup via [[Similarity]] — see there
+  */
+object Dedup {
+
+  // -------------------------------------------------------------- exact
+  /** Exact dedup on normalized content: keep the smallest id per
+    * fingerprint. Returns the surviving rows.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy("fingerprint").orderBy(col(idCol).asc)
+    df.withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
+      .withColumn("keep_rn", row_number().over(w))
+      .filter(col("keep_rn") === 1)
+      .drop("keep_rn")
+  }
+
+  /** Exact-dup groups: fingerprint → group size + surviving id, only for
+    * fingerprints occurring more than once (the audit view of [[exact]]).
+    */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
+      .groupBy("fingerprint")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col(idCol)).as("keeper_id"))
+
+  // ------------------------------------------------------------- jaccard
+  /** Exact token-set jaccard pairs ≥ threshold, via inverted-index
+    * self-join: explode distinct tokens, join on token, count
+    * intersections per pair, compute |A∩B| / (|A|+|B|-|A∩B|).
+    *
+    * Scale: shuffles on token (inverted index) then on (id1, id2).
+    * Worst case is quadratic in the posting-list length of hot tokens —
+    * which is why [[minHashCandidates]] exists; this operator is the
+    * ground truth the sketches are validated against.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val toks = df.select(
+      col(idCol).as("doc_id"),
+      explode(TextFunctions.distinctTokens(col(textCol))).as("tok"))
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+    val a = toks.as("a")
+    val b = toks.as("b")
+    val inter = a.join(b, col("a.tok") === col("b.tok") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id1")
+        .withColumnRenamed("set_size", "size1"), "id1")
+      .join(sizes.withColumnRenamed("doc_id", "id2")
+        .withColumnRenamed("set_size", "size2"), "id2")
+      .withColumn(
+        "jaccard",
+        col("n_inter").cast("double") /
+          (col("size1") + col("size2") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  // ------------------------------------------------------------- minhash
+  /** MinHash signature: k independent permutations approximated by
+    * h_i(x) = (a_i * x + b_i) mod p over token hashes. Computed as
+    * k aggregate mins in one pass (single shuffle on doc id); stays fully
+    * codegen'd — no UDF, no per-row allocation.
+    *
+    * p = 2^31-1 (Mersenne 31) keeps a*x+b within 62 bits so the Long
+    * arithmetic can't overflow (ANSI mode would throw on 64-bit primes).
+    */
+  private val MersennePrime = (1L << 31) - 1
+
+  private def hashFamily(k: Int): Seq[(Long, Long)] = {
+    // deterministic seeded coefficients, reproducible across runs
+    val rnd = new scala.util.Random(42)
+    Seq.fill(k)((math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1,
+      math.abs(rnd.nextLong()) % MersennePrime))
+  }
+
+  def minHashSignature(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleSize: Int = 0): DataFrame = {
+    val units =
+      if (shingleSize > 0) TextFunctions.shingles(col(textCol), shingleSize)
+      else TextFunctions.distinctTokens(col(textCol))
+    val toks = df.select(
+      col(idCol).as("doc_id"),
+      explode(units).as("tok"))
+      .withColumn("th", abs(xxhash64(col("tok"))))
+    val mins = hashFamily(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      // (a*x + b) mod p with p = 2^61-1; pmod keeps it positive
+      min(pmod(col("th") % MersennePrime * a + b, lit(MersennePrime))).as(s"mh_$i")
+    }
+    toks.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: split the signature into `bands` bands of
+    * numHashes/bands rows each, hash each band, and emit (band_idx,
+    * band_hash, doc_id). Candidate pairs are docs sharing any band
+    * bucket. Shuffle key is the (tiny) bucket id — never a doc pair.
+    */
+  def minHashCandidates(
+      signatures: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(rowsPerBand * bands == numHashes, "bands must divide numHashes")
+    val bandCols = (0 until bands).map { bIdx =>
+      val slice = (0 until rowsPerBand).map(r => col(s"mh_${bIdx * rowsPerBand + r}"))
+      struct(lit(bIdx).as("band_idx"), hash(slice: _*).as("band_hash"))
+    }
+    val banded = signatures.select(
+      col("doc_id"),
+      explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signature → banded candidates →
+    * exact-jaccard verification of candidates only. The verification
+    * join touches candidate pairs, not the full n² space.
+    */
+  def minHashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    val sigs = minHashSignature(df, idCol, textCol, numHashes)
+    val candidates = minHashCandidates(sigs, numHashes, bands)
+    val exact = ngramJaccardPairs(
+      df.join(
+        candidates.select(explode(array(col("id1"), col("id2"))).as(idCol)).distinct(),
+        idCol, "left_semi"),
+      idCol, textCol, threshold)
+    candidates.join(exact, Seq("id1", "id2"), "inner")
+  }
+
+  // ------------------------------------------------------------- simhash
+  /** 64-bit SimHash: per-token 64-bit hashes vote per bit (+1 if set,
+    * -1 if not); signature bit k is the sign of the vote sum. One
+    * explode + one agg with 64 conditional sums — single shuffle.
+    */
+  def simHashSignature(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(
+      col(idCol).as("doc_id"),
+      explode(TextFunctions.distinctTokens(col(textCol))).as("tok"))
+      .withColumn("th", xxhash64(col("tok")))
+    val bitVotes = (0 until 64).map { k =>
+      sum(when(shiftright(col("th"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$k")
+    }
+    val votes = toks.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val sig = (0 until 64).map { k =>
+      when(col(s"v_$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    votes.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit signatures (bit_count of xor). */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dups with hamming distance ≤ maxDistance, found via
+    * pigeonhole banding: split 64 bits into (maxDistance+1) chunks — any
+    * pair within distance d shares at least one exact chunk. Bucket-join
+    * on chunks, verify with bit_count.
+    */
+  def simHashNearDups(
+      signatures: DataFrame, maxDistance: Int): DataFrame = {
+    val chunks = maxDistance + 1
+    val bitsPerChunk = 64 / chunks
+    val chunkCols = (0 until chunks).map { cIdx =>
+      val mask = if (bitsPerChunk >= 64) -1L else (1L << bitsPerChunk) - 1
+      struct(
+        lit(cIdx).as("chunk_idx"),
+        shiftright(col("simhash"), cIdx * bitsPerChunk).bitwiseAND(mask).as("chunk_val"))
+    }
+    val banded = signatures.select(
+      col("doc_id"), col("simhash"),
+      explode(array(chunkCols: _*)).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.chunk_idx"), col("c.chunk_val"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+  }
+}

@@ -7,5 +7,5 @@ object Registry {
   val flagship: OpQuery = Relational.q1_agg
 
   def all: Seq[OpQuery] =
-    Relational.all ++ Scalars.all ++ MergeQueries.all
+    Relational.all ++ Scalars.all ++ MergeQueries.all ++ ScaleOps.all
 }

@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+
+/** Beyond-reference scale operators (BASELINE.json north star): dedup,
+  * similarity search, and text analysis over `documents` / `embeddings`.
+  * Sketch-based ops (minhash/simhash/IVF) are approximate by design and
+  * therefore rows-only at the driver gate; their accuracy is pinned in
+  * ScalaTest against the exact operators instead.
+  */
+object ScaleOps {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** Exact dedup audit: fingerprint groups with survivor election.
+    * Single shuffle on the md5 fingerprint — the optimal exact-dedup
+    * plan at any scale.
+    */
+  val dedup_exact = OpQuery(
+    "dedup_exact",
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(MIN(doc_id) AS BIGINT) AS keeper_id
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY fingerprint""".stripMargin) { (spark, dir) =>
+    Dedup.exactDupGroups(t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy(col("fingerprint"))
+  }
+
+  /** Exact token-set jaccard near-dup pairs (threshold 0.9) over a
+    * deterministic 20% document subset — the ground-truth operator that
+    * the MinHash path approximates. Subsetting keeps the inverted-index
+    * self-join bounded under this corpus's tiny vocabulary; the full-
+    * corpus scale path is dedup via [[Dedup.minHashNearDups]].
+    */
+  val dedup_ngram_jaccard = OpQuery(
+    "dedup_ngram_jaccard",
+    """WITH docs AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+      |), toks AS (
+      |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS tok
+      |  FROM docs
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS set_size FROM toks GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+      |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id1, id2,
+      |       CAST(ROUND(n_inter * 1.0 / (s1.set_size + s2.set_size - n_inter), 6) AS DOUBLE) AS jaccard
+      |FROM inter
+      |JOIN sizes s1 ON id1 = s1.doc_id
+      |JOIN sizes s2 ON id2 = s2.doc_id
+      |WHERE n_inter * 1.0 / (s1.set_size + s2.set_size - n_inter) >= 0.9
+      |ORDER BY id1, id2""".stripMargin) { (spark, dir) =>
+    Dedup.ngramJaccardPairs(
+        t(spark, dir, "documents").filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", threshold = 0.9)
+      .withColumn("jaccard", round(col("jaccard"), 6).cast("double"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Text analysis: token counts (whitespace + BPE-ish), quality-score
+    * components, and the md5 fingerprint — one codegen'd scan pass.
+    */
+  val text_analysis = OpQuery(
+    "text_analysis",
+    """SELECT doc_id,
+      |  CAST(length(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+      |  CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_ish,
+      |  CAST(ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text), 6) AS DOUBLE) AS alpha_ratio,
+      |  CAST(ROUND(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'), x -> length(x))) * 1.0
+      |       / length(regexp_split_to_array(trim(text), '\s+')), 6) AS DOUBLE) AS mean_token_len,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.bpeIshTokenCount(col("text")).cast("int").as("n_bpe_ish"),
+      round(TextFunctions.alphaRatio(col("text")), 6).cast("double").as("alpha_ratio"),
+      round(TextFunctions.meanTokenLength(col("text")), 6).cast("double")
+        .as("mean_token_len"),
+      TextFunctions.fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language ID by marker-word hit counting with argmax + deterministic
+    * tie-break — heuristic replicated verbatim in the oracle.
+    */
+  val text_lang_id: OpQuery = {
+    val markerLists = TextFunctions.langMarkers
+    val scoreSql = markerLists.map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(length(list_intersect(toks, $arr)) AS INT) AS score_$lang"
+    }.mkString(",\n      |  ")
+    val bestExpr = markerLists.map(l => s"score_${l._1}").mkString("greatest(", ", ", ")")
+    val caseChain = markerLists.map { case (lang, _) =>
+      s"WHEN score_$lang = best AND best > 0 THEN '$lang'"
+    }.mkString("\n      |       ")
+    OpQuery(
+      "text_lang_id",
+      s"""WITH scored AS (
+        |  SELECT doc_id, lang AS declared_lang,
+        |  $scoreSql
+        |  FROM (SELECT doc_id, lang,
+        |          list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS toks
+        |        FROM documents)
+        |), best AS (
+        |  SELECT *, $bestExpr AS best FROM scored
+        |)
+        |SELECT doc_id, declared_lang,
+        |       CASE $caseChain
+        |       ELSE 'und' END AS lang_id,
+        |       ${markerLists.map(l => s"score_${l._1}").mkString(", ")}
+        |FROM best
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val docs = t(spark, dir, "documents")
+      val scores = TextFunctions.langScores(col("text"))
+      docs.select(
+        Seq(
+          col("doc_id"),
+          col("lang").as("declared_lang"),
+          TextFunctions.langId(col("text")).as("lang_id")) ++
+          scores.map { case (lang, c) => c.as(s"score_$lang") }: _*)
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Brute-force cosine top-k: exact ANN baseline. Query set broadcast;
+    * corpus streams map-side; the only shuffle is the per-query top-k.
+    */
+  val sim_topk_bruteforce = OpQuery(
+    "sim_topk_bruteforce",
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 8
+      |), scored AS (
+      |  SELECT q.query_id, e.vec_id AS corpus_id,
+      |         list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS score
+      |  FROM embeddings e, q
+      |  WHERE e.vec_id <> q.query_id
+      |), ranked AS (
+      |  SELECT query_id, corpus_id,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id ASC) AS INT) AS rank,
+      |         score
+      |  FROM scored
+      |)
+      |SELECT query_id, corpus_id, rank, CAST(ROUND(score, 6) AS DOUBLE) AS score
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    val emb = t(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+      .withColumn("score", round(col("score"), 6).cast("double"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding near-dup pairs ≥ 0.45 cosine over a deterministic 50%
+    * slice (exact, the ground truth the cell-bucketed variant
+    * approximates — the n² pair join is intentionally the expensive
+    * baseline; [[Similarity.cellBucketedNearDups]] is the scale path).
+    */
+  val sim_neardup_embedding = OpQuery(
+    "sim_neardup_embedding",
+    """WITH half AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0)
+      |SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |       CAST(ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS DOUBLE) AS score
+      |FROM half a JOIN half b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+      |ORDER BY id1, id2""".stripMargin) { (spark, dir) =>
+    Similarity.bruteForceNearDups(
+        t(spark, dir, "embeddings").filter(col("vec_id") % 2 === 0),
+        threshold = 0.45)
+      .withColumn("score", round(col("score"), 6).cast("double"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** MinHash-LSH near-dups: approximate (rows-only at the gate; recall
+    * vs exact jaccard pinned in DedupSpec).
+    */
+  val dedup_minhash_lsh = OpQuery.noOracle("dedup_minhash_lsh") { (spark, dir) =>
+    Dedup.minHashNearDups(
+        t(spark, dir, "documents").filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", numHashes = 32, bands = 8, threshold = 0.9)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** SimHash near-dups (hamming ≤ 3 over 64-bit signatures). */
+  val dedup_simhash = OpQuery.noOracle("dedup_simhash") { (spark, dir) =>
+    val sigs = Dedup.simHashSignature(
+      t(spark, dir, "documents").filter(col("doc_id") % 5 === 0), "doc_id", "text")
+    Dedup.simHashNearDups(sigs, maxDistance = 3)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** IVF approximate top-k (rows-only; recall vs brute force pinned in
+    * SimilaritySpec).
+    */
+  val sim_ivf_topk = OpQuery.noOracle("sim_ivf_topk") { (spark, dir) =>
+    val emb = t(spark, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
+        numCells = 16, nprobe = 4)
+      .withColumn("score", round(col("score"), 6).cast("double"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val all: Seq[OpQuery] = Seq(
+    dedup_exact, dedup_ngram_jaccard, text_analysis, text_lang_id,
+    sim_topk_bruteforce, sim_neardup_embedding,
+    dedup_minhash_lsh, dedup_simhash, sim_ivf_topk)
+}

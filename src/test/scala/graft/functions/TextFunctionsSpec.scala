@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counting: whitespace and BPE-ish") {
+    val r = Seq("the quick brown fox", "hello, world! a.b", "", "   ", null: String)
+      .toDF("t")
+      .select(tokenCount($"t").as("n"), bpeIshTokenCount($"t").as("b"))
+      .collect()
+    assert(r.map(_.getInt(0)).toSeq == Seq(4, 3, 0, 0, 0))
+    // "hello, world! a.b" -> hello , world ! a . b = 7
+    assert(r(1).getInt(1) == 7)
+  }
+
+  test("lang id picks the language with most marker hits, und when none") {
+    val r = Seq(
+      "the cat and the dog is in that house with it",
+      "el perro de la casa que los gatos por una con",
+      "der hund ist nicht mit das und ein für auf",
+      "xyzzy plugh qwerty")
+      .toDF("t").select(langId($"t").as("l")).as[String].collect().toSeq
+    assert(r == Seq("en", "es", "de", "und"))
+  }
+
+  test("quality components bounded and sane") {
+    val r = Seq("The quick brown fox jumps over the lazy dog.", "!!! ??? ...")
+      .toDF("t")
+      .select(
+        alphaRatio($"t").as("a"),
+        punctRatio($"t").as("p"),
+        stopwordRatio($"t").as("s"),
+        meanTokenLength($"t").as("m"),
+        qualityScore($"t").as("q"))
+      .collect()
+    val prose = r(0)
+    val junk = r(1)
+    assert(prose.getDouble(0) > 0.7 && junk.getDouble(0) == 0.0)
+    assert(junk.getDouble(1) > 0.7 && prose.getDouble(1) < 0.1)
+    assert(prose.getDouble(4) > junk.getDouble(4))
+    r.foreach { row =>
+      assert(row.getDouble(4) >= 0.0 && row.getDouble(4) <= 1.0)
+    }
+  }
+
+  test("fingerprint is whitespace/case-insensitive but content-sensitive") {
+    val r = Seq("Hello   World", "hello world", "hello  world!", "hello world")
+      .toDF("t").select(fingerprint($"t").as("f")).as[String].collect()
+    assert(r(0) == r(1) && r(1) == r(3))
+    assert(r(2) != r(0))
+  }
+
+  test("shingles produce distinct n-grams") {
+    val r = Seq("abcde").toDF("t")
+      .select(shingles($"t", 3).as("s")).as[Seq[String]].head()
+    assert(r == Seq("abc", "bcd", "cde"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.load(spark, sf, "documents")
+
+  test("exact dedup keeps one survivor per fingerprint and drops the rest") {
+    val withDups = docs.select($"doc_id", $"text")
+      .unionByName(docs.select(($"doc_id" + 100000).as("doc_id"), $"text"))
+    val surviving = Dedup.exact(withDups, "doc_id", "text")
+    assert(surviving.count() == docs.count())
+    // survivors are the minimum ids (originals)
+    assert(surviving.filter($"doc_id" >= 100000).count() == 0)
+    val groups = Dedup.exactDupGroups(withDups, "doc_id", "text")
+    assert(groups.filter($"n_docs" =!= 2).count() == 0)
+  }
+
+  test("minhash-LSH candidates achieve high recall of exact jaccard >= 0.9 pairs") {
+    val subset = docs.filter($"doc_id" % 2 === 0)
+    val exact = Dedup.ngramJaccardPairs(subset, "doc_id", "text", 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val found = Dedup.minHashNearDups(subset, "doc_id", "text",
+        numHashes = 32, bands = 8, threshold = 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "test corpus should contain near-dup pairs")
+    // verification step makes found ⊆ exact; banding may miss some pairs
+    assert(found.subsetOf(exact))
+    val recall = found.size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall too low (${found.size}/${exact.size})")
+  }
+
+  test("minhash signature approximates jaccard") {
+    val subset = docs.filter($"doc_id" < 60)
+    val sigs = Dedup.minHashSignature(subset, "doc_id", "text", numHashes = 64)
+    val sigMap = sigs.collect().map { r =>
+      r.getLong(0) -> (1 until 65).map(r.getLong).toVector
+    }.toMap
+    val exact = Dedup.ngramJaccardPairs(subset, "doc_id", "text", 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val errors = exact.toSeq.map { case ((i, j), jac) =>
+      val est = sigMap(i).zip(sigMap(j)).count { case (a, b) => a == b } / 64.0
+      math.abs(est - jac)
+    }
+    val meanErr = errors.sum / errors.size
+    assert(meanErr < 0.15, s"mean |minhash - jaccard| = $meanErr")
+  }
+
+  test("simhash: identical docs distance 0; near-dups closer than random pairs") {
+    val sigs = Dedup.simHashSignature(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical token sets -> identical signature
+    val selfPair = Dedup.simHashSignature(
+      docs.select($"doc_id", $"text")
+        .unionByName(docs.select(($"doc_id" + 100000).as("doc_id"), $"text")),
+      "doc_id", "text")
+    val both = selfPair.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.select("doc_id").as[Long].collect().foreach { id =>
+      assert(both(id) == both(id + 100000))
+    }
+    // near-dup pairs (jaccard>=0.9) hamming < random-pair average hamming
+    val near = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect()
+    if (near.nonEmpty) {
+      def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+      val nearAvg = near.map { case (i, j) => ham(sigs(i), sigs(j)) }.sum.toDouble / near.length
+      val ids = sigs.keys.toVector.sorted
+      val randomAvg = (for (i <- ids.indices by 7; j <- (i + 1) until ids.size by 11)
+        yield ham(sigs(ids(i)), sigs(ids(j)))).sum.toDouble /
+        (for (i <- ids.indices by 7; j <- (i + 1) until ids.size by 11) yield 1).size
+      assert(nearAvg < randomAvg,
+        s"near-dup avg hamming $nearAvg should beat random $randomAvg")
+    }
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+
+  test("cosine expression matches a hand-computed value") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.6f, 0.8f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val a = df.filter($"vec_id" === 1).select($"embedding".as("v1"))
+    val b = df.filter($"vec_id" === 2).select($"embedding".as("v2"))
+    val c = a.crossJoin(b)
+      .select(Similarity.cosine($"v1", $"v2").as("c")).as[Double].head()
+    assert(math.abs(c - 0.6) < 1e-6) // float32 inputs: ~1e-8 representation error
+  }
+
+  test("brute-force top-k is self-consistent: k rows per query, descending") {
+    val queries = emb.filter($"vec_id" < 5)
+    val topk = Similarity.bruteForceTopK(emb, queries, k = 10).cache()
+    assert(topk.groupBy("query_id").count().filter($"count" =!= 10).count() == 0)
+    val badOrder = topk.as("x").join(topk.as("y"),
+        $"x.query_id" === $"y.query_id" && ($"x.rank" === $"y.rank" - 1) &&
+          $"x.score" < $"y.score")
+    assert(badOrder.count() == 0)
+  }
+
+  test("IVF top-k recall@10 vs brute force is usable and cells partition the corpus") {
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(emb, queries, k = 10, numCells = 8, nprobe = 4)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall@10 = $recall with nprobe=4/8 cells")
+    // every vector lands in exactly one cell
+    val assigned = Similarity.assignCells(
+      emb, Similarity.centroids(emb, 8))
+    assert(assigned.count() == emb.count())
+    assert(assigned.groupBy("vec_id").count().filter($"count" > 1).count() == 0)
+  }
+
+  test("IVF recall improves with nprobe (monotone knob)") {
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    def recallAt(nprobe: Int): Double = {
+      val a = Similarity.ivfTopK(emb, queries, k = 10, numCells = 8, nprobe = nprobe)
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+      (exact intersect a).size.toDouble / exact.size
+    }
+    val r1 = recallAt(1)
+    val r8 = recallAt(8)
+    assert(r8 >= r1, s"recall should not degrade with more probes ($r1 -> $r8)")
+    assert(r8 >= 0.999, s"probing all cells must recover exact results (got $r8)")
+  }
+
+  test("cell-bucketed near-dups subset of brute-force near-dups") {
+    val exact = Similarity.bruteForceNearDups(emb, 0.4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val bucketed = Similarity.cellBucketedNearDups(emb, 0.4, numCells = 8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(bucketed.subsetOf(exact))
+  }
+}
