@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video as opaque `binary` payloads
+  * with typed metadata, plus the batch plumbing for decode / feature
+  * extraction.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic STUB ([[stubDecodeFeatures]]); everything
+  * around it — the schema, the binary column handling, the partition-wise
+  * batched execution (`mapPartitions`, the Scala analog of
+  * `mapInPandas`), the frame-sampling relational ops — is real and
+  * tested. Swapping the stub for a JNI/codec call changes one function.
+  */
+object Multimodal {
+
+  /** media table schema: one row per asset, binary payload + typed meta. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),   // image|audio|video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("n_frames", IntegerType, nullable = true))), nullable = true)))
+
+  /** Derive a deterministic media table from `documents` (the testdata
+    * has no binary table): payload = UTF-8 bytes of the text, modality
+    * and meta synthesized from doc_id. Stands in for a real asset table
+    * with identical Spark-side semantics.
+    */
+  def syntheticMedia(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        (col("doc_id") % 640 + 1).cast("int").as("width"),
+        (col("doc_id") % 480 + 1).cast("int").as("height"),
+        lit(16000).cast("int").as("sample_rate"),
+        (col("doc_id") % 50 + 1).cast("int").as("n_frames")).as("meta"))
+
+  /** ======== STUB ========
+    * Deterministic fake decode: "features" are k doubles derived from
+    * payload length and the md5 of the bytes. A real implementation
+    * decodes the image/audio and emits real features; the signature,
+    * schema, and batching are what production code would keep.
+    */
+  def stubDecodeFeatures(payload: Array[Byte], k: Int): Array[Double] = {
+    if (payload == null) return Array.fill(k)(0.0)
+    val digest = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    Array.tabulate(k)(i =>
+      ((digest(i % digest.length) & 0xff) * 31 + payload.length % 97) / 255.0)
+  }
+
+  private def featureSchema(df: DataFrame): StructType =
+    StructType(df.schema.fields.filterNot(_.name == "payload") :+
+      StructField("features", ArrayType(DoubleType), nullable = false))
+
+  /** Partition-wise batched feature extraction — the Scala analog of
+    * `mapInPandas`: one decoder instantiation per partition, rows
+    * streamed through it, payload dropped from the output (features
+    * replace the heavy bytes). Partitioning contract: repartition
+    * upstream by size so each task holds a bounded byte volume.
+    */
+  def extractFeatures(media: DataFrame, k: Int): DataFrame = {
+    val outSchema = featureSchema(media)
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val keepIdx = media.schema.fields.indices.filterNot(_ == payloadIdx)
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.mapPartitions { rows =>
+      // per-partition decoder setup would happen here (codec init, model
+      // load) — the stub needs none
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        Row.fromSeq(keepIdx.map(r.get) :+ stubDecodeFeatures(payload, k).toSeq)
+      }
+    }(enc)
+  }
+
+  /** Frame sampling for video rows: explode frame indices from meta,
+    * keep every `everyNth` — pure relational, no decode needed.
+    */
+  def frameSample(media: DataFrame, everyNth: Int): DataFrame =
+    media
+      .filter(col("modality") === "video")
+      .select(
+        col("media_id"),
+        explode(sequence(lit(0), col("meta.n_frames") - 1)).as("frame_idx"))
+      .filter(col("frame_idx") % everyNth === 0)
+
+  /** ======== STUB ======== resize: a metadata-only transform here (a
+    * real one maps payload through a codec); demonstrates the
+    * metadata-evolution pattern.
+    */
+  def resizeMeta(media: DataFrame, maxDim: Int): DataFrame = {
+    val w = col("meta.width")
+    val h = col("meta.height")
+    val scale = least(lit(1.0), lit(maxDim) / greatest(w, h).cast("double"))
+    media.withColumn("meta",
+      struct(
+        ceil(w * scale).cast("int").as("width"),
+        ceil(h * scale).cast("int").as("height"),
+        col("meta.sample_rate").as("sample_rate"),
+        col("meta.n_frames").as("n_frames")))
+  }
+}

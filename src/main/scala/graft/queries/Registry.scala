@@ -7,5 +7,6 @@ object Registry {
   val flagship: OpQuery = Relational.q1_agg
 
   def all: Seq[OpQuery] =
-    Relational.all ++ Scalars.all ++ MergeQueries.all ++ ScaleOps.all
+    Relational.all ++ Scalars.all ++ MergeQueries.all ++ ScaleOps.all ++
+      StreamingQueries.all ++ MultimodalQueries.all
 }

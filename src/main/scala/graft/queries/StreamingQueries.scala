@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.streaming.EventStreams
+
+/** Streaming semantics at the driver gate: every transform here is the
+  * batch execution of a streaming-capable plan (see
+  * [[graft.streaming.EventStreams]] — identical `DataFrame=>DataFrame`
+  * used with readStream + watermark in EventStreamsSpec). The DuckDB
+  * oracle pins the windowing/sessionization semantics.
+  */
+object StreamingQueries {
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+
+  /** Tumbling 1-hour windows per event type (epoch-aligned, exactly
+    * date_trunc('hour')).
+    */
+  val stream_window_agg = OpQuery(
+    "stream_window_agg",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |       event_type,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    EventStreams.windowedCounts(events(spark, dir), "1 hour")
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** Sliding 1-hour windows every 30 minutes: each event lands in 2
+    * windows (oracle materializes the hop offsets explicitly).
+    */
+  val stream_sliding_window = OpQuery(
+    "stream_sliding_window",
+    """WITH hopped AS (
+      |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - o.off * INTERVAL 30 MINUTE AS window_start
+      |  FROM events, (SELECT unnest([0, 1]) AS off) o
+      |)
+      |SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM hopped
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (spark, dir) =>
+    EventStreams.slidingCounts(events(spark, dir), "1 hour", "30 minutes")
+      .orderBy(col("window_start"))
+  }
+
+  /** Sessionization with a 30-minute inactivity gap — the batch shadow of
+    * session_window/flatMapGroupsWithState, stated relationally (lag +
+    * running sum of session starts) so DuckDB can replicate it exactly.
+    */
+  val stream_session_agg = OpQuery(
+    "stream_session_agg",
+    """WITH ordered AS (
+      |  SELECT user_id, ts, value,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      |  FROM events
+      |), flagged AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN prev_ts IS NULL
+      |                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+      |              THEN 1 ELSE 0 END AS is_start
+      |  FROM ordered
+      |), numbered AS (
+      |  SELECT user_id, ts, value,
+      |         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_seq,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      |FROM numbered
+      |GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin) { (spark, dir) =>
+    EventStreams.sessionizeBatch(events(spark, dir), gapSeconds = 1800)
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  /** session_window equivalence: Spark's native session_window produces
+    * the same sessions as the relational statement — asserted in
+    * EventStreamsSpec; at the gate it runs rows-only (its end timestamps
+    * are start+gap-padded, a Spark-specific convention).
+    */
+  val stream_session_window = OpQuery.noOracle("stream_session_window") { (spark, dir) =>
+    EventStreams.sessionWindows(events(spark, dir), "30 minutes")
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** JSON extraction from the props payload column. */
+  val f_json = OpQuery(
+    "f_json",
+    """SELECT event_id,
+      |       CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    events(spark, dir).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
+      .orderBy(col("event_id"))
+  }
+
+  val all: Seq[OpQuery] = Seq(
+    stream_window_agg, stream_sliding_window, stream_session_agg,
+    stream_session_window, f_json)
+}

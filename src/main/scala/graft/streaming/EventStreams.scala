@@ -1,0 +1,141 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Design rule: every aggregation is written as a `DataFrame =>
+  * DataFrame` transform usable in BOTH batch and streaming plans — batch
+  * runs give the DuckDB-oracle'd semantics, streaming runs attach
+  * watermarks and incremental state. That is exactly Spark's unified
+  * model: one logical plan, two execution modes.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event type. Streaming: watermarked
+    * state store keyed by (window, event_type) — bounded state, scales
+    * with windows × types, not events.
+    */
+  def windowedCounts(events: DataFrame, windowLength: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Same, with the streaming watermark attached. */
+  def windowedCountsStream(events: DataFrame, windowLength: String,
+      watermark: String): DataFrame =
+    windowedCounts(events.withWatermark("ts", watermark), windowLength)
+
+  /** Sliding (hopping) window event counts: each event contributes to
+    * length/slide windows.
+    */
+  def slidingCounts(events: DataFrame, windowLength: String, slide: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLength, slide).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n_events"))
+
+  /** Session windows, streaming-native: `session_window` merges events
+    * within `gap` into one growing window per user. State per open
+    * session only.
+    */
+  def sessionWindows(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("s"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+      .select(
+        col("user_id"),
+        date_format(col("s.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("s.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"), col("session_value"))
+
+  def sessionWindowsStream(events: DataFrame, gap: String, watermark: String): DataFrame =
+    sessionWindows(events.withWatermark("ts", watermark), gap)
+
+  /** Batch-shadow sessionization via lag + running count — the exact
+    * relational statement of the session_window semantics, and the form
+    * a SQL oracle can replicate: a session starts where the gap from the
+    * previous event of the same user exceeds `gapSeconds`.
+    */
+  def sessionizeBatch(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"))
+    val sessions = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn(
+        "is_start",
+        // microsecond arithmetic: exact integers on both engines (the
+        // DuckDB oracle uses epoch_us), no sub-second truncation drift
+        when(
+          col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapSeconds * 1000000L,
+          1).otherwise(0))
+      .withColumn(
+        "session_seq",
+        sum(col("is_start")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    sessions
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+  }
+
+  // ------------------------------------------------------- custom state
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class UserRunningState(nEvents: Long, totalValue: Double)
+  final case class UserSnapshot(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state via mapGroupsWithState: a running per-user
+    * counter that survives across micro-batches — the
+    * KeyValueGroupedDataset stateful-processing surface for logic the
+    * built-in aggregations can't express.
+    */
+  def runningUserTotals(
+      events: Dataset[Event]): Dataset[UserSnapshot] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunningState, UserSnapshot](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserRunningState]) =>
+          val prev = state.getOption.getOrElse(UserRunningState(0L, 0.0))
+          val (n, v) = batch.foldLeft((prev.nEvents, prev.totalValue)) {
+            case ((cn, cv), e) => (cn + 1, cv + e.value)
+          }
+          state.update(UserRunningState(n, v))
+          UserSnapshot(userId, n, math.round(v * 100).toDouble / 100)
+      }
+  }
+
+  /** Convenience: read the events table as a file-source stream (one
+    * parquet file = one micro-batch when `maxFilesPerTrigger=1`).
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file source requires a directory; narrow it to the events file
+    // with a glob filter
+    val raw = spark.readStream
+      .schema(batchSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.{SparkSpec, Tables}
+import graft.streaming.EventStreams._
+
+/** Streaming execution of the shared transforms: the same
+  * `DataFrame => DataFrame` used by the batch oracle queries, run as a
+  * real Structured Streaming query with watermarks, must converge to the
+  * batch answer once the stream is drained.
+  */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("file-source stream: windowed counts converge to batch result") {
+    val batch = windowedCounts(Tables.load(spark, sf, "events"), "1 hour")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+
+    val stream = windowedCountsStream(
+      readEventStream(spark, sf), "1 hour", watermark = "2 hours")
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("win_counts")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("win_counts")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(streamed == batch,
+        s"streaming result (${streamed.size} windows) != batch (${batch.size})")
+    } finally q.stop()
+  }
+
+  test("memory stream: session windows merge across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val events = mem.toDF().toDF("user_id", "ts", "value")
+
+    def ts(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+    // batch 1: two events 5 min apart (same session)
+    mem.addData((1L, ts(0), 1.0), (1L, ts(5), 2.0))
+    // batch 2: one event 10 min later (same session), one 50 min later (new)
+    mem.addData((1L, ts(15), 3.0), (1L, ts(55), 4.0))
+
+    val q = sessionWindowsStream(events, gap = "30 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      q.processAllAvailable()
+      val sessions = spark.table("sessions")
+        .orderBy("session_start")
+        .collect().map(r => (r.getLong(3), r.getDouble(4)))
+      // state merged across micro-batches: (3 events, 6.0) then (1 event, 4.0)
+      assert(sessions.toSeq == Seq((3L, 6.0), (1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("session_window matches the relational sessionization on real data") {
+    val events = Tables.load(spark, sf, "events")
+    val native = sessionWindows(events, "30 minutes")
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val relational = sessionizeBatch(events, 1800)
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(native == relational)
+  }
+
+  test("mapGroupsWithState: running totals accumulate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    def ev(id: Long, user: Long, v: Double) =
+      Event(id, Timestamp.valueOf("2024-01-01 00:00:00"), user, "click", v)
+    mem.addData(ev(1, 7, 1.5), ev(2, 7, 2.5), ev(3, 8, 10.0))
+    mem.addData(ev(4, 7, 6.0))
+
+    val q = runningUserTotals(mem.toDS())
+      .writeStream.format("memory").queryName("totals")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      q.processAllAvailable()
+      // last update per user wins: user 7 saw 3 events total 10.0
+      val last = spark.table("totals")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("v"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(last(7L) == ((3L, 10.0)))
+      assert(last(8L) == ((1L, 10.0)))
+    } finally q.stop()
+  }
+}
