@@ -1,0 +1,59 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan regression guards: the properties that make these
+  * queries scale (filter/column pushdown to the parquet scan, broadcast
+  * of dimension tables, TakeOrderedAndProject for top-k, whole-stage
+  * codegen presence) asserted against `.explain` output, so a future
+  * edit that silently de-optimizes a plan fails the build.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: OpQuery): String = {
+    val df = q.build(spark, sf)
+    df.collect() // materialize THIS plan so AQE finalizes it (codegen spans visible)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("p1: filter and projection reach the parquet scan") {
+    val p = plan(Relational.p1_project_filter)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("ReadSchema") &&
+      !p.contains("o_orderdate"), "column pruning lost: full schema read")
+  }
+
+  test("j1/j3: dimension joins broadcast (no shuffle of the fact side)") {
+    assert(plan(Relational.j1_left_join_broadcast).contains("BroadcastHashJoin"))
+    val star = plan(Relational.j3_star_join)
+    assert(star.split("BroadcastHashJoin").length >= 4,
+      s"expected >=3 broadcast joins in star plan")
+    assert(!star.contains("SortMergeJoin"), "star join degraded to sort-merge")
+  }
+
+  test("o2: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.o2_topk)
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not optimized:\n$p")
+  }
+
+  test("q1: aggregation is two-phase hash (map-side partial combine)") {
+    val p = plan(Relational.q1_agg)
+    assert(p.split("HashAggregate").length >= 3,
+      "expected partial + final HashAggregate")
+    assert(p.contains("*("), "flagship query fell out of whole-stage codegen")
+  }
+
+  test("similarity top-k: query side broadcast, corpus streams map-side") {
+    val p = plan(ScaleOps.sim_topk_bruteforce)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set not broadcast:\n$p")
+  }
+
+  test("merge rewrite: small-source anti joins broadcast under AQE") {
+    val p = plan(MergeQueries.s6_insert_only_merge)
+    assert(p.contains("LeftAnti"), s"insert-only merge lost its anti join:\n$p")
+  }
+}
