@@ -144,20 +144,29 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup pipeline: signature → banded candidates →
-    * exact-jaccard verification of candidates only. The verification
-    * join touches candidate pairs, not the full n² space.
+    * exact-jaccard verification of candidates only. Verification joins
+    * each candidate pair to its two (small) token sets and computes
+    * |A∩B| with array_intersect per pair — it touches candidate pairs
+    * only, never the n² space, and never re-runs the inverted index.
     */
   def minHashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     val sigs = minHashSignature(df, idCol, textCol, numHashes)
     val candidates = minHashCandidates(sigs, numHashes, bands)
-    val exact = ngramJaccardPairs(
-      df.join(
-        candidates.select(explode(array(col("id1"), col("id2"))).as(idCol)).distinct(),
-        idCol, "left_semi"),
-      idCol, textCol, threshold)
-    candidates.join(exact, Seq("id1", "id2"), "inner")
+    val tokenSets = df.select(
+      col(idCol).as("doc_id"),
+      TextFunctions.distinctTokens(col(textCol)).as("toks"))
+    candidates
+      .join(tokenSets.select(col("doc_id").as("id1"), col("toks").as("toks1")), "id1")
+      .join(tokenSets.select(col("doc_id").as("id2"), col("toks").as("toks2")), "id2")
+      .withColumn("n_inter", size(array_intersect(col("toks1"), col("toks2"))))
+      .withColumn(
+        "jaccard",
+        col("n_inter").cast("double") /
+          (size(col("toks1")) + size(col("toks2")) - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
   }
 
   // ------------------------------------------------------------- simhash

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.expressions.VectorExprs
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (`Array[Float]`).
   *
@@ -18,8 +20,10 @@ import org.apache.spark.sql.functions._
   *    assignment doubles as the partition key, so cell scans are
   *    co-located.
   *
-  * All vector math is `Column`-expression only (zip_with + aggregate):
-  * codegen'd, no UDF serialization per row.
+  * Hot-path vector math uses the native codegen'd
+  * [[graft.expressions.VectorExprs]] (primitive loop, no allocation);
+  * the composable zip_with/aggregate forms below remain as the
+  * pure-built-in reference implementation.
   */
 object Similarity {
 
@@ -51,10 +55,11 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    VectorExprs.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("corpus_id"), normalize(col(vecCol)).as("cvec"))
     val q = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qvec"))
     val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
-      .withColumn("score", dot(col("cvec"), col("qvec")))
+      .withColumn("score", VectorExprs.vecDot(col("cvec"), col("qvec")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("corpus_id").asc)
     scored
@@ -79,8 +84,9 @@ object Similarity {
     */
   def assignCells(corpus: DataFrame, cents: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    VectorExprs.register(corpus.sparkSession)
     val scored = corpus.join(broadcast(cents))
-      .withColumn("cdist", -cosine(col(vecCol), col("centroid")))
+      .withColumn("cdist", -VectorExprs.vecCosine(col(vecCol), col("centroid")))
     val w = Window.partitionBy(col(idCol)).orderBy(col("cdist").asc, col("cell_id").asc)
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -99,7 +105,7 @@ object Similarity {
     // query → nprobe nearest cells
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val qCells = q.join(broadcast(cents))
-      .withColumn("cdist", -cosine(col("qvec"), col("centroid")))
+      .withColumn("cdist", -VectorExprs.vecCosine(col("qvec"), col("centroid")))
     val wq = Window.partitionBy("query_id").orderBy(col("cdist").asc, col("cell_id").asc)
     val probes = qCells.withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nprobe)
@@ -108,7 +114,7 @@ object Similarity {
     val scored = assigned
       .join(probes, Seq("cell_id"))
       .filter(col(idCol) =!= col("query_id"))
-      .withColumn("score", cosine(col(vecCol), col("qvec")))
+      .withColumn("score", VectorExprs.vecCosine(col(vecCol), col("qvec")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w))
@@ -124,11 +130,12 @@ object Similarity {
   def bruteForceNearDups(
       corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    VectorExprs.register(corpus.sparkSession)
     val unit = corpus.select(col(idCol), normalize(col(vecCol)).as(vecCol))
     val a = unit.select(col(idCol).as("id1"), col(vecCol).as("v1"))
     val b = unit.select(col(idCol).as("id2"), col(vecCol).as("v2"))
     a.join(b, col("id1") < col("id2"))
-      .withColumn("score", dot(col("v1"), col("v2")))
+      .withColumn("score", VectorExprs.vecDot(col("v1"), col("v2")))
       .filter(col("score") >= threshold)
       .select("id1", "id2", "score")
   }
@@ -145,7 +152,7 @@ object Similarity {
     val b = assigned.select(col("cell_id"), col(idCol).as("id2"), col(vecCol).as("v2"))
     a.join(b, Seq("cell_id"))
       .filter(col("id1") < col("id2"))
-      .withColumn("score", cosine(col("v1"), col("v2")))
+      .withColumn("score", VectorExprs.vecCosine(col("v1"), col("v2")))
       .filter(col("score") >= threshold)
       .select("id1", "id2", "score")
       .distinct()
