@@ -56,14 +56,15 @@ object Merge {
       table: String,
       source: DataFrame,
       keys: Seq[String],
-      updateCols: Seq[String] = Nil): Unit = {
-    if (!store.exists(table)) store.overwrite(table, source)
+      updateCols: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil): Unit = {
+    if (!store.exists(table)) store.overwrite(table, source, partitionBy = partitionBy)
     else {
       val target = store.read(table)
       val merged =
         if (updateCols.isEmpty) insertOnly(target, source, keys)
         else scd1(target, source, keys, updateCols)
-      store.overwrite(table, merged)
+      store.overwrite(table, merged, partitionBy = partitionBy)
     }
   }
 }

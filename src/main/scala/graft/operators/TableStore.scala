@@ -30,9 +30,16 @@ final class TableStore(val spark: SparkSession, val root: String) {
   /** Full-load: overwrite + implicit overwriteSchema (a fresh directory
     * has whatever schema the writer declares).
     * Ref semantics: 02_bronze.ipynb:303-310 (cell-8) et al.
+    *
+    * `partitionBy` writes Hive-style `col=value` subdirectories — the
+    * same convention as the reference's landing zone (`year=YYYY/`,
+    * 01_config.ipynb:294) promoted to the table layer, so incremental
+    * year-sliced reads prune at file level (PartitionFilters in the
+    * scan) instead of scanning all years.
     */
-  def overwrite(table: String, df: DataFrame, numFiles: Int = 0): Unit = {
-    val tmp = stage(table, df, numFiles)
+  def overwrite(table: String, df: DataFrame, numFiles: Int = 0,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val tmp = stage(table, df, numFiles, partitionBy)
     swapIn(table, tmp)
   }
 
@@ -44,10 +51,14 @@ final class TableStore(val spark: SparkSession, val root: String) {
   def compact(table: String, numFiles: Int): Unit =
     overwrite(table, read(table), numFiles)
 
-  private def stage(table: String, df: DataFrame, numFiles: Int): Path = {
+  private def stage(table: String, df: DataFrame, numFiles: Int,
+      partitionBy: Seq[String] = Nil): Path = {
     val tmp = Paths.get(root, s".tmp-$table-${System.nanoTime()}")
     val out = if (numFiles > 0) df.coalesce(numFiles) else df
-    out.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val writer = out.write.mode(SaveMode.Overwrite)
+    val partitioned =
+      if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer
+    partitioned.parquet(tmp.toString)
     tmp
   }
 

@@ -85,10 +85,12 @@ object Bronze {
     */
   def write(store: TableStore, config: PipelineConfig, bronze: DataFrame): Unit = {
     val table = PipelineConfig.tables.bronze
+    // year= partition layout (the landing-zone convention promoted to the
+    // table): incremental year slices downstream prune at file level
     if (!store.exists(table) || !config.isIncremental)
-      store.overwrite(table, bronze)
+      store.overwrite(table, bronze, partitionBy = Seq("year"))
     else
-      Merge.mergeInto(store, table, bronze, Seq("row_key"))
+      Merge.mergeInto(store, table, bronze, Seq("row_key"), partitionBy = Seq("year"))
   }
 
   def run(

@@ -77,9 +77,9 @@ object Fact {
   def write(store: TableStore, config: PipelineConfig, fact: DataFrame): Unit = {
     val table = PipelineConfig.tables.fact
     if (!store.exists(table) || !config.isIncremental)
-      store.overwrite(table, fact)
+      store.overwrite(table, fact, partitionBy = Seq("year"))
     else
-      Merge.mergeInto(store, table, fact, Seq("row_key"))
+      Merge.mergeInto(store, table, fact, Seq("row_key"), partitionBy = Seq("year"))
   }
 
   def run(spark: SparkSession, store: TableStore, config: PipelineConfig): DataFrame = {

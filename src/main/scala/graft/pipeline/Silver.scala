@@ -111,9 +111,9 @@ object Silver {
   def write(store: TableStore, config: PipelineConfig, silver: DataFrame): Unit = {
     val table = PipelineConfig.tables.silver
     if (!store.exists(table) || !config.isIncremental)
-      store.overwrite(table, silver)
+      store.overwrite(table, silver, partitionBy = Seq("year"))
     else
-      Merge.mergeInto(store, table, silver, Seq("row_key"))
+      Merge.mergeInto(store, table, silver, Seq("row_key"), partitionBy = Seq("year"))
   }
 
   def run(spark: SparkSession, store: TableStore, config: PipelineConfig): DataFrame = {

@@ -1,0 +1,47 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TableStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("partitioned overwrite writes year= dirs and year filters prune at file level") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-part-").toString)
+    val df = Seq((1, 2023, "a"), (2, 2023, "b"), (3, 2024, "c"), (4, 2025, "d"))
+      .toDF("id", "year", "v")
+    store.overwrite("t", df, partitionBy = Seq("year"))
+
+    val dirs = new java.io.File(s"${store.root}/t").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("year=2023", "year=2024", "year=2025"))
+
+    val sliced = store.read("t").filter($"year" === 2024)
+    sliced.collect()
+    val plan = sliced.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(year"),
+      s"year filter not applied as partition filter:\n$plan")
+    assert(sliced.count() == 1)
+    // full read still complete, year round-trips as int
+    assert(store.read("t").count() == 4)
+    assert(store.read("t").schema("year").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+  }
+
+  test("partitioned merge keeps layout across incremental writes") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-part2-").toString)
+    store.overwrite("t", Seq((1, 2023, "a")).toDF("id", "year", "v"),
+      partitionBy = Seq("year"))
+    Merge.mergeInto(store, "t", Seq((1, 2023, "CHANGED"), (2, 2024, "b")).toDF("id", "year", "v"),
+      keys = Seq("id"), partitionBy = Seq("year"))
+    val dirs = new java.io.File(s"${store.root}/t").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("year=2023", "year=2024"))
+    val rows = store.read("t").orderBy("id")
+      .select("id", "v", "year").as[(Int, String, Int)].collect().toSeq
+    assert(rows == Seq((1, "a", 2023), (2, "b", 2024))) // insert-only: 1 untouched
+  }
+}
