@@ -8,5 +8,6 @@ object Registry {
 
   def all: Seq[OpQuery] =
     Relational.all ++ Scalars.all ++ MergeQueries.all ++ ScaleOps.all ++
-      StreamingQueries.all ++ MultimodalQueries.all ++ AsOfQueries.all
+      StreamingQueries.all ++ MultimodalQueries.all ++ AsOfQueries.all ++
+      ScaleExtras.all
 }

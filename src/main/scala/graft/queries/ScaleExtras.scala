@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Skew
+
+/** Scale-technique operators: approximate distinct counting and salted
+  * skew mitigation. Salted results are oracled against the unsalted
+  * relational statement (the rewrite must be observationally identical);
+  * HLL is approximate by nature so its query is spec-bounded instead.
+  */
+object ScaleExtras {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** approx_count_distinct (HLL++) next to the exact count — the at-scale
+    * substitute for A4/A7 when exactness isn't required. Approximate →
+    * rows-only at the gate; the relative error bound is pinned in
+    * ScaleExtrasSpec.
+    */
+  val a11_approx_distinct = OpQuery.noOracle("a11_approx_distinct") { (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Salted two-phase aggregation — must equal the direct groupBy. */
+  val skew_salted_agg = OpQuery(
+    "skew_salted_agg",
+    """SELECT o_custkey,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM orders
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin) { (spark, dir) =>
+    Skew.saltedCountSum(t(spark, dir, "orders"), "o_custkey", "o_totalprice",
+        saltBuckets = 8)
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Salted join — must equal the plain equi-join row-for-row. */
+  val skew_salted_join = OpQuery(
+    "skew_salted_join",
+    """SELECT o.o_orderkey, c.c_name
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |ORDER BY o.o_orderkey""".stripMargin) { (spark, dir) =>
+    val orders = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
+    val customer = t(spark, dir, "customer").select(col("c_custkey"), col("c_name"))
+    Skew.saltedJoin(orders, customer, Seq("c_custkey"), saltBuckets = 4)
+      .select(col("o_orderkey"), col("c_name"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val all: Seq[OpQuery] = Seq(a11_approx_distinct, skew_salted_agg, skew_salted_join)
+}
