@@ -45,6 +45,20 @@ object RunPipeline {
     Views.definitions.keys.toSeq.sorted.foreach { v =>
       println(s"[view] $v rows=${spark.table(v).count()}")
     }
+    // typed Column-API builders must agree with their SQL view twins
+    val factDf = store.read(PipelineConfig.tables.fact)
+    Seq(
+      "vw_athletes_by_year" -> TypedViews.athletesByYear(factDf),
+      "vw_gender_distribution" -> TypedViews.genderDistribution(factDf),
+      "vw_pro_vs_age_group" ->
+        TypedViews.proVsAgeGroup(factDf, store.read(PipelineConfig.tables.dimDivisions))
+    ).foreach { case (name, typed) =>
+      val sqlRows = spark.table(name).collect().map(_.mkString("|")).toSet
+      val typedRows = typed
+        .select(spark.table(name).columns.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.mkString("|")).toSet
+      println(s"[typed-view] $name equal=${sqlRows == typedRows}")
+    }
     spark.stop()
   }
 }

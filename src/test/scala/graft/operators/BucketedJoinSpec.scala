@@ -16,6 +16,16 @@ class BucketedJoinSpec extends SparkSpec {
     val sf = "/root/testdata/sf0.001"
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // the in-memory catalog forgets tables between JVMs but their
+    // warehouse dirs persist — purge them or saveAsTable refuses
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        java.nio.file.Files.walk(dir.toPath)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+    }
     Tables.load(spark, sf, "orders")
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("b_orders")
