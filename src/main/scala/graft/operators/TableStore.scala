@@ -73,4 +73,17 @@ final class TableStore(val spark: SparkSession, val root: String) {
   private def deleteRecursively(p: Path): Unit =
     Files.walk(p).sorted(Comparator.reverseOrder[Path]())
       .forEach(f => Files.delete(f))
+
+  /** VACUUM analog: remove stray `.tmp-*` / `.trash-*` directories left
+    * by writers that died mid-swap. Safe because the swap renames are
+    * the only commit points — anything still dot-prefixed was never
+    * visible as a table. Returns the number of directories removed.
+    */
+  def vacuum(): Int = {
+    val stray = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory &&
+        (f.getName.startsWith(".tmp-") || f.getName.startsWith(".trash-")))
+    stray.foreach(f => deleteRecursively(f.toPath))
+    stray.length
+  }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -211,8 +212,55 @@ object ScaleOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** TF-IDF with top-3 terms per document — the classic relevance
+    * weighting as pure relational algebra: term frequencies (one
+    * shuffle), document frequencies (one shuffle on term — the "inverted
+    * index" aggregate), broadcast N, rank per doc. Scales as two
+    * aggregations regardless of corpus size.
+    */
+  val text_tfidf = OpQuery(
+    "text_tfidf",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+      |), df AS (
+      |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+      |), n AS (
+      |  SELECT COUNT(*) AS n_docs FROM documents
+      |), scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |         CAST(ROUND(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS DOUBLE) AS tfidf
+      |  FROM tf JOIN df USING (term) CROSS JOIN n
+      |), ranked AS (
+      |  SELECT doc_id, term, tfidf,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+      |              ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+      |  FROM scored
+      |)
+      |SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin) { (spark, dir) =>
+    val docs = t(spark, dir, "documents")
+    val toks = docs.select(
+      col("doc_id"),
+      explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn(
+        "tfidf",
+        round(col("tf") * log(col("n_docs") * 1.0 / col("df")), 6).cast("double"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "term", "tfidf", "rank")
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   val all: Seq[OpQuery] = Seq(
-    dedup_exact, dedup_ngram_jaccard, text_analysis, text_lang_id,
+    dedup_exact, dedup_ngram_jaccard, text_analysis, text_lang_id, text_tfidf,
     sim_topk_bruteforce, sim_neardup_embedding,
     dedup_minhash_lsh, dedup_simhash, sim_ivf_topk)
 }

@@ -31,6 +31,18 @@ class TableStoreSpec extends SparkSpec {
       org.apache.spark.sql.types.IntegerType)
   }
 
+  test("vacuum removes only crash leftovers, never tables") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-vac-").toString)
+    store.overwrite("keep", Seq((1, "a")).toDF("id", "v"))
+    // simulate a writer that died mid-swap
+    Files.createDirectories(java.nio.file.Paths.get(store.root, ".tmp-keep-123"))
+    Files.createDirectories(java.nio.file.Paths.get(store.root, ".trash-keep-456"))
+    assert(store.vacuum() == 2)
+    assert(store.exists("keep"))
+    assert(store.read("keep").count() == 1)
+    assert(store.vacuum() == 0)
+  }
+
   test("partitioned merge keeps layout across incremental writes") {
     val store = new TableStore(spark, Files.createTempDirectory("graft-part2-").toString)
     store.overwrite("t", Seq((1, 2023, "a")).toDF("id", "year", "v"),
