@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Capability extensions beyond the reference's literal usage — the rest
+  * of the standard analytic surface a migrating user would expect:
+  * the full window-function family, ROLLUP subtotals, set operators,
+  * and pivot. All oracle-checked.
+  */
+object Extended {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** Window-function family: rank/dense_rank/percent_rank over a tie-ful
+    * ordering (deterministic outputs under ties), lag/lead/ntile and
+    * explicit ROWS frames over a total ordering.
+    */
+  val w4_window_family = OpQuery(
+    "w4_window_family",
+    """SELECT o_orderkey,
+      |  CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY EXTRACT(year FROM o_orderdate)) AS INT) AS yr_rank,
+      |  CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY EXTRACT(year FROM o_orderdate)) AS INT) AS yr_dense_rank,
+      |  CAST(ROUND(PERCENT_RANK() OVER (PARTITION BY o_custkey ORDER BY EXTRACT(year FROM o_orderdate)), 6) AS DOUBLE) AS yr_pct_rank,
+      |  CAST(NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS price_quartile,
+      |  LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS prev_order,
+      |  LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS next_order,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+      |       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS window3_total
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    val byYear = Window.partitionBy(col("o_custkey"))
+      .orderBy(year(col("o_orderdate")))
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders").select(
+      col("o_orderkey"),
+      rank().over(byYear).as("yr_rank"),
+      dense_rank().over(byYear).as("yr_dense_rank"),
+      round(percent_rank().over(byYear), 6).cast("double").as("yr_pct_rank"),
+      ntile(4).over(byPrice).as("price_quartile"),
+      lag(col("o_orderkey"), 1).over(byPrice).as("prev_order"),
+      lead(col("o_orderkey"), 1).over(byPrice).as("next_order"),
+      sum(dec(col("o_totalprice")))
+        .over(byPrice.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double").as("running_total"),
+      sum(dec(col("o_totalprice")))
+        .over(byPrice.rowsBetween(-2, Window.currentRow))
+        .cast("double").as("window3_total"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** ROLLUP subtotals with GROUPING() disambiguation. */
+  val a12_rollup = OpQuery(
+    "a12_rollup",
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+      |       o_orderstatus,
+      |       CAST(GROUPING(EXTRACT(year FROM o_orderdate)) AS INT) AS g_year,
+      |       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM orders
+      |GROUP BY ROLLUP(EXTRACT(year FROM o_orderdate), o_orderstatus)
+      |ORDER BY g_year, g_status, order_year NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin) { (spark, dir) =>
+    t(spark, dir, "orders")
+      .select(year(col("o_orderdate")).as("order_year"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .rollup(col("order_year"), col("o_orderstatus"))
+      .agg(
+        grouping(col("order_year")).cast("int").as("g_year"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_value"))
+      .select("order_year", "o_orderstatus", "g_year", "g_status",
+        "n_orders", "total_value")
+      .orderBy(col("g_year"), col("g_status"),
+        col("order_year").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+  }
+
+  /** Set operators: INTERSECT / EXCEPT (distinct semantics) / UNION
+    * DISTINCT over customer-key sets.
+    */
+  val j11_set_ops = OpQuery(
+    "j11_set_ops",
+    """WITH with_orders AS (SELECT DISTINCT o_custkey AS k FROM orders),
+      |     big_balance AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+      |SELECT 'intersect' AS op, k FROM (SELECT k FROM with_orders INTERSECT SELECT k FROM big_balance)
+      |UNION ALL
+      |SELECT 'except' AS op, k FROM (SELECT k FROM big_balance EXCEPT SELECT k FROM with_orders)
+      |UNION ALL
+      |SELECT 'union_d' AS op, k FROM (SELECT k FROM with_orders UNION SELECT k FROM big_balance)
+      |ORDER BY op, k""".stripMargin) { (spark, dir) =>
+    val withOrders = t(spark, dir, "orders").select(col("o_custkey").as("k")).distinct()
+    val bigBalance = t(spark, dir, "customer")
+      .filter(col("c_acctbal") > 5000).select(col("c_custkey").as("k"))
+    withOrders.intersect(bigBalance).withColumn("op", lit("intersect"))
+      .unionByName(bigBalance.except(withOrders).withColumn("op", lit("except")))
+      .unionByName(withOrders.union(bigBalance).distinct().withColumn("op", lit("union_d")))
+      .select("op", "k")
+      .orderBy(col("op"), col("k"))
+  }
+
+  /** Pivot — sugar over conditional aggregation (which is exactly how
+    * the oracle states it).
+    */
+  val p9_pivot = OpQuery(
+    "p9_pivot",
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+      |       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
+      |       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
+      |       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (spark, dir) =>
+    t(spark, dir, "orders")
+      .select(year(col("o_orderdate")).as("order_year"), col("o_orderstatus"))
+      .groupBy("order_year")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy(col("order_year"))
+  }
+
+  /** TPC-H Q3-shaped shipping-priority query: selective filters on both
+    * join sides (pushed to the scans), join, aggregate, top-k. The
+    * classic "filters reach the scan, small side first" plan.
+    */
+  val tpch_q3_shape = OpQuery(
+    "tpch_q3_shape",
+    """SELECT l.l_orderkey,
+      |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+      |       o.o_orderpriority
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND o.o_orderdate < DATE '1998-01-01'
+      |  AND l.l_shipdate > DATE '1998-01-01'
+      |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin) { (spark, dir) =>
+    val l = t(spark, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
+    val o = t(spark, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+    val c = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(l("l_orderkey"), o("o_orderdate"), o("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+        .cast("double").as("revenue"))
+      .select(
+        col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q4-shaped order-priority check: EXISTS semi-join + count. */
+  val tpch_q4_shape = OpQuery(
+    "tpch_q4_shape",
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= DATE '1997-01-01' AND o.o_orderdate < DATE '1998-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+    val l = t(spark, dir, "lineitem")
+    o.join(l,
+        o("o_orderkey") === l("l_orderkey") && l("l_shipdate") > o("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val all: Seq[OpQuery] = Seq(
+    w4_window_family, a12_rollup, j11_set_ops, p9_pivot,
+    tpch_q3_shape, tpch_q4_shape)
+}
