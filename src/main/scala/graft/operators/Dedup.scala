@@ -83,51 +83,41 @@ object Dedup {
 
   // ------------------------------------------------------------- minhash
   /** MinHash signature: k independent permutations approximated by
-    * h_i(x) = (a_i * x + b_i) mod p over token hashes. Computed as
-    * k aggregate mins in one pass (single shuffle on doc id); stays fully
-    * codegen'd — no UDF, no per-row allocation.
-    *
-    * p = 2^31-1 (Mersenne 31) keeps a*x+b within 62 bits so the Long
-    * arithmetic can't overflow (ANSI mode would throw on 64-bit primes).
+    * h_i(x) = (a_i * x + b_i) mod (2^31-1) over token hashes, computed
+    * by the custom [[graft.expressions.MinHashAggregate]] — ONE
+    * long-array aggregation buffer in a tight loop instead of k separate
+    * min() columns (whose generated class's Janino compile time
+    * dominated the operator; see MinHashAgg scaladoc). Single shuffle on
+    * doc id; output column `sig: array<bigint>` of length k.
     */
-  private val MersennePrime = (1L << 31) - 1
-
-  private def hashFamily(k: Int): Seq[(Long, Long)] = {
-    // deterministic seeded coefficients, reproducible across runs
-    val rnd = new scala.util.Random(42)
-    Seq.fill(k)((math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1,
-      math.abs(rnd.nextLong()) % MersennePrime))
-  }
-
   def minHashSignature(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleSize: Int = 0): DataFrame = {
+    graft.expressions.MinHashAgg.register(df.sparkSession)
     val units =
       if (shingleSize > 0) TextFunctions.shingles(col(textCol), shingleSize)
       else TextFunctions.distinctTokens(col(textCol))
-    val toks = df.select(
-      col(idCol).as("doc_id"),
-      explode(units).as("tok"))
+    df.select(
+        col(idCol).as("doc_id"),
+        explode(units).as("tok"))
       .withColumn("th", abs(xxhash64(col("tok"))))
-    val mins = hashFamily(numHashes).zipWithIndex.map { case ((a, b), i) =>
-      // (a*x + b) mod p with p = 2^61-1; pmod keeps it positive
-      min(pmod(col("th") % MersennePrime * a + b, lit(MersennePrime))).as(s"mh_$i")
-    }
-    toks.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .groupBy("doc_id")
+      .agg(graft.expressions.MinHashAgg.minhashSig(col("th"), numHashes).as("sig"))
   }
 
-  /** LSH banding: split the signature into `bands` bands of
-    * numHashes/bands rows each, hash each band, and emit (band_idx,
-    * band_hash, doc_id). Candidate pairs are docs sharing any band
-    * bucket. Shuffle key is the (tiny) bucket id — never a doc pair.
+  /** LSH banding: split the signature array into `bands` slices, hash
+    * each slice, and emit (band_idx, band_hash, doc_id). Candidate pairs
+    * are docs sharing any band bucket. Shuffle key is the (tiny) bucket
+    * id — never a doc pair.
     */
   def minHashCandidates(
       signatures: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(rowsPerBand * bands == numHashes, "bands must divide numHashes")
     val bandCols = (0 until bands).map { bIdx =>
-      val slice = (0 until rowsPerBand).map(r => col(s"mh_${bIdx * rowsPerBand + r}"))
-      struct(lit(bIdx).as("band_idx"), hash(slice: _*).as("band_hash"))
+      struct(
+        lit(bIdx).as("band_idx"),
+        hash(slice(col("sig"), bIdx * rowsPerBand + 1, rowsPerBand)).as("band_hash"))
     }
     val banded = signatures.select(
       col("doc_id"),

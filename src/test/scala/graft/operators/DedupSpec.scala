@@ -40,7 +40,7 @@ class DedupSpec extends SparkSpec {
     val subset = docs.filter($"doc_id" < 60)
     val sigs = Dedup.minHashSignature(subset, "doc_id", "text", numHashes = 64)
     val sigMap = sigs.collect().map { r =>
-      r.getLong(0) -> (1 until 65).map(r.getLong).toVector
+      r.getLong(0) -> r.getSeq[Long](1).toVector
     }.toMap
     val exact = Dedup.ngramJaccardPairs(subset, "doc_id", "text", 0.0)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
