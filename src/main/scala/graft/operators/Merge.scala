@@ -50,6 +50,31 @@ object Merge {
     updated.unionByName(survivors).unionByName(inserts)
   }
 
+  /** Partition-aligned insert-only MERGE: only the partitions present in
+    * the source are read and rewritten; every other partition's files
+    * stay untouched on disk. At 100 TB an incremental year-load touches
+    * 1/N of the table instead of rewriting all of it — the main
+    * copy-on-write cost of [[mergeInto]] removed for the append-dominant
+    * case.
+    */
+  def insertOnlyPartitionAligned(
+      store: TableStore,
+      table: String,
+      source: DataFrame,
+      keys: Seq[String],
+      partCol: String): Unit = {
+    if (!store.exists(table)) {
+      store.overwrite(table, source, partitionBy = Seq(partCol))
+      return
+    }
+    val values = source.select(col(partCol)).distinct().collect().map(_.get(0)).toSeq
+    val touched = store.read(table)
+      .filter(col(partCol).isInCollection(values))  // partition-pruned scan
+    val merged = insertOnly(
+      touched.select(source.columns.map(col): _*), source, keys)
+    store.overwritePartitions(table, merged, partCol, values)
+  }
+
   /** Apply a merge result atomically through the store. */
   def mergeInto(
       store: TableStore,

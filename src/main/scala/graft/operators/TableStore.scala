@@ -74,6 +74,30 @@ final class TableStore(val spark: SparkSession, val root: String) {
     Files.walk(p).sorted(Comparator.reverseOrder[Path]())
       .forEach(f => Files.delete(f))
 
+  /** Partition-level overwrite: replace ONLY the listed `partCol=value`
+    * subdirectories with `df`'s data (df must contain exactly those
+    * partition values). Untouched partitions keep their files byte-for-
+    * byte — the partition-aligned copy-on-write that makes incremental
+    * merges O(touched data) instead of O(table).
+    */
+  def overwritePartitions(
+      table: String, df: DataFrame, partCol: String, values: Seq[Any]): Unit = {
+    require(exists(table), s"$table must exist for a partition-level overwrite")
+    val tmp = stage(table, df, numFiles = 0, partitionBy = Seq(partCol))
+    values.foreach { v =>
+      val partDir = s"$partCol=$v"
+      val src = tmp.resolve(partDir)
+      val target = dir(table).resolve(partDir)
+      val trash = Paths.get(root, s".trash-$table-$partDir-${System.nanoTime()}")
+      if (Files.exists(src)) {
+        if (Files.exists(target)) Files.move(target, trash)
+        Files.move(src, target)
+        if (Files.exists(trash)) deleteRecursively(trash)
+      }
+    }
+    deleteRecursively(tmp)
+  }
+
   /** VACUUM analog: remove stray `.tmp-*` / `.trash-*` directories left
     * by writers that died mid-swap. Safe because the swap renames are
     * the only commit points — anything still dot-prefixed was never

@@ -90,7 +90,9 @@ object Bronze {
     if (!store.exists(table) || !config.isIncremental)
       store.overwrite(table, bronze, partitionBy = Seq("year"))
     else
-      Merge.mergeInto(store, table, bronze, Seq("row_key"), partitionBy = Seq("year"))
+      // row_key embeds the year, so the anti-join is partition-local:
+      // only the incoming year's partitions are read and rewritten
+      Merge.insertOnlyPartitionAligned(store, table, bronze, Seq("row_key"), "year")
   }
 
   def run(

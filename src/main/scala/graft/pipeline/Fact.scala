@@ -79,7 +79,9 @@ object Fact {
     if (!store.exists(table) || !config.isIncremental)
       store.overwrite(table, fact, partitionBy = Seq("year"))
     else
-      Merge.mergeInto(store, table, fact, Seq("row_key"), partitionBy = Seq("year"))
+      // row_key embeds the year, so the anti-join is partition-local:
+      // only the incoming year's partitions are read and rewritten
+      Merge.insertOnlyPartitionAligned(store, table, fact, Seq("row_key"), "year")
   }
 
   def run(spark: SparkSession, store: TableStore, config: PipelineConfig): DataFrame = {

@@ -113,7 +113,9 @@ object Silver {
     if (!store.exists(table) || !config.isIncremental)
       store.overwrite(table, silver, partitionBy = Seq("year"))
     else
-      Merge.mergeInto(store, table, silver, Seq("row_key"), partitionBy = Seq("year"))
+      // row_key embeds the year, so the anti-join is partition-local:
+      // only the incoming year's partitions are read and rewritten
+      Merge.insertOnlyPartitionAligned(store, table, silver, Seq("row_key"), "year")
   }
 
   def run(spark: SparkSession, store: TableStore, config: PipelineConfig): DataFrame = {

@@ -31,6 +31,31 @@ class TableStoreSpec extends SparkSpec {
       org.apache.spark.sql.types.IntegerType)
   }
 
+  test("partition-aligned merge rewrites only touched partitions") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-pal-").toString)
+    store.overwrite("t",
+      Seq((1, 2023, "a"), (2, 2024, "b")).toDF("id", "year", "v"),
+      partitionBy = Seq("year"))
+
+    def partFiles(year: Int): Map[String, Long] = {
+      val d = new java.io.File(s"${store.root}/t/year=$year")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val files2023 = partFiles(2023)
+
+    // merge a 2024-only source: key 2 already present (no update), key 3 new
+    Merge.insertOnlyPartitionAligned(store, "t",
+      Seq((2, 2024, "CHANGED"), (3, 2024, "c")).toDF("id", "year", "v"),
+      keys = Seq("id"), partCol = "year")
+
+    // untouched partition: identical files, same mtimes — never rewritten
+    assert(partFiles(2023) == files2023)
+    val rows = store.read("t").orderBy("id")
+      .select("id", "v", "year").as[(Int, String, Int)].collect().toSeq
+    assert(rows == Seq((1, "a", 2023), (2, "b", 2024), (3, "c", 2024)))
+  }
+
   test("vacuum removes only crash leftovers, never tables") {
     val store = new TableStore(spark, Files.createTempDirectory("graft-vac-").toString)
     store.overwrite("keep", Seq((1, "a")).toDF("id", "v"))
