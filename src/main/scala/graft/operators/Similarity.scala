@@ -69,8 +69,8 @@ object Similarity {
   }
 
   /** Deterministic coarse centroids: the first `numCells` corpus vectors
-    * by id. (K-means refinement is an optional offline step; IVF recall
-    * depends mostly on nprobe, and determinism matters for tests.)
+    * by id. (Determinism matters for tests; [[refineCentroids]] runs
+    * Lloyd iterations on top when quality matters.)
     */
   def centroids(corpus: DataFrame, numCells: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
@@ -78,6 +78,31 @@ object Similarity {
       .select(
         row_number().over(Window.orderBy(col(idCol))).as("cell_id"),
         col(vecCol).as("centroid"))
+
+  /** Lloyd (k-means) refinement, expressed relationally: assign → mean
+    * per (cell, dimension) via posexplode → rebuild centroid arrays.
+    * Each iteration is two shuffles (assignment window + the mean
+    * group-by on (cell, pos)); at 100 TB run it on a sample — centroid
+    * quality converges long before the full corpus is needed.
+    */
+  def refineCentroids(
+      corpus: DataFrame, cents: DataFrame, iterations: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    var current = cents
+    for (_ <- 0 until iterations) {
+      val assigned = assignCells(corpus, current, idCol, vecCol)
+      current = assigned
+        .select(col("cell_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("cell_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
+        .select(
+          col("cell_id"),
+          transform(col("pairs"), p => p.getField("m")).as("centroid"))
+    }
+    current
+  }
 
   /** Assign every corpus vector to its nearest centroid (broadcast scan
     * over numCells centroids — map-only).
@@ -99,8 +124,17 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       numCells: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfTopKWith(corpus, queries, k,
+      centroids(corpus, numCells, idCol, vecCol), nprobe, idCol, vecCol)
+
+  /** IVF search against a caller-supplied centroid set (seeded or
+    * [[refineCentroids]]-improved).
+    */
+  def ivfTopKWith(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      cents: DataFrame, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = centroids(corpus, numCells, idCol, vecCol)
     val assigned = assignCells(corpus, cents, idCol, vecCol)
     // query → nprobe nearest cells
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))

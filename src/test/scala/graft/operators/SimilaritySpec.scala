@@ -63,6 +63,26 @@ class SimilaritySpec extends SparkSpec {
     assert(r8 >= 0.999, s"probing all cells must recover exact results (got $r8)")
   }
 
+  test("k-means refinement: valid centroids, recall not degraded vs seeded") {
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val coarse = Similarity.centroids(emb, 8)
+    val refined = Similarity.refineCentroids(emb, coarse, iterations = 2)
+    assert(refined.count() <= 8 && refined.count() > 0)
+    assert(refined.select("centroid").head().getSeq[Double](0).length == 64)
+    assert(Similarity.assignCells(emb, refined).count() == emb.count())
+    def recall(c: org.apache.spark.sql.DataFrame): Double = {
+      val a = Similarity.ivfTopKWith(emb, queries, 10, c, nprobe = 4)
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+      (exact intersect a).size.toDouble / exact.size
+    }
+    val (rSeeded, rRefined) = (recall(coarse), recall(refined))
+    // Lloyd iterations even out cell sizes; recall at fixed nprobe must
+    // not collapse (allow small wobble — cell boundaries move)
+    assert(rRefined >= rSeeded - 0.1, s"seeded=$rSeeded refined=$rRefined")
+  }
+
   test("cell-bucketed near-dups subset of brute-force near-dups") {
     val exact = Similarity.bruteForceNearDups(emb, 0.4)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
