@@ -1,0 +1,61 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** S1/S2 — the bronze CSV landing read, oracle-checked: the query first
+  * materializes a deterministic landing CSV (derived from `documents`,
+  * with the reference's "-" null sentinel and an empty field), then
+  * reads it with the exact bronze semantics: header on, inference off
+  * (all STRING), "-" → NULL, explicit casts
+  * (02_bronze.ipynb:131-143 cell-3). DuckDB reads the same file.
+  */
+object CsvQueries {
+
+  private val csvPath = "/tmp/graft_landing_s1.csv"
+
+  val s1_csv_scan = OpQuery(
+    "s1_csv_scan",
+    s"""SELECT doc_id,
+       |       CASE WHEN lang = '-' THEN NULL ELSE lang END AS lang_n,
+       |       CAST(CASE WHEN n_chars = '-' OR n_chars = '' THEN NULL ELSE n_chars END AS INT) AS n_chars,
+       |       CAST(doc_id AS INT) % 7 AS shard
+       |FROM read_csv('$csvPath', header = true, all_varchar = true)
+       |ORDER BY CAST(doc_id AS INT)""".stripMargin) { (spark, dir) =>
+    // deterministic landing file: every 5th lang is the "-" sentinel,
+    // every 7th n_chars empty — the FIXTURES.md §1 value domains
+    val rows = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+      .limit(200)
+      .collect()
+    val lines = "doc_id,lang,n_chars" +: rows.map { r =>
+      val id = r.getLong(0)
+      val lang = if (id % 5 == 0) "-" else r.getString(1)
+      val n = if (id % 7 == 0) "" else r.getLong(2).toString
+      s"$id,$lang,$n"
+    }.toSeq
+    Files.write(Paths.get(csvPath),
+      lines.mkString("\n").getBytes("UTF-8"))
+
+    val raw = spark.read
+      .option("header", "true")
+      .option("inferSchema", "false")
+      .csv(csvPath)
+    // "-" -> NULL over every column (bronze P7), then explicit casts
+    val normalized = raw.columns.foldLeft(raw) { (df, c) =>
+      df.withColumn(c, when(col(c) === "-", lit(null)).otherwise(col(c)))
+    }
+    normalized.select(
+        col("doc_id"),
+        col("lang").as("lang_n"),
+        col("n_chars").cast("int").as("n_chars"),
+        (col("doc_id").cast("int") % 7).as("shard"))
+      .orderBy(col("doc_id").cast("int"))
+  }
+
+  val all: Seq[OpQuery] = Seq(s1_csv_scan)
+}
