@@ -159,6 +159,50 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  // ---------------------------------------------------- components
+  /** Connected components over a near-dup pair graph — the step that
+    * turns pairwise matches into dedup CLUSTERS (one survivor per
+    * component). Label propagation: every node starts with its own id
+    * as label; each iteration every node takes the min label among
+    * itself and its neighbors; stop when no label changes.
+    *
+    * Scale: each iteration is one join + one aggregate, all shuffles on
+    * node id; converges in O(component diameter) iterations — near-dup
+    * graphs are piles of dense cliques, so typically 2-3. (This is the
+    * standard large-graph CC algorithm used when a graph engine isn't
+    * worth the dependency.)
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("nlabel"))
+      val updated = labels
+        .join(neighborMin, labels("node") === neighborMin("src"), "left")
+        .select(
+          col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      changed = updated.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("node"), col("label").as("component"))
+  }
+
   // ------------------------------------------------------------- simhash
   /** 64-bit SimHash: per-token 64-bit hashes vote per bit (+1 if set,
     * -1 if not); signature bit k is the sign of the vote sum. One

@@ -259,8 +259,49 @@ object ScaleOps {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Dedup clusters: connected components over the exact-jaccard pair
+    * graph — the survivor-election step. Oracle = recursive-CTE
+    * reachability closure over the identical pair set.
+    */
+  val dedup_clusters = OpQuery(
+    "dedup_clusters",
+    """WITH RECURSIVE docs AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+      |), toks AS (
+      |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS tok
+      |  FROM docs
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS set_size FROM toks GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+      |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT id1, id2 FROM inter
+      |  JOIN sizes s1 ON id1 = s1.doc_id
+      |  JOIN sizes s2 ON id2 = s2.doc_id
+      |  WHERE n_inter * 1.0 / (s1.set_size + s2.set_size - n_inter) >= 0.9
+      |), edges AS (
+      |  SELECT id1 AS src, id2 AS dst FROM pairs
+      |  UNION
+      |  SELECT id2, id1 FROM pairs
+      |), reach(node, lbl) AS (
+      |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      |  UNION
+      |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+      |)
+      |SELECT node, MIN(lbl) AS component
+      |FROM reach GROUP BY node
+      |ORDER BY node""".stripMargin) { (spark, dir) =>
+    val pairs = Dedup.ngramJaccardPairs(
+      t(spark, dir, "documents").filter(col("doc_id") % 5 === 0),
+      "doc_id", "text", threshold = 0.9)
+    Dedup.connectedComponents(pairs).orderBy(col("node"))
+  }
+
   val all: Seq[OpQuery] = Seq(
-    dedup_exact, dedup_ngram_jaccard, text_analysis, text_lang_id, text_tfidf,
+    dedup_exact, dedup_ngram_jaccard, dedup_clusters,
+    text_analysis, text_lang_id, text_tfidf,
     sim_topk_bruteforce, sim_neardup_embedding,
     dedup_minhash_lsh, dedup_simhash, sim_ivf_topk)
 }

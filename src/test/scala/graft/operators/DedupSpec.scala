@@ -52,6 +52,20 @@ class DedupSpec extends SparkSpec {
     assert(meanErr < 0.15, s"mean |minhash - jaccard| = $meanErr")
   }
 
+  test("connected components: chains, cliques and singletons-in-graph resolve") {
+    // graph: chain 1-2-3, clique 10-11-12 (all pairs), bridge 3-10 joins them;
+    // separate pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L),
+      (20L, 21L))
+      .toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 10L, 11L, 12L).forall(cc(_) == 1L),
+      s"merged component should label to min id 1: $cc")
+    assert(cc(20L) == 20L && cc(21L) == 20L)
+  }
+
   test("simhash: identical docs distance 0; near-dups closer than random pairs") {
     val sigs = Dedup.simHashSignature(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
