@@ -48,13 +48,13 @@ object AsOfJoin {
       keys.map(col) ++ Seq(
         col(rightTime).as("__t"),
         lit(0).as("__side"),
-        struct(rightPayloadCols.map(col): _*).as("__payload")): _*)
+        struct(rightPayloadCols.toSeq.map(col): _*).as("__payload")): _*)
     val taggedLeft = left.select(
       keys.map(col) ++ Seq(
         col(leftTime).as("__t"),
         lit(1).as("__side"),
         lit(null).cast(taggedRight.schema("__payload").dataType).as("__payload"),
-        struct(leftCols.map(col): _*).as("__left")): _*)
+        struct(leftCols.toSeq.map(col): _*).as("__left")): _*)
 
     val unioned = taggedRight
       .withColumn("__left", lit(null).cast(taggedLeft.schema("__left").dataType))
@@ -79,9 +79,9 @@ object AsOfJoin {
       case None => matched
     }
 
-    val leftOut = leftCols.map(c => col("__left").getField(c).as(c))
-    val rightOut = rightPayloadCols.map(c =>
+    val leftOut = leftCols.toSeq.map(c => col("__left").getField(c).as(c))
+    val rightOut = rightPayloadCols.toSeq.map(c =>
       col("__match").getField(c).as(s"asof_$c"))
-    withTolerance.select(leftOut ++ rightOut: _*)
+    withTolerance.select((leftOut ++ rightOut): _*)
   }
 }

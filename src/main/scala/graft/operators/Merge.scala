@@ -24,7 +24,7 @@ object Merge {
     */
   def insertOnly(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
     val missing = source.join(target.select(keys.map(col): _*), keys, "left_anti")
-    target.unionByName(missing.select(target.columns.map(col): _*))
+    target.unionByName(missing.select(target.columns.toSeq.map(col): _*))
   }
 
   /** S7 — SCD Type 1 MERGE: matched target rows take the source's values
@@ -41,12 +41,12 @@ object Merge {
     val keptCols = target.columns.filterNot(updateCols.contains)
     // matched: target's kept columns + source's updated columns
     val updated = target
-      .select(keptCols.map(col): _*)
+      .select(keptCols.toSeq.map(col): _*)
       .join(source.select((keys ++ updateCols).distinct.map(col): _*), keys, "inner")
-      .select(target.columns.map(col): _*)
+      .select(target.columns.toSeq.map(col): _*)
     val survivors = target.join(source.select(keys.map(col): _*), keys, "left_anti")
     val inserts = source.join(target.select(keys.map(col): _*), keys, "left_anti")
-      .select(target.columns.map(col): _*)
+      .select(target.columns.toSeq.map(col): _*)
     updated.unionByName(survivors).unionByName(inserts)
   }
 
@@ -71,7 +71,7 @@ object Merge {
     val touched = store.read(table)
       .filter(col(partCol).isInCollection(values))  // partition-pruned scan
     val merged = insertOnly(
-      touched.select(source.columns.map(col): _*), source, keys)
+      touched.select(source.columns.toSeq.map(col): _*), source, keys)
     store.overwritePartitions(table, merged, partCol, values)
   }
 

@@ -42,7 +42,7 @@ object Skew {
       saltBuckets: Int): DataFrame = {
     val saltedBig = big.withColumn(
       "__salt",
-      pmod(hash(big.columns.map(col): _*), lit(saltBuckets)))
+      pmod(hash(big.columns.toSeq.map(col): _*), lit(saltBuckets)))
     val replicatedSmall = small.withColumn(
       "__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))

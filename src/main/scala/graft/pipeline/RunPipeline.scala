@@ -55,7 +55,7 @@ object RunPipeline {
     ).foreach { case (name, typed) =>
       val sqlRows = spark.table(name).collect().map(_.mkString("|")).toSet
       val typedRows = typed
-        .select(spark.table(name).columns.map(org.apache.spark.sql.functions.col): _*)
+        .select(spark.table(name).columns.toSeq.map(org.apache.spark.sql.functions.col): _*)
         .collect().map(_.mkString("|")).toSet
       println(s"[typed-view] $name equal=${sqlRows == typedRows}")
     }

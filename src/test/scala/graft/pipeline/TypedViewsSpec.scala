@@ -27,7 +27,7 @@ class TypedViewsSpec extends SparkSpec {
     Views.registerAll(spark, store)
     val sql = spark.table("vw_athletes_by_year")
     val typed = TypedViews.athletesByYear(store.read(PipelineConfig.tables.fact))
-      .select(sql.columns.map(org.apache.spark.sql.functions.col): _*)
+      .select(sql.columns.toSeq.map(org.apache.spark.sql.functions.col): _*)
     assert(rows(typed) == rows(sql))
   }
 
@@ -35,7 +35,7 @@ class TypedViewsSpec extends SparkSpec {
     Views.registerAll(spark, store)
     val sql = spark.table("vw_gender_distribution")
     val typed = TypedViews.genderDistribution(store.read(PipelineConfig.tables.fact))
-      .select(sql.columns.map(org.apache.spark.sql.functions.col): _*)
+      .select(sql.columns.toSeq.map(org.apache.spark.sql.functions.col): _*)
     assert(rows(typed) == rows(sql))
   }
 
@@ -45,7 +45,7 @@ class TypedViewsSpec extends SparkSpec {
     val typed = TypedViews.proVsAgeGroup(
         store.read(PipelineConfig.tables.fact),
         store.read(PipelineConfig.tables.dimDivisions))
-      .select(sql.columns.map(org.apache.spark.sql.functions.col): _*)
+      .select(sql.columns.toSeq.map(org.apache.spark.sql.functions.col): _*)
     assert(rows(typed) == rows(sql))
   }
 }
