@@ -299,8 +299,42 @@ object ScaleOps {
     Dedup.connectedComponents(pairs).orderBy(col("node"))
   }
 
+  /** Content-stable train/val/test split (80/10/10) + stratified
+    * sampling by language — membership reproduced exactly by the oracle
+    * via the same md5-bucket arithmetic.
+    */
+  val data_split = OpQuery(
+    "data_split",
+    """WITH bucketed AS (
+      |  SELECT doc_id, lang,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || lang), 1, 8)) AS BIGINT) % 100 AS sb
+      |  FROM documents
+      |)
+      |SELECT doc_id, lang,
+      |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+      |       sb < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'es' THEN 25 ELSE 0 END AS in_stratified_sample
+      |FROM bucketed
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = t(spark, dir, "documents")
+    val split = graft.operators.Sampling.deterministicSplit(
+      docs.select(col("doc_id"), col("lang")), "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val sampled = graft.operators.Sampling.stratifiedSample(
+      docs.select(col("doc_id"), col("lang")), "doc_id", "lang",
+      Map("en" -> 50, "es" -> 25))
+    // membership flag via left-semi-style join against the sample
+    split
+      .join(sampled.select(col("doc_id"), lit(true).as("in_stratified_sample")),
+        Seq("doc_id"), "left")
+      .withColumn("in_stratified_sample",
+        coalesce(col("in_stratified_sample"), lit(false)))
+      .select("doc_id", "lang", "split", "in_stratified_sample")
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[OpQuery] = Seq(
-    dedup_exact, dedup_ngram_jaccard, dedup_clusters,
+    dedup_exact, dedup_ngram_jaccard, dedup_clusters, data_split,
     text_analysis, text_lang_id, text_tfidf,
     sim_topk_bruteforce, sim_neardup_embedding,
     dedup_minhash_lsh, dedup_simhash, sim_ivf_topk)

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.load(spark, sf, "documents")
+
+  test("split membership is invariant under repartition/reorder (the point)") {
+    def membership(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      Sampling.deterministicSplit(df.select($"doc_id"), "doc_id",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val base = membership(docs)
+    assert(membership(docs.repartition(13)) == base)
+    assert(membership(docs.orderBy($"doc_id".desc)) == base)
+  }
+
+  test("split proportions roughly match weights; splits are exhaustive and disjoint") {
+    val split = Sampling.deterministicSplit(
+      spark.range(20000).toDF("doc_id"), "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 20000)
+    assert(math.abs(counts("train") - 16000.0) / 16000.0 < 0.05)
+    assert(math.abs(counts("val") - 2000.0) / 2000.0 < 0.2)
+  }
+
+  test("stratified sample keeps only configured strata at ~their rates") {
+    val sampled = Sampling.stratifiedSample(
+      docs.select($"doc_id", $"lang"), "doc_id", "lang",
+      Map("en" -> 50, "es" -> 25))
+    val langs = sampled.select("lang").distinct().as[String].collect().toSet
+    assert(langs.subsetOf(Set("en", "es")))
+    val enTotal = docs.filter($"lang" === "en").count().toDouble
+    val enKept = sampled.filter($"lang" === "en").count().toDouble
+    assert(enTotal == 0 || math.abs(enKept / enTotal - 0.5) < 0.2)
+    // different salt -> different sample (salting works)
+    val other = Sampling.stratifiedSample(
+      docs.select($"doc_id", $"lang"), "doc_id", "lang",
+      Map("en" -> 50, "es" -> 25), salt = "v2")
+    assert(other.select("doc_id").as[Long].collect().toSet !=
+      sampled.select("doc_id").as[Long].collect().toSet)
+  }
+}
