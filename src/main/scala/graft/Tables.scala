@@ -24,10 +24,17 @@ object Tables {
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** Shared nanos-long → timestamp conversion for the events shape (used
+    * by both the batch loader and the streaming reader so they can never
+    * diverge).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
-  }
 
   /** Register every table as a temp view named after itself, so SQL text
     * identical to the DuckDB oracle runs on Spark too.

@@ -85,7 +85,10 @@ case class VectorDot(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += readElem(lt, la, i) * readElem(rt, ra, i)
+      // null elements contribute 0 — reading them via getDouble would
+      // return unspecified garbage, not propagate null
+      if (!la.isNullAt(i) && !ra.isNullAt(i))
+        acc += readElem(lt, la, i) * readElem(rt, ra, i)
       i += 1
     }
     acc
@@ -100,7 +103,9 @@ case class VectorDot(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${getter(elementType(left), a, i)} * ${getter(elementType(right), b, i)};
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += ${getter(elementType(left), a, i)} * ${getter(elementType(right), b, i)};
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -128,8 +133,10 @@ case class VectorNorm(child: Expression)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      val v = readElem(dt, arr, i)
-      acc += v * v
+      if (!arr.isNullAt(i)) {
+        val v = readElem(dt, arr, i)
+        acc += v * v
+      }
       i += 1
     }
     math.sqrt(acc)
@@ -145,8 +152,10 @@ case class VectorNorm(child: Expression)
          |int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $v = ${getter(elementType(child), a, i)};
-         |  $acc += $v * $v;
+         |  if (!$a.isNullAt($i)) {
+         |    double $v = ${getter(elementType(child), a, i)};
+         |    $acc += $v * $v;
+         |  }
          |}
          |${ev.value} = java.lang.Math.sqrt($acc);
        """.stripMargin

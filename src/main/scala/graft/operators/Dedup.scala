@@ -35,8 +35,9 @@ object Dedup {
       .drop("keep_rn")
   }
 
-  /** Exact-dup groups: fingerprint → group size + surviving id, only for
-    * fingerprints occurring more than once (the audit view of [[exact]]).
+  /** Exact-dup audit: every fingerprint with its group size and elected
+    * survivor (smallest id). Filter `n_docs > 1` for duplicates only —
+    * the unfiltered form is the gate contract (dedup_exact oracle).
     */
   def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
@@ -200,6 +201,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // silent non-convergence would split one real cluster into several
+    // and elect multiple "survivors" from one duplicate group
+    require(changed == 0,
+      s"connected components did not converge in $maxIter iterations " +
+        "(component diameter exceeds maxIter) — raise maxIter")
     labels.select(col("node"), col("label").as("component"))
   }
 

@@ -18,8 +18,10 @@ object Skew {
     */
   def saltedCountSum(
       df: DataFrame, key: String, valueCol: String, saltBuckets: Int): DataFrame = {
+    // per-row entropy, independent of column values: a hot key whose rows
+    // all carry the same value must still spread across buckets
     val salted = df.withColumn(
-      "__salt", pmod(hash(col(valueCol)), lit(saltBuckets)))
+      "__salt", pmod(hash(monotonically_increasing_id()), lit(saltBuckets)))
     salted
       .groupBy(col(key), col("__salt"))
       .agg(

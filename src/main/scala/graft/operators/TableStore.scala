@@ -4,6 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 
 /** Parquet-backed warehouse with Delta-like table semantics (SURVEY.md
   * §7.3): the local Spark has no Delta jars, so full-load overwrite,
@@ -44,12 +45,25 @@ final class TableStore(val spark: SparkSession, val root: String) {
   }
 
   /** `OPTIMIZE`-style compaction (ref: 02:354, 03:721, 04d:501): rewrite
-    * the table into `numFiles` files. On a real cluster this is a
-    * bin-packing rewrite; the semantic contract here is only "idempotent
-    * and efficient to re-read".
+    * the table into `numFiles` files per partition. On a real cluster
+    * this is a bin-packing rewrite; the semantic contract here is only
+    * "idempotent and efficient to re-read". Preserves an existing
+    * Hive-style partition layout (detected from the `col=` directory
+    * names) — flattening it would corrupt later partition-aligned merges.
     */
   def compact(table: String, numFiles: Int): Unit =
-    overwrite(table, read(table), numFiles)
+    overwrite(table, read(table), numFiles, partitionBy = partitionColumns(table))
+
+  /** Partition columns of an existing table, detected from its first
+    * level of Hive-style `col=value` subdirectories (empty for flat
+    * tables). Nested multi-level partitioning would recurse; the store
+    * only writes single-level layouts.
+    */
+  def partitionColumns(table: String): Seq[String] =
+    Option(dir(table).toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.contains("="))
+      .map(_.getName.takeWhile(_ != '='))
+      .distinct.toSeq
 
   private def stage(table: String, df: DataFrame, numFiles: Int,
       partitionBy: Seq[String] = Nil): Path = {
@@ -70,9 +84,12 @@ final class TableStore(val spark: SparkSession, val root: String) {
     if (Files.exists(trash)) deleteRecursively(trash)
   }
 
-  private def deleteRecursively(p: Path): Unit =
-    Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-      .forEach(f => Files.delete(f))
+  private def deleteRecursively(p: Path): Unit = {
+    // Files.walk holds open DirectoryStreams — close or leak handles
+    val stream = Files.walk(p)
+    try stream.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    finally stream.close()
+  }
 
   /** Partition-level overwrite: replace ONLY the listed `partCol=value`
     * subdirectories with `df`'s data (df must contain exactly those
@@ -83,17 +100,23 @@ final class TableStore(val spark: SparkSession, val root: String) {
   def overwritePartitions(
       table: String, df: DataFrame, partCol: String, values: Seq[Any]): Unit = {
     require(exists(table), s"$table must exist for a partition-level overwrite")
+    require(!values.contains(null),
+      s"null $partCol partition values are not supported by the partition-aligned path")
     val tmp = stage(table, df, numFiles = 0, partitionBy = Seq(partCol))
     values.foreach { v =>
-      val partDir = s"$partCol=$v"
+      // match Spark's own partition-path encoding (spaces, ':', '/', …)
+      val partDir = s"$partCol=${ExternalCatalogUtils.escapePathName(v.toString)}"
       val src = tmp.resolve(partDir)
+      // a value present in `values` but absent from the staged write means
+      // the caller's df didn't contain it — failing loudly beats silently
+      // dropping the partition's merged rows
+      require(Files.exists(src),
+        s"staged write is missing partition $partDir — df/values mismatch")
       val target = dir(table).resolve(partDir)
-      val trash = Paths.get(root, s".trash-$table-$partDir-${System.nanoTime()}")
-      if (Files.exists(src)) {
-        if (Files.exists(target)) Files.move(target, trash)
-        Files.move(src, target)
-        if (Files.exists(trash)) deleteRecursively(trash)
-      }
+      val trash = Paths.get(root, s".trash-$table-${System.nanoTime()}")
+      if (Files.exists(target)) Files.move(target, trash)
+      Files.move(src, target)
+      if (Files.exists(trash)) deleteRecursively(trash)
     }
     deleteRecursively(tmp)
   }

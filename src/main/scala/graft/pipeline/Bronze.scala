@@ -38,9 +38,7 @@ object Bronze {
       .option("header", "true")
       .option("inferSchema", "false")
       .csv(path)
-    val nullNormalized = raw.columns.foldLeft(raw) { (df, c) =>
-      df.withColumn(c, when(col(c) === "-", lit(null)).otherwise(col(c)))
-    }
+    val nullNormalized = nullSentinelToNull(raw)
     val ts: Column = clock.map(lit(_)).getOrElse(current_timestamp())
     val dt: Column = clock.map(t => lit(java.sql.Date.valueOf(t.toLocalDateTime.toLocalDate)))
       .getOrElse(current_date())
@@ -51,6 +49,14 @@ object Bronze {
       .withColumn("load_timestamp", ts)
       .withColumn("load_date", dt)
   }
+
+  /** P7 — "-" → NULL over every column (02_bronze.ipynb:139-143); shared
+    * with the CSV-scan gate query.
+    */
+  def nullSentinelToNull(df: DataFrame): DataFrame =
+    df.columns.foldLeft(df) { (d, c) =>
+      d.withColumn(c, when(col(c) === "-", lit(null)).otherwise(col(c)))
+    }
 
   def build(
       spark: SparkSession,

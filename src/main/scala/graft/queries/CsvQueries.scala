@@ -45,10 +45,8 @@ object CsvQueries {
       .option("header", "true")
       .option("inferSchema", "false")
       .csv(csvPath)
-    // "-" -> NULL over every column (bronze P7), then explicit casts
-    val normalized = raw.columns.foldLeft(raw) { (df, c) =>
-      df.withColumn(c, when(col(c) === "-", lit(null)).otherwise(col(c)))
-    }
+    // "-" -> NULL over every column (bronze P7, the shared helper), casts
+    val normalized = graft.pipeline.Bronze.nullSentinelToNull(raw)
     normalized.select(
         col("doc_id"),
         col("lang").as("lang_n"),

@@ -321,9 +321,12 @@ object Relational {
   }
 
   /** J8 year-over-year offset self-join (05_dashboard_queries
-    * .ipynb:674-702) — expressed Spark-first as lag() over an ordered
-    * window (the survey-documented substitution), oracled by the literal
-    * self-join CTE the reference uses: both produce identical rows.
+    * .ipynb:674-702), implemented as the reference's literal
+    * `curr.year = prev.year + 1` self-join over the per-year aggregate
+    * (tiny — broadcast, no meaningful cost). NB lag() over an ordered
+    * window is NOT substituted here: it diverges when a year is missing
+    * from the domain (lag reads the previous existing row; the self-join
+    * reads year-1 or NULL).
     */
   val j8_yoy_lag = OpQuery(
     "j8_yoy_lag",
@@ -344,9 +347,11 @@ object Relational {
       .agg(
         sum(dec($("o_totalprice"))).cast("double").as("total_value"),
         count(lit(1)).as("n_orders"))
-    val w = Window.orderBy($("order_year"))
+    val prev = yearly.select(
+      ($("order_year") + 1).as("order_year"),
+      $("total_value").as("prev_value"))
     yearly
-      .withColumn("prev_value", lag($("total_value"), 1).over(w))
+      .join(broadcast(prev), Seq("order_year"), "left")
       .withColumn(
         "yoy_pct",
         round(
@@ -355,6 +360,8 @@ object Relational {
               nullif($("prev_value"), lit(0)),
             lit(0)),
           4).cast("double"))
+      .select($("order_year"), $("total_value"), $("n_orders"),
+        $("prev_value"), $("yoy_pct"))
       .orderBy($("order_year"))
   }
 

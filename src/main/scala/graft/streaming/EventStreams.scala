@@ -134,8 +134,6 @@ object EventStreams {
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    graft.Tables.normalizeEventTs(raw)
   }
 }

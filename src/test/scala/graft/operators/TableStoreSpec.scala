@@ -56,6 +56,41 @@ class TableStoreSpec extends SparkSpec {
     assert(rows == Seq((1, "a", 2023), (2, "b", 2024), (3, "c", 2024)))
   }
 
+  test("partition-aligned merge handles values Spark URL-encodes in paths") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-esc-").toString)
+    store.overwrite("t",
+      Seq((1, "a:b", "x"), (2, "plain", "y")).toDF("id", "part", "v"),
+      partitionBy = Seq("part"))
+    Merge.insertOnlyPartitionAligned(store, "t",
+      Seq((3, "a:b", "z")).toDF("id", "part", "v"),
+      keys = Seq("id"), partCol = "part")
+    val rows = store.read("t").orderBy("id")
+      .select("id", "v", "part").as[(Int, String, String)].collect().toSeq
+    assert(rows == Seq((1, "x", "a:b"), (2, "y", "plain"), (3, "z", "a:b")))
+    // null partition values rejected loudly, not silently dropped
+    val e = intercept[IllegalArgumentException] {
+      store.overwritePartitions("t",
+        Seq((4, "plain", "w")).toDF("id", "part", "v"), "part", Seq(null))
+    }
+    assert(e.getMessage.contains("null"))
+  }
+
+  test("compact preserves partition layout") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-cpt-").toString)
+    store.overwrite("t",
+      Seq((1, 2023, "a"), (2, 2024, "b")).toDF("id", "year", "v"),
+      partitionBy = Seq("year"))
+    store.compact("t", 1)
+    val dirs = new java.io.File(s"${store.root}/t").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("year=2023", "year=2024"))
+    assert(store.read("t").count() == 2)
+    // a later partition-aligned merge still works
+    Merge.insertOnlyPartitionAligned(store, "t",
+      Seq((3, 2024, "c")).toDF("id", "year", "v"), Seq("id"), "year")
+    assert(store.read("t").count() == 3)
+  }
+
   test("vacuum removes only crash leftovers, never tables") {
     val store = new TableStore(spark, Files.createTempDirectory("graft-vac-").toString)
     store.overwrite("keep", Seq((1, "a")).toDF("id", "v"))
