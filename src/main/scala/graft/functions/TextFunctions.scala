@@ -22,7 +22,8 @@ object TextFunctions {
     * RE2-compatible so the DuckDB oracle can replicate it.)
     */
   def bpeIshTokenCount(text: Column): Column =
-    regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
+    when(text.isNull, lit(0))
+      .otherwise(regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")))
 
   /** Distinct lowercase tokens, the unit set for jaccard similarity. */
   def distinctTokens(text: Column): Column =
@@ -91,14 +92,14 @@ object TextFunctions {
   def stopwordRatio(text: Column): Column = {
     val toks = tokens(lower(text))
     val stops = array(langMarkers.flatMap(_._2).distinct.map(lit): _*)
-    when(size(toks) === 0, lit(0.0))
+    when(text.isNull || size(toks) === 0, lit(0.0))
       .otherwise(
         size(filter(toks, t => array_contains(stops, t))).cast("double") / size(toks))
   }
 
   def meanTokenLength(text: Column): Column = {
     val toks = tokens(text)
-    when(size(toks) === 0, lit(0.0))
+    when(text.isNull || size(toks) === 0, lit(0.0))
       .otherwise(
         aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
   }

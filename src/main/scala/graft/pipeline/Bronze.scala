@@ -40,7 +40,10 @@ object Bronze {
       .csv(path)
     val nullNormalized = nullSentinelToNull(raw)
     val ts: Column = clock.map(lit(_)).getOrElse(current_timestamp())
-    val dt: Column = clock.map(t => lit(java.sql.Date.valueOf(t.toLocalDateTime.toLocalDate)))
+    // derive the date in UTC (the session timezone) — toLocalDateTime
+    // would use the JVM default TZ and could disagree with ts by a day
+    val dt: Column = clock.map(t => lit(java.sql.Date.valueOf(
+        t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate)))
       .getOrElse(current_date())
     nullNormalized
       .withColumn("year", lit(year).cast("int"))
@@ -62,6 +65,8 @@ object Bronze {
       spark: SparkSession,
       files: Seq[LandingFile],
       clock: Option[java.sql.Timestamp] = None): DataFrame = {
+    require(files.nonEmpty,
+      "no landing files configured — check run_mode/process_year against the file list")
     val perFile = files.map(f =>
       readCsvWithMetadata(spark, f.path, f.year, f.gender, clock))
     val stacked = perFile.reduce(_.unionByName(_, allowMissingColumns = true))

@@ -140,11 +140,14 @@ object Dims {
     // reference semantic — athlete_count reflects the latest processed
     // year; SURVEY §7.4).
     val silver =
-      if (config.isIncremental)
+      (if (config.isIncremental)
         config.processYear.fold(silverAll)(y => silverAll.filter(col("year") === y))
-      else silverAll
-    writeAthletes(store, config, buildAthletes(silver, clock))
-    writeCountries(store, config, buildCountries(spark, silver, clock))
-    writeDivisions(store, config, buildDivisions(silver, clock))
+      else silverAll).cache()
+    try {
+      // three dim builds scan silver; cache avoids three parquet re-reads
+      writeAthletes(store, config, buildAthletes(silver, clock))
+      writeCountries(store, config, buildCountries(spark, silver, clock))
+      writeDivisions(store, config, buildDivisions(silver, clock))
+    } finally silver.unpersist()
   }
 }

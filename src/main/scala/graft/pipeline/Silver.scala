@@ -49,17 +49,28 @@ object Silver {
     "finish_time", "finish_time_seconds", "calculated_total_seconds",
     "source_file", "load_timestamp", "load_date")
 
+  /** Every bronze column the silver build references. Drift tolerance is
+    * real, not illusory: any of these missing from bronze (a drifted
+    * landing file stacked via unionByName(allowMissingColumns)) is
+    * created as an all-NULL string, so every downstream expression
+    * resolves and the 45-column output schema stays stable.
+    */
+  private val expectedInputColumns: Seq[String] =
+    integerColumns ++ timeColumns.map(_._1) ++
+      Seq("athlete_name", "country", "designation", "division")
+
   def build(bronze: DataFrame, processYear: Option[Int]): DataFrame = {
     val sliced = processYear.fold(bronze)(y => bronze.filter(col("year") === y))
 
-    // schema-drift-tolerant casts: only columns actually present
-    val cast = integerColumns.filter(sliced.columns.contains)
-      .foldLeft(sliced)((df, c) => df.withColumn(c, col(c).cast("int")))
+    val complete = expectedInputColumns.filterNot(sliced.columns.contains)
+      .foldLeft(sliced)((df, c) => df.withColumn(c, lit(null).cast("string")))
 
-    val parsed = timeColumns.filter { case (src, _) => cast.columns.contains(src) }
-      .foldLeft(cast) { case (df, (src, dst)) =>
-        df.withColumn(dst, parseTimeToSeconds(col(src)))
-      }
+    val cast = integerColumns
+      .foldLeft(complete)((df, c) => df.withColumn(c, col(c).cast("int")))
+
+    val parsed = timeColumns.foldLeft(cast) { case (df, (src, dst)) =>
+      df.withColumn(dst, parseTimeToSeconds(col(src)))
+    }
 
     val normalized = parsed
       .withColumn("country", upper(trim(col("country"))))
@@ -78,9 +89,6 @@ object Silver {
           col("swim_time_seconds"), col("transition_1_seconds"),
           col("bike_time_seconds"), col("transition_2_seconds"),
           col("run_time_seconds")))
-      .withColumn(
-        "time_difference",
-        timeDifference(col("finish_time_seconds"), col("calculated_total_seconds")))
       .withColumn("first_name", firstName(col("athlete_name")))
       .withColumn("last_name", lastName(col("athlete_name")))
       .withColumn(
@@ -93,7 +101,8 @@ object Silver {
               col("run_time_seconds").isNull ||
               col("finish_time_seconds").isNull),
           lit(true)).otherwise(lit(false)))
-      .drop("time_difference")
+    // NB the reference's transient time_difference (cell-7/16) lives only
+    // in the D8 audit here — see timeConsistencyAudit
 
     flagged.select(finalColumns.filter(flagged.columns.contains).map(col): _*)
   }

@@ -1,30 +1,38 @@
 package graft.queries
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** S1/S2 — the bronze CSV landing read, oracle-checked: the query first
+/** S1/S2 — the bronze CSV landing read, oracle-checked: the query
   * materializes a deterministic landing CSV (derived from `documents`,
   * with the reference's "-" null sentinel and an empty field), then
-  * reads it with the exact bronze semantics: header on, inference off
-  * (all STRING), "-" → NULL, explicit casts
-  * (02_bronze.ipynb:131-143 cell-3). DuckDB reads the same file.
+  * reads it back with the exact bronze semantics: header on, inference
+  * off (all STRING), "-" → NULL, explicit casts
+  * (02_bronze.ipynb:131-143 cell-3).
+  *
+  * The oracle never touches the file: it states the expected round-trip
+  * result straight from `documents`, so the Spark side's whole
+  * write→read→normalize path is what's under test, and concurrent runs
+  * at different scale factors can't race each other's CSVs (the path is
+  * per-scale-factor and written atomically regardless).
   */
 object CsvQueries {
 
-  private val csvPath = "/tmp/graft_landing_s1.csv"
-
   val s1_csv_scan = OpQuery(
     "s1_csv_scan",
-    s"""SELECT doc_id,
-       |       CASE WHEN lang = '-' THEN NULL ELSE lang END AS lang_n,
-       |       CAST(CASE WHEN n_chars = '-' OR n_chars = '' THEN NULL ELSE n_chars END AS INT) AS n_chars,
-       |       CAST(doc_id AS INT) % 7 AS shard
-       |FROM read_csv('$csvPath', header = true, all_varchar = true)
-       |ORDER BY CAST(doc_id AS INT)""".stripMargin) { (spark, dir) =>
+    """WITH first200 AS (
+      |  SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id LIMIT 200
+      |)
+      |SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+      |       CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS lang_n,
+      |       CAST(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS INT) AS n_chars,
+      |       CAST(doc_id % 7 AS INT) AS shard
+      |FROM first200
+      |ORDER BY CAST(doc_id AS INT)""".stripMargin) { (spark, dir) =>
+    val csvPath = s"/tmp/graft_landing_s1_${math.abs(dir.hashCode)}.csv"
     // deterministic landing file: every 5th lang is the "-" sentinel,
     // every 7th n_chars empty — the FIXTURES.md §1 value domains
     val rows = Tables.load(spark, dir, "documents")
@@ -38,8 +46,10 @@ object CsvQueries {
       val n = if (id % 7 == 0) "" else r.getLong(2).toString
       s"$id,$lang,$n"
     }.toSeq
-    Files.write(Paths.get(csvPath),
-      lines.mkString("\n").getBytes("UTF-8"))
+    val tmp = Paths.get(csvPath + s".tmp-${System.nanoTime()}")
+    Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(csvPath),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
 
     val raw = spark.read
       .option("header", "true")

@@ -75,11 +75,14 @@ object ScaleOps {
   val text_analysis = OpQuery(
     "text_analysis",
     """SELECT doc_id,
-      |  CAST(length(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
-      |  CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_ish,
-      |  CAST(ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text), 6) AS DOUBLE) AS alpha_ratio,
-      |  CAST(ROUND(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'), x -> length(x))) * 1.0
-      |       / length(regexp_split_to_array(trim(text), '\s+')), 6) AS DOUBLE) AS mean_token_len,
+      |  CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+      |       ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS n_tokens,
+      |  CAST(coalesce(length(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')), 0) AS INT) AS n_bpe_ish,
+      |  CAST(CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
+      |       ELSE ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text), 6) END AS DOUBLE) AS alpha_ratio,
+      |  CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0.0
+      |       ELSE ROUND(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'), x -> length(x))) * 1.0
+      |            / length(regexp_split_to_array(trim(text), '\s+')), 6) END AS DOUBLE) AS mean_token_len,
       |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
       |FROM documents
       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
