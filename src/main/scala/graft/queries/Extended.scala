@@ -185,7 +185,30 @@ object Extended {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Array-aggregation family: collect_list + array_sort + array_join
+    * (emitted as a canonical string so the value compare is
+    * engine-neutral), array_contains, element count.
+    */
+  val f_array_agg = OpQuery(
+    "f_array_agg",
+    """SELECT c_nationkey,
+      |       string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+      |       CAST(COUNT(DISTINCT c_mktsegment) AS INT) AS n_segments,
+      |       contains(string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment), 'BUILDING') AS has_building
+      |FROM customer
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin) { (spark, dir) =>
+    t(spark, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(
+        array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segments"),
+        countDistinct(col("c_mktsegment")).cast("int").as("n_segments"))
+      .withColumn("has_building",
+        array_contains(split(col("segments"), ","), "BUILDING"))
+      .orderBy(col("c_nationkey"))
+  }
+
   val all: Seq[OpQuery] = Seq(
     w4_window_family, a12_rollup, j11_set_ops, p9_pivot,
-    tpch_q3_shape, tpch_q4_shape)
+    tpch_q3_shape, tpch_q4_shape, f_array_agg)
 }

@@ -40,6 +40,26 @@ object Profile {
         Tables.load(spark, sfDir, "documents").filter(col("doc_id") % 5 === 0),
         "doc_id", "text", 32, 8, 0.9).count()
     }
+
+    // merge-layer scale probe: 10M-row target, 1M-row source upsert — no
+    // driver-side collection anywhere, so this should stream comfortably
+    val wh = java.nio.file.Files.createTempDirectory("graft-scale-").toString
+    val store = new graft.operators.TableStore(spark, wh)
+    time("10M-row partitioned overwrite") {
+      store.overwrite("big",
+        spark.range(10000000L).toDF("k")
+          .withColumn("part", col("k") % 16)
+          .withColumn("v", col("k") * 3),
+        partitionBy = Seq("part"))
+    }
+    time("1M-row partition-aligned insert-only merge") {
+      graft.operators.Merge.insertOnlyPartitionAligned(store, "big",
+        spark.range(9500000L, 10500000L).toDF("k")
+          .withColumn("part", col("k") % 16)
+          .withColumn("v", col("k") * 3),
+        keys = Seq("k"), partCol = "part")
+    }
+    println(s"[profile] merged rows: ${store.read("big").count()}")
     spark.stop()
   }
 }
