@@ -173,14 +173,19 @@ object Dedup {
     * standard large-graph CC algorithm used when a graph engine isn't
     * worth the dependency.)
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // iterative Spark essentials: localCheckpoint every round truncates
+    // the lineage (otherwise each iteration's plan contains all previous
+    // joins and analysis/AQE time grows without bound), and the change
+    // flag rides in the same materialization as the new labels so each
+    // round is exactly one shuffle-join job plus a cheap cached count.
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
-      .cache()
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .cache()
+      .localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -192,15 +197,14 @@ object Dedup {
         .join(neighborMin, labels("node") === neighborMin("src"), "left")
         .select(
           col("node"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .cache()
-      changed = updated.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = updated
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("new_label"),
+          (least(col("label"), coalesce(col("nlabel"), col("label"))) =!= col("label"))
+            .as("chg"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("chg")).count()
+      labels = updated.select(col("node"), col("new_label").as("label"))
       iter += 1
     }
-    edges.unpersist()
     // silent non-convergence would split one real cluster into several
     // and elect multiple "survivors" from one duplicate group
     require(changed == 0,
@@ -211,22 +215,19 @@ object Dedup {
 
   // ------------------------------------------------------------- simhash
   /** 64-bit SimHash: per-token 64-bit hashes vote per bit (+1 if set,
-    * -1 if not); signature bit k is the sign of the vote sum. One
-    * explode + one agg with 64 conditional sums — single shuffle.
+    * -1 if not); signature bit k is the sign of the vote sum. Computed
+    * by the custom [[graft.expressions.SimHashAggregate]] (one long[64]
+    * vote buffer; see its scaladoc for why not 64 conditional-sum
+    * columns) — one explode + single-shuffle aggregate.
     */
   def simHashSignature(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(
-      col(idCol).as("doc_id"),
-      explode(TextFunctions.distinctTokens(col(textCol))).as("tok"))
+    graft.expressions.SimHashAgg.register(df.sparkSession)
+    df.select(
+        col(idCol).as("doc_id"),
+        explode(TextFunctions.distinctTokens(col(textCol))).as("tok"))
       .withColumn("th", xxhash64(col("tok")))
-    val bitVotes = (0 until 64).map { k =>
-      sum(when(shiftright(col("th"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$k")
-    }
-    val votes = toks.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
-    val sig = (0 until 64).map { k =>
-      when(col(s"v_$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
-    votes.select(col("doc_id"), sig.as("simhash"))
+      .groupBy("doc_id")
+      .agg(graft.expressions.SimHashAgg.simhashSig(col("th")).as("simhash"))
   }
 
   /** Hamming distance between two 64-bit signatures (bit_count of xor). */

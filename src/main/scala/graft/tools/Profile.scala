@@ -41,6 +41,15 @@ object Profile {
         "doc_id", "text", 32, 8, 0.9).count()
     }
 
+    val pairs = time("jaccard pairs for clusters") {
+      val p = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.9).cache()
+      println(s"[profile] pair count: ${p.count()}")
+      p
+    }
+    time("connected components") {
+      println(s"[profile] components nodes: ${Dedup.connectedComponents(pairs).count()}")
+    }
+
     // merge-layer scale probe: 10M-row target, 1M-row source upsert — no
     // driver-side collection anywhere, so this should stream comfortably
     val wh = java.nio.file.Files.createTempDirectory("graft-scale-").toString
