@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Sampling}
+
+/** Capstone: the operators composed as an actual training-data curation
+  * pipeline — quality-score filter → exact dedup (survivors only) →
+  * content-stable split → per-(split, lang) accounting — oracled as ONE
+  * unit, so the composition (not just each stage) is hash-verified.
+  *
+  * Scale shape: three shuffles total (fingerprint groupBy, the split is
+  * map-only, final count groupBy) over a single scan of the corpus.
+  */
+object CurationPipeline {
+
+  private val stopwords =
+    TextFunctions.langMarkers.flatMap(_._2).distinct
+
+  val curation_e2e: OpQuery = {
+    val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    OpQuery(
+      "curation_e2e",
+      s"""WITH scored AS (
+        |  SELECT doc_id, lang, text,
+        |    LEAST(length(regexp_split_to_array(trim(text), '\\s+')) * 1.0 / 100, 1.0) AS length_score,
+        |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text) AS alpha_ratio,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        |        t -> list_contains($stopList, t))) * 1.0
+        |      / length(regexp_split_to_array(lower(trim(text)), '\\s+')) AS stop_ratio,
+        |    length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) * 1.0 / length(text) AS punct_ratio
+        |  FROM documents
+        |), quality AS (
+        |  SELECT doc_id, lang, text,
+        |    ROUND(GREATEST(LEAST(
+        |      length_score * 0.3 + alpha_ratio * 0.3 + stop_ratio * 0.2 + (1.0 - punct_ratio) * 0.2,
+        |      1.0), 0.0), 4) AS q
+        |  FROM scored
+        |), kept AS (
+        |  SELECT * FROM quality WHERE q >= 0.5
+        |), survivors AS (
+        |  SELECT MIN(doc_id) AS doc_id
+        |  FROM kept
+        |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        |), split AS (
+        |  SELECT k.doc_id, k.lang,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+        |         WHEN CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM kept k JOIN survivors s ON k.doc_id = s.doc_id
+        |)
+        |SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM split
+        |GROUP BY split, lang
+        |ORDER BY split, lang""".stripMargin) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      val kept = docs.filter(TextFunctions.qualityScore(col("text")) >= 0.5)
+      val survivors = Dedup.exact(kept, "doc_id", "text")
+      Sampling.deterministicSplit(
+          survivors.select(col("doc_id"), col("lang")), "doc_id",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("split"), col("lang"))
+    }
+  }
+
+  val all: Seq[OpQuery] = Seq(curation_e2e)
+}

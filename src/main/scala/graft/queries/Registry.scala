@@ -9,5 +9,6 @@ object Registry {
   def all: Seq[OpQuery] =
     Relational.all ++ Scalars.all ++ MergeQueries.all ++ ScaleOps.all ++
       StreamingQueries.all ++ MultimodalQueries.all ++ AsOfQueries.all ++
-      ScaleExtras.all ++ Extended.all ++ RangeQueries.all ++ CsvQueries.all
+      ScaleExtras.all ++ Extended.all ++ RangeQueries.all ++ CsvQueries.all ++
+      CurationPipeline.all
 }
