@@ -56,6 +56,13 @@ object Merge {
     * 1/N of the table instead of rewriting all of it — the main
     * copy-on-write cost of [[mergeInto]] removed for the append-dominant
     * case.
+    *
+    * CONTRACT: the merge key must determine its partition (a given key
+    * value only ever lives in one `partCol` value — true for the
+    * pipeline's row_key, which embeds the year). Otherwise a key already
+    * present in an untouched partition is invisible to the partition-
+    * local anti-join and would be re-inserted; use [[mergeInto]] when
+    * keys can move across partitions.
     */
   def insertOnlyPartitionAligned(
       store: TableStore,

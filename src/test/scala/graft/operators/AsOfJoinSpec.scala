@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // left: (id, key, t) probes; right: (rid, key, t) reference points
+  private val left = Seq(
+    (1L, "a", 100L), (2L, "a", 200L), (3L, "a", 50L),
+    (4L, "b", 500L), (5L, "c", 10L))
+    .toDF("id", "key", "t")
+  private val right = Seq(
+    (10L, "a", 100L),  // exactly equal to left id=1's time
+    (11L, "a", 150L),
+    (12L, "b", 400L), (13L, "b", 450L))
+    .toDF("rid", "key", "rt")
+
+  test("asof picks the latest right row with rt <= t, equal timestamps match") {
+    val out = AsOfJoin.asOf(left, right, Seq("key"), "t", "rt")
+      .select($"id", $"asof_rid")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(out(1L) == Some(10L)) // rt == t matches (<= semantics)
+    assert(out(2L) == Some(11L)) // latest of {100, 150}
+    assert(out(3L) == None)      // nothing at or before t=50
+    assert(out(4L) == Some(13L)) // latest of {400, 450}
+    assert(out(5L) == None)      // key with no right rows at all
+  }
+
+  test("tolerance drops matches older than the lookback window") {
+    val out = AsOfJoin.asOf(left, right, Seq("key"), "t", "rt",
+        tolerance = Some(lit(60L)))
+      .select($"id", $"asof_rid")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(out(1L) == Some(10L)) // delta 0 <= 60
+    assert(out(2L) == Some(11L)) // delta 50 <= 60
+    assert(out(4L) == Some(13L)) // delta 50 <= 60
+    // id=4's match 13 at delta 50 stays; shrink window below it:
+    val tight = AsOfJoin.asOf(left, right, Seq("key"), "t", "rt",
+        tolerance = Some(lit(40L)))
+      .select($"id", $"asof_rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(tight(4L) == None)
+  }
+
+  test("every left row survives exactly once (left-join cardinality)") {
+    val out = AsOfJoin.asOf(left, right, Seq("key"), "t", "rt")
+    assert(out.count() == left.count())
+    assert(out.select("id").distinct().count() == left.count())
+    // left columns come through intact
+    assert(out.columns.toSet ==
+      Set("id", "key", "t", "asof_rid", "asof_rt"))
+  }
+}
