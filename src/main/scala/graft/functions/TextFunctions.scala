@@ -115,6 +115,23 @@ object TextFunctions {
     round(greatest(least(raw, lit(1.0)), lit(0.0)), 4)
   }
 
+  /** PII-style scrubbing for training corpora: mask email-shaped tokens
+    * and long digit runs (ids, phone numbers). Pure regexp_replace —
+    * full scan speed; patterns RE2-compatible so the oracle replicates
+    * them. A production scrubber adds NER; the operator shape (ordered
+    * regex passes in one projection) is the same.
+    */
+  def redact(text: Column): Column = {
+    val noEmail = regexp_replace(
+      text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(noEmail, "[0-9]{6,}", "<NUM>")
+  }
+
+  /** Count of redactions a scrub pass would make (audit metric). */
+  def redactionCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")) +
+      regexp_count(text, lit("[0-9]{6,}"))
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
     * the exact-dedup key. (Content-defined rolling-hash chunking is the
     * upgrade path for near-identical long docs.)

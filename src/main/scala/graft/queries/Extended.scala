@@ -208,7 +208,28 @@ object Extended {
       .orderBy(col("c_nationkey"))
   }
 
+  /** CUBE — all grouping-set combinations (complements a12_rollup). */
+  val a13_cube = OpQuery(
+    "a13_cube",
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+      |       CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (spark, dir) =>
+    Tables.load(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+        count(lit(1)).as("n_orders"))
+      .select("o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n_orders")
+      .orderBy(col("g_status"), col("g_priority"),
+        col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
   val all: Seq[OpQuery] = Seq(
-    w4_window_family, a12_rollup, j11_set_ops, p9_pivot,
+    w4_window_family, a12_rollup, a13_cube, j11_set_ops, p9_pivot,
     tpch_q3_shape, tpch_q4_shape, f_array_agg)
 }

@@ -139,6 +139,46 @@ object ScaleOps {
     }
   }
 
+  /** PII-style scrubbing: emails and long digit runs masked via ordered
+    * regex passes (documents carry no PII, so deterministic synthetic
+    * tokens are appended first; the oracle replicates both steps).
+    */
+  val text_redact = OpQuery(
+    "text_redact",
+    """WITH seeded AS (
+      |  SELECT doc_id,
+      |    text || CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+      |      WHEN 1 THEN ' ref 1234567' || CAST(doc_id AS VARCHAR) || ' end'
+      |      WHEN 2 THEN ' a.b-c_d@mail.co and 99887766 twice'
+      |      ELSE '' END AS text2
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+      |     + len(regexp_extract_all(text2, '[0-9]{6,}')) AS INT) AS n_redactions,
+      |  md5(regexp_replace(regexp_replace(text2,
+      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |        '[0-9]{6,}', '<NUM>', 'g')) AS redacted_md5
+      |FROM seeded
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val seeded = t(spark, dir, "documents").withColumn(
+      "text2",
+      concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit(" ref 1234567"), col("doc_id").cast("string"), lit(" end")))
+          .when(col("doc_id") % 4 === 2, lit(" a.b-c_d@mail.co and 99887766 twice"))
+          .otherwise(lit(""))))
+    seeded.select(
+        col("doc_id"),
+        TextFunctions.redactionCount(col("text2")).cast("int").as("n_redactions"),
+        md5(TextFunctions.redact(col("text2"))).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Brute-force cosine top-k: exact ANN baseline. Query set broadcast;
     * corpus streams map-side; the only shuffle is the per-query top-k.
     */
@@ -338,7 +378,7 @@ object ScaleOps {
 
   val all: Seq[OpQuery] = Seq(
     dedup_exact, dedup_ngram_jaccard, dedup_clusters, data_split,
-    text_analysis, text_lang_id, text_tfidf,
+    text_analysis, text_lang_id, text_tfidf, text_redact,
     sim_topk_bruteforce, sim_neardup_embedding,
     dedup_minhash_lsh, dedup_simhash, sim_ivf_topk)
 }
