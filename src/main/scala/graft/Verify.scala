@@ -7,13 +7,11 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
+    // shared session defaults (AQE, UTC, nanosAsLong, ...) come from
+    // GraftSession; the gate runs ANSI-on (the driver default the
+    // queries are written for) unlike the reference-parity pipeline
+    val spark = GraftSession.builder("graft-verify", cpus.toInt)
+      .config("spark.sql.ansi.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -21,9 +21,10 @@ import org.apache.spark.sql.types._
   * long-array buffer updated in a tight loop: one partial-agg pass, one
   * merge (element-wise min), tiny generated code.
   *
-  * Same math as Dedup.hashFamily: h_i(x) = (a_i·x + b_i) mod (2^31-1)
-  * over the (already 31-bit) token hash, seeds derived deterministically
-  * from seed 42 so signatures are reproducible across runs and engines.
+  * h_i(x) = (a_i·x + b_i) mod (2^31-1) over the token hash (reduced into
+  * [0, p) with floorMod, so negative 64-bit hashes are handled), seeds
+  * derived deterministically from seed 42 so signatures are reproducible
+  * across runs.
   */
 object MinHashAgg {
   val Prime: Long = (1L << 31) - 1
@@ -52,9 +53,13 @@ case class MinHashAggregate(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
 
-  private lazy val k: Int = kExpr match {
-    case Literal(v: Int, IntegerType) => v
-    case other => other.eval().asInstanceOf[Int]
+  private lazy val k: Int = {
+    val v = kExpr match {
+      case Literal(value: Int, IntegerType) => value
+      case other => Option(other.eval()).map(_.asInstanceOf[Int]).getOrElse(0)
+    }
+    require(v > 0, s"minhash_sig k must be a positive integer literal, got $v")
+    v
   }
   private lazy val coeffs = MinHashAgg.coefficients(k)
 
@@ -62,13 +67,27 @@ case class MinHashAggregate(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // SQL callers get an analysis-time type error, not a mid-job
+  // ClassCastException from the blind Long cast in update()
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (child.dataType, kExpr.dataType) match {
+      case (LongType, IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (c, kt) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig expects (BIGINT, INT), got (${c.sql}, ${kt.sql})")
+    }
+
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(k)(Long.MaxValue)
 
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val x = v.asInstanceOf[Long] % MinHashAgg.Prime
+      // floorMod keeps x in [0, p) for negative hashes too — a negative x
+      // would always win the min and bias every signature toward the
+      // negative half of the hash space
+      val x = java.lang.Math.floorMod(v.asInstanceOf[Long], MinHashAgg.Prime)
       var i = 0
       while (i < k) {
         val h = (coeffs(i)._1 * x + coeffs(i)._2) % MinHashAgg.Prime

@@ -39,6 +39,15 @@ case class SimHashAggregate(
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_sig expects BIGINT, got ${other.sql}")
+    }
+
   override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
 
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {

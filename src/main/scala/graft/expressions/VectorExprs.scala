@@ -35,8 +35,17 @@ object VectorExprs {
     */
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
   def vecNorm(a: Column): Column = call_function("vec_norm", a)
-  def vecCosine(a: Column, b: Column): Column =
-    vecDot(a, b) / (vecNorm(a) * vecNorm(b))
+
+  /** Cosine with a zero-norm guard: 0/0 would be NaN, and Spark orders
+    * NaN ABOVE every real double — an all-zero embedding (padding or a
+    * failed embed) would otherwise top every descending similarity
+    * ranking. Zero-norm pairs score 0.0 instead.
+    */
+  def vecCosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    val denom = vecNorm(a) * vecNorm(b)
+    when(denom === 0.0, lit(0.0)).otherwise(vecDot(a, b) / denom)
+  }
 }
 
 trait VectorExprHelpers { self: Expression =>

@@ -41,11 +41,13 @@ object Similarity {
 
   /** Unit-normalize a vector column (double precision). Pre-normalizing
     * once per vector turns every pairwise cosine into a single dot
-    * product — 3× fewer array traversals in n² joins.
+    * product — 3× fewer array traversals in n² joins. Zero vectors stay
+    * zero (division would produce NaN, which Spark sorts above every
+    * real double and would therefore top similarity rankings).
     */
   def normalize(v: Column): Column = {
     val norm = l2Norm(v)
-    transform(v, x => x.cast("double") / norm)
+    transform(v, x => when(norm === 0.0, lit(0.0)).otherwise(x.cast("double") / norm))
   }
 
   /** Exact top-k by cosine for each query vector. `queries` is expected

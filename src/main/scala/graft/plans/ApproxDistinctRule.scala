@@ -32,7 +32,9 @@ object ApproxDistinctRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
-    else plan.transform {
+    // transformWithSubqueries so COUNT(DISTINCT) nested in scalar/IN
+    // subqueries is rewritten too, not just top-level aggregates
+    else plan.transformWithSubqueries {
       case agg: Aggregate =>
         agg.transformExpressions {
           case ae @ AggregateExpression(Count(Seq(child)), _, true, None, _) =>
