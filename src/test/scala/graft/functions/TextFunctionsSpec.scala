@@ -55,6 +55,22 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r(2) != r(0))
   }
 
+  test("redact masks emails and long digit runs, leaves short numbers and prose") {
+    import spark.implicits._
+    val r = Seq(
+      "mail me at jane.doe+x@corp.example.org or call 5551234567",
+      "order 12345 shipped in 2024",   // short digits stay
+      "two ids 11223344 and 99887766")
+      .toDF("t")
+      .select(redact($"t").as("r"), redactionCount($"t").as("n"))
+      .collect()
+    assert(r(0).getString(0) == "mail me at <EMAIL> or call <NUM>")
+    assert(r(0).getInt(1) == 2)
+    assert(r(1).getString(0) == "order 12345 shipped in 2024")
+    assert(r(1).getInt(1) == 0)
+    assert(r(2).getString(0) == "two ids <NUM> and <NUM>")
+  }
+
   test("shingles produce distinct n-grams") {
     val r = Seq("abcde").toDF("t")
       .select(shingles($"t", 3).as("s")).as[Seq[String]].head()
