@@ -17,6 +17,30 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def canon(v):
+    """Canonical string for one value, preserving decimal scale and
+    integer-ness (float32 is promoted to float64 first, matching the
+    driver's coercion layer)."""
+    import numpy as np
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, float) or isinstance(v, np.floating):
+        f = float(v)
+        return "\x00NULL" if f != f else repr(f)
+    if isinstance(v, (np.ndarray, list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    try:
+        if pd.isna(v):
+            return "\x00NULL"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, (bool, np.bool_)):
+        return "true" if v else "false"
+    if isinstance(v, np.integer):
+        return str(int(v))
+    return str(v)
+
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # canonicalize types for comparison
@@ -73,15 +97,17 @@ def main():
         for c in s.columns:
             sv, dv = s[c], d[c]
             try:
-                if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
-                    eq = ((sv.astype(float) == dv.astype(float)) |
-                          (sv.isna() & dv.isna()))
-                else:
-                    eq = (sv.astype(object).where(~sv.isna(), None) ==
-                          dv.astype(object).where(~dv.isna(), None)) | (sv.isna() & dv.isna())
+                # Dtype-strict canonical-string compare: a Decimal stays
+                # '100.50' while float64 is '100.5', int64 is '1' while
+                # float64 is '1.0' — exactly the divergences the driver's
+                # value hash sees. No float coercion before comparing.
+                scs, dcs = sv.map(canon), dv.map(canon)
+                eq = scs == dcs
                 if not bool(eq.all()):
                     bad = (~eq).idxmax()
-                    diffs.append(f"col {c} row {bad}: spark={sv[bad]!r} duck={dv[bad]!r}")
+                    diffs.append(
+                        f"col {c} row {bad}: spark={sv[bad]!r} ({sv.dtype}) "
+                        f"duck={dv[bad]!r} ({dv.dtype})")
             except Exception as e:
                 diffs.append(f"col {c}: compare error {e}")
         if diffs:

@@ -121,16 +121,21 @@ object TextFunctions {
     * them. A production scrubber adds NER; the operator shape (ordered
     * regex passes in one projection) is the same.
     */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
   def redact(text: Column): Column = {
-    val noEmail = regexp_replace(
-      text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val noEmail = regexp_replace(text, EmailRe, "<EMAIL>")
     regexp_replace(noEmail, "[0-9]{6,}", "<NUM>")
   }
 
-  /** Count of redactions a scrub pass would make (audit metric). */
+  /** Count of redactions the scrub pass actually makes (audit metric).
+    * Digit runs are counted on the email-redacted intermediate, matching
+    * the sequential passes in [[redact]] — a 6+-digit run inside an email
+    * localpart is one redaction, not two.
+    */
   def redactionCount(text: Column): Column =
-    regexp_count(text, lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")) +
-      regexp_count(text, lit("[0-9]{6,}"))
+    regexp_count(text, lit(EmailRe)) +
+      regexp_count(regexp_replace(text, EmailRe, "<EMAIL>"), lit("[0-9]{6,}"))
 
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
     * the exact-dedup key. (Content-defined rolling-hash chunking is the

@@ -60,10 +60,12 @@ object AsOfJoin {
       .withColumn("__left", lit(null).cast(taggedLeft.schema("__left").dataType))
       .unionByName(taggedLeft)
 
-    // right (side 0) sorts before left (side 1) at equal times => "<=",
-    // and the carried payload keeps its own event time for tolerance
+    // right (side 0) sorts before left (side 1) at equal times => "<=".
+    // The payload struct is the final tie-breaker: when the right side has
+    // duplicate (key, rightTime) rows, last() deterministically resolves to
+    // the greatest payload instead of an arbitrary partition-order row.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(col("__t").asc, col("__side").asc, col("__payload").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, 0)
     val matched = unioned
       .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))

@@ -212,13 +212,16 @@ object Relational {
   val p1_project_filter = OpQuery(
     "p1_project_filter",
     """SELECT o_orderkey, o_custkey,
-      |       CAST(o_totalprice AS DECIMAL(18,2)) AS total_dec
+      |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_dec
       |FROM orders
       |WHERE o_orderstatus = 'F'
       |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    // DECIMAL internally; DOUBLE in the final schema — raw DECIMAL output
+    // columns diverge at the driver's hash layer (DuckDB client coerces
+    // DECIMAL -> float64, so '100.50' vs '100.5').
     t(spark, dir, "orders")
       .filter($("o_orderstatus") === "F")
-      .withColumn("total_dec", dec($("o_totalprice")))
+      .withColumn("total_dec", dec($("o_totalprice")).cast("double"))
       .select($("o_orderkey"), $("o_custkey"), $("total_dec"))
       .orderBy($("o_orderkey"))
   }
@@ -500,12 +503,12 @@ object Relational {
     */
   val o2_topk = OpQuery(
     "o2_topk",
-    """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
       |FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey ASC
       |LIMIT 10""".stripMargin) { (spark, dir) =>
     t(spark, dir, "orders")
-      .select($("o_orderkey"), dec($("o_totalprice")).as("price"), $("o_totalprice"))
+      .select($("o_orderkey"), dec($("o_totalprice")).cast("double").as("price"), $("o_totalprice"))
       .orderBy($("o_totalprice").desc, $("o_orderkey").asc)
       .limit(10)
       .select($("o_orderkey"), $("price"))

@@ -156,7 +156,9 @@ object ScaleOps {
       |)
       |SELECT doc_id,
       |  CAST(len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-      |     + len(regexp_extract_all(text2, '[0-9]{6,}')) AS INT) AS n_redactions,
+      |     + len(regexp_extract_all(regexp_replace(text2,
+      |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |         '[0-9]{6,}')) AS INT) AS n_redactions,
       |  md5(regexp_replace(regexp_replace(text2,
       |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
       |        '[0-9]{6,}', '<NUM>', 'g')) AS redacted_md5

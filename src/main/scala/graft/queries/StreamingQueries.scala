@@ -69,8 +69,8 @@ object StreamingQueries {
       |  FROM ordered
       |), numbered AS (
       |  SELECT user_id, ts, value,
-      |         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
-      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
       |  FROM flagged
       |)
       |SELECT user_id, session_seq,
