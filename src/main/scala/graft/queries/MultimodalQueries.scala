@@ -60,10 +60,20 @@ object MultimodalQueries {
   }
 
   /** Batched feature extraction through mapPartitions with the stubbed
-    * decoder — rows-only at the gate (the stub's output is pinned in
-    * MultimodalSpec instead).
+    * decoder. The stub is md5-derived, so the oracle replicates it in
+    * SQL (first md5 byte via hex cast) — the gate hash-checks the whole
+    * mapPartitions/decode/schema path, not just row counts; the full
+    * 8-feature vector stays pinned in MultimodalSpec.
     */
-  val mm_features = OpQuery.noOracle("mm_features") { (spark, dir) =>
+  val mm_features = OpQuery(
+    "mm_features",
+    """SELECT doc_id AS media_id,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+      |  CAST(ROUND((CAST(('0x' || substr(md5(text), 1, 2)) AS INT) * 31
+      |       + octet_length(encode(text)) % 97) / 255.0, 6) AS DOUBLE) AS f0,
+      |  CAST(8 AS INT) AS n_features
+      |FROM documents
+      |ORDER BY media_id""".stripMargin) { (spark, dir) =>
     Multimodal.extractFeatures(media(spark, dir), k = 8)
       .select(col("media_id"), col("modality"),
         round(element_at(col("features"), 1), 6).as("f0"),
