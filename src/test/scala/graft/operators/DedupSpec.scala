@@ -26,14 +26,18 @@ class DedupSpec extends SparkSpec {
     val subset = docs.filter($"doc_id" % 2 === 0)
     val exact = Dedup.ngramJaccardPairs(subset, "doc_id", "text", 0.9)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
-    val found = Dedup.minHashNearDups(subset, "doc_id", "text",
-        numHashes = 32, bands = 8, threshold = 0.9)
-      .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(exact.nonEmpty, "test corpus should contain near-dup pairs")
-    // verification step makes found ⊆ exact; banding may miss some pairs
-    assert(found.subsetOf(exact))
-    val recall = found.size.toDouble / exact.size
-    assert(recall >= 0.8, s"recall $recall too low (${found.size}/${exact.size})")
+    // bands=4 is the production (gate) tuning; bands=8 the high-recall one
+    for (bands <- Seq(4, 8)) {
+      val found = Dedup.minHashNearDups(subset, "doc_id", "text",
+          numHashes = 32, bands = bands, threshold = 0.9)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      // verification step makes found ⊆ exact; banding may miss some pairs
+      assert(found.subsetOf(exact))
+      val recall = found.size.toDouble / exact.size
+      assert(recall >= 0.8,
+        s"bands=$bands recall $recall too low (${found.size}/${exact.size})")
+    }
   }
 
   test("minhash signature approximates jaccard") {
