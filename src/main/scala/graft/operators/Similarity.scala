@@ -51,8 +51,12 @@ object Similarity {
   }
 
   /** Exact top-k by cosine for each query vector. `queries` is expected
-    * to be small (it is broadcast); `corpus` streams map-side — the only
-    * shuffle is the per-query top-k (TakeOrdered within query groups).
+    * to be small (it is broadcast); `corpus` streams map-side. The
+    * per-query top-k runs through the bounded-heap
+    * [[graft.expressions.TopKAgg]] aggregate, so map tasks pre-reduce to
+    * k-element heaps and only k rows per (query × map partition) shuffle
+    * — never the whole scored corpus through one reducer per query
+    * (which is what a `row_number` window over query_id would do).
     */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
@@ -62,12 +66,25 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qvec"))
     val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
       .withColumn("score", VectorExprs.vecDot(col("cvec"), col("qvec")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("corpus_id").asc)
+    topKPerGroup(scored, col("query_id"), k)
+  }
+
+  /** Shared two-phase top-k tail: bounded-heap aggregate per group, then
+    * unnest ranked hits. Output: (group, corpus_id, rank, score) with
+    * rank 1..k ordered by (score desc, corpus_id asc).
+    */
+  private def topKPerGroup(scored: DataFrame, group: Column, k: Int): DataFrame = {
+    graft.expressions.TopKAgg.register(scored.sparkSession)
     scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), col("rank"), col("score"))
+      .groupBy(group.as("query_id"))
+      .agg(graft.expressions.TopKAgg
+        .topKBy(col("score"), col("corpus_id").cast("long"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(
+        col("query_id"),
+        col("hit.corpus_id").as("corpus_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("hit.score").as("score"))
   }
 
   /** Deterministic coarse centroids: the first `numCells` corpus vectors
@@ -146,16 +163,14 @@ object Similarity {
     val probes = qCells.withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qvec"), col("cell_id"))
-    // search only the probed cells
+    // search only the probed cells; same bounded-heap top-k tail as the
+    // brute-force path (k rows per map partition per query shuffle)
     val scored = assigned
       .join(probes, Seq("cell_id"))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("score", VectorExprs.vecCosine(col(vecCol), col("qvec")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col(idCol).as("corpus_id"), col("rank"), col("score"))
+      .withColumn("corpus_id", col(idCol))
+    topKPerGroup(scored, col("query_id"), k)
   }
 
   /** Embedding near-dup pairs: all pairs with cosine ≥ threshold.

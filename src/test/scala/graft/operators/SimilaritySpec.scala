@@ -33,6 +33,18 @@ class SimilaritySpec extends SparkSpec {
     assert(badOrder.count() == 0)
   }
 
+  test("top-k plan uses map-side partial heap aggregation, no per-query window funnel") {
+    val queries = emb.filter($"vec_id" < 5)
+    val plan = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .queryExecution.executedPlan.toString
+    // the whole scored corpus must never sort through one reducer per
+    // query: no Window operator, and the topk aggregate must have a
+    // partial (map-side) phase before the final merge
+    assert(!plan.contains("Window"), s"window funnel in plan:\n$plan")
+    assert(plan.toLowerCase.contains("partial_topk"),
+      s"expected partial topk aggregation phase in plan:\n$plan")
+  }
+
   test("IVF top-k recall@10 vs brute force is usable and cells partition the corpus") {
     val queries = emb.filter($"vec_id" < 10)
     val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
