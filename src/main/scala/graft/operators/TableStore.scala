@@ -3,6 +3,8 @@ package graft.operators
 import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 
@@ -22,11 +24,25 @@ import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
   */
 final class TableStore(val spark: SparkSession, val root: String) {
 
-  private def dir(table: String): Path = Paths.get(root, table)
+  /** Table names are flat (`fact`) or 3-level `catalog.schema.table`
+    * (01_config.ipynb:193-226) — dots map to directory levels, so
+    * `ironman.gold.fact` lives at `root/ironman/gold/fact` and schemas
+    * list as directories.
+    */
+  private def dir(table: String): Path =
+    table.split('.').foldLeft(Paths.get(root))(_ resolve _)
+
+  /** Flattened name for tmp/trash staging at the warehouse root. */
+  private def flat(table: String): String = table.replace('.', '_')
 
   def exists(table: String): Boolean = Files.exists(dir(table))
 
   def read(table: String): DataFrame = spark.read.parquet(dir(table).toString)
+
+  /** Filesystem path of a table — lets a DIFFERENT SparkSession attach
+    * to this warehouse (see [[graft.pipeline.Views.restore]]).
+    */
+  def path(table: String): String = dir(table).toString
 
   /** Full-load: overwrite + implicit overwriteSchema (a fresh directory
     * has whatever schema the writer declares).
@@ -67,7 +83,7 @@ final class TableStore(val spark: SparkSession, val root: String) {
 
   private def stage(table: String, df: DataFrame, numFiles: Int,
       partitionBy: Seq[String] = Nil): Path = {
-    val tmp = Paths.get(root, s".tmp-$table-${System.nanoTime()}")
+    val tmp = Paths.get(root, s".tmp-${flat(table)}-${System.nanoTime()}")
     val out = if (numFiles > 0) df.coalesce(numFiles) else df
     val writer = out.write.mode(SaveMode.Overwrite)
     val partitioned =
@@ -78,8 +94,9 @@ final class TableStore(val spark: SparkSession, val root: String) {
 
   private def swapIn(table: String, tmp: Path): Unit = {
     val target = dir(table)
-    val trash = Paths.get(root, s".trash-$table-${System.nanoTime()}")
+    val trash = Paths.get(root, s".trash-${flat(table)}-${System.nanoTime()}")
     if (Files.exists(target)) Files.move(target, trash)
+    if (target.getParent != null) Files.createDirectories(target.getParent)
     Files.move(tmp, target)
     if (Files.exists(trash)) deleteRecursively(trash)
   }
@@ -113,13 +130,60 @@ final class TableStore(val spark: SparkSession, val root: String) {
       require(Files.exists(src),
         s"staged write is missing partition $partDir — df/values mismatch")
       val target = dir(table).resolve(partDir)
-      val trash = Paths.get(root, s".trash-$table-${System.nanoTime()}")
+      val trash = Paths.get(root, s".trash-${flat(table)}-${System.nanoTime()}")
       if (Files.exists(target)) Files.move(target, trash)
       Files.move(src, target)
       if (Files.exists(trash)) deleteRecursively(trash)
     }
     deleteRecursively(tmp)
   }
+
+  /** Persistent view DDL (S10): the reference's 15 dashboard views live
+    * in Unity Catalog (`CREATE OR REPLACE VIEW ironman.gold.vw_*`,
+    * 05_dashboard_queries.ipynb:49 et al.) and survive session restarts.
+    * The warehouse analog stores each definition durably under
+    * `root/_views/<idx>__<name>.sql`; ANY later session re-attaches with
+    * [[graft.pipeline.Views.restore]] / [[restoreViewsInto]]. The index
+    * preserves creation order so views may reference earlier views.
+    */
+  private def viewsDir: Path = Paths.get(root, "_views")
+
+  def saveView(name: String, sql: String, index: Int): Unit = {
+    require(name.matches("[A-Za-z0-9_]+"), s"invalid view name: $name")
+    Files.createDirectories(viewsDir)
+    // drop stale definitions of the same view saved under another index
+    savedViewFiles.filter(_.getFileName.toString.endsWith(s"__$name.sql"))
+      .foreach(Files.delete)
+    val tmp = viewsDir.resolve(s".tmp-$name-${System.nanoTime()}")
+    Files.write(tmp, sql.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, viewsDir.resolve(f"$index%03d__$name.sql"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Saved (name, definition) pairs in creation order. */
+  def savedViews: Seq[(String, String)] =
+    savedViewFiles.sortBy(_.getFileName.toString).map { f =>
+      val n = f.getFileName.toString.stripSuffix(".sql").split("__", 2).last
+      n -> new String(Files.readAllBytes(f), java.nio.charset.StandardCharsets.UTF_8)
+    }
+
+  private def savedViewFiles: Seq[Path] =
+    if (!Files.exists(viewsDir)) Nil
+    else {
+      val s = Files.list(viewsDir)
+      try s.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".sql"))
+      finally s.close()
+    }
+
+  /** Re-create every saved view in `session` (temp views of that
+    * session, same name). Base tables must already be registered there.
+    */
+  def restoreViewsInto(session: SparkSession): Unit =
+    savedViews.foreach { case (name, sql) =>
+      session.sql(s"CREATE OR REPLACE TEMP VIEW $name AS $sql")
+    }
 
   /** VACUUM analog: remove stray `.tmp-*` / `.trash-*` directories left
     * by writers that died mid-swap. Safe because the swap renames are

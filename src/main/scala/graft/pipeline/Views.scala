@@ -216,15 +216,37 @@ object Views {
         |GROUP BY year, source_gender
         |ORDER BY year, source_gender""".stripMargin)
 
-  /** Register gold tables + create all 15 views as temp views. */
+  private val baseTables: Seq[(String, String)] = Seq(
+    "fact_race_results" -> PipelineConfig.tables.fact,
+    "dim_athletes" -> PipelineConfig.tables.dimAthletes,
+    "dim_countries" -> PipelineConfig.tables.dimCountries,
+    "dim_divisions" -> PipelineConfig.tables.dimDivisions)
+
+  /** Register gold tables + create all 15 views, PERSISTING each view
+    * definition in the warehouse (the reference's views live in Unity
+    * Catalog and survive the session, 05_dashboard_queries.ipynb:49) —
+    * a later session re-attaches via [[restore]].
+    */
   def registerAll(spark: SparkSession, store: TableStore): Unit = {
-    store.read(PipelineConfig.tables.fact).createOrReplaceTempView("fact_race_results")
-    store.read(PipelineConfig.tables.dimAthletes).createOrReplaceTempView("dim_athletes")
-    store.read(PipelineConfig.tables.dimCountries).createOrReplaceTempView("dim_countries")
-    store.read(PipelineConfig.tables.dimDivisions).createOrReplaceTempView("dim_divisions")
-    definitions.foreach { case (name, sql) =>
+    baseTables.foreach { case (alias, table) =>
+      spark.read.parquet(store.path(table)).createOrReplaceTempView(alias)
+    }
+    definitions.zipWithIndex.foreach { case ((name, sql), i) =>
+      store.saveView(name, sql, i)
       spark.sql(s"CREATE OR REPLACE TEMP VIEW $name AS $sql")
     }
+  }
+
+  /** Re-attach a (possibly brand-new) SparkSession to the warehouse:
+    * register the gold base tables and re-create every persisted view —
+    * the "dashboard reconnect" path. Reads via `spark` (not the store's
+    * own session) so any session can attach.
+    */
+  def restore(spark: SparkSession, store: TableStore): Unit = {
+    baseTables.foreach { case (alias, table) =>
+      spark.read.parquet(store.path(table)).createOrReplaceTempView(alias)
+    }
+    store.restoreViewsInto(spark)
   }
 
   def view(spark: SparkSession, name: String): DataFrame = spark.table(name)

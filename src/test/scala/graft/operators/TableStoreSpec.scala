@@ -116,4 +116,49 @@ class TableStoreSpec extends SparkSpec {
       .select("id", "v", "year").as[(Int, String, Int)].collect().toSeq
     assert(rows == Seq((1, "a", 2023), (2, "b", 2024))) // insert-only: 1 untouched
   }
+
+  test("3-level catalog.schema.table names map to nested directories") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-ns-").toString)
+    val df = Seq((1, 2023, "a"), (2, 2024, "b")).toDF("id", "year", "v")
+    store.overwrite("ironman.gold.dim_test", df, partitionBy = Seq("year"))
+    assert(store.exists("ironman.gold.dim_test"))
+    assert(Files.isDirectory(java.nio.file.Paths.get(
+      store.root, "ironman", "gold", "dim_test", "year=2023")))
+    assert(store.read("ironman.gold.dim_test").count() == 2)
+    // overwrite swap + partition-aligned merge work through the namespace
+    store.overwrite("ironman.gold.dim_test",
+      Seq((3, 2023, "c")).toDF("id", "year", "v"), partitionBy = Seq("year"))
+    assert(store.read("ironman.gold.dim_test").count() == 1)
+    Merge.mergeInto(store, "ironman.gold.dim_test",
+      Seq((4, 2025, "d")).toDF("id", "year", "v"),
+      keys = Seq("id"), partitionBy = Seq("year"))
+    assert(store.read("ironman.gold.dim_test").count() == 2)
+    // flat tables and nested schemas coexist at the same root
+    store.overwrite("flat_t", df)
+    assert(store.exists("flat_t") && store.exists("ironman.gold.dim_test"))
+  }
+
+  test("persisted views survive a brand-new session attaching to the warehouse") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-vw-").toString)
+    store.overwrite("base", Seq((1, "x"), (2, "y"), (3, "y")).toDF("id", "tag"))
+    spark.read.parquet(store.path("base")).createOrReplaceTempView("base")
+    store.saveView("vw_tags", "SELECT tag, COUNT(*) AS n FROM base GROUP BY tag", 0)
+    // second view layered on the first: restore order must hold
+    store.saveView("vw_tag_total", "SELECT SUM(n) AS total FROM vw_tags", 1)
+    store.restoreViewsInto(spark)
+    assert(spark.table("vw_tag_total").head().getLong(0) == 3)
+
+    // a NEW session (fresh temp-view catalog) sees nothing ...
+    val fresh = spark.newSession()
+    intercept[Exception](fresh.table("vw_tags").collect())
+    // ... until it re-attaches: base tables + persisted definitions
+    fresh.read.parquet(store.path("base")).createOrReplaceTempView("base")
+    store.restoreViewsInto(fresh)
+    assert(fresh.table("vw_tags").count() == 2)
+    assert(fresh.table("vw_tag_total").head().getLong(0) == 3)
+
+    // re-saving under a new index replaces the old definition
+    store.saveView("vw_tags", "SELECT tag FROM base", 5)
+    assert(store.savedViews.count(_._1 == "vw_tags") == 1)
+  }
 }

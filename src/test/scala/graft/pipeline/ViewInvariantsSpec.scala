@@ -60,6 +60,20 @@ class ViewInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("all 15 views survive a dashboard reconnect (new session + restore)") {
+    val s = store
+    val fresh = spark.newSession()
+    intercept[Exception](fresh.table("vw_kpi_metrics").collect())
+    Views.restore(fresh, s)
+    assert(s.savedViews.size == Views.definitions.size)
+    Views.definitions.keys.foreach { name =>
+      assert(fresh.table(name).columns.nonEmpty, s"$name missing after restore")
+    }
+    // values, not just resolution: kpi total matches the original session
+    assert(fresh.table("vw_kpi_metrics").head().getLong(0) ==
+      spark.table("vw_kpi_metrics").head().getLong(0))
+  }
+
   test("top-finishers view winner matches fastest-times per year/gender") {
     store
     val winners = spark.table("vw_top_finishers")
