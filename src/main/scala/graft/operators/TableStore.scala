@@ -138,6 +138,19 @@ final class TableStore(val spark: SparkSession, val root: String) {
     deleteRecursively(tmp)
   }
 
+  /** `OPTIMIZE ... ZORDER BY` analog: rewrite the table clustered on
+    * `clusterBy` via [[ZOrder.cluster]], so parquet min/max stats prune
+    * files for selective predicates on any clustered column.
+    */
+  def compactClustered(table: String, clusterBy: Seq[String], numFiles: Int): Unit =
+    overwriteClustered(table, read(table), clusterBy, numFiles)
+
+  def overwriteClustered(
+      table: String, df: DataFrame, clusterBy: Seq[String], numFiles: Int): Unit = {
+    val tmp = stage(table, ZOrder.cluster(df, clusterBy, numFiles), numFiles = 0)
+    swapIn(table, tmp)
+  }
+
   /** Persistent view DDL (S10): the reference's 15 dashboard views live
     * in Unity Catalog (`CREATE OR REPLACE VIEW ironman.gold.vw_*`,
     * 05_dashboard_queries.ipynb:49 et al.) and survive session restarts.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Skew
+import graft.operators.{Skew, TableStore}
 
 /** Scale-technique operators: approximate distinct counting and salted
   * skew mitigation. Salted results are oracled against the unsalted
@@ -58,5 +58,34 @@ object ScaleExtras {
       .orderBy(col("o_orderkey"))
   }
 
-  val all: Seq[OpQuery] = Seq(a11_approx_distinct, skew_salted_agg, skew_salted_join)
+  /** Z-order clustered write + selective 2-dim read-back: events are
+    * rewritten clustered on (user_id, value) into a scratch warehouse,
+    * then filtered on BOTH clustered dimensions. The oracle is the same
+    * filter over the source table — the clustered re-layout must be
+    * observationally identical (file-pruning efficacy is pinned in
+    * ZOrderSpec; this gate pins that the re-layout loses/changes
+    * nothing).
+    */
+  val zorder_cluster = OpQuery(
+    "zorder_cluster",
+    """SELECT event_id, user_id, CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
+      |FROM events
+      |WHERE user_id BETWEEN 100 AND 160 AND value BETWEEN 10 AND 60
+      |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    val scratch = java.nio.file.Files.createTempDirectory("graft-zorder-gate-")
+    val store = new TableStore(spark, scratch.toString)
+    store.overwriteClustered(
+      "events_z",
+      t(spark, dir, "events").select(col("event_id"), col("user_id"), col("value")),
+      clusterBy = Seq("user_id", "value"), numFiles = 16)
+    store.read("events_z")
+      .filter(col("user_id").between(100, 160) && col("value").between(10, 60))
+      .select(
+        col("event_id"), col("user_id"),
+        col("value").cast("decimal(18,2)").cast("double").as("value"))
+      .orderBy(col("event_id"))
+  }
+
+  val all: Seq[OpQuery] = Seq(
+    a11_approx_distinct, skew_salted_agg, skew_salted_join, zorder_cluster)
 }

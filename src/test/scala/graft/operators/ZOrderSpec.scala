@@ -1,0 +1,71 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("interleaveBits spreads each column's bits to strided positions") {
+    // x=0b11, y=0b00 → z bits (y1 x1 y0 x0) = 0b0101 = 5; x=3,y=3 → 0b1111
+    val r = spark.range(1).select(
+      ZOrder.interleaveBits(Seq(lit(3L), lit(0L)), bits = 2).as("a"),
+      ZOrder.interleaveBits(Seq(lit(3L), lit(3L)), bits = 2).as("b"),
+      ZOrder.interleaveBits(Seq(lit(0L), lit(3L)), bits = 2).as("c"))
+      .head()
+    assert(r.getLong(0) == 5L && r.getLong(1) == 15L && r.getLong(2) == 10L)
+  }
+
+  test("z-order clustering: every file covers a compact region of BOTH dims") {
+    val n = 100000
+    val df = spark.range(n).select(
+      col("id"),
+      (col("id") * 7919 % n).cast("double").as("x"),
+      (col("id") * 104729 % n).cast("double").as("y"))
+    val store = new TableStore(spark, Files.createTempDirectory("graft-z-").toString)
+    store.overwriteClustered("t", df, clusterBy = Seq("x", "y"), numFiles = 16)
+
+    // content untouched by the re-layout
+    assert(store.read("t").count() == n)
+    assert(store.read("t").agg(sum("id")).head().getLong(0) == n.toLong * (n - 1) / 2)
+
+    val files = new java.io.File(store.path("t")).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 8, s"expected ~16 clustered files, got ${files.length}")
+    val spans = files.toSeq.map { f =>
+      val r = spark.read.parquet(f.toString)
+        .agg(min("x"), max("x"), min("y"), max("y")).head()
+      (r.getDouble(1) - r.getDouble(0), r.getDouble(3) - r.getDouble(2))
+    }
+    val (mx, my) = (spans.map(_._1).sum / spans.size, spans.map(_._2).sum / spans.size)
+    // 16 z-range files over a uniform 2-D space → each file spans ~1/4 of
+    // each axis. A linear sort on x would give ~1/16 on x but ~100% on y.
+    assert(mx < 0.5 * n && my < 0.5 * n,
+      s"files not clustered in both dims: mean x-span $mx, y-span $my of $n")
+  }
+
+  test("selective predicates on either clustered column prune at file level") {
+    val n = 100000
+    val df = spark.range(n).select(
+      col("id"),
+      (col("id") * 7919 % n).cast("double").as("x"),
+      (col("id") * 104729 % n).cast("double").as("y"))
+    val store = new TableStore(spark, Files.createTempDirectory("graft-z2-").toString)
+    store.overwriteClustered("t", df, clusterBy = Seq("x", "y"), numFiles = 16)
+
+    val files = new java.io.File(store.path("t")).listFiles()
+      .filter(_.getName.endsWith(".parquet")).toSeq
+    def filesMatching(colName: String, lo: Double, hi: Double): Int =
+      files.count { f =>
+        val r = spark.read.parquet(f.toString)
+          .agg(min(colName), max(colName)).head()
+        r.getDouble(0) <= hi && r.getDouble(1) >= lo // min/max stats overlap
+      }
+    // a 5%-wide slice on either dim must skip most files by min/max stats
+    assert(filesMatching("x", 0, 0.05 * n) <= files.size / 2)
+    assert(filesMatching("y", 0, 0.05 * n) <= files.size / 2)
+  }
+}
