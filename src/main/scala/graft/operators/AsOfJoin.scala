@@ -61,11 +61,18 @@ object AsOfJoin {
       .unionByName(taggedLeft)
 
     // right (side 0) sorts before left (side 1) at equal times => "<=".
-    // The payload struct is the final tie-breaker: when the right side has
-    // duplicate (key, rightTime) rows, last() deterministically resolves to
-    // the greatest payload instead of an arbitrary partition-order row.
+    // Tie-breaker: when the right side has duplicate (key, rightTime) rows,
+    // last() must deterministically resolve to ONE of them, not an arbitrary
+    // partition-order row. Ordering by the whole payload struct would reject
+    // non-orderable payload types (MapType fails analysis), so order by the
+    // orderable payload fields only — still deterministic whenever the
+    // orderable fields distinguish the duplicates, and accepts any payload.
+    val orderableTieBreak = rightPayloadCols.toSeq
+      .filter(c => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(right.schema(c).dataType))
+      .map(c => col("__payload").getField(c).asc_nulls_first)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc, col("__payload").asc_nulls_first)
+      .orderBy(Seq(col("__t").asc, col("__side").asc) ++ orderableTieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val matched = unioned
       .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))

@@ -164,9 +164,12 @@ final class TableStore(val spark: SparkSession, val root: String) {
   def saveView(name: String, sql: String, index: Int): Unit = {
     require(name.matches("[A-Za-z0-9_]+"), s"invalid view name: $name")
     Files.createDirectories(viewsDir)
-    // drop stale definitions of the same view saved under another index
-    savedViewFiles.filter(_.getFileName.toString.endsWith(s"__$name.sql"))
-      .foreach(Files.delete)
+    // drop stale definitions of the same view saved under another index —
+    // exact-name match (split on the FIRST "__"): a suffix match would
+    // make saving view `b` delete an unrelated view named `a__b`
+    savedViewFiles.filter { f =>
+      f.getFileName.toString.stripSuffix(".sql").split("__", 2).last == name
+    }.foreach(Files.delete)
     val tmp = viewsDir.resolve(s".tmp-$name-${System.nanoTime()}")
     Files.write(tmp, sql.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Files.move(tmp, viewsDir.resolve(f"$index%03d__$name.sql"),

@@ -59,12 +59,16 @@ object ZOrder {
     * region of the clustering space. Row content is untouched.
     */
   def cluster(df: DataFrame, cols: Seq[String], numFiles: Int, bits: Int = 16): DataFrame = {
-    val stats = df.agg(
+    val statsRows = df.agg(
       cols.flatMap(c => Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
         .head,
       cols.flatMap(c => Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
         .tail: _*)
-      .head()
+      .collect()
+    // Empty table or all-null clustering column: min/max are null, so no
+    // z-order exists — the re-layout is a no-op, not an error.
+    if (statsRows.isEmpty || statsRows.head.anyNull) return df
+    val stats = statsRows.head
     val ranges = cols.indices.map(i => (stats.getDouble(2 * i), stats.getDouble(2 * i + 1)))
     df.withColumn("__z", zValue(cols.map(col), ranges, bits))
       .repartitionByRange(numFiles, col("__z"))

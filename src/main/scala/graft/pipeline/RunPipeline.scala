@@ -42,7 +42,7 @@ object RunPipeline {
       println(s"[table] $t rows=${store.read(t).count()}")
     }
     println("[audit] fk coverage: " + Fact.fkAudit(store.read(fact)).head())
-    Views.definitions.keys.toSeq.sorted.foreach { v =>
+    Views.definitions.map(_._1).sorted.foreach { v =>
       println(s"[view] $v rows=${spark.table(v).count()}")
     }
     // typed Column-API builders must agree with their SQL view twins

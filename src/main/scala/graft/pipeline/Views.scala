@@ -15,7 +15,10 @@ import graft.operators.TableStore
   */
 object Views {
 
-  val definitions: Map[String, String] = Map(
+  // Ordered by declaration: saveView persists each view under its position
+  // here, and TableStore's restore contract replays them in that order —
+  // so a view may reference any view declared above it.
+  val definitions: Seq[(String, String)] = Seq(
     "vw_kpi_metrics" ->
       """SELECT COUNT(*) AS total_athletes,
         |  SUM(CASE WHEN is_finisher THEN 1 ELSE 0 END) AS total_finishers,

@@ -47,6 +47,32 @@ class AsOfJoinSpec extends SparkSpec {
     assert(tight(4L) == None)
   }
 
+  test("duplicate (key, rt) right rows resolve deterministically to the greatest payload") {
+    val dupRight = Seq(
+      (20L, "a", 100L), (22L, "a", 100L), (21L, "a", 100L))
+      .toDF("rid", "key", "rt")
+    (1 to 5).foreach { _ =>
+      val out = AsOfJoin.asOf(left, dupRight.repartition(7), Seq("key"), "t", "rt")
+        .filter($"id" === 1L).select($"asof_rid").head()
+      assert(out.getLong(0) == 22L, "tie must resolve to the max orderable payload")
+    }
+  }
+
+  test("non-orderable (MapType) payload columns are accepted") {
+    val mapRight = Seq((10L, "a", 100L), (11L, "a", 150L))
+      .toDF("rid", "key", "rt")
+      .withColumn("attrs", map(lit("k"), $"rid"))
+    val out = AsOfJoin.asOf(left, mapRight, Seq("key"), "t", "rt")
+      .select($"id", $"asof_rid", $"asof_attrs")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(1L) == Some(10L) && out(2L) == Some(11L) && out(3L) == None)
+    // the map payload itself round-trips
+    val attrs = AsOfJoin.asOf(left, mapRight, Seq("key"), "t", "rt")
+      .filter($"id" === 2L).select($"asof_attrs").head().getMap[String, Long](0)
+    assert(attrs("k") == 11L)
+  }
+
   test("every left row survives exactly once (left-join cardinality)") {
     val out = AsOfJoin.asOf(left, right, Seq("key"), "t", "rt")
     assert(out.count() == left.count())

@@ -161,4 +161,14 @@ class TableStoreSpec extends SparkSpec {
     store.saveView("vw_tags", "SELECT tag FROM base", 5)
     assert(store.savedViews.count(_._1 == "vw_tags") == 1)
   }
+
+  test("saveView name cleanup is exact: saving 'b' must not delete view 'a__b'") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-vwn-").toString)
+    store.saveView("a__b", "SELECT 1 AS one", 0)
+    store.saveView("b", "SELECT 2 AS two", 1)
+    store.saveView("b", "SELECT 3 AS three", 2) // replace only 'b'
+    assert(store.savedViews.map(_._1).sorted == Seq("a__b", "b"))
+    assert(store.savedViews.toMap.apply("a__b") == "SELECT 1 AS one")
+    assert(store.savedViews.toMap.apply("b") == "SELECT 3 AS three")
+  }
 }

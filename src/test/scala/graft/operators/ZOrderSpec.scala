@@ -68,4 +68,19 @@ class ZOrderSpec extends SparkSpec {
     assert(filesMatching("x", 0, 0.05 * n) <= files.size / 2)
     assert(filesMatching("y", 0, 0.05 * n) <= files.size / 2)
   }
+
+  test("degenerate inputs: empty table and all-null clustering column pass through") {
+    val empty = Seq.empty[(Long, Double)].toDF("id", "x")
+    assert(ZOrder.cluster(empty, Seq("x"), numFiles = 4).count() == 0)
+
+    val allNull = Seq((1L, Option.empty[Double]), (2L, Option.empty[Double]))
+      .toDF("id", "x")
+    val out = ZOrder.cluster(allNull, Seq("x"), numFiles = 4)
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+
+    // the store paths built on cluster() no longer fail on empty inputs
+    val store = new TableStore(spark, Files.createTempDirectory("graft-z3-").toString)
+    store.overwriteClustered("t", empty, clusterBy = Seq("x"), numFiles = 4)
+    assert(store.read("t").count() == 0)
+  }
 }

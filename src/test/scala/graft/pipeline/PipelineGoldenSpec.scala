@@ -101,6 +101,6 @@ class PipelineGoldenSpec extends SparkSpec {
     assert(spark.table("vw_segment_times").count() > 0)
     assert(spark.table("vw_year_over_year").count() == 3)
     assert(Views.definitions.size == 15)
-    Views.definitions.keys.foreach(v => assert(spark.table(v).columns.nonEmpty))
+    Views.definitions.map(_._1).foreach(v => assert(spark.table(v).columns.nonEmpty))
   }
 }

@@ -66,7 +66,7 @@ class ViewInvariantsSpec extends SparkSpec {
     intercept[Exception](fresh.table("vw_kpi_metrics").collect())
     Views.restore(fresh, s)
     assert(s.savedViews.size == Views.definitions.size)
-    Views.definitions.keys.foreach { name =>
+    Views.definitions.map(_._1).foreach { name =>
       assert(fresh.table(name).columns.nonEmpty, s"$name missing after restore")
     }
     // values, not just resolution: kpi total matches the original session
