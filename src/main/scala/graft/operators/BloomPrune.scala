@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.expressions.BloomFilter
+
+/** Runtime-filter pruning (the pattern behind Spark's InjectRuntimeFilter
+  * and Delta/Databricks bloom-filter indexes, exposed as a first-class
+  * operator): build a bloom filter ONCE over a dimension's join keys,
+  * then cut fact rows that cannot join BEFORE the join's shuffle.
+  *
+  * Why it matters at 100 TB: a selective dimension predicate (e.g. one
+  * market segment) means most fact rows will not survive the join — but
+  * a plain shuffled join still shuffles all of them. The bloom probe is
+  * a map-side, codegen'd filter on the scan, so the shuffle only carries
+  * the (few) candidate rows plus a bounded false-positive overhead.
+  *
+  * Correctness contract: bloom filters have NO false negatives, so
+  * prune-then-join is observationally identical to the plain join —
+  * that equivalence is the `bloom_prune_join` oracle gate, and the
+  * no-false-negative / FPP-bound invariants are pinned in
+  * BloomFilterSpec.
+  */
+object BloomPrune {
+
+  /** Fact rows whose `factKey` might be present in `dim`'s `dimKey` set.
+    *
+    * The filter is built with one partial-aggregated pass over `dim`
+    * (map-side bit arrays, OR-merged — tiny shuffled state), then
+    * broadcast as a single row and probed inside whole-stage codegen on
+    * the fact side. The fact table itself is never shuffled here.
+    *
+    * @param expectedItems sizing hint: expected distinct dim keys
+    *                      (over-sizing only wastes filter bits)
+    * @param fpp           target false-positive rate
+    */
+  def prune(
+      fact: DataFrame,
+      factKey: String,
+      dim: DataFrame,
+      dimKey: String,
+      expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    BloomFilter.register(fact.sparkSession)
+    val bloom = dim.agg(
+      BloomFilter.bloomBuild(col(dimKey).cast("long"), expectedItems, fpp).as("__bf"))
+    // 1-row broadcast => BroadcastNestedLoopJoin that streams the fact
+    // side map-only; the probe stays in the scan's codegen stage
+    fact.crossJoin(broadcast(bloom))
+      .filter(BloomFilter.bloomMightContain(col(factKey).cast("long"), col("__bf")))
+      .drop("__bf")
+  }
+}

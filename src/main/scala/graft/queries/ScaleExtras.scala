@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Skew, TableStore}
+import graft.operators.{BloomPrune, Skew, TableStore}
 
 /** Scale-technique operators: approximate distinct counting and salted
   * skew mitigation. Salted results are oracled against the unsalted
@@ -86,6 +86,32 @@ object ScaleExtras {
       .orderBy(col("event_id"))
   }
 
+  /** Bloom-filter runtime pruning: orders is pre-filtered by a bloom
+    * filter built over the BUILDING-segment customer keys, then joined.
+    * Bloom filters have no false negatives and the join discards false
+    * positives, so the result must be EXACTLY the plain selective join —
+    * which is the oracle. The filter's own invariants (no false
+    * negatives, FPP bound, interpreted == codegen) are BloomFilterSpec.
+    */
+  val bloom_prune_join = OpQuery(
+    "bloom_prune_join",
+    """SELECT o.o_orderkey, o.o_custkey, c.c_name
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |ORDER BY o.o_orderkey""".stripMargin) { (spark, dir) =>
+    val building = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"))
+    BloomPrune.prune(
+        t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        "o_custkey", building, "c_custkey",
+        expectedItems = 10000L, fpp = 0.01)
+      .join(building, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[OpQuery] = Seq(
-    a11_approx_distinct, skew_salted_agg, skew_salted_join, zorder_cluster)
+    a11_approx_distinct, skew_salted_agg, skew_salted_join, zorder_cluster,
+    bloom_prune_join)
 }
