@@ -14,15 +14,30 @@ import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
   * parquet directories.
   *
   * Atomicity model: writers always write to a fresh `.tmp-<nonce>`
-  * directory, then swap it in with two renames (current → trash, tmp →
+  * directory, then swap it in with two renames (current → history, tmp →
   * current). Readers that already resolved files keep reading their
   * snapshot (parquet files are immutable); new reads see the new table.
   * This is the same swap trick Delta's transaction log makes unnecessary,
   * re-expressed at directory level — sufficient for a single-writer
   * medallion pipeline (the reference's Airflow DAG runs with
   * max_active_runs=1, ironman_dag.py:195).
+  *
+  * Time travel (the reference's tables are Delta, where every overwrite
+  * or merge is a new readable version, Readme.md:13): each mutation
+  * produces a new generation. Full rewrites MOVE the previous current
+  * directory to `root/_history/<table>/v<N>` (no copying); the
+  * partition-aligned in-place path first snapshots the current
+  * generation via hardlinks (parquet files are immutable here, so a
+  * hardlinked snapshot is O(file count), not O(bytes)). `read(table,
+  * asOf)` reads any retained generation; `retainVersions` bounds history
+  * growth and [[vacuumVersions]] prunes explicitly.
+  *
+  * @param retainVersions historical generations kept per table after
+  *                       each write (the current generation is always
+  *                       kept on top of these); negative = keep all
   */
-final class TableStore(val spark: SparkSession, val root: String) {
+final class TableStore(val spark: SparkSession, val root: String,
+    val retainVersions: Int = 3) {
 
   /** Table names are flat (`fact`) or 3-level `catalog.schema.table`
     * (01_config.ipynb:193-226) — dots map to directory levels, so
@@ -94,11 +109,98 @@ final class TableStore(val spark: SparkSession, val root: String) {
 
   private def swapIn(table: String, tmp: Path): Unit = {
     val target = dir(table)
-    val trash = Paths.get(root, s".trash-${flat(table)}-${System.nanoTime()}")
-    if (Files.exists(target)) Files.move(target, trash)
+    if (Files.exists(target)) {
+      val oldV = currentVersion(table)
+      writeMarker(tmp, oldV + 1)
+      Files.createDirectories(historyDir(table))
+      Files.move(target, historyDir(table).resolve(versionDirName(oldV)))
+    } else writeMarker(tmp, 0)
     if (target.getParent != null) Files.createDirectories(target.getParent)
     Files.move(tmp, target)
-    if (Files.exists(trash)) deleteRecursively(trash)
+    if (retainVersions >= 0) vacuumVersions(table, retainVersions)
+  }
+
+  // ---- versioned reads (time travel) ----------------------------------
+
+  private val markerName = "_graft_version"
+  private def historyDir(table: String): Path =
+    Paths.get(root, "_history", flat(table))
+  private def versionDirName(v: Int): String = f"v$v%05d"
+
+  /** Version number of the table's CURRENT generation (0 for a table
+    * written once; each overwrite/merge/compact increments it).
+    */
+  def currentVersion(table: String): Int = {
+    val m = dir(table).resolve(markerName)
+    if (Files.exists(m))
+      new String(Files.readAllBytes(m),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    else 0 // pre-versioning layout: treat as generation 0
+  }
+
+  /** Marker files are deleted before rewrite so a hardlinked snapshot
+    * keeps its own version number (rewriting in place would mutate the
+    * shared inode).
+    */
+  private def writeMarker(d: Path, v: Int): Unit = {
+    val m = d.resolve(markerName)
+    Files.deleteIfExists(m)
+    Files.write(m, v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def historyVersions(table: String): Seq[Int] =
+    Option(historyDir(table).toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toInt).toSeq.sorted
+
+  /** All readable generations, oldest first (retained history + current). */
+  def versions(table: String): Seq[Int] =
+    historyVersions(table) ++ (if (exists(table)) Seq(currentVersion(table)) else Nil)
+
+  /** Read the table as of generation `asOf` — the versioned-read half of
+    * Delta's `VERSION AS OF`. Fails loudly, listing what is retained,
+    * when the generation was never written or already vacuumed.
+    */
+  def read(table: String, asOf: Int): DataFrame =
+    if (exists(table) && asOf == currentVersion(table)) read(table)
+    else {
+      val d = historyDir(table).resolve(versionDirName(asOf))
+      require(Files.exists(d),
+        s"version $asOf of $table is not retained; available: " +
+          versions(table).mkString("[", ", ", "]"))
+      spark.read.parquet(d.toString)
+    }
+
+  /** Prune historical generations beyond the newest `keep`. The current
+    * generation is never touched. Returns the number removed.
+    */
+  def vacuumVersions(table: String, keep: Int): Int = {
+    val drop = historyVersions(table).dropRight(keep)
+    drop.foreach(v => deleteRecursively(historyDir(table).resolve(versionDirName(v))))
+    drop.length
+  }
+
+  /** Snapshot the current generation into history WITHOUT rewriting data:
+    * every file is hardlinked (immutable parquet ⇒ safe shared inodes),
+    * then the current marker is bumped. Used by the partition-aligned
+    * in-place mutation path, keeping it O(touched partitions) while still
+    * producing a readable previous version.
+    */
+  private def snapshotCurrent(table: String): Unit = {
+    val src = dir(table)
+    val oldV = currentVersion(table)
+    val snap = historyDir(table).resolve(versionDirName(oldV))
+    Files.createDirectories(snap.getParent)
+    val stream = Files.walk(src)
+    try stream.forEach { p =>
+      val dst = snap.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(dst)
+      else
+        try Files.createLink(dst, p)
+        catch { case _: UnsupportedOperationException => Files.copy(p, dst) }
+    } finally stream.close()
+    writeMarker(src, oldV + 1)
+    if (retainVersions >= 0) vacuumVersions(table, retainVersions)
   }
 
   private def deleteRecursively(p: Path): Unit = {
@@ -120,6 +222,7 @@ final class TableStore(val spark: SparkSession, val root: String) {
     require(!values.contains(null),
       s"null $partCol partition values are not supported by the partition-aligned path")
     val tmp = stage(table, df, numFiles = 0, partitionBy = Seq(partCol))
+    snapshotCurrent(table) // hardlink snapshot AFTER staging succeeds
     values.foreach { v =>
       // match Spark's own partition-path encoding (spaces, ':', '/', …)
       val partDir = s"$partCol=${ExternalCatalogUtils.escapePathName(v.toString)}"

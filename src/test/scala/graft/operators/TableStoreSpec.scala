@@ -162,6 +162,47 @@ class TableStoreSpec extends SparkSpec {
     assert(store.savedViews.count(_._1 == "vw_tags") == 1)
   }
 
+  test("time travel: every overwrite is a readable generation, vacuum prunes loudly") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-tt-").toString)
+    store.overwrite("t", Seq((1, "a")).toDF("id", "v"))
+    store.overwrite("t", Seq((2, "b")).toDF("id", "v"))
+    store.overwrite("t", Seq((3, "c")).toDF("id", "v"))
+    assert(store.currentVersion("t") == 2)
+    assert(store.versions("t") == Seq(0, 1, 2))
+    assert(store.read("t", 0).select("v").as[String].head() == "a")
+    assert(store.read("t", 1).select("v").as[String].head() == "b")
+    assert(store.read("t", 2).select("v").as[String].head() == "c") // current
+    assert(store.vacuumVersions("t", 1) == 1) // drops v0, keeps v1 + current
+    val e = intercept[IllegalArgumentException](store.read("t", 0))
+    assert(e.getMessage.contains("available"))
+    assert(store.read("t", 1).select("v").as[String].head() == "b")
+    assert(store.read("t").select("v").as[String].head() == "c")
+  }
+
+  test("retention bounds history; partition-aligned merge snapshots via hardlinks") {
+    val bounded = new TableStore(spark,
+      Files.createTempDirectory("graft-tt2-").toString, retainVersions = 2)
+    (0 to 5).foreach(i => bounded.overwrite("t", Seq((i, s"v$i")).toDF("id", "v")))
+    assert(bounded.versions("t") == Seq(3, 4, 5))
+
+    val store = new TableStore(spark, Files.createTempDirectory("graft-tt3-").toString)
+    store.overwrite("p",
+      Seq((1, 2023, "a"), (2, 2024, "b")).toDF("id", "year", "v"),
+      partitionBy = Seq("year"))
+    val files2023 = new java.io.File(s"${store.root}/p/year=2023")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    Merge.insertOnlyPartitionAligned(store, "p",
+      Seq((3, 2024, "c")).toDF("id", "year", "v"), keys = Seq("id"), partCol = "year")
+    // in-place path produced a generation without rewriting untouched files
+    assert(store.currentVersion("p") == 1)
+    assert(store.read("p", 0).count() == 2) // pre-merge snapshot
+    assert(store.read("p", 1).count() == 3)
+    assert(new java.io.File(s"${store.root}/p/year=2023")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap == files2023)
+  }
+
   test("saveView name cleanup is exact: saving 'b' must not delete view 'a__b'") {
     val store = new TableStore(spark, Files.createTempDirectory("graft-vwn-").toString)
     store.saveView("a__b", "SELECT 1 AS one", 0)
