@@ -70,9 +70,36 @@ final class TableStore(val spark: SparkSession, val root: String,
     * scan) instead of scanning all years.
     */
   def overwrite(table: String, df: DataFrame, numFiles: Int = 0,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil): Unit = withTableLock(table) {
     val tmp = stage(table, df, numFiles, partitionBy)
     swapIn(table, tmp)
+  }
+
+  /** Single-writer enforcement: the store's contract has always been one
+    * writer per table (like the reference's max_active_runs=1 DAG); this
+    * makes a violation FAIL LOUDLY instead of corrupting a swap. The
+    * lease is an atomically-created lock file held for the whole
+    * stage+swap; a second writer hits FileAlreadyExists and aborts before
+    * writing anything. A writer that died mid-write leaves its lock —
+    * explicitly clearable via [[vacuum]] (which also reports it).
+    */
+  private def withTableLock[T](table: String)(body: => T): T = {
+    Files.createDirectories(Paths.get(root))
+    val lock = Paths.get(root, s".lock-${flat(table)}")
+    try Files.createFile(lock)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"concurrent writer detected on '$table': $lock is held. " +
+            "Another writer is active, or a writer died mid-write — " +
+            "vacuum() clears stale locks.")
+    }
+    try {
+      Files.write(lock,
+        s"pid=${ProcessHandle.current.pid} at=${System.currentTimeMillis}"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      body
+    } finally Files.deleteIfExists(lock)
   }
 
   /** `OPTIMIZE`-style compaction (ref: 02:354, 03:721, 04d:501): rewrite
@@ -217,7 +244,8 @@ final class TableStore(val spark: SparkSession, val root: String,
     * merges O(touched data) instead of O(table).
     */
   def overwritePartitions(
-      table: String, df: DataFrame, partCol: String, values: Seq[Any]): Unit = {
+      table: String, df: DataFrame, partCol: String, values: Seq[Any]): Unit =
+    withTableLock(table) {
     require(exists(table), s"$table must exist for a partition-level overwrite")
     require(!values.contains(null),
       s"null $partCol partition values are not supported by the partition-aligned path")
@@ -249,7 +277,8 @@ final class TableStore(val spark: SparkSession, val root: String,
     overwriteClustered(table, read(table), clusterBy, numFiles)
 
   def overwriteClustered(
-      table: String, df: DataFrame, clusterBy: Seq[String], numFiles: Int): Unit = {
+      table: String, df: DataFrame, clusterBy: Seq[String], numFiles: Int): Unit =
+    withTableLock(table) {
     val tmp = stage(table, ZOrder.cluster(df, clusterBy, numFiles), numFiles = 0)
     swapIn(table, tmp)
   }
@@ -304,15 +333,18 @@ final class TableStore(val spark: SparkSession, val root: String,
       session.sql(s"CREATE OR REPLACE TEMP VIEW $name AS $sql")
     }
 
-  /** VACUUM analog: remove stray `.tmp-*` / `.trash-*` directories left
-    * by writers that died mid-swap. Safe because the swap renames are
-    * the only commit points — anything still dot-prefixed was never
-    * visible as a table. Returns the number of directories removed.
+  /** VACUUM analog: remove stray `.tmp-*` / `.trash-*` directories and
+    * `.lock-*` lease files left by writers that died mid-swap. Safe
+    * because the swap renames are the only commit points — anything
+    * still dot-prefixed was never visible as a table. (Clearing a lock
+    * is an explicit admin action: only run this when no writer is live.)
+    * Returns the number of entries removed.
     */
   def vacuum(): Int = {
     val stray = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory &&
-        (f.getName.startsWith(".tmp-") || f.getName.startsWith(".trash-")))
+      .filter(f => (f.isDirectory &&
+        (f.getName.startsWith(".tmp-") || f.getName.startsWith(".trash-"))) ||
+        (f.isFile && f.getName.startsWith(".lock-")))
     stray.foreach(f => deleteRecursively(f.toPath))
     stray.length
   }

@@ -203,6 +203,30 @@ class TableStoreSpec extends SparkSpec {
       .map(f => f.getName -> f.lastModified()).toMap == files2023)
   }
 
+  test("second concurrent writer fails loudly instead of corrupting a swap") {
+    val root = Files.createTempDirectory("graft-lock-").toString
+    val a = new TableStore(spark, root)
+    val b = new TableStore(spark, root) // second store on the SAME warehouse
+    a.overwrite("t", Seq((1, "a")).toDF("id", "v"))
+
+    // writer A holds the lease mid-write (simulated: its lock file exists)
+    Files.createFile(java.nio.file.Paths.get(root, ".lock-t"))
+    val e = intercept[IllegalStateException] {
+      b.overwrite("t", Seq((2, "b")).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    // the losing writer changed nothing
+    assert(a.read("t").select("v").as[String].head() == "a")
+
+    // admin clears the stale lease; writes proceed again
+    assert(a.vacuum() >= 1)
+    b.overwrite("t", Seq((2, "b")).toDF("id", "v"))
+    assert(a.read("t").select("v").as[String].head() == "b")
+
+    // a completed write always releases its lease
+    assert(!Files.exists(java.nio.file.Paths.get(root, ".lock-t")))
+  }
+
   test("saveView name cleanup is exact: saving 'b' must not delete view 'a__b'") {
     val store = new TableStore(spark, Files.createTempDirectory("graft-vwn-").toString)
     store.saveView("a__b", "SELECT 1 AS one", 0)
