@@ -59,9 +59,13 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
+    // checkpoint the exploded tokens: the regex tokenization is the
+    // map-side cost and this plan consumes it twice (sizes + the
+    // self-join's exchange) — materialize once, reuse from blocks
     val toks = df.select(
       col(idCol).as("doc_id"),
       explode(TextFunctions.distinctTokens(col(textCol))).as("tok"))
+      .localCheckpoint(true)
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
     val a = toks.as("a")
     val b = toks.as("b")
@@ -231,34 +235,57 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     // iterative Spark essentials: localCheckpoint every round truncates
     // the lineage (otherwise each iteration's plan contains all previous
-    // joins and analysis/AQE time grows without bound), and the change
-    // flag rides in the same materialization as the new labels so each
-    // round is exactly one shuffle-join job plus a cheap cached count.
+    // joins and analysis/AQE time grows without bound). Each round is ONE
+    // shuffle-join + ONE aggregate: neighbor labels and each node's own
+    // label are unioned and min-reduced together, with the old label
+    // carried through the aggregate (min over the tagged self row) so no
+    // second join is needed to detect convergence. Edges are partitioned
+    // by the join key ONCE — the per-round join re-shuffles only the
+    // (much smaller) label frame, never the edge list.
+    // no distinct(): min-label propagation is idempotent to duplicate
+    // edges (they only add shuffle volume, never wrong labels), so the
+    // symmetrized list skips a full dedup shuffle. The one shuffle here
+    // keys edges by dst so every round's join reuses the partitioning.
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-      .distinct()
+      .repartition(col("dst"))
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // round 0 folded into initialization: with identity labels the first
+    // propagation is just min(node, min(neighbors)) — one aggregate over
+    // edges, no join and no separate identity-label build
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .select(col("src").as("node"), col("label"))
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      val neighborMin = edges
+      val t0 = System.nanoTime()
+      val contrib = edges
         .join(labels, edges("dst") === labels("node"))
-        .groupBy(col("src"))
-        .agg(min(col("label")).as("nlabel"))
-      val updated = labels
-        .join(neighborMin, labels("node") === neighborMin("src"), "left")
+        .select(col("src").as("node"), col("label"), lit(false).as("self"))
+        .unionByName(labels.withColumn("self", lit(true)))
+      val hopped = contrib.groupBy(col("node"))
+        .agg(
+          min(col("label")).as("l1"),
+          min(when(col("self"), col("label"))).as("old_label"))
+      // pointer jumping: follow the candidate label to ITS label, so
+      // reach doubles per round — O(log diameter) rounds on chains
+      // instead of O(diameter) (labels are monotone: label(x) <= x,
+      // and l1 is in this node's component, so label(l1) is too)
+      val updated = hopped
+        .join(labels.select(col("node").as("jnode"), col("label").as("jlabel")),
+          hopped("l1") === col("jnode"), "left")
         .select(
           col("node"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("new_label"),
-          (least(col("label"), coalesce(col("nlabel"), col("label"))) =!= col("label"))
-            .as("chg"))
+          least(col("l1"), coalesce(col("jlabel"), col("l1"))).as("new_label"),
+          col("old_label"))
         .localCheckpoint(true)
-      changed = updated.filter(col("chg")).count()
+      changed = updated.filter(col("new_label") =!= col("old_label")).count()
       labels = updated.select(col("node"), col("new_label").as("label"))
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"[cc] round $iter: changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     // silent non-convergence would split one real cluster into several
     // and elect multiple "survivors" from one duplicate group
