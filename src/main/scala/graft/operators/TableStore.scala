@@ -198,6 +198,23 @@ final class TableStore(val spark: SparkSession, val root: String,
       spark.read.parquet(d.toString)
     }
 
+  /** Change-data-feed analog over retained generations (Delta's
+    * `table_changes` without a transaction log): the row-level diff
+    * between two versions, tagged `insert` / `delete` in `_change_type`
+    * (an update appears as its delete+insert pair, multiset semantics —
+    * duplicate rows diff by count). Cost at scale: one hash-shuffle of
+    * each side on the full row — the floor for a log-less diff; pipelines
+    * that need cheaper CDC should diff at partition level first via
+    * [[partitionColumns]] pruning.
+    */
+  def changes(table: String, fromVersion: Int, toVersion: Int): DataFrame = {
+    val before = read(table, fromVersion)
+    val after = read(table, toVersion)
+    import org.apache.spark.sql.functions.lit
+    after.exceptAll(before).withColumn("_change_type", lit("insert"))
+      .unionByName(before.exceptAll(after).withColumn("_change_type", lit("delete")))
+  }
+
   /** Prune historical generations beyond the newest `keep`. The current
     * generation is never touched. Returns the number removed.
     */

@@ -77,5 +77,43 @@ object MergeQueries {
       .orderBy(col("c_custkey"))
   }
 
-  val all: Seq[OpQuery] = Seq(s6_insert_only_merge, s7_scd1_merge)
+  /** Change data feed over the versioned store: customer is written as
+    * generation 0, then overwritten with deletes (key % 7 = 0 removed)
+    * and updates (segment rewritten for key % 10 = 0) as generation 1;
+    * `changes(0, 1)` must emit exactly the delete/insert row diff the
+    * oracle derives relationally with EXCEPT ALL. Updates appear as
+    * their delete+insert pair, so an updated key sorts as two rows.
+    */
+  val cdc_changes = OpQuery(
+    "cdc_changes",
+    """WITH v0 AS (
+      |  SELECT c_custkey, c_mktsegment FROM customer
+      |), v1 AS (
+      |  SELECT c_custkey,
+      |         CASE WHEN c_custkey % 10 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS c_mktsegment
+      |  FROM customer WHERE c_custkey % 7 <> 0
+      |)
+      |SELECT c_custkey, c_mktsegment, 'insert' AS change_type
+      |FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v0)
+      |UNION ALL
+      |SELECT c_custkey, c_mktsegment, 'delete' AS change_type
+      |FROM (SELECT * FROM v0 EXCEPT ALL SELECT * FROM v1)
+      |ORDER BY c_custkey, change_type""".stripMargin) { (spark, dir) =>
+    val scratch = java.nio.file.Files.createTempDirectory("graft-cdc-gate-")
+    val store = new graft.operators.TableStore(spark, scratch.toString)
+    val customer = t(spark, dir, "customer")
+    val v0 = customer.select(col("c_custkey"), col("c_mktsegment"))
+    val v1 = customer.filter(col("c_custkey") % 7 =!= 0)
+      .select(
+        col("c_custkey"),
+        when(col("c_custkey") % 10 === 0, lit("CHANGED"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+    store.overwrite("t", v0)
+    store.overwrite("t", v1)
+    store.changes("t", 0, 1)
+      .withColumnRenamed("_change_type", "change_type")
+      .orderBy(col("c_custkey"), col("change_type"))
+  }
+
+  val all: Seq[OpQuery] = Seq(s6_insert_only_merge, s7_scd1_merge, cdc_changes)
 }

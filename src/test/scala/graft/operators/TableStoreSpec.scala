@@ -203,6 +203,24 @@ class TableStoreSpec extends SparkSpec {
       .map(f => f.getName -> f.lastModified()).toMap == files2023)
   }
 
+  test("changes(v0,v1) emits the exact delete/insert diff between generations") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-cdc-").toString)
+    store.overwrite("t", Seq((1, "a"), (2, "b"), (3, "c"), (3, "c")).toDF("id", "v"))
+    // v1: 1 updated, 2 deleted, 4 inserted, one duplicate (3,"c") dropped
+    store.overwrite("t", Seq((1, "A"), (3, "c"), (4, "d")).toDF("id", "v"))
+    val out = store.changes("t", 0, 1)
+      .select("id", "v", "_change_type").as[(Int, String, String)]
+      .collect().sorted.toSeq
+    assert(out == Seq(
+      (1, "A", "insert"), (1, "a", "delete"), // update = delete+insert pair
+      (2, "b", "delete"),
+      (3, "c", "delete"),                     // multiset: one of two copies
+      (4, "d", "insert")))
+    // identical generations diff to nothing
+    store.overwrite("t", store.read("t", 1))
+    assert(store.changes("t", 1, 2).isEmpty)
+  }
+
   test("second concurrent writer fails loudly instead of corrupting a swap") {
     val root = Files.createTempDirectory("graft-lock-").toString
     val a = new TableStore(spark, root)
