@@ -252,5 +252,32 @@ object Views {
     store.restoreViewsInto(spark)
   }
 
+  /** Catalog-native registration (`SHOW VIEWS` / `listTables` parity
+    * with the reference's Unity Catalog objects): base tables become
+    * EXTERNAL parquet tables and every dashboard view a PERMANENT
+    * catalog view — both live in the SparkContext's shared catalog, so
+    * every session of this context sees them without a per-session
+    * restore. Definitions are still persisted to the warehouse, so a
+    * whole-new context re-attaches with [[restore]] (session-scoped) or
+    * this method (catalog-scoped). Permanent views may not reference
+    * temp objects, hence the external tables.
+    */
+  def registerCatalog(spark: SparkSession, store: TableStore): Unit = {
+    baseTables.foreach { case (alias, table) =>
+      spark.catalog.dropTempView(alias) // a temp view would shadow the table
+      spark.sql(s"DROP TABLE IF EXISTS $alias")
+      spark.catalog.createTable(alias, store.path(table), "parquet")
+      // partitioned tables (fact's year= layout) register their partition
+      // directories, or the external table silently reads zero rows
+      if (store.partitionColumns(table).nonEmpty)
+        spark.sql(s"MSCK REPAIR TABLE $alias")
+    }
+    definitions.zipWithIndex.foreach { case ((name, sql), i) =>
+      store.saveView(name, sql, i)
+      spark.catalog.dropTempView(name)
+      spark.sql(s"CREATE OR REPLACE VIEW $name AS $sql")
+    }
+  }
+
   def view(spark: SparkSession, name: String): DataFrame = spark.table(name)
 }

@@ -74,6 +74,23 @@ class ViewInvariantsSpec extends SparkSpec {
       spark.table("vw_kpi_metrics").head().getLong(0))
   }
 
+  test("catalog-native views: SHOW VIEWS lists all 15, visible across sessions") {
+    val s = store
+    Views.registerCatalog(spark, s)
+    val listed = spark.sql("SHOW VIEWS")
+      .select("viewName").collect().map(_.getString(0)).toSet
+    val expected = Views.definitions.map(_._1).toSet
+    assert(expected.subsetOf(listed),
+      s"missing from SHOW VIEWS: ${expected -- listed}")
+    assert(spark.catalog.tableExists("vw_kpi_metrics"))
+    // shared catalog: a brand-new session of this context sees the views
+    // WITHOUT any restore call — the Unity-Catalog-like behavior
+    val other = spark.newSession()
+    assert(other.table("vw_kpi_metrics").head().getLong(0) == 12526)
+    // joins through the external dim tables resolve with real rows
+    assert(other.table("vw_top_countries").count() > 0)
+  }
+
   test("top-finishers view winner matches fastest-times per year/gender") {
     store
     val winners = spark.table("vw_top_finishers")
