@@ -95,6 +95,28 @@ object StreamingQueries {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Ingestion dedup (at-least-once cleanup): one event per (user_id,
+    * event_type, minute), min-event_id survivor. The streaming twin is
+    * dropDuplicatesWithinWatermark with watermark-bounded state —
+    * key-set equivalence pinned in EventStreamsSpec.
+    */
+  val stream_dedup = OpQuery(
+    "stream_dedup",
+    """WITH ranked AS (
+      |  SELECT event_id, user_id, event_type,
+      |         strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute_bucket,
+      |         ROW_NUMBER() OVER (
+      |           PARTITION BY user_id, event_type, date_trunc('minute', ts)
+      |           ORDER BY event_id) AS rn
+      |  FROM events
+      |)
+      |SELECT event_id, user_id, event_type, minute_bucket
+      |FROM ranked WHERE rn = 1
+      |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    EventStreams.dedupedEvents(events(spark, dir))
+      .orderBy(col("event_id"))
+  }
+
   /** JSON extraction from the props payload column. */
   val f_json = OpQuery(
     "f_json",
@@ -110,5 +132,5 @@ object StreamingQueries {
 
   val all: Seq[OpQuery] = Seq(
     stream_window_agg, stream_sliding_window, stream_session_agg,
-    stream_session_window, f_json)
+    stream_session_window, stream_dedup, f_json)
 }

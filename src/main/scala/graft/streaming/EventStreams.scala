@@ -94,6 +94,38 @@ object EventStreams {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
   }
 
+  /** Ingestion dedup: at most one event per (user_id, event_type,
+    * minute) — the at-least-once-delivery cleanup every event pipeline
+    * needs. Batch form elects the min-event_id survivor per key
+    * (deterministic, oracle-able).
+    */
+  def dedupedEvents(events: DataFrame): DataFrame = {
+    val keyed = events.withColumn("minute_bucket", date_trunc("minute", col("ts")))
+    val w = Window.partitionBy("user_id", "event_type", "minute_bucket")
+      .orderBy(col("event_id"))
+    keyed
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("event_id"), col("user_id"), col("event_type"),
+        date_format(col("minute_bucket"), "yyyy-MM-dd HH:mm:ss").as("minute_bucket"))
+  }
+
+  /** Streaming form: dropDuplicatesWithinWatermark on the same key, so
+    * dedup state is BOUNDED by the watermark horizon (keys older than
+    * the watermark are evicted — infinite streams, finite state). The
+    * survivor is the first arrival rather than the min event_id; key-set
+    * equivalence with the batch form is pinned in EventStreamsSpec.
+    */
+  def dedupedEventsStream(events: DataFrame, watermark: String): DataFrame =
+    events
+      .withColumn("minute_bucket", date_trunc("minute", col("ts")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "minute_bucket")
+      .select(
+        col("event_id"), col("user_id"), col("event_type"),
+        date_format(col("minute_bucket"), "yyyy-MM-dd HH:mm:ss").as("minute_bucket"))
+
   // ------------------------------------------------------- custom state
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)

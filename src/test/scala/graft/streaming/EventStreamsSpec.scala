@@ -77,6 +77,54 @@ class EventStreamsSpec extends SparkSpec {
     assert(native == relational)
   }
 
+  test("streaming dedup drops cross-batch duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    def ts(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+    // batch 1: two distinct keys + an in-batch duplicate of the first
+    mem.addData((1L, ts(0), 7L, "click"), (2L, ts(0), 7L, "click"),
+      (3L, ts(1), 7L, "view"))
+    // batch 2: cross-batch duplicate (same user/type/minute) + a new key
+    mem.addData((4L, ts(0), 7L, "click"), (5L, ts(2), 8L, "click"))
+
+    val q = dedupedEventsStream(events, watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.table("dedup_stream")
+        .select("user_id", "event_type", "minute_bucket")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      // one survivor per key; duplicates 2 (in-batch) and 4 (cross-batch) dropped
+      assert(spark.table("dedup_stream").count() == 3)
+      assert(kept == Set(
+        (7L, "click", "2024-01-01 10:00:00"),
+        (7L, "view", "2024-01-01 10:01:00"),
+        (8L, "click", "2024-01-01 10:02:00")))
+    } finally q.stop()
+  }
+
+  test("streaming dedup key set equals the batch dedup on real data") {
+    val events = Tables.load(spark, sf, "events")
+    val batchKeys = dedupedEvents(events)
+      .select("user_id", "event_type", "minute_bucket")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val q = dedupedEventsStream(readEventStream(spark, sf), watermark = "2 hours")
+      .writeStream.format("memory").queryName("dedup_file_stream")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamKeys = spark.table("dedup_file_stream")
+        .select("user_id", "event_type", "minute_bucket")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(streamKeys == batchKeys,
+        s"stream kept ${streamKeys.size} keys, batch ${batchKeys.size}")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState: running totals accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
