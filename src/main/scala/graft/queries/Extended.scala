@@ -185,6 +185,50 @@ object Extended {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** TPC-H Q5-shaped local-supplier revenue: the deep join pyramid —
+    * two facts (lineitem ⨝ orders) plus four dimensions, with the
+    * correlated c_nationkey = s_nationkey condition. The plan to want at
+    * scale: region/nation/customer/supplier broadcast, facts join on
+    * their keys with ONE shuffle each, aggregate partial+final on the
+    * (tiny) nation key.
+    */
+  val tpch_q5_shape = OpQuery(
+    "tpch_q5_shape",
+    """SELECT n.n_name,
+      |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM customer c
+      |JOIN orders o   ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      |JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      |JOIN region r   ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'ASIA'
+      |  AND o.o_orderdate >= DATE '1997-01-01' AND o.o_orderdate < DATE '1998-01-01'
+      |GROUP BY n.n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin) { (spark, dir) =>
+    val c = t(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val s = t(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region").filter(col("r_name") === "ASIA")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s),
+        l("l_suppkey") === s("s_suppkey") && c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(n("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** Array-aggregation family: collect_list + array_sort + array_join
     * (emitted as a canonical string so the value compare is
     * engine-neutral), array_contains, element count.
@@ -231,5 +275,5 @@ object Extended {
 
   val all: Seq[OpQuery] = Seq(
     w4_window_family, a12_rollup, a13_cube, j11_set_ops, p9_pivot,
-    tpch_q3_shape, tpch_q4_shape, f_array_agg)
+    tpch_q3_shape, tpch_q4_shape, tpch_q5_shape, f_array_agg)
 }

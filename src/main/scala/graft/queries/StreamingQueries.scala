@@ -117,6 +117,24 @@ object StreamingQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Stream-static enrichment: events left-joined to a broadcast user
+    * dimension (customer keyed by custkey). Streaming execution of the
+    * same transform (static side rebroadcast per micro-batch, stream
+    * side map-only, no state) is pinned in EventStreamsSpec.
+    */
+  val stream_enrich = OpQuery(
+    "stream_enrich",
+    """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment AS user_segment
+      |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      |ORDER BY e.event_id""".stripMargin) { (spark, dir) =>
+    EventStreams.enrichEvents(
+        events(spark, dir),
+        Tables.load(spark, dir, "customer")
+          .select(col("c_custkey").as("user_key"),
+            col("c_mktsegment").as("user_segment")))
+      .orderBy(col("event_id"))
+  }
+
   /** JSON extraction from the props payload column. */
   val f_json = OpQuery(
     "f_json",
@@ -132,5 +150,5 @@ object StreamingQueries {
 
   val all: Seq[OpQuery] = Seq(
     stream_window_agg, stream_sliding_window, stream_session_agg,
-    stream_session_window, stream_dedup, f_json)
+    stream_session_window, stream_dedup, stream_enrich, f_json)
 }

@@ -126,6 +126,19 @@ object EventStreams {
         col("event_id"), col("user_id"), col("event_type"),
         date_format(col("minute_bucket"), "yyyy-MM-dd HH:mm:ss").as("minute_bucket"))
 
+  /** Stream-static enrichment join: attach dimension attributes to each
+    * event. In streaming execution the static side is (re)broadcast per
+    * micro-batch and the stream side is map-only — no state store, no
+    * watermark needed; the canonical "enrich events with a dim table"
+    * pattern. Identical transform runs in batch for the oracle gate.
+    */
+  def enrichEvents(events: DataFrame, users: DataFrame): DataFrame =
+    events
+      .join(broadcast(users), events("user_id") === users("user_key"), "left")
+      .select(
+        events("event_id"), events("user_id"), events("event_type"),
+        users("user_segment"))
+
   // ------------------------------------------------------- custom state
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)

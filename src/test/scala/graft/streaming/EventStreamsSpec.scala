@@ -125,6 +125,25 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join converges to the batch join") {
+    val users = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey").as("user_key"), col("c_mktsegment").as("user_segment"))
+    val batch = enrichEvents(Tables.load(spark, sf, "events"), users)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+
+    val q = enrichEvents(readEventStream(spark, sf), users)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enriched")
+        .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      assert(streamed == batch,
+        s"stream enriched ${streamed.size} events, batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState: running totals accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
