@@ -28,6 +28,10 @@ object VectorExprs {
       "vec_dot", exprs => VectorDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "vec_norm", exprs => VectorNorm(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "vec_q8", exprs => VectorQuantize(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "vec_dot_q8", exprs => VectorDotQ8(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column-API entry points; callers must have invoked [[register]] on
@@ -35,6 +39,15 @@ object VectorExprs {
     */
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
   def vecNorm(a: Column): Column = call_function("vec_norm", a)
+
+  /** Symmetric int8 quantization: `array<float|double>` → compact binary
+    * `[8-byte max_abs][1 byte per element]` — 4× less storage/bandwidth
+    * than float32, the standard memory-bound ANN trade.
+    */
+  def vecQ8(v: Column): Column = call_function("vec_q8", v)
+
+  /** Approximate dot product of two [[vecQ8]]-quantized vectors. */
+  def vecDotQ8(a: Column, b: Column): Column = call_function("vec_dot_q8", a, b)
 
   /** Cosine with a zero-norm guard: 0/0 would be NaN, and Spark orders
     * NaN ABOVE every real double — an all-zero embedding (padding or a
@@ -172,4 +185,111 @@ case class VectorNorm(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): VectorNorm =
     copy(child = newChild)
+}
+
+/** Static quantization kernels shared by interpreted eval AND generated
+  * code (the codegen emits a single static call — identical arithmetic on
+  * both paths by construction, pinned in QuantizeSpec anyway).
+  *
+  * Layout: [8-byte IEEE double max_abs][n bytes, q_i = round(x_i·127/max_abs)].
+  * Symmetric per-vector scaling: dequant x̂_i = q_i·max_abs/127, so the
+  * per-element error is ≤ max_abs/254. An all-zero vector stores
+  * max_abs = 0 and dots to 0 (never NaN).
+  */
+object VectorQuant {
+  def quantizeFloat(v: ArrayData): Array[Byte] = quantizeImpl(v, isFloat = true)
+  def quantizeDouble(v: ArrayData): Array[Byte] = quantizeImpl(v, isFloat = false)
+
+  private def quantizeImpl(v: ArrayData, isFloat: Boolean): Array[Byte] = {
+    val n = v.numElements()
+    def elem(i: Int): Double =
+      if (v.isNullAt(i)) 0.0
+      else if (isFloat) v.getFloat(i).toDouble
+      else v.getDouble(i)
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(elem(i))
+      if (x > maxAbs) maxAbs = x
+      i += 1
+    }
+    val out = java.nio.ByteBuffer.allocate(8 + n)
+    out.putDouble(maxAbs)
+    val s = if (maxAbs == 0.0) 0.0 else 127.0 / maxAbs
+    i = 0
+    while (i < n) {
+      out.put(math.round(elem(i) * s).toByte)
+      i += 1
+    }
+    out.array()
+  }
+
+  def dotQ8(a: Array[Byte], b: Array[Byte]): Double = {
+    val ma = java.nio.ByteBuffer.wrap(a).getDouble
+    val mb = java.nio.ByteBuffer.wrap(b).getDouble
+    if (ma == 0.0 || mb == 0.0) return 0.0
+    val n = math.min(a.length, b.length) - 8
+    var acc = 0L
+    var i = 8
+    while (i < 8 + n) {
+      acc += a(i).toLong * b(i).toLong
+      i += 1
+    }
+    acc * (ma / 127.0) * (mb / 127.0)
+  }
+}
+
+/** vec_q8: quantize a float/double array to the int8 binary layout. */
+case class VectorQuantize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with VectorExprHelpers {
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkArrayOfNumeric(child, "input")
+
+  private def kernel: String =
+    if (elementType(child) == FloatType) "quantizeFloat" else "quantizeDouble"
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    if (elementType(child) == FloatType) VectorQuant.quantizeFloat(arr)
+    else VectorQuant.quantizeDouble(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.VectorQuant.$kernel($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): VectorQuantize =
+    copy(child = newChild)
+}
+
+/** vec_dot_q8: approximate dot of two quantized vectors — an int
+  * multiply-accumulate loop (SIMD-friendly) with one double rescale at
+  * the end.
+  */
+case class VectorDotQ8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_dot_q8 expects (BINARY, BINARY), got (${l.sql}, ${r.sql})")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorQuant.dotQ8(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.VectorQuant.dotQ8($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDotQ8 =
+    copy(left = newLeft, right = newRight)
 }

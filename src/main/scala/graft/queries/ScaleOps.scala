@@ -262,6 +262,16 @@ object ScaleOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** int8-quantized top-k (rows-only; recall ≥ 0.9 of exact plus the
+    * quantization error bounds pinned in QuantizeSpec).
+    */
+  val sim_topk_quantized = OpQuery.noOracle("sim_topk_quantized") { (spark, dir) =>
+    val emb = t(spark, dir, "embeddings")
+    Similarity.bruteForceTopKQuantized(emb, emb.filter(col("vec_id") < 8), k = 5)
+      .withColumn("score", round(col("score"), 6).cast("double"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** TF-IDF with top-3 terms per document — the classic relevance
     * weighting as pure relational algebra: term frequencies (one
     * shuffle), document frequencies (one shuffle on term — the "inverted
@@ -387,5 +397,5 @@ object ScaleOps {
     dedup_exact, dedup_ngram_jaccard, dedup_clusters, data_split,
     text_analysis, text_lang_id, text_tfidf, text_redact,
     sim_topk_bruteforce, sim_neardup_embedding,
-    dedup_minhash_lsh, dedup_simhash, sim_ivf_topk)
+    dedup_minhash_lsh, dedup_simhash, sim_ivf_topk, sim_topk_quantized)
 }

@@ -52,6 +52,16 @@ class PlanSpec extends SparkSpec {
       s"query set not broadcast:\n$p")
   }
 
+  test("q5: join pyramid broadcasts all four dims, facts never sort-merge") {
+    val p = plan(Extended.tpch_q5_shape)
+    assert(p.split("BroadcastHashJoin").length >= 5,
+      s"expected >=4 broadcast joins in q5 pyramid:\n$p")
+    assert(!p.contains("SortMergeJoin"), "q5 dim join degraded to sort-merge")
+    // the date filter reaches the orders scan
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"orders date filter not pushed:\n$p")
+  }
+
   test("merge rewrite: small-source anti joins broadcast under AQE") {
     val p = plan(MergeQueries.s6_insert_only_merge)
     assert(p.contains("LeftAnti"), s"insert-only merge lost its anti join:\n$p")
