@@ -135,6 +135,36 @@ object StreamingQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Declarative data-quality expectations (DLT expect analog): every
+    * event annotated with its violated expectation names in one map-side
+    * pass — no per-rule re-scan. Valid/quarantine split and observe()
+    * metrics are pinned in ExpectationsSpec.
+    */
+  val dq_expectations = OpQuery(
+    "dq_expectations",
+    """SELECT event_id,
+      |       concat_ws(',',
+      |         CASE WHEN NOT coalesce(event_type IN ('click','purchase','signup','view'), FALSE)
+      |              THEN 'known_event_type' END,
+      |         CASE WHEN NOT coalesce(value <= 90, FALSE)
+      |              THEN 'value_in_range' END) AS failed,
+      |       coalesce(event_type IN ('click','purchase','signup','view'), FALSE)
+      |         AND coalesce(value <= 90, FALSE) AS is_valid
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    import graft.operators.Expectations
+    val exps = Seq(
+      Expectations.expect("known_event_type",
+        col("event_type").isin("click", "purchase", "signup", "view")),
+      Expectations.expect("value_in_range", col("value") <= 90))
+    Expectations.annotate(events(spark, dir), exps)
+      .select(
+        col("event_id"),
+        array_join(col("failed_expectations"), ",").as("failed"),
+        (size(col("failed_expectations")) === 0).as("is_valid"))
+      .orderBy(col("event_id"))
+  }
+
   /** JSON extraction from the props payload column. */
   val f_json = OpQuery(
     "f_json",
@@ -150,5 +180,5 @@ object StreamingQueries {
 
   val all: Seq[OpQuery] = Seq(
     stream_window_agg, stream_sliding_window, stream_session_agg,
-    stream_session_window, stream_dedup, stream_enrich, f_json)
+    stream_session_window, stream_dedup, stream_enrich, dq_expectations, f_json)
 }
