@@ -82,20 +82,57 @@ object Merge {
     store.overwritePartitions(table, merged, partCol, values)
   }
 
-  /** Apply a merge result atomically through the store. */
+  /** Schema evolution (Delta's `mergeSchema`/autoMerge analog): align
+    * target and source to the UNION of their columns — a column missing
+    * on either side is added as a typed null, so a source that grew a
+    * NEW column widens the target on merge, and an old-schema source
+    * still merges into an already-widened target. Column order: target
+    * columns first, then new source columns in source order. A column
+    * present on both sides with a DIFFERENT type fails loudly — silent
+    * coercion is how lakes rot.
+    */
+  def alignSchemas(target: DataFrame, source: DataFrame): (DataFrame, DataFrame) = {
+    val conflicts = target.schema.filter(f =>
+      source.columns.contains(f.name) &&
+        source.schema(f.name).dataType != f.dataType)
+    require(conflicts.isEmpty,
+      "schema evolution cannot reconcile type conflicts: " + conflicts.map(f =>
+        s"${f.name} (target ${f.dataType.sql} vs source " +
+          s"${source.schema(f.name).dataType.sql})").mkString(", "))
+    val newCols = source.columns.filterNot(target.columns.contains)
+    val widenedTarget = newCols.foldLeft(target)((df, c) =>
+      df.withColumn(c, org.apache.spark.sql.functions.lit(null)
+        .cast(source.schema(c).dataType)))
+    val missing = target.columns.filterNot(source.columns.contains)
+    val widenedSource = missing.foldLeft(source)((df, c) =>
+      df.withColumn(c, org.apache.spark.sql.functions.lit(null)
+        .cast(target.schema(c).dataType)))
+      .select(widenedTarget.columns.toSeq.map(col): _*)
+    (widenedTarget, widenedSource)
+  }
+
+  /** Apply a merge result atomically through the store.
+    *
+    * @param evolveSchema when true, new source columns widen the table
+    *                     (existing rows get nulls) instead of failing the
+    *                     merge — [[alignSchemas]] semantics
+    */
   def mergeInto(
       store: TableStore,
       table: String,
       source: DataFrame,
       keys: Seq[String],
       updateCols: Seq[String] = Nil,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil,
+      evolveSchema: Boolean = false): Unit = {
     if (!store.exists(table)) store.overwrite(table, source, partitionBy = partitionBy)
     else {
-      val target = store.read(table)
+      val (target, aligned) =
+        if (evolveSchema) alignSchemas(store.read(table), source)
+        else (store.read(table), source)
       val merged =
-        if (updateCols.isEmpty) insertOnly(target, source, keys)
-        else scd1(target, source, keys, updateCols)
+        if (updateCols.isEmpty) insertOnly(target, aligned, keys)
+        else scd1(target, aligned, keys, updateCols)
       store.overwrite(table, merged, partitionBy = partitionBy)
     }
   }

@@ -51,6 +51,41 @@ class MergeSpec extends SparkSpec {
     assert(!store.exists("never-written"))
   }
 
+  test("schema evolution: new source columns widen the table, old rows get nulls") {
+    val store = freshStore()
+    store.overwrite("t5", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    // source grew a column; evolveSchema widens instead of failing
+    Merge.mergeInto(store, "t5",
+      Seq((2, "CHANGED", 9.5), (3, "c", 7.0)).toDF("k", "v", "score"),
+      keys = Seq("k"), evolveSchema = true)
+    val rows = store.read("t5").orderBy("k")
+      .select("k", "v", "score").as[(Int, String, Option[Double])].collect().toSeq
+    // insert-only: key 2 untouched but table gained the column (null)
+    assert(rows == Seq((1, "a", None), (2, "b", None), (3, "c", Some(7.0))))
+
+    // an OLD-schema source still merges into the widened table
+    Merge.mergeInto(store, "t5", Seq((4, "d")).toDF("k", "v"),
+      keys = Seq("k"), evolveSchema = true)
+    assert(store.read("t5").count() == 4)
+    assert(store.read("t5").filter($"k" === 4).select("score")
+      .as[Option[Double]].head().isEmpty)
+
+    // scd1 can update INTO a brand-new column in the same merge
+    Merge.mergeInto(store, "t5",
+      Seq((1, "a2", "gold")).toDF("k", "v", "tier"),
+      keys = Seq("k"), updateCols = Seq("v", "tier"), evolveSchema = true)
+    val r1 = store.read("t5").filter($"k" === 1)
+      .select("v", "tier").as[(String, Option[String])].head()
+    assert(r1 == (("a2", Some("gold"))))
+
+    // same name, different type: loud failure, no silent coercion
+    val e = intercept[IllegalArgumentException] {
+      Merge.mergeInto(store, "t5", Seq((9, 123)).toDF("k", "v"),
+        keys = Seq("k"), evolveSchema = true)
+    }
+    assert(e.getMessage.contains("type conflict"))
+  }
+
   test("compact rewrites into requested file count, same data") {
     val store = freshStore()
     store.overwrite("t4", spark.range(1000).toDF("id").repartition(8))
