@@ -1,0 +1,72 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types._
+
+/** quantile_bucket(v): index of `v` among precomputed quantile
+  * boundaries — the rank-based scaling primitive behind
+  * [[graft.operators.ZOrder.clusterByRank]]. The boundary array is baked
+  * into the expression (hundreds of doubles), so evaluation is one
+  * binary search per row, map-only, inside whole-stage codegen.
+  */
+object QuantileBucketExpr {
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quantile_bucket",
+      exprs => QuantileBucket(exprs(0), extractBounds(exprs(1))),
+      "built-in")
+
+  /** Column API: `bucketOf(v, boundaries)` ∈ [0, boundaries.length]. */
+  def bucketOf(v: Column, boundaries: Array[Double]): Column =
+    call_function("quantile_bucket", v, lit(boundaries))
+
+  private def extractBounds(e: Expression): Array[Double] = e match {
+    case Literal(arr: ArrayData, ArrayType(DoubleType, _)) => arr.toDoubleArray()
+    case other => throw new IllegalArgumentException(
+      s"quantile_bucket boundaries must be a literal array<double>, got $other")
+  }
+
+  /** Shared by interpreted eval and generated code: number of boundaries
+    * <= v (binary search; duplicate boundaries from heavy-hitter
+    * quantiles resolve to the rightmost, keeping buckets contiguous).
+    */
+  def bucket(bounds: Array[Double], v: Double): Long = {
+    var lo = 0
+    var hi = bounds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (bounds(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo.toLong
+  }
+}
+
+case class QuantileBucket(child: Expression, boundaries: Array[Double])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"quantile_bucket expects DOUBLE input, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    QuantileBucketExpr.bucket(boundaries, v.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bounds = ctx.addReferenceObj("bounds", boundaries, "double[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.expressions.QuantileBucketExpr.bucket($bounds, $v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantileBucket =
+    copy(child = newChild)
+}

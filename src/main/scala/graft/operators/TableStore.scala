@@ -289,14 +289,22 @@ final class TableStore(val spark: SparkSession, val root: String,
   /** `OPTIMIZE ... ZORDER BY` analog: rewrite the table clustered on
     * `clusterBy` via [[ZOrder.cluster]], so parquet min/max stats prune
     * files for selective predicates on any clustered column.
+    * `rankBased = true` switches to [[ZOrder.clusterByRank]] (quantile
+    * scaling — immune to heavy-hitter/outlier skew on the clustered
+    * columns).
     */
-  def compactClustered(table: String, clusterBy: Seq[String], numFiles: Int): Unit =
-    overwriteClustered(table, read(table), clusterBy, numFiles)
+  def compactClustered(table: String, clusterBy: Seq[String], numFiles: Int,
+      rankBased: Boolean = false): Unit =
+    overwriteClustered(table, read(table), clusterBy, numFiles, rankBased)
 
   def overwriteClustered(
-      table: String, df: DataFrame, clusterBy: Seq[String], numFiles: Int): Unit =
+      table: String, df: DataFrame, clusterBy: Seq[String], numFiles: Int,
+      rankBased: Boolean = false): Unit =
     withTableLock(table) {
-    val tmp = stage(table, ZOrder.cluster(df, clusterBy, numFiles), numFiles = 0)
+    val clustered =
+      if (rankBased) ZOrder.clusterByRank(df, clusterBy, numFiles)
+      else ZOrder.cluster(df, clusterBy, numFiles)
+    val tmp = stage(table, clustered, numFiles = 0)
     swapIn(table, tmp)
   }
 

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.expressions.QuantileBucketExpr
+
 /** Z-order-style multi-dimensional data clustering on write (the
   * `OPTIMIZE ... ZORDER BY` analog of the reference's Delta tables,
   * extending file-level pruning beyond the single `year=` partition
@@ -70,9 +72,39 @@ object ZOrder {
     if (statsRows.isEmpty || statsRows.head.anyNull) return df
     val stats = statsRows.head
     val ranges = cols.indices.map(i => (stats.getDouble(2 * i), stats.getDouble(2 * i + 1)))
-    df.withColumn("__z", zValue(cols.map(col), ranges, bits))
+    layoutByZ(df.withColumn("__z", zValue(cols.map(col), ranges, bits)), numFiles)
+  }
+
+  /** Rank-based clustering — the skew-immune variant of [[cluster]]:
+    * each column is scaled by its QUANTILE rank instead of min-max, so a
+    * heavy-hitter value cannot compress the rest of the axis into a few
+    * buckets (the documented weakness of min-max scaling).
+    *
+    * One approxQuantile pass per column computes 2^bits - 1 boundaries
+    * (a few hundred doubles to the driver — same footprint class as
+    * cluster()'s min/max); the per-row bucket is then a codegen'd binary
+    * search over the broadcast boundary array, map-only. This is the
+    * trade Delta OSS makes with range_partition_id, without the extra
+    * shuffle a window-rank would cost.
+    */
+  def clusterByRank(df: DataFrame, cols: Seq[String], numFiles: Int,
+      bits: Int = 8): DataFrame = {
+    require(cols.size * bits <= 63, s"${cols.size} cols × $bits bits exceeds a long")
+    val nb = (1 << bits) - 1
+    val probs = (1 to nb).map(_.toDouble / (1 << bits)).toArray
+    val bounds = df.stat.approxQuantile(cols.toArray, probs, 0.001)
+    if (bounds.exists(_.isEmpty)) return df // empty/all-null: no-op
+    QuantileBucketExpr.register(df.sparkSession)
+    val bucketCols = cols.zip(bounds).map { case (c, b) =>
+      QuantileBucketExpr.bucketOf(col(c).cast("double"), b)
+    }
+    layoutByZ(
+      df.withColumn("__z", interleaveBits(bucketCols, bits)), numFiles)
+  }
+
+  private def layoutByZ(dfWithZ: DataFrame, numFiles: Int): DataFrame =
+    dfWithZ
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-  }
 }

@@ -69,6 +69,42 @@ class ZOrderSpec extends SparkSpec {
     assert(filesMatching("y", 0, 0.05 * n) <= files.size / 2)
   }
 
+  test("rank-based clustering still prunes when an outlier wrecks min-max scaling") {
+    val n = 100000
+    // x: uniform 0..99 plus ONE outlier at 1e9 — min-max scaling maps
+    // every normal row to bucket 0, so file stats can't prune on x
+    val df = spark.range(n).select(
+      col("id"),
+      when(col("id") === 0, lit(1e9))
+        .otherwise((col("id") * 7919 % 100).cast("double")).as("x"),
+      (col("id") * 104729 % n).cast("double").as("y"))
+    def filesMatching(dir: String, lo: Double, hi: Double): (Int, Int) = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).toSeq
+      (files.count { f =>
+        val r = spark.read.parquet(f.toString).agg(min("x"), max("x")).head()
+        r.getDouble(0) <= hi && r.getDouble(1) >= lo
+      }, files.size)
+    }
+
+    val store = new TableStore(spark, Files.createTempDirectory("graft-zr-").toString)
+    store.overwriteClustered("minmax", df, Seq("x", "y"), numFiles = 16)
+    store.overwriteClustered("rank", df, Seq("x", "y"), numFiles = 16,
+      rankBased = true)
+
+    // content identical either way
+    assert(store.read("rank").agg(sum("id")).head().getLong(0) ==
+      n.toLong * (n - 1) / 2)
+    val (mmMatch, mmTotal) = filesMatching(store.path("minmax"), 40, 45)
+    val (rkMatch, rkTotal) = filesMatching(store.path("rank"), 40, 45)
+    // min-max: the outlier compresses all normal x into one bucket — the
+    // 6%-wide slice matches essentially every file
+    assert(mmMatch >= mmTotal / 2, s"unexpected: min-max pruned $mmMatch/$mmTotal")
+    // rank scaling is outlier-immune: most files skip by stats
+    assert(rkMatch <= rkTotal / 2,
+      s"rank-based clustering failed to prune: $rkMatch/$rkTotal files match")
+  }
+
   test("degenerate inputs: empty table and all-null clustering column pass through") {
     val empty = Seq.empty[(Long, Double)].toDF("id", "x")
     assert(ZOrder.cluster(empty, Seq("x"), numFiles = 4).count() == 0)
