@@ -7,6 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.functions.col
 
 /** Parquet-backed warehouse with Delta-like table semantics (SURVEY.md
   * §7.3): the local Spark has no Delta jars, so full-load overwrite,
@@ -213,6 +214,53 @@ final class TableStore(val spark: SparkSession, val root: String,
     import org.apache.spark.sql.functions.lit
     after.exceptAll(before).withColumn("_change_type", lit("insert"))
       .unionByName(before.exceptAll(after).withColumn("_change_type", lit("delete")))
+  }
+
+  /** DESCRIBE HISTORY analog: one row per retained generation (newest
+    * first) with file count, byte size, and last-modified time — the
+    * operational view a lakehouse admin expects next to time travel.
+    */
+  def history(table: String): DataFrame = {
+    import spark.implicits._
+    val rows = versions(table).map { v =>
+      val d =
+        if (exists(table) && v == currentVersion(table)) dir(table)
+        else historyDir(table).resolve(versionDirName(v))
+      val files = {
+        val s = Files.walk(d)
+        try s.iterator().asScala.filter(p =>
+          Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet")).toSeq
+        finally s.close()
+      }
+      (v, exists(table) && v == currentVersion(table), files.size,
+        files.map(Files.size).sum,
+        new java.sql.Timestamp(Files.getLastModifiedTime(d).toMillis))
+    }.sortBy(-_._1)
+    rows.toDF("version", "is_current", "n_files", "size_bytes", "modified")
+  }
+
+  /** RESTORE TABLE ... TO VERSION analog: make generation `asOf` the new
+    * CURRENT generation. Delta semantics — restore is itself a new
+    * generation (the pre-restore state stays readable in history), never
+    * a destructive rollback.
+    */
+  def restoreVersion(table: String, asOf: Int): Unit = {
+    val snapshot = read(table, asOf)
+    overwrite(table, snapshot, partitionBy = partitionColumns(table))
+  }
+
+  /** OPTIMIZE with a target FILE SIZE instead of a file count — the
+    * contract real compaction jobs want (small-file compaction after
+    * streaming ingest). File count is derived from the table's current
+    * on-disk bytes, so the caller states intent ("~128 MB files") and
+    * the store does the arithmetic.
+    */
+  def compactToSize(table: String, targetBytes: Long): Unit = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val totalBytes = history(table)
+      .filter(col("is_current")).head().getLong(3)
+    val numFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    compact(table, numFiles)
   }
 
   /** Prune historical generations beyond the newest `keep`. The current

@@ -203,6 +203,33 @@ class TableStoreSpec extends SparkSpec {
       .map(f => f.getName -> f.lastModified()).toMap == files2023)
   }
 
+  test("history lists generations; restore makes an old version current non-destructively") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-hist-").toString)
+    store.overwrite("t", Seq((1, "a")).toDF("id", "v"))
+    store.overwrite("t", Seq((2, "b"), (3, "c")).toDF("id", "v"))
+
+    val h = store.history("t").orderBy(col("version")).collect()
+    assert(h.map(_.getInt(0)).toSeq == Seq(0, 1))
+    assert(h.map(_.getBoolean(1)).toSeq == Seq(false, true))
+    assert(h.forall(r => r.getInt(2) > 0 && r.getLong(3) > 0)) // files + bytes
+
+    // restore v0: becomes generation 2; generation 1 stays readable
+    store.restoreVersion("t", 0)
+    assert(store.currentVersion("t") == 2)
+    assert(store.read("t").select("v").as[String].collect().toSeq == Seq("a"))
+    assert(store.read("t", 1).count() == 2)
+
+    // size-targeted compaction: tiny target forces multiple files
+    store.overwrite("big", spark.range(100000).toDF("id"))
+    val oneFileBytes = store.history("big").filter(col("is_current"))
+      .head().getLong(3)
+    store.compactToSize("big", math.max(1L, oneFileBytes / 4))
+    val files = new java.io.File(store.path("big"))
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files >= 2 && files <= 8, s"expected ~4 files, got $files")
+    assert(store.read("big").count() == 100000)
+  }
+
   test("changes(v0,v1) emits the exact delete/insert diff between generations") {
     val store = new TableStore(spark, Files.createTempDirectory("graft-cdc-").toString)
     store.overwrite("t", Seq((1, "a"), (2, "b"), (3, "c"), (3, "c")).toDF("id", "v"))
