@@ -167,6 +167,65 @@ object EventStreams {
       }
   }
 
+  final case class OpenSession(start: Long, end: Long, n: Long, value: Double)
+  final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, session_value: Double)
+
+  /** Sessionization with EMISSION ON EXPIRY — the flatMapGroupsWithState
+    * + event-time-timeout form of [[sessionWindows]]: a session is
+    * emitted exactly once, as soon as the watermark passes its gap
+    * deadline, instead of living in a Complete-mode result table. This
+    * is the shape for infinite streams: state holds only OPEN sessions,
+    * each closed session is appended downstream once and forgotten.
+    */
+  def expiringSessions(
+      events: Dataset[Event], gapSeconds: Long, watermark: String): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000L
+    def close(user: Long, s: OpenSession): ClosedSession =
+      ClosedSession(user, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
+        s.n, math.round(s.value * 100).toDouble / 100)
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            // watermark passed end + gap: the session can never grow again
+            val s = state.get
+            state.remove()
+            Iterator(close(user, s))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            val closed = Seq.newBuilder[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1,
+                    s.value + e.value))
+                case Some(s) =>
+                  closed += close(user, s)
+                  cur = Some(OpenSession(t, t, 1, e.value))
+                case None =>
+                  cur = Some(OpenSession(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // deadline must sit at/after the current watermark or Spark
+              // rejects it; clamping only matters for already-expired
+              // sessions, which then time out on the next batch
+              state.setTimeoutTimestamp(
+                math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Convenience: read the events table as a file-source stream (one
     * parquet file = one micro-batch when `maxFilesPerTrigger=1`).
     */

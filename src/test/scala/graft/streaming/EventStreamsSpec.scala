@@ -144,6 +144,40 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState: sessions emit exactly once when the watermark expires them") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    def ev(id: Long, user: Long, hm: String, v: Double) =
+      Event(id, Timestamp.valueOf(s"2024-01-01 $hm:00"), user, "click", v)
+
+    val q = expiringSessions(mem.toDS(), gapSeconds = 1800, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("expiring")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1: one session for user 1 (10:00, 10:05)
+      mem.addData(ev(1, 1L, "10:00", 1.0), ev(2, 1L, "10:05", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("expiring").count() == 0) // still open
+
+      // batch 2: same user far past the gap — old session closes in-handler
+      mem.addData(ev(3, 1L, "12:00", 4.0))
+      q.processAllAvailable()
+      val first = spark.table("expiring").collect()
+      assert(first.length == 1)
+      assert(first.head.getLong(3) == 2L && first.head.getDouble(4) == 3.0)
+
+      // batch 3: unrelated user advances the watermark past 12:30 —
+      // user 1's open session times out WITHOUT any new user-1 event
+      mem.addData(ev(4, 99L, "13:30", 0.5))
+      q.processAllAvailable()
+      val all = spark.table("expiring").collect()
+      assert(all.length == 2, s"expected timeout emission, got ${all.length}")
+      val timedOut = all.map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).toSet
+      assert(timedOut.contains((1L, 1L, 4.0)), s"got $timedOut")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState: running totals accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
