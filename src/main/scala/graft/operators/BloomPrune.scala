@@ -32,7 +32,8 @@ object BloomPrune {
     * the fact side. The fact table itself is never shuffled here.
     *
     * @param expectedItems sizing hint: expected distinct dim keys
-    *                      (over-sizing only wastes filter bits)
+    *                      (over-sizing only wastes filter bits); <= 0 ⇒
+    *                      auto-size from a count of `dim`
     * @param fpp           target false-positive rate
     */
   def prune(
@@ -40,11 +41,15 @@ object BloomPrune {
       factKey: String,
       dim: DataFrame,
       dimKey: String,
-      expectedItems: Long,
+      expectedItems: Long = -1L,
       fpp: Double = 0.01): DataFrame = {
     BloomFilter.register(fact.sparkSession)
+    // auto-size when the caller has no estimate: one count over the
+    // (filtered) dim — trivial next to the fact scan the filter saves
+    val n = if (expectedItems > 0) expectedItems
+            else math.max(1L, dim.count())
     val bloom = dim.agg(
-      BloomFilter.bloomBuild(col(dimKey).cast("long"), expectedItems, fpp).as("__bf"))
+      BloomFilter.bloomBuild(col(dimKey).cast("long"), n, fpp).as("__bf"))
     // 1-row broadcast => BroadcastNestedLoopJoin that streams the fact
     // side map-only; the probe stays in the scan's codegen stage
     fact.crossJoin(broadcast(bloom))

@@ -53,7 +53,23 @@ final class TableStore(val spark: SparkSession, val root: String,
 
   def exists(table: String): Boolean = Files.exists(dir(table))
 
-  def read(table: String): DataFrame = spark.read.parquet(dir(table).toString)
+  def read(table: String): DataFrame = {
+    require(exists(table),
+      s"table '$table' does not exist in warehouse $root" + {
+        val known = tables()
+        if (known.isEmpty) "" else known.mkString(" (known tables: ", ", ", ")")
+      })
+    spark.read.parquet(dir(table).toString)
+  }
+
+  /** Flat table names at the warehouse root (nested `catalog.schema.*`
+    * namespaces list their top-level catalog directory).
+    */
+  def tables(): Seq[String] =
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_"))
+      .map(_.getName).sorted.toSeq
 
   /** Filesystem path of a table — lets a DIFFERENT SparkSession attach
     * to this warehouse (see [[graft.pipeline.Views.restore]]).
