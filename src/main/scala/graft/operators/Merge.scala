@@ -77,9 +77,10 @@ object Merge {
     val values = source.select(col(partCol)).distinct().collect().map(_.get(0)).toSeq
     val touched = store.read(table)
       .filter(col(partCol).isInCollection(values))  // partition-pruned scan
-    val merged = insertOnly(
-      touched.select(source.columns.toSeq.map(col): _*), source, keys)
-    store.overwritePartitions(table, merged, partCol, values)
+    // align to the UNION of schemas: a source narrower than an evolved
+    // table must not strip the partition's extra columns on rewrite
+    val (t, s) = alignSchemas(touched, source)
+    store.overwritePartitions(table, insertOnly(t, s, keys), partCol, values)
   }
 
   /** Schema evolution (Delta's `mergeSchema`/autoMerge analog): align

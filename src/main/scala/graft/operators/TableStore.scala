@@ -225,8 +225,10 @@ final class TableStore(val spark: SparkSession, val root: String,
     * [[partitionColumns]] pruning.
     */
   def changes(table: String, fromVersion: Int, toVersion: Int): DataFrame = {
-    val before = read(table, fromVersion)
-    val after = read(table, toVersion)
+    // generations may straddle a schema evolution — align to the union
+    // of columns (typed nulls) so the diff is well-defined across it
+    val (before, after) = Merge.alignSchemas(
+      read(table, fromVersion), read(table, toVersion))
     import org.apache.spark.sql.functions.lit
     after.exceptAll(before).withColumn("_change_type", lit("insert"))
       .unionByName(before.exceptAll(after).withColumn("_change_type", lit("delete")))
@@ -359,16 +361,19 @@ final class TableStore(val spark: SparkSession, val root: String,
     */
   def compactClustered(table: String, clusterBy: Seq[String], numFiles: Int,
       rankBased: Boolean = false): Unit =
-    overwriteClustered(table, read(table), clusterBy, numFiles, rankBased)
+    // preserve an existing Hive-style layout (like compact): flattening
+    // it would silently break later partition-aligned merges
+    overwriteClustered(table, read(table), clusterBy, numFiles, rankBased,
+      partitionBy = partitionColumns(table))
 
   def overwriteClustered(
       table: String, df: DataFrame, clusterBy: Seq[String], numFiles: Int,
-      rankBased: Boolean = false): Unit =
+      rankBased: Boolean = false, partitionBy: Seq[String] = Nil): Unit =
     withTableLock(table) {
     val clustered =
       if (rankBased) ZOrder.clusterByRank(df, clusterBy, numFiles)
       else ZOrder.cluster(df, clusterBy, numFiles)
-    val tmp = stage(table, clustered, numFiles = 0)
+    val tmp = stage(table, clustered, numFiles = 0, partitionBy = partitionBy)
     swapIn(table, tmp)
   }
 
