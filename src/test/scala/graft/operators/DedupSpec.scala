@@ -70,6 +70,41 @@ class DedupSpec extends SparkSpec {
     assert(cc(20L) == 20L && cc(21L) == 20L)
   }
 
+  test("connected components == driver union-find on random graphs (10 seeds)") {
+    // randomized oracle for the pointer-jumping implementation: labels
+    // must equal classic union-find's min-id components on every shape
+    // random edge sets produce (long chains, stars, dense blobs, isolates)
+    (1 to 10).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val nNodes = 60 + rnd.nextInt(60)
+      val nEdges = 30 + rnd.nextInt(120)
+      val edges = Seq.fill(nEdges) {
+        val a = rnd.nextInt(nNodes).toLong
+        val b = rnd.nextInt(nNodes).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+
+      // driver-side union-find ground truth
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(p => Seq(p._1, p._2)).distinct
+      // component label = min node id = the root under min-keeping unions
+      val expected = nodes.map(n => n -> find(n)).toMap
+
+      val got = Dedup.connectedComponents(edges.toDF("id1", "id2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected,
+        s"seed $seed: ${got.toSet.diff(expected.toSet).take(5)} vs expected")
+    }
+  }
+
   test("simhash: identical docs distance 0; near-dups closer than random pairs") {
     val sigs = Dedup.simHashSignature(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
