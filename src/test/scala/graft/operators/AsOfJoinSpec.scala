@@ -73,6 +73,41 @@ class AsOfJoinSpec extends SparkSpec {
     assert(attrs("k") == 11L)
   }
 
+  test("asof == naive latest-at-or-before scan on random data (5 seeds)") {
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val keys = Seq("a", "b", "c")
+      val leftRows = (1L to 40L).map(i =>
+        (i, keys(rnd.nextInt(keys.size)), rnd.nextInt(1000).toLong))
+      val rightRows = (100L to 130L).map(i =>
+        (i, keys(rnd.nextInt(keys.size)), rnd.nextInt(1000).toLong))
+      val tol = 50L + rnd.nextInt(300)
+
+      // driver-side oracle: per left row, max-rt right row with rt <= t
+      // within tolerance; ties on rt resolve to the max rid (payload order)
+      def expected(withTol: Boolean): Map[Long, Option[Long]] =
+        leftRows.map { case (id, k, t) =>
+          val cands = rightRows.filter { case (_, rk, rt) =>
+            rk == k && rt <= t && (!withTol || rt >= t - tol)
+          }
+          id -> (if (cands.isEmpty) None
+                 else Some(cands.maxBy(c => (c._3, c._1))._1))
+        }.toMap
+
+      def run(tolOpt: Option[org.apache.spark.sql.Column]): Map[Long, Option[Long]] =
+        AsOfJoin.asOf(
+            leftRows.toDF("id", "key", "t").repartition(7),
+            rightRows.toDF("rid", "key", "rt").repartition(5),
+            Seq("key"), "t", "rt", tolerance = tolOpt)
+          .select($"id", $"asof_rid").collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+      assert(run(None) == expected(withTol = false), s"seed $seed no-tolerance")
+      assert(run(Some(lit(tol))) == expected(withTol = true), s"seed $seed tol=$tol")
+    }
+  }
+
   test("every left row survives exactly once (left-join cardinality)") {
     val out = AsOfJoin.asOf(left, right, Seq("key"), "t", "rt")
     assert(out.count() == left.count())
