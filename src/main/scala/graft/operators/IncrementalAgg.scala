@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental view maintenance for additive aggregates (count / sum —
+  * and anything derivable from them) over a versioned base table: instead
+  * of re-aggregating the whole base on every refresh, apply the CDC
+  * delta between two generations to the existing aggregate.
+  *
+  * Why it matters at 100 TB: a full re-agg scans the base (O(base));
+  * the incremental path scans only the row-level diff (O(changes)) and
+  * joins it to the aggregate table (O(groups)) — the same reason Delta
+  * users pair CDF with MERGE to maintain gold tables. Deletes subtract
+  * (insert = +1, delete = −1), groups whose count reaches zero are
+  * dropped, and sums ride DECIMAL so add/subtract is exact and
+  * order-independent (a double "minus then plus" would drift).
+  *
+  * Maintenance invariant (spec-pinned): refresh(agg over v_i, changes
+  * v_i→v_j) ≡ full aggregation of v_j, for any i < j.
+  */
+object IncrementalAgg {
+
+  /** Aggregate `base` into the maintained shape: one row per group with
+    * `n_rows` and `total_<valueCol>`. Used for the initial build and as
+    * the full-reagg oracle.
+    */
+  def fullAggregate(base: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    base.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col(valueCol).cast("decimal(18,2)")).as(s"total_$valueCol"))
+
+  /** Apply the delta between `fromVersion` and `toVersion` of `baseTable`
+    * to `aggTable` (created by [[fullAggregate]] over `fromVersion`),
+    * writing the refreshed aggregate back as a new generation.
+    */
+  def refresh(
+      store: TableStore,
+      aggTable: String,
+      baseTable: String,
+      fromVersion: Int,
+      toVersion: Int,
+      groupCols: Seq[String],
+      valueCol: String): Unit = {
+    val totalCol = s"total_$valueCol"
+    val delta = store.changes(baseTable, fromVersion, toVersion)
+      .withColumn("__sign",
+        when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)))
+    val deltaAgg = delta
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(col("__sign")).as("__dn"),
+        sum(col(valueCol).cast("decimal(18,2)") * col("__sign")).as("__ds"))
+    val refreshed = store.read(aggTable)
+      .join(deltaAgg, groupCols, "full_outer")
+      .select(
+        groupCols.map(col) ++ Seq(
+          (coalesce(col("n_rows"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+            .as("n_rows"),
+          (coalesce(col(totalCol), lit(0).cast("decimal(18,2)")) +
+            coalesce(col("__ds"), lit(0).cast("decimal(18,2)")))
+            .cast("decimal(18,2)").as(totalCol)): _*)
+      .filter(col("n_rows") > 0)
+    store.overwrite(aggTable, refreshed)
+  }
+}

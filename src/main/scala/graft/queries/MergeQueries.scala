@@ -115,5 +115,50 @@ object MergeQueries {
       .orderBy(col("c_custkey"), col("change_type"))
   }
 
-  val all: Seq[OpQuery] = Seq(s6_insert_only_merge, s7_scd1_merge, cdc_changes)
+  /** Incremental view maintenance: the customer table mutates v0 → v1
+    * (same recipe as `cdc_changes`: key % 7 = 0 deleted, segment
+    * rewritten for key % 10 = 0), and the maintained per-segment
+    * aggregate — built over v0, refreshed ONLY with the CDC delta —
+    * must equal the oracle's direct full aggregation of v1.
+    */
+  val ivm_refresh = OpQuery(
+    "ivm_refresh",
+    """WITH v1 AS (
+      |  SELECT c_custkey,
+      |         CASE WHEN c_custkey % 10 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS c_mktsegment,
+      |         c_acctbal
+      |  FROM customer WHERE c_custkey % 7 <> 0
+      |)
+      |SELECT c_mktsegment,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_c_acctbal
+      |FROM v1
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+    import graft.operators.{IncrementalAgg, TableStore}
+    val scratch = java.nio.file.Files.createTempDirectory("graft-ivm-gate-")
+    val store = new TableStore(spark, scratch.toString)
+    val customer = t(spark, dir, "customer")
+    val v0 = customer.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val v1 = customer.filter(col("c_custkey") % 7 =!= 0)
+      .select(
+        col("c_custkey"),
+        when(col("c_custkey") % 10 === 0, lit("CHANGED"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+        col("c_acctbal"))
+    store.overwrite("base", v0)
+    store.overwrite("agg",
+      IncrementalAgg.fullAggregate(store.read("base"), Seq("c_mktsegment"), "c_acctbal"))
+    store.overwrite("base", v1)
+    IncrementalAgg.refresh(store, "agg", "base", 0, 1,
+      Seq("c_mktsegment"), "c_acctbal")
+    store.read("agg")
+      .select(
+        col("c_mktsegment"), col("n_rows"),
+        col("total_c_acctbal").cast("double").as("total_c_acctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val all: Seq[OpQuery] = Seq(
+    s6_insert_only_merge, s7_scd1_merge, cdc_changes, ivm_refresh)
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Maintenance invariant on random mutation sequences: refreshing the
+  * aggregate with each generation's CDC delta must equal the full
+  * re-aggregation of the final generation — across inserts, deletes,
+  * group-emptying, and brand-new groups.
+  */
+class IncrementalAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def agg(store: TableStore): Map[String, (Long, BigDecimal)] =
+    store.read("agg").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), BigDecimal(r.getDecimal(2)))))
+      .toMap
+
+  test("incremental refresh across 3 random generations == full reagg (3 seeds)") {
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val store = new TableStore(spark,
+        Files.createTempDirectory(s"graft-ivm-$seed-").toString, retainVersions = 10)
+      val groups = Seq("a", "b", "c", "d")
+      def randomRows(n: Int): Seq[(Long, String, Double)] =
+        (1 to n).map(_ => (rnd.nextInt(1000).toLong,
+          groups(rnd.nextInt(groups.size)),
+          math.round(rnd.nextDouble() * 10000) / 100.0))
+
+      var current = randomRows(200).distinct
+      store.overwrite("base", current.toDF("k", "g", "v"))
+      store.overwrite("agg",
+        IncrementalAgg.fullAggregate(store.read("base"), Seq("g"), "v"))
+
+      (1 to 3).foreach { gen =>
+        // mutate: drop ~1/3, add fresh rows, sometimes empty a group
+        val dropped = current.filter(_ => rnd.nextInt(3) > 0)
+        val victim = groups(rnd.nextInt(groups.size))
+        val next = (dropped.filterNot(_._2 == victim) ++ randomRows(60)).distinct
+        store.overwrite("base", next.toDF("k", "g", "v"))
+        IncrementalAgg.refresh(store, "agg", "base", gen - 1, gen, Seq("g"), "v")
+        current = next
+      }
+
+      val expected = IncrementalAgg
+        .fullAggregate(store.read("base"), Seq("g"), "v")
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), BigDecimal(r.getDecimal(2)))))
+        .toMap
+      assert(agg(store) == expected, s"seed $seed diverged")
+    }
+  }
+
+  test("groups reaching zero count disappear from the aggregate") {
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft-ivm-z-").toString, retainVersions = 10)
+    store.overwrite("base", Seq((1L, "x", 5.0), (2L, "y", 7.0)).toDF("k", "g", "v"))
+    store.overwrite("agg",
+      IncrementalAgg.fullAggregate(store.read("base"), Seq("g"), "v"))
+    store.overwrite("base", Seq((2L, "y", 7.0)).toDF("k", "g", "v"))
+    IncrementalAgg.refresh(store, "agg", "base", 0, 1, Seq("g"), "v")
+    assert(agg(store).keySet == Set("y"))
+  }
+}
