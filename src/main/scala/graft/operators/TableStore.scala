@@ -374,7 +374,87 @@ final class TableStore(val spark: SparkSession, val root: String,
       if (rankBased) ZOrder.clusterByRank(df, clusterBy, numFiles)
       else ZOrder.cluster(df, clusterBy, numFiles)
     val tmp = stage(table, clustered, numFiles = 0, partitionBy = partitionBy)
+    if (partitionBy.isEmpty) writeManifest(tmp, clusterBy)
     swapIn(table, tmp)
+  }
+
+  // ---- file-skipping manifest (data skipping) -------------------------
+
+  private val manifestName = "_manifest.tsv"
+
+  /** Per-file min/max stats for `cols`, written next to the data (the
+    * Delta-log-stats analog): `readPruned` then skips whole files at the
+    * DRIVER before any task is scheduled — at cluster scale, footer-level
+    * row-group pruning still launches a task per file; this doesn't.
+    * One aggregate scan over the freshly staged files, O(files × cols)
+    * rows to the driver. The manifest lives inside the generation
+    * directory, so it time-travels and swaps atomically with its data.
+    */
+  private def writeManifest(staged: Path, cols: Seq[String]): Unit = {
+    val df = spark.read.parquet(staged.toString)
+    val aggs = cols.flatMap(c =>
+      Seq(org.apache.spark.sql.functions.min(col(c).cast("double")),
+        org.apache.spark.sql.functions.max(col(c).cast("double"))))
+    val rows = df
+      .groupBy(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val lines = ("file\t" + cols.mkString("\t")) +: rows.map { r =>
+      val fileName = r.getString(0).split('/').last
+      val stats = cols.indices.map { i =>
+        if (r.isNullAt(1 + 2 * i)) "null\tnull"
+        else s"${r.getDouble(1 + 2 * i)}\t${r.getDouble(2 + 2 * i)}"
+      }
+      s"$fileName\t${stats.mkString("\t")}"
+    }
+    Files.write(staged.resolve(manifestName),
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Read `table` filtered to `column ∈ [lo, hi]`, skipping files whose
+    * manifest range cannot overlap. Exact filtering is still applied on
+    * top, so results are identical with or without a manifest — the
+    * manifest only shrinks the scheduled file set. Falls back to a plain
+    * filtered read when the table has no manifest.
+    */
+  def readPruned(table: String, column: String, lo: Double, hi: Double): DataFrame = {
+    val predicate = col(column).cast("double").between(lo, hi)
+    val mf = dir(table).resolve(manifestName)
+    if (!Files.exists(mf)) return read(table).filter(predicate)
+    val lines = new String(Files.readAllBytes(mf),
+      java.nio.charset.StandardCharsets.UTF_8).split('\n')
+    val cols = lines.head.split('\t').drop(1)
+    val ci = cols.indexOf(column)
+    if (ci < 0) return read(table).filter(predicate)
+    val keep = lines.tail.toSeq.flatMap { ln =>
+      val parts = ln.split('\t')
+      val (mn, mx) = (parts(1 + 2 * ci), parts(2 + 2 * ci))
+      // null stats (all-null file): keep — it cannot satisfy the filter,
+      // but dropping it silently would be wrong if semantics ever change
+      if (mn == "null" || (mn.toDouble <= hi && mx.toDouble >= lo))
+        Some(dir(table).resolve(parts(0)).toString)
+      else None
+    }
+    if (keep.isEmpty) read(table).filter(predicate).limit(0)
+    else spark.read.parquet(keep: _*).filter(predicate)
+  }
+
+  /** Files the manifest would schedule for `column ∈ [lo, hi]` — the
+    * observability hook the pruning spec asserts against.
+    */
+  def prunedFileCount(table: String, column: String, lo: Double, hi: Double): Int = {
+    val mf = dir(table).resolve(manifestName)
+    require(Files.exists(mf), s"$table has no manifest")
+    val lines = new String(Files.readAllBytes(mf),
+      java.nio.charset.StandardCharsets.UTF_8).split('\n')
+    val cols = lines.head.split('\t').drop(1)
+    val ci = cols.indexOf(column)
+    require(ci >= 0, s"$column not in manifest (${cols.mkString(",")})")
+    lines.tail.count { ln =>
+      val parts = ln.split('\t')
+      val (mn, mx) = (parts(1 + 2 * ci), parts(2 + 2 * ci))
+      mn == "null" || (mn.toDouble <= hi && mx.toDouble >= lo)
+    }
   }
 
   /** Persistent view DDL (S10): the reference's 15 dashboard views live

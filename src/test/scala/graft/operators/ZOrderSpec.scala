@@ -105,6 +105,39 @@ class ZOrderSpec extends SparkSpec {
       s"rank-based clustering failed to prune: $rkMatch/$rkTotal files match")
   }
 
+  test("manifest data skipping: selective reads schedule a fraction of the files") {
+    val n = 100000
+    val df = spark.range(n).select(
+      col("id"),
+      (col("id") * 7919 % n).cast("double").as("x"),
+      (col("id") * 104729 % n).cast("double").as("y"))
+    val store = new TableStore(spark, Files.createTempDirectory("graft-mf-").toString)
+    store.overwriteClustered("t", df, clusterBy = Seq("x", "y"), numFiles = 16)
+
+    val total = new java.io.File(store.path("t")).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    // a 5%-wide slice on either clustered dim schedules at most half the files
+    assert(store.prunedFileCount("t", "x", 0, 0.05 * n) <= total / 2)
+    assert(store.prunedFileCount("t", "y", 0, 0.05 * n) <= total / 2)
+    // identical results with and without skipping
+    val pruned = store.readPruned("t", "x", 0, 0.05 * n)
+      .select("id").as[Long].collect().sorted.toSeq
+    val full = store.read("t")
+      .filter(col("x").between(0, 0.05 * n))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(pruned == full && pruned.nonEmpty)
+    // the pruned scan really reads fewer files
+    assert(store.readPruned("t", "x", 0, 0.05 * n).inputFiles.length <= total / 2)
+    // unmatched range: empty result, not an error
+    assert(store.readPruned("t", "x", -100, -50).count() == 0)
+    // manifest survives the swap and time-travels with its generation
+    assert(Files.exists(java.nio.file.Paths.get(store.path("t"), "_manifest.tsv")))
+    // a non-clustered overwrite has no manifest: readPruned falls back
+    store.overwrite("plain", df)
+    assert(store.readPruned("plain", "x", 0, 100).count() ==
+      store.read("plain").filter(col("x").between(0, 100)).count())
+  }
+
   test("degenerate inputs: empty table and all-null clustering column pass through") {
     val empty = Seq.empty[(Long, Double)].toDF("id", "x")
     assert(ZOrder.cluster(empty, Seq("x"), numFiles = 4).count() == 0)
