@@ -295,6 +295,21 @@ object Dedup {
     labels.select(col("node"), col("label").as("component"))
   }
 
+  /** End-to-end corpus dedup: given near-dup pairs (from any detector —
+    * exact jaccard, MinHash-LSH, SimHash, embedding), resolve components
+    * and keep ONE survivor per duplicate group (the min id, matching
+    * [[exact]]'s election) plus every unpaired document. This is the
+    * single call a training-data pipeline makes after candidate
+    * generation; cost beyond the caller's pair detection is the
+    * [[connectedComponents]] rounds plus one anti-join on doc id.
+    */
+  def dedupCorpus(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------------- simhash
   /** 64-bit SimHash: per-token 64-bit hashes vote per bit (+1 if set,
     * -1 if not); signature bit k is the sign of the vote sum. Computed

@@ -359,6 +359,50 @@ object ScaleOps {
     Dedup.connectedComponents(pairs).orderBy(col("node"))
   }
 
+  /** Corpus-level dedup capstone: exact-jaccard pairs → connected
+    * components → one survivor (min id) per duplicate group + all
+    * unpaired docs. Oracle re-derives the survivors from the same
+    * recursive closure.
+    */
+  val dedup_corpus = OpQuery(
+    "dedup_corpus",
+    """WITH RECURSIVE docs AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+      |), toks AS (
+      |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS tok
+      |  FROM docs
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS set_size FROM toks GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+      |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT id1, id2 FROM inter
+      |  JOIN sizes s1 ON id1 = s1.doc_id
+      |  JOIN sizes s2 ON id2 = s2.doc_id
+      |  WHERE n_inter * 1.0 / (s1.set_size + s2.set_size - n_inter) >= 0.9
+      |), edges AS (
+      |  SELECT id1 AS src, id2 AS dst FROM pairs
+      |  UNION
+      |  SELECT id2, id1 FROM pairs
+      |), reach(node, lbl) AS (
+      |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      |  UNION
+      |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+      |), comp AS (
+      |  SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+      |)
+      |SELECT doc_id FROM docs
+      |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = t(spark, dir, "documents").filter(col("doc_id") % 5 === 0)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.9)
+    Dedup.dedupCorpus(docs, "doc_id", pairs)
+      .select("doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** Content-stable train/val/test split (80/10/10) + stratified
     * sampling by language — membership reproduced exactly by the oracle
     * via the same md5-bucket arithmetic.
@@ -394,7 +438,7 @@ object ScaleOps {
   }
 
   val all: Seq[OpQuery] = Seq(
-    dedup_exact, dedup_ngram_jaccard, dedup_clusters, data_split,
+    dedup_exact, dedup_ngram_jaccard, dedup_clusters, dedup_corpus, data_split,
     text_analysis, text_lang_id, text_tfidf, text_redact,
     sim_topk_bruteforce, sim_neardup_embedding,
     dedup_minhash_lsh, dedup_simhash, sim_ivf_topk, sim_topk_quantized)
