@@ -373,8 +373,41 @@ object Scalars {
       .orderBy(ck)
   }
 
+  /** Higher-order array functions (transform / filter / aggregate /
+    * array_sort / array_join) — the lambda surface over array columns,
+    * stated on exact string/integer semantics so both engines hash
+    * identically (float lambdas would drift).
+    */
+  val f_higher_order = OpQuery(
+    "f_higher_order",
+    """SELECT doc_id,
+      |  array_to_string(
+      |    list_sort(list_transform(
+      |      list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |                  t -> length(t) > 4),
+      |      t -> upper(t))), ',') AS long_tokens,
+      |  CAST(coalesce(list_sum(list_transform(
+      |      regexp_split_to_array(lower(trim(text)), '\s+'),
+      |      t -> length(t))), 0) AS BIGINT) AS total_chars,
+      |  CAST(length(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |      t -> t LIKE '%e%')) AS INT) AS tokens_with_e
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    graft.Tables.load(spark, dir, "documents").select(
+      col("doc_id"),
+      array_join(
+        array_sort(transform(
+          filter(toks, t => length(t) > 4),
+          t => upper(t))), ",").as("long_tokens"),
+      aggregate(transform(toks, t => length(t).cast("long")),
+        lit(0L), (acc, x) => acc + x).as("total_chars"),
+      size(filter(toks, t => t.like("%e%"))).as("tokens_with_e"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[OpQuery] = Seq(
-    f_string, f_conditional, f_math, f_datetime,
+    f_string, f_conditional, f_math, f_datetime, f_higher_order,
     d1_time_roundtrip, d3_natural_key, d4_surrogate_key, d10_division_parse,
     d_silver_semantics)
 }
