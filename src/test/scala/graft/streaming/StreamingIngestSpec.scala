@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.operators.{Merge, TableStore}
+import graft.operators.{IncrementalAgg, Merge, TableStore}
 
 /** Streaming ingestion into the medallion store: foreachBatch applies
   * the same insert-only MERGE the batch pipeline uses, so late/replayed
@@ -37,6 +37,50 @@ class StreamingIngestSpec extends SparkSpec {
       val rows = store.read("stream_bronze").orderBy("row_key")
         .as[(Long, String)].collect().toSeq
       assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
+  test("streaming gold maintenance: per-batch CDC delta keeps the aggregate exact") {
+    // the full composition: each micro-batch merges into a VERSIONED base
+    // (one generation per batch), and the gold aggregate is refreshed
+    // from that generation's CDC delta — never a full re-aggregation
+    implicit val sqlCtx = spark.sqlContext
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft-gold-").toString, retainVersions = 10)
+    val mem = MemoryStream[(Long, String, Double)]
+
+    val q = mem.toDF().toDF("k", "g", "v")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!store.exists("base")) {
+          store.overwrite("base", batch)
+          store.overwrite("gold",
+            IncrementalAgg.fullAggregate(store.read("base"), Seq("g"), "v"))
+        } else {
+          val from = store.currentVersion("base")
+          Merge.mergeInto(store, "base", batch, Seq("k"))
+          IncrementalAgg.refresh(store, "gold", "base",
+            from, store.currentVersion("base"), Seq("g"), "v")
+        }
+      }
+      .start()
+    try {
+      mem.addData((1L, "x", 10.0), (2L, "y", 20.0))
+      q.processAllAvailable()
+      mem.addData((3L, "x", 5.0), (2L, "y", 999.0)) // replay of key 2 ignored
+      q.processAllAvailable()
+      mem.addData((4L, "z", 7.0))
+      q.processAllAvailable()
+
+      val gold = store.read("gold").orderBy("g").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getDecimal(2).doubleValue())).toSeq
+      assert(gold == Seq(("x", 2L, 15.0), ("y", 1L, 20.0), ("z", 1L, 7.0)))
+      // invariant: incremental gold == full re-agg of the final base
+      val full = IncrementalAgg.fullAggregate(store.read("base"), Seq("g"), "v")
+        .orderBy("g").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).doubleValue())).toSeq
+      assert(gold == full)
     } finally q.stop()
   }
 }
