@@ -135,7 +135,10 @@ final class TableStore(val spark: SparkSession, val root: String,
     * only writes single-level layouts.
     */
   def partitionColumns(table: String): Seq[String] =
-    Option(dir(table).toFile.listFiles()).getOrElse(Array.empty)
+    partitionColumnsOf(dir(table))
+
+  private def partitionColumnsOf(d: Path): Seq[String] =
+    Option(d.toFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.contains("="))
       .map(_.getName.takeWhile(_ != '='))
       .distinct.toSeq
@@ -263,8 +266,13 @@ final class TableStore(val spark: SparkSession, val root: String,
     * a destructive rollback.
     */
   def restoreVersion(table: String, asOf: Int): Unit = {
+    // re-lay out with the SNAPSHOT's own partitioning, not the current
+    // table's — the layout itself may have changed between generations
+    val srcDir =
+      if (exists(table) && asOf == currentVersion(table)) dir(table)
+      else historyDir(table).resolve(versionDirName(asOf))
     val snapshot = read(table, asOf)
-    overwrite(table, snapshot, partitionBy = partitionColumns(table))
+    overwrite(table, snapshot, partitionBy = partitionColumnsOf(srcDir))
   }
 
   /** OPTIMIZE with a target FILE SIZE instead of a file count — the
