@@ -49,6 +49,22 @@ object Profile {
     time("connected components") {
       println(s"[profile] components nodes: ${Dedup.connectedComponents(pairs).count()}")
     }
+    time("dedup corpus (pairs cached)") {
+      println(s"[profile] survivors: ${Dedup.dedupCorpus(docs, "doc_id", pairs).count()}")
+    }
+    time("cdc + incremental refresh (15k rows)") {
+      val wh = java.nio.file.Files.createTempDirectory("graft-ivm-prof-").toString
+      val store = new graft.operators.TableStore(spark, wh)
+      val customer = Tables.load(spark, sfDir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      store.overwrite("base", customer)
+      store.overwrite("agg", graft.operators.IncrementalAgg
+        .fullAggregate(store.read("base"), Seq("c_mktsegment"), "c_acctbal"))
+      store.overwrite("base", customer.filter(col("c_custkey") % 7 =!= 0))
+      graft.operators.IncrementalAgg.refresh(store, "agg", "base", 0, 1,
+        Seq("c_mktsegment"), "c_acctbal")
+      println(s"[profile] refreshed groups: ${store.read("agg").count()}")
+    }
 
     // merge-layer scale probe: 10M-row target, 1M-row source upsert — no
     // driver-side collection anywhere, so this should stream comfortably
