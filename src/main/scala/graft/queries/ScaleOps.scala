@@ -403,6 +403,33 @@ object ScaleOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Heavy hitters, exact relational form: event users above a 1%
+    * frequency threshold — one uniform groupBy shuffle, the ground truth
+    * the Misra–Gries sketch is validated against (FreqSketchSpec pins the
+    * sketch's survival + lower-bound guarantees vs these exact counts).
+    */
+  val freq_heavy_hitters = OpQuery(
+    "freq_heavy_hitters",
+    """WITH counts AS (
+      |  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+      |), total AS (
+      |  SELECT COUNT(*) AS t FROM events
+      |)
+      |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+      |       CAST(ROUND(n * 100.0 / t, 4) AS DOUBLE) AS pct
+      |FROM counts, total
+      |WHERE n * 100.0 > t
+      |ORDER BY n_events DESC, user_id""".stripMargin) { (spark, dir) =>
+    val events = t(spark, dir, "events")
+    val counts = events.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    counts.crossJoin(broadcast(events.agg(count(lit(1)).as("t"))))
+      .filter(col("n_events") * 100 > col("t"))
+      .select(
+        col("user_id"), col("n_events"),
+        round(col("n_events") * 100.0 / col("t"), 4).cast("double").as("pct"))
+      .orderBy(col("n_events").desc, col("user_id"))
+  }
+
   /** Content-stable train/val/test split (80/10/10) + stratified
     * sampling by language — membership reproduced exactly by the oracle
     * via the same md5-bucket arithmetic.
@@ -438,7 +465,8 @@ object ScaleOps {
   }
 
   val all: Seq[OpQuery] = Seq(
-    dedup_exact, dedup_ngram_jaccard, dedup_clusters, dedup_corpus, data_split,
+    dedup_exact, dedup_ngram_jaccard, dedup_clusters, dedup_corpus,
+    freq_heavy_hitters, data_split,
     text_analysis, text_lang_id, text_tfidf, text_redact,
     sim_topk_bruteforce, sim_neardup_embedding,
     dedup_minhash_lsh, dedup_simhash, sim_ivf_topk, sim_topk_quantized)
