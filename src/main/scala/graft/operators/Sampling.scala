@@ -39,6 +39,32 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Deterministic uniform k-sample per group: keep the k rows with the
+    * SMALLEST md5-derived priority in each group — bottom-k hash
+    * sampling, the content-stable "cap every group at k" primitive
+    * (eval-set construction, per-domain caps, per-user debiasing).
+    * Uniform because the hash priority is uniform; stable because the
+    * same row always hashes the same; mergeable because bottom-k runs on
+    * the bounded-heap [[graft.expressions.TopKAgg]] — map tasks keep
+    * k-element heaps, so no group funnels its rows through one reducer's
+    * sort (a row_number window would).
+    */
+  def uniformPerGroup(
+      df: DataFrame, groupCol: String, idCol: String, k: Int,
+      salt: String = ""): DataFrame = {
+    graft.expressions.TopKAgg.register(df.sparkSession)
+    val priority =
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 8), 16, 10)
+        .cast("long")
+    df.select(col(groupCol), col(idCol).cast("long").as(idCol), priority.as("__p"))
+      .groupBy(col(groupCol))
+      // priority is 32 bits (8 hex chars) — exact as the double score
+      .agg(graft.expressions.TopKAgg
+        .topKBy(-col("__p").cast("double"), col(idCol), k).as("__topk"))
+      .select(col(groupCol), explode(col("__topk")).as("__hit"))
+      .select(col(groupCol), col("__hit.corpus_id").as(idCol))
+  }
+
   /** Deterministic per-stratum sampling: keep a row iff its hash bucket
     * (salted per stratum) falls under the stratum's percent — the
     * content-stable `sampleBy`.

@@ -430,6 +430,26 @@ object ScaleOps {
       .orderBy(col("n_events").desc, col("user_id"))
   }
 
+  /** Per-group uniform cap: 5 events per user by md5 priority — bottom-k
+    * hash sampling on the bounded-heap aggregate (no window), reproduced
+    * exactly by the oracle's ROW_NUMBER over the same md5 arithmetic.
+    */
+  val sample_per_group = OpQuery(
+    "sample_per_group",
+    """WITH ranked AS (
+      |  SELECT user_id, event_id,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id
+      |           ORDER BY CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT),
+      |                    event_id) AS rn
+      |  FROM events
+      |)
+      |SELECT user_id, event_id FROM ranked WHERE rn <= 5
+      |ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    graft.operators.Sampling.uniformPerGroup(
+        t(spark, dir, "events"), "user_id", "event_id", k = 5)
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Content-stable train/val/test split (80/10/10) + stratified
     * sampling by language — membership reproduced exactly by the oracle
     * via the same md5-bucket arithmetic.
@@ -466,7 +486,7 @@ object ScaleOps {
 
   val all: Seq[OpQuery] = Seq(
     dedup_exact, dedup_ngram_jaccard, dedup_clusters, dedup_corpus,
-    freq_heavy_hitters, data_split,
+    freq_heavy_hitters, data_split, sample_per_group,
     text_analysis, text_lang_id, text_tfidf, text_redact,
     sim_topk_bruteforce, sim_neardup_embedding,
     dedup_minhash_lsh, dedup_simhash, sim_ivf_topk, sim_topk_quantized)

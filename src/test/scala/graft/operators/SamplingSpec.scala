@@ -48,4 +48,24 @@ class SamplingSpec extends SparkSpec {
     assert(other.select("doc_id").as[Long].collect().toSet !=
       sampled.select("doc_id").as[Long].collect().toSet)
   }
+
+  test("uniformPerGroup: exactly k per big group, layout-invariant, no window") {
+    val events = Tables.load(spark, sf, "events")
+    def ids(parts: Int): Map[Long, Set[Long]] =
+      Sampling.uniformPerGroup(events.repartition(parts), "user_id", "event_id", 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).toSet }
+    val a = ids(1)
+    val b = ids(13)
+    assert(a == b, "sample changed with partitioning")
+    val groupSizes = events.groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    a.foreach { case (u, s) =>
+      assert(s.size == math.min(3L, groupSizes(u)), s"user $u got ${s.size}")
+    }
+    // plan shape: bounded-heap aggregate, no Window operator
+    val plan = Sampling.uniformPerGroup(events, "user_id", "event_id", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"per-group sample fell back to a window:\n$plan")
+  }
 }
