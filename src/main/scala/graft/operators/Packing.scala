@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training data: assign documents to
+  * fixed-capacity bins (training sequences) so short documents share a
+  * sequence instead of wasting padding.
+  *
+  * Scale design: a globally-optimal packing is inherently sequential, so
+  * documents are first spread over `buckets` independent packing lanes by
+  * stable hash (same md5 arithmetic as [[Sampling]] — deterministic under
+  * any layout), and each lane packs greedily in id order via ONE window
+  * pass (running token total). Lanes pack in parallel; the only shuffle
+  * is the per-lane window partition. With buckets sized to executor count
+  * there is no single-reducer funnel — the trade is lane-local (not
+  * global) packing, the standard approximation real pipelines ship.
+  *
+  * Capacity semantics are "soft": a document is placed by the cumulative
+  * count BEFORE it, so the bin that ends at the boundary may overflow by
+  * at most one document (downstream truncation/splitting is the
+  * tokenizer's job, not the packer's). Documents longer than `capacity`
+  * occupy a bin alone.
+  */
+object Packing {
+
+  /** @return input columns + `lane` (packing lane), `bin` (sequence id,
+    *         unique across lanes), `seq_pos` (document's position inside
+    *         its sequence, 1-based)
+    */
+  def packSequences(
+      df: DataFrame, idCol: String, tokensCol: String,
+      capacity: Long, buckets: Int): DataFrame = {
+    require(capacity > 0 && buckets > 0, "capacity and buckets must be positive")
+    val lane = Sampling.hashBucket(col(idCol), buckets)
+    val w = Window.partitionBy(col("lane")).orderBy(col(idCol))
+    val withLane = df.withColumn("lane", lane)
+      .withColumn("__cum",
+        sum(col(tokensCol)).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__before", col("__cum") - col(tokensCol))
+      .withColumn("__lane_bin", floor(col("__before") / capacity))
+    withLane
+      .withColumn("bin", col("lane") * 1000000L + col("__lane_bin"))
+      .withColumn("seq_pos",
+        row_number().over(Window.partitionBy(col("lane"), col("__lane_bin"))
+          .orderBy(col(idCol))))
+      .drop("__cum", "__before", "__lane_bin")
+  }
+}

@@ -450,6 +450,39 @@ object ScaleOps {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Sequence packing: documents assigned to fixed-capacity training
+    * sequences in 8 parallel packing lanes (md5-bucketed), greedy by id
+    * within each lane — the oracle reproduces lane, running total, bin,
+    * and in-sequence position exactly.
+    */
+  val pack_sequences = OpQuery(
+    "pack_sequences",
+    """WITH lanes AS (
+      |  SELECT doc_id,
+      |         length(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS lane
+      |  FROM documents
+      |), packed AS (
+      |  SELECT doc_id, n_tokens, lane,
+      |         SUM(n_tokens) OVER (PARTITION BY lane ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS before_
+      |  FROM lanes
+      |)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, lane,
+      |       lane * 1000000 + CAST(FLOOR(before_ / 512.0) AS BIGINT) AS bin,
+      |       CAST(ROW_NUMBER() OVER (
+      |         PARTITION BY lane, FLOOR(before_ / 512.0) ORDER BY doc_id) AS INT) AS seq_pos
+      |FROM packed
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = t(spark, dir, "documents").select(
+      col("doc_id"),
+      size(TextFunctions.tokens(lower(col("text")))).cast("long").as("n_tokens"))
+    graft.operators.Packing.packSequences(docs, "doc_id", "n_tokens",
+        capacity = 512L, buckets = 8)
+      .select(col("doc_id"), col("n_tokens"), col("lane"), col("bin"), col("seq_pos"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content-stable train/val/test split (80/10/10) + stratified
     * sampling by language — membership reproduced exactly by the oracle
     * via the same md5-bucket arithmetic.
@@ -486,7 +519,7 @@ object ScaleOps {
 
   val all: Seq[OpQuery] = Seq(
     dedup_exact, dedup_ngram_jaccard, dedup_clusters, dedup_corpus,
-    freq_heavy_hitters, data_split, sample_per_group,
+    freq_heavy_hitters, data_split, sample_per_group, pack_sequences,
     text_analysis, text_lang_id, text_tfidf, text_redact,
     sim_topk_bruteforce, sim_neardup_embedding,
     dedup_minhash_lsh, dedup_simhash, sim_ivf_topk, sim_topk_quantized)
