@@ -52,10 +52,15 @@ object IncrementalAgg {
       .agg(
         sum(col("__sign")).as("__dn"),
         sum(col(valueCol).cast("decimal(18,2)") * col("__sign")).as("__ds"))
-    val refreshed = store.read(aggTable)
-      .join(deltaAgg, groupCols, "full_outer")
+    // null-safe join: groupBy collapses NULL keys into one group, so the
+    // maintenance join must match them too (plain equality would split a
+    // null group into a stale row plus a fresh one)
+    val current = store.read(aggTable).as("cur")
+    val d = deltaAgg.as("d")
+    val cond = groupCols.map(c => col(s"cur.$c") <=> col(s"d.$c")).reduce(_ && _)
+    val refreshed = current.join(d, cond, "full_outer")
       .select(
-        groupCols.map(col) ++ Seq(
+        groupCols.map(c => coalesce(col(s"cur.$c"), col(s"d.$c")).as(c)) ++ Seq(
           (coalesce(col("n_rows"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
             .as("n_rows"),
           (coalesce(col(totalCol), lit(0).cast("decimal(18,2)")) +

@@ -54,6 +54,26 @@ class IncrementalAggSpec extends SparkSpec {
     }
   }
 
+  test("NULL group keys maintain as ONE group, matching groupBy semantics") {
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft-ivm-n-").toString, retainVersions = 10)
+    store.overwrite("base",
+      Seq((1L, Option("x"), 5.0), (2L, Option.empty[String], 7.0),
+        (3L, Option.empty[String], 3.0)).toDF("k", "g", "v"))
+    store.overwrite("agg",
+      IncrementalAgg.fullAggregate(store.read("base"), Seq("g"), "v"))
+    // delta touches the null group: one delete, one insert
+    store.overwrite("base",
+      Seq((1L, Option("x"), 5.0), (3L, Option.empty[String], 3.0),
+        (4L, Option.empty[String], 9.0)).toDF("k", "g", "v"))
+    IncrementalAgg.refresh(store, "agg", "base", 0, 1, Seq("g"), "v")
+    val got = store.read("agg").collect()
+      .map(r => Option(r.getString(0)) -> ((r.getLong(1),
+        r.getDecimal(2).doubleValue()))).toMap
+    assert(got == Map(Some("x") -> ((1L, 5.0)), None -> ((2L, 12.0))),
+      s"null group split or lost: $got")
+  }
+
   test("groups reaching zero count disappear from the aggregate") {
     val store = new TableStore(spark,
       Files.createTempDirectory("graft-ivm-z-").toString, retainVersions = 10)
