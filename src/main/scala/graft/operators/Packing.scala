@@ -35,10 +35,13 @@ object Packing {
     require(capacity > 0 && buckets > 0, "capacity and buckets must be positive")
     val lane = Sampling.hashBucket(col(idCol), buckets)
     val w = Window.partitionBy(col("lane")).orderBy(col(idCol))
+    // null token counts pack as 0-length — one null must not poison the
+    // lane's running total from that row onward
+    val toks = coalesce(col(tokensCol).cast("long"), lit(0L))
     val withLane = df.withColumn("lane", lane)
       .withColumn("__cum",
-        sum(col(tokensCol)).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("__before", col("__cum") - col(tokensCol))
+        sum(toks).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__before", col("__cum") - toks)
       .withColumn("__lane_bin", floor(col("__before") / capacity))
     withLane
       .withColumn("bin", col("lane") * 1000000L + col("__lane_bin"))
