@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 
 /** Delta-MERGE emulation as relational rewrites (SURVEY.md §2.1 S6/S7,
   * §7.3). No Delta jars locally, so MERGE becomes anti/semi-join algebra
@@ -81,6 +81,24 @@ object Merge {
     // table must not strip the partition's extra columns on rewrite
     val (t, s) = alignSchemas(touched, source)
     store.overwritePartitions(table, insertOnly(t, s, keys), partCol, values)
+  }
+
+  /** SCD1 with a delete clause — the `WHEN MATCHED AND <cond> THEN
+    * DELETE` MERGE shape (GDPR erasure, tombstone propagation): matched
+    * rows satisfying `deleteCondition` (evaluated over the source row's
+    * columns) are DROPPED; other matches update as [[scd1]]; unmatched
+    * source rows insert — unless they too satisfy the delete condition
+    * (a tombstone for an absent key inserts nothing).
+    */
+  def scd1WithDelete(
+      target: DataFrame,
+      source: DataFrame,
+      keys: Seq[String],
+      updateCols: Seq[String],
+      deleteCondition: org.apache.spark.sql.Column): DataFrame = {
+    val deletes = source.filter(deleteCondition).select(keys.map(col): _*)
+    val live = source.filter(!coalesce(deleteCondition, lit(false)))
+    scd1(target.join(deletes, keys, "left_anti"), live, keys, updateCols)
   }
 
   /** Schema evolution (Delta's `mergeSchema`/autoMerge analog): align

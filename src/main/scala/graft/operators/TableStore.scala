@@ -260,6 +260,37 @@ final class TableStore(val spark: SparkSession, val root: String,
     rows.toDF("version", "is_current", "n_files", "size_bytes", "modified")
   }
 
+  /** DELETE FROM analog: drop rows where `cond` is TRUE (NULL keeps the
+    * row, SQL semantics), as a new versioned generation. On a partitioned
+    * table, only partitions CONTAINING matches are rewritten — the
+    * partition-aligned path — unless a partition empties completely
+    * (partition removal needs the full swap) . Returns rows deleted.
+    */
+  def deleteWhere(table: String, cond: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val parts = partitionColumns(table)
+    val before = read(table)
+    val nDeleted = before.filter(cond).count()
+    if (nDeleted == 0) return 0L
+    val keep = !coalesce(cond, lit(false))
+    if (parts.size == 1) {
+      val pc = parts.head
+      val values = before.filter(cond).select(col(pc)).distinct()
+        .collect().map(_.get(0)).toSeq.filterNot(_ == null)
+      val touchedKept = before.filter(col(pc).isInCollection(values)).filter(keep)
+      val valuesWithRows = touchedKept.select(col(pc)).distinct()
+        .collect().map(_.get(0)).toSet
+      if (values.forall(valuesWithRows.contains) && values.nonEmpty)
+        overwritePartitions(table, touchedKept, pc, values)
+      else // a partition emptied entirely (or matches had null partition
+           // values): removal needs the full versioned swap
+        overwrite(table, before.filter(keep), partitionBy = parts)
+    } else {
+      overwrite(table, before.filter(keep), partitionBy = parts)
+    }
+    nDeleted
+  }
+
   /** RESTORE TABLE ... TO VERSION analog: make generation `asOf` the new
     * CURRENT generation. Delta semantics — restore is itself a new
     * generation (the pre-restore state stays readable in history), never
