@@ -25,10 +25,45 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver captures a fixed-size tail (~2000 chars) of the run
+    // output; with 85+ registered queries a full per-query dump pushes
+    // the start of the JSON line out of the window and the driver
+    // records parsed=null. So the stdout line carries a curated headline
+    // subset (every family's representative + the historically expensive
+    // queries) plus anything that measured >=0.5 s this run, at 3
+    // decimals; the complete map goes to bench_detail.json next to the
+    // repo for local analysis.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val headline: Set[String] = Set(
+      "q1_agg", "a1_dup_audit", "a8_percentile", "a10_ratio_of_aggs",
+      "a12_rollup", "j1_left_join_broadcast", "j3_star_join",
+      "j10_semi_anti", "j11_set_ops", "w1_row_number", "w2_top1_per_group",
+      "w3_share_of_total", "o2_topk", "s1_csv_scan", "s6_insert_only_merge",
+      "s7_scd1_merge", "tpch_q3_shape", "tpch_q4_shape", "tpch_q5_shape",
+      "zorder_cluster", "bloom_prune_join", "ivm_refresh", "asof_join",
+      "range_join", "skew_salted_join", "dedup_exact", "dedup_minhash_lsh",
+      "dedup_simhash", "dedup_ngram_jaccard", "dedup_clusters",
+      "dedup_corpus", "sim_topk_bruteforce", "sim_ivf_topk",
+      "sim_topk_quantized", "sim_neardup_embedding", "text_analysis",
+      "text_tfidf", "sample_per_group", "pack_sequences", "curation_e2e",
+      "stream_window_agg", "stream_session_agg", "stream_dedup",
+      "mm_features", "freq_heavy_hitters")
+    val shown = results.toSeq
+      .filter { case (k, v) => headline(k) || v >= 0.5 || v < 0 }
+      .sortBy(_._1)
+    val qs = shown.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullJson = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_detail.json"),
+        s"""{"total":${fmt(total)},"sf":"$sfDir","queries":$fullJson}""".getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
