@@ -29,6 +29,25 @@ object TextFunctions {
   def distinctTokens(text: Column): Column =
     array_distinct(tokens(lower(text)))
 
+  /** Word n-grams over whitespace tokens (for decontamination overlap
+    * and repetition stats). sequence+transform+slice keeps it a
+    * codegen'd expression; guarded so docs shorter than n yield an
+    * empty array instead of an invalid sequence range.
+    *
+    * Oracle twin (DuckDB, 1-indexed lists):
+    * `list_transform(generate_series(1, len(t)-n+1),
+    *    i -> array_to_string(list_slice(t, i, i+n-1), ' '))`.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val toks = tokens(lower(text))
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Character n-gram shingles (for minhash/simhash). Expressed with
     * sequence+transform so it stays a codegen'd expression.
     */

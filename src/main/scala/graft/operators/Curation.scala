@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Training-data curation operators beyond the dedup/similarity family:
+  * benchmark decontamination, chunking, and intra-document repetition
+  * statistics. All three are built from codegen'd column expressions
+  * (no UDFs) so the per-document work runs at scan speed; the only
+  * shuffle in the family is decontamination's count-distinct, and its
+  * benchmark side is broadcast (benchmark suites are tiny relative to a
+  * training corpus).
+  */
+object Curation {
+
+  private def nonEmptyText(textCol: String): Column =
+    coalesce(trim(col(textCol)), lit("")) =!= ""
+
+  // ---------------------------------------------------- decontamination
+  /** Benchmark decontamination via word n-gram overlap (the standard
+    * contamination check run before training: any training document
+    * sharing an n-gram with an evaluation benchmark is flagged).
+    *
+    * Plan shape at 100 TB: the benchmark n-gram set is DISTINCT'd and
+    * broadcast (eval suites are MBs, the corpus is TBs — never shuffle
+    * the corpus for this); the training side is one scan + explode +
+    * broadcast-hash semi-join + count-distinct per doc. The final left
+    * join restores zero-hit documents so the output is a full audit,
+    * not just the flagged tail.
+    */
+  def decontaminate(
+      training: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val bench = benchmark
+      .filter(nonEmptyText(textCol))
+      .select(explode(TextFunctions.wordNgrams(col(textCol), n)).as("g"))
+      .distinct()
+    val hits = training
+      .filter(nonEmptyText(textCol))
+      .select(col(idCol), explode(TextFunctions.wordNgrams(col(textCol), n)).as("g"))
+      .join(broadcast(bench), "g")
+      .groupBy(idCol)
+      .agg(countDistinct(col("g")).as("n_hits"))
+    training
+      .filter(nonEmptyText(textCol))
+      .select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
+  // --------------------------------------------------------- chunking
+  /** Sliding token-window chunking (RAG / context-window prep): each
+    * document becomes ceil-spaced chunks of `chunkSize` tokens with
+    * `overlap` tokens shared between neighbours. Chunk count for L
+    * tokens is 1 if L <= chunkSize else floor((L-chunkSize+stride-1)/
+    * stride)+1 with stride = chunkSize-overlap, so the last chunk always
+    * reaches the final token.
+    *
+    * Map-only: split + sequence + explode + slice, all inside
+    * whole-stage codegen — zero shuffles, embarrassingly parallel over
+    * any corpus size. (floor() on both engines; a bare int cast would
+    * diverge — Spark truncates, DuckDB rounds.)
+    */
+  def chunk(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0,
+      s"need chunkSize > overlap >= 0, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    df.filter(nonEmptyText(textCol))
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .withColumn("__L", size(col("__toks")))
+      .withColumn("__n_chunks",
+        when(col("__L") <= chunkSize, lit(1))
+          .otherwise(floor((col("__L") - chunkSize + (stride - 1)) / lit(stride.toDouble))
+            .cast("int") + 1))
+      .select(col(idCol), col("__toks"), col("__L"),
+        explode(sequence(lit(0), col("__n_chunks") - 1)).as("chunk_idx"))
+      .select(
+        col(idCol),
+        col("chunk_idx").cast("int").as("chunk_idx"),
+        least(lit(chunkSize), col("__L") - col("chunk_idx") * stride)
+          .cast("int").as("n_chunk_tokens"),
+        concat_ws(" ",
+          slice(col("__toks"), col("chunk_idx") * stride + 1, lit(chunkSize)))
+          .as("chunk_text"))
+  }
+
+  // ----------------------------------------------- repetition statistics
+  /** Gopher-style intra-document repetition statistics: top-token
+    * fraction, duplicate-bigram fraction, distinct-token ratio, and the
+    * composite `repetitive` filter flag.
+    *
+    * Deliberately map-only: every statistic is an array expression over
+    * the token list (array_distinct / filter / transform), so the whole
+    * operator is one codegen'd scan pass — no explode, no shuffle. The
+    * top-token count is O(distinct x length) per document, fine for
+    * natural documents; an exploded two-level aggregation would trade a
+    * full shuffle for linear per-doc work and only wins on pathological
+    * million-token documents.
+    *
+    * The flag is computed from the ROUNDED fractions so the filter
+    * decision is bit-identical to any external system (the DuckDB
+    * oracle) computing it from the same rounded values.
+    */
+  def repetitionStats(
+      df: DataFrame, idCol: String, textCol: String,
+      topTokenFracMax: Double = 0.14,
+      dupBigramFracMax: Double = 0.065): DataFrame = {
+    val toks = TextFunctions.tokens(lower(col(textCol)))
+    val bigrams = TextFunctions.wordNgrams(col(textCol), 2)
+    val base = df.filter(nonEmptyText(textCol))
+      .select(col(idCol), toks.as("__t"), bigrams.as("__bg"))
+      .withColumn("__L", size(col("__t")))
+    val topCnt = array_max(
+      transform(array_distinct(col("__t")),
+        x => size(filter(col("__t"), t => t === x))))
+    val dupBigram = when(col("__L") > lit(1),
+      lit(1.0) - size(array_distinct(col("__bg"))).cast("double")
+        / (col("__L") - 1).cast("double"))
+      .otherwise(lit(0.0))
+    base.select(
+        col(idCol),
+        col("__L").cast("int").as("n_tokens"),
+        round(topCnt.cast("double") / col("__L").cast("double"), 6)
+          .as("top_tok_frac"),
+        round(dupBigram, 6).as("dup_bigram_frac"),
+        round(size(array_distinct(col("__t"))).cast("double")
+          / col("__L").cast("double"), 6).as("distinct_frac"))
+      .withColumn("repetitive",
+        col("top_tok_frac") > topTokenFracMax ||
+          col("dup_bigram_frac") > dupBigramFracMax)
+  }
+
+  // ------------------------------------------------------ semantic dedup
+  /** SemDeDup-style semantic deduplication over an embedding column:
+    * documents whose embeddings are near-identical in cosine space are
+    * collapsed to one survivor per connected component (min id, matching
+    * [[Dedup.exact]]'s election). `exact` is the n² ground truth used by
+    * the oracle gate; [[cellBucketed]] is the scale path — k-means cells
+    * bound the pair join to within-cell candidates, and because its pair
+    * set is a subset of the exact pair set, every document it removes is
+    * also removed by the exact operator (removal-precision 1.0, pinned
+    * in CurationSpec).
+    */
+  def semanticDedupExact(
+      embeddings: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    keepSurvivors(embeddings, idCol,
+      Similarity.bruteForceNearDups(embeddings, threshold, idCol, vecCol))
+
+  def semanticDedupCellBucketed(
+      embeddings: DataFrame, threshold: Double, numCells: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    keepSurvivors(embeddings, idCol,
+      Similarity.cellBucketedNearDups(embeddings, threshold, numCells, idCol, vecCol))
+
+  private def keepSurvivors(
+      df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    Dedup.dedupCorpus(df, idCol, pairs.select("id1", "id2"))
+}

@@ -59,25 +59,33 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
-    // checkpoint the exploded tokens: the regex tokenization is the
-    // map-side cost and this plan consumes it twice (sizes + the
-    // self-join's exchange) — materialize once, reuse from blocks
+    // checkpoint the exploded tokens WITH each doc's set size attached:
+    // the regex tokenization is the map-side cost and the self-join
+    // consumes it twice — materialize once, reuse from blocks. Carrying
+    // set_size through (a) lets the join apply the PPJoin length filter
+    // (J >= t forces min(|A|,|B|) >= t*max(|A|,|B|)) BEFORE the
+    // aggregate, pruning the quadratic hot-token blowup at its source,
+    // and (b) removes the two post-aggregation size joins — the sizes
+    // ride through the groupBy as max() of a per-doc constant. The
+    // 1e-9 slack keeps the prefilter conservative under double rounding
+    // (the exact jaccard filter below stays authoritative).
     val toks = df.select(
-      col(idCol).as("doc_id"),
-      explode(TextFunctions.distinctTokens(col(textCol))).as("tok"))
+        col(idCol).as("doc_id"),
+        TextFunctions.distinctTokens(col(textCol)).as("ts"))
+      .select(col("doc_id"), size(col("ts")).as("set_size"),
+        explode(col("ts")).as("tok"))
       .localCheckpoint(true)
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
     val a = toks.as("a")
     val b = toks.as("b")
-    val inter = a.join(b, col("a.tok") === col("b.tok") &&
-        col("a.doc_id") < col("b.doc_id"))
+    a.join(b, col("a.tok") === col("b.tok") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        col("a.set_size").cast("double") >= col("b.set_size") * threshold - 1e-9 &&
+        col("b.set_size").cast("double") >= col("a.set_size") * threshold - 1e-9)
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "id1")
-        .withColumnRenamed("set_size", "size1"), "id1")
-      .join(sizes.withColumnRenamed("doc_id", "id2")
-        .withColumnRenamed("set_size", "size2"), "id2")
+      .agg(
+        count(lit(1)).as("n_inter"),
+        max(col("a.set_size")).as("size1"),
+        max(col("b.set_size")).as("size2"))
       .withColumn(
         "jaccard",
         col("n_inter").cast("double") /
