@@ -29,6 +29,8 @@ object VectorExprs {
     reg.createOrReplaceTempFunction(
       "vec_norm", exprs => VectorNorm(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
+      "vec_unit", exprs => VectorNormalize(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
       "vec_q8", exprs => VectorQuantize(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "vec_dot_q8", exprs => VectorDotQ8(exprs(0), exprs(1)), "built-in")
@@ -39,6 +41,16 @@ object VectorExprs {
     */
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
   def vecNorm(a: Column): Column = call_function("vec_norm", a)
+
+  /** Unit-normalize to `array<double>`; zero vectors stay zero. A
+    * native expression rather than transform+aggregate lambdas because
+    * Catalyst's CollapseProject happily inlines a projected normalize
+    * into a join condition / join output — at which point an interpreted
+    * higher-order normalize is re-evaluated PER PAIR, not per row
+    * (measured: ~1.5 s of a 1.9 s n² near-dup join at 250 vectors).
+    * Compiled, the worst-case re-evaluation is a primitive loop.
+    */
+  def vecUnit(a: Column): Column = call_function("vec_unit", a)
 
   /** Symmetric int8 quantization: `array<float|double>` → compact binary
     * `[8-byte max_abs][1 byte per element]` — 4× less storage/bandwidth
@@ -187,6 +199,39 @@ case class VectorNorm(child: Expression)
     copy(child = newChild)
 }
 
+/** vec_unit: unit-normalize an array<float|double> to array<double>.
+  * Null elements contribute 0 to the norm and normalize to 0.0 (same
+  * contribution they'd make to any downstream [[VectorDot]]); a
+  * zero-norm vector returns all zeros rather than NaN (Spark sorts NaN
+  * above every real double — an all-zero embedding would otherwise top
+  * every descending similarity ranking).
+  */
+case class VectorNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with VectorExprHelpers {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkArrayOfNumeric(child, "input")
+
+  private def kernel: String =
+    if (elementType(child) == FloatType) "normalizeFloat" else "normalizeDouble"
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    if (elementType(child) == FloatType) VectorQuant.normalizeFloat(arr)
+    else VectorQuant.normalizeDouble(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.VectorQuant.$kernel($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): VectorNormalize =
+    copy(child = newChild)
+}
+
 /** Static quantization kernels shared by interpreted eval AND generated
   * code (the codegen emits a single static call — identical arithmetic on
   * both paths by construction, pinned in QuantizeSpec anyway).
@@ -199,6 +244,27 @@ case class VectorNorm(child: Expression)
 object VectorQuant {
   def quantizeFloat(v: ArrayData): Array[Byte] = quantizeImpl(v, isFloat = true)
   def quantizeDouble(v: ArrayData): Array[Byte] = quantizeImpl(v, isFloat = false)
+
+  def normalizeFloat(v: ArrayData): ArrayData = normalizeImpl(v, isFloat = true)
+  def normalizeDouble(v: ArrayData): ArrayData = normalizeImpl(v, isFloat = false)
+
+  private def normalizeImpl(v: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = v.numElements()
+    def elem(i: Int): Double =
+      if (v.isNullAt(i)) 0.0
+      else if (isFloat) v.getFloat(i).toDouble
+      else v.getDouble(i)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val x = elem(i); acc += x * x; i += 1 }
+    val norm = math.sqrt(acc)
+    val out = new Array[Double](n)
+    if (norm != 0.0) {
+      i = 0
+      while (i < n) { out(i) = elem(i) / norm; i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 
   private def quantizeImpl(v: ArrayData, isFloat: Boolean): Array[Byte] = {
     val n = v.numElements()

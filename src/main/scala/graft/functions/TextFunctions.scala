@@ -110,10 +110,19 @@ object TextFunctions {
 
   def stopwordRatio(text: Column): Column = {
     val toks = tokens(lower(text))
-    val stops = array(langMarkers.flatMap(_._2).distinct.map(lit): _*)
+    // One compiled-regex count instead of filter(toks, array_contains):
+    // the higher-order form is interpreted per token × 38 stopwords and
+    // its lambda survives CollapseProject into downstream operators,
+    // while regexp_count stays inside whole-stage codegen. Zero-width
+    // lookarounds + sentinel spaces make "whitespace-delimited token
+    // equals a stopword" exact, so consecutive stopwords all match and
+    // "the," or "them" never do — identical semantics to the filter.
+    val alternation = langMarkers.flatMap(_._2).distinct.mkString("|")
+    val pattern = s"(?<=\\s)(?:$alternation)(?=\\s)"
     when(text.isNull || size(toks) === 0, lit(0.0))
       .otherwise(
-        size(filter(toks, t => array_contains(stops, t))).cast("double") / size(toks))
+        regexp_count(concat(lit(" "), lower(text), lit(" ")), lit(pattern))
+          .cast("double") / size(toks))
   }
 
   def meanTokenLength(text: Column): Column = {

@@ -44,11 +44,15 @@ object Similarity {
     * product — 3× fewer array traversals in n² joins. Zero vectors stay
     * zero (division would produce NaN, which Spark sorts above every
     * real double and would therefore top similarity rankings).
+    * Delegates to the codegen'd [[graft.expressions.VectorNormalize]]:
+    * the earlier transform+aggregate lambda form was interpreted, and
+    * CollapseProject inlines projected normalizes into join
+    * output/conditions where they re-evaluate per PAIR — the native
+    * expression keeps that worst case a primitive loop. Callers must
+    * have run [[graft.expressions.VectorExprs.register]] (all public
+    * entry points here do).
     */
-  def normalize(v: Column): Column = {
-    val norm = l2Norm(v)
-    transform(v, x => when(norm === 0.0, lit(0.0)).otherwise(x.cast("double") / norm))
-  }
+  def normalize(v: Column): Column = VectorExprs.vecUnit(v)
 
   /** Exact top-k by cosine for each query vector. `queries` is expected
     * to be small (it is broadcast); `corpus` streams map-side. The
