@@ -101,6 +101,82 @@ object Merge {
     scd1(target.join(deletes, keys, "left_anti"), live, keys, updateCols)
   }
 
+  /** SCD Type 2 MERGE — effective-dated history (the dimension-merge
+    * shape the reference's SCD1 dims would grow into once "what was the
+    * athlete's division LAST season" matters). The target carries three
+    * metadata columns (`validFrom`, `validTo` — string dates to keep
+    * storage/oracle parity — and `isCurrent`); `source` carries exactly
+    * the data columns (keys + attributes, no metadata).
+    *
+    *  - matched current row, any `trackCols` differ (null-safely) →
+    *    the current row CLOSES (`validTo = effectiveDate`, not current)
+    *    and the source row opens as the new current version
+    *  - matched current row, all `trackCols` equal → passes unchanged
+    *    (no churn versions for no-op loads)
+    *  - source key absent from current rows → opens as a new current row
+    *  - historical (non-current) rows always pass through untouched
+    *
+    * Scale: three joins, each keyed on `keys` and each with the (small,
+    * dimension-sized) source or the changed-key set on the build side —
+    * Catalyst broadcasts them; the fact-sized history never shuffles more
+    * than once per run, and AQE handles a skewed key.
+    */
+  def scd2(
+      target: DataFrame,
+      source: DataFrame,
+      keys: Seq[String],
+      trackCols: Seq[String],
+      effectiveDate: String,
+      validFrom: String = "valid_from",
+      validTo: String = "valid_to",
+      isCurrent: String = "is_current"): DataFrame = {
+    val meta = Seq(validFrom, validTo, isCurrent)
+    val dataCols = target.columns.filterNot(meta.contains).toSeq
+    require(source.columns.sorted.toSeq == dataCols.sorted,
+      s"scd2 source must carry exactly the data columns ${dataCols.mkString(",")}; " +
+        s"got ${source.columns.mkString(",")}")
+    val cur = target.filter(col(isCurrent))
+    val hist = target.filter(!col(isCurrent))
+    // keys whose tracked attributes actually moved (null-safe compare)
+    val differs = trackCols.map(c => !(col("s." + c) <=> col("t." + c))).reduce(_ || _)
+    val changedKeys = cur.as("t")
+      .join(source.as("s"), keys)
+      .filter(differs)
+      .select(keys.map(col): _*)
+    val closeouts = cur.join(changedKeys, keys, "left_semi")
+      .withColumn(validTo, lit(effectiveDate))
+      .withColumn(isCurrent, lit(false))
+    val opened = source.join(changedKeys, keys, "left_semi")
+    val brandNew = source.join(cur.select(keys.map(col): _*), keys, "left_anti")
+    val newVersions = opened.unionByName(brandNew)
+      .withColumn(validFrom, lit(effectiveDate))
+      .withColumn(validTo, lit(null).cast("string"))
+      .withColumn(isCurrent, lit(true))
+      .select(target.columns.toSeq.map(col): _*)
+    val untouched = cur.join(changedKeys, keys, "left_anti")
+    hist.unionByName(untouched).unionByName(closeouts).unionByName(newVersions)
+  }
+
+  /** Full-sync MERGE — the `WHEN NOT MATCHED BY SOURCE THEN DELETE`
+    * shape (mirror a system-of-record extract into the lake): matched
+    * rows take the source's `updateCols` and keep the rest, unmatched
+    * source rows insert, and target rows ABSENT from the source are
+    * dropped. With `updateCols = Nil` matched rows keep target values
+    * (delete-only sync).
+    */
+  def fullSync(
+      target: DataFrame,
+      source: DataFrame,
+      keys: Seq[String],
+      updateCols: Seq[String]): DataFrame = {
+    val synced = target.join(source.select(keys.map(col): _*), keys, "left_semi")
+    if (updateCols.isEmpty) {
+      val inserts = source.join(target.select(keys.map(col): _*), keys, "left_anti")
+        .select(target.columns.toSeq.map(col): _*)
+      synced.unionByName(inserts)
+    } else scd1(synced, source, keys, updateCols)
+  }
+
   /** Schema evolution (Delta's `mergeSchema`/autoMerge analog): align
     * target and source to the UNION of their columns — a column missing
     * on either side is added as a typed null, so a source that grew a

@@ -77,6 +77,112 @@ object MergeQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** SCD Type 2 MERGE: effective-dated dimension history. Target =
+    * current snapshot (keys % 3 != 0) plus closed historical rows for
+    * keys % 5 = 0; source = all customers with the segment moved for
+    * keys % 4 = 0. The oracle states every clause relationally: history
+    * passes through, unchanged matches pass, changed matches close out
+    * at the effective date AND re-open as the new current version, and
+    * brand-new keys insert as current. `is_current` emitted as INT (the
+    * driver hash has no verified bool parity rule).
+    */
+  val s15_scd2_merge = OpQuery(
+    "s15_scd2_merge",
+    """WITH cur AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |         '2023-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to, TRUE AS cur_flag
+      |  FROM customer WHERE c_custkey % 3 <> 0
+      |), hist AS (
+      |  SELECT c_custkey, concat('OLD_', c_mktsegment) AS c_mktsegment,
+      |         '2022-01-01' AS valid_from, '2023-01-01' AS valid_to, FALSE AS cur_flag
+      |  FROM customer WHERE c_custkey % 3 <> 0 AND c_custkey % 5 = 0
+      |), src AS (
+      |  SELECT c_custkey,
+      |         CASE WHEN c_custkey % 4 = 0 THEN 'SEG_MOVED' ELSE c_mktsegment END AS c_mktsegment
+      |  FROM customer
+      |), changed AS (
+      |  SELECT c.c_custkey FROM cur c JOIN src s USING (c_custkey)
+      |  WHERE s.c_mktsegment IS DISTINCT FROM c.c_mktsegment
+      |)
+      |SELECT c_custkey, c_mktsegment, valid_from, valid_to, CAST(cur_flag AS INT) AS is_current
+      |FROM (
+      |  SELECT * FROM hist
+      |  UNION ALL
+      |  SELECT c.* FROM cur c
+      |  WHERE NOT EXISTS (SELECT 1 FROM changed ch WHERE ch.c_custkey = c.c_custkey)
+      |  UNION ALL
+      |  SELECT c.c_custkey, c.c_mktsegment, c.valid_from, '2024-06-01', FALSE
+      |  FROM cur c JOIN changed ch ON ch.c_custkey = c.c_custkey
+      |  UNION ALL
+      |  SELECT s.c_custkey, s.c_mktsegment, '2024-06-01', NULL, TRUE
+      |  FROM src s JOIN changed ch ON ch.c_custkey = s.c_custkey
+      |  UNION ALL
+      |  SELECT s.c_custkey, s.c_mktsegment, '2024-06-01', NULL, TRUE
+      |  FROM src s
+      |  WHERE NOT EXISTS (SELECT 1 FROM cur c WHERE c.c_custkey = s.c_custkey)
+      |)
+      |ORDER BY c_custkey, valid_from, is_current""".stripMargin) { (spark, dir) =>
+    val customer = t(spark, dir, "customer")
+    val cur = customer.filter(col("c_custkey") % 3 =!= 0)
+      .select(
+        col("c_custkey"), col("c_mktsegment"),
+        lit("2023-01-01").as("valid_from"),
+        lit(null).cast("string").as("valid_to"),
+        lit(true).as("is_current"))
+    val hist = customer.filter(col("c_custkey") % 3 =!= 0 && col("c_custkey") % 5 === 0)
+      .select(
+        col("c_custkey"), concat(lit("OLD_"), col("c_mktsegment")).as("c_mktsegment"),
+        lit("2022-01-01").as("valid_from"),
+        lit("2023-01-01").as("valid_to"),
+        lit(false).as("is_current"))
+    val source = customer.select(
+      col("c_custkey"),
+      when(col("c_custkey") % 4 === 0, lit("SEG_MOVED"))
+        .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+    Merge.scd2(cur.unionByName(hist), source,
+        keys = Seq("c_custkey"), trackCols = Seq("c_mktsegment"),
+        effectiveDate = "2024-06-01")
+      .withColumn("is_current", col("is_current").cast("int"))
+      .orderBy(col("c_custkey"), col("valid_from"), col("is_current"))
+  }
+
+  /** Full-sync MERGE (`WHEN NOT MATCHED BY SOURCE THEN DELETE`): the
+    * target mirrors the source extract exactly — matched rows take the
+    * source's segment and keep target-only columns, unmatched source
+    * rows insert, and target keys missing from the source drop.
+    */
+  val s16_full_sync_merge = OpQuery(
+    "s16_full_sync_merge",
+    """WITH target AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |         concat('keep_', CAST(c_nationkey AS VARCHAR)) AS stable
+      |  FROM customer WHERE c_custkey % 3 <> 0
+      |), source AS (
+      |  SELECT c_custkey, concat('SYNC_', c_mktsegment) AS c_mktsegment,
+      |         'src_stable' AS stable
+      |  FROM customer WHERE c_custkey % 2 = 0
+      |)
+      |SELECT t.c_custkey, s.c_mktsegment, t.stable
+      |FROM target t JOIN source s ON t.c_custkey = s.c_custkey
+      |UNION ALL
+      |SELECT s.c_custkey, s.c_mktsegment, s.stable
+      |FROM source s
+      |WHERE NOT EXISTS (SELECT 1 FROM target x WHERE x.c_custkey = s.c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    val customer = t(spark, dir, "customer")
+    val target = customer.filter(col("c_custkey") % 3 =!= 0)
+      .select(
+        col("c_custkey"), col("c_mktsegment"),
+        concat(lit("keep_"), col("c_nationkey").cast("string")).as("stable"))
+    val source = customer.filter(col("c_custkey") % 2 === 0)
+      .select(
+        col("c_custkey"),
+        concat(lit("SYNC_"), col("c_mktsegment")).as("c_mktsegment"),
+        lit("src_stable").as("stable"))
+    Merge.fullSync(target, source, Seq("c_custkey"), updateCols = Seq("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Change data feed over the versioned store: customer is written as
     * generation 0, then overwritten with deletes (key % 7 = 0 removed)
     * and updates (segment rewritten for key % 10 = 0) as generation 1;
@@ -160,5 +266,6 @@ object MergeQueries {
   }
 
   val all: Seq[OpQuery] = Seq(
-    s6_insert_only_merge, s7_scd1_merge, cdc_changes, ivm_refresh)
+    s6_insert_only_merge, s7_scd1_merge, s15_scd2_merge, s16_full_sync_merge,
+    cdc_changes, ivm_refresh)
 }

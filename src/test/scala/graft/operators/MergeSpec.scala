@@ -86,6 +86,50 @@ class MergeSpec extends SparkSpec {
     assert(e.getMessage.contains("type conflict"))
   }
 
+  test("scd2 merge: change closes and reopens, no-op passes, new key inserts, history untouched") {
+    // current: 1→a, 2→b; history: 1 had 'z' before
+    val target = Seq(
+      (1, "a", "2023-01-01", null.asInstanceOf[String], true),
+      (2, "b", "2023-01-01", null.asInstanceOf[String], true),
+      (1, "z", "2022-01-01", "2023-01-01", false)
+    ).toDF("k", "v", "valid_from", "valid_to", "is_current")
+    // 1 changes, 2 is a no-op, 3 is new
+    val source = Seq((1, "A2"), (2, "b"), (3, "c")).toDF("k", "v")
+    val out = Merge.scd2(target, source, Seq("k"), trackCols = Seq("v"),
+      effectiveDate = "2024-06-01")
+    val rows = out.orderBy("k", "valid_from")
+      .as[(Int, String, String, Option[String], Boolean)].collect().toSeq
+    assert(rows == Seq(
+      (1, "z", "2022-01-01", Some("2023-01-01"), false),  // history untouched
+      (1, "a", "2023-01-01", Some("2024-06-01"), false),  // closed out
+      (1, "A2", "2024-06-01", None, true),                // new current version
+      (2, "b", "2023-01-01", None, true),                 // no-op load: no churn
+      (3, "c", "2024-06-01", None, true)))                // brand-new key
+    // null-safe tracking: null → value and value → null both count as change
+    val t2 = Seq((1, null.asInstanceOf[String], "2023-01-01", null.asInstanceOf[String], true))
+      .toDF("k", "v", "valid_from", "valid_to", "is_current")
+    val s2 = Seq((1, "x")).toDF("k", "v")
+    assert(Merge.scd2(t2, s2, Seq("k"), Seq("v"), "2024-01-01").count() == 2)
+    // idempotence: merging the SAME source again produces no new versions
+    val again = Merge.scd2(out, source, Seq("k"), Seq("v"), "2024-07-01")
+    assert(again.count() == out.count())
+  }
+
+  test("fullSync merge mirrors the source: update, insert, and delete-by-absence") {
+    val target = Seq((1, "a", "keep1"), (2, "b", "keep2"), (3, "c", "keep3"))
+      .toDF("k", "v", "stable")
+    val source = Seq((2, "B2", "ignored"), (4, "d", "new4")).toDF("k", "v", "stable")
+    val out = Merge.fullSync(target, source, Seq("k"), updateCols = Seq("v"))
+      .orderBy("k").as[(Int, String, String)].collect().toSeq
+    assert(out == Seq(
+      (2, "B2", "keep2"),   // updated, target-only column kept
+      (4, "d", "new4")))    // inserted; 1 and 3 dropped (not matched by source)
+    // delete-only variant: matched rows keep target values
+    val keep = Merge.fullSync(target, source, Seq("k"), updateCols = Nil)
+      .orderBy("k").as[(Int, String, String)].collect().toSeq
+    assert(keep == Seq((2, "b", "keep2"), (4, "d", "new4")))
+  }
+
   test("compact rewrites into requested file count, same data") {
     val store = freshStore()
     store.overwrite("t4", spark.range(1000).toDF("id").repartition(8))
