@@ -135,6 +135,29 @@ object StreamingQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Stream-stream interval join (conversion attribution): views paired
+    * with the same user's purchases within 30 minutes. The streaming
+    * execution — two watermarked filters of one file-source stream,
+    * self-joined with the event-time range bounding the state store — is
+    * pinned stream ≡ batch in EventStreamsSpec; the oracle pins the
+    * interval-join semantics in exact epoch microseconds.
+    */
+  val stream_interval_join = OpQuery(
+    "stream_interval_join",
+    """WITH v AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'view'
+      |), p AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+      |       CAST(p.us - v.us AS BIGINT) AS usecs_between
+      |FROM v JOIN p ON v.user_id = p.user_id
+      |  AND p.us >= v.us AND p.us <= v.us + CAST(1800 AS BIGINT) * 1000000
+      |ORDER BY view_id, purchase_id""".stripMargin) { (spark, dir) =>
+    EventStreams.attributedConversions(events(spark, dir), "30 minutes")
+      .orderBy(col("view_id"), col("purchase_id"))
+  }
+
   /** Declarative data-quality expectations (DLT expect analog): every
     * event annotated with its violated expectation names in one map-side
     * pass — no per-rule re-scan. Valid/quarantine split and observe()
@@ -180,5 +203,6 @@ object StreamingQueries {
 
   val all: Seq[OpQuery] = Seq(
     stream_window_agg, stream_sliding_window, stream_session_agg,
-    stream_session_window, stream_dedup, stream_enrich, dq_expectations, f_json)
+    stream_session_window, stream_dedup, stream_enrich, stream_interval_join,
+    dq_expectations, f_json)
 }

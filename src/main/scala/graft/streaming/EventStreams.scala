@@ -65,6 +65,51 @@ object EventStreams {
   def sessionWindowsStream(events: DataFrame, gap: String, watermark: String): DataFrame =
     sessionWindows(events.withWatermark("ts", watermark), gap)
 
+  /** Stream-stream interval join (conversion attribution): each left
+    * event pairs with the same user's right events inside
+    * `[l.ts, l.ts + horizon]`. In streaming BOTH sides carry watermarks
+    * and the time-range predicate bounds the state store — Spark derives
+    * how long each side must be retained from the interval condition, so
+    * state is O(events inside the horizon), not unbounded. Latency is
+    * emitted in exact microseconds (BIGINT) for oracle parity.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, horizon: String): DataFrame =
+    left.alias("l").join(
+        right.alias("r"),
+        col("l.user_id") === col("r.user_id") &&
+          col("r.ts") >= col("l.ts") &&
+          col("r.ts") <= col("l.ts") + expr(s"INTERVAL $horizon"),
+        "inner")
+      .select(
+        col("l.event_id").as("left_id"),
+        col("r.event_id").as("right_id"),
+        col("l.user_id").as("user_id"),
+        (unix_micros(col("r.ts")) - unix_micros(col("l.ts"))).as("usecs_between"))
+
+  /** The attribution shape over the events table: views joined to the
+    * same user's purchases within the horizon.
+    */
+  def attributedConversions(events: DataFrame, horizon: String): DataFrame =
+    intervalJoin(
+      events.filter(col("event_type") === "view"),
+      events.filter(col("event_type") === "purchase"),
+      horizon)
+      .withColumnRenamed("left_id", "view_id")
+      .withColumnRenamed("right_id", "purchase_id")
+
+  /** Streaming twin: two watermarked streams (usually two filters of one
+    * source stream — a genuine stream-stream self-join).
+    */
+  def attributedConversionsStream(
+      viewStream: DataFrame, purchaseStream: DataFrame,
+      horizon: String, watermark: String): DataFrame =
+    intervalJoin(
+      viewStream.withWatermark("ts", watermark),
+      purchaseStream.withWatermark("ts", watermark),
+      horizon)
+      .withColumnRenamed("left_id", "view_id")
+      .withColumnRenamed("right_id", "purchase_id")
+
   /** Batch-shadow sessionization via lag + running count — the exact
     * relational statement of the session_window semantics, and the form
     * a SQL oracle can replicate: a session starts where the gap from the

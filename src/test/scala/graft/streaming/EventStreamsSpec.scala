@@ -125,6 +125,30 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval self-join converges to the batch interval join") {
+    val events = Tables.load(spark, sf, "events")
+    val batch = attributedConversions(events, "30 minutes")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+
+    // a genuine stream-stream self-join: one file source, filtered into
+    // two watermarked sides, joined with the event-time range condition
+    val src = readEventStream(spark, sf)
+    val q = attributedConversionsStream(
+        src.filter(col("event_type") === "view"),
+        src.filter(col("event_type") === "purchase"),
+        horizon = "30 minutes", watermark = "2 hours")
+      .writeStream.format("memory").queryName("conversions")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("conversions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(streamed == batch,
+        s"stream paired ${streamed.size} conversions, batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join converges to the batch join") {
     val users = Tables.load(spark, sf, "customer")
       .select(col("c_custkey").as("user_key"), col("c_mktsegment").as("user_segment"))
