@@ -65,6 +65,37 @@ object Sampling {
       .select(col(groupCol), col("__hit.corpus_id").as(idCol))
   }
 
+  /** Domain-mixture resampling: downsample each domain toward a target
+    * row count so the kept corpus approaches a prescribed mixture (the
+    * "20% code, 40% web, ..." knob every pretraining data pipeline
+    * ends with). Per-domain counts are aggregated first (a domain-sized
+    * result — safe to collect), each domain gets a hash threshold
+    * `ceil(target/count · RES)`, and a row survives iff its salted
+    * md5 bucket clears its domain's threshold. Content-stable like
+    * every sampler here: membership survives repartitioning and reruns,
+    * and the kept count concentrates tightly around the target
+    * (binomial, not exact-k — use [[uniformPerGroup]] when a hard cap
+    * matters more than one-pass scalability). Domains absent from
+    * `targetRows` keep nothing; targets above the domain's count keep
+    * the whole domain.
+    */
+  def mixtureSample(
+      df: DataFrame, idCol: String, domainCol: String,
+      targetRows: Map[String, Long], salt: String = ""): DataFrame = {
+    val res = 1000000
+    val counts = df.groupBy(col(domainCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val threshold = targetRows.foldLeft(lit(0L): Column) {
+      case (acc, (domain, tgt)) =>
+        val n = counts.getOrElse(domain, 0L)
+        val thr = if (n == 0L) 0L else math.min(res.toLong, (tgt * res + n - 1) / n)
+        when(col(domainCol) === domain, lit(thr)).otherwise(acc)
+    }
+    df.filter(
+      hashBucket(concat(col(idCol).cast("string"), lit("|"), col(domainCol)), res, salt)
+        < threshold)
+  }
+
   /** Deterministic per-stratum sampling: keep a row iff its hash bucket
     * (salted per stratum) falls under the stratum's percent — the
     * content-stable `sampleBy`.

@@ -517,9 +517,43 @@ object ScaleOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Domain-mixture resampling: rebalance the corpus toward target rows
+    * per language (en is downsampled hardest). The oracle recomputes the
+    * per-domain counts, the ceil'd hash thresholds, and the salted md5
+    * bucket arithmetic exactly, so membership — not just counts — is
+    * pinned.
+    */
+  val mixture_sample = OpQuery(
+    "mixture_sample",
+    """WITH counts AS (
+      |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+      |), thr AS (
+      |  SELECT lang,
+      |         LEAST(CAST(1000000 AS BIGINT),
+      |               (tgt * 1000000 + n - 1) // n) AS t
+      |  FROM (
+      |    SELECT lang, n,
+      |           CAST(CASE lang WHEN 'en' THEN 100 WHEN 'es' THEN 50
+      |                WHEN 'de' THEN 50 WHEN 'fr' THEN 50 WHEN 'zh' THEN 50
+      |                ELSE 0 END AS BIGINT) AS tgt
+      |    FROM counts)
+      |)
+      |SELECT d.doc_id, d.lang
+      |FROM documents d JOIN thr ON d.lang = thr.lang
+      |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|' || d.lang), 1, 8)) AS BIGINT)
+      |        % 1000000 < thr.t
+      |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+    graft.operators.Sampling.mixtureSample(
+        t(spark, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang",
+        targetRows = Map("en" -> 100L, "es" -> 50L, "de" -> 50L,
+          "fr" -> 50L, "zh" -> 50L))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[OpQuery] = Seq(
     dedup_exact, dedup_ngram_jaccard, dedup_clusters, dedup_corpus,
-    freq_heavy_hitters, data_split, sample_per_group, pack_sequences,
+    freq_heavy_hitters, data_split, mixture_sample, sample_per_group, pack_sequences,
     text_analysis, text_lang_id, text_tfidf, text_redact,
     sim_topk_bruteforce, sim_neardup_embedding,
     dedup_minhash_lsh, dedup_simhash, sim_ivf_topk, sim_topk_quantized)

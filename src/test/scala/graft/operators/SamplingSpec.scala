@@ -49,6 +49,35 @@ class SamplingSpec extends SparkSpec {
       sampled.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("mixtureSample: kept counts approach targets, membership layout-stable") {
+    val docs = Tables.load(spark, sf, "documents").select($"doc_id", $"lang")
+    val targets = Map("en" -> 100L, "es" -> 50L, "de" -> 50L, "fr" -> 50L, "zh" -> 50L)
+    val kept = Sampling.mixtureSample(docs, "doc_id", "lang", targets)
+    val byLang = kept.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    targets.foreach { case (lang, tgt) =>
+      val n = byLang.getOrElse(lang, 0L)
+      val avail = totals(lang)
+      if (tgt >= avail) assert(n == avail, s"$lang should keep everything")
+      else {
+        // binomial concentration: within 4 sigma of the target
+        val sigma = math.sqrt(tgt.toDouble)
+        assert(math.abs(n - tgt) <= 4 * sigma + 1,
+          s"$lang kept $n, target $tgt (avail $avail)")
+      }
+    }
+    // stability: same membership on a different layout
+    val again = Sampling.mixtureSample(docs.repartition(17), "doc_id", "lang", targets)
+    assert(again.select("doc_id").as[Long].collect().toSet ==
+      kept.select("doc_id").as[Long].collect().toSet)
+    // a domain with no target keeps nothing; an oversized target keeps all
+    val only = Sampling.mixtureSample(docs, "doc_id", "lang", Map("en" -> 100000L))
+    assert(only.select("lang").distinct().as[String].collect().toSeq == Seq("en"))
+    assert(only.count() == totals("en"))
+  }
+
   test("uniformPerGroup: exactly k per big group, layout-invariant, no window") {
     val events = Tables.load(spark, sf, "events")
     def ids(parts: Int): Map[Long, Set[Long]] =
