@@ -200,6 +200,70 @@ object Similarity {
     topKPerGroup(scored, col("query_id"), k)
   }
 
+  /** Random-hyperplane LSH (signed random projections): `numTables`
+    * independent hash tables of `bitsPerTable` sign bits each. Two unit
+    * vectors collide in one table with probability
+    * `(1 - θ/π)^bitsPerTable` — near-dups (small angle θ) collide in
+    * SOME table with high probability once a few tables are used, while
+    * far pairs almost never do. This is the embedding-side scale path
+    * the n² join can't be: bucketing is map-only (numTables ×
+    * bitsPerTable codegen'd dot products per vector), candidates come
+    * from same-bucket joins, and only candidates pay an exact rescore.
+    * Hyperplanes are seeded driver-side and broadcast as literals, so
+    * the whole operator is deterministic and layout-invariant.
+    *
+    * Output: (idCol, lsh_table, lsh_bucket) — one row per (vector,
+    * table).
+    */
+  def lshBuckets(
+      corpus: DataFrame, numTables: Int, bitsPerTable: Int, dim: Int,
+      seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(bitsPerTable <= 62, "bucket ids are packed into one long")
+    VectorExprs.register(corpus.sparkSession)
+    val rng = new scala.util.Random(seed)
+    // Gaussian hyperplanes: rotation-invariant collision probabilities
+    val planes = Array.fill(numTables, bitsPerTable)(
+      Array.fill(dim)(rng.nextGaussian()))
+    val unit = normalize(col(vecCol))
+    val tables = (0 until numTables).map { t =>
+      val bucket = (0 until bitsPerTable).map { j =>
+        when(VectorExprs.vecDot(unit, typedLit(planes(t)(j).toSeq)) > 0d,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("lsh_table"), bucket.as("lsh_bucket"))
+    }
+    corpus.select(col(idCol), explode(array(tables: _*)).as("tb"))
+      .select(col(idCol), col("tb.lsh_table"), col("tb.lsh_bucket"))
+  }
+
+  /** LSH near-dup pairs: candidates share a bucket in ANY table, then
+    * pay one exact cosine rescore — found pairs are always a subset of
+    * the brute-force pairs (precision 1.0 after rescoring; recall pinned
+    * in SimilaritySpec and monotone in numTables).
+    */
+  def lshNearDups(
+      corpus: DataFrame, threshold: Double,
+      numTables: Int = 8, bitsPerTable: Int = 12,
+      seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val buckets = lshBuckets(corpus, numTables, bitsPerTable, dim, seed, idCol, vecCol)
+    val a = buckets.select(col("lsh_table"), col("lsh_bucket"), col(idCol).as("id1"))
+    val b = buckets.select(col("lsh_table"), col("lsh_bucket"), col(idCol).as("id2"))
+    val candidates = a.join(b, Seq("lsh_table", "lsh_bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
+    val unit = corpus.select(col(idCol), normalize(col(vecCol)).as(vecCol))
+    candidates
+      .join(unit.select(col(idCol).as("id1"), col(vecCol).as("v1")), Seq("id1"))
+      .join(unit.select(col(idCol).as("id2"), col(vecCol).as("v2")), Seq("id2"))
+      .withColumn("score", VectorExprs.vecDot(col("v1"), col("v2")))
+      .filter(col("score") >= threshold)
+      .select("id1", "id2", "score")
+  }
+
   /** Embedding near-dup pairs: all pairs with cosine ≥ threshold.
     * Brute-force n² variant for ground truth; the scale path buckets by
     * IVF cell (near-dups share cells with high probability) — see

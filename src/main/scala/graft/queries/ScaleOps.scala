@@ -262,6 +262,22 @@ object ScaleOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Random-hyperplane LSH near-dups (rows-only: seeded-Gaussian sign
+    * bits aren't DuckDB-expressible; found ⊆ exact and recall vs the
+    * brute-force pairs pinned in SimilaritySpec). Tuning: the corpus's
+    * near-dup band sits at cosine ≈ 0.45-0.6 (θ ≈ 55-63°, per-bit
+    * collision ≈ 0.65), so 6-bit tables collide true pairs at ≈ 7% each
+    * and 32 tables lift recall past 0.9 while keeping 64 buckets/table
+    * of candidate granularity.
+    */
+  val sim_lsh_neardup = OpQuery.noOracle("sim_lsh_neardup") { (spark, dir) =>
+    Similarity.lshNearDups(
+        t(spark, dir, "embeddings"), threshold = 0.45,
+        numTables = 32, bitsPerTable = 6)
+      .withColumn("score", round(col("score"), 6).cast("double"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** int8-quantized top-k (rows-only; recall ≥ 0.9 of exact plus the
     * quantization error bounds pinned in QuantizeSpec).
     */
@@ -556,5 +572,6 @@ object ScaleOps {
     freq_heavy_hitters, data_split, mixture_sample, sample_per_group, pack_sequences,
     text_analysis, text_lang_id, text_tfidf, text_redact,
     sim_topk_bruteforce, sim_neardup_embedding,
-    dedup_minhash_lsh, dedup_simhash, sim_ivf_topk, sim_topk_quantized)
+    dedup_minhash_lsh, dedup_simhash, sim_ivf_topk, sim_topk_quantized,
+    sim_lsh_neardup)
 }

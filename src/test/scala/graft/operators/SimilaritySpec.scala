@@ -95,6 +95,26 @@ class SimilaritySpec extends SparkSpec {
     assert(rRefined >= rSeeded - 0.1, s"seeded=$rSeeded refined=$rRefined")
   }
 
+  test("LSH near-dups: subset of exact pairs, recall >= 0.7, monotone in tables") {
+    // sf0.01: 500 vectors, 14 true pairs at cosine >= 0.45 — enough signal
+    val emb01 = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val exact = Similarity.bruteForceNearDups(emb01, 0.45)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    def found(tables: Int): Set[(Long, Long)] =
+      Similarity.lshNearDups(emb01, 0.45, numTables = tables, bitsPerTable = 6)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val lsh32 = found(32)
+    assert(lsh32.subsetOf(exact), "rescored LSH pairs must be exact near-dups")
+    val recall = lsh32.size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall: ${lsh32.size}/${exact.size}")
+    // more tables can only add candidate pairs (same seed ⇒ tables are a prefix)
+    assert(found(8).subsetOf(lsh32))
+    // determinism across layouts
+    assert(Similarity.lshNearDups(emb01.repartition(13), 0.45, 32, 6)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet == lsh32)
+  }
+
   test("cell-bucketed near-dups subset of brute-force near-dups") {
     val exact = Similarity.bruteForceNearDups(emb, 0.4)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
