@@ -240,7 +240,83 @@ object Dedup {
     * standard large-graph CC algorithm used when a graph engine isn't
     * worth the dependency.)
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+      localThreshold: Long = 1000000L): DataFrame = {
+    // Adaptive strategy, same logic as broadcast-vs-shuffle joins: the
+    // pair graph of a near-dup pass is corpus-TINY (edges ≈ duplicate
+    // pairs, not rows), so when it fits comfortably on the driver solve
+    // union-find locally — one collect, zero iterative rounds — and
+    // reserve the distributed pointer-jumping (several shuffle rounds of
+    // fixed scheduling cost each) for graphs that genuinely need a
+    // cluster. Both paths produce identical min-label components (the
+    // randomized oracle in DedupSpec exercises both).
+    val idType = pairs.schema("id1").dataType
+    val integral = idType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    if (integral) {
+      // materialize once; reused by whichever path runs
+      val edges0 = pairs
+        .select(col("id1").cast("long").as("src"), col("id2").cast("long").as("dst"))
+        .localCheckpoint(true)
+      if (edges0.count() <= localThreshold) return localComponents(edges0, idType)
+      return distributedComponents(
+        edges0.unionByName(edges0.select(col("dst").as("src"), col("src").as("dst")))
+          .repartition(col("dst")).localCheckpoint(true),
+        maxIter)
+        .select(col("node").cast(idType).as("node"),
+          col("component").cast(idType).as("component"))
+    }
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .repartition(col("dst"))
+      .localCheckpoint(true)
+    distributedComponents(edges, maxIter)
+  }
+
+  /** Driver-side union-find (path compression + union by rank), min
+    * member elected per root afterwards — exactly the min-label
+    * transitive closure the distributed rounds converge to.
+    */
+  private def localComponents(
+      edges: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    val rank = scala.collection.mutable.HashMap.empty[Long, Int]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        val (qa, qb) = (rank.getOrElse(ra, 0), rank.getOrElse(rb, 0))
+        if (qa < qb) parent(ra) = rb
+        else if (qa > qb) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) = qa + 1 }
+      }
+    }
+    val nodes = (es.iterator.map(_._1) ++ es.iterator.map(_._2)).toArray.distinct
+    val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
+    nodes.foreach { n =>
+      val r = find(n)
+      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, Long.MaxValue), n)
+    }
+    nodes.toSeq.map(n => (n, minOfRoot(find(n)))).toDF("node", "component")
+      .select(col("node").cast(idType).as("node"),
+        col("component").cast(idType).as("component"))
+  }
+
+  private def distributedComponents(edges: DataFrame, maxIter: Int): DataFrame = {
     // iterative Spark essentials: localCheckpoint every round truncates
     // the lineage (otherwise each iteration's plan contains all previous
     // joins and analysis/AQE time grows without bound). Each round is ONE
@@ -252,12 +328,9 @@ object Dedup {
     // (much smaller) label frame, never the edge list.
     // no distinct(): min-label propagation is idempotent to duplicate
     // edges (they only add shuffle volume, never wrong labels), so the
-    // symmetrized list skips a full dedup shuffle. The one shuffle here
-    // keys edges by dst so every round's join reuses the partitioning.
-    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-      .repartition(col("dst"))
-      .localCheckpoint(true)
+    // symmetrized list skips a full dedup shuffle. The one shuffle on
+    // entry keys edges by dst so every round's join reuses the
+    // partitioning (callers pass the symmetrized, dst-keyed edge list).
     // round 0 folded into initialization: with identity labels the first
     // propagation is just min(node, min(neighbors)) — one aggregate over
     // edges, no join and no separate identity-label build

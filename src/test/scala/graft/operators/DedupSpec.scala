@@ -98,10 +98,18 @@ class DedupSpec extends SparkSpec {
       // component label = min node id = the root under min-keeping unions
       val expected = nodes.map(n => n -> find(n)).toMap
 
-      val got = Dedup.connectedComponents(edges.toDF("id1", "id2"))
+      // both strategies must agree with the oracle: the driver-local
+      // union-find (default for small graphs) AND the distributed
+      // pointer-jumping (forced via localThreshold = 0)
+      val local = Dedup.connectedComponents(edges.toDF("id1", "id2"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == expected,
-        s"seed $seed: ${got.toSet.diff(expected.toSet).take(5)} vs expected")
+      assert(local == expected,
+        s"seed $seed local: ${local.toSet.diff(expected.toSet).take(5)} vs expected")
+      val dist = Dedup.connectedComponents(
+          edges.toDF("id1", "id2"), localThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == expected,
+        s"seed $seed distributed: ${dist.toSet.diff(expected.toSet).take(5)} vs expected")
     }
   }
 
