@@ -34,6 +34,8 @@ object VectorExprs {
       "vec_q8", exprs => VectorQuantize(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "vec_dot_q8", exprs => VectorDotQ8(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "lsh_sig", exprs => LshSignature(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 
   /** Column-API entry points; callers must have invoked [[register]] on
@@ -60,6 +62,18 @@ object VectorExprs {
 
   /** Approximate dot product of two [[vecQ8]]-quantized vectors. */
   def vecDotQ8(a: Column, b: Column): Column = call_function("vec_dot_q8", a, b)
+
+  /** All random-hyperplane LSH table signatures in one pass:
+    * `lsh_sig(vec, flatPlanes, bitsPerTable)` → `array<long>` with one
+    * packed sign-bit bucket per table. `flatPlanes` is the plane-major
+    * flattened hyperplane matrix (a foldable literal — codegen embeds it
+    * ONCE as a reference object, never as N inline array literals, which
+    * is the difference between a 200-byte loop and a megamethod janino
+    * spends seconds on). Note signs are scale-invariant, so the input
+    * vector needs no normalization.
+    */
+  def lshSig(vec: Column, flatPlanes: Column, bitsPerTable: Column): Column =
+    call_function("lsh_sig", vec, flatPlanes, bitsPerTable)
 
   /** Cosine with a zero-norm guard: 0/0 would be NaN, and Spark orders
     * NaN ABOVE every real double — an all-zero embedding (padding or a
@@ -232,6 +246,60 @@ case class VectorNormalize(child: Expression)
     copy(child = newChild)
 }
 
+/** lsh_sig(vec, flatPlanes, bitsPerTable): every LSH table's packed
+  * sign-bit bucket in one pass over the hyperplane matrix.
+  *
+  * `planes` must be a foldable array<double> literal (the plane-major
+  * flattened matrix, length = numPlanes × dim) and `bits` a foldable int
+  * literal; both are evaluated once at plan time and handed to codegen
+  * as a single reference object — the generated code is one tight
+  * dot-product loop, independent of numPlanes.
+  */
+case class LshSignature(vec: Expression, planes: Expression, bits: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with VectorExprHelpers {
+
+  override def first: Expression = vec
+  override def second: Expression = planes
+  override def third: Expression = bits
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkArrayOfNumeric(vec, "vec") match {
+      case TypeCheckResult.TypeCheckSuccess =>
+        if (!planes.foldable || planes.dataType != ArrayType(DoubleType, false) &&
+            planes.dataType != ArrayType(DoubleType, true))
+          TypeCheckResult.TypeCheckFailure(
+            "planes must be a foldable array<double> literal")
+        else if (!bits.foldable || bits.dataType != IntegerType)
+          TypeCheckResult.TypeCheckFailure("bits must be a foldable int literal")
+        else TypeCheckResult.TypeCheckSuccess
+      case f => f
+    }
+
+  @transient private lazy val flatPlanes: Array[Double] =
+    planes.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+  @transient private lazy val bitsPerTable: Int =
+    bits.eval(null).asInstanceOf[Int]
+
+  private def isFloat: Boolean = elementType(vec) == FloatType
+
+  override def nullSafeEval(v: Any, p: Any, b: Any): Any =
+    VectorQuant.lshSig(v.asInstanceOf[ArrayData], flatPlanes, bitsPerTable, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("lshPlanes", flatPlanes, "double[]")
+    nullSafeCodeGen(ctx, ev, (v, _, _) =>
+      s"""${ev.value} = graft.expressions.VectorQuant.lshSig(
+         |  $v, $planesRef, $bitsPerTable, $isFloat);""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): LshSignature =
+    copy(vec = f, planes = s, bits = t)
+}
+
 /** Static quantization kernels shared by interpreted eval AND generated
   * code (the codegen emits a single static call — identical arithmetic on
   * both paths by construction, pinned in QuantizeSpec anyway).
@@ -247,6 +315,34 @@ object VectorQuant {
 
   def normalizeFloat(v: ArrayData): ArrayData = normalizeImpl(v, isFloat = true)
   def normalizeDouble(v: ArrayData): ArrayData = normalizeImpl(v, isFloat = false)
+
+  /** All LSH sign-bit buckets in one pass: `flat` is the plane-major
+    * flattened hyperplane matrix; plane p spans
+    * `flat[p*dim .. p*dim+dim)`, its sign bit lands in table `p/bits`
+    * at position `p%bits`. Null elements contribute 0 (their
+    * [[VectorDot]] convention).
+    */
+  def lshSig(v: ArrayData, flat: Array[Double], bits: Int, isFloat: Boolean): ArrayData = {
+    val dim = v.numElements()
+    val numPlanes = if (dim == 0) 0 else flat.length / dim
+    val out = new Array[Long](if (bits == 0) 0 else numPlanes / bits)
+    var p = 0
+    while (p < numPlanes) {
+      val off = p * dim
+      var acc = 0.0
+      var i = 0
+      while (i < dim) {
+        if (!v.isNullAt(i)) {
+          val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+          acc += x * flat(off + i)
+        }
+        i += 1
+      }
+      if (acc > 0) out(p / bits) |= 1L << (p % bits)
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 
   private def normalizeImpl(v: ArrayData, isFloat: Boolean): ArrayData = {
     val n = v.numElements()
