@@ -273,7 +273,85 @@ object Extended {
         col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
   }
 
+  /** UNPIVOT / melt — wide-to-long reshape (complements p9_pivot). */
+  val p10_unpivot = OpQuery(
+    "p10_unpivot",
+    """SELECT c_custkey, 'c_acctbal' AS metric, CAST(c_acctbal AS DOUBLE) AS value FROM customer
+      |UNION ALL
+      |SELECT c_custkey, 'c_nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+      |ORDER BY c_custkey, metric""".stripMargin) { (spark, dir) =>
+    t(spark, dir, "customer")
+      .select(col("c_custkey"),
+        col("c_acctbal").cast("double"), col("c_nationkey").cast("double"))
+      .unpivot(
+        ids = Array(col("c_custkey")),
+        values = Array(col("c_acctbal"), col("c_nationkey")),
+        variableColumnName = "metric", valueColumnName = "value")
+      .orderBy(col("c_custkey"), col("metric"))
+  }
+
+  /** RANGE window frames — value-based (not row-based) frame bounds:
+    * the trailing-2-year running sum includes every peer year in range,
+    * regardless of row ties, so it is deterministic where a ROWS frame
+    * over tied years would not be.
+    */
+  val w5_range_frames = OpQuery(
+    "w5_range_frames",
+    """SELECT o_orderkey,
+      |       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |         PARTITION BY o_custkey ORDER BY EXTRACT(year FROM o_orderdate)
+      |         RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE) AS two_year_total,
+      |       CAST(COUNT(*) OVER (
+      |         PARTITION BY o_custkey ORDER BY EXTRACT(year FROM o_orderdate)
+      |         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS orders_to_date,
+      |       CAST(ROUND(CUME_DIST() OVER (
+      |         PARTITION BY o_custkey ORDER BY EXTRACT(year FROM o_orderdate)), 6) AS DOUBLE) AS yr_cume_dist
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    val byYear = Window.partitionBy(col("o_custkey")).orderBy(year(col("o_orderdate")))
+    t(spark, dir, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("yr"),
+      sum(dec(col("o_totalprice")))
+        .over(byYear.rangeBetween(-1, Window.currentRow))
+        .cast("double").as("two_year_total"),
+      count(lit(1))
+        .over(byYear.rangeBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("orders_to_date"),
+      round(cume_dist().over(byYear), 6).cast("double").as("yr_cume_dist"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Explicit GROUPING SETS — arbitrary subtotal combinations beyond
+    * what ROLLUP/CUBE generate (the two one-dimension margins plus the
+    * grand total, but NOT the (status, priority) cross).
+    */
+  val a14_grouping_sets = OpQuery(
+    "a14_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+      |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (spark, dir) =>
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("graft_gs_orders")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM graft_gs_orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_priority,
+        |         o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
   val all: Seq[OpQuery] = Seq(
-    w4_window_family, a12_rollup, a13_cube, j11_set_ops, p9_pivot,
+    w4_window_family, w5_range_frames, a12_rollup, a13_cube, a14_grouping_sets,
+    j11_set_ops, p9_pivot, p10_unpivot,
     tpch_q3_shape, tpch_q4_shape, tpch_q5_shape, f_array_agg)
 }
