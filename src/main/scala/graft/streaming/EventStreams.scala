@@ -212,6 +212,63 @@ object EventStreams {
       }
   }
 
+  final case class UserProfile(
+      user_id: Long, n_events: Long, total_value: Double, type_counts: String)
+
+  /** Spark 4's `transformWithState` surface: one keyed processor holding
+    * MULTIPLE typed state variables — a ValueState for running totals
+    * plus a MapState of per-event-type counts — something
+    * mapGroupsWithState's single state object only emulates by packing
+    * everything into one blob (rewritten wholesale every batch, where
+    * MapState updates only the touched event-type entries in the state
+    * store). Emits the refreshed profile for each user seen in a batch
+    * (Update mode). Requires the RocksDB state store provider.
+    */
+  class UserProfileProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserProfile] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{MapState, TimeMode, TTLConfig, TimerValues, ValueState}
+
+    @transient private var totals: ValueState[UserRunningState] = _
+    @transient private var perType: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      totals = getHandle.getValueState[UserRunningState](
+        "totals", Encoders.product[UserRunningState], TTLConfig.NONE)
+      perType = getHandle.getMapState[String, Long](
+        "per_type", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        user: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[UserProfile] = {
+      var st = if (totals.exists()) totals.get() else UserRunningState(0L, 0.0)
+      rows.foreach { e =>
+        st = UserRunningState(st.nEvents + 1, st.totalValue + e.value)
+        val prev = if (perType.containsKey(e.event_type)) perType.getValue(e.event_type) else 0L
+        perType.updateValue(e.event_type, prev + 1)
+      }
+      totals.update(st)
+      val tc = perType.iterator()
+        .map { case (t, c) => s"$t:$c" }.toSeq.sorted.mkString(",")
+      Iterator.single(UserProfile(
+        user, st.nEvents, math.round(st.totalValue * 100).toDouble / 100, tc))
+    }
+  }
+
+  /** Per-user profiles via transformWithState (TimeMode.None, Update
+    * output). The converged result must equal the batch aggregation —
+    * pinned in EventStreamsSpec.
+    */
+  def userProfiles(events: Dataset[Event]): Dataset[UserProfile] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new UserProfileProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   final case class OpenSession(start: Long, end: Long, n: Long, value: Double)
   final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, session_value: Double)

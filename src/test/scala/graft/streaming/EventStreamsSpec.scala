@@ -224,4 +224,40 @@ class EventStreamsSpec extends SparkSpec {
       assert(last(8L) == ((1L, 10.0)))
     } finally q.stop()
   }
+
+  test("transformWithState: multi-variable keyed state accumulates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Event]
+      def ev(id: Long, user: Long, typ: String, v: Double) =
+        Event(id, Timestamp.valueOf("2024-01-01 00:00:00"), user, typ, v)
+      mem.addData(ev(1, 7, "click", 1.5), ev(2, 7, "view", 2.5), ev(3, 8, "click", 10.0))
+      mem.addData(ev(4, 7, "click", 6.0))
+
+      val q = userProfiles(mem.toDS())
+        .writeStream.format("memory").queryName("profiles")
+        .outputMode(OutputMode.Update())
+        .start()
+      try {
+        q.processAllAvailable()
+        // latest update per user: ValueState totals + MapState type counts
+        val last = spark.table("profiles")
+          .orderBy(desc("n_events")).collect()
+          .groupBy(_.getLong(0)).map { case (u, rs) =>
+            u -> (rs.head.getLong(1), rs.head.getDouble(2), rs.head.getString(3))
+          }
+        assert(last(7L) == ((3L, 10.0, "click:2,view:1")))
+        assert(last(8L) == ((1L, 10.0, "click:1")))
+      } finally q.stop()
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
