@@ -111,6 +111,42 @@ object TrainingDataOps {
     * per connected component. The oracle rebuilds the component graph
     * with a recursive CTE and elects the same min-id survivors.
     */
+  /** Corpus-trained bigram LM quality scoring (KenLM-style filter,
+    * relational form): add-one-smoothed mean bigram log-likelihood per
+    * document, model trained on the same corpus. The oracle replays
+    * tokenization, bigram extraction, both count tables, the vocabulary
+    * size, and the smoothed ln — documents under 2 tokens score NULL.
+    */
+  val text_lm_score = OpQuery(
+    "text_lm_score",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents
+      |), bg AS (
+      |  SELECT doc_id, t[u.i] AS w1, t[u.i + 1] AS w2
+      |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+      |  WHERE len(t) >= 2
+      |), cwp AS (
+      |  SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2
+      |), cw AS (
+      |  SELECT w1, SUM(c) AS cw FROM cwp GROUP BY 1
+      |), vocab AS (
+      |  SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM toks)
+      |)
+      |SELECT d.doc_id,
+      |       CAST(COUNT(b.w1) AS BIGINT) AS n_bigrams,
+      |       CAST(ROUND(AVG(LN((c + 1.0) / (cw + v))), 6) AS DOUBLE) AS lm_score
+      |FROM documents d
+      |LEFT JOIN bg b ON d.doc_id = b.doc_id
+      |LEFT JOIN cwp ON b.w1 = cwp.w1 AND b.w2 = cwp.w2
+      |LEFT JOIN cw ON b.w1 = cw.w1
+      |CROSS JOIN vocab
+      |GROUP BY d.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+    graft.operators.LanguageModel.scoreDocs(
+        t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   val semantic_dedup = OpQuery(
     "semantic_dedup",
     """WITH RECURSIVE half AS (
@@ -145,5 +181,6 @@ object TrainingDataOps {
   }
 
   def all: Seq[OpQuery] =
-    Seq(decontam_overlap, text_chunk, text_repetition, semantic_dedup)
+    Seq(decontam_overlap, text_chunk, text_repetition, text_lm_score,
+      semantic_dedup)
 }
