@@ -48,7 +48,9 @@ object Bench {
       "sim_topk_quantized", "sim_neardup_embedding", "text_analysis",
       "text_tfidf", "sample_per_group", "pack_sequences", "curation_e2e",
       "stream_window_agg", "stream_session_agg", "stream_dedup",
-      "mm_features", "freq_heavy_hitters")
+      "mm_features", "freq_heavy_hitters", "sim_lsh_neardup",
+      "text_lm_score", "mixture_sample", "stream_interval_join",
+      "s15_scd2_merge", "semantic_dedup", "decontam_overlap")
     val shown = results.toSeq
       .filter { case (k, v) => headline(k) || v >= 0.5 || v < 0 }
       .sortBy(_._1)
