@@ -350,8 +350,67 @@ object Extended {
         |         o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
   }
 
+  /** Statistical aggregates: sample stddev/variance, covariance, and
+    * Pearson correlation per group. Both engines accumulate central
+    * moments in double precision; results rounded to 6 decimals (the
+    * verified fp-parity bound for normalized stats) and 2 decimals for
+    * the magnitude-bearing stddev/variance.
+    */
+  val a15_stats = OpQuery(
+    "a15_stats",
+    """SELECT o_orderpriority,
+      |       CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(ROUND(stddev_samp(o_totalprice), 2) AS DOUBLE) AS sd_price,
+      |       CAST(ROUND(var_samp(o_totalprice), 2) AS DOUBLE) AS var_price,
+      |       CAST(ROUND(covar_samp(o_totalprice, o_custkey), 2) AS DOUBLE) AS cov_price_cust,
+      |       CAST(ROUND(corr(o_totalprice, o_custkey), 6) AS DOUBLE) AS corr_price_cust
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(stddev_samp(col("o_totalprice")), 2).cast("double").as("sd_price"),
+        round(var_samp(col("o_totalprice")), 2).cast("double").as("var_price"),
+        round(covar_samp(col("o_totalprice"), col("o_custkey")), 2)
+          .cast("double").as("cov_price_cust"),
+        round(corr(col("o_totalprice"), col("o_custkey")), 6)
+          .cast("double").as("corr_price_cust"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Exact interpolated percentiles (the non-approximate complement of
+    * a8_percentile): Spark `percentile()` ≡ DuckDB `quantile_cont` by
+    * definition (linear interpolation at rank p·(n-1)); values carried
+    * in exact cents so only the interpolation itself is floating-point,
+    * rounded at 4 decimals of a cent.
+    */
+  val a16_percentile_exact = OpQuery(
+    "a16_percentile_exact",
+    """WITH c AS (
+      |  SELECT c_nationkey, CAST(TRUNC(c_acctbal * 100) AS BIGINT) AS cents FROM customer
+      |)
+      |SELECT c_nationkey,
+      |       CAST(ROUND(quantile_cont(cents, 0.25), 4) AS DOUBLE) AS p25,
+      |       CAST(ROUND(quantile_cont(cents, 0.50), 4) AS DOUBLE) AS p50,
+      |       CAST(ROUND(quantile_cont(cents, 0.95), 4) AS DOUBLE) AS p95
+      |FROM c
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin) { (spark, dir) =>
+    t(spark, dir, "customer")
+      .select(col("c_nationkey"),
+        (col("c_acctbal") * 100).cast("long").as("cents"))
+      .groupBy(col("c_nationkey"))
+      .agg(
+        round(percentile(col("cents"), lit(0.25)), 4).cast("double").as("p25"),
+        round(percentile(col("cents"), lit(0.50)), 4).cast("double").as("p50"),
+        round(percentile(col("cents"), lit(0.95)), 4).cast("double").as("p95"))
+      .orderBy(col("c_nationkey"))
+  }
+
   val all: Seq[OpQuery] = Seq(
     w4_window_family, w5_range_frames, a12_rollup, a13_cube, a14_grouping_sets,
-    j11_set_ops, p9_pivot, p10_unpivot,
+    a15_stats, a16_percentile_exact, j11_set_ops, p9_pivot, p10_unpivot,
     tpch_q3_shape, tpch_q4_shape, tpch_q5_shape, f_array_agg)
 }
