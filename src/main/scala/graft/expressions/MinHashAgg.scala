@@ -35,15 +35,112 @@ object MinHashAgg {
       math.abs(rnd.nextLong()) % Prime))
   }
 
-  def register(spark: SparkSession): Unit =
+  /** Flattened [a0,b0,a1,b1,...] layout for the scalar kernel. */
+  def flatCoefficients(k: Int): Array[Long] =
+    coefficients(k).flatMap { case (a, b) => Array(a, b) }
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig",
       exprs => MinHashAggregate(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig_arr",
+      exprs => MinHashArraySignature(exprs(0), exprs(1)),
+      "built-in")
+  }
 
   /** minhash_sig(tokenHash, k) → array<bigint> of length k. */
   def minhashSig(tokenHash: Column, k: Int): Column =
     call_function("minhash_sig", tokenHash, org.apache.spark.sql.functions.lit(k))
+
+  /** minhash_sig_arr(tokens, k) — the whole signature from a token array
+    * in one map-side pass (no explode, no shuffle).
+    */
+  def minhashSigArr(tokens: Column, k: Int): Column =
+    call_function("minhash_sig_arr", tokens, org.apache.spark.sql.functions.lit(k))
+
+  /** Shared kernel: bit-identical to feeding
+    * `abs(xxhash64(token))` rows through [[MinHashAggregate]] —
+    * equivalence spec-pinned in DedupSpec.
+    */
+  def signatureOf(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      flat: Array[Long], k: Int): GenericArrayData = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = toks.numElements()
+    var t = 0
+    while (t < n) {
+      if (!toks.isNullAt(t)) {
+        val th = math.abs(
+          org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(toks.getUTF8String(t), StringType, 42L))
+        val x = java.lang.Math.floorMod(th, Prime)
+        var i = 0
+        while (i < k) {
+          val h = (flat(2 * i) * x + flat(2 * i + 1)) % Prime
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      t += 1
+    }
+    var i = 0
+    while (i < k) { if (sig(i) == Long.MaxValue) sig(i) = 0L; i += 1 }
+    new GenericArrayData(sig)
+  }
+}
+
+/** Scalar MinHash: `minhash_sig_arr(tokens, k)` → `array<bigint>`. The
+  * aggregate form shuffles one exploded row per (doc, token); this
+  * computes the identical signature inside the scan projection — zero
+  * shuffle, and the per-token inner loop is the same tight k-step mix.
+  * Null token arrays yield null (the explode form simply dropped those
+  * docs — callers filter).
+  */
+case class MinHashArraySignature(toks: Expression, kExpr: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = toks
+  override def right: Expression = kExpr
+
+  private lazy val k: Int = {
+    val v = kExpr match {
+      case Literal(value: Int, IntegerType) => value
+      case other => Option(other.eval()).map(_.asInstanceOf[Int]).getOrElse(0)
+    }
+    require(v > 0, s"minhash_sig_arr k must be a positive integer literal, got $v")
+    v
+  }
+  @transient private lazy val flat: Array[Long] = MinHashAgg.flatCoefficients(k)
+
+  override def nullable: Boolean = toks.nullable
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (toks.dataType, kExpr.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) if kExpr.foldable =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (c, kt) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig_arr expects (ARRAY<STRING>, foldable INT), got (${c.sql}, ${kt.sql})")
+    }
+
+  override def nullSafeEval(t: Any, kv: Any): Any =
+    MinHashAgg.signatureOf(
+      t.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], flat, k)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val flatRef = ctx.addReferenceObj("minhashCoeffs", flat, "long[]")
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"${ev.value} = graft.expressions.MinHashAgg.signatureOf($t, $flatRef, $k);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinHashArraySignature =
+    copy(toks = newLeft, kExpr = newRight)
 }
 
 case class MinHashAggregate(

@@ -119,12 +119,16 @@ object Dedup {
     */
   def signatureFromUnits(tokenSets: DataFrame, numHashes: Int): DataFrame = {
     graft.expressions.MinHashAgg.register(tokenSets.sparkSession)
-    tokenSets.select(
+    // map-side scalar form: the whole signature inside the scan
+    // projection, ZERO shuffle — bit-identical to exploding tokens
+    // through the MinHashAggregate (equivalence spec-pinned in
+    // DedupSpec); the aggregate form remains for token streams that
+    // arrive as rows rather than arrays
+    tokenSets
+      .filter(col("toks").isNotNull)
+      .select(
         col("doc_id"),
-        explode(col("toks")).as("tok"))
-      .withColumn("th", abs(xxhash64(col("tok"))))
-      .groupBy("doc_id")
-      .agg(graft.expressions.MinHashAgg.minhashSig(col("th"), numHashes).as("sig"))
+        graft.expressions.MinHashAgg.minhashSigArr(col("toks"), numHashes).as("sig"))
   }
 
   /** LSH banding: split the signature array into `bands` slices, hash

@@ -40,6 +40,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("scalar minhash signature == aggregate minhash signature, bit for bit") {
+    graft.expressions.MinHashAgg.register(spark)
+    val tokenSets = docs.select($"doc_id",
+      graft.functions.TextFunctions.distinctTokens($"text").as("toks"))
+    // the retired explode+aggregate pipeline, stated inline
+    val viaAgg = tokenSets
+      .select($"doc_id", explode($"toks").as("tok"))
+      .withColumn("th", abs(xxhash64($"tok")))
+      .groupBy("doc_id")
+      .agg(graft.expressions.MinHashAgg.minhashSig($"th", 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val viaScalar = Dedup.signatureFromUnits(tokenSets, 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    assert(viaScalar == viaAgg)
+    // and the scalar path computes inside the scan: no Exchange at all
+    val plan = Dedup.signatureFromUnits(tokenSets, 32)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"signature plan shuffles:\n$plan")
+  }
+
   test("minhash signature approximates jaccard") {
     val subset = docs.filter($"doc_id" < 60)
     val sigs = Dedup.minHashSignature(subset, "doc_id", "text", numHashes = 64)
