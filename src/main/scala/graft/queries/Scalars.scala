@@ -406,8 +406,68 @@ object Scalars {
       .orderBy(col("doc_id"))
   }
 
+  /** Generator (table-valued) functions: posexplode with position,
+    * explode over a computed array, and inline-style struct expansion —
+    * one row per (doc, token index) with the token and a derived field.
+    */
+  val f_generator = OpQuery(
+    "f_generator",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents WHERE doc_id % 50 = 0
+      |)
+      |SELECT doc_id,
+      |       CAST(u.i - 1 AS INT) AS pos,
+      |       t[u.i] AS tok,
+      |       CAST(length(t[u.i]) AS INT) AS tok_len
+      |FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+      |ORDER BY doc_id, pos""".stripMargin) { (spark, dir) =>
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    graft.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"), col("tok"),
+        length(col("tok")).as("tok_len"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  /** Array set algebra: union / intersect / except between the token
+    * sets of adjacent documents, canonicalized by sort (the two engines
+    * order set results differently, the CONTENT is the contract).
+    */
+  val f_array_setops = OpQuery(
+    "f_array_setops",
+    """WITH pairs AS (
+      |  SELECT a.doc_id,
+      |         regexp_split_to_array(lower(trim(a.text)), '\s+') AS ta,
+      |         regexp_split_to_array(lower(trim(b.text)), '\s+') AS tb
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |  WHERE a.doc_id % 25 = 0
+      |)
+      |SELECT doc_id,
+      |       coalesce(array_to_string(list_sort(list_distinct(list_cat(ta, tb))), ','), '') AS u,
+      |       coalesce(array_to_string(list_sort(list_intersect(ta, tb)), ','), '') AS i,
+      |       coalesce(array_to_string(list_sort(list_filter(list_distinct(ta),
+      |         t -> NOT list_contains(tb, t))), ','), '') AS d
+      |FROM pairs
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = graft.Tables.load(spark, dir, "documents")
+    def toks(c: Column) = split(lower(trim(c)), "\\s+")
+    val a = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"), toks(col("text")).as("ta"))
+    val b = docs.select((col("doc_id") - 1).as("doc_id"), toks(col("text")).as("tb"))
+    a.join(b, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        array_join(array_sort(array_union(col("ta"), col("tb"))), ",").as("u"),
+        array_join(array_sort(array_intersect(col("ta"), col("tb"))), ",").as("i"),
+        array_join(array_sort(array_except(col("ta"), col("tb"))), ",").as("d"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[OpQuery] = Seq(
     f_string, f_conditional, f_math, f_datetime, f_higher_order,
+    f_generator, f_array_setops,
     d1_time_roundtrip, d3_natural_key, d4_surrogate_key, d10_division_parse,
     d_silver_semantics)
 }
