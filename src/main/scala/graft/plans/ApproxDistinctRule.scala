@@ -51,5 +51,6 @@ object ApproxDistinctRule extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ApproxDistinctRule)
+    ext.injectPlannerStrategy(_ => IntervalJoinStrategy)
   }
 }
