@@ -291,6 +291,56 @@ final class TableStore(val spark: SparkSession, val root: String,
     nDeleted
   }
 
+  /** UPDATE ... SET analog: rewrite rows where `cond` is TRUE with the
+    * given assignments, as a new versioned generation. SQL semantics:
+    * every assignment sees the row's OLD values (one atomic select, not
+    * sequential withColumn), NULL conditions keep the row unchanged, and
+    * assigned values are cast back to the column's existing type so the
+    * schema never drifts. Partition-aligned like [[deleteWhere]]: only
+    * partitions containing matches are rewritten (updates never empty a
+    * partition, so the aligned path is always safe on one partition
+    * column — as long as the partition column itself is not assigned).
+    * Returns rows updated.
+    */
+  def updateWhere(
+      table: String,
+      cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, when}
+    val parts = partitionColumns(table)
+    val before = read(table)
+    val unknown = set.keySet.diff(before.columns.toSet)
+    require(unknown.isEmpty, s"UPDATE assigns unknown columns: ${unknown.mkString(",")}")
+    require(!set.keySet.exists(parts.contains),
+      "assigning a partition column moves rows across partitions — use overwrite")
+    val hit = coalesce(cond, lit(false))
+    val nUpdated = before.filter(hit).count()
+    if (nUpdated == 0) return 0L
+    def applied(df: DataFrame): DataFrame = {
+      val cols = df.columns.map { c =>
+        set.get(c) match {
+          case Some(v) =>
+            when(hit, v.cast(before.schema(c).dataType)).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }
+      df.select(cols.toSeq: _*)
+    }
+    if (parts.size == 1) {
+      val pc = parts.head
+      val values = before.filter(hit).select(col(pc)).distinct()
+        .collect().map(_.get(0)).toSeq.filterNot(_ == null)
+      if (values.nonEmpty)
+        overwritePartitions(table,
+          applied(before.filter(col(pc).isInCollection(values))), pc, values)
+      else // matches only in null-valued partitions: full swap
+        overwrite(table, applied(before), partitionBy = parts)
+    } else {
+      overwrite(table, applied(before), partitionBy = parts)
+    }
+    nUpdated
+  }
+
   /** RESTORE TABLE ... TO VERSION analog: make generation `asOf` the new
     * CURRENT generation. Delta semantics — restore is itself a new
     * generation (the pre-restore state stays readable in history), never

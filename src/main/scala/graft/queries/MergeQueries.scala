@@ -183,6 +183,37 @@ object MergeQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** DML surface: UPDATE then DELETE as versioned generations on the
+    * store. The update's assignments see OLD row values (both reference
+    * c_acctbal before the change); the delete drops key % 11 = 0; the
+    * oracle states both relationally. Each DML lands as its own
+    * generation, so v0→v2 history stays queryable.
+    */
+  val s17_update_delete = OpQuery(
+    "s17_update_delete",
+    """SELECT c_custkey,
+      |       CASE WHEN c_custkey % 6 = 0 THEN concat('U_', c_mktsegment)
+      |            ELSE c_mktsegment END AS c_mktsegment,
+      |       CAST(CASE WHEN c_custkey % 6 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS DOUBLE) AS bal,
+      |       CAST(CASE WHEN c_custkey % 6 = 0 THEN c_acctbal ELSE 0.0 END AS DOUBLE) AS old_bal
+      |FROM customer
+      |WHERE c_custkey % 11 <> 0
+      |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    val scratch = java.nio.file.Files.createTempDirectory("graft-dml-gate-")
+    val store = new graft.operators.TableStore(spark, scratch.toString)
+    val customer = t(spark, dir, "customer")
+    store.overwrite("t", customer.select(
+      col("c_custkey"), col("c_mktsegment"),
+      col("c_acctbal").as("bal"), lit(0.0).as("old_bal")))
+    // both assignments reference the PRE-update bal — SQL UPDATE semantics
+    store.updateWhere("t", col("c_custkey") % 6 === 0, Map(
+      "c_mktsegment" -> concat(lit("U_"), col("c_mktsegment")),
+      "bal" -> (col("bal") + 100),
+      "old_bal" -> col("bal")))
+    store.deleteWhere("t", col("c_custkey") % 11 === 0)
+    store.read("t").orderBy(col("c_custkey"))
+  }
+
   /** Change data feed over the versioned store: customer is written as
     * generation 0, then overwritten with deletes (key % 7 = 0 removed)
     * and updates (segment rewritten for key % 10 = 0) as generation 1;
@@ -267,5 +298,5 @@ object MergeQueries {
 
   val all: Seq[OpQuery] = Seq(
     s6_insert_only_merge, s7_scd1_merge, s15_scd2_merge, s16_full_sync_merge,
-    cdc_changes, ivm_refresh)
+    s17_update_delete, cdc_changes, ivm_refresh)
 }

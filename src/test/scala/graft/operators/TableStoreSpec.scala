@@ -272,6 +272,40 @@ class TableStoreSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(root, ".lock-t")))
   }
 
+  test("updateWhere: old-value assignment semantics, aligned partitions, versioned") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-upd-").toString)
+    val df = Seq((1, 2023, 10.0, 0.0), (2, 2023, 20.0, 0.0),
+      (3, 2024, 30.0, 0.0), (4, 2025, 40.0, 0.0))
+      .toDF("id", "year", "bal", "old_bal")
+    store.overwrite("t", df, partitionBy = Seq("year"))
+    val untouchedFile = new java.io.File(s"${store.root}/t/year=2025")
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    val mtime = untouchedFile.lastModified()
+
+    // both assignments must see the OLD bal (atomic select, not sequential)
+    val n = store.updateWhere("t", $"year" === 2023 && $"id" === 2,
+      Map("bal" -> ($"bal" + 5), "old_bal" -> $"bal"))
+    assert(n == 1)
+    val rows = store.read("t").orderBy("id")
+      .select("id", "bal", "old_bal").as[(Int, Double, Double)].collect().toSeq
+    assert(rows == Seq((1, 10.0, 0.0), (2, 25.0, 20.0), (3, 30.0, 0.0), (4, 40.0, 0.0)))
+    // partition-aligned: 2025's file untouched on disk
+    assert(untouchedFile.lastModified() == mtime, "untouched partition was rewritten")
+    // null condition keeps rows (SQL semantics); unknown column fails loudly
+    assert(store.updateWhere("t", lit(null).cast("boolean"), Map("bal" -> lit(0.0))) == 0)
+    intercept[IllegalArgumentException] {
+      store.updateWhere("t", $"id" === 1, Map("nope" -> lit(1)))
+    }
+    // assigning the partition column is refused
+    intercept[IllegalArgumentException] {
+      store.updateWhere("t", $"id" === 1, Map("year" -> lit(2030)))
+    }
+    // the pre-update state is still time-travel readable
+    val v0bal = store.read("t", 0).filter($"id" === 2)
+      .select("bal").as[Double].head()
+    assert(v0bal == 20.0)
+  }
+
   test("saveView name cleanup is exact: saving 'b' must not delete view 'a__b'") {
     val store = new TableStore(spark, Files.createTempDirectory("graft-vwn-").toString)
     store.saveView("a__b", "SELECT 1 AS one", 0)
