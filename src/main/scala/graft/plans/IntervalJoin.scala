@@ -39,33 +39,39 @@ object IntervalJoinStrategy extends SparkStrategy {
     case _ => false
   }
 
-  /** (point, lo, hi) if `cond` is an inclusive two-sided integral range
-    * of a left-side point against right-side bounds.
+  /** (point, lo, hi, loStrict, hiStrict) if `cond` is a two-sided
+    * integral range of a left-side point against right-side bounds.
     */
   private def extract(
       cond: Expression, left: LogicalPlan, right: LogicalPlan)
-      : Option[(Expression, Expression, Expression)] = {
+      : Option[(Expression, Expression, Expression, Boolean, Boolean)] = {
     def fromLeft(e: Expression) =
       e.references.nonEmpty && e.references.subsetOf(left.outputSet)
     def fromRight(e: Expression) =
       e.references.nonEmpty && e.references.subsetOf(right.outputSet)
-    // normalize each conjunct to (point, bound, isLower)
-    def asBound(c: Expression): Option[(Expression, Expression, Boolean)] = c match {
-      case GreaterThanOrEqual(v, b) if fromLeft(v) && fromRight(b) => Some((v, b, true))
-      case LessThanOrEqual(b, v) if fromLeft(v) && fromRight(b) => Some((v, b, true))
-      case LessThanOrEqual(v, b) if fromLeft(v) && fromRight(b) => Some((v, b, false))
-      case GreaterThanOrEqual(b, v) if fromLeft(v) && fromRight(b) => Some((v, b, false))
-      case _ => None
-    }
+    // normalize each conjunct to (point, bound, isLower, isStrict);
+    // strict bounds shift to inclusive at build time (integral ±1)
+    def asBound(c: Expression): Option[(Expression, Expression, Boolean, Boolean)] =
+      c match {
+        case GreaterThanOrEqual(v, b) if fromLeft(v) && fromRight(b) => Some((v, b, true, false))
+        case LessThanOrEqual(b, v) if fromLeft(v) && fromRight(b) => Some((v, b, true, false))
+        case GreaterThan(v, b) if fromLeft(v) && fromRight(b) => Some((v, b, true, true))
+        case LessThan(b, v) if fromLeft(v) && fromRight(b) => Some((v, b, true, true))
+        case LessThanOrEqual(v, b) if fromLeft(v) && fromRight(b) => Some((v, b, false, false))
+        case GreaterThanOrEqual(b, v) if fromLeft(v) && fromRight(b) => Some((v, b, false, false))
+        case LessThan(v, b) if fromLeft(v) && fromRight(b) => Some((v, b, false, true))
+        case GreaterThan(b, v) if fromLeft(v) && fromRight(b) => Some((v, b, false, true))
+        case _ => None
+      }
     cond match {
       case And(c1, c2) =>
         (asBound(c1), asBound(c2)) match {
-          case (Some((v1, lo, true)), Some((v2, hi, false)))
+          case (Some((v1, lo, true, ls)), Some((v2, hi, false, hs)))
               if v1.semanticEquals(v2) && Seq(v1, lo, hi).forall(integral) =>
-            Some((v1, lo, hi))
-          case (Some((v1, hi, false)), Some((v2, lo, true)))
+            Some((v1, lo, hi, ls, hs))
+          case (Some((v1, hi, false, hs)), Some((v2, lo, true, ls)))
               if v1.semanticEquals(v2) && Seq(v1, lo, hi).forall(integral) =>
-            Some((v1, lo, hi))
+            Some((v1, lo, hi, ls, hs))
           case _ => None
         }
       case _ => None
@@ -76,8 +82,8 @@ object IntervalJoinStrategy extends SparkStrategy {
     case Join(left, right, Inner, Some(cond), _) =>
       val threshold = math.max(SQLConf.get.autoBroadcastJoinThreshold, 10L << 20)
       extract(cond, left, right) match {
-        case Some((v, lo, hi)) if right.stats.sizeInBytes <= threshold =>
-          IntervalJoinExec(planLater(left), planLater(right), v, lo, hi) :: Nil
+        case Some((v, lo, hi, ls, hs)) if right.stats.sizeInBytes <= threshold =>
+          IntervalJoinExec(planLater(left), planLater(right), v, lo, hi, ls, hs) :: Nil
         case _ => Nil
       }
     case _ => Nil
@@ -95,7 +101,9 @@ case class IntervalJoinExec(
     right: SparkPlan,
     v: Expression,
     lo: Expression,
-    hi: Expression)
+    hi: Expression,
+    loStrict: Boolean = false,
+    hiStrict: Boolean = false)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
@@ -113,10 +121,23 @@ case class IntervalJoinExec(
     // driver-side build (stats-guarded by the strategy): evaluate bounds,
     // drop null intervals, sort by lo
     val collected = right.executeCollect()
+    // strict bounds shift to inclusive in the Long domain; a strict
+    // bound at the domain edge (lo = MaxValue / hi = MinValue) can never
+    // match, as can any interval that inverts after the shift
     val triples = collected.flatMap { r =>
       val l = loB.eval(r)
       val h = hiB.eval(r)
-      if (l == null || h == null) None else Some((toLong(l), toLong(h), r))
+      if (l == null || h == null) None
+      else {
+        val l0 = toLong(l)
+        val h0 = toLong(h)
+        if ((loStrict && l0 == Long.MaxValue) || (hiStrict && h0 == Long.MinValue)) None
+        else {
+          val la = if (loStrict) l0 + 1 else l0
+          val ha = if (hiStrict) h0 - 1 else h0
+          if (la > ha) None else Some((la, ha, r))
+        }
+      }
     }.sortBy(_._1)
     val n = triples.length
     val loArr = Array.tabulate(n)(i => triples(i)._1)

@@ -64,11 +64,36 @@ class IntervalJoinSpec extends SparkSpec {
     }
   }
 
+  test("strict bounds plan through the operator with exclusive semantics") {
+    withStrategy {
+      // v > lo drops the v == lo matches: (2, 11) sits at v = 10 = lo
+      val strict = points.join(intervals, $"v" > $"lo" && $"v" <= $"hi")
+      assert(strict.queryExecution.executedPlan.toString.contains("IntervalJoin"))
+      assert(pairs(strict) == Set((1L, 10L), (2L, 10L), (3L, 11L), (5L, 12L)))
+      // both strict also drops v == hi: (2, 10) sits at v = 10 = hi
+      val both = points.join(intervals, $"v" > $"lo" && $"v" < $"hi")
+      assert(both.queryExecution.executedPlan.toString.contains("IntervalJoin"))
+      assert(pairs(both) == Set((1L, 10L), (3L, 11L), (5L, 12L)))
+      // randomized strict parity vs the default planner
+      val rnd = new scala.util.Random(3)
+      val p = (1L to 200L).map(i => (i, rnd.nextInt(500).toLong)).toDF("pid", "v")
+      val iv = (1L to 80L).map { i =>
+        val lo = rnd.nextInt(500).toLong
+        (i, lo, lo + rnd.nextInt(80).toLong)
+      }.toDF("iid", "lo", "hi")
+      val expected = p.join(iv, $"v" > $"lo" && $"v" < $"hi")
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      // (withStrategy is active: both plans go through IntervalJoinExec —
+      // compare against a manually filtered cross join instead)
+      val naive = p.crossJoin(iv)
+        .filter($"v" > $"lo" && $"v" < $"hi")
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(expected == naive)
+    }
+  }
+
   test("out-of-scope shapes fall through to the default planner") {
     withStrategy {
-      // strict bound
-      val strict = points.join(intervals, $"v" > $"lo" && $"v" <= $"hi")
-      assert(!strict.queryExecution.executedPlan.toString.contains("IntervalJoin"))
       // extra equi conjunct
       val extra = points.join(intervals,
         $"v" >= $"lo" && $"v" <= $"hi" && $"pid" === $"iid")
