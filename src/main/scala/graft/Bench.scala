@@ -54,8 +54,19 @@ object Bench {
     val shown = results.toSeq
       .filter { case (k, v) => headline(k) || v >= 0.5 || v < 0 }
       .sortBy(_._1)
-    val qs = shown.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def render(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+    // hard cap: the driver's capture window is ~2000 chars and must hold
+    // the WHOLE line — under heavy machine load many queries cross the
+    // 0.5 s bar, so shed the non-headline extras first, then the fastest
+    // headline entries, before the line can outgrow the window
+    var qs = render(shown)
+    if (qs.length > 1600) qs = render(shown.filter { case (k, v) => headline(k) || v < 0 })
+    if (qs.length > 1600)
+      qs = render(shown.filter(_._2 != 0)
+        .sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
+        .take(45).sortBy(_._1))
     val total = results.values.filter(_ >= 0).sum
     val fullJson = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
