@@ -158,6 +158,32 @@ object StreamingQueries {
       .orderBy(col("view_id"), col("purchase_id"))
   }
 
+  /** LEFT OUTER interval join (every view, converted or not): unmatched
+    * views carry null purchase columns. Streaming twin (both sides
+    * watermarked; null rows released as the watermark passes) pinned in
+    * EventStreamsSpec.
+    */
+  val stream_interval_join_outer = OpQuery(
+    "stream_interval_join_outer",
+    """WITH v AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'view'
+      |), p AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+      |       CAST(p.us - v.us AS BIGINT) AS usecs_between
+      |FROM v LEFT JOIN p ON v.user_id = p.user_id
+      |  AND p.us >= v.us AND p.us <= v.us + CAST(1800 AS BIGINT) * 1000000
+      |ORDER BY view_id, purchase_id NULLS FIRST""".stripMargin) { (spark, dir) =>
+    EventStreams.intervalJoinOuter(
+        events(spark, dir).filter(col("event_type") === "view"),
+        events(spark, dir).filter(col("event_type") === "purchase"),
+        "30 minutes")
+      .withColumnRenamed("left_id", "view_id")
+      .withColumnRenamed("right_id", "purchase_id")
+      .orderBy(col("view_id"), col("purchase_id").asc_nulls_first)
+  }
+
   /** Declarative data-quality expectations (DLT expect analog): every
     * event annotated with its violated expectation names in one map-side
     * pass — no per-rule re-scan. Valid/quarantine split and observe()
@@ -204,5 +230,5 @@ object StreamingQueries {
   val all: Seq[OpQuery] = Seq(
     stream_window_agg, stream_sliding_window, stream_session_agg,
     stream_session_window, stream_dedup, stream_enrich, stream_interval_join,
-    dq_expectations, f_json)
+    stream_interval_join_outer, dq_expectations, f_json)
 }

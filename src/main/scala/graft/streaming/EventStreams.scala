@@ -110,6 +110,26 @@ object EventStreams {
       .withColumnRenamed("left_id", "view_id")
       .withColumnRenamed("right_id", "purchase_id")
 
+  /** Left-outer interval join: every left event emits — paired rows as
+    * [[intervalJoin]], unmatched lefts once with null right columns. In
+    * streaming this is the shape that needs the watermark most: Spark
+    * can only emit the null row after the watermark proves no match can
+    * still arrive, so unmatched results trail by the watermark delay
+    * (bounded state, eventual completeness — pinned in EventStreamsSpec).
+    */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame, horizon: String): DataFrame =
+    left.alias("l").join(
+        right.alias("r"),
+        col("l.user_id") === col("r.user_id") &&
+          col("r.ts") >= col("l.ts") &&
+          col("r.ts") <= col("l.ts") + expr(s"INTERVAL $horizon"),
+        "left_outer")
+      .select(
+        col("l.event_id").as("left_id"),
+        col("r.event_id").as("right_id"),
+        col("l.user_id").as("user_id"),
+        (unix_micros(col("r.ts")) - unix_micros(col("l.ts"))).as("usecs_between"))
+
   /** Batch-shadow sessionization via lag + running count — the exact
     * relational statement of the session_window semantics, and the form
     * a SQL oracle can replicate: a session starts where the gap from the

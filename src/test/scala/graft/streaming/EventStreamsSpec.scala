@@ -149,6 +149,39 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: matches exact, null rows only for true non-matches") {
+    val events = Tables.load(spark, sf, "events")
+    val batchAll = intervalJoinOuter(
+        events.filter(col("event_type") === "view"),
+        events.filter(col("event_type") === "purchase"), "30 minutes")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val batchMatched = batchAll.filter(_._2 >= 0)
+
+    val src = readEventStream(spark, sf)
+    val q = intervalJoinOuter(
+        src.filter(col("event_type") === "view").withWatermark("ts", "1 hour"),
+        src.filter(col("event_type") === "purchase").withWatermark("ts", "1 hour"),
+        "30 minutes")
+      .writeStream.format("memory").queryName("outer_conversions")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("outer_conversions")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      // every matched pair arrives; a streamed null row is NEVER a lie
+      // (it appears only for views the batch join also left unmatched);
+      // null rows whose watermark hadn't passed at shutdown may be absent
+      val streamedMatched = streamed.filter(_._2 >= 0)
+      assert(streamedMatched == batchMatched,
+        s"matched pairs: stream ${streamedMatched.size} vs batch ${batchMatched.size}")
+      val streamedNulls = streamed.filter(_._2 < 0)
+      assert(streamedNulls.subsetOf(batchAll),
+        "stream emitted a null row for a view the batch join matched")
+      assert(streamedNulls.nonEmpty, "watermark never released any unmatched view")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join converges to the batch join") {
     val users = Tables.load(spark, sf, "customer")
       .select(col("c_custkey").as("user_key"), col("c_mktsegment").as("user_segment"))
