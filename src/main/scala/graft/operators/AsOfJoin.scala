@@ -40,19 +40,50 @@ object AsOfJoin {
       keys: Seq[String],
       leftTime: String,
       rightTime: String,
-      tolerance: Option[Column] = None): DataFrame = {
+      tolerance: Option[Column] = None): DataFrame =
+    asOfDirectional(left, right, keys, leftTime, rightTime, tolerance,
+      forward = false)
+
+  /** Forward as-of: the EARLIEST right row with time >= the left row's
+    * time ("next event at or after" — fill-forward's mirror, the shape
+    * of next-maintenance / next-price-tick lookups). Same union-marker
+    * plan with the window frame looking ahead instead of back.
+    */
+  def asOfForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tolerance: Option[Column] = None): DataFrame =
+    asOfDirectional(left, right, keys, leftTime, rightTime, tolerance,
+      forward = true)
+
+  private def asOfDirectional(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tolerance: Option[Column],
+      forward: Boolean): DataFrame = {
     val rightPayloadCols = right.columns.filterNot(c => keys.contains(c))
     val leftCols = left.columns
 
+    // side ordering encodes the boundary inclusivity: backward wants the
+    // equal-time right row VISIBLE to the frame ending at the left row
+    // (right sorts first); forward wants it visible to the frame starting
+    // at the left row (left sorts first)
+    val (rightSide, leftSide) = if (forward) (1, 0) else (0, 1)
     val taggedRight = right.select(
       keys.map(col) ++ Seq(
         col(rightTime).as("__t"),
-        lit(0).as("__side"),
+        lit(rightSide).as("__side"),
         struct(rightPayloadCols.toSeq.map(col): _*).as("__payload")): _*)
     val taggedLeft = left.select(
       keys.map(col) ++ Seq(
         col(leftTime).as("__t"),
-        lit(1).as("__side"),
+        lit(leftSide).as("__side"),
         lit(null).cast(taggedRight.schema("__payload").dataType).as("__payload"),
         struct(leftCols.toSeq.map(col): _*).as("__left")): _*)
 
@@ -60,31 +91,39 @@ object AsOfJoin {
       .withColumn("__left", lit(null).cast(taggedLeft.schema("__left").dataType))
       .unionByName(taggedLeft)
 
-    // right (side 0) sorts before left (side 1) at equal times => "<=".
     // Tie-breaker: when the right side has duplicate (key, rightTime) rows,
-    // last() must deterministically resolve to ONE of them, not an arbitrary
-    // partition-order row. Ordering by the whole payload struct would reject
-    // non-orderable payload types (MapType fails analysis), so order by the
-    // orderable payload fields only — still deterministic whenever the
-    // orderable fields distinguish the duplicates, and accepts any payload.
+    // the frame edge must deterministically resolve to ONE of them, not an
+    // arbitrary partition-order row. Ordering by the whole payload struct
+    // would reject non-orderable payload types (MapType fails analysis), so
+    // order by the orderable payload fields only — still deterministic
+    // whenever the orderable fields distinguish the duplicates, and accepts
+    // any payload. Backward takes the LAST in frame (max tie-break);
+    // forward takes the FIRST (min tie-break).
     val orderableTieBreak = rightPayloadCols.toSeq
       .filter(c => org.apache.spark.sql.catalyst.expressions.RowOrdering
         .isOrderable(right.schema(c).dataType))
       .map(c => col("__payload").getField(c).asc_nulls_first)
-    val w = Window.partitionBy(keys.map(col): _*)
+    val base = Window.partitionBy(keys.map(col): _*)
       .orderBy(Seq(col("__t").asc, col("__side").asc) ++ orderableTieBreak: _*)
-      .rowsBetween(Window.unboundedPreceding, 0)
+    val (w, pick) =
+      if (forward)
+        (base.rowsBetween(0, Window.unboundedFollowing),
+          (c: Column) => first(c, ignoreNulls = true))
+      else
+        (base.rowsBetween(Window.unboundedPreceding, 0),
+          (c: Column) => last(c, ignoreNulls = true))
     val matched = unioned
-      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
-      .withColumn("__match_t", last(
-        when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+      .withColumn("__match", pick(col("__payload")).over(w))
+      .withColumn("__match_t", pick(
+        when(col("__side") === rightSide, col("__t"))).over(w))
+      .filter(col("__side") === leftSide)
 
     val withTolerance = tolerance match {
       case Some(tol) =>
-        matched.withColumn(
-          "__match",
-          when(col("__match_t") >= col("__t") - tol, col("__match")))
+        val inWindow =
+          if (forward) col("__match_t") <= col("__t") + tol
+          else col("__match_t") >= col("__t") - tol
+        matched.withColumn("__match", when(inWindow, col("__match")))
       case None => matched
     }
 

@@ -72,5 +72,36 @@ object AsOfQueries {
       .orderBy(col("event_id"))
   }
 
-  val all: Seq[OpQuery] = Seq(asof_join, asof_join_tolerance)
+  /** Forward direction: each click's NEXT purchase at-or-after it per
+    * user (fill-forward's mirror) — oracled against DuckDB's native
+    * forward ASOF (`<=` inequality).
+    */
+  val asof_join_forward = OpQuery(
+    "asof_join_forward",
+    """WITH l AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS t_us
+      |  FROM events WHERE event_type = 'click'
+      |), r AS (
+      |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_us
+      |  FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT l.event_id, l.user_id, l.t_us,
+      |       r.purchase_id AS asof_purchase_id, r.purchase_us AS asof_purchase_us
+      |FROM l ASOF LEFT JOIN r
+      |  ON l.user_id = r.user_id AND l.t_us <= r.purchase_us
+      |ORDER BY l.event_id""".stripMargin) { (spark, dir) =>
+    val events = Tables.load(spark, dir, "events")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"))
+    AsOfJoin.asOfForward(clicks, purchases, keys = Seq("user_id"),
+        leftTime = "t_us", rightTime = "purchase_us")
+      .select(col("event_id"), col("user_id"), col("t_us"),
+        col("asof_purchase_id"), col("asof_purchase_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val all: Seq[OpQuery] = Seq(asof_join, asof_join_tolerance, asof_join_forward)
 }

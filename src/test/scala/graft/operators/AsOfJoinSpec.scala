@@ -116,4 +116,38 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.columns.toSet ==
       Set("id", "key", "t", "asof_rid", "asof_rt"))
   }
+
+  test("forward asof == naive earliest-at-or-after scan on random data (5 seeds)") {
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val leftRows = (1L to 80L).map(i =>
+        (i, rnd.nextInt(4).toLong, rnd.nextInt(1000).toLong))
+      val rightRows = (1L to 60L).map(i =>
+        (i + 1000L, rnd.nextInt(4).toLong, rnd.nextInt(1000).toLong))
+      val tol = 120L
+
+      // per left row: min-rt right row with rt >= t (within tolerance);
+      // ties on rt resolve to the MIN rid (forward takes first in order)
+      def expected(withTol: Boolean): Map[Long, Option[Long]] =
+        leftRows.map { case (id, k, t) =>
+          val cands = rightRows.filter { case (_, rk, rt) =>
+            rk == k && rt >= t && (!withTol || rt <= t + tol)
+          }
+          id -> (if (cands.isEmpty) None
+                 else Some(cands.minBy(c => (c._3, c._1))._1))
+        }.toMap
+
+      def run(tolOpt: Option[org.apache.spark.sql.Column]): Map[Long, Option[Long]] =
+        AsOfJoin.asOfForward(
+            leftRows.toDF("id", "key", "t").repartition(7),
+            rightRows.toDF("rid", "key", "rt").repartition(5),
+            Seq("key"), "t", "rt", tolerance = tolOpt)
+          .select($"id", $"asof_rid").collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+      assert(run(None) == expected(withTol = false), s"seed $seed no-tolerance")
+      assert(run(Some(lit(tol))) == expected(withTol = true), s"seed $seed tol=$tol")
+    }
+  }
 }
