@@ -96,6 +96,53 @@ object Sampling {
         < threshold)
   }
 
+  /** Token-budget corpus selection: take documents in descending
+    * quality order until the token budget is spent — the "best N
+    * billion tokens" selection every pretraining mix ends with. One
+    * global sort (range-partitioned, fully parallel) + one running-sum
+    * window; the budget check admits the document that CROSSES the
+    * budget (standard: the budget bounds where the cut falls, the last
+    * doc is kept whole). Ties on quality resolve by id, so selection is
+    * deterministic and layout-invariant.
+    */
+  def selectByTokenBudget(
+      df: DataFrame, idCol: String, qualityCol: String, tokenCol: String,
+      budget: Long): DataFrame = {
+    // Two-phase distributed prefix sum — a naive global
+    // Window.orderBy(quality) would funnel the whole corpus through ONE
+    // reducer. Range-partition on the selection order (each partition
+    // holds a contiguous quality slice), window WITHIN partitions, and
+    // add each partition's token offset (a partition-count-sized
+    // aggregate, broadcast back). Selection = total-order prefix sums,
+    // so the kept set is exact and layout-invariant; the frame is
+    // frozen once (localCheckpoint) so both passes see the same
+    // partition ids.
+    val ordered = Seq(col(qualityCol).desc, col(idCol).asc)
+    val ranged = df
+      .repartitionByRange(df.sparkSession.sessionState.conf.numShufflePartitions,
+        ordered: _*)
+      .sortWithinPartitions(ordered: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(sum(col(tokenCol)).as("__part_tokens"))
+      .select(col("__pid"),
+        (sum(col("__part_tokens"))
+          .over(org.apache.spark.sql.expressions.Window.orderBy(col("__pid"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+          .as("__offset"))   // tiny: one row per partition
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(ordered: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    ranged
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn("__spent_before",
+        coalesce(col("__offset"), lit(0L)) +
+          coalesce(sum(col(tokenCol)).over(win), lit(0L)))
+      .filter(col("__spent_before") < budget)
+      .drop("__pid", "__offset", "__spent_before")
+  }
+
   /** Deterministic per-stratum sampling: keep a row iff its hash bucket
     * (salted per stratum) falls under the stratum's percent — the
     * content-stable `sampleBy`.

@@ -67,5 +67,57 @@ object CurationPipeline {
     }
   }
 
-  val all: Seq[OpQuery] = Seq(curation_e2e)
+  /** Token-budget corpus selection: the best documents by quality score
+    * until 12k tokens are spent (the "best N tokens" cut every
+    * pretraining mix ends with; the doc crossing the budget is kept
+    * whole). Spark runs the two-phase distributed prefix sum — range
+    * partition on the selection order, window within partitions,
+    * partition offsets broadcast back — the oracle states the same
+    * selection with one global running-sum window.
+    */
+  val corpus_select: OpQuery = {
+    val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    OpQuery(
+      "corpus_select",
+      s"""WITH scored AS (
+        |  SELECT doc_id, text,
+        |    LEAST(length(regexp_split_to_array(trim(text), '\\s+')) * 1.0 / 100, 1.0) AS length_score,
+        |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text) AS alpha_ratio,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        |        t -> list_contains($stopList, t))) * 1.0
+        |      / length(regexp_split_to_array(lower(trim(text)), '\\s+')) AS stop_ratio,
+        |    length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) * 1.0 / length(text) AS punct_ratio
+        |  FROM documents
+        |), quality AS (
+        |  SELECT doc_id,
+        |    ROUND(GREATEST(LEAST(
+        |      length_score * 0.3 + alpha_ratio * 0.3 + stop_ratio * 0.2 + (1.0 - punct_ratio) * 0.2,
+        |      1.0), 0.0), 4) AS q,
+        |    CASE WHEN coalesce(trim(text), '') = '' THEN 0
+        |         ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+        |  FROM scored
+        |), ord AS (
+        |  SELECT doc_id, q, n_tokens,
+        |    COALESCE(SUM(CAST(n_tokens AS BIGINT)) OVER (
+        |      ORDER BY q DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS spent_before
+        |  FROM quality
+        |)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(q AS DOUBLE) AS quality
+        |FROM ord WHERE spent_before < 12000
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      val scored = docs.select(
+        col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Sampling
+        .selectByTokenBudget(scored, "doc_id", "quality", "n_tokens", 12000L)
+        .select(col("doc_id"), col("n_tokens"),
+          col("quality").cast("double").as("quality"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  val all: Seq[OpQuery] = Seq(curation_e2e, corpus_select)
 }

@@ -78,6 +78,37 @@ class SamplingSpec extends SparkSpec {
     assert(only.count() == totals("en"))
   }
 
+  test("selectByTokenBudget: greedy-by-quality prefix, crossing doc kept, layout-invariant") {
+    val df = Seq(
+      (1L, 0.9, 100L), (2L, 0.8, 200L), (3L, 0.8, 50L),
+      (4L, 0.5, 400L), (5L, 0.3, 10L))
+      .toDF("id", "q", "tok")
+    def ids(d: org.apache.spark.sql.DataFrame, budget: Long): Set[Long] =
+      Sampling.selectByTokenBudget(d, "id", "q", "tok", budget)
+        .select("id").as[Long].collect().toSet
+    // order: 1 (100), 2 (200, ties 0.8 resolve by id), 3 (50), 4, 5
+    assert(ids(df, 100) == Set(1L))             // exactly spent
+    assert(ids(df, 101) == Set(1L, 2L))         // 2 crosses the budget: kept whole
+    assert(ids(df, 350) == Set(1L, 2L, 3L))
+    assert(ids(df, 351) == Set(1L, 2L, 3L, 4L))
+    assert(ids(df, 1L << 40) == Set(1L, 2L, 3L, 4L, 5L))
+    // layout invariance on real data vs a naive single-window reference
+    val docs = Tables.load(spark, sf, "documents").select(
+      $"doc_id",
+      graft.functions.TextFunctions.qualityScore($"text").as("q"),
+      graft.functions.TextFunctions.tokenCount($"text").cast("long").as("tok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"q".desc, $"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val naive = docs
+      .withColumn("b", coalesce(sum($"tok").over(w), lit(0L)))
+      .filter($"b" < 3000).select("doc_id").as[Long].collect().toSet
+    val distributed = Sampling
+      .selectByTokenBudget(docs.repartition(13), "doc_id", "q", "tok", 3000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(distributed == naive)
+  }
+
   test("uniformPerGroup: exactly k per big group, layout-invariant, no window") {
     val events = Tables.load(spark, sf, "events")
     def ids(parts: Int): Map[Long, Set[Long]] =
