@@ -62,18 +62,62 @@ class LakehouseLifecycleSpec extends SparkSpec {
       .select("k").as[Int].collect().toSeq
     assert(ins == Seq(5))
 
-    // restore v1: non-destructive — v5 becomes current with v1's content
+    // v5: UPDATE DML composes with the evolved + clustered table —
+    // partition-aligned (only year=2024 rewritten) and versioned
+    store.updateWhere("sales", $"k" === 5, Map("channel" -> lit("store")))
+    assert(store.read("sales").filter($"k" === 5)
+      .select("channel").as[String].head() == "store")
+    assert(store.read("sales", 4).filter($"k" === 5)
+      .select("channel").as[String].head() == "web") // pre-update readable
+    assert(store.partitionColumns("sales") == Seq("year"),
+      "updateWhere flattened the partition layout")
+
+    // v6: DELETE DML drops a 2023 row, 2024 partition untouched
+    assert(store.deleteWhere("sales", $"k" === 6) == 1L)
+    assert(store.read("sales").count() == 5)
+
+    // restore v1: non-destructive — v7 becomes current with v1's content
     store.restoreVersion("sales", 1)
-    assert(store.currentVersion("sales") == 5)
+    assert(store.currentVersion("sales") == 7)
     assert(store.read("sales").count() == 4)
     assert(!store.read("sales").columns.contains("channel"))
-    assert(store.read("sales", 4).count() == 6) // pre-restore still readable
+    assert(store.read("sales", 6).count() == 5) // pre-restore still readable
 
-    // history reflects all six generations; vacuum trims to the last two
-    assert(store.history("sales").count() == 6)
-    assert(store.vacuumVersions("sales", 2) == 3)
-    assert(store.versions("sales") == Seq(3, 4, 5))
+    // history reflects all eight generations; vacuum trims to the last two
+    assert(store.history("sales").count() == 8)
+    assert(store.vacuumVersions("sales", 2) == 5)
+    assert(store.versions("sales") == Seq(5, 6, 7))
     val e = intercept[IllegalArgumentException](store.read("sales", 0))
     assert(e.getMessage.contains("available"))
+  }
+
+  test("scd2 dimension maintained THROUGH the store: history survives merges and travel") {
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft-life2-").toString, retainVersions = 10)
+    val d0 = Seq((1, "a", "2023-01-01", null.asInstanceOf[String], true),
+      (2, "b", "2023-01-01", null.asInstanceOf[String], true))
+      .toDF("k", "v", "valid_from", "valid_to", "is_current")
+    store.overwrite("dim", d0)
+
+    // load 1: k=1 changes, k=3 new
+    store.overwrite("dim", Merge.scd2(store.read("dim"),
+      Seq((1, "a2"), (2, "b"), (3, "c")).toDF("k", "v"),
+      Seq("k"), Seq("v"), "2024-01-01"))
+    // load 2: k=3 changes
+    store.overwrite("dim", Merge.scd2(store.read("dim"),
+      Seq((1, "a2"), (2, "b"), (3, "c2")).toDF("k", "v"),
+      Seq("k"), Seq("v"), "2025-01-01"))
+
+    val cur = store.read("dim").filter($"is_current")
+      .select("k", "v").as[(Int, String)].collect().toSet
+    assert(cur == Set((1, "a2"), (2, "b"), (3, "c2")))
+    // full history: k=1 has 2 versions, k=3 has 2, k=2 has 1
+    val counts = store.read("dim").groupBy("k").count()
+      .as[(Int, Long)].collect().toMap
+    assert(counts == Map(1 -> 2L, 2 -> 1L, 3 -> 2L))
+    // the dimension AS OF load 1 is still queryable through time travel
+    val v1cur = store.read("dim", 1).filter($"is_current")
+      .select("k", "v").as[(Int, String)].collect().toSet
+    assert(v1cur == Set((1, "a2"), (2, "b"), (3, "c")))
   }
 }
