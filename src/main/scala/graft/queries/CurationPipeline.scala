@@ -119,5 +119,47 @@ object CurationPipeline {
     }
   }
 
-  val all: Seq[OpQuery] = Seq(curation_e2e, corpus_select)
+  /** Dataset card: per (source, lang) corpus statistics — doc count,
+    * token volume, exact median doc length, and exact-duplicate rate
+    * (share of docs whose normalized fingerprint appears more than
+    * once). The summary every curated-corpus release ships with; one
+    * fingerprint aggregate + one grouped rollup.
+    */
+  val corpus_stats = OpQuery(
+    "corpus_stats",
+    """WITH d AS (
+      |  SELECT source, lang,
+      |         CASE WHEN coalesce(trim(text), '') = '' THEN 0
+      |              ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+      |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM documents
+      |), f AS (
+      |  SELECT fp, COUNT(*) AS c FROM d GROUP BY fp
+      |)
+      |SELECT d.source, d.lang,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(toks) AS BIGINT) AS total_tokens,
+      |       CAST(ROUND(quantile_cont(toks, 0.5), 4) AS DOUBLE) AS median_tokens,
+      |       CAST(ROUND(SUM(CASE WHEN f.c > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS DOUBLE) AS dup_rate
+      |FROM d JOIN f USING (fp)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+    val base = docs.select(
+      col("source"), col("lang"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("toks"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+    val fpCounts = base.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+    base.join(fpCounts, Seq("fp"))
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        round(percentile(col("toks"), lit(0.5)), 4).cast("double").as("median_tokens"),
+        round(sum(when(col("c") > 1, 1).otherwise(0)) * 1.0 / count(lit(1)), 6)
+          .cast("double").as("dup_rate"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val all: Seq[OpQuery] = Seq(curation_e2e, corpus_select, corpus_stats)
 }
