@@ -118,7 +118,12 @@ object Sampling {
     // frozen once (localCheckpoint) so both passes see the same
     // partition ids.
     val ordered = Seq(col(qualityCol).desc, col(idCol).asc)
-    val ranged = df
+    // materialize the input BEFORE the range shuffle: repartitionByRange
+    // SAMPLES its input to pick boundaries, which would re-run the
+    // caller's (often regex-heavy) quality expression a second time over
+    // the whole corpus
+    val slim = df.localCheckpoint(true)
+    val ranged = slim
       .repartitionByRange(df.sparkSession.sessionState.conf.numShufflePartitions,
         ordered: _*)
       .sortWithinPartitions(ordered: _*)
