@@ -395,6 +395,27 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Survivor election by PRIORITY instead of min id: per duplicate
+    * component keep the row maximizing `priority` (ties → smallest id) —
+    * "keep the best duplicate, not the first" (longest version, highest
+    * quality score, most recent crawl). One aggregate over the
+    * component-sized member set; unpaired rows always survive.
+    */
+  def dedupCorpusBy(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      priority: Column): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val withPri = df.select(col(idCol).as("node"), priority.as("__pri"))
+    val members = comps.join(withPri, Seq("node"))
+    // max_by over (priority, -id): highest priority wins, ties take the
+    // smallest id — deterministic under any partitioning
+    val winners = members.groupBy(col("component"))
+      .agg(max_by(col("node"), struct(col("__pri"), -col("node"))).as("keep"))
+      .select(col("keep").as(idCol))
+    val unpaired = df.join(comps.select(col("node").as(idCol)), Seq(idCol), "left_anti")
+    unpaired.unionByName(df.join(winners, Seq(idCol), "left_semi"))
+  }
+
   // ------------------------------------------------------------- simhash
   /** 64-bit SimHash: per-token 64-bit hashes vote per bit (+1 if set,
     * -1 if not); signature bit k is the sign of the vote sum. Computed

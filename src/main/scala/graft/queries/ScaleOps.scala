@@ -380,6 +380,65 @@ object ScaleOps {
     * unpaired docs. Oracle re-derives the survivors from the same
     * recursive closure.
     */
+  /** Priority survivor election: same duplicate components, but each
+    * group keeps its LONGEST member (token count; ties → min id) — the
+    * "keep the best duplicate" refinement of [[dedup_corpus]]'s min-id
+    * rule. The oracle recomputes the closure, the priorities, and the
+    * per-component argmax.
+    */
+  val dedup_corpus_priority = OpQuery(
+    "dedup_corpus_priority",
+    """WITH RECURSIVE docs AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+      |), toks AS (
+      |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS tok
+      |  FROM docs
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS set_size FROM toks GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+      |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT id1, id2 FROM inter
+      |  JOIN sizes s1 ON id1 = s1.doc_id
+      |  JOIN sizes s2 ON id2 = s2.doc_id
+      |  WHERE n_inter * 1.0 / (s1.set_size + s2.set_size - n_inter) >= 0.9
+      |), edges AS (
+      |  SELECT id1 AS src, id2 AS dst FROM pairs
+      |  UNION
+      |  SELECT id2, id1 FROM pairs
+      |), reach(node, lbl) AS (
+      |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      |  UNION
+      |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+      |), comp AS (
+      |  SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+      |), pri AS (
+      |  SELECT doc_id,
+      |         CASE WHEN coalesce(trim(text), '') = '' THEN 0
+      |              ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS p
+      |  FROM docs
+      |), win AS (
+      |  SELECT node FROM (
+      |    SELECT c.node,
+      |           ROW_NUMBER() OVER (PARTITION BY c.component
+      |             ORDER BY p.p DESC, c.node) AS rn
+      |    FROM comp c JOIN pri p ON p.doc_id = c.node)
+      |  WHERE rn = 1
+      |)
+      |SELECT doc_id FROM docs
+      |WHERE doc_id NOT IN (SELECT node FROM comp)
+      |   OR doc_id IN (SELECT node FROM win)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = t(spark, dir, "documents").filter(col("doc_id") % 5 === 0)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.9)
+    Dedup.dedupCorpusBy(docs, "doc_id", pairs,
+        TextFunctions.tokenCount(col("text")).cast("long"))
+      .select("doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   val dedup_corpus = OpQuery(
     "dedup_corpus",
     """WITH RECURSIVE docs AS (
@@ -569,6 +628,7 @@ object ScaleOps {
 
   val all: Seq[OpQuery] = Seq(
     dedup_exact, dedup_ngram_jaccard, dedup_clusters, dedup_corpus,
+    dedup_corpus_priority,
     freq_heavy_hitters, data_split, mixture_sample, sample_per_group, pack_sequences,
     text_analysis, text_lang_id, text_tfidf, text_redact,
     sim_topk_bruteforce, sim_neardup_embedding,

@@ -133,6 +133,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupCorpusBy keeps the max-priority member per component, min id on ties") {
+    val rows = Seq(
+      (1L, 10.0), (2L, 30.0), (3L, 20.0),  // component {1,2,3}: 2 wins
+      (4L, 5.0), (5L, 5.0),                // component {4,5}: tie -> 4
+      (6L, 1.0))                           // unpaired: always kept
+      .toDF("doc_id", "pri")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
+    val kept = Dedup.dedupCorpusBy(rows, "doc_id", pairs, $"pri")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 6L))
+    // min-id election remains the dedupCorpus default
+    val minId = Dedup.dedupCorpus(rows, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(minId == Set(1L, 4L, 6L))
+  }
+
   test("simhash: identical docs distance 0; near-dups closer than random pairs") {
     val sigs = Dedup.simHashSignature(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
