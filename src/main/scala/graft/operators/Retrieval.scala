@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Lexical retrieval scoring over the corpus — BM25, the bar every
+  * hybrid-search / hard-negative-mining pipeline starts from. Stated
+  * relationally (token explode → tf/df aggregates → score join) so
+  * Catalyst owns distribution and the DuckDB oracle replays it exactly.
+  *
+  * Scale: tf is one shuffle keyed by (doc, term) over the exploded
+  * match stream (already filtered to query terms, so state is bounded
+  * by matching docs × query size); df is a term-sized aggregate
+  * broadcast into the score, avgdl a scalar; the doc-length join is
+  * corpus-sized and stays distributed.
+  */
+object Retrieval {
+
+  /** BM25 scores for `queryTerms` against every document containing at
+    * least one term. Output: (doc_id, n_matched_terms, score) with
+    * score rounded to 6 decimals (ln parity bound).
+    */
+  def bm25(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("doc_id"),
+      TextFunctions.tokens(lower(col(textCol))).as("t"))
+    val lens = toks.select(col("doc_id"), size(col("t")).cast("double").as("dl"))
+      .localCheckpoint(true)
+    val n = lens.count()
+    val avgdl = lens.agg(avg(col("dl"))).first().getDouble(0)
+    val matches = toks
+      .select(col("doc_id"), explode(col("t")).as("term"))
+      .filter(col("term").isInCollection(queryTerms))
+    val tf = matches.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val idf: Column = log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1d)
+    // df broadcasts (term-sized); lens joins on doc_id — corpus-sized,
+    // so it stays a distributed join (AQE picks the strategy)
+    tf.join(broadcast(df), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .withColumn("term_score",
+        idf * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_matched_terms"),
+        round(sum(col("term_score")), 6).cast("double").as("score"))
+  }
+}

@@ -380,6 +380,41 @@ object ScaleOps {
     * unpaired docs. Oracle re-derives the survivors from the same
     * recursive closure.
     */
+  /** BM25 lexical scoring against a fixed query term set — tf, df,
+    * doc-length normalization, and the smoothed idf all replayed by the
+    * oracle (ln rounded at the 6-decimal parity bound).
+    */
+  val text_bm25 = OpQuery(
+    "text_bm25",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents
+      |), lens AS (
+      |  SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks
+      |), stats AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM lens
+      |), m AS (
+      |  SELECT doc_id, u.term FROM toks, unnest(t) AS u(term)
+      |  WHERE u.term IN ('spark', 'data', 'merge')
+      |), tf AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM m GROUP BY 1, 2
+      |), df AS (
+      |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+      |)
+      |SELECT tf.doc_id,
+      |       CAST(COUNT(*) AS BIGINT) AS n_matched_terms,
+      |       CAST(ROUND(SUM(
+      |         LN((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+      |           * (tf.tf * 2.2)
+      |           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))), 6) AS DOUBLE) AS score
+      |FROM tf JOIN df USING (term) JOIN lens l USING (doc_id) CROSS JOIN stats s
+      |GROUP BY tf.doc_id
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    graft.operators.Retrieval.bm25(
+        t(spark, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("spark", "data", "merge"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Priority survivor election: same duplicate components, but each
     * group keeps its LONGEST member (token count; ties → min id) — the
     * "keep the best duplicate" refinement of [[dedup_corpus]]'s min-id
@@ -628,7 +663,7 @@ object ScaleOps {
 
   val all: Seq[OpQuery] = Seq(
     dedup_exact, dedup_ngram_jaccard, dedup_clusters, dedup_corpus,
-    dedup_corpus_priority,
+    dedup_corpus_priority, text_bm25,
     freq_heavy_hitters, data_split, mixture_sample, sample_per_group, pack_sequences,
     text_analysis, text_lang_id, text_tfidf, text_redact,
     sim_topk_bruteforce, sim_neardup_embedding,
