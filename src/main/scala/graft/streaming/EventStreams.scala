@@ -289,6 +289,90 @@ object EventStreams {
         new UserProfileProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** Sessionization on the transformWithState API with EVENT-TIME
+    * timers — the modern form of [[expiringSessions]]: one ValueState
+    * holds the open session; every batch re-arms a timer at
+    * `session end + gap`, and [[handleExpiredTimer]] emits the closed
+    * session exactly once when the watermark crosses it. Unlike
+    * flatMapGroupsWithState's single timeout slot, timers here are
+    * first-class (several can coexist per key) — this processor needs
+    * one, so it deletes the previous before re-arming.
+    */
+  class SessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, ClosedSession] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TTLConfig, TimerValues, ValueState}
+
+    @transient private var open: ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession](
+        "open", Encoders.product[OpenSession], TTLConfig.NONE)
+
+    private def close(user: Long, s: OpenSession): ClosedSession =
+      ClosedSession(user, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
+        s.n, math.round(s.value * 100).toDouble / 100)
+
+    override def handleInputRows(
+        user: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[ClosedSession] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      val closed = Seq.newBuilder[ClosedSession]
+      var cur = if (open.exists()) Some(open.get()) else None
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t <= s.end + gapMs =>
+            cur = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1,
+              s.value + e.value))
+          case Some(s) =>
+            closed += close(user, s) // gap exceeded within the batch
+            cur = Some(OpenSession(t, t, 1, e.value))
+          case None =>
+            cur = Some(OpenSession(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        open.update(s)
+        // re-arm THE timer: drop any previously registered deadline
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        // event-time timers must sit at/after the current watermark
+        val deadline = math.max(s.end + gapMs, timers.getCurrentWatermarkInMs() + 1)
+        getHandle.registerTimer(deadline)
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(
+        user: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      if (!open.exists()) Iterator.empty
+      else {
+        val s = open.get()
+        if (timers.getCurrentWatermarkInMs() >= s.end + gapMs) {
+          open.clear()
+          Iterator.single(close(user, s))
+        } else Iterator.empty // session grew since this timer was armed
+      }
+    }
+  }
+
+  /** [[expiringSessions]] on the transformWithState surface (event-time
+    * TimeMode, Append output). Converges to the same closed-session set
+    * — pinned in EventStreamsSpec.
+    */
+  def expiringSessionsTws(
+      events: Dataset[Event], gapSeconds: Long, watermark: String): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionProcessor(gapSeconds * 1000L),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   final case class OpenSession(start: Long, end: Long, n: Long, value: Double)
   final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, session_value: Double)

@@ -258,6 +258,51 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState + event-time timers: sessions emit once on expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Event]
+      def ev(id: Long, user: Long, hm: String, v: Double) =
+        Event(id, Timestamp.valueOf(s"2024-01-01 $hm:00"), user, "click", v)
+
+      val q = expiringSessionsTws(mem.toDS(), gapSeconds = 1800, watermark = "10 minutes")
+        .writeStream.format("memory").queryName("tws_sessions")
+        .outputMode(OutputMode.Append())
+        .start()
+      try {
+        // batch 1: open session for user 1
+        mem.addData(ev(1, 1L, "10:00", 1.0), ev(2, 1L, "10:05", 2.0))
+        q.processAllAvailable()
+        assert(spark.table("tws_sessions").count() == 0)
+
+        // batch 2: same user far past the gap — old session closes in-handler
+        mem.addData(ev(3, 1L, "12:00", 4.0))
+        q.processAllAvailable()
+        val first = spark.table("tws_sessions").collect()
+        assert(first.length == 1)
+        assert(first.head.getLong(3) == 2L && first.head.getDouble(4) == 3.0)
+
+        // batch 3: unrelated user pushes the watermark past 12:30 — the
+        // open session's TIMER fires without any new user-1 event
+        mem.addData(ev(4, 99L, "13:30", 0.5))
+        q.processAllAvailable()
+        val all = spark.table("tws_sessions").collect()
+        assert(all.length == 2, s"expected timer emission, got ${all.length}")
+        val closed = all.map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).toSet
+        assert(closed.contains((1L, 1L, 4.0)), s"got $closed")
+      } finally q.stop()
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("transformWithState: multi-variable keyed state accumulates across batches") {
     implicit val sqlCtx = spark.sqlContext
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
