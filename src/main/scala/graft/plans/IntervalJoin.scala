@@ -108,6 +108,12 @@ case class IntervalJoinExec(
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numIntervals" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of build-side intervals"))
+
   private def toLong(a: Any): Long = a match {
     case l: Long => l
     case i: Int => i.toLong
@@ -150,6 +156,8 @@ case class IntervalJoinExec(
     while (i < n) { tree(size + i) = hiArr(i); i += 1 }
     i = size - 1
     while (i >= 1) { tree(i) = math.max(tree(2 * i), tree(2 * i + 1)); i -= 1 }
+    metrics("numIntervals").add(n)
+    val numOutputRows = metrics("numOutputRows")
     val bc = sparkContext.broadcast((loArr, tree, rows, size))
 
     left.execute().mapPartitions { iter =>
@@ -183,7 +191,10 @@ case class IntervalJoinExec(
               visit(2 * node + 1, mid, hip)
             }
             visit(1, 0, bSize)
-            out.result().iterator.map { idx => proj(joined(lrow, bRows(idx))) }
+            out.result().iterator.map { idx =>
+              numOutputRows += 1
+              proj(joined(lrow, bRows(idx)))
+            }
           }
         }
       }
