@@ -341,6 +341,68 @@ final class TableStore(val spark: SparkSession, val root: String,
     nUpdated
   }
 
+  /** CLONE TABLE analog: `dst` becomes an independent table with `src`'s
+    * current content. Deep in semantics (no reference back — vacuuming
+    * or rewriting `src` never breaks `dst`) but hardlink-cheap in bytes:
+    * parquet files in this store are immutable, so the clone is
+    * O(file count), not O(data). The clone starts its own version
+    * history at generation 0.
+    */
+  def cloneTable(src: String, dst: String): Unit = withTableLock(dst) {
+    require(exists(src), s"clone source $src does not exist")
+    require(!exists(dst), s"clone target $dst already exists")
+    val from = dir(src)
+    val to = dir(dst)
+    Files.createDirectories(to.getParent)
+    val tmp = to.getParent.resolve(s".clone-${to.getFileName}-${System.nanoTime()}")
+    val stream = Files.walk(from)
+    try stream.forEach { p =>
+      val rel = from.relativize(p).toString
+      val d = tmp.resolve(rel)
+      if (Files.isDirectory(p)) Files.createDirectories(d)
+      // the source's version marker must NOT carry over — fresh history
+      else if (!rel.startsWith("_graft_version")) {
+        try Files.createLink(d, p)
+        catch { case _: UnsupportedOperationException => Files.copy(p, d) }
+      }
+    } finally stream.close()
+    writeMarker(tmp, 0)
+    Files.move(tmp, to, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Constraint-enforced write (Delta CHECK-constraint analog): the
+    * batch must satisfy EVERY expectation or nothing is written — the
+    * violation count rides the write pass via `observe()`, so
+    * enforcement costs zero extra scans; the swap only happens after
+    * the staged write proves clean.
+    */
+  def overwriteValidated(
+      table: String,
+      df: DataFrame,
+      constraints: Seq[Expectations.Expectation],
+      numFiles: Int = 0,
+      partitionBy: Seq[String] = Nil): Unit = withTableLock(table) {
+    import org.apache.spark.sql.functions.{count => fcount, lit, sum, when}
+    val obs = org.apache.spark.sql.Observation(s"graft_constraints_$table")
+    val metricExprs =
+      (fcount(lit(1)).as("n_rows")) +:
+        constraints.map(e =>
+          sum(when(!org.apache.spark.sql.functions.coalesce(e.condition, lit(false)), 1L)
+            .otherwise(0L)).as(e.name))
+    val observed = df.observe(obs, metricExprs.head, metricExprs.tail: _*)
+    val tmp = stage(table, observed, numFiles, partitionBy)
+    val metrics = obs.get
+    val violations = constraints
+      .map(e => e.name -> metrics.getOrElse(e.name, 0L))
+      .collect { case (n, v: Long) if v > 0 => s"$n ($v rows)" }
+    if (violations.nonEmpty) {
+      deleteRecursively(tmp)
+      throw new IllegalStateException(
+        s"constraint violations writing $table: ${violations.mkString(", ")} — nothing written")
+    }
+    swapIn(table, tmp)
+  }
+
   /** RESTORE TABLE ... TO VERSION analog: make generation `asOf` the new
     * CURRENT generation. Delta semantics — restore is itself a new
     * generation (the pre-restore state stays readable in history), never

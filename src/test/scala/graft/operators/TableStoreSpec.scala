@@ -306,6 +306,50 @@ class TableStoreSpec extends SparkSpec {
     assert(v0bal == 20.0)
   }
 
+  test("cloneTable: independent content, fresh history, survives source mutation") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-clone-").toString)
+    store.overwrite("src", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    store.overwrite("src", Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"))
+    store.cloneTable("src", "dst")
+    assert(store.read("dst").count() == 3)
+    assert(store.currentVersion("dst") == 0, "clone must start its own history")
+    // mutating (and vacuuming) the source never touches the clone
+    store.deleteWhere("src", $"k" === 3)
+    store.vacuumVersions("src", 1)
+    assert(store.read("dst").count() == 3)
+    assert(store.read("src").count() == 2)
+    // clone is a first-class table: its own generations from here on
+    store.overwrite("dst", store.read("dst").filter($"k" === 1))
+    assert(store.read("dst", 0).count() == 3)
+    assert(store.read("dst").count() == 1)
+    // refusals: missing source, existing target
+    intercept[IllegalArgumentException](store.cloneTable("nope", "x"))
+    intercept[IllegalArgumentException](store.cloneTable("src", "dst"))
+  }
+
+  test("overwriteValidated: clean batch writes, dirty batch rejected whole, zero extra scans") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-check-").toString)
+    val constraints = Seq(
+      Expectations.expect("k_positive", $"k" > 0),
+      Expectations.expect("v_known", $"v".isin("a", "b")))
+    store.overwriteValidated("t",
+      Seq((1, "a"), (2, "b")).toDF("k", "v"), constraints)
+    assert(store.read("t").count() == 2)
+    // two violations: nothing written, table untouched, message names both
+    val e = intercept[IllegalStateException] {
+      store.overwriteValidated("t",
+        Seq((0, "a"), (3, "zzz"), (4, "b")).toDF("k", "v"), constraints)
+    }
+    assert(e.getMessage.contains("k_positive (1 rows)"), e.getMessage)
+    assert(e.getMessage.contains("v_known (1 rows)"), e.getMessage)
+    assert(store.read("t").count() == 2)
+    // null condition counts as a violation (SQL CHECK semantics)
+    intercept[IllegalStateException] {
+      store.overwriteValidated("t",
+        Seq((1, null.asInstanceOf[String])).toDF("k", "v"), constraints)
+    }
+  }
+
   test("saveView name cleanup is exact: saving 'b' must not delete view 'a__b'") {
     val store = new TableStore(spark, Files.createTempDirectory("graft-vwn-").toString)
     store.saveView("a__b", "SELECT 1 AS one", 0)
