@@ -146,7 +146,7 @@ object Dedup {
     * trading a full-candidate-set shuffle for re-scoring duplicates
     * map-side (the sigs join is broadcast; scoring is a 32-step loop).
     */
-  private[operators] def minHashCandidatesRaw(
+  private[graft] def minHashCandidatesRaw(
       signatures: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(rowsPerBand * bands == numHashes, "bands must divide numHashes")
