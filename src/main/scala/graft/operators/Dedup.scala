@@ -97,11 +97,11 @@ object Dedup {
   // ------------------------------------------------------------- minhash
   /** MinHash signature: k independent permutations approximated by
     * h_i(x) = (a_i * x + b_i) mod (2^31-1) over token hashes, computed
-    * by the custom [[graft.expressions.MinHashAggregate]] — ONE
-    * long-array aggregation buffer in a tight loop instead of k separate
-    * min() columns (whose generated class's Janino compile time
-    * dominated the operator; see MinHashAgg scaladoc). Single shuffle on
-    * doc id; output column `sig: array<bigint>` of length k.
+    * map-side by the scalar [[graft.expressions.MinHashArraySignature]]
+    * (the whole signature inside the scan projection — ZERO shuffle;
+    * bit-identical to the [[graft.expressions.MinHashAggregate]]
+    * explode+aggregate form, which remains for row-shaped token
+    * streams). Output column `sig: array<bigint>` of length k.
     */
   def minHashSignature(
       df: DataFrame, idCol: String, textCol: String,

@@ -56,6 +56,53 @@ class MergePropertySpec extends SparkSpec {
     }
   }
 
+  test("scd2 == driver-side reference on random merge sequences") {
+    (0 until 3).foreach { trial =>
+      val rnd = new scala.util.Random(100 + trial)
+      // target: current rows for a key subset (+ some closed history)
+      val keys = (1L to 40L).filter(_ => rnd.nextBoolean())
+      val cur = keys.map(k => (k, s"v${rnd.nextInt(3)}", "2023-01-01",
+        null.asInstanceOf[String], true))
+      val hist = keys.filter(_ % 3 == 0).map(k =>
+        (k, "old", "2022-01-01", "2023-01-01", false))
+      val target = (cur ++ hist).toDF("k", "v", "valid_from", "valid_to", "is_current")
+      // source: arbitrary keys, some matching, values shuffled
+      val srcRows = (1L to 40L).filter(_ => rnd.nextBoolean())
+        .map(k => (k, s"v${rnd.nextInt(3)}"))
+      val source = srcRows.toDF("k", "v")
+
+      // driver-side reference of the SCD2 contract
+      val curMap = cur.map(r => r._1 -> r._2).toMap
+      type R = (Long, String, String, Option[String], Boolean)
+      val expected = scala.collection.mutable.Set.empty[R]
+      hist.foreach(h => expected += ((h._1, h._2, h._3, Some(h._4), h._5)))
+      val srcMap = srcRows.toMap
+      cur.foreach { case (k, v, from, _, _) =>
+        srcMap.get(k) match {
+          case Some(nv) if nv != v => // changed: close out + reopen
+            expected += ((k, v, from, Some("2024-06-01"), false))
+            expected += ((k, nv, "2024-06-01", None, true))
+          case _ => // unchanged or unmatched current: passes through
+            expected += ((k, v, from, None, true))
+        }
+      }
+      srcRows.foreach { case (k, nv) =>
+        if (!curMap.contains(k)) expected += ((k, nv, "2024-06-01", None, true))
+      }
+
+      val got = Merge.scd2(target, source, Seq("k"), Seq("v"), "2024-06-01")
+        .as[(Long, String, String, Option[String], Boolean)].collect().toSet
+      assert(got == expected,
+        s"trial $trial: diff ${(got diff expected).take(3)} / ${(expected diff got).take(3)}")
+      // idempotence: same source again adds nothing
+      val again = Merge.scd2(
+        Merge.scd2(target, source, Seq("k"), Seq("v"), "2024-06-01"),
+        source, Seq("k"), Seq("v"), "2024-07-01")
+        .as[(Long, String, String, Option[String], Boolean)].collect().toSet
+      assert(again == expected, s"trial $trial: rerun changed the dimension")
+    }
+  }
+
   private implicit class SeedOps(s: rng.Seed) {
     def next(n: Int): rng.Seed = (0 until n).foldLeft(s)((acc, _) => acc.next)
   }
