@@ -229,6 +229,58 @@ object Extended {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q7 shape — bi-directional volume shipping between two
+    * nations: lineitem joined through supplier AND (via orders) customer
+    * to TWO nation dimensions, the symmetric nation-pair disjunction,
+    * shipping-year extraction, decimal-exact revenue. Both nation dims
+    * broadcast; the fact side shuffles only for the final group-by.
+    */
+  val tpch_q7_shape = OpQuery(
+    "tpch_q7_shape",
+    """SELECT supp_nation, cust_nation, yr,
+      |       CAST(SUM(volume) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |         CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS yr,
+      |         CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2)) AS volume
+      |  FROM supplier s
+      |  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      |  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      |  JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      |  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+      |)
+      |GROUP BY supp_nation, cust_nation, yr
+      |ORDER BY supp_nation, cust_nation, yr""".stripMargin) { (spark, dir) =>
+    val s = t(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val l = t(spark, dir, "lineitem").select(
+      col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+      col("l_extendedprice"), col("l_discount"))
+    val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val c = t(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val n1 = t(spark, dir, "nation")
+      .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+    val n2 = t(spark, dir, "nation")
+      .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+    l.join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+      .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+      .filter(
+        (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+          (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .select(
+        col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("yr"),
+        (dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))).as("volume"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("yr"))
+      .agg(sum(col("volume")).cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("yr"))
+  }
+
   /** Array-aggregation family: collect_list + array_sort + array_join
     * (emitted as a canonical string so the value compare is
     * engine-neutral), array_contains, element count.
@@ -412,5 +464,5 @@ object Extended {
   val all: Seq[OpQuery] = Seq(
     w4_window_family, w5_range_frames, a12_rollup, a13_cube, a14_grouping_sets,
     a15_stats, a16_percentile_exact, j11_set_ops, p9_pivot, p10_unpivot,
-    tpch_q3_shape, tpch_q4_shape, tpch_q5_shape, f_array_agg)
+    tpch_q3_shape, tpch_q4_shape, tpch_q5_shape, tpch_q7_shape, f_array_agg)
 }
