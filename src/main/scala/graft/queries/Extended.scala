@@ -375,6 +375,33 @@ object Extended {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Value window functions — first_value / last_value / nth_value with
+    * the explicit full-partition frame (the default frame makes
+    * last_value trivially equal the current row; the full frame is the
+    * form people actually want and the one worth pinning).
+    */
+  val w6_value_windows = OpQuery(
+    "w6_value_windows",
+    """SELECT o_orderkey,
+      |       FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest_order,
+      |       LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS cheapest_order,
+      |       NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_priciest
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(spark, dir, "orders").select(
+      col("o_orderkey"),
+      first(col("o_orderkey")).over(byPrice).as("priciest_order"),
+      last(col("o_orderkey")).over(byPrice).as("cheapest_order"),
+      nth_value(col("o_orderkey"), 2).over(byPrice).as("second_priciest"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Explicit GROUPING SETS — arbitrary subtotal combinations beyond
     * what ROLLUP/CUBE generate (the two one-dimension margins plus the
     * grand total, but NOT the (status, priority) cross).
@@ -462,7 +489,7 @@ object Extended {
   }
 
   val all: Seq[OpQuery] = Seq(
-    w4_window_family, w5_range_frames, a12_rollup, a13_cube, a14_grouping_sets,
+    w4_window_family, w5_range_frames, w6_value_windows, a12_rollup, a13_cube, a14_grouping_sets,
     a15_stats, a16_percentile_exact, j11_set_ops, p9_pivot, p10_unpivot,
     tpch_q3_shape, tpch_q4_shape, tpch_q5_shape, tpch_q7_shape, f_array_agg)
 }
