@@ -66,4 +66,33 @@ class PlanSpec extends SparkSpec {
     val p = plan(MergeQueries.s6_insert_only_merge)
     assert(p.contains("LeftAnti"), s"insert-only merge lost its anti join:\n$p")
   }
+
+  test("q7: both nation dims broadcast, fact side never sort-merges") {
+    val p = plan(Extended.tpch_q7_shape)
+    assert(p.split("BroadcastHashJoin").length >= 5,
+      s"expected >=4 broadcast joins in q7:\n$p")
+    assert(!p.contains("SortMergeJoin"), "q7 dim join degraded to sort-merge")
+  }
+
+  test("scd2: every key-wise join broadcasts its dimension-sized side") {
+    val p = plan(MergeQueries.s15_scd2_merge)
+    assert(!p.contains("SortMergeJoin"),
+      s"scd2 degraded to sort-merge on a broadcastable side:\n$p")
+  }
+
+  test("corpus_select: prefix sum is partitioned, never one global window") {
+    val p = plan(graft.queries.CurationPipeline.corpus_select)
+    // the corpus-sized running sum must window WITHIN partitions (__pid);
+    // the only permissible global window is the partition-count-sized
+    // offsets frame — so a global windowspec must never see token data
+    assert(p.contains("__pid"), s"range-partitioned prefix sum missing:\n$p")
+    // a Window node prints "..., [partitionExprs], [orderExprs]": an
+    // empty partition list ("], [], [") is a single-reducer global
+    // window — only the partition-count-sized offsets frame may do that
+    val globalWindows = p.split("\n").filter(l =>
+      l.contains("windowspecdefinition(") && l.contains("], [], ["))
+      .filter(l => l.contains("n_tokens#") || l.contains("quality#"))
+    assert(globalWindows.isEmpty,
+      s"corpus-sized global window found:\n${globalWindows.mkString("\n")}")
+  }
 }
