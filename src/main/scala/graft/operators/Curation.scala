@@ -163,4 +163,53 @@ object Curation {
   private def keepSurvivors(
       df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     Dedup.dedupCorpus(df, idCol, pairs.select("id1", "id2"))
+
+  // ------------------------------------------------- boilerplate lines
+  /** Corpus-level boilerplate removal (the C4/RefinedWeb line-dedup
+    * step): a LINE that appears verbatim in at least `minDocs` distinct
+    * documents is boilerplate (nav bars, cookie banners, license
+    * headers) and is dropped from every document; documents are then
+    * reassembled from their surviving lines in original order.
+    *
+    * Plan shape at 100 TB: posexplode lines (map-side), ONE groupBy on
+    * the line fingerprint for the distinct-doc counts, and the
+    * boilerplate set — corpus-small (only lines crossing the threshold)
+    * — comes back as a broadcast anti-join; reassembly is a groupBy on
+    * doc id using positionally-sorted array_agg. The full corpus is
+    * shuffled once (on doc id, for reassembly), the line-count shuffle
+    * carries only (fingerprint, doc_id) pairs.
+    *
+    * Output: (id, text) with `text` rebuilt from kept lines joined by
+    * `sep`; documents whose every line was boilerplate keep an empty
+    * text. `n_lines_kept` / `n_lines_dropped` make the op auditable.
+    */
+  def removeBoilerplateLines(
+      df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int, sep: String = "\n"): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__line")))
+    val boiler = lines
+      .groupBy(col("__line"))
+      .agg(countDistinct(col(idCol)).as("__n_docs"))
+      .filter(col("__n_docs") >= minDocs)
+      .select("__line")
+    val kept = lines.join(broadcast(boiler), Seq("__line"), "left_anti")
+    df.select(col(idCol))
+      .join(kept, Seq(idCol), "left")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            s => s.getField("__line")),
+          sep).as(textCol),
+        count(col("__line")).as("n_lines_kept"))
+      .join(
+        lines.groupBy(col(idCol)).agg(count(lit(1)).as("__n_total")),
+        Seq(idCol), "left")
+      .withColumn("n_lines_dropped",
+        coalesce(col("__n_total"), lit(0L)) - col("n_lines_kept"))
+      .drop("__n_total")
+  }
 }

@@ -10,5 +10,6 @@ object Registry {
     Relational.all ++ Scalars.all ++ MergeQueries.all ++ ScaleOps.all ++
       StreamingQueries.all ++ MultimodalQueries.all ++ AsOfQueries.all ++
       ScaleExtras.all ++ Extended.all ++ RangeQueries.all ++ CsvQueries.all ++
-      CurationPipeline.all ++ JdbcQueries.all ++ TrainingDataOps.all
+      CurationPipeline.all ++ JdbcQueries.all ++ TrainingDataOps.all ++
+      Round4Ops.all
 }

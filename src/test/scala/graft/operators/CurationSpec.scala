@@ -158,4 +158,53 @@ class CurationSpec extends SparkSpec {
     assert(removedBucketed.size * 10 >= removedExact.size * 6,
       s"bucketed recall too low: ${removedBucketed.size}/${removedExact.size}")
   }
+
+  test("boilerplate lines dropped everywhere, docs reassembled in order") {
+    import spark.implicits._
+    // "cookie banner" appears in 3 docs (>= minDocs 3); unique lines survive
+    val docs = Seq(
+      (1L, "cookie banner\nreal content one\nmore one"),
+      (2L, "cookie banner\nreal content two"),
+      (3L, "intro three\ncookie banner\noutro three"),
+      (4L, "only unique content")
+    ).toDF("doc_id", "text")
+    val out = Curation.removeBoilerplateLines(docs, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "text", "n_lines_kept", "n_lines_dropped")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, "real content one\nmore one", 2L, 1L),
+      (2L, "real content two", 1L, 1L),
+      (3L, "intro three\noutro three", 2L, 1L),
+      (4L, "only unique content", 1L, 0L)))
+  }
+
+  test("boilerplate: all-boilerplate and null-text docs yield empty text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Some("spam\nspam")), // both lines boilerplate ("spam" in 3 docs)
+      (2L, Some("spam\nkeep me")),
+      (3L, Some("spam")),
+      (4L, None)
+    ).toDF("doc_id", "text")
+    val out = Curation.removeBoilerplateLines(docs, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "text", "n_lines_kept")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, "", 0L), (2L, "keep me", 1L), (3L, "", 0L), (4L, "", 0L)))
+  }
+
+  test("boilerplate count is per distinct doc, not per occurrence") {
+    import spark.implicits._
+    // "dup" appears twice in ONE doc — only 1 distinct doc, below minDocs 2
+    val docs = Seq(
+      (1L, "dup\ndup\nunique"),
+      (2L, "other")
+    ).toDF("doc_id", "text")
+    val out = Curation.removeBoilerplateLines(docs, "doc_id", "text", minDocs = 2)
+      .filter($"doc_id" === 1L)
+      .select("text").as[String].head()
+    assert(out === "dup\ndup\nunique")
+  }
 }
