@@ -164,6 +164,56 @@ object Curation {
       df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     Dedup.dedupCorpus(df, idCol, pairs.select("id1", "id2"))
 
+  // ------------------------------------------------ duplicated spans
+  /** Cross-document duplicated-span detection (the signal behind exact
+    * substring dedup, Lee et al. "Deduplicating Training Data Makes
+    * Language Models Better"): fingerprint every `n`-token window of
+    * every document and flag the windows whose fingerprint occurs in at
+    * least `minDocs` DISTINCT documents. Output is a per-document audit:
+    * total spans, duplicated spans, duplicated fraction — the score a
+    * curation pipeline thresholds to drop or trim copy-heavy documents.
+    *
+    * Plan shape at 100 TB: span fingerprinting is map-side (split +
+    * slice + md5 inside codegen); the distinct-doc count is ONE shuffle
+    * keyed on the 128-bit fingerprint (uniform — no skew); flagging
+    * re-joins spans to the duplicated-fingerprint set on the same
+    * uniform key. Nothing is ever all-pairs: cost is O(total tokens),
+    * the same asymptotics as the suffix-array construction it
+    * approximates, in three scans.
+    */
+  def duplicatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    require(n >= 2, s"span length must be >= 2 tokens, got $n")
+    val toks = TextFunctions.tokens(lower(col(textCol)))
+    val spans = df
+      .select(col(idCol), toks.as("__t"))
+      .select(col(idCol),
+        explode(
+          when(size(col("__t")) >= n, sequence(lit(1), size(col("__t")) - (n - 1)))
+            .otherwise(array().cast("array<int>"))).as("__pos"),
+        col("__t"))
+      .select(col(idCol),
+        md5(concat_ws(" ", slice(col("__t"), col("__pos"), lit(n)))).as("__k"))
+    val dup = spans
+      .groupBy(col("__k"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__k"), lit(true).as("__dup"))
+    val perDoc = spans.join(dup, Seq("__k"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        count(col("__dup")).as("n_dup_spans"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        round(col("n_dup_spans") * 1.0 / nullif(col("n_spans"), lit(0)), 6)
+          .cast("double"))
+  }
+
   // ------------------------------------------------- boilerplate lines
   /** Corpus-level boilerplate removal (the C4/RefinedWeb line-dedup
     * step): a LINE that appears verbatim in at least `minDocs` distinct

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over the event stream: ordered-stage
+  * conversion funnels and cohort retention matrices — the two queries
+  * every dashboard built on a medallion gold layer eventually asks of an
+  * events fact table.
+  *
+  * Scale notes:
+  *  - [[funnel]] runs one scan + aggregation per stage. Each stage's
+  *    reach set (one row per user) is tiny relative to the event log, so
+  *    the chained join is an AQE-eligible equi-join keyed on the user —
+  *    no stage ever funnels events through a single reducer, and the
+  *    per-stage partial aggregation (min over user) combines map-side.
+  *  - [[cohortRetention]] is two user-keyed aggregations plus a join of
+  *    two week-level aggregates whose cardinality is O(weeks²) — the
+  *    final join inputs are dashboard-sized regardless of event volume.
+  */
+object EventAnalytics {
+
+  /** Ordered conversion funnel: a user counts for stage i+1 only with an
+    * event of that stage's type AT OR AFTER their stage-i entry time
+    * (entry = earliest qualifying event, chained from the funnel head),
+    * and — when `conversionWindowMicros` is set — no later than that
+    * entry time plus the window (the standard "converted within 24h"
+    * funnel semantics; without a window every funnel over a long-lived
+    * product converges to its user count).
+    *
+    * Times compare in epoch MICROSECONDS (Spark's native timestamp
+    * resolution) so results are reproducible across engines reading the
+    * same nanosecond source data.
+    *
+    * Output: (stage_idx, stage, n_users, conv_rate) where conv_rate is
+    * n_users / previous stage's n_users (null for the head stage). The
+    * trailing window runs over `stages.length` rows — driver-sized.
+    */
+  def funnel(
+      events: DataFrame,
+      stages: Seq[String],
+      conversionWindowMicros: Option[Long] = None,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val ev = events.select(
+      col(userCol).as("__u"), col(typeCol).as("__t"),
+      unix_micros(col(tsCol)).as("__us"))
+
+    // reached(i): one row per user who completed stages 0..i, with the
+    // entry time of stage i
+    val head = ev.filter(col("__t") === stages.head)
+      .groupBy(col("__u")).agg(min(col("__us")).as("__entry"))
+    val reached = stages.tail.scanLeft(head) { (prev, stage) =>
+      val inWindow = conversionWindowMicros
+        .map(w => col("__us") <= col("__prev") + w)
+        .getOrElse(lit(true))
+      ev.filter(col("__t") === stage)
+        .join(prev.select(col("__u"), col("__entry").as("__prev")), "__u")
+        .filter(col("__us") >= col("__prev") && inWindow)
+        .groupBy(col("__u")).agg(min(col("__us")).as("__entry"))
+    }
+
+    val counts = reached.zipWithIndex.map { case (df, idx) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(idx).as("stage_idx"), lit(stages(idx)).as("stage"),
+          col("n_users"))
+    }.reduce(_ union _)
+
+    // stages.length rows total: the unpartitioned window is driver-sized
+    val w = Window.orderBy(col("stage_idx"))
+    counts.select(col("stage_idx"), col("stage"), col("n_users"),
+        round(col("n_users") * 1.0 /
+          nullif(lag(col("n_users"), 1).over(w), lit(0)), 6)
+          .cast("double").as("conv_rate"))
+      .orderBy(col("stage_idx"))
+  }
+
+  /** Weekly cohort retention: cohort = ISO week (Monday) of the user's
+    * first event; a cohort is "active at offset w" if any member has an
+    * event in the week `cohort + 7w days`. Retention is active users over
+    * the cohort's size (its week-0 active count — every member has an
+    * event in week 0 by construction).
+    *
+    * Output: (cohort_week, week_offset, n_active, retention).
+    */
+  def cohortRetention(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val ev = events.select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"))
+    val cohorts = ev.groupBy(col("__u"))
+      .agg(min(col("__d")).as("__d0"))
+      .select(col("__u"), date_trunc("week", col("__d0")).cast("date").as("__cohort"))
+    val activeWeeks = ev
+      .select(col("__u"), date_trunc("week", col("__d")).cast("date").as("__w"))
+      .distinct()
+
+    val cells = activeWeeks.join(cohorts, "__u")
+      .groupBy(col("__cohort"),
+        (datediff(col("__w"), col("__cohort")) / 7).cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    // week-0 sizes: one row per cohort — broadcastable at any event volume
+    val sizes = cells.filter(col("week_offset") === 0)
+      .select(col("__cohort"), col("n_active").as("__size"))
+
+    cells.join(broadcast(sizes), "__cohort")
+      .select(
+        date_format(col("__cohort"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_active"),
+        round(col("n_active") * 1.0 / col("__size"), 6)
+          .cast("double").as("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+}

@@ -207,4 +207,47 @@ class CurationSpec extends SparkSpec {
       .select("text").as[String].head()
     assert(out === "dup\ndup\nunique")
   }
+
+  // ---------------------------------------------------- duplicated spans
+  test("duplicatedSpans flags exactly the cross-document windows") {
+    // docs 1 and 2 share the 4-token run "p q r s" (one 4-gram); doc 3 is
+    // disjoint; doc 4 is shorter than n and must report zero spans.
+    val d = Seq(
+      (1L, "a b p q r s c d"),   // 5 spans, 1 duplicated (p q r s)
+      (2L, "p q r s x y z"),     // 4 spans, 1 duplicated
+      (3L, "m n o t u v w"),     // 4 spans, 0 duplicated
+      (4L, "a b c")              // < n tokens: 0 spans
+    ).toDF("doc_id", "text")
+    val out = Curation.duplicatedSpans(d, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)))).toMap
+    assert(out(1L) == (5L, 1L, Some(0.2)))
+    assert(out(2L) == (4L, 1L, Some(0.25)))
+    assert(out(3L) == (4L, 0L, Some(0.0)))
+    assert(out(4L) == (0L, 0L, None))
+  }
+
+  test("duplicatedSpans: repeats WITHIN one doc don't count without a second doc") {
+    val d = Seq(
+      (1L, "a b c d a b c d"),  // "a b c d" twice, but only in doc 1
+      (2L, "e f g h i")
+    ).toDF("doc_id", "text")
+    val out = Curation.duplicatedSpans(d, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) == 0L)
+    assert(out(2L) == 0L)
+  }
+
+  test("duplicatedSpans is case-insensitive and layout-invariant") {
+    val d = Seq(
+      (1L, "The Quick Brown Fox jumps"),
+      (2L, "the quick brown fox sleeps")
+    ).toDF("doc_id", "text")
+    val a = Curation.duplicatedSpans(d, "doc_id", "text", n = 4)
+      .orderBy("doc_id").collect().toSeq
+    val b = Curation.duplicatedSpans(d.repartition(13), "doc_id", "text", n = 4)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    assert(a.map(_.getLong(2)) == Seq(1L, 1L)) // "the quick brown fox"
+  }
 }
