@@ -3,7 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
 
 /** Structured-Streaming operators over the `events` table shape
   * (event_id, ts, user_id, event_type, value, props).
@@ -430,6 +431,33 @@ object EventStreams {
             closed.result().iterator
           }
       }
+  }
+
+  /** Incremental file-source ingest run to completion with
+    * `Trigger.AvailableNow`: process every file currently in `srcDir`,
+    * then STOP — the batch-job-shaped run of a streaming pipeline (the
+    * scheduler-friendly backfill mode). The checkpoint records which
+    * files were consumed, so a later run with the SAME checkpoint
+    * processes only files that arrived since — exactly-once ingest
+    * across restarts with no idempotence required of `process`
+    * (pinned in StreamingIngestSpec).
+    *
+    * At scale this is the standard landing-zone pattern: object-store
+    * prefix in, `process` (usually a foreachBatch MERGE into the store)
+    * out, run from any scheduler with no always-on cluster.
+    */
+  def ingestFilesAvailableNow(
+      spark: SparkSession, srcDir: String, schema: StructType,
+      checkpointDir: String)(process: DataFrame => Unit): Unit = {
+    val q = spark.readStream
+      .schema(schema)
+      .parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: DataFrame, _: Long) => process(batch))
+      .start()
+    q.awaitTermination()
   }
 
   /** Convenience: read the events table as a file-source stream (one

@@ -83,4 +83,32 @@ class StreamingIngestSpec extends SparkSpec {
       assert(gold == full)
     } finally q.stop()
   }
+
+  test("AvailableNow file ingest: each run drains only files new since the checkpoint") {
+    val src = Files.createTempDirectory("graft-avnow-src-").toString
+    val chk = Files.createTempDirectory("graft-avnow-chk-").toString
+    val schema = Seq((0L, "")).toDF("k", "v").schema
+
+    // a deliberately NON-idempotent sink: raw row append. Exactly-once
+    // must come from the checkpoint, not from sink dedup.
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    def run(): Unit = EventStreams.ingestFilesAvailableNow(
+        spark, src, schema, chk) { batch =>
+      seen ++= batch.collect().map(r => (r.getLong(0), r.getString(1)))
+    }
+
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert(seen.sorted == Seq((1L, "a"), (2L, "b")))
+
+    // second batch of files lands; same checkpoint → only the delta
+    Seq((3L, "c")).toDF("k", "v").coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert(seen.sorted == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // nothing new: the run terminates without re-emitting anything
+    run()
+    assert(seen.size == 3)
+  }
 }
