@@ -78,6 +78,62 @@ object EventAnalytics {
       .orderBy(col("stage_idx"))
   }
 
+  /** Markov transition matrix over the event stream (process mining):
+    * for every ordered pair of consecutive events per user, count the
+    * (prev_type → next_type) transition and normalize rows to
+    * probabilities. The per-user window orders by (epoch µs, event id)
+    * so ties are deterministic across engines and layouts.
+    *
+    * Scale: one user-keyed window pass (each user's history sorts within
+    * its partition group) + a type-pair aggregation whose output is
+    * |types|² — dashboard-sized however large the log is.
+    */
+  def transitionMatrix(
+      events: DataFrame,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(unix_micros(col(tsCol)), col(idCol))
+    val share = Window.partitionBy(col("prev_type"))
+    events
+      .withColumn("prev_type", lag(col(typeCol), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round(col("n") * 1.0 / sum(col("n")).over(share), 6).cast("double"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  /** Per-user behavioral sequences (training-sequence construction for
+    * behavior models): each user's events ordered by (epoch µs, event
+    * id), truncated to `maxLen`, joined into one string. One shuffle on
+    * the user key; the sort happens inside the aggregated array (never a
+    * global orderBy), so no single reducer sees more than one user's
+    * history.
+    */
+  def userSequences(
+      events: DataFrame,
+      maxLen: Int = 50,
+      sep: String = ">",
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame =
+    events
+      .select(col(userCol),
+        struct(unix_micros(col(tsCol)).as("us"), col(idCol).as("id"),
+          col(typeCol).as("t")).as("__e"))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        slice(array_sort(collect_list(col("__e"))), 1, maxLen).as("__head"))
+      .select(col(userCol), col("n_events"),
+        concat_ws(sep, transform(col("__head"), e => e.getField("t")))
+          .as("head_seq"))
+      .orderBy(col(userCol))
+
   /** Weekly cohort retention: cohort = ISO week (Monday) of the user's
     * first event; a cohort is "active at offset w" if any member has an
     * event in the week `cohort + 7w days`. Retention is active users over

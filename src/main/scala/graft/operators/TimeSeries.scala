@@ -46,4 +46,46 @@ object TimeSeries {
         last(col(valueCol), ignoreNulls = true).over(w))
       .withColumn("is_gap", col(valueCol).isNull)
   }
+
+  /** Exact integer z-score anomaly flags: each observation is compared
+    * against the trailing window of the PREVIOUS `lookbackDays` days
+    * (current day excluded — today must not explain itself), flagged
+    * when its squared z-score exceeds `zThreshold`².
+    *
+    * The entire test runs in INTEGER arithmetic: with n, s1 = Σx,
+    * s2 = Σx² over the window and observation v (all integral, e.g.
+    * cents),
+    *
+    *   z² > t²  ⟺  (v·n − s1)² · (n−1) > t² · n · (n·s2 − s1²)
+    *
+    * so the flag is bit-reproducible on any engine and any partition
+    * layout — no floating-point variance in sight (same philosophy as
+    * the a16/a17 cents-domain percentiles). Zero-variance windows flag
+    * any deviation; an observation equal to the mean never flags.
+    *
+    * Input: one row per (key, date) with an integral `valueCol`.
+    * Scale: one per-key RANGE window pass — no global sort, no shuffle
+    * beyond the key partitioning.
+    */
+  def integerZScoreAnomalies(
+      df: DataFrame, keyCol: String, dateCol: String, valueCol: String,
+      lookbackDays: Int = 7, minPrevDays: Int = 3,
+      zThreshold: Int = 3): DataFrame = {
+    val v = col(valueCol)
+    val pw = Window.partitionBy(col(keyCol))
+      .orderBy(datediff(col(dateCol), to_date(lit("1970-01-01"))))
+      .rangeBetween(-lookbackDays, -1)
+    val t2 = zThreshold.toLong * zThreshold
+    df.select(col(keyCol), col(dateCol), v,
+        count(v).over(pw).as("n_prev"),
+        coalesce(sum(v).over(pw), lit(0L)).as("__s1"),
+        coalesce(sum(v * v).over(pw), lit(0L)).as("__s2"))
+      .withColumn("is_anomaly",
+        col("n_prev") >= minPrevDays &&
+          (v * col("n_prev") - col("__s1")) * (v * col("n_prev") - col("__s1")) *
+            (col("n_prev") - 1) >
+          lit(t2) * col("n_prev") *
+            (col("n_prev") * col("__s2") - col("__s1") * col("__s1")))
+      .drop("__s1", "__s2")
+  }
 }

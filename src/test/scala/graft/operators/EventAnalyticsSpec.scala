@@ -118,6 +118,49 @@ class EventAnalyticsSpec extends SparkSpec with Matchers {
     got shouldBe Array((0, 1L))
   }
 
+  test("transition matrix: hand-computed counts and row-normalized probabilities") {
+    // u1: a -> b -> a -> b   gives a->b x2, b->a x1
+    // u2: a -> c             gives a->c x1
+    val ev = Seq(
+      (1L, 1L, "a", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "b", ts("2024-01-01 11:00:00")),
+      (3L, 1L, "a", ts("2024-01-01 12:00:00")),
+      (4L, 1L, "b", ts("2024-01-01 13:00:00")),
+      (5L, 2L, "a", ts("2024-01-01 10:00:00")),
+      (6L, 2L, "c", ts("2024-01-01 11:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = EventAnalytics.transitionMatrix(ev)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    got shouldBe Map(
+      ("a", "b") -> (2L, 0.666667), ("a", "c") -> (1L, 0.333333),
+      ("b", "a") -> (1L, 1.0))
+  }
+
+  test("transition matrix: same-timestamp ties break on event_id") {
+    val t0 = ts("2024-01-01 10:00:00")
+    val ev = Seq(
+      (2L, 1L, "b", t0), (1L, 1L, "a", t0), (3L, 1L, "c", t0)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = EventAnalytics.transitionMatrix(ev)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    got shouldBe Set(("a", "b"), ("b", "c"))
+  }
+
+  test("user sequences: ordered, truncated, counted") {
+    val ev = Seq(
+      (3L, 1L, "c", ts("2024-01-01 12:00:00")),
+      (1L, 1L, "a", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "b", ts("2024-01-01 11:00:00")),
+      (4L, 2L, "x", ts("2024-01-01 09:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val full = EventAnalytics.userSequences(ev)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    full shouldBe Map(1L -> (3L, "a>b>c"), 2L -> (1L, "x"))
+    val truncated = EventAnalytics.userSequences(ev, maxLen = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    truncated(1L) shouldBe "a>b"
+  }
+
   test("funnel plan: no cartesian product, stage joins stay equi-joins") {
     val ev = events((1L, "signup", "2024-01-01 10:00:00"))
     val plan = EventAnalytics.funnel(ev, Seq("signup", "view", "purchase"))

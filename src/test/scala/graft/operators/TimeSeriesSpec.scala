@@ -47,4 +47,44 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.count() === 61)
     assert(out.filter(col("is_gap")).count() === 59)
   }
+
+  test("integer z-score: spike flags, steady days don't, current day excluded") {
+    // key 1: 7 steady days at 100 with noise ±2, then a 200 spike.
+    val obs = ((1 to 7).map(i => (1L, d(f"2024-01-0$i"), 98L + (i % 5))) :+
+      (1L, d("2024-01-08"), 200L)).toDF("k", "dt", "v")
+    val out = TimeSeries.integerZScoreAnomalies(obs, "k", "dt", "v")
+      .collect().map(r => r.getDate(1).toString -> r.getBoolean(4)).toMap
+    assert(out("2024-01-08"))                       // the spike
+    assert(!(1 to 7).exists(i => out(f"2024-01-0$i"))) // steady days clean
+  }
+
+  test("integer z-score: zero-variance window flags any deviation, not equality") {
+    val obs = ((1 to 5).map(i => (1L, d(f"2024-01-0$i"), 100L)) ++
+      Seq((1L, d("2024-01-06"), 101L), (1L, d("2024-01-07"), 100L)))
+      .toDF("k", "dt", "v")
+    val out = TimeSeries.integerZScoreAnomalies(obs, "k", "dt", "v")
+      .collect().map(r => r.getDate(1).toString -> r.getBoolean(4)).toMap
+    assert(out("2024-01-06"))     // any deviation from zero variance
+    assert(!out("2024-01-05"))    // equal to the window mean
+  }
+
+  test("integer z-score: needs minPrevDays history before it may flag") {
+    val obs = Seq(
+      (1L, d("2024-01-01"), 100L), (1L, d("2024-01-02"), 9999L)
+    ).toDF("k", "dt", "v")
+    val out = TimeSeries.integerZScoreAnomalies(obs, "k", "dt", "v")
+      .collect().map(r => r.getDate(1).toString -> r.getBoolean(4)).toMap
+    assert(out.values.forall(_ == false))
+  }
+
+  test("integer z-score: flags are partition-layout invariant (integer math)") {
+    val obs = (1 to 30).map(i =>
+      (i % 3L, d(f"2024-01-$i%02d"), (i * 37 % 200).toLong))
+      .toDF("k", "dt", "v")
+    val a = TimeSeries.integerZScoreAnomalies(obs.repartition(1), "k", "dt", "v")
+      .orderBy("k", "dt").collect().toSeq
+    val b = TimeSeries.integerZScoreAnomalies(obs.repartition(13), "k", "dt", "v")
+      .orderBy("k", "dt").collect().toSeq
+    assert(a === b)
+  }
 }
