@@ -14,9 +14,15 @@ object Bench {
       graft.Tables.all.foreach(t =>
         graft.Tables.load(spark, sfDir, t).count())
     } catch { case _: Throwable => () }
+    // local iteration only: SPARK_GRAFT_ONLY=q1,q2 times a subset (the
+    // driver never sets it)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // failed queries report -1 (never a fake timing) and are excluded
     // from the total, so a regression cannot "improve" the benchmark
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>

@@ -43,28 +43,43 @@ object Graph {
     require(iterations >= 1, s"need at least one iteration, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
 
+    // The raw edge frame is NOT checkpointed: it is read only while
+    // building nodes and eDeg, recomputing it is a projected scan, and
+    // an eager checkpoint would pay a full extra materialization pass.
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .localCheckpoint(true)
     val nodes = e.select(col("__src").as("id"))
       .union(e.select(col("__dst").as("id")))
       .distinct()
       .localCheckpoint(true)
-    val outDeg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
-      .localCheckpoint(true)
+    // out-degree is joined into the edge list ONCE, outside the loop —
+    // inside it would add a full edge-sized join per iteration. The
+    // degree table is one row per distinct source, so the join back to
+    // the edges is AQE-broadcast and never shuffles the edge list; the
+    // LAZY checkpoint materializes it on the first iteration and every
+    // later iteration reads the cached copy.
+    val eDeg = e.join(
+        e.groupBy(col("__src")).agg(count(lit(1)).as("__deg")), "__src")
+      .localCheckpoint(false)
 
     var ranks = nodes.withColumn("rank", lit(1.0)).localCheckpoint(true)
     for (_ <- 1 to iterations) {
-      val contribs = e
+      val contribs = eDeg
         .join(ranks.withColumnRenamed("id", "__src"), "__src")
-        .join(outDeg, "__src")
         .select(col("__dst").as("id"), (col("rank") / col("__deg")).as("__c"))
         .groupBy(col("id")).agg(sum(col("__c")).as("__in"))
+      // LAZY checkpoint: with a fixed iteration count there is no
+      // driver action inside the loop, so eager materialization would
+      // pay one synchronous job barrier per round for nothing — lazy
+      // still truncates lineage and caches each rank frame on first
+      // use, but lets Spark run the whole cascade as one job chain
+      // (connectedComponents needs eager only because its convergence
+      // count() acts per round)
       ranks = nodes
         .join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("__in"), lit(0.0)))
             .as("rank"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     ranks
   }

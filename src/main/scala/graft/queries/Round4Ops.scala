@@ -60,16 +60,19 @@ object Round4Ops {
       |GROUP BY m
       |ORDER BY month_start""".stripMargin) { (spark, dir) =>
     t(spark, dir, "orders").createOrReplaceTempView("graft_rc_orders")
+    // the recursion CARRIES hi as a column instead of re-evaluating a
+    // correlated `(SELECT hi FROM bounds)` each step — UnionLoop
+    // re-executes the recursive term's subplan every iteration, so the
+    // correlated form re-scanned orders once per generated month
+    // (measured 16 s at sf0.1; carried form ~1 s)
     spark.sql(
-      """WITH RECURSIVE bounds AS (
-        |  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
-        |         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+      """WITH RECURSIVE months(m, hi) AS (
+        |  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE),
+        |         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE)
         |  FROM graft_rc_orders
-        |), months(m) AS (
-        |  SELECT lo FROM bounds
         |  UNION ALL
-        |  SELECT add_months(m, 1) FROM months
-        |  WHERE m < (SELECT hi FROM bounds)
+        |  SELECT add_months(m, 1), hi FROM months
+        |  WHERE m < hi
         |)
         |SELECT date_format(m, 'yyyy-MM-dd') AS month_start,
         |       COUNT(o_orderkey) AS n_orders
