@@ -467,4 +467,74 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDistance)
   }
+
+  /** Character-level hamming distance between two equal-length strings
+    * (count of positions where they differ). Null if lengths differ —
+    * hamming is undefined across lengths, and returning null keeps the
+    * predicate `stringHamming(a,b) <= d` false there, matching the
+    * equal-length join contract of [[stringHammingNeighbors]].
+    */
+  def stringHamming(a: Column, b: Column): Column =
+    when(length(a) === length(b),
+      aggregate(
+        zip_with(split(a, ""), split(b, ""),
+          (x, y) => when(x === y, 0).otherwise(1)),
+        lit(0), (acc, d) => acc + d))
+
+  /** Fuzzy string self-join: all pairs of rows whose `strCol` values have
+    * the same length and character-level hamming distance ≤ `maxDist` —
+    * near-identical identifiers/titles that exact dedup misses (one-digit
+    * typos, single-character OCR errors).
+    *
+    * Same pigeonhole principle as [[simHashNearDups]], applied to the
+    * string itself: split each string into (maxDist+1) contiguous
+    * segments — two equal-length strings within hamming distance d must
+    * agree EXACTLY on at least one segment (d mismatches cannot touch
+    * all d+1 segments). Candidate generation is a bucket equi-join on
+    * (length, segment index, segment text) — never an all-pairs product
+    * — followed by an exact hamming verify. At 100 TB the segment
+    * buckets shuffle like any hash key; a degenerate corpus (billions of
+    * rows sharing one segment) degrades that bucket only, and a salted
+    * two-level join is the standard escape.
+    *
+    * Note this is HAMMING, not edit distance: insertions/deletions are
+    * not matched (they change the length). For maxDist = 1 on
+    * equal-length strings the two coincide exactly — levenshtein 1 can
+    * only be a single substitution once lengths match.
+    *
+    * Output: (id1, id2, dist), id1 < id2, one row per qualifying pair.
+    */
+  def stringHammingNeighbors(
+      df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val segs = maxDist + 1
+    // segment i of s = characters [i*len/segs, (i+1)*len/segs) — computed
+    // per row so variable lengths self-align within each length bucket
+    val segCols = (0 until segs).map { i =>
+      val lo = (length(col(strCol)) * i / segs) + 1
+      val hi = length(col(strCol)) * (i + 1) / segs
+      struct(
+        lit(i).as("seg_idx"),
+        col(strCol).substr(lo, hi - lo + lit(1)).as("seg_val"))
+    }
+    val banded = df.select(
+        col(idCol).as("__id"), col(strCol).as("__s"),
+        length(col(strCol)).as("__len"),
+        explode(array(segCols: _*)).as("c"))
+      .select(col("__id"), col("__s"), col("__len"),
+        col("c.seg_idx"), col("c.seg_val"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.__len") === col("b.__len") &&
+          col("a.seg_idx") === col("b.seg_idx") &&
+          col("a.seg_val") === col("b.seg_val") &&
+          col("a.__id") < col("b.__id"))
+      .select(
+        col("a.__id").as("id1"), col("b.__id").as("id2"),
+        stringHamming(col("a.__s"), col("b.__s")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
 }

@@ -83,4 +83,57 @@ object Graph {
     }
     ranks
   }
+
+  /** Multi-source BFS: minimum hop distance from any seed node, bounded
+    * by `maxHops` — k-hop neighborhood expansion (blast-radius queries,
+    * related-document discovery over citation/link graphs).
+    *
+    * Frontier iteration: each hop is ONE equi-join (frontier ⋈ edges on
+    * the source id) + ONE anti-join against the visited set — both
+    * shuffle on the node id, and the frontier is the only thing that
+    * grows the work, never the full graph. Early-stops when a frontier
+    * comes back empty (the per-hop `isEmpty` is a driver-side boolean on
+    * an already-checkpointed frame, not an extra scan of the graph).
+    * Visited/frontier frames are eagerly `localCheckpoint`ed so lineage
+    * stays O(1) across hops and each anti-join reads a materialized set.
+    *
+    * Directed: follows `srcCol` → `dstCol` only; pass edges in both
+    * orientations for an undirected walk.
+    *
+    * Input: edges (`srcCol`, `dstCol`), seeds (`idCol`).
+    * Output: (id, dist) for every node within `maxHops` of a seed;
+    * seeds themselves at dist 0.
+    */
+  def bfs(
+      edges: DataFrame,
+      seeds: DataFrame,
+      maxHops: Int,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      idCol: String = "id"): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    var visited = seeds.select(col(idCol).as("id")).distinct()
+      .withColumn("dist", lit(0))
+      .localCheckpoint(true)
+    var frontier = visited
+    var hop = 1
+    var exhausted = false
+    while (hop <= maxHops && !exhausted) {
+      val next = frontier
+        .join(e, frontier("id") === e("__src"))
+        .select(col("__dst").as("id"))
+        .distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .localCheckpoint(true)
+      if (next.isEmpty) exhausted = true
+      else {
+        visited = visited.union(next).localCheckpoint(true)
+        frontier = next
+        hop += 1
+      }
+    }
+    visited
+  }
 }

@@ -318,4 +318,45 @@ object Similarity {
       .select("id1", "id2", "score")
       .distinct()
   }
+
+  /** Per-label embedding statistics: the class-centroid diagnostics run
+    * before training a classifier on labeled embeddings — how many
+    * members, where the centroid sits, and how tightly the class
+    * clusters around it (mean member→centroid cosine).
+    *
+    * Two-stage relational shape that scales to any corpus:
+    *  1. centroid components via posexplode + groupBy(label, dim) —
+    *     ONE shuffle keyed on (label, dim), partial-agg combines
+    *     map-side, so per-label membership never funnels through one
+    *     reducer even for million-member classes;
+    *  2. centroid arrays (|labels| × dim rows → |labels| tiny rows)
+    *     broadcast back onto the corpus for the per-member cosine, then
+    *     one more label-keyed aggregate for the dispersion stats.
+    *
+    * Output: (label, n, centroid_norm, mean_cos), one row per label.
+    */
+  def labelCentroidStats(
+      corpus: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    VectorExprs.register(corpus.sparkSession)
+    val comps = corpus
+      .select(col(labelCol), posexplode(col(vecCol)).as(Seq("__dim", "__v")))
+      .groupBy(col(labelCol), col("__dim"))
+      .agg(avg(col("__v").cast("double")).as("__c"))
+    val cents = comps
+      .groupBy(col(labelCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__dim"), col("__c")))),
+        s => s.getField("__c")).as("__centroid"))
+    corpus
+      .join(broadcast(cents), Seq(labelCol))
+      .select(col(labelCol),
+        VectorExprs.vecCosine(col(vecCol), col("__centroid")).as("__cos"),
+        VectorExprs.vecNorm(col("__centroid")).as("__cnorm"))
+      .groupBy(col(labelCol))
+      .agg(
+        count(lit(1)).as("n"),
+        first(col("__cnorm")).as("centroid_norm"),
+        avg(col("__cos")).as("mean_cos"))
+  }
 }

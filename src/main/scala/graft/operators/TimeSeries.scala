@@ -88,4 +88,56 @@ object TimeSeries {
             (col("n_prev") * col("__s2") - col("__s1") * col("__s1")))
       .drop("__s1", "__s2")
   }
+
+  /** Daily resample + LINEAR interpolation — the companion to
+    * [[resampleDailyFfill]] for quantities where a gap means "the value
+    * moved smoothly", not "the value held" (sensor readings, balances).
+    *
+    * Gap days get `prev + (next − prev) · elapsed/span` between their
+    * nearest observed neighbors. Because the spine spans exactly
+    * [min(date), max(date)] per key, every gap day has BOTH neighbors —
+    * no extrapolation case exists by construction.
+    *
+    * Output: one row per (key, day) with
+    *   - `valueCol`        — the observation, null on gap days
+    *   - `<value>_interp`  — observation on observed days, linear
+    *                         interpolation on gap days (DOUBLE)
+    *   - `is_gap`          — true on synthesized spine days
+    *
+    * Scale shape: identical to [[resampleDailyFfill]] — per-key spine
+    * via `sequence()` + `explode` (no global calendar cross join), then
+    * two per-key window passes (backward last-non-null, forward
+    * first-non-null) over the SAME partitioning, so the exchange is
+    * planned once.
+    */
+  def resampleDailyInterpolate(
+      df: DataFrame, keyCol: String, dateCol: String, valueCol: String): DataFrame = {
+    val spine = df
+      .groupBy(col(keyCol))
+      .agg(min(col(dateCol)).as("__d0"), max(col(dateCol)).as("__d1"))
+      .select(col(keyCol),
+        explode(sequence(col("__d0"), col("__d1"), expr("interval 1 day")))
+          .as(dateCol))
+    val joined = spine.join(df, Seq(keyCol, dateCol), "left")
+    val v = col(valueCol)
+    val wBack = Window.partitionBy(col(keyCol)).orderBy(col(dateCol).asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wFwd = Window.partitionBy(col(keyCol)).orderBy(col(dateCol).asc)
+      .rowsBetween(0, Window.unboundedFollowing)
+    val obsDate = when(v.isNotNull, col(dateCol))
+    joined
+      .withColumn("__pv", last(v, ignoreNulls = true).over(wBack))
+      .withColumn("__pd", last(obsDate, ignoreNulls = true).over(wBack))
+      .withColumn("__nv", first(v, ignoreNulls = true).over(wFwd))
+      .withColumn("__nd", first(obsDate, ignoreNulls = true).over(wFwd))
+      .withColumn(s"${valueCol}_interp",
+        when(v.isNotNull, v.cast("double"))
+          .otherwise(
+            col("__pv").cast("double") +
+              (col("__nv").cast("double") - col("__pv").cast("double")) *
+              datediff(col(dateCol), col("__pd")) /
+              datediff(col("__nd"), col("__pd"))))
+      .withColumn("is_gap", v.isNull)
+      .drop("__pv", "__pd", "__nv", "__nd")
+  }
 }

@@ -175,4 +175,55 @@ class DedupSpec extends SparkSpec {
         s"near-dup avg hamming $nearAvg should beat random $randomAvg")
     }
   }
+
+  // ------------------------------------- string hamming neighbors
+
+  /** Driver-side exhaustive hamming ground truth. */
+  private def exhaustiveHamming(
+      rows: Seq[(Long, String)], maxDist: Int): Set[(Long, Long, Int)] =
+    (for {
+      (i1, s1) <- rows; (i2, s2) <- rows
+      if i1 < i2 && s1.length == s2.length
+      d = s1.zip(s2).count { case (a, b) => a != b }
+      if d <= maxDist
+    } yield (i1, i2, d)).toSet
+
+  test("stringHammingNeighbors: hand pairs at distance <= 1") {
+    val rows = Seq(
+      (1L, "abcdef"), (2L, "abcdeX"),   // dist 1 (last char)
+      (3L, "Xbcdef"),                   // dist 1 to #1 (first char), 2 to #2
+      (4L, "abcdef"),                   // dist 0 to #1
+      (5L, "abcde"),                    // shorter: never matches
+      (6L, "zzzzzz"))                   // far from everything
+    val out = Dedup.stringHammingNeighbors(rows.toDF("id", "s"), "id", "s")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out === Set((1L, 2L, 1), (1L, 3L, 1), (1L, 4L, 0), (2L, 4L, 1),
+      (3L, 4L, 1)))
+  }
+
+  test("stringHammingNeighbors: blocked equals exhaustive on a random corpus") {
+    // random 8-char strings over a 3-letter alphabet: dense enough that
+    // many pairs fall at distances 0..2, exercising both accept and cut
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 300L).map(i =>
+      i -> Array.fill(8)(('a' + rnd.nextInt(3)).toChar).mkString)
+    for (d <- Seq(1, 2)) {
+      val got = Dedup.stringHammingNeighbors(rows.toDF("id", "s"), "id", "s", d)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got === exhaustiveHamming(rows, d),
+        s"blocked result must equal the exhaustive join at maxDist=$d")
+    }
+  }
+
+  test("stringHammingNeighbors: unequal lengths never pair, result is layout-invariant") {
+    val rows = (1L to 200L).map(i =>
+      i -> ("x" * (i % 4).toInt + f"name$i%03d"))
+    val df = rows.toDF("id", "s")
+    val a = Dedup.stringHammingNeighbors(df.repartition(1), "id", "s", 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val b = Dedup.stringHammingNeighbors(df.repartition(17), "id", "s", 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(a === b)
+    assert(a === exhaustiveHamming(rows, 2))
+  }
 }

@@ -73,4 +73,49 @@ class GraphSpec extends SparkSpec with Matchers {
     a.keySet shouldBe b.keySet
     a.foreach { case (k, v) => v shouldBe b(k) +- 1e-9 }
   }
+
+  // ------------------------------------------------------------- bfs
+
+  private def bfsMap(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      maxHops: Int): Map[Long, Int] =
+    Graph.bfs(edges.toDF("src", "dst"), seeds.toDF("id"), maxHops)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  test("bfs: chain distances are hop counts, bounded by maxHops") {
+    // 1 -> 2 -> 3 -> 4 -> 5, seed 1, maxHops 3: node 5 is out of reach
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    bfsMap(chain, Seq(1L), 3) shouldBe Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3)
+  }
+
+  test("bfs: multi-source takes the minimum distance over seeds") {
+    // seed 5 is also reachable from seed 1 at dist 4 — it must KEEP
+    // dist 0 (a later frontier never overwrites an earlier visit)
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    bfsMap(chain, Seq(1L, 5L), 4) shouldBe
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 0)
+  }
+
+  test("bfs: directed edges are not followed backward") {
+    bfsMap(Seq((1L, 2L)), Seq(2L), 5) shouldBe Map(2L -> 0)
+  }
+
+  test("bfs: early-stops on an exhausted frontier (cycle smaller than maxHops)") {
+    // triangle cycle, maxHops 50 — completes without 50 iterations and
+    // every node keeps its first (minimal) distance
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    bfsMap(tri, Seq(1L), 50) shouldBe Map(1L -> 0, 2L -> 1, 3L -> 2)
+  }
+
+  test("bfs: seed-only graph at maxHops 0; duplicate seeds dedupe") {
+    bfsMap(Seq((1L, 2L)), Seq(1L, 1L), 0) shouldBe Map(1L -> 0)
+  }
+
+  test("bfs: distances are layout-invariant") {
+    val edges = (1L to 300L).map(i => (i, (i * 13) % 300 + 1))
+    val a = bfsMap(edges, Seq(1L), 4)
+    val b = Graph.bfs(edges.toDF("src", "dst").repartition(23),
+        Seq(1L).toDF("id"), 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    a shouldBe b
+  }
 }

@@ -122,4 +122,34 @@ class SimilaritySpec extends SparkSpec {
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(bucketed.subsetOf(exact))
   }
+
+  test("labelCentroidStats matches hand-computed centroids and cosines") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 0),  // label 0: centroid (0.5, 0.5)
+      (2L, Array(0.0f, 1.0f), 0),
+      (3L, Array(2.0f, 0.0f), 1),  // label 1: centroid (2, 0)
+      (4L, Array(2.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroidStats(df)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val (n0, norm0, cos0) = out(0)
+    assert(n0 === 2L)
+    assert(math.abs(norm0 - math.sqrt(0.5)) < 1e-9)
+    // cos((1,0),(0.5,0.5)) = cos((0,1),(0.5,0.5)) = 1/sqrt(2)
+    assert(math.abs(cos0 - 1.0 / math.sqrt(2)) < 1e-9)
+    val (n1, norm1, cos1) = out(1)
+    assert(n1 === 2L)
+    assert(math.abs(norm1 - 2.0) < 1e-9)
+    assert(math.abs(cos1 - 1.0) < 1e-9)
+  }
+
+  test("labelCentroidStats is partition-layout invariant at 6dp") {
+    val stats = { (df: org.apache.spark.sql.DataFrame) =>
+      Similarity.labelCentroidStats(df)
+        .select($"label", $"n", round($"centroid_norm", 6), round($"mean_cos", 6))
+        .orderBy($"label").collect().toSeq
+    }
+    assert(stats(emb.repartition(1)) === stats(emb.repartition(13)))
+  }
 }

@@ -77,6 +77,49 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.values.forall(_ == false))
   }
 
+  test("linear interpolation: gap days sit on the line between neighbors") {
+    val obs = Seq(
+      (1L, d("2024-01-01"), 10L),
+      (1L, d("2024-01-04"), 40L),  // 3-day span: gaps at 20, 30
+      (1L, d("2024-01-06"), 30L)   // 2-day span: gap at 35
+    ).toDF("k", "dt", "v")
+    val out = TimeSeries.resampleDailyInterpolate(obs, "k", "dt", "v")
+      .orderBy("dt")
+      .select("dt", "v_interp", "is_gap")
+      .as[(Date, Double, Boolean)]
+      .collect()
+    assert(out.toSeq === Seq(
+      (d("2024-01-01"), 10.0, false),
+      (d("2024-01-02"), 20.0, true),
+      (d("2024-01-03"), 30.0, true),
+      (d("2024-01-04"), 40.0, false),
+      (d("2024-01-05"), 35.0, true),
+      (d("2024-01-06"), 30.0, false)))
+  }
+
+  test("interpolation: observed days pass through exactly, spine spans obs only") {
+    // no gap day exists before the first / after the last observation,
+    // so the no-extrapolation contract holds by construction
+    val obs = Seq(
+      (1L, d("2024-01-02"), 7L), (1L, d("2024-01-03"), 9L)
+    ).toDF("k", "dt", "v")
+    val out = TimeSeries.resampleDailyInterpolate(obs, "k", "dt", "v")
+    assert(out.count() === 2)
+    assert(out.filter(col("is_gap")).count() === 0)
+    assert(out.filter(col("v_interp").isNull).count() === 0)
+  }
+
+  test("interpolation is partition-layout invariant (exact arithmetic)") {
+    val obs = (1 to 28).filter(i => i % 3 == 1).map(i =>
+      (i % 2L, d(f"2024-01-$i%02d"), (i * 53 % 400).toLong))
+      .toDF("k", "dt", "v")
+    val a = TimeSeries.resampleDailyInterpolate(obs.repartition(1), "k", "dt", "v")
+      .orderBy("k", "dt").select("k", "dt", "v_interp").collect().toSeq
+    val b = TimeSeries.resampleDailyInterpolate(obs.repartition(11), "k", "dt", "v")
+      .orderBy("k", "dt").select("k", "dt", "v_interp").collect().toSeq
+    assert(a === b)
+  }
+
   test("integer z-score: flags are partition-layout invariant (integer math)") {
     val obs = (1 to 30).map(i =>
       (i % 3L, d(f"2024-01-$i%02d"), (i * 37 % 200).toLong))
