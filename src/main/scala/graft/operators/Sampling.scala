@@ -148,6 +148,42 @@ object Sampling {
       .drop("__pid", "__offset", "__spent_before")
   }
 
+  /** Weighted sampling WITHOUT replacement, k rows, deterministic
+    * (Efraimidis–Spirakis A-Res): each row gets priority ln(u)/w where
+    * u ∈ (0,1] is its md5-derived uniform and w its weight; the k
+    * largest priorities form an exact weighted sample without
+    * replacement. Same content-stable story as every sampler here —
+    * u comes from the id hash, not an RNG, so membership survives
+    * repartitioning, reruns, and engine changes.
+    *
+    * Scale: global top-k on the bounded-heap
+    * [[graft.expressions.TopKAgg]] — map tasks keep k-element heaps and
+    * the final reduce merges (partitions × k) candidates, so no global
+    * sort and no single-reducer funnel (this is `selectByTokenBudget`'s
+    * cheaper cousin: fixed row budget instead of a token budget).
+    *
+    * Rows with null or non-positive weight are excluded (ln(u)/w flips
+    * sign at w ≤ 0 — such a row would OUTRANK everything).
+    *
+    * Returns (idCol) — the selected ids, join back for payload.
+    */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String, k: Int,
+      salt: String = ""): DataFrame = {
+    graft.expressions.TopKAgg.register(df.sparkSession)
+    val h =
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 8), 16, 10)
+        .cast("long")
+    val u = (h + lit(1L)) / lit(4294967296.0) // (0, 1]: ln is finite
+    val priority = log(u) / col(weightCol).cast("double")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(idCol).cast("long").as(idCol), priority.as("__pri"))
+      .agg(graft.expressions.TopKAgg
+        .topKBy(col("__pri"), col(idCol), k).as("__topk"))
+      .select(explode(col("__topk")).as("__hit"))
+      .select(col("__hit.corpus_id").as(idCol))
+  }
+
   /** Deterministic per-stratum sampling: keep a row iff its hash bucket
     * (salted per stratum) falls under the stratum's percent — the
     * content-stable `sampleBy`.

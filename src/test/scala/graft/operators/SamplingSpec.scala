@@ -128,4 +128,39 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"per-group sample fell back to a window:\n$plan")
   }
+
+  test("weightedSample: exact k, layout-invariant membership, no Window") {
+    val rows = (1L to 2000L).map(i => (i, (i % 100 + 1).toDouble))
+      .toDF("id", "w")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Sampling.weightedSample(df, "id", "w", k = 150)
+        .as[Long].collect().toSet
+    val a = ids(rows.repartition(1))
+    assert(a.size === 150)
+    assert(ids(rows.repartition(17)) === a, "membership changed with layout")
+    val plan = Sampling.weightedSample(rows, "id", "w", 150)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"weighted sample fell back to a window:\n$plan")
+  }
+
+  test("weightedSample: selection is weight-biased (ES property)") {
+    // half the corpus at weight 1, half at weight 20: the heavy half
+    // must dominate the sample far beyond its 50% share
+    val rows = (1L to 2000L).map(i =>
+      (i, if (i <= 1000) 1.0 else 20.0)).toDF("id", "w")
+    val sample = Sampling.weightedSample(rows, "id", "w", k = 200)
+      .as[Long].collect()
+    val heavy = sample.count(_ > 1000L)
+    assert(heavy > 150,
+      s"weight-20 rows took only $heavy of 200 slots — sampling is not weight-biased")
+  }
+
+  test("weightedSample: null and non-positive weights are excluded") {
+    val rows = Seq(
+      (1L, Some(5.0)), (2L, Some(0.0)), (3L, Some(-2.0)), (4L, None),
+      (5L, Some(1.0))).toDF("id", "w")
+    val got = Sampling.weightedSample(rows, "id", "w", k = 10)
+      .as[Long].collect().toSet
+    assert(got === Set(1L, 5L))
+  }
 }
