@@ -176,6 +176,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered jaccard join equals the unfiltered inverted index") {
+    // the prefix filter must be LOSSLESS at any threshold: same pairs,
+    // same jaccard values, on the real (templated, near-dup-rich) corpus
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      val fast = Dedup.ngramJaccardPairs(docs, "doc_id", "text", t)
+        .select("id1", "id2", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val naive = Dedup.ngramJaccardPairsNaive(docs, "doc_id", "text", t)
+        .select("id1", "id2", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(fast === naive, s"prefix filter diverged at t=$t")
+    }
+  }
+
   // ------------------------------------- string hamming neighbors
 
   /** Driver-side exhaustive hamming ground truth. */
