@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{coalesce, col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, lit, max_by, struct}
 
 /** Delta-MERGE emulation as relational rewrites (SURVEY.md §2.1 S6/S7,
   * §7.3). No Delta jars locally, so MERGE becomes anti/semi-join algebra
@@ -16,6 +16,30 @@ import org.apache.spark.sql.functions.{coalesce, col, lit}
   * append (insert-only case) avoids rewriting the target entirely.
   */
 object Merge {
+
+  /** Pre-combine: collapse duplicate source keys BEFORE a merge, keeping
+    * the row with the greatest `orderCols` value per key (Hudi's
+    * precombine field; "latest version wins" when an upstream extract
+    * delivers several updates for one key in a single batch — merging
+    * such a source directly would apply an arbitrary one).
+    *
+    * Ties on `orderCols` break on the remaining payload columns (struct
+    * comparison), so the survivor is total-order deterministic on any
+    * partition layout.
+    *
+    * Scale: ONE max_by aggregate keyed on the merge key — partial
+    * aggregation collapses duplicates map-side, no window, no sort.
+    */
+  def precombine(
+      source: DataFrame, keys: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
+    val valueCols = source.columns.filterNot(keys.contains).toSeq
+    val row = struct(valueCols.map(col): _*)
+    val ord = struct(orderCols.map(col) :+ row.as("__payload"): _*)
+    source.groupBy(keys.map(col): _*)
+      .agg(max_by(row, ord).as("__r"))
+      .select(keys.map(col) ++ valueCols.map(c => col(s"__r.$c").as(c)): _*)
+  }
 
   /** S6 — insert-only MERGE: insert source rows whose key is absent from
     * the target; never update existing rows.

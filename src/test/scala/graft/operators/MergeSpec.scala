@@ -139,4 +139,32 @@ class MergeSpec extends SparkSpec {
       .listFiles().count(_.getName.endsWith(".parquet"))
     assert(files == 1)
   }
+
+  test("precombine keeps the max-order version per key, deterministically") {
+    val src = Seq(
+      (1, 10, "v1"), (1, 30, "v3"), (1, 20, "v2"),   // key 1: version 30 wins
+      (2, 5, "only"),                                 // singleton untouched
+      (3, 7, "tie-a"), (3, 7, "tie-z")                // tie: payload struct breaks it
+    ).toDF("k", "ver", "payload")
+    val out = Merge.precombine(src, Seq("k"), Seq("ver"))
+      .orderBy("k").as[(Int, Int, String)].collect().toSeq
+    assert(out === Seq((1, 30, "v3"), (2, 5, "only"), (3, 7, "tie-z")))
+    // layout invariance: same survivors on any partitioning
+    val shuffled = Merge.precombine(src.repartition(7), Seq("k"), Seq("ver"))
+      .orderBy("k").as[(Int, Int, String)].collect().toSeq
+    assert(shuffled === out)
+  }
+
+  test("precombine output has unique keys — safe merge input") {
+    val src = (1 to 500).map(i => (i % 50, i, s"p$i")).toDF("k", "ver", "p")
+    val pre = Merge.precombine(src, Seq("k"), Seq("ver"))
+    assert(pre.count() === 50)
+    assert(pre.groupBy("k").count().filter($"count" > 1).count() === 0)
+    // survivor is the true max version per key
+    val got = pre.as[(Int, Int, String)].collect().map(r => r._1 -> r._2).toMap
+    (0 until 50).foreach { k =>
+      val expect = (1 to 500).filter(_ % 50 == k).max
+      assert(got(k) === expect, s"key $k")
+    }
+  }
 }
