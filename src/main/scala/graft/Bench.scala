@@ -44,19 +44,22 @@ object Bench {
     val headline: Set[String] = Set(
       "q1_agg", "a1_dup_audit", "a8_percentile", "a10_ratio_of_aggs",
       "a12_rollup", "j1_left_join_broadcast", "j3_star_join",
-      "j10_semi_anti", "j11_set_ops", "w1_row_number", "w2_top1_per_group",
-      "w3_share_of_total", "o2_topk", "s1_csv_scan", "s6_insert_only_merge",
+      "j11_set_ops", "w1_row_number", "w2_top1_per_group",
+      "s6_insert_only_merge",
       "s7_scd1_merge", "tpch_q3_shape", "tpch_q4_shape", "tpch_q5_shape",
       "zorder_cluster", "bloom_prune_join", "ivm_refresh", "asof_join",
       "range_join", "skew_salted_join", "dedup_exact", "dedup_minhash_lsh",
       "dedup_simhash", "dedup_ngram_jaccard", "dedup_clusters",
       "dedup_corpus", "sim_topk_bruteforce", "sim_ivf_topk",
-      "sim_topk_quantized", "sim_neardup_embedding", "text_analysis",
+      "sim_topk_quantized", "sim_neardup_embedding",
       "text_tfidf", "sample_per_group", "pack_sequences", "curation_e2e",
-      "stream_window_agg", "stream_session_agg", "stream_dedup",
+      "stream_session_agg", "stream_dedup",
       "mm_features", "freq_heavy_hitters", "sim_lsh_neardup",
       "text_lm_score", "mixture_sample", "stream_interval_join",
-      "s15_scd2_merge", "semantic_dedup", "decontam_overlap")
+      "s15_scd2_merge", "semantic_dedup", "decontam_overlap",
+      // round-4 batches 3-8
+      "pagerank_parts", "graph_bfs", "dedup_fuzzy_names",
+      "sample_weighted", "emb_class_stats", "market_basket")
     val shown = results.toSeq
       .filter { case (k, v) => headline(k) || v >= 0.5 || v < 0 }
       .sortBy(_._1)

@@ -558,16 +558,28 @@ object Dedup {
     * near-identical identifiers/titles that exact dedup misses (one-digit
     * typos, single-character OCR errors).
     *
-    * Same pigeonhole principle as [[simHashNearDups]], applied to the
-    * string itself: split each string into (maxDist+1) contiguous
-    * segments — two equal-length strings within hamming distance d must
-    * agree EXACTLY on at least one segment (d mismatches cannot touch
-    * all d+1 segments). Candidate generation is a bucket equi-join on
-    * (length, segment index, segment text) — never an all-pairs product
-    * — followed by an exact hamming verify. At 100 TB the segment
-    * buckets shuffle like any hash key; a degenerate corpus (billions of
-    * rows sharing one segment) degrades that bucket only, and a salted
-    * two-level join is the standard escape.
+    * Blocking is DELETION-NEIGHBORHOOD (FastSS-style), not contiguous
+    * segments: each string emits every variant obtainable by deleting
+    * exactly `maxDist` positions (with the ordered position tuple as
+    * part of the key). Two equal-length strings within hamming distance
+    * d agree everywhere outside some d positions, so deleting that
+    * position set from both yields EQUAL variants — candidate
+    * generation on (length, positions, variant) is lossless. Candidates
+    * are verified with the exact hamming distance.
+    *
+    * Why not the simpler (d+1)-contiguous-segment pigeonhole: real id
+    * corpora share long constant regions ('Customer#0000…'), which make
+    * one segment block hold nearly EVERY row — the block join silently
+    * goes quadratic (measured: 817 s at sf0.1 on exactly that shape).
+    * A deletion variant keeps ALL of the string except d characters in
+    * the key, so a block only grows when strings genuinely collide
+    * outside d positions — i.e. when they ARE near-duplicates that any
+    * method must pair. Cost: C(len, d) variants per row (len at d=1,
+    * ~len²/2 at d=2) — the standard space-for-blocking trade; keep
+    * maxDist small (≤2) for long strings.
+    *
+    * Strings with length ≤ maxDist fall into a single per-length block
+    * (every same-length pair is trivially within distance d there).
     *
     * Note this is HAMMING, not edit distance: insertions/deletions are
     * not matched (they change the length). For maxDist = 1 on
@@ -580,27 +592,33 @@ object Dedup {
       df: DataFrame, idCol: String, strCol: String,
       maxDist: Int = 1): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
-    val segs = maxDist + 1
-    // segment i of s = characters [i*len/segs, (i+1)*len/segs) — computed
-    // per row so variable lengths self-align within each length bucket
-    val segCols = (0 until segs).map { i =>
-      val lo = (length(col(strCol)) * i / segs) + 1
-      val hi = length(col(strCol)) * (i + 1) / segs
-      struct(
-        lit(i).as("seg_idx"),
-        col(strCol).substr(lo, hi - lo + lit(1)).as("seg_val"))
-    }
+    // delete the character at 0-based index i of s (substr clamps the tail)
+    def del(s: Column, i: Column): Column =
+      concat(s.substr(lit(1), i), s.substr(i + lit(2), length(s)))
+    // all variants of `cur` with `depth` more deletions, next deletion at
+    // index >= from IN THE CURRENT STRING — the (k1 <= k2 <= ...) current-
+    // string indices map bijectively to strictly-increasing original
+    // positions, so both sides of a pair derive the identical key for the
+    // identical original position set
+    def step(cur: Column, from: Column, key: Column, depth: Int): Column =
+      if (depth == 0) array(struct(key.as("k"), cur.as("v")))
+      else flatten(transform(
+        sequence(from, length(cur) - 1),
+        i => step(del(cur, i), i, concat_ws("_", key, i.cast("string")), depth - 1)))
+    val s = col(strCol)
+    val variants = when(length(s) <= maxDist,
+        array(struct(lit("*").as("k"), lit("").as("v"))))
+      .otherwise(step(s, lit(0), lit(""), maxDist))
     val banded = df.select(
-        col(idCol).as("__id"), col(strCol).as("__s"),
-        length(col(strCol)).as("__len"),
-        explode(array(segCols: _*)).as("c"))
+        col(idCol).as("__id"), s.as("__s"), length(s).as("__len"),
+        explode(variants).as("c"))
       .select(col("__id"), col("__s"), col("__len"),
-        col("c.seg_idx"), col("c.seg_val"))
+        col("c.k").as("seg_key"), col("c.v").as("seg_val"))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
         col("a.__len") === col("b.__len") &&
-          col("a.seg_idx") === col("b.seg_idx") &&
+          col("a.seg_key") === col("b.seg_key") &&
           col("a.seg_val") === col("b.seg_val") &&
           col("a.__id") < col("b.__id"))
       .select(

@@ -112,7 +112,12 @@ object Graph {
       dstCol: String = "dst",
       idCol: String = "id"): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    // LAZY checkpoint: the caller's edge expression (often a distinct or
+    // a union of both orientations over a fact scan) must evaluate once,
+    // not once per hop — materialized on the first frontier join, every
+    // later hop reads the cached copy
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .localCheckpoint(false)
     var visited = seeds.select(col(idCol).as("id")).distinct()
       .withColumn("dist", lit(0))
       .localCheckpoint(true)

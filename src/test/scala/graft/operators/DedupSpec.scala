@@ -229,6 +229,16 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("stringHammingNeighbors: correct on the shared-constant-prefix shape") {
+    // the id-corpus worst case for segment blocking: a long identical
+    // prefix and variance only in the digit tail — deletion-neighborhood
+    // keys must stay discriminative here
+    val rows = (0L until 400L).map(i => i -> f"Customer#$i%09d")
+    val got = Dedup.stringHammingNeighbors(rows.toDF("id", "s"), "id", "s", 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === exhaustiveHamming(rows, 1))
+  }
+
   test("stringHammingNeighbors: unequal lengths never pair, result is layout-invariant") {
     val rows = (1L to 200L).map(i =>
       i -> ("x" * (i % 4).toInt + f"name$i%03d"))

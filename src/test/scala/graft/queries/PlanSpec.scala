@@ -95,4 +95,29 @@ class PlanSpec extends SparkSpec {
     assert(globalWindows.isEmpty,
       s"corpus-sized global window found:\n${globalWindows.mkString("\n")}")
   }
+
+  test("sample_weighted: heap aggregation, no window, no global sort before the cut") {
+    val p = plan(Round4Ops6.sample_weighted)
+    assert(!p.contains("Window"), s"weighted sample fell back to a window:\n$p")
+    assert(p.contains("partial_topk"),
+      s"bounded-heap partial aggregation missing:\n$p")
+  }
+
+  test("dedup_fuzzy_names: pigeonhole blocking never degrades to a cartesian product") {
+    val p = plan(Round4Ops5.dedup_fuzzy_names)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join lost its equi-join block keys:\n$p")
+  }
+
+  test("feature_winsorize: bounds broadcast back, fact side never sort-merges") {
+    val p = plan(Round4Ops6.feature_winsorize)
+    assert(p.contains("BroadcastHashJoin"), s"bounds join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"winsorize degraded to sort-merge:\n$p")
+  }
+
+  test("emb_class_stats: centroids broadcast back onto the corpus") {
+    val p = plan(Round4Ops5.emb_class_stats)
+    assert(p.contains("BroadcastHashJoin"), s"centroid join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"centroid join degraded:\n$p")
+  }
 }
