@@ -41,4 +41,31 @@ class ScaleExtrasSpec extends SparkSpec {
       .select($"o_orderkey", $"c_name").as[(Long, String)].collect().sorted.toSeq
     assert(salted == plain)
   }
+
+  test("HLL sketches: partial-merge estimate within bound, invariant to merge granularity") {
+    val events = Tables.load(spark, sf, "events")
+    // gate shape: daily sketches unioned to weekly
+    val viaDaily = events
+      .groupBy(date_trunc("week", $"ts").as("wk"), to_date($"ts").as("d"))
+      .agg(hll_sketch_agg($"user_id").as("sk"))
+      .groupBy($"wk")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+    // direct weekly sketch (no intermediate merge) must estimate the same
+    val direct = events
+      .groupBy(date_trunc("week", $"ts").as("wk"))
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id")).as("est"))
+    val exact = events
+      .groupBy(date_trunc("week", $"ts").as("wk"))
+      .agg(countDistinct($"user_id").as("n"))
+    val a = viaDaily.join(exact, "wk").collect()
+      .map(r => r.getTimestamp(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = direct.collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(a.nonEmpty)
+    a.foreach { case (wk, (est, exact)) =>
+      assert(math.abs(est - exact).toDouble / exact <= 0.05,
+        s"week $wk: estimate $est vs exact $exact out of bound")
+      assert(est === b(wk),
+        s"week $wk: daily-merged $est != direct ${b(wk)} — merge not lossless")
+    }
+  }
 }
