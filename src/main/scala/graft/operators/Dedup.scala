@@ -602,9 +602,17 @@ object Dedup {
     // identical original position set
     def step(cur: Column, from: Column, key: Column, depth: Int): Column =
       if (depth == 0) array(struct(key.as("k"), cur.as("v")))
-      else flatten(transform(
-        sequence(from, length(cur) - 1),
-        i => step(del(cur, i), i, concat_ws("_", key, i.cast("string")), depth - 1)))
+      else {
+        // sequence(a, b) with a > b silently generates a DESCENDING
+        // range in Spark — for a deletion at the last index the next
+        // level would emit non-monotonic position keys that corrupt the
+        // distance decoding. greatest + filter yields an empty range
+        // instead.
+        val hi = length(cur) - 1
+        flatten(transform(
+          filter(sequence(from, greatest(from, hi)), x => x <= hi),
+          i => step(del(cur, i), i, concat_ws("_", key, i.cast("string")), depth - 1)))
+      }
     val s = col(strCol)
     val variants = when(length(s) <= maxDist,
         array(struct(lit("*").as("k"), lit("").as("v"))))
@@ -616,14 +624,34 @@ object Dedup {
         col("c.k").as("seg_key"), col("c.v").as("seg_val"))
     val a = banded.as("a")
     val b = banded.as("b")
+    // Sharing a deletion variant PROVES the pair differs only within the
+    // deleted position set, so (1) dist <= maxDist holds by construction
+    // and (2) the exact distance needs comparing only those <= d decoded
+    // positions — never a full-string hamming pass per candidate (the
+    // O(len) interpreted zip_with was the measured verify bottleneck:
+    // 4.6 s over 262k candidates at sf0.1). The current-string indices
+    // in the key map back to original positions by adding the number of
+    // prior deletions (each deletion shifts the tail left by one).
+    val sa = col("a.__s")
+    val sb = col("b.__s")
+    val positions = filter(split(col("a.seg_key"), "_"), p => p =!= "")
+    val posDist = aggregate(
+      zip_with(positions, sequence(lit(0), lit(maxDist - 1)),
+        (p, i) => {
+          val orig = p.cast("int") + i + 1 // 1-based original position
+          when(sa.substr(orig, lit(1)) =!= sb.substr(orig, lit(1)), 1)
+            .otherwise(0)
+        }),
+      lit(0), (acc, d) => acc + d)
+    val dist = when(sa === sb, lit(0))
+      .when(col("a.seg_key") === "*", stringHamming(sa, sb)) // len<=d strings
+      .otherwise(posDist)
     a.join(b,
         col("a.__len") === col("b.__len") &&
           col("a.seg_key") === col("b.seg_key") &&
           col("a.seg_val") === col("b.seg_val") &&
           col("a.__id") < col("b.__id"))
-      .select(
-        col("a.__id").as("id1"), col("b.__id").as("id2"),
-        stringHamming(col("a.__s"), col("b.__s")).as("dist"))
+      .select(col("a.__id").as("id1"), col("b.__id").as("id2"), dist.as("dist"))
       .distinct()
       .filter(col("dist") <= maxDist)
   }
