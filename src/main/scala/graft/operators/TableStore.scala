@@ -341,6 +341,57 @@ final class TableStore(val spark: SparkSession, val root: String,
     nUpdated
   }
 
+  /** Delta `replaceWhere` analog: atomically replace EXACTLY the rows
+    * matching `cond` with `replacement` — the batch-reload pattern
+    * (re-land one day/region/source without touching the rest of the
+    * table). Two safety contracts, both Delta's own:
+    *
+    *  - every replacement row must itself satisfy `cond` (a row outside
+    *    the declared scope would silently escape the replacement
+    *    boundary) — violations fail the whole write;
+    *  - the write is a new versioned generation (time travel sees the
+    *    pre-replace table).
+    *
+    * Partition-aligned like [[deleteWhere]]: with one partition column,
+    * only partitions containing matches or new rows are rewritten;
+    * a partition emptied entirely falls back to the full swap.
+    * Returns (rows removed, rows inserted).
+    */
+  def replaceWhere(
+      table: String,
+      cond: org.apache.spark.sql.Column,
+      replacement: DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val before = read(table)
+    val hit = coalesce(cond, lit(false))
+    val escaped = replacement.filter(!hit).count()
+    require(escaped == 0,
+      s"replaceWhere: $escaped replacement rows violate the predicate — " +
+        "they would land outside the declared replacement scope")
+    val parts = partitionColumns(table)
+    val nRemoved = before.filter(hit).count()
+    val nInserted = replacement.count()
+    val kept = before.filter(!hit)
+    val after = kept.unionByName(replacement)
+    if (parts.size == 1) {
+      val pc = parts.head
+      val touched = (before.filter(hit).select(col(pc)) unionByName
+          replacement.select(col(pc)))
+        .distinct().collect().map(_.get(0)).toSeq
+      if (touched.isEmpty) return (0L, 0L)
+      val touchedAfter = after.filter(col(pc).isInCollection(touched))
+      val valuesWithRows = touchedAfter.select(col(pc)).distinct()
+        .collect().map(_.get(0)).toSet
+      if (!touched.contains(null) && touched.forall(valuesWithRows.contains))
+        overwritePartitions(table, touchedAfter, pc, touched)
+      else // emptied or null-valued partition: full versioned swap
+        overwrite(table, after, partitionBy = parts)
+    } else {
+      overwrite(table, after, partitionBy = parts)
+    }
+    (nRemoved, nInserted)
+  }
+
   /** CLONE TABLE analog: `dst` becomes an independent table with `src`'s
     * current content. Deep in semantics (no reference back — vacuuming
     * or rewriting `src` never breaks `dst`) but hardlink-cheap in bytes:

@@ -56,6 +56,45 @@ class TableStoreSpec extends SparkSpec {
     assert(rows == Seq((1, "a", 2023), (2, "b", 2024), (3, "c", 2024)))
   }
 
+  test("replaceWhere: scoped reload, untouched partitions keep files, violations refused") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-rw-").toString)
+    store.overwrite("t",
+      Seq((1, 2023, "a"), (2, 2023, "b"), (3, 2024, "c")).toDF("id", "year", "v"),
+      partitionBy = Seq("year"))
+    def partFiles(year: Int): Map[String, Long] = {
+      val d = new java.io.File(s"${store.root}/t/year=$year")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val files2024 = partFiles(2024)
+
+    // reload 2023 wholesale: 2 rows out, 1 row in
+    val (removed, inserted) = store.replaceWhere("t",
+      $"year" === 2023, Seq((9, 2023, "RELOADED")).toDF("id", "year", "v"))
+    assert((removed, inserted) === (2L, 1L))
+    assert(store.read("t").orderBy("id")
+      .select("id", "year", "v").as[(Int, Int, String)].collect().toSeq ===
+      Seq((3, 2024, "c"), (9, 2023, "RELOADED")))
+    // 2024 partition never rewritten
+    assert(partFiles(2024) === files2024)
+    // versioned: pre-replace generation still readable
+    assert(store.read("t", asOf = store.history("t")
+      .filter(!$"is_current").agg(max($"version")).as[Int].head()).count() === 3)
+
+    // a replacement row OUTSIDE the predicate scope fails the whole write
+    val err = intercept[IllegalArgumentException] {
+      store.replaceWhere("t", $"year" === 2023,
+        Seq((7, 2024, "ESCAPE")).toDF("id", "year", "v"))
+    }
+    assert(err.getMessage.contains("violate the predicate"))
+    assert(store.read("t").count() === 2) // unchanged
+
+    // replacement that empties a partition (no new rows for it) still lands
+    store.replaceWhere("t", $"year" === 2023,
+      spark.emptyDataset[(Int, Int, String)].toDF("id", "year", "v"))
+    assert(store.read("t").select("year").as[Int].collect().toSeq === Seq(2024))
+  }
+
   test("partition-aligned merge handles values Spark URL-encodes in paths") {
     val store = new TableStore(spark, Files.createTempDirectory("graft-esc-").toString)
     store.overwrite("t",
