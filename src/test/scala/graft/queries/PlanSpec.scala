@@ -120,4 +120,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"centroid join not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"centroid join degraded:\n$p")
   }
+
+  test("join hints override the planner's default strategy choice") {
+    // when the optimizer's default (broadcast, here) is wrong for a
+    // workload — e.g. the "small" side is small in rows but huge in
+    // bytes — hints are the sanctioned override; prove they reach the
+    // physical plan
+    graft.Tables.load(spark, sf, "orders").createOrReplaceTempView("graft_h_orders")
+    graft.Tables.load(spark, sf, "customer").createOrReplaceTempView("graft_h_customer")
+    def planOf(hint: String): String = {
+      val df = spark.sql(
+        s"""SELECT /*+ $hint(c) */ o.o_orderkey, c.c_name
+           |FROM graft_h_orders o JOIN graft_h_customer c
+           |  ON o.o_custkey = c.c_custkey""".stripMargin)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    assert(planOf("SHUFFLE_HASH").contains("ShuffledHashJoin"))
+    assert(planOf("MERGE").contains("SortMergeJoin"))
+    assert(planOf("BROADCAST").contains("BroadcastHashJoin"))
+  }
 }
