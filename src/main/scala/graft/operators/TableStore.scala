@@ -341,6 +341,26 @@ final class TableStore(val spark: SparkSession, val root: String,
     nUpdated
   }
 
+  /** Schema diff between two readable generations: one row per column
+    * whose presence or type changed — the drift report run after every
+    * schema-evolving merge (DESCRIBE HISTORY tells you WHEN a write
+    * happened; this tells you WHAT it did to the shape).
+    * Changes: 'added' (in v1 only), 'removed' (in v0 only),
+    * 'retyped' (both, different dataType).
+    */
+  def schemaDiff(table: String, v0: Int, v1: Int): DataFrame = {
+    val s0 = read(table, v0).schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val s1 = read(table, v1).schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val rows =
+      (s1.keySet -- s0.keySet).toSeq.sorted.map(c => (c, "added", null: String, s1(c))) ++
+      (s0.keySet -- s1.keySet).toSeq.sorted.map(c => (c, "removed", s0(c), null: String)) ++
+      (s0.keySet & s1.keySet).toSeq.sorted.collect {
+        case c if s0(c) != s1(c) => (c, "retyped", s0(c), s1(c))
+      }
+    import spark.implicits._
+    rows.toDF("column", "change", "from_type", "to_type")
+  }
+
   /** Delta `replaceWhere` analog: atomically replace EXACTLY the rows
     * matching `cond` with `replacement` — the batch-reload pattern
     * (re-land one day/region/source without touching the rest of the

@@ -95,6 +95,21 @@ class TableStoreSpec extends SparkSpec {
     assert(store.read("t").select("year").as[Int].collect().toSeq === Seq(2024))
   }
 
+  test("schemaDiff reports added, removed, and retyped columns between generations") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-sd-").toString)
+    store.overwrite("t", Seq((1, "a", 1.5)).toDF("id", "v", "x"))
+    store.overwrite("t", Seq((1L, "a", true)).toDF("id", "v", "flag")
+      .select($"id", $"v", $"flag")) // id widened int->bigint, x removed, flag added
+    val diff = store.schemaDiff("t", 0, 1)
+      .as[(String, String, String, String)].collect().toSet
+    assert(diff === Set(
+      ("flag", "added", null, "boolean"),
+      ("x", "removed", "double", null),
+      ("id", "retyped", "int", "bigint")))
+    // identical generations: empty diff
+    assert(store.schemaDiff("t", 1, 1).count() === 0)
+  }
+
   test("partition-aligned merge handles values Spark URL-encodes in paths") {
     val store = new TableStore(spark, Files.createTempDirectory("graft-esc-").toString)
     store.overwrite("t",
