@@ -91,5 +91,33 @@ object Round4Ops16 {
       .orderBy(coalesce(col("doc_id"), col("recovered_id")))
   }
 
-  val all: Seq[OpQuery] = Seq(s22_xml_scan, s23_csv_corrupt)
+  /** Parquet schema-merge read: two file batches written with DIFFERENT
+    * schemas (a column added mid-stream — the normal life of a landing
+    * zone) read back as one unified frame with `mergeSchema`, old rows
+    * null-extended. The oracle restates the union from `documents`.
+    */
+  val s24_parquet_mergeschema = OpQuery(
+    "s24_parquet_mergeschema",
+    """SELECT doc_id, lang,
+      |       CAST(CASE WHEN doc_id % 2 = 1 THEN n_chars END AS BIGINT) AS n_chars
+      |FROM documents
+      |WHERE doc_id % 4 = 3
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val base = s"/tmp/graft_landing_s24_${math.abs(dir.hashCode)}"
+    if (!Files.exists(Paths.get(base, "old", "_SUCCESS"))) {
+      val docs = Tables.load(spark, dir, "documents").filter(col("doc_id") % 4 === 3)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(s"$base/old")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$base/new")
+    }
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$base/old", s"$base/new")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[OpQuery] = Seq(s22_xml_scan, s23_csv_corrupt, s24_parquet_mergeschema)
 }
