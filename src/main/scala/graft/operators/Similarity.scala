@@ -359,4 +359,54 @@ object Similarity {
         first(col("__cnorm")).as("centroid_norm"),
         avg(col("__cos")).as("mean_cos"))
   }
+
+  /** Top principal direction of the (uncentered) Gram matrix XᵀX by
+    * power iteration — distributed PCA's first component without ever
+    * materializing the d×d covariance. Each iteration is two passes:
+    *
+    *   s = X v   — one map-only pass (the codegen'd vec_dot against the
+    *               broadcast v),
+    *   w = Xᵀ s  — one posexplode + (dim)-keyed aggregate,
+    *
+    * then w collapses to the driver (it is d doubles — O(dim), not
+    * O(rows)) and is renormalized into the next v. Deterministic: v₀ is
+    * the first basis vector, no RNG. Rows never leave the executors;
+    * the only driver traffic is the d-vector per iteration, so the same
+    * loop runs unchanged on a 10⁹-row corpus.
+    *
+    * Returns (eigenvalue λ = vᵀXᵀXv, component vector v, residual
+    * ‖XᵀXv − λv‖/λ — a self-check the caller can assert on).
+    */
+  def topPrincipalComponent(
+      corpus: DataFrame, vecCol: String = "embedding",
+      iterations: Int = 12): (Double, Array[Double], Double) = {
+    VectorExprs.register(corpus.sparkSession)
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    var v = Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
+
+    def gramTimes(vec: Array[Double]): Array[Double] = {
+      val lit_v = typedLit(vec)
+      val w = corpus
+        .select(posexplode(col(vecCol)).as(Seq("__dim", "__x")),
+          VectorExprs.vecDot(col(vecCol), lit_v).as("__s"))
+        .groupBy(col("__dim"))
+        .agg(sum(col("__x").cast("double") * col("__s")).as("__w"))
+        .collect()
+      val out = new Array[Double](vec.length)
+      w.foreach(r => out(r.getInt(0)) = r.getDouble(1))
+      out
+    }
+
+    var lambda = 0.0
+    for (_ <- 1 to iterations) {
+      val w = gramTimes(v)
+      lambda = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / lambda)
+    }
+    // self-check residual: ‖XᵀXv − λv‖ / λ
+    val w = gramTimes(v)
+    val resid = math.sqrt(
+      w.zip(v).map { case (wi, vi) => val d = wi - lambda * vi; d * d }.sum) / lambda
+    (lambda, v, resid)
+  }
 }

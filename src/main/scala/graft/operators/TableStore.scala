@@ -744,4 +744,54 @@ final class TableStore(val spark: SparkSession, val root: String,
     stray.foreach(f => deleteRecursively(f.toPath))
     stray.length
   }
+
+  // ---- transactional batch ledger (Delta txnAppId/txnVersion analog) ----
+
+  private def txnDir: Path = Paths.get(root, "_txn")
+
+  private def txnFile(table: String, appId: String): Path =
+    txnDir.resolve(s"${flat(table)}__$appId")
+
+  /** Highest batch id recorded by [[commitIfNew]] for (table, appId);
+    * -1 when the writer has never committed.
+    */
+  def lastCommittedBatch(table: String, appId: String): Long = {
+    val f = txnFile(table, appId)
+    if (!Files.exists(f)) -1L
+    else new String(Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+  }
+
+  /** Idempotent-writer guard: run `body` only when `batchId` is greater
+    * than the last batch this (table, appId) pair committed, then record
+    * it (atomic rename). Returns whether the body ran.
+    *
+    * This is the store's analog of Delta's txnAppId/txnVersion MERGE
+    * option: a streaming foreachBatch sink wraps its merge in
+    * commitIfNew so a micro-batch REPLAYED after checkpoint recovery is
+    * skipped instead of re-applied — the piece that makes update-style
+    * (SCD1) streaming sinks exactly-once, where insert-only sinks get
+    * idempotence from the merge itself.
+    *
+    * Crash window: the ledger is written AFTER the body, so a crash
+    * between the two replays that one batch. Replaying the SAME batch
+    * against the SAME table state is a no-op for merge bodies (both
+    * merge shapes are deterministic functions of (target, source)); the
+    * ledger's job is only to stop a STALE replay from clobbering LATER
+    * state, which is the failure checkpoint recovery actually produces.
+    * Same single-writer-per-appId contract as the rest of the store.
+    */
+  def commitIfNew(table: String, appId: String, batchId: Long)(body: => Unit): Boolean = {
+    if (batchId <= lastCommittedBatch(table, appId)) false
+    else {
+      body
+      Files.createDirectories(txnDir)
+      val tmp = txnDir.resolve(s".tmp-${flat(table)}__$appId-$batchId")
+      Files.write(tmp, batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, txnFile(table, appId),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      true
+    }
+  }
 }

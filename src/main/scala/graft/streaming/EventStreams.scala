@@ -460,6 +460,30 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** Streaming SCD1 upsert — the production foreachBatch sink: each
+    * micro-batch MERGEs into the store with update semantics, wrapped in
+    * the store's (appId, batchId) ledger so a replayed micro-batch
+    * (checkpoint recovery, speculative re-run) is SKIPPED rather than
+    * re-applied over newer state. Insert-only sinks are naturally
+    * idempotent; update sinks need exactly this guard — it is the
+    * Delta txnAppId/txnVersion pattern on the directory store.
+    */
+  def streamingScd1Upsert(
+      stream: DataFrame,
+      store: graft.operators.TableStore,
+      table: String,
+      keys: Seq[String],
+      updateCols: Seq[String],
+      appId: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.commitIfNew(table, appId, batchId) {
+          graft.operators.Merge.mergeInto(store, table, batch, keys, updateCols)
+        }
+        ()
+      }
+      .start()
+
   /** Convenience: read the events table as a file-source stream (one
     * parquet file = one micro-batch when `maxFilesPerTrigger=1`).
     */

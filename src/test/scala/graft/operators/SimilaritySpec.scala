@@ -152,4 +152,35 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(stats(emb.repartition(1)) === stats(emb.repartition(13)))
   }
+
+  test("topPrincipalComponent recovers a planted direction exactly") {
+    // rank-1 data: every vector is a multiple of (0.6, 0.8) → the top
+    // eigenvector IS that direction and λ = Σ‖x‖² (closed form)
+    val df = Seq(
+      (1L, Array(0.6f, 0.8f)),
+      (2L, Array(1.2f, 1.6f)),
+      (3L, Array(-0.6f, -0.8f)),
+      (4L, Array(3.0f, 4.0f))).toDF("vec_id", "embedding")
+    val (lambda, v, resid) = Similarity.topPrincipalComponent(df, "embedding", 20)
+    val expectedLambda = Seq(1.0, 4.0, 1.0, 25.0).sum // Σ‖x‖²
+    assert(math.abs(lambda - expectedLambda) < 1e-6)
+    // direction up to sign
+    val sign = if (v(0) < 0) -1.0 else 1.0
+    assert(math.abs(sign * v(0) - 0.6) < 1e-6)
+    assert(math.abs(sign * v(1) - 0.8) < 1e-6)
+    assert(resid < 1e-9)
+  }
+
+  test("topPrincipalComponent converges on the corpus and is layout-invariant") {
+    // a random corpus has a near-degenerate spectrum (λ2/λ1 ≈ 1), so
+    // power iteration's residual plateaus in the percent range — the
+    // planted-direction test above pins exactness when a gap exists
+    val (l1, v1, r1) = Similarity.topPrincipalComponent(emb.repartition(1), "embedding", 25)
+    val (l7, v7, r7) = Similarity.topPrincipalComponent(emb.repartition(7), "embedding", 25)
+    assert(r1 < 0.05 && r7 < 0.05, s"residuals $r1 / $r7")
+    assert(math.abs(l1 - l7) / l1 < 1e-9)
+    // same direction up to sign and float-sum noise
+    val s = if (v1(0) * v7(0) < 0) -1.0 else 1.0
+    v1.zip(v7).foreach { case (a, b) => assert(math.abs(a - s * b) < 1e-9) }
+  }
 }

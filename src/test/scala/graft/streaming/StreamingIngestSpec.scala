@@ -84,6 +84,40 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SCD1 upsert: updates apply in order, stale replays are skipped by the ledger") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = new TableStore(spark, Files.createTempDirectory("graft-scd1s-").toString)
+    val mem = MemoryStream[(Long, String)]
+
+    val q = EventStreams.streamingScd1Upsert(
+      mem.toDF().toDF("row_key", "payload"), store, "stream_silver",
+      Seq("row_key"), Seq("payload"), appId = "ingest-a")
+    try {
+      mem.addData((1L, "v1"), (2L, "v1"))
+      q.processAllAvailable()
+      mem.addData((2L, "v2"), (3L, "v1")) // update 2, insert 3
+      q.processAllAvailable()
+      val rows = store.read("stream_silver").orderBy("row_key")
+        .as[(Long, String)].collect().toSeq
+      assert(rows == Seq((1L, "v1"), (2L, "v2"), (3L, "v1")))
+      assert(store.lastCommittedBatch("stream_silver", "ingest-a") == 1L)
+
+      // a stale replay of batch 0 (as checkpoint recovery would deliver it)
+      // must NOT clobber key 2 back to v1
+      val batch0 = Seq((1L, "v1"), (2L, "v1")).toDF("row_key", "payload")
+      val ran = store.commitIfNew("stream_silver", "ingest-a", 0L) {
+        Merge.mergeInto(store, "stream_silver", batch0, Seq("row_key"), Seq("payload"))
+      }
+      assert(!ran)
+      assert(store.read("stream_silver").orderBy("row_key")
+        .as[(Long, String)].collect().toSeq ==
+        Seq((1L, "v1"), (2L, "v2"), (3L, "v1")))
+
+      // a DIFFERENT appId has its own ledger: same batch id runs there
+      assert(store.lastCommittedBatch("stream_silver", "other-app") == -1L)
+    } finally q.stop()
+  }
+
   test("AvailableNow file ingest: each run drains only files new since the checkpoint") {
     val src = Files.createTempDirectory("graft-avnow-src-").toString
     val chk = Files.createTempDirectory("graft-avnow-chk-").toString
