@@ -111,4 +111,31 @@ object Multimodal {
         col("meta.sample_rate").as("sample_rate"),
         col("meta.n_frames").as("n_frames")))
   }
+
+  /** Audio windowing: segment each audio asset into fixed windows with
+    * hop overlap — the framing step every ASR/VAD pipeline runs before
+    * decode. Duration derives from the payload under the 16-bit mono
+    * PCM contract (bytes / (rate·2) seconds); windows are an integer
+    * sequence explode, so the whole operator is map-only codegen with
+    * no shuffle. Decode of the window CONTENT stays behind the stub
+    * seam like the rest of this module.
+    */
+  def audioWindows(media: DataFrame, winMs: Int, hopMs: Int): DataFrame = {
+    require(hopMs > 0 && winMs >= hopMs, "need winMs >= hopMs > 0")
+    val durMs = (length(col("payload")) * 1000L) /
+      (col("meta.sample_rate").cast("long") * 2L)
+    media.filter(col("modality") === "audio")
+      .select(col("media_id"), durMs.as("duration_ms"))
+      .filter(col("duration_ms") >= winMs)
+      .select(col("media_id"), col("duration_ms"),
+        explode(sequence(lit(0L),
+          // Column `/` is double division; truncate back to the integer
+          // window count (duration >= winMs so the quotient is >= 0)
+          ((col("duration_ms") - winMs) / hopMs).cast("long"))).as("win_idx"))
+      .select(
+        col("media_id"),
+        col("win_idx").cast("int").as("win_idx"),
+        (col("win_idx") * hopMs).cast("long").as("start_ms"),
+        (col("win_idx") * hopMs + winMs).cast("long").as("end_ms"))
+  }
 }
