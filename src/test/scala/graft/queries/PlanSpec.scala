@@ -140,4 +140,28 @@ class PlanSpec extends SparkSpec {
     assert(planOf("MERGE").contains("SortMergeJoin"))
     assert(planOf("BROADCAST").contains("BroadcastHashJoin"))
   }
+
+  test("q18: the HAVING-IN subquery plans as a semi join, never a distinct+inner") {
+    val p = plan(Round4Ops28.tpch_q18_shape)
+    assert(p.contains("LeftSemi"), s"IN subquery not planned as semi join:\n$p")
+  }
+
+  test("q22: NOT EXISTS plans as an anti join; the avg is a broadcast scalar") {
+    val p = plan(Round4Ops28.tpch_q22_shape)
+    assert(p.contains("LeftAnti"), s"NOT EXISTS not planned as anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), "scalar subquery degraded to cartesian")
+  }
+
+  test("q8: all seven dimension legs broadcast, the fact spine never sort-merges") {
+    val p = plan(Round4Ops21.tpch_q8_shape)
+    assert(p.split("BroadcastHashJoin").length >= 7,
+      s"expected >=6 broadcast joins in the Q8 tree")
+    assert(!p.contains("SortMergeJoin"), "Q8 degraded to sort-merge")
+  }
+
+  test("mips: corpus scores map-side against broadcast queries (no corpus shuffle before ranking)") {
+    val p = plan(Round4Ops27.sim_mips_topk)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"queries not broadcast:\n$p")
+  }
 }
