@@ -679,6 +679,103 @@ final class TableStore(val spark: SparkSession, val root: String,
     }
   }
 
+  // ---- string-column file statistics (ANALYZE-style, post-hoc) ----
+
+  private def strStatsFile(table: String, column: String): Path =
+    dir(table).resolve(s"_strstats_$column.tsv")
+
+  private def b64(s: String): String = java.util.Base64.getEncoder
+    .encodeToString(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def unb64(s: String): Array[Byte] =
+    java.util.Base64.getDecoder.decode(s)
+
+  /** Collect per-file min/max for a STRING column (the ANALYZE step).
+    * Values are stored base64-encoded so the stats file is delimiter-
+    * safe for arbitrary content; comparisons at prune time are UNSIGNED
+    * UTF-8 byte order — the same order Spark's min/max used to produce
+    * the stats, so pruning is correct for any Unicode content (a Java
+    * String.compareTo would disagree beyond the BMP). The stats live
+    * inside the table generation and vanish with the next overwrite —
+    * stale statistics cannot survive a data change.
+    */
+  def analyzeStringColumn(table: String, column: String): Unit = {
+    val df = read(table)
+    val rows = df
+      .groupBy(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .agg(org.apache.spark.sql.functions.min(col(column)).as("mn"),
+        org.apache.spark.sql.functions.max(col(column)).as("mx"))
+      .collect()
+    val lines = rows.map { r =>
+      val f = r.getString(0).split('/').last
+      if (r.isNullAt(1)) s"$f\tnull\tnull"
+      else s"$f\t${b64(r.getString(1))}\t${b64(r.getString(2))}"
+    }
+    Files.write(strStatsFile(table, column),
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def utf8Leq(a: Array[Byte], b: Array[Byte]): Boolean = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ai = a(i) & 0xff; val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    a.length <= b.length
+  }
+
+  private def stringKeepSet(table: String, column: String,
+      lo: String, hi: String): Option[Seq[String]] = {
+    val sf = strStatsFile(table, column)
+    if (!Files.exists(sf)) return None
+    val (loB, hiB) = (lo.getBytes("UTF-8"), hi.getBytes("UTF-8"))
+    val lines = new String(Files.readAllBytes(sf),
+      java.nio.charset.StandardCharsets.UTF_8).split('\n').toSeq
+    Some(lines.flatMap { ln =>
+      val Array(f, mn, mx) = ln.split('\t')
+      if (mn == "null" || (utf8Leq(unb64(mn), hiB) && utf8Leq(loB, unb64(mx))))
+        Some(dir(table).resolve(f).toString)
+      else None
+    })
+  }
+
+  /** Read `table` filtered to `column BETWEEN lo AND hi` (string range),
+    * skipping files whose analyzed range cannot overlap. Identical
+    * results with or without stats; requires [[analyzeStringColumn]]
+    * for any skipping to happen.
+    */
+  def readPrunedString(table: String, column: String,
+      lo: String, hi: String): DataFrame = {
+    val predicate = col(column).between(lo, hi)
+    stringKeepSet(table, column, lo, hi) match {
+      case None => read(table).filter(predicate)
+      case Some(Nil) => read(table).filter(predicate).limit(0)
+      case Some(keep) => spark.read.parquet(keep: _*).filter(predicate)
+    }
+  }
+
+  /** Files a string-range read would schedule — observability for specs. */
+  def prunedStringFileCount(table: String, column: String,
+      lo: String, hi: String): Int =
+    stringKeepSet(table, column, lo, hi)
+      .getOrElse(sys.error(s"$table/$column has no string stats")).size
+
+  /** Partition evolution: re-layout a live table under a NEW partition
+    * column set (Iceberg-style evolution, done the copy-on-write way a
+    * log-free store must). The rewrite is one versioned overwrite — the
+    * PREVIOUS generation stays readable with its old layout via
+    * `read(table, asOf)`, so readers pinned to a version never see the
+    * layout change, and a bad evolution is one `restoreVersion` away
+    * from undone.
+    */
+  def evolvePartitioning(table: String, newPartCols: Seq[String],
+      numFiles: Int = 0): Unit = {
+    val current = read(table)
+    overwrite(table, current, numFiles = numFiles, partitionBy = newPartCols)
+  }
+
   /** Persistent view DDL (S10): the reference's 15 dashboard views live
     * in Unity Catalog (`CREATE OR REPLACE VIEW ironman.gold.vw_*`,
     * 05_dashboard_queries.ipynb:49 et al.) and survive session restarts.
