@@ -41,6 +41,36 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("append mode drops rows later than the watermark; on-time rows still count") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String, Double)]
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    val q = windowedCountsStream(
+        mem.toDF().toDF("ts", "event_type", "value"), "10 minutes", "15 minutes")
+      .writeStream.format("memory").queryName("late_drop")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((t(0), "view", 1.0), (t(5), "view", 1.0))
+      q.processAllAvailable()
+      // watermark advances to 120-15=105min: the [0,10) window finalizes and emits
+      mem.addData((t(120), "view", 1.0))
+      q.processAllAvailable()
+      val finalized = spark.table("late_drop")
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(finalized("2024-01-01 00:00:00") == 2L)
+      // a row for the long-finalized [0,10) window is LATE beyond the
+      // watermark: it must be dropped, not re-emit or mutate the window
+      mem.addData((t(1), "view", 99.0))
+      q.processAllAvailable()
+      val after = spark.table("late_drop")
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(after("2024-01-01 00:00:00") == 2L, "late row was not dropped")
+      assert(spark.table("late_drop").where("window_start = '2024-01-01 00:00:00'")
+        .count() == 1, "finalized window re-emitted")
+    } finally q.stop()
+  }
+
   test("memory stream: session windows merge across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
