@@ -23,7 +23,7 @@ object Round4Ops31 {
     "ivm_join_refresh",
     """WITH a1 AS (
       |  SELECT o_custkey AS k, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
-      |  FROM orders WHERE o_orderkey % 10 < 6),
+      |  FROM orders WHERE o_orderkey % 100 < 6),
       |b1 AS (
       |  SELECT c_custkey AS k, c_mktsegment FROM customer WHERE c_custkey % 4 < 3)
       |SELECT a1.k, a1.o_orderkey, CAST(a1.price AS DOUBLE) AS price,
@@ -41,13 +41,13 @@ object Round4Ops31 {
     val store = new TableStore(spark, root, retainVersions = 5)
     // version 0: different slices than the final state — both tables
     // will see inserts AND deletes on the way to v1
-    store.overwrite("A", orders.filter(col("o_orderkey") % 10 < 4))
+    store.overwrite("A", orders.filter(col("o_orderkey") % 100 < 4))
     store.overwrite("B", customer.filter(col("k") % 4 > 0))
     val (av0, bv0) = (store.currentVersion("A"), store.currentVersion("B"))
     store.overwrite("V",
       IncrementalJoin.fullJoin(store.read("A"), store.read("B"), Seq("k")))
 
-    store.overwrite("A", orders.filter(col("o_orderkey") % 10 < 6))
+    store.overwrite("A", orders.filter(col("o_orderkey") % 100 < 6))
     store.overwrite("B", customer.filter(col("k") % 4 < 3))
     val (av1, bv1) = (store.currentVersion("A"), store.currentVersion("B"))
     IncrementalJoin.refresh(store, "V", "A", av0, av1, "B", bv0, bv1, Seq("k"))
