@@ -164,4 +164,10 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"queries not broadcast:\n$p")
   }
+
+  test("dpp: the partitioned fact scan carries a dynamic pruning subquery") {
+    val p = plan(Round4Ops41.j22_dynamic_partition_pruning)
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in the fact scan:\n$p")
+  }
 }
