@@ -44,9 +44,12 @@ object Round4Ops33 {
       |       event_type,
       |       CAST(COUNT(*) AS BIGINT) AS n
       |FROM events
+      |WHERE event_id % 5 = 0
       |GROUP BY 1, 2
       |ORDER BY band, event_type""".stripMargin) { (spark, dir) =>
     val events = Tables.load(spark, dir, "events")
+      .filter(col("event_id") % 5 === 0)
+      .select(col("event_id"), col("event_type"), col("value"))
       .withColumn("band", (col("value").cast("int") / lit(25)).cast("int"))
     val root = java.nio.file.Files.createTempDirectory("graft-evolve-gate-").toString
     val store = new TableStore(spark, root, retainVersions = 3)
