@@ -25,6 +25,18 @@ object Round4Ops38 {
       |ORDER BY lang""".stripMargin) { (spark, dir) =>
     Tables.load(spark, dir, "documents").createOrReplaceTempView("graft_ctas_docs")
     spark.sql("DROP TABLE IF EXISTS graft_ctas_summary")
+    // a PREVIOUS session's managed-table directory survives while the
+    // in-memory metastore forgets it — CTAS would fail on the stale
+    // location, so clear it explicitly (rerunnability across JVMs)
+    val wh = java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir"))
+    val stale = new java.io.File(
+      if (wh.getScheme == null) wh.toString else wh.getPath, "graft_ctas_summary")
+    if (stale.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(stale)
+    }
     spark.sql(
       """CREATE TABLE graft_ctas_summary USING parquet AS
         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
