@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-4 batch 67: link prediction by common neighbors, the
+  * Herfindahl–Hirschman concentration index, and the Theil inequality
+  * index.
+  */
+object Round4Ops67 {
+
+  /** Link prediction: for NON-adjacent supplier pairs in the hub-capped
+    * co-supply graph, the common-neighbor count and Jaccard score —
+    * the classic "who should be connected next" heuristic. The
+    * neighbor self-join is bounded by the hub cap (parts with ≤4
+    * suppliers), so the Σdeg² blowup that kills this at scale is
+    * capped by construction; the anti-join against existing edges
+    * removes known pairs. Top-20 keeps the gate output small.
+    */
+  val graph_link_prediction = OpQuery(
+    "graph_link_prediction",
+    """WITH eligible AS (
+      |  SELECT l_partkey FROM lineitem GROUP BY l_partkey
+      |  HAVING COUNT(DISTINCT l_suppkey) <= 4),
+      |edges AS (
+      |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      |  FROM lineitem a
+      |  JOIN eligible e ON a.l_partkey = e.l_partkey
+      |  JOIN lineitem b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+      |adj AS (
+      |  SELECT u AS node, v AS nb FROM edges
+      |  UNION ALL SELECT v, u FROM edges),
+      |deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY node),
+      |cand AS (
+      |  SELECT a.node AS u, b.node AS v, COUNT(*) AS common
+      |  FROM adj a JOIN adj b ON a.nb = b.nb AND a.node < b.node
+      |  GROUP BY a.node, b.node),
+      |novel AS (
+      |  SELECT c.u, c.v, c.common
+      |  FROM cand c LEFT JOIN edges e ON c.u = e.u AND c.v = e.v
+      |  WHERE e.u IS NULL),
+      |scored AS (
+      |  SELECT n.u, n.v, n.common,
+      |         CAST(ROUND(CAST(n.common AS DOUBLE) /
+      |              (du.d + dv.d - n.common), 6) AS DOUBLE) AS jaccard
+      |  FROM novel n JOIN deg du ON n.u = du.node JOIN deg dv ON n.v = dv.node)
+      |SELECT u, v, CAST(common AS BIGINT) AS common, jaccard
+      |FROM scored
+      |ORDER BY common DESC, jaccard DESC, u, v
+      |LIMIT 20""".stripMargin) { (spark, dir) =>
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("graft_lp_lineitem")
+    spark.sql(
+      """WITH eligible AS (
+        |  SELECT l_partkey FROM graft_lp_lineitem GROUP BY l_partkey
+        |  HAVING COUNT(DISTINCT l_suppkey) <= 4),
+        |edges AS (
+        |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        |  FROM graft_lp_lineitem a
+        |  JOIN eligible e ON a.l_partkey = e.l_partkey
+        |  JOIN graft_lp_lineitem b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+        |adj AS (
+        |  SELECT u AS node, v AS nb FROM edges
+        |  UNION ALL SELECT v, u FROM edges),
+        |deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY node),
+        |cand AS (
+        |  SELECT a.node AS u, b.node AS v, COUNT(*) AS common
+        |  FROM adj a JOIN adj b ON a.nb = b.nb AND a.node < b.node
+        |  GROUP BY a.node, b.node),
+        |novel AS (
+        |  SELECT c.u, c.v, c.common
+        |  FROM cand c LEFT JOIN edges e ON c.u = e.u AND c.v = e.v
+        |  WHERE e.u IS NULL),
+        |scored AS (
+        |  SELECT n.u, n.v, n.common,
+        |         CAST(ROUND(CAST(n.common AS DOUBLE) /
+        |              (du.d + dv.d - n.common), 6) AS DOUBLE) AS jaccard
+        |  FROM novel n JOIN deg du ON n.u = du.node JOIN deg dv ON n.v = dv.node)
+        |SELECT u, v, CAST(common AS BIGINT) AS common, jaccard
+        |FROM scored
+        |ORDER BY common DESC, jaccard DESC, u, v
+        |LIMIT 20""".stripMargin)
+  }
+
+  /** Herfindahl–Hirschman index: revenue concentration among suppliers
+    * within each nation — Σ shareᵢ² per market. Revenue sums go
+    * through DECIMAL(18,2) so they are order-independent; one
+    * broadcast join (supplier dim) + two grouped aggregations.
+    */
+  val a46_hhi = OpQuery(
+    "a46_hhi",
+    """WITH rev AS (
+      |  SELECT s.s_nationkey AS nation, l.l_suppkey,
+      |         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS r
+      |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY s.s_nationkey, l.l_suppkey),
+      |tot AS (
+      |  SELECT nation, SUM(r) AS t, COUNT(*) AS n_suppliers FROM rev GROUP BY nation)
+      |SELECT t.nation, CAST(t.n_suppliers AS BIGINT) AS n_suppliers,
+      |       CAST(ROUND(SUM(POW(CAST(rev.r AS DOUBLE) / CAST(t.t AS DOUBLE), 2)), 6)
+      |            AS DOUBLE) AS hhi
+      |FROM rev JOIN tot t ON rev.nation = t.nation
+      |GROUP BY t.nation, t.n_suppliers
+      |ORDER BY t.nation""".stripMargin) { (spark, dir) =>
+    val li = Tables.load(spark, dir, "lineitem")
+    val sup = Tables.load(spark, dir, "supplier")
+    val rev = li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .groupBy(col("s_nationkey").as("nation"), col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("r"))
+    val tot = rev.groupBy("nation")
+      .agg(sum(col("r")).as("t"), count(lit(1)).as("n_suppliers"))
+    rev.join(broadcast(tot), "nation")
+      .groupBy(col("nation"), col("n_suppliers"))
+      .agg(round(sum(pow(col("r").cast("double") / col("t").cast("double"), 2)), 6)
+        .cast("double").as("hhi"))
+      .select(col("nation"), col("n_suppliers").cast("long").as("n_suppliers"),
+        col("hhi"))
+      .orderBy("nation")
+  }
+
+  /** Theil T inequality index of customer spend: (1/n) Σ (x/μ)·ln(x/μ)
+    * over integer-rounded per-customer spend. Each term is rounded to
+    * 12 decimals and summed as DECIMAL so the cross-partition sum is
+    * order-independent and libm ulp differences are quantized away.
+    */
+  val a47_theil = OpQuery(
+    "a47_theil",
+    """WITH spend AS (
+      |  SELECT o_custkey, CAST(ROUND(SUM(o_totalprice)) AS BIGINT) AS s
+      |  FROM orders GROUP BY o_custkey),
+      |m AS (SELECT COUNT(*) AS n, SUM(s) AS t FROM spend),
+      |terms AS (
+      |  SELECT CAST(ROUND((CAST(s AS DOUBLE) * n / t) * ln(CAST(s AS DOUBLE) * n / t), 12)
+      |              AS DECIMAL(28,12)) AS term, n
+      |  FROM spend, m WHERE s > 0)
+      |SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+      |       CAST(ROUND(CAST(SUM(term) AS DOUBLE) / MAX(n), 6) AS DOUBLE) AS theil
+      |FROM terms""".stripMargin) { (spark, dir) =>
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("graft_theil_orders")
+    spark.sql(
+      """WITH spend AS (
+        |  SELECT o_custkey, CAST(ROUND(SUM(o_totalprice)) AS BIGINT) AS s
+        |  FROM graft_theil_orders GROUP BY o_custkey),
+        |m AS (SELECT COUNT(*) AS n, SUM(s) AS t FROM spend),
+        |terms AS (
+        |  SELECT CAST(ROUND((CAST(s AS DOUBLE) * n / t) * ln(CAST(s AS DOUBLE) * n / t), 12)
+        |              AS DECIMAL(28,12)) AS term, n
+        |  FROM spend CROSS JOIN m WHERE s > 0)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+        |       CAST(ROUND(CAST(SUM(term) AS DOUBLE) / MAX(n), 6) AS DOUBLE) AS theil
+        |FROM terms""".stripMargin)
+  }
+
+  val all: Seq[OpQuery] = Seq(graph_link_prediction, a46_hhi, a47_theil)
+}
