@@ -9,8 +9,8 @@ import graft.Tables
   */
 object Round4Ops72 {
 
-  /** Kaplan–Meier survival curve of user lifetimes (days between first
-    * and last event; users still active in the last observed week are
+  /** Kaplan–Meier survival curve of user lifetimes (hours between first
+    * and last event; users still active in the final observed day are
     * censored). The product Π(1 − dᵢ/nᵢ) is carried as a cumulative
     * sum of ln-terms quantized to DECIMAL(28,12) — order-independent
     * across partitions and immune to libm ulp drift — with a single
@@ -21,14 +21,14 @@ object Round4Ops72 {
     "a50_survival_km",
     """WITH spans AS (
       |  SELECT user_id,
-      |         CAST((TRUNC(epoch(MAX(ts))) - TRUNC(epoch(MIN(ts)))) / 86400 AS INT)
+      |         CAST(FLOOR((TRUNC(epoch(MAX(ts))) - TRUNC(epoch(MIN(ts)))) / 3600) AS INT)
       |           AS life_days,
       |         MAX(ts) AS last_ts
       |  FROM events GROUP BY user_id),
       |horizon AS (SELECT MAX(last_ts) AS h FROM spans),
       |obs AS (
       |  SELECT life_days,
-      |         CASE WHEN epoch(h) - epoch(last_ts) < 7 * 86400 THEN 0 ELSE 1 END AS died
+      |         CASE WHEN epoch(h) - epoch(last_ts) < 86400 THEN 0 ELSE 1 END AS died
       |  FROM spans, horizon),
       |n_total AS (SELECT COUNT(*) AS n FROM obs),
       |by_day AS (
@@ -45,7 +45,7 @@ object Round4Ops72 {
       |         CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE) / n_i), 12) AS DECIMAL(28,12))
       |           AS lnterm
       |  FROM at_risk WHERE d > 0 AND d < n_i)
-      |SELECT life_days, CAST(d AS BIGINT) AS deaths, CAST(n_i AS BIGINT) AS at_risk,
+      |SELECT life_days AS life_hours, CAST(d AS BIGINT) AS deaths, CAST(n_i AS BIGINT) AS at_risk,
       |       CAST(ROUND(exp(CAST(SUM(lnterm) OVER (ORDER BY life_days
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6)
       |         AS DOUBLE) AS survival
@@ -55,14 +55,14 @@ object Round4Ops72 {
     spark.sql(
       """WITH spans AS (
         |  SELECT user_id,
-        |         CAST((unix_timestamp(MAX(ts)) - unix_timestamp(MIN(ts))) / 86400 AS INT)
+        |         CAST(FLOOR((unix_timestamp(MAX(ts)) - unix_timestamp(MIN(ts))) / 3600) AS INT)
         |           AS life_days,
         |         MAX(ts) AS last_ts
         |  FROM graft_km_events GROUP BY user_id),
         |horizon AS (SELECT MAX(last_ts) AS h FROM spans),
         |obs AS (
         |  SELECT life_days,
-        |         CASE WHEN unix_timestamp(h) - unix_timestamp(last_ts) < 7 * 86400
+        |         CASE WHEN unix_timestamp(h) - unix_timestamp(last_ts) < 86400
         |              THEN 0 ELSE 1 END AS died
         |  FROM spans CROSS JOIN horizon),
         |n_total AS (SELECT COUNT(*) AS n FROM obs),
@@ -80,7 +80,7 @@ object Round4Ops72 {
         |         CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE) / n_i), 12) AS DECIMAL(28,12))
         |           AS lnterm
         |  FROM at_risk WHERE d > 0 AND d < n_i)
-        |SELECT life_days, CAST(d AS BIGINT) AS deaths, CAST(n_i AS BIGINT) AS at_risk,
+        |SELECT life_days AS life_hours, CAST(d AS BIGINT) AS deaths, CAST(n_i AS BIGINT) AS at_risk,
         |       CAST(ROUND(exp(CAST(SUM(lnterm) OVER (ORDER BY life_days
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6)
         |         AS DOUBLE) AS survival
@@ -104,7 +104,7 @@ object Round4Ops72 {
       |  SELECT value AS m FROM (
       |    SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS r, COUNT(*) OVER () AS n
       |    FROM seq) t
-      |  WHERE r = CAST((n + 1) / 2 AS INT)),
+      |  WHERE r = CAST(FLOOR((n + 1) / 2) AS INT)),
       |signs AS (
       |  SELECT i, CASE WHEN value > (SELECT m FROM med) THEN 1 ELSE 0 END AS s
       |  FROM seq),
@@ -130,7 +130,7 @@ object Round4Ops72 {
         |  SELECT value AS m FROM (
         |    SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS r, COUNT(*) OVER () AS n
         |    FROM seq) t
-        |  WHERE r = CAST((n + 1) / 2 AS INT)),
+        |  WHERE r = CAST(FLOOR((n + 1) / 2) AS INT)),
         |signs AS (
         |  SELECT i, CASE WHEN value > (SELECT m FROM med) THEN 1 ELSE 0 END AS s
         |  FROM seq),
