@@ -96,8 +96,8 @@ object Round4Ops83 {
 
   /** Level-shift detection: days where the mean of the NEXT 7 days
     * departs from the mean of the PREVIOUS 7 days by more than 25% —
-    * edge detection for regime changes, complementing point anomalies.
-    * Both window means come from exact integer cents over one sorted
+    * edge detection for regime changes, complementing point anomalies —
+    * every full-window day is emitted with its ratio and flag. Both window means come from exact integer cents over one sorted
     * pass; only full windows are compared.
     */
   val ts_level_shift = OpQuery(
@@ -117,11 +117,11 @@ object Round4Ops83 {
       |       CAST(ROUND(CAST(sb AS DOUBLE) / nb / 100, 2) AS DOUBLE) AS mean_before,
       |       CAST(ROUND(CAST(sa AS DOUBLE) / na / 100, 2) AS DOUBLE) AS mean_after,
       |       CAST(ROUND(CAST(sa AS DOUBLE) * nb / (CAST(sb AS DOUBLE) * na), 4)
-      |            AS DOUBLE) AS shift_ratio
+      |            AS DOUBLE) AS shift_ratio,
+      |       (CAST(sa AS DOUBLE) * nb > 1.25 * CAST(sb AS DOUBLE) * na
+      |        OR CAST(sa AS DOUBLE) * nb * 1.25 < CAST(sb AS DOUBLE) * na) AS shifted
       |FROM framed
       |WHERE nb = 7 AND na = 7
-      |  AND (CAST(sa AS DOUBLE) * nb > 1.25 * CAST(sb AS DOUBLE) * na
-      |    OR CAST(sa AS DOUBLE) * nb * 1.25 < CAST(sb AS DOUBLE) * na)
       |ORDER BY day""".stripMargin) { (spark, dir) =>
     Tables.load(spark, dir, "events").createOrReplaceTempView("graft_ls_events")
     spark.sql(
@@ -140,11 +140,11 @@ object Round4Ops83 {
         |       CAST(ROUND(CAST(sb AS DOUBLE) / nb / 100, 2) AS DOUBLE) AS mean_before,
         |       CAST(ROUND(CAST(sa AS DOUBLE) / na / 100, 2) AS DOUBLE) AS mean_after,
         |       CAST(ROUND(CAST(sa AS DOUBLE) * nb / (CAST(sb AS DOUBLE) * na), 4)
-        |            AS DOUBLE) AS shift_ratio
+        |            AS DOUBLE) AS shift_ratio,
+        |       (CAST(sa AS DOUBLE) * nb > 1.25 * CAST(sb AS DOUBLE) * na
+        |        OR CAST(sa AS DOUBLE) * nb * 1.25 < CAST(sb AS DOUBLE) * na) AS shifted
         |FROM framed
         |WHERE nb = 7 AND na = 7
-        |  AND (CAST(sa AS DOUBLE) * nb > 1.25 * CAST(sb AS DOUBLE) * na
-        |    OR CAST(sa AS DOUBLE) * nb * 1.25 < CAST(sb AS DOUBLE) * na)
         |ORDER BY day""".stripMargin)
   }
 
