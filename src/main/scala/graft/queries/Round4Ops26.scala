@@ -97,14 +97,14 @@ object Round4Ops26 {
       |  SELECT doc_id AS media_id,
       |         (octet_length(encode(text)) * 1000) // (16000 * 2) AS duration_ms
       |  FROM documents WHERE doc_id % 3 = 1),
-      |eligible AS (SELECT * FROM audio WHERE duration_ms >= 200)
+      |eligible AS (SELECT * FROM audio WHERE duration_ms >= 4)
       |SELECT media_id, CAST(w.win_idx AS INT) AS win_idx,
-      |       CAST(w.win_idx * 100 AS BIGINT) AS start_ms,
-      |       CAST(w.win_idx * 100 + 200 AS BIGINT) AS end_ms
-      |FROM eligible, unnest(generate_series(0, (duration_ms - 200) // 100)) AS w(win_idx)
+      |       CAST(w.win_idx * 2 AS BIGINT) AS start_ms,
+      |       CAST(w.win_idx * 2 + 4 AS BIGINT) AS end_ms
+      |FROM eligible, unnest(generate_series(0, (duration_ms - 4) // 2)) AS w(win_idx)
       |ORDER BY media_id, win_idx""".stripMargin) { (spark, dir) =>
     val media = Multimodal.syntheticMedia(Tables.load(spark, dir, "documents"))
-    Multimodal.audioWindows(media, winMs = 200, hopMs = 100)
+    Multimodal.audioWindows(media, winMs = 4, hopMs = 2)
       .select("media_id", "win_idx", "start_ms", "end_ms")
       .orderBy("media_id", "win_idx")
   }

@@ -82,7 +82,7 @@ object Round4Ops28 {
       |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
       |             * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total
       |  FROM lineitem
-      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
       |    AND l_shipdate < TIMESTAMP '1997-07-01'
       |  GROUP BY l_suppkey)
       |SELECT s.s_suppkey, s.s_name, CAST(r.total AS DOUBLE) AS total_revenue
@@ -97,7 +97,7 @@ object Round4Ops28 {
         |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
         |             * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total
         |  FROM graft_q15_lineitem
-        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
         |    AND l_shipdate < TIMESTAMP '1997-07-01'
         |  GROUP BY l_suppkey)
         |SELECT s.s_suppkey, s.s_name, CAST(r.total AS DOUBLE) AS total_revenue
@@ -152,7 +152,8 @@ object Round4Ops28 {
       |  SELECT c.c_nationkey % 5 AS nation_band, c.c_acctbal
       |  FROM customer c, avg_bal
       |  WHERE c.c_acctbal > avg_bal.a
-      |    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+      |    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |      AND o.o_orderdate >= TIMESTAMP '1998-01-01'))
       |SELECT CAST(nation_band AS INT) AS nation_band,
       |       CAST(COUNT(*) AS BIGINT) AS n_custs,
       |       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal
@@ -168,7 +169,8 @@ object Round4Ops28 {
         |  SELECT c.c_nationkey % 5 AS nation_band, c.c_acctbal
         |  FROM graft_q22_customer c, avg_bal
         |  WHERE c.c_acctbal > avg_bal.a
-        |    AND NOT EXISTS (SELECT 1 FROM graft_q22_orders o WHERE o.o_custkey = c.c_custkey))
+        |    AND NOT EXISTS (SELECT 1 FROM graft_q22_orders o WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '1998-01-01'))
         |SELECT CAST(nation_band AS INT) AS nation_band,
         |       CAST(COUNT(*) AS BIGINT) AS n_custs,
         |       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal

@@ -64,9 +64,9 @@ object Round4Ops29 {
   val dedup_delta = OpQuery(
     "dedup_delta",
     """WITH base AS (
-      |  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 5 <> 0),
+      |  SELECT doc_id, md5(substr(text, 1, 64)) AS fp FROM documents WHERE doc_id % 5 <> 0),
       |delta AS (
-      |  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 5 = 0),
+      |  SELECT doc_id, md5(substr(text, 1, 64)) AS fp FROM documents WHERE doc_id % 5 = 0),
       |flagged AS (
       |  SELECT d.doc_id, d.fp,
       |         EXISTS (SELECT 1 FROM base b WHERE b.fp = d.fp) AS dup_vs_base,
@@ -81,9 +81,9 @@ object Round4Ops29 {
     Tables.load(spark, dir, "documents").createOrReplaceTempView("graft_delta_docs")
     spark.sql(
       """WITH base AS (
-        |  SELECT doc_id, md5(text) AS fp FROM graft_delta_docs WHERE doc_id % 5 <> 0),
+        |  SELECT doc_id, md5(substr(text, 1, 64)) AS fp FROM graft_delta_docs WHERE doc_id % 5 <> 0),
         |delta AS (
-        |  SELECT doc_id, md5(text) AS fp FROM graft_delta_docs WHERE doc_id % 5 = 0),
+        |  SELECT doc_id, md5(substr(text, 1, 64)) AS fp FROM graft_delta_docs WHERE doc_id % 5 = 0),
         |flagged AS (
         |  SELECT d.doc_id, d.fp,
         |         EXISTS (SELECT 1 FROM base b WHERE b.fp = d.fp) AS dup_vs_base,

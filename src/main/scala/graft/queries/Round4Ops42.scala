@@ -24,7 +24,7 @@ object Round4Ops42 {
       |counted AS (
       |  SELECT user_id, event_id, t,
       |         COUNT(*) OVER (PARTITION BY user_id ORDER BY t
-      |                        RANGE BETWEEN 60 PRECEDING AND CURRENT ROW) AS burst
+      |                        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS burst
       |  FROM seq)
       |SELECT user_id, event_id, CAST(burst AS BIGINT) AS burst
       |FROM counted
@@ -39,7 +39,7 @@ object Round4Ops42 {
         |counted AS (
         |  SELECT user_id, event_id, t,
         |         COUNT(*) OVER (PARTITION BY user_id ORDER BY t
-        |                        RANGE BETWEEN 60 PRECEDING AND CURRENT ROW) AS burst
+        |                        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS burst
         |  FROM seq)
         |SELECT user_id, event_id, CAST(burst AS BIGINT) AS burst
         |FROM counted

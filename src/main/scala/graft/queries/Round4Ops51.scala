@@ -68,7 +68,7 @@ object Round4Ops51 {
     "dedup_winnowing",
     """WITH corpus AS (
       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
-      |  FROM documents WHERE doc_id % 10 = 0),
+      |  FROM documents),
       |hashes AS (
       |  SELECT doc_id, u.i AS pos,
       |         CAST(('0x' || substr(md5(array_to_string(t[u.i:u.i+2], ' ')), 1, 8)) AS BIGINT) AS h
@@ -92,7 +92,7 @@ object Round4Ops51 {
     spark.sql(
       """WITH corpus AS (
         |  SELECT doc_id, split(lower(trim(text)), '\\s+') AS t
-        |  FROM graft_win_docs WHERE doc_id % 10 = 0),
+        |  FROM graft_win_docs),
         |hashes AS (
         |  SELECT doc_id, u.i AS pos,
         |         CAST(conv(substring(md5(array_join(slice(t, u.i, 3), ' ')), 1, 8), 16, 10) AS BIGINT) AS h

@@ -54,19 +54,28 @@ object Round4Ops57 {
     * of endpoint degrees across edges — do high-degree suppliers
     * connect to each other (assortative) or to the periphery
     * (disassortative)? Exact integer cross-moments over the edge list,
-    * same recipe as a33_corr; edges reuse the hub-capped construction
+    * same recipe as a33_corr; edges reuse the bounded-construction construction
     * from graph_triangles.
     */
   val graph_degree_assortativity = OpQuery(
     "graph_degree_assortativity",
     """WITH eligible AS (
-      |  SELECT l_partkey FROM lineitem GROUP BY l_partkey
-      |  HAVING COUNT(DISTINCT l_suppkey) <= 4),
+      |  SELECT l_partkey FROM (
+      |    SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS ns
+      |    FROM lineitem GROUP BY l_partkey) t
+      |  ORDER BY ns, l_partkey LIMIT 200),
+      |supp AS (
+      |  SELECT l_partkey, l_suppkey FROM (
+      |    SELECT d.l_partkey, d.l_suppkey,
+      |           ROW_NUMBER() OVER (PARTITION BY d.l_partkey
+      |             ORDER BY d.l_suppkey) AS rk
+      |    FROM (SELECT DISTINCT l.l_partkey, l.l_suppkey
+      |          FROM lineitem l JOIN eligible e ON l.l_partkey = e.l_partkey) d) r
+      |  WHERE rk <= 8),
       |edges AS (
       |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
-      |  FROM lineitem a
-      |  JOIN eligible e ON a.l_partkey = e.l_partkey
-      |  JOIN lineitem b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+      |  FROM supp a JOIN supp b
+      |    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
       |deg AS (
       |  SELECT node, COUNT(*) AS d FROM (
       |    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
@@ -86,13 +95,22 @@ object Round4Ops57 {
     Tables.load(spark, dir, "lineitem").createOrReplaceTempView("graft_asso_lineitem")
     spark.sql(
       """WITH eligible AS (
-        |  SELECT l_partkey FROM graft_asso_lineitem GROUP BY l_partkey
-        |  HAVING COUNT(DISTINCT l_suppkey) <= 4),
+        |  SELECT l_partkey FROM (
+        |    SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS ns
+        |    FROM graft_asso_lineitem GROUP BY l_partkey) t
+        |  ORDER BY ns, l_partkey LIMIT 200),
+        |supp AS (
+        |  SELECT l_partkey, l_suppkey FROM (
+        |    SELECT d.l_partkey, d.l_suppkey,
+        |           ROW_NUMBER() OVER (PARTITION BY d.l_partkey
+        |             ORDER BY d.l_suppkey) AS rk
+        |    FROM (SELECT DISTINCT l.l_partkey, l.l_suppkey
+        |          FROM graft_asso_lineitem l JOIN eligible e ON l.l_partkey = e.l_partkey) d) r
+        |  WHERE rk <= 8),
         |edges AS (
         |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
-        |  FROM graft_asso_lineitem a
-        |  JOIN eligible e ON a.l_partkey = e.l_partkey
-        |  JOIN graft_asso_lineitem b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+        |  FROM supp a JOIN supp b
+        |    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
         |deg AS (
         |  SELECT node, COUNT(*) AS d FROM (
         |    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)

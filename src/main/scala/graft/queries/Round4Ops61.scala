@@ -71,9 +71,12 @@ object Round4Ops61 {
       |  FROM events GROUP BY CAST(ts AS DATE)),
       |pbar AS (SELECT CAST(SUM(errs) AS DOUBLE) / SUM(n) AS p FROM daily)
       |SELECT strftime(d, '%Y-%m-%d') AS day,
-      |       CAST(errs AS BIGINT) AS errs, CAST(n AS BIGINT) AS n
+      |       CAST(errs AS BIGINT) AS errs, CAST(n AS BIGINT) AS n,
+      |       CAST(ROUND(p - 3 * sqrt(p * (1 - p) / n), 6) AS DOUBLE) AS lcl,
+      |       CAST(ROUND(p + 3 * sqrt(p * (1 - p) / n), 6) AS DOUBLE) AS ucl,
+      |       (abs(CAST(errs AS DOUBLE) / n - p) > 3 * sqrt(p * (1 - p) / n))
+      |         AS out_of_control
       |FROM daily, pbar
-      |WHERE abs(CAST(errs AS DOUBLE) / n - p) > 3 * sqrt(p * (1 - p) / n)
       |ORDER BY day""".stripMargin) { (spark, dir) =>
     Tables.load(spark, dir, "events").createOrReplaceTempView("graft_pc_events")
     spark.sql(
@@ -83,9 +86,12 @@ object Round4Ops61 {
         |  FROM graft_pc_events GROUP BY CAST(ts AS DATE)),
         |pbar AS (SELECT CAST(SUM(errs) AS DOUBLE) / SUM(n) AS p FROM daily)
         |SELECT date_format(d, 'yyyy-MM-dd') AS day,
-        |       CAST(errs AS BIGINT) AS errs, CAST(n AS BIGINT) AS n
+        |       CAST(errs AS BIGINT) AS errs, CAST(n AS BIGINT) AS n,
+        |       CAST(ROUND(p - 3 * sqrt(p * (1 - p) / n), 6) AS DOUBLE) AS lcl,
+        |       CAST(ROUND(p + 3 * sqrt(p * (1 - p) / n), 6) AS DOUBLE) AS ucl,
+        |       (abs(CAST(errs AS DOUBLE) / n - p) > 3 * sqrt(p * (1 - p) / n))
+        |         AS out_of_control
         |FROM daily, pbar
-        |WHERE abs(CAST(errs AS DOUBLE) / n - p) > 3 * sqrt(p * (1 - p) / n)
         |ORDER BY day""".stripMargin)
   }
 

@@ -13,21 +13,30 @@ object Round4Ops67 {
   /** Link prediction: for NON-adjacent supplier pairs in the hub-capped
     * co-supply graph, the common-neighbor count and Jaccard score —
     * the classic "who should be connected next" heuristic. The
-    * neighbor self-join is bounded by the hub cap (parts with ≤4
-    * suppliers), so the Σdeg² blowup that kills this at scale is
-    * capped by construction; the anti-join against existing edges
+    * neighbor self-join is bounded by construction (the 200 least-
+    * supplied parts, first 8 suppliers each), so the Σdeg² blowup that
+    * kills this at scale is capped at any SF; the anti-join against existing edges
     * removes known pairs. Top-20 keeps the gate output small.
     */
   val graph_link_prediction = OpQuery(
     "graph_link_prediction",
     """WITH eligible AS (
-      |  SELECT l_partkey FROM lineitem GROUP BY l_partkey
-      |  HAVING COUNT(DISTINCT l_suppkey) <= 4),
+      |  SELECT l_partkey FROM (
+      |    SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS ns
+      |    FROM lineitem GROUP BY l_partkey) t
+      |  ORDER BY ns, l_partkey LIMIT 200),
+      |supp AS (
+      |  SELECT l_partkey, l_suppkey FROM (
+      |    SELECT d.l_partkey, d.l_suppkey,
+      |           ROW_NUMBER() OVER (PARTITION BY d.l_partkey
+      |             ORDER BY d.l_suppkey) AS rk
+      |    FROM (SELECT DISTINCT l.l_partkey, l.l_suppkey
+      |          FROM lineitem l JOIN eligible e ON l.l_partkey = e.l_partkey) d) r
+      |  WHERE rk <= 8),
       |edges AS (
       |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
-      |  FROM lineitem a
-      |  JOIN eligible e ON a.l_partkey = e.l_partkey
-      |  JOIN lineitem b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+      |  FROM supp a JOIN supp b
+      |    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
       |adj AS (
       |  SELECT u AS node, v AS nb FROM edges
       |  UNION ALL SELECT v, u FROM edges),
@@ -52,13 +61,22 @@ object Round4Ops67 {
     Tables.load(spark, dir, "lineitem").createOrReplaceTempView("graft_lp_lineitem")
     spark.sql(
       """WITH eligible AS (
-        |  SELECT l_partkey FROM graft_lp_lineitem GROUP BY l_partkey
-        |  HAVING COUNT(DISTINCT l_suppkey) <= 4),
+        |  SELECT l_partkey FROM (
+        |    SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS ns
+        |    FROM graft_lp_lineitem GROUP BY l_partkey) t
+        |  ORDER BY ns, l_partkey LIMIT 200),
+        |supp AS (
+        |  SELECT l_partkey, l_suppkey FROM (
+        |    SELECT d.l_partkey, d.l_suppkey,
+        |           ROW_NUMBER() OVER (PARTITION BY d.l_partkey
+        |             ORDER BY d.l_suppkey) AS rk
+        |    FROM (SELECT DISTINCT l.l_partkey, l.l_suppkey
+        |          FROM graft_lp_lineitem l JOIN eligible e ON l.l_partkey = e.l_partkey) d) r
+        |  WHERE rk <= 8),
         |edges AS (
         |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
-        |  FROM graft_lp_lineitem a
-        |  JOIN eligible e ON a.l_partkey = e.l_partkey
-        |  JOIN graft_lp_lineitem b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+        |  FROM supp a JOIN supp b
+        |    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
         |adj AS (
         |  SELECT u AS node, v AS nb FROM edges
         |  UNION ALL SELECT v, u FROM edges),

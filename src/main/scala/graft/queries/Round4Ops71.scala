@@ -12,7 +12,7 @@ object Round4Ops71 {
 
   /** Phonetic blocking key (a pinned soundex-style code: first letter +
     * consonant-class digits, vowels dropped, runs collapsed, padded to
-    * 4) over part-name words, then the collision report — how many
+    * 4) over the corpus vocabulary (plus a vowel-mutated variant of every word, so the collision report exercises the class-merge property), then the collision report — how many
     * distinct words share a key. This is the blocking stage of fuzzy
     * dedup: the key is GROUP BY-able, so candidate pairs form inside
     * key buckets instead of a quadratic cross join. The code is derived
@@ -21,8 +21,15 @@ object Round4Ops71 {
     */
   val dedup_phonetic = OpQuery(
     "dedup_phonetic",
-    """WITH words AS (
-      |  SELECT DISTINCT upper(split_part(p_name, ' ', 1)) AS w FROM part),
+    """WITH vocab AS (
+      |  SELECT DISTINCT upper(u.w) AS w
+      |  FROM (SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                           s -> length(s) >= 3) AS ws FROM documents) d,
+      |       (SELECT unnest(ws) AS w) u),
+      |words AS (
+      |  SELECT w FROM vocab
+      |  UNION
+      |  SELECT replace(w, 'A', 'E') FROM vocab),
       |coded AS (
       |  SELECT w,
       |    rpad(substr(w, 1, 1) ||
@@ -41,10 +48,17 @@ object Round4Ops71 {
       |GROUP BY key
       |HAVING COUNT(*) > 1
       |ORDER BY key""".stripMargin) { (spark, dir) =>
-    Tables.load(spark, dir, "part").createOrReplaceTempView("graft_phon_part")
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("graft_phon_docs")
     spark.sql(
-      """WITH words AS (
-        |  SELECT DISTINCT upper(split_part(p_name, ' ', 1)) AS w FROM graft_phon_part),
+      """WITH vocab AS (
+        |  SELECT DISTINCT upper(w) AS w
+        |  FROM (SELECT explode(filter(split(lower(text), '[^a-z]+'),
+        |                              s -> length(s) >= 3)) AS w
+        |        FROM graft_phon_docs) t),
+        |words AS (
+        |  SELECT w FROM vocab
+        |  UNION
+        |  SELECT replace(w, 'A', 'E') FROM vocab),
         |coded AS (
         |  SELECT w,
         |    rpad(substr(w, 1, 1) ||

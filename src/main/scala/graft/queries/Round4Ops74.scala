@@ -11,15 +11,22 @@ import graft.Tables
   */
 object Round4Ops74 {
 
-  /** Anagram grouping: words keyed by their sorted-character signature
+  /** Anagram grouping: the corpus vocabulary (plus every word reversed — deterministic anagram mates) keyed by sorted-character signature
     * — the permutation-invariant blocking key (scrambled dupes, columnar
     * token canon). Pure per-row array work (split → sort → join), then
     * one shuffle on the signature.
     */
   val text_anagram_groups = OpQuery(
     "text_anagram_groups",
-    """WITH words AS (
-      |  SELECT DISTINCT lower(split_part(p_name, ' ', 1)) AS w FROM part),
+    """WITH vocab AS (
+      |  SELECT DISTINCT u.w AS w
+      |  FROM (SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                           s -> length(s) >= 3) AS ws FROM documents) d,
+      |       (SELECT unnest(ws) AS w) u),
+      |words AS (
+      |  SELECT w FROM vocab
+      |  UNION
+      |  SELECT reverse(w) FROM vocab),
       |keyed AS (
       |  SELECT w, array_to_string(list_sort(string_split_regex(w, '')), '') AS sig
       |  FROM words)
@@ -29,9 +36,11 @@ object Round4Ops74 {
       |GROUP BY sig
       |HAVING COUNT(*) > 1
       |ORDER BY sig""".stripMargin) { (spark, dir) =>
-    Tables.load(spark, dir, "part")
-      .select(lower(split_part(col("p_name"), lit(" "), lit(1))).as("w"))
+    val vocab = Tables.load(spark, dir, "documents")
+      .select(explode(filter(split(lower(col("text")), "[^a-z]+"),
+        s => length(s) >= 3)).as("w"))
       .distinct()
+    vocab.unionByName(vocab.select(reverse(col("w")).as("w"))).distinct()
       .select(col("w"),
         array_join(array_sort(split(col("w"), "")), "").as("sig"))
       .groupBy("sig")

@@ -10,8 +10,7 @@ import graft.Tables
   */
 object Round4Ops77 {
 
-  /** One synchronous label-propagation round over the hub-capped
-    * co-supply graph: every node adopts the most frequent label among
+  /** One synchronous label-propagation round over the bounded co-supply graph (200 least-supplied parts × 8 suppliers): every node adopts the most frequent label among
     * its neighbors (ties to the smallest label — pinned), starting from
     * identity labels. This is the community-detection inner loop; one
     * round = one edge-join + one grouped argmax, both plain shuffles
@@ -20,13 +19,22 @@ object Round4Ops77 {
   val graph_label_propagation = OpQuery(
     "graph_label_propagation",
     """WITH eligible AS (
-      |  SELECT l_partkey FROM lineitem GROUP BY l_partkey
-      |  HAVING COUNT(DISTINCT l_suppkey) <= 4),
+      |  SELECT l_partkey FROM (
+      |    SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS ns
+      |    FROM lineitem GROUP BY l_partkey) t
+      |  ORDER BY ns, l_partkey LIMIT 200),
+      |supp AS (
+      |  SELECT l_partkey, l_suppkey FROM (
+      |    SELECT d.l_partkey, d.l_suppkey,
+      |           ROW_NUMBER() OVER (PARTITION BY d.l_partkey
+      |             ORDER BY d.l_suppkey) AS rk
+      |    FROM (SELECT DISTINCT l.l_partkey, l.l_suppkey
+      |          FROM lineitem l JOIN eligible e ON l.l_partkey = e.l_partkey) d) r
+      |  WHERE rk <= 8),
       |edges AS (
       |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
-      |  FROM lineitem a
-      |  JOIN eligible e ON a.l_partkey = e.l_partkey
-      |  JOIN lineitem b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+      |  FROM supp a JOIN supp b
+      |    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
       |adj AS (
       |  SELECT u AS node, v AS nb FROM edges
       |  UNION ALL SELECT v, u FROM edges),
@@ -44,13 +52,21 @@ object Round4Ops77 {
     Tables.load(spark, dir, "lineitem").createOrReplaceTempView("graft_lpa_lineitem")
     spark.sql(
       """WITH eligible AS (
-        |  SELECT l_partkey FROM graft_lpa_lineitem GROUP BY l_partkey
-        |  HAVING COUNT(DISTINCT l_suppkey) <= 4),
+        |  SELECT l_partkey FROM (
+        |    SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS ns
+        |    FROM graft_lpa_lineitem GROUP BY l_partkey) t
+        |  ORDER BY ns, l_partkey LIMIT 200),
+        |supp AS (
+        |  SELECT l_partkey, l_suppkey FROM (
+        |    SELECT d.l_partkey, d.l_suppkey,
+        |           ROW_NUMBER() OVER (PARTITION BY d.l_partkey
+        |             ORDER BY d.l_suppkey) AS rk
+        |    FROM (SELECT DISTINCT l.l_partkey, l.l_suppkey
+        |          FROM graft_lpa_lineitem l JOIN eligible e ON l.l_partkey = e.l_partkey) d) r
+        |  WHERE rk <= 8),
         |edges AS (
         |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
-        |  FROM graft_lpa_lineitem a
-        |  JOIN eligible e ON a.l_partkey = e.l_partkey
-        |  JOIN graft_lpa_lineitem b
+        |  FROM supp a JOIN supp b
         |    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
         |adj AS (
         |  SELECT u AS node, v AS nb FROM edges

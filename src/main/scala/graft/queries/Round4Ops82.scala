@@ -11,7 +11,7 @@ import graft.Tables
 object Round4Ops82 {
 
   /** HITS hubs-and-authorities, two synchronous iterations over the
-    * hub-capped supplier→part bipartite graph. Iteration 1's authority
+    * bounded supplier→part bipartite graph (the 200 least-supplied parts, first 8 suppliers each — non-empty at every SF, bounded at every SF). Iteration 1's authority
     * scores are pure integers (degrees); after the L2 normalization the
     * propagated hub scores are quantized to 12 decimals before their
     * DECIMAL sums, keeping the second iteration engine-exact. Top-20
@@ -20,12 +20,19 @@ object Round4Ops82 {
     */
   val graph_hits = OpQuery(
     "graph_hits",
-    """WITH edges AS (
-      |  SELECT DISTINCT l_suppkey AS s, l_partkey AS p
-      |  FROM lineitem
-      |  WHERE l_partkey IN (
-      |    SELECT l_partkey FROM lineitem GROUP BY l_partkey
-      |    HAVING COUNT(DISTINCT l_suppkey) <= 4)),
+    """WITH eligible AS (
+      |  SELECT l_partkey FROM (
+      |    SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS ns
+      |    FROM lineitem GROUP BY l_partkey) t
+      |  ORDER BY ns, l_partkey LIMIT 200),
+      |edges AS (
+      |  SELECT l_partkey AS p, l_suppkey AS s FROM (
+      |    SELECT d.l_partkey, d.l_suppkey,
+      |           ROW_NUMBER() OVER (PARTITION BY d.l_partkey
+      |             ORDER BY d.l_suppkey) AS rk
+      |    FROM (SELECT DISTINCT l.l_partkey, l.l_suppkey
+      |          FROM lineitem l JOIN eligible e ON l.l_partkey = e.l_partkey) d) r
+      |  WHERE rk <= 8),
       |auth1 AS (
       |  SELECT p, COUNT(*) AS a FROM edges GROUP BY p),
       |norm1 AS (
@@ -47,12 +54,19 @@ object Round4Ops82 {
       |LIMIT 20""".stripMargin) { (spark, dir) =>
     Tables.load(spark, dir, "lineitem").createOrReplaceTempView("graft_hits_li")
     spark.sql(
-      """WITH edges AS (
-        |  SELECT DISTINCT l_suppkey AS s, l_partkey AS p
-        |  FROM graft_hits_li
-        |  WHERE l_partkey IN (
-        |    SELECT l_partkey FROM graft_hits_li GROUP BY l_partkey
-        |    HAVING COUNT(DISTINCT l_suppkey) <= 4)),
+      """WITH eligible AS (
+        |  SELECT l_partkey FROM (
+        |    SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS ns
+        |    FROM graft_hits_li GROUP BY l_partkey) t
+        |  ORDER BY ns, l_partkey LIMIT 200),
+        |edges AS (
+        |  SELECT l_partkey AS p, l_suppkey AS s FROM (
+        |    SELECT d.l_partkey, d.l_suppkey,
+        |           ROW_NUMBER() OVER (PARTITION BY d.l_partkey
+        |             ORDER BY d.l_suppkey) AS rk
+        |    FROM (SELECT DISTINCT l.l_partkey, l.l_suppkey
+        |          FROM graft_hits_li l JOIN eligible e ON l.l_partkey = e.l_partkey) d) r
+        |  WHERE rk <= 8),
         |auth1 AS (
         |  SELECT p, COUNT(*) AS a FROM edges GROUP BY p),
         |norm1 AS (

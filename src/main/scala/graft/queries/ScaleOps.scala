@@ -528,12 +528,12 @@ object ScaleOps {
       |SELECT user_id, CAST(n AS BIGINT) AS n_events,
       |       CAST(ROUND(n * 100.0 / t, 4) AS DOUBLE) AS pct
       |FROM counts, total
-      |WHERE n * 100.0 > t
+      |WHERE n * 200.0 > t
       |ORDER BY n_events DESC, user_id""".stripMargin) { (spark, dir) =>
     val events = t(spark, dir, "events")
     val counts = events.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
     counts.crossJoin(broadcast(events.agg(count(lit(1)).as("t"))))
-      .filter(col("n_events") * 100 > col("t"))
+      .filter(col("n_events") * 200 > col("t"))
       .select(
         col("user_id"), col("n_events"),
         round(col("n_events") * 100.0 / col("t"), 4).cast("double").as("pct"))
