@@ -141,4 +141,45 @@ object Graph {
     }
     visited
   }
+
+  /** Bounded k-core peeling: `rounds` synchronous rounds of "drop every
+    * node with degree < k, restrict edges to survivors". With enough
+    * rounds this converges to the exact k-core; a fixed bound keeps the
+    * job DAG static (the driver never inspects convergence), which is
+    * the right trade at 100 TB — each round is one degree aggregation +
+    * two semi-joins, all shuffling on the node id, and peeling removes
+    * mass monotonically so later rounds are cheaper, not costlier.
+    *
+    * Input: undirected edge list (`aCol`, `bCol`) — pass each edge once;
+    * degree counts both endpoints. Parallel edges each count.
+    * Output: (id, degree) over the surviving edge set after the last
+    * round — nodes that lost all edges drop out.
+    */
+  def kCore(
+      edges: DataFrame,
+      k: Int,
+      rounds: Int,
+      aCol: String = "a",
+      bCol: String = "b"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var e = edges.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val keep = e.select(col("__a").as("id"))
+        .union(e.select(col("__b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k)
+        .select("id")
+      // LAZY checkpoint per round: truncates the 2-semi-join lineage so
+      // the last round's plan stays O(1), while the whole peel still
+      // runs as one job chain (no convergence action on the driver)
+      e = e
+        .join(keep.withColumnRenamed("id", "__a"), Seq("__a"), "left_semi")
+        .join(keep.withColumnRenamed("id", "__b"), Seq("__b"), "left_semi")
+        .localCheckpoint(false)
+    }
+    e.select(col("__a").as("id")).union(e.select(col("__b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+  }
 }
