@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-4 batch 102: SAX symbolic time-series words, degree
+  * assortativity, and the EAN-13 check-digit codec.
+  */
+object Round4Ops102 {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** SAX (Symbolic Aggregate approXimation) words: each event type's
+    * first-30-day daily-total series z-normalized and quantized to a 4
+    * letter alphabet at the N(0,1) quartile breakpoints (−0.6745, 0,
+    * 0.6745), concatenated in day order. Daily totals pass through
+    * DECIMAL so the z-scores are bit-deterministic; the word assembly is
+    * an ordered array fold, not a nondeterministic string agg.
+    */
+  val ts_sax = OpQuery(
+    "ts_sax",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT event_type, d, v,
+      |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+      |  FROM daily
+      |), win AS (
+      |  SELECT event_type, d, v FROM ranked WHERE rn <= 30
+      |), stats AS (
+      |  SELECT event_type, COUNT(*) AS n, AVG(v) AS mu,
+      |         SQRT(SUM(v * v) / COUNT(*) - AVG(v) * AVG(v)) AS sd
+      |  FROM win GROUP BY 1
+      |), sym AS (
+      |  SELECT w.event_type, w.d,
+      |         CASE WHEN (w.v - s.mu) / s.sd < -0.6745 THEN 'a'
+      |              WHEN (w.v - s.mu) / s.sd < 0 THEN 'b'
+      |              WHEN (w.v - s.mu) / s.sd < 0.6745 THEN 'c'
+      |              ELSE 'd' END AS ch
+      |  FROM win w JOIN stats s ON w.event_type = s.event_type
+      |)
+      |SELECT sym.event_type, CAST(MAX(stats.n) AS BIGINT) AS n_days,
+      |       string_agg(ch, '' ORDER BY d) AS sax_word
+      |FROM sym JOIN stats ON sym.event_type = stats.event_type
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+    val win = daily
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("d")))
+      .filter(col("rn") <= 30)
+    val stats = win.groupBy("event_type").agg(
+      count(lit(1)).as("n"), avg(col("v")).as("mu"),
+      sqrt(sum(col("v") * col("v")) / count(lit(1)) -
+        avg(col("v")) * avg(col("v"))).as("sd"))
+    val z = (col("v") - col("mu")) / col("sd")
+    win.join(stats, "event_type")
+      .select(col("event_type"), col("n"), col("d"),
+        when(z < -0.6745, "a").when(z < 0, "b").when(z < 0.6745, "c")
+          .otherwise("d").as("ch"))
+      .groupBy("event_type")
+      .agg(max(col("n")).cast("long").as("n_days"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("d"), col("ch")))),
+          x => x.getField("ch")), "").as("sax_word"))
+      .orderBy("event_type")
+  }
+
+  /** Degree assortativity of the customer–supplier graph: the Pearson
+    * correlation between endpoint degrees over the directed double cover
+    * (each undirected edge in both orientations — the standard Newman
+    * estimator). All moments are exact BIGINT sums of small integers, so
+    * the final double arithmetic is bit-deterministic; no float corr()
+    * accumulator anywhere.
+    */
+  val graph_assortativity = OpQuery(
+    "graph_assortativity",
+    """WITH e0 AS (
+      |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE l.l_linenumber = 1
+      |), deg AS (
+      |  SELECT id, COUNT(*) AS d
+      |  FROM (SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1
+      |), dd AS (
+      |  SELECT da.d AS x, db.d AS y
+      |  FROM e0 JOIN deg da ON e0.a = da.id JOIN deg db ON e0.b = db.id
+      |  UNION ALL
+      |  SELECT db.d, da.d
+      |  FROM e0 JOIN deg da ON e0.a = da.id JOIN deg db ON e0.b = db.id
+      |), m AS (
+      |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      |  FROM dd
+      |)
+      |SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+      |       CAST(ROUND((CAST(sxy AS DOUBLE) / n
+      |              - CAST(sx AS DOUBLE) / n * (CAST(sy AS DOUBLE) / n)) /
+      |            SQRT((CAST(sxx AS DOUBLE) / n
+      |              - CAST(sx AS DOUBLE) / n * (CAST(sx AS DOUBLE) / n)) *
+      |             (CAST(syy AS DOUBLE) / n
+      |              - CAST(sy AS DOUBLE) / n * (CAST(sy AS DOUBLE) / n))), 6)
+      |         AS DOUBLE) AS assortativity
+      |FROM m""".stripMargin) { (spark, dir) =>
+    val e0 = t(spark, dir, "lineitem")
+      .filter(col("l_linenumber") === 1)
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("a"),
+        concat(lit("s"), col("l_suppkey")).as("b"))
+      .distinct()
+    val deg = e0.select(col("a").as("id")).union(e0.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val joined = e0
+      .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
+    val dd = joined.select(col("da").as("x"), col("db").as("y"))
+      .union(joined.select(col("db").as("x"), col("da").as("y")))
+    val m = dd.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val n = col("n")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val cov = d(col("sxy")) / n - d(col("sx")) / n * (d(col("sy")) / n)
+    val vx = d(col("sxx")) / n - d(col("sx")) / n * (d(col("sx")) / n)
+    val vy = d(col("syy")) / n - d(col("sy")) / n * (d(col("sy")) / n)
+    m.select((n / 2).cast("long").as("n_edges"),
+      round(cov / sqrt(vx * vy), 6).cast("double").as("assortativity"))
+  }
+
+  /** EAN-13 check digit: a synthetic 12-digit article number per part,
+    * the weighted digit sum (odd×1, even×3), and the appended check
+    * digit — pure integer div/mod digit extraction, no UDF, validated by
+    * recomputation in the oracle. Identical SQL modulo the `//` vs `DIV`
+    * integer-division spelling.
+    */
+  val f_checkdigit = OpQuery(
+    "f_checkdigit",
+    """WITH base AS (
+      |  SELECT p_partkey,
+      |         (p_partkey * 982451653) % 1000000000000 AS n
+      |  FROM part WHERE p_partkey <= 300
+      |), digits AS (
+      |  SELECT p_partkey, n,
+      |         (n // 100000000000) % 10 AS d1, (n // 10000000000) % 10 AS d2,
+      |         (n // 1000000000) % 10 AS d3, (n // 100000000) % 10 AS d4,
+      |         (n // 10000000) % 10 AS d5, (n // 1000000) % 10 AS d6,
+      |         (n // 100000) % 10 AS d7, (n // 10000) % 10 AS d8,
+      |         (n // 1000) % 10 AS d9, (n // 100) % 10 AS d10,
+      |         (n // 10) % 10 AS d11, n % 10 AS d12
+      |  FROM base
+      |), s AS (
+      |  SELECT p_partkey, n,
+      |         d1 + d3 + d5 + d7 + d9 + d11 +
+      |         3 * (d2 + d4 + d6 + d8 + d10 + d12) AS wsum
+      |  FROM digits
+      |)
+      |SELECT p_partkey,
+      |       lpad(CAST(n AS VARCHAR), 12, '0') ||
+      |         CAST((10 - wsum % 10) % 10 AS VARCHAR) AS ean13,
+      |       CAST((10 - wsum % 10) % 10 AS INT) AS check_digit,
+      |       ((wsum + (10 - wsum % 10) % 10) % 10 = 0) AS valid
+      |FROM s ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+    t(spark, dir, "part").filter(col("p_partkey") <= 300)
+      .createOrReplaceTempView("graft_ean_part")
+    spark.sql(
+      """WITH base AS (
+        |  SELECT p_partkey,
+        |         (p_partkey * 982451653) % 1000000000000 AS n
+        |  FROM graft_ean_part
+        |), digits AS (
+        |  SELECT p_partkey, n,
+        |         (n DIV 100000000000) % 10 AS d1, (n DIV 10000000000) % 10 AS d2,
+        |         (n DIV 1000000000) % 10 AS d3, (n DIV 100000000) % 10 AS d4,
+        |         (n DIV 10000000) % 10 AS d5, (n DIV 1000000) % 10 AS d6,
+        |         (n DIV 100000) % 10 AS d7, (n DIV 10000) % 10 AS d8,
+        |         (n DIV 1000) % 10 AS d9, (n DIV 100) % 10 AS d10,
+        |         (n DIV 10) % 10 AS d11, n % 10 AS d12
+        |  FROM base
+        |), s AS (
+        |  SELECT p_partkey, n,
+        |         d1 + d3 + d5 + d7 + d9 + d11 +
+        |         3 * (d2 + d4 + d6 + d8 + d10 + d12) AS wsum
+        |  FROM digits
+        |)
+        |SELECT p_partkey,
+        |       lpad(CAST(n AS STRING), 12, '0') ||
+        |         CAST((10 - wsum % 10) % 10 AS STRING) AS ean13,
+        |       CAST((10 - wsum % 10) % 10 AS INT) AS check_digit,
+        |       ((wsum + (10 - wsum % 10) % 10) % 10 = 0) AS valid
+        |FROM s ORDER BY p_partkey""".stripMargin)
+  }
+
+  val all: Seq[OpQuery] = Seq(ts_sax, graph_assortativity, f_checkdigit)
+}
