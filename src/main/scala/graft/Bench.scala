@@ -85,7 +85,9 @@ object Bench {
         java.nio.file.Paths.get("bench_detail.json"),
         s"""{"total":${fmt(total)},"sf":"$sfDir","queries":$fullJson}""".getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // queries_timed lets a round-over-round reader normalize the total:
+    // the registry grows every round, so total alone is not comparable
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries_timed":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -32,14 +32,25 @@ object Round4Ops86 {
       |FROM pairs
       |WHERE lev <= 10
       |ORDER BY d1, d2""".stripMargin) { (spark, dir) =>
+    // The window-of-3 neighborhood is expanded into explicit offsets and
+    // equi-joined on position: a BETWEEN-style range self-join would fall
+    // back to BroadcastNestedLoopJoin, and Catalyst pushes the lev<=10
+    // filter into that join's condition — running the O(|k|²) edit
+    // distance over every one of the n² candidate pairs instead of the
+    // 3n neighbor pairs. The equi-join keeps the pair count linear and
+    // shuffle-partitionable at any corpus size.
     val sorted = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), substring(col("text"), 1, 60).as("k"))
       .withColumn("pos",
         row_number().over(Window.orderBy(col("k"), col("doc_id"))))
-    sorted.as("a").join(sorted.as("b"),
-        col("b.pos") >= col("a.pos") + 1 && col("b.pos") <= col("a.pos") + 3)
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        levenshtein(col("a.k"), col("b.k")).as("lev"))
+    val lhs = sorted.select(col("doc_id").as("d1"), col("k").as("k1"),
+        col("pos").as("pos1"))
+      .withColumn("j", explode(expr("sequence(1, 3)")))
+      .withColumn("tpos", col("pos1") + col("j"))
+    val rhs = sorted.select(col("doc_id").as("d2"), col("k").as("k2"),
+      col("pos").as("pos2"))
+    lhs.join(rhs, col("tpos") === col("pos2"))
+      .select(col("d1"), col("d2"), levenshtein(col("k1"), col("k2")).as("lev"))
       .filter(col("lev") <= 10)
       .select(col("d1"), col("d2"), col("lev").cast("int").as("lev"))
       .orderBy("d1", "d2")
