@@ -28,6 +28,13 @@ object GraftSession {
       // the driver-generated events table stores TIMESTAMP(NANOS), which
       // the parquet reader otherwise rejects (see Tables.load)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Newer driver generations write timestamp[us] with
+      // isAdjustedToUTC=false, which Spark 4 would otherwise surface as
+      // TIMESTAMP_NTZ — a type event-time streaming (watermarks,
+      // session_window) rejects. Read untagged parquet timestamps as
+      // session-TZ TIMESTAMP (session TZ is pinned to UTC above, so the
+      // wall-clock values match what DuckDB's oracle reads).
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   def defaultCores: Int =

@@ -32,9 +32,15 @@ object Tables {
     * diverge).
     */
   def normalizeEventTs(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // defense in depth for sessions built without GraftSession's
+        // inferTimestampNTZ=false: reinterpret NTZ micros as UTC instants
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
 
   /** Register every table as a temp view named after itself, so SQL text
     * identical to the DuckDB oracle runs on Spark too.

@@ -94,7 +94,7 @@ object Round4Ops130 {
       |         COUNT(*) OVER () AS n
       |  FROM daily, lastd WHERE d > mx - INTERVAL 60 DAY),
       |kal(t, x, pv, k) AS (
-      |  SELECT 1, s1.y, 1e10, 0.0
+      |  SELECT 1, s1.y, CAST(1e10 AS DOUBLE), CAST(0.0 AS DOUBLE)
       |  FROM (SELECT y FROM s WHERE t = 1) s1
       |  UNION ALL
       |  SELECT kal.t + 1,
