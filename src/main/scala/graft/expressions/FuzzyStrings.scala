@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{AbstractDataType, DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native fuzzy-string-matching expressions: Jaro, Jaro-Winkler, and
@@ -91,8 +91,11 @@ object FuzzyStringAlgos {
       }
       i += 1
     }
+    // DuckDB floors the half-transposition count (integer division), and
+    // the oracle pins to DuckDB — fractional halving diverges on odd
+    // disagreement counts (~0.0056 per pair on short names).
     val mm = matches.toDouble
-    (mm / n + mm / m + (mm - transpositions / 2.0) / mm) / 3.0
+    (mm / n + mm / m + (mm - transpositions / 2) / mm) / 3.0
   }
 
   /** Winkler boost: + l·p·(1-jaro) for common prefix l ≤ 4, p = 0.1,
@@ -152,14 +155,12 @@ object FuzzyStringAlgos {
   }
 }
 
-trait FuzzyStringExpr { self: BinaryExpression =>
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
-}
+// Inputs are StringType columns at every call site; no implicit-cast
+// contract needed (AbstractDataType is private[sql] in Spark 4.x, so an
+// ImplicitCastInputTypes mixin can't be declared outside that package).
 
 case class JaroSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression
-    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
-    with FuzzyStringExpr {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     FuzzyStringAlgos.jaro(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
@@ -172,9 +173,7 @@ case class JaroSimilarity(left: Expression, right: Expression)
 }
 
 case class JaroWinklerSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression
-    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
-    with FuzzyStringExpr {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     FuzzyStringAlgos.jaroWinkler(
@@ -188,9 +187,7 @@ case class JaroWinklerSimilarity(left: Expression, right: Expression)
 }
 
 case class DamerauLevenshtein(left: Expression, right: Expression)
-    extends BinaryExpression
-    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
-    with FuzzyStringExpr {
+    extends BinaryExpression {
   override def dataType: DataType = IntegerType
   override def nullSafeEval(a: Any, b: Any): Any =
     FuzzyStringAlgos.damerauLevenshtein(
