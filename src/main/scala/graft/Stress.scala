@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Scale-stress driver for the dedup pipeline: replicates the sf
+  * documents corpus `k`× with per-replica salt tokens (so near-dup
+  * structure grows LINEARLY — the salt drops cross-replica jaccard of a
+  * ~50-token doc from ≥0.9 to ≈0.81, under the threshold), then runs
+  * MinHash-LSH near-dups at the production tuning and connected
+  * components over the found pairs, timing each stage.
+  *
+  * Usage: runMain graft.Stress <sfDir> <replicas> [cpus]
+  * Prints one summary line per stage; results recorded in SCALE.md.
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val k = args(1).toInt
+    val cpus = if (args.length > 2) args(2).toInt else 16
+    val spark = GraftSession.builder("graft-stress", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"))
+    val replicas = spark.range(k).select(col("id").as("rep"))
+    val corpus = base.crossJoin(replicas)
+      .select(
+        (col("doc_id") + col("rep") * lit(10000000L)).as("doc_id"),
+        concat(col("text"),
+          lit(" r"), col("rep"), lit("a r"), col("rep"), lit("b r"),
+          col("rep"), lit("c")).as("text"))
+      .repartition(cpus * 2)
+      .localCheckpoint(true)
+    val nDocs = corpus.count()
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stress] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+
+    println(s"[stress] corpus: $nDocs docs ($k replicas)")
+    val pairs = timed("minhash_lsh_neardups") {
+      Dedup.minHashNearDups(corpus, "doc_id", "text",
+          numHashes = 32, bands = 4, threshold = 0.9)
+        .localCheckpoint(true)
+    }
+    val nPairs = pairs.count()
+    println(s"[stress] verified pairs: $nPairs")
+    val cc = timed("connected_components") {
+      Dedup.connectedComponents(pairs.select("id1", "id2"))
+        .localCheckpoint(true)
+    }
+    val nClusters = cc.select("component").distinct().count()
+    println(s"[stress] clusters: $nClusters over ${cc.count()} member rows")
+    spark.stop()
+  }
+}

@@ -61,6 +61,93 @@ object TotalOrder {
   def identityColumn(df: DataFrame, order: Seq[Column], outCol: String = "id"): DataFrame =
     rowNumber(df, order, outCol)
 
+  /** Distributed running aggregates over a global order — the general
+    * form of [[rowNumber]] for `SUM(x) OVER (ORDER BY … ROWS UNBOUNDED
+    * PRECEDING)` (prefix sums) and `LAST_VALUE(x IGNORE NULLS) OVER
+    * (ORDER BY …)` (prefix max of an orderable value — the last non-null
+    * in sort order IS the max of `struct(orderKey…, payload)`).
+    *
+    * Same two-phase shape: range partition on the order, aggregate once
+    * per PARTITION (a ≤`shuffle.partitions`-row frame — the only global
+    * window, bounded by construction), broadcast the per-partition
+    * prefix offsets back, and combine with the partition-local running
+    * aggregate. One range shuffle, no single-reducer sort, bit-equal to
+    * the un-partitioned window when the order is total.
+    *
+    * `sums` / `maxes` map input column → output column. `rnCol`
+    * additionally emits `ROW_NUMBER() OVER (ORDER BY order…)`, sharing
+    * the same shuffle. Max offsets combine via `greatest` (null-skipping,
+    * matching `IGNORE NULLS`); sum inputs follow SQL sum null-skipping.
+    */
+  def prefixAggs(
+      df: DataFrame,
+      order: Seq[Column],
+      sums: Seq[(String, String)] = Nil,
+      maxes: Seq[(String, String)] = Nil,
+      rnCol: Option[String] = None): DataFrame = {
+    val slim = df.localCheckpoint(true)
+    val n = slim.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = slim
+      .repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val perPart = ranged.groupBy(col("__pid")).agg(
+      count(lit(1)).as("__part_rows"),
+      (sums.map { case (in, _) => sum(col(in)).as(s"__s_$in") } ++
+        maxes.map { case (in, _) => max(col(in)).as(s"__m_$in") }): _*)
+    val wPrev = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perPart.select(
+      col("__pid") +:
+        (Seq(coalesce(sum(col("__part_rows")).over(wPrev), lit(0L)).as("__rn_off")) ++
+          sums.map { case (in, _) =>
+            sum(col(s"__s_$in")).over(wPrev).as(s"__off_$in") } ++
+          maxes.map { case (in, _) =>
+            max(col(s"__m_$in")).over(wPrev).as(s"__off_$in") }): _*)
+    val within = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    var out = ranged.join(broadcast(offsets), Seq("__pid"))
+    for ((in, outC) <- sums) out = out.withColumn(outC,
+      when(col(s"__off_$in").isNull, sum(col(in)).over(within))
+        .otherwise(col(s"__off_$in") + coalesce(sum(col(in)).over(within), lit(0))))
+    for ((in, outC) <- maxes) out = out.withColumn(outC,
+      greatest(col(s"__off_$in"), max(col(in)).over(within)))
+    for (rc <- rnCol) out = out.withColumn(rc,
+      col("__rn_off") + row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(order: _*)))
+    out.drop(("__pid" +: "__rn_off" +:
+      (sums ++ maxes).map { case (in, _) => s"__off_$in" }): _*)
+  }
+
+  /** `SUM(valueCol) OVER (ORDER BY order ROWS UNBOUNDED PRECEDING)`
+    * distributed — running total without the single-reducer sort.
+    */
+  def prefixSum(df: DataFrame, order: Seq[Column], valueCol: String,
+      outCol: String): DataFrame =
+    prefixAggs(df, order, sums = Seq(valueCol -> outCol))
+
+  /** `NTILE(k) OVER (ORDER BY order...)` distributed: [[rowNumber]] plus
+    * the standard larger-buckets-first assignment (first `n % k` buckets
+    * get `n/k + 1` rows) — bit-equal to the window `ntile`, one range
+    * shuffle + a broadcast count instead of a single-reducer sort.
+    */
+  def ntile(df: DataFrame, order: Seq[Column], k: Int,
+      outCol: String): DataFrame = {
+    val withRn = rowNumber(df, order, "__ntile_rn")
+    val cnt = withRn.agg(count(lit(1)).as("__ntile_n"))
+    val rn = col("__ntile_rn"); val n = col("__ntile_n")
+    // Column `/` is double division — floor() restores the integer-div
+    // semantics of the ntile formula (row counts stay well under 2^53).
+    val q = floor(n / k); val r = n % k
+    withRn.crossJoin(broadcast(cnt))
+      .withColumn(outCol,
+        when(rn <= r * (q + 1), floor((rn - 1) / (q + 1)) + 1)
+          .otherwise(r + floor((rn - r * (q + 1) - 1) / q) + 1)
+          .cast("int"))
+      .drop("__ntile_rn", "__ntile_n")
+  }
+
   /** `DENSE_RANK() OVER (ORDER BY keys...)` distributed: a dense 1..k
     * index over the DISTINCT key tuples (k = distinct count), joined
     * back. The distinct side is corpus-small (group cardinality), so the

@@ -180,10 +180,10 @@ object Round4Ops104 {
     val base = emb.filter(col("vec_id") =!= 1).crossJoin(broadcast(q))
       .select(col("vec_id"), col("embedding"),
         round(cos(col("embedding"), col("qe")), 9).as("qs"))
+    // Top-12 by score is a TakeOrderedAndProject (per-partition heaps +
+    // driver merge), not a global row_number window over the embeddings.
     val cand = base
-      .withColumn("rk",
-        row_number().over(Window.orderBy(col("qs").desc, col("vec_id"))))
-      .filter(col("rk") <= 12).drop("rk")
+      .orderBy(col("qs").desc, col("vec_id")).limit(12)
       .localCheckpoint(true)
     val pw = cand.select(col("vec_id").as("a"), col("embedding").as("ea"))
       .crossJoin(cand.select(col("vec_id").as("b"), col("embedding").as("eb")))

@@ -245,14 +245,17 @@ object Round4Ops109 {
       |       CAST(hit10 AS DOUBLE) / 10 AS p_at_10,
       |       CAST(hit100 AS DOUBLE) / 100 AS p_at_100
       |FROM m""".stripMargin) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("score").desc, col("vec_id"))
-    val ranked = Tables.load(spark, dir, "embeddings")
+    // The rank index and running-positives prefix both come from ONE
+    // TotalOrder range shuffle — the embeddings frame is table-sized, so
+    // no un-partitioned row_number/SUM window.
+    val base = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"),
         element_at(col("embedding"), 1).cast("double").as("score"),
         (col("label") % 2).cast("int").as("y"))
-      .select(col("y"), row_number().over(w).as("k"),
-        sum(col("y")).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("cum"))
+    val ranked = graft.operators.TotalOrder.prefixAggs(
+        base, Seq(col("score").desc, col("vec_id")),
+        sums = Seq("y" -> "cum"), rnCol = Some("k"))
+      .select(col("y"), col("k"), col("cum"))
     ranked.agg(
         sum(col("y")).as("npos"), count(lit(1)).as("n"),
         sum(round(when(col("y") === 1, col("cum").cast("double") / col("k"))

@@ -46,33 +46,40 @@ object Round4Ops123 {
       |       CAST(ROUND(l + 7 * b, 4) AS DOUBLE) AS forecast_7d
       |FROM holt
       |WHERE t = (SELECT MAX(n) FROM s)""".stripMargin) { (spark, dir) =>
+    // Spark side: the recursion collapses into ONE partition-local
+    // `aggregate()` fold over the collected daily array (≤60 doubles).
+    // The recursive CTE in the oracle costs DuckDB nothing, but in Spark
+    // each level is a separately scheduled join — 60 rounds of scheduling
+    // over a 60-row frame (~27 s at sf0.1). The distributed part (daily
+    // aggregation) is unchanged; only the O(days) walk moves out of the
+    // scheduler. Per-step ROUND(…, 6) keeps both engines on one float path.
     Tables.load(spark, dir, "orders").createOrReplaceTempView("graft_holt_orders")
     spark.sql(
-      """WITH RECURSIVE daily AS (
+      """WITH daily AS (
         |  SELECT o_orderdate AS d, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
         |  FROM graft_holt_orders GROUP BY 1),
         |lastd AS (SELECT MAX(d) AS mx FROM daily),
         |s AS (
-        |  SELECT CAST(y AS DOUBLE) AS y,
-        |         ROW_NUMBER() OVER (ORDER BY d) AS t,
-        |         COUNT(*) OVER () AS n
+        |  SELECT d, CAST(y AS DOUBLE) AS y
         |  FROM daily CROSS JOIN lastd WHERE d > mx - INTERVAL 60 DAY),
-        |holt(t, l, b) AS (
-        |  SELECT 1, s1.y, s2.y - s1.y
-        |  FROM (SELECT y FROM s WHERE t = 1) s1
-        |  CROSS JOIN (SELECT y FROM s WHERE t = 2) s2
-        |  UNION ALL
-        |  SELECT holt.t + 1,
-        |         ROUND(0.3 * s.y + 0.7 * (holt.l + holt.b), 6),
-        |         ROUND(0.1 * (ROUND(0.3 * s.y + 0.7 * (holt.l + holt.b), 6) - holt.l)
-        |               + 0.9 * holt.b, 6)
-        |  FROM holt JOIN s ON s.t = holt.t + 1)
-        |SELECT CAST(t AS INT) AS n_days,
-        |       CAST(ROUND(l, 4) AS DOUBLE) AS level,
-        |       CAST(ROUND(b, 4) AS DOUBLE) AS trend,
-        |       CAST(ROUND(l + 7 * b, 4) AS DOUBLE) AS forecast_7d
-        |FROM holt
-        |WHERE t = (SELECT MAX(n) FROM s)""".stripMargin)
+        |arr AS (
+        |  SELECT transform(array_sort(collect_list(struct(d, y))), x -> x.y) AS ys
+        |  FROM s),
+        |folded AS (
+        |  SELECT size(ys) AS n,
+        |         aggregate(
+        |           slice(ys, 2, size(ys) - 1),
+        |           named_struct('l', ys[0], 'b', ys[1] - ys[0]),
+        |           (acc, y) -> named_struct(
+        |             'l', ROUND(0.3 * y + 0.7 * (acc.l + acc.b), 6),
+        |             'b', ROUND(0.1 * (ROUND(0.3 * y + 0.7 * (acc.l + acc.b), 6)
+        |                              - acc.l) + 0.9 * acc.b, 6))) AS st
+        |  FROM arr)
+        |SELECT CAST(n AS INT) AS n_days,
+        |       CAST(ROUND(st.l, 4) AS DOUBLE) AS level,
+        |       CAST(ROUND(st.b, 4) AS DOUBLE) AS trend,
+        |       CAST(ROUND(st.l + 7 * st.b, 4) AS DOUBLE) AS forecast_7d
+        |FROM folded""".stripMargin)
   }
 
   /** Internal rate of return by Newton's method, four iterations

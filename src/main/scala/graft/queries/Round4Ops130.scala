@@ -110,34 +110,40 @@ object Round4Ops130 {
       |       CAST(ROUND(pv / 1e8, 6) AS DOUBLE) AS p_scaled
       |FROM kal
       |WHERE t = (SELECT MAX(n) FROM s)""".stripMargin) { (spark, dir) =>
+    // Spark side: like ts_holt, the predict/update recursion folds into
+    // one `aggregate()` over the collected ≤60-double daily array instead
+    // of 60 scheduler rounds of recursive-CTE joins (~26 s at sf0.1).
+    // Per-step ROUNDs are identical to the oracle's recursive form.
     Tables.load(spark, dir, "orders").createOrReplaceTempView("graft_kal_orders")
     spark.sql(
-      """WITH RECURSIVE daily AS (
+      """WITH daily AS (
         |  SELECT o_orderdate AS d, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
         |  FROM graft_kal_orders GROUP BY 1),
         |lastd AS (SELECT MAX(d) AS mx FROM daily),
         |s AS (
-        |  SELECT CAST(y AS DOUBLE) AS y,
-        |         ROW_NUMBER() OVER (ORDER BY d) AS t,
-        |         COUNT(*) OVER () AS n
+        |  SELECT d, CAST(y AS DOUBLE) AS y
         |  FROM daily CROSS JOIN lastd WHERE d > mx - INTERVAL 60 DAY),
-        |kal(t, x, pv, k) AS (
-        |  SELECT 1, s1.y, CAST(1e10 AS DOUBLE), CAST(0.0 AS DOUBLE)
-        |  FROM (SELECT y FROM s WHERE t = 1) s1
-        |  UNION ALL
-        |  SELECT kal.t + 1,
-        |         ROUND(kal.x + ROUND((kal.pv + 1e8) / (kal.pv + 1e8 + 1e9), 10)
-        |               * (s.y - kal.x), 4),
-        |         ROUND((1 - ROUND((kal.pv + 1e8) / (kal.pv + 1e8 + 1e9), 10))
-        |               * (kal.pv + 1e8), 2),
-        |         ROUND((kal.pv + 1e8) / (kal.pv + 1e8 + 1e9), 10)
-        |  FROM kal JOIN s ON s.t = kal.t + 1)
-        |SELECT CAST(t AS INT) AS n_days,
-        |       CAST(ROUND(x, 4) AS DOUBLE) AS level,
-        |       CAST(ROUND(k, 6) AS DOUBLE) AS gain,
-        |       CAST(ROUND(pv / 1e8, 6) AS DOUBLE) AS p_scaled
-        |FROM kal
-        |WHERE t = (SELECT MAX(n) FROM s)""".stripMargin)
+        |arr AS (
+        |  SELECT transform(array_sort(collect_list(struct(d, y))), x -> x.y) AS ys
+        |  FROM s),
+        |folded AS (
+        |  SELECT size(ys) AS n,
+        |         aggregate(
+        |           slice(ys, 2, size(ys) - 1),
+        |           named_struct('x', ys[0], 'pv', CAST(1e10 AS DOUBLE),
+        |                        'k', CAST(0.0 AS DOUBLE)),
+        |           (acc, y) -> named_struct(
+        |             'x', ROUND(acc.x + ROUND((acc.pv + 1e8) / (acc.pv + 1e8 + 1e9), 10)
+        |                        * (y - acc.x), 4),
+        |             'pv', ROUND((1 - ROUND((acc.pv + 1e8) / (acc.pv + 1e8 + 1e9), 10))
+        |                         * (acc.pv + 1e8), 2),
+        |             'k', ROUND((acc.pv + 1e8) / (acc.pv + 1e8 + 1e9), 10))) AS st
+        |  FROM arr)
+        |SELECT CAST(n AS INT) AS n_days,
+        |       CAST(ROUND(st.x, 4) AS DOUBLE) AS level,
+        |       CAST(ROUND(st.k, 6) AS DOUBLE) AS gain,
+        |       CAST(ROUND(st.pv / 1e8, 6) AS DOUBLE) AS p_scaled
+        |FROM folded""".stripMargin)
   }
 
   /** Neyman-optimal stratified allocation: for a 1 000-unit sample,

@@ -121,17 +121,29 @@ object Round4Ops73 {
         lit(null).cast("long").as("id"))
       .unionByName(probes.select(col("price"), lit(1).as("side"),
         lit(null).cast("long").as("pk"), col("id")))
-    val asc = Window.orderBy(col("price"), col("side"), coalesce(col("pk"), col("id")))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val desc = Window.orderBy(col("price").desc, col("side"), coalesce(col("pk"), col("id")))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val candPrice = when(col("side") === 0, col("price"))
-    val candPk = when(col("side") === 0, col("pk"))
-    val walked = u
-      .withColumn("below_p", last(candPrice, ignoreNulls = true).over(asc))
-      .withColumn("below_pk", last(candPk, ignoreNulls = true).over(asc))
-      .withColumn("above_p", last(candPrice, ignoreNulls = true).over(desc))
-      .withColumn("above_pk", last(candPk, ignoreNulls = true).over(desc))
+    // The union frame is candidate-table-sized, so the two LAST_VALUE
+    // IGNORE NULLS walks run as distributed prefix-MAX via TotalOrder:
+    // the last candidate in (price, side, key) prefix order IS the max
+    // of struct(price, pk) among candidates (side sorts cands before the
+    // probe at equal price, pk ascending → max pk breaks price ties),
+    // and the descending walk is the max of struct(-price, pk).
+    val T = graft.operators.TotalOrder
+    val ordKey = coalesce(col("pk"), col("id"))
+    val w1 = T.prefixAggs(
+      u.withColumn("__b",
+        when(col("side") === 0, struct(col("price"), col("pk")))),
+      Seq(col("price"), col("side"), ordKey),
+      maxes = Seq("__b" -> "__below"))
+    val w2 = T.prefixAggs(
+      w1.withColumn("__a",
+        when(col("side") === 0, struct((-col("price")).as("np"), col("pk")))),
+      Seq(col("price").desc, col("side"), ordKey),
+      maxes = Seq("__a" -> "__above"))
+    val walked = w2
+      .withColumn("below_p", col("__below.price"))
+      .withColumn("below_pk", col("__below.pk"))
+      .withColumn("above_p", -col("__above.np"))
+      .withColumn("above_pk", col("__above.pk"))
     val takeBelow = col("above_p").isNull ||
       (col("below_p").isNotNull && col("price") - col("below_p") <= col("above_p") - col("price"))
     walked.filter(col("side") === 1)

@@ -38,11 +38,14 @@ object Round4Ops86 {
     // filter into that join's condition — running the O(|k|²) edit
     // distance over every one of the n² candidate pairs instead of the
     // 3n neighbor pairs. The equi-join keeps the pair count linear and
-    // shuffle-partitionable at any corpus size.
-    val sorted = Tables.load(spark, dir, "documents")
+    // shuffle-partitionable at any corpus size. Positions come from the
+    // two-phase TotalOrder rank (range partition + per-partition offsets)
+    // rather than an un-partitioned ROW_NUMBER window, which would funnel
+    // the whole corpus through a single reducer.
+    val keyed = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), substring(col("text"), 1, 60).as("k"))
-      .withColumn("pos",
-        row_number().over(Window.orderBy(col("k"), col("doc_id"))))
+    val sorted = graft.operators.TotalOrder
+      .rowNumber(keyed, Seq(col("k"), col("doc_id")), "pos")
     val lhs = sorted.select(col("doc_id").as("d1"), col("k").as("k1"),
         col("pos").as("pos1"))
       .withColumn("j", explode(expr("sequence(1, 3)")))

@@ -45,11 +45,18 @@ object Round4Ops9 {
         max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("freq"),
         sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary"))
-    rfm.select(col("o_custkey"), col("freq"),
+    // Customer-level frames grow with the table, so the three global
+    // NTILE windows run as TotalOrder.ntile (range partition + broadcast
+    // count) — bit-equal quartiles, no single-reducer sort.
+    val q1 = graft.operators.TotalOrder.ntile(
+      rfm, Seq(col("last_order"), col("o_custkey")), 4, "r_q")
+    val q2 = graft.operators.TotalOrder.ntile(
+      q1, Seq(col("freq"), col("o_custkey")), 4, "f_q")
+    val q3 = graft.operators.TotalOrder.ntile(
+      q2, Seq(col("monetary"), col("o_custkey")), 4, "m_q")
+    q3.select(col("o_custkey"), col("freq"),
         col("monetary").cast("double").as("monetary"),
-        ntile(4).over(Window.orderBy(col("last_order"), col("o_custkey"))).as("r_q"),
-        ntile(4).over(Window.orderBy(col("freq"), col("o_custkey"))).as("f_q"),
-        ntile(4).over(Window.orderBy(col("monetary"), col("o_custkey"))).as("m_q"))
+        col("r_q"), col("f_q"), col("m_q"))
       .orderBy(col("o_custkey"))
   }
 
@@ -135,9 +142,10 @@ object Round4Ops9 {
       .groupBy(col("o_custkey"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("r"))
     val tot = rev.agg(sum(col("r")).as("t"))
-    val w = Window.orderBy(col("r").desc, col("o_custkey"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    rev.withColumn("cum", sum(col("r")).over(w))
+    // Running revenue total via TotalOrder.prefixSum — the customer-level
+    // frame scales with the table, so no un-partitioned SUM window.
+    graft.operators.TotalOrder
+      .prefixSum(rev, Seq(col("r").desc, col("o_custkey")), "r", "cum")
       .crossJoin(broadcast(tot))
       .select(col("o_custkey"), col("r").cast("double").as("revenue"),
         round(col("cum").cast("double") / col("t").cast("double"), 6).as("cum_share"),

@@ -108,15 +108,24 @@ object Round4Ops98 {
       .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
       .select(col("o_totalprice").cast("decimal(18,2)").as("v"),
         when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0).as("grp"))
-    val rk = s.select(col("v"), col("grp"),
-      rank().over(Window.orderBy("v")).as("r"),
-      count(lit(1)).over(Window.partitionBy("v")).as("tie"))
-    val agg = rk.agg(
-      sum(when(col("grp") === 1, col("r") + (col("tie") - 1) / 2.0)).as("r1"),
-      sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n1"),
-      sum(when(col("grp") === 0, 1L).otherwise(0L)).as("n2"))
-    val tsum = rk.groupBy("v").agg(max(col("tie")).as("t"))
-      .agg(sum(col("t").cast("double") * col("t") * col("t") - col("t"))
+    // Ranks enter U only through midranks, and a value's midrank is a
+    // function of the DISTINCT-value prefix counts: midrank(v) =
+    // cum_cnt(≤v) - cnt(v) + (cnt(v)+1)/2. Aggregate per value first,
+    // then one distributed TotalOrder prefix sum — no global rank window
+    // over the order-sized frame. Midranks are exact multiples of 0.5,
+    // so the regrouped double sums are bit-equal to the per-row form.
+    val perV = s.groupBy(col("v")).agg(
+      count(lit(1)).as("tie"),
+      sum(col("grp")).cast("long").as("c1"))
+    val cum = graft.operators.TotalOrder
+      .prefixSum(perV, Seq(col("v").asc), "tie", "cumt")
+    val midrank = col("cumt") - col("tie") + (col("tie") + 1) / 2.0
+    val agg = cum.agg(
+      sum(col("c1") * midrank).as("r1"),
+      sum(col("c1")).as("n1"),
+      sum(col("tie") - col("c1")).as("n2"))
+    val tsum = cum.agg(
+      sum(col("tie").cast("double") * col("tie") * col("tie") - col("tie"))
         .as("tsum"))
     val n1 = col("n1"); val n2 = col("n2")
     val u = col("r1") - n1 * (n1 + lit(1)) / lit(2.0)

@@ -53,4 +53,66 @@ class TotalOrderSpec extends SparkSpec {
     val df = Seq.empty[(Long, Double)].toDF("id", "v")
     assert(TotalOrder.rowNumber(df, Seq(col("v").asc), "rn").count() === 0)
   }
+
+  test("prefixSum equals the single-reducer running-sum window") {
+    val df = (1 to 3001).map(i => (i.toLong, (i * 131 % 97).toLong))
+      .toDF("id", "v").repartition(11)
+    val order = Seq(col("v").asc, col("id").asc)
+    val dist = TotalOrder.prefixSum(df, order, "v", "cum")
+    val seq = df.withColumn("cum", sum(col("v")).over(
+      Window.orderBy(order: _*).rowsBetween(Window.unboundedPreceding, 0)))
+    assert(dist.select("id", "cum").except(seq.select("id", "cum")).count() === 0)
+    assert(seq.select("id", "cum").except(dist.select("id", "cum")).count() === 0)
+  }
+
+  test("prefixAggs max-of-struct equals LAST_VALUE IGNORE NULLS") {
+    // nulls on ~half the rows: the running last-non-null in (v, id) order
+    // is the prefix max of struct(v, id) restricted to non-null carriers
+    val df = (1 to 2000).map { i =>
+      (i.toLong, (i * 7 % 50).toLong, if (i % 2 == 0) Some(i * 3L) else None)
+    }.toDF("id", "v", "payload").repartition(9)
+    val order = Seq(col("v").asc, col("id").asc)
+    val dist = TotalOrder.prefixAggs(
+        df.withColumn("__c",
+          when(col("payload").isNotNull, struct(col("v"), col("id")))),
+        order, maxes = Seq("__c" -> "lastc"))
+      .select(col("id"), col("lastc.id").as("last_id"))
+    val seq = df.withColumn("last_id",
+      last(when(col("payload").isNotNull, col("id")), ignoreNulls = true)
+        .over(Window.orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select("id", "last_id")
+    assert(dist.except(seq).count() === 0 && seq.except(dist).count() === 0)
+  }
+
+  test("prefixAggs emits sums and row numbers from one pass") {
+    val df = (1 to 500).map(i => (i.toLong, (i % 23).toLong)).toDF("id", "y")
+      .repartition(7)
+    val order = Seq(col("y").desc, col("id").asc)
+    val dist = TotalOrder.prefixAggs(df, order,
+      sums = Seq("y" -> "cum"), rnCol = Some("k"))
+    val w = Window.orderBy(order: _*)
+    val seq = df
+      .withColumn("cum",
+        sum(col("y")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("k", row_number().over(w).cast("long"))
+    val cols = Seq("id", "cum", "k")
+    assert(dist.select(cols.map(col): _*).except(seq.select(cols.map(col): _*))
+      .count() === 0)
+    assert(seq.select(cols.map(col): _*).except(dist.select(cols.map(col): _*))
+      .count() === 0)
+  }
+
+  test("ntile matches the window ntile across remainder shapes") {
+    for (n <- Seq(1, 3, 4, 7, 97, 100); k <- Seq(1, 3, 4, 5)) {
+      val df = (1 to n).map(i => (i.toLong, (i * 37 % 13).toLong))
+        .toDF("id", "v").repartition(5)
+      val order = Seq(col("v").asc, col("id").asc)
+      val dist = TotalOrder.ntile(df, order, k, "b")
+      val seq = df.withColumn("b", ntile(k).over(Window.orderBy(order: _*)))
+      assert(dist.select("id", "b").except(seq.select("id", "b")).count() === 0
+        && seq.select("id", "b").except(dist.select("id", "b")).count() === 0,
+        s"ntile mismatch at n=$n k=$k")
+    }
+  }
 }
