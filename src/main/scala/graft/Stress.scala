@@ -5,10 +5,14 @@ import org.apache.spark.sql.functions._
 import graft.operators.Dedup
 
 /** Scale-stress driver for the dedup pipeline: replicates the sf
-  * documents corpus `k`× with per-replica salt tokens (so near-dup
-  * structure grows LINEARLY — the salt drops cross-replica jaccard of a
-  * ~50-token doc from ≥0.9 to ≈0.81, under the threshold), then runs
-  * MinHash-LSH near-dups at the production tuning and connected
+  * documents corpus `k`× with a per-replica token suffix, so replica
+  * vocabularies are DISJOINT — within-replica jaccard is preserved
+  * exactly and cross-replica jaccard is 0, making true pairs AND
+  * candidate pairs grow linearly in k. (A weaker additive salt leaves
+  * cross-replica jaccard ≈ n/(n+2s) ≈ 0.89 — below the verify
+  * threshold but inside the banding's candidate zone, which quadratically
+  * floods the verify join: measured >30 min at k=100 before this fix.)
+  * Runs MinHash-LSH near-dups at the production tuning and connected
   * components over the found pairs, timing each stage.
   *
   * Usage: runMain graft.Stress <sfDir> <replicas> [cpus]
@@ -29,9 +33,9 @@ object Stress {
     val corpus = base.crossJoin(replicas)
       .select(
         (col("doc_id") + col("rep") * lit(10000000L)).as("doc_id"),
-        concat(col("text"),
-          lit(" r"), col("rep"), lit("a r"), col("rep"), lit("b r"),
-          col("rep"), lit("c")).as("text"))
+        concat_ws(" ",
+          transform(split(col("text"), "\\s+"),
+            t => concat(t, lit("_r"), col("rep")))).as("text"))
       .repartition(cpus * 2)
       .localCheckpoint(true)
     val nDocs = corpus.count()

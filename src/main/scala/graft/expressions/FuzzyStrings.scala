@@ -51,12 +51,19 @@ object FuzzyStrings {
   */
 object FuzzyStringAlgos {
 
+  /** Lengths/comparisons are over Unicode CODE POINTS, matching DuckDB's
+    * per-character semantics — UTF-16 unit iteration would double-count
+    * supplementary characters.
+    */
+  private def codePoints(u: UTF8String): Array[Int] =
+    u.toString.codePoints().toArray
+
   /** Jaro similarity. Match window = max(|a|,|b|)/2 - 1 (floor, min 0);
     * empty input on either side scores 0.0 (DuckDB convention).
     */
   def jaro(a: UTF8String, b: UTF8String): Double = {
-    val s = a.toString.toCharArray
-    val t = b.toString.toCharArray
+    val s = codePoints(a)
+    val t = codePoints(b)
     val n = s.length
     val m = t.length
     if (n == 0 || m == 0) return 0.0
@@ -104,11 +111,11 @@ object FuzzyStringAlgos {
   def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
     val j = jaro(a, b)
     if (j <= 0.7) return j
-    val s = a.toString
-    val t = b.toString
+    val s = codePoints(a)
+    val t = codePoints(b)
     val max = math.min(4, math.min(s.length, t.length))
     var l = 0
-    while (l < max && s.charAt(l) == t.charAt(l)) l += 1
+    while (l < max && s(l) == t(l)) l += 1
     j + l * 0.1 * (1.0 - j)
   }
 
@@ -117,8 +124,8 @@ object FuzzyStringAlgos {
     * the name/title-length strings record linkage runs it on.
     */
   def damerauLevenshtein(a: UTF8String, b: UTF8String): Int = {
-    val s = a.toString.toCharArray
-    val t = b.toString.toCharArray
+    val s = codePoints(a)
+    val t = codePoints(b)
     val n = s.length
     val m = t.length
     if (n == 0) return m
@@ -131,7 +138,7 @@ object FuzzyStringAlgos {
     while (i <= n) { d(i + 1)(1) = i; d(i + 1)(0) = inf; i += 1 }
     var j = 0
     while (j <= m) { d(1)(j + 1) = j; d(0)(j + 1) = inf; j += 1 }
-    val last = new java.util.HashMap[Character, Integer]()
+    val last = new java.util.HashMap[Integer, Integer]()
     i = 1
     while (i <= n) {
       var db = 0

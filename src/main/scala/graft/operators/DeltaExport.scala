@@ -1,0 +1,148 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+
+import scala.collection.JavaConverters._
+
+/** Export a [[TableStore]] table's retained version history as a
+  * self-contained Delta Lake table, so an external Delta reader can open
+  * it — including `VERSION AS OF` time travel across the same
+  * generations — without this library.
+  *
+  * The log follows the PUBLIC Delta protocol (delta.io PROTOCOL.md):
+  * `_delta_log/<version%020d>.json`, newline-delimited JSON actions,
+  * reader version 1 / writer version 2, `schemaString` = the Spark
+  * StructType JSON (the same schema encoding Delta itself uses), file
+  * paths relative to the exported table root. TableStore's full-swap
+  * generation semantics map exactly onto Delta overwrite commits:
+  * commit k+1 = remove every file of generation k + add every file of
+  * generation k+1. Retained generations (survivors of vacuum) are
+  * renumbered onto the contiguous 0..n-1 commit range Delta requires;
+  * the original graft generation is recorded in each `commitInfo`.
+  *
+  * Data files are HARDLINKED into `exportDir/gen-vNNNNN/…` (parquet
+  * files are immutable here, so the export is O(file count), not
+  * O(bytes), and survives a later vacuum of the source history). This
+  * closes the declared Delta-interop substitution as far as possible
+  * offline (no Delta jars ship in this runtime): the reference stores
+  * its medallion tables as Delta in Unity Catalog
+  * (`01_config.ipynb:193-226`), and a stock Delta reader pointed at the
+  * export sees exactly the bytes this engine's time travel serves.
+  * DeltaExportSpec replays the log action-by-action and checks every
+  * commit's reconstructed file set reads back row-identical to
+  * `TableStore.read(table, asOf)`.
+  */
+object DeltaExport {
+
+  /** Export `table` (all retained generations) to `exportDir` as a Delta
+    * table; returns `exportDir`. Overwrites a previous export.
+    */
+  def exportTable(store: TableStore, table: String, exportDir: String): Path = {
+    val out = Paths.get(exportDir)
+    if (Files.exists(out)) deleteRecursively(out)
+    val logDir = out.resolve("_delta_log")
+    Files.createDirectories(logDir)
+
+    val root = Paths.get(store.path(table))
+    val versions = store.versions(table)
+    val tableId = UUID.nameUUIDFromBytes(table.getBytes("UTF-8")).toString
+    val current = store.currentVersion(table)
+    var prevFiles: Seq[FileEntry] = Nil
+    var prevSchema: String = null
+    versions.zipWithIndex.foreach { case (v, deltaV) =>
+      // history layout: <warehouse root>/_history/<flat table>/vNNNNN
+      val srcDir =
+        if (v == current) root
+        else Paths.get(store.root, "_history",
+          table.replace('.', '_'), f"v$v%05d")
+      val genDir = out.resolve(f"gen-v$v%05d")
+      val files = linkGeneration(srcDir, genDir, out)
+      val schemaJson =
+        store.spark.read.parquet(srcDir.toString).schema.json
+      val ts = System.currentTimeMillis()
+      val actions = Seq.newBuilder[String]
+      actions += s"""{"commitInfo":{"timestamp":$ts,"operation":"${
+        if (deltaV == 0) "WRITE" else "OVERWRITE"
+      }","operationParameters":{},"engineInfo":"graft","graftVersion":$v}}"""
+      if (deltaV == 0) {
+        actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      }
+      if (deltaV == 0 || schemaJson != prevSchema) {
+        val partCols = store.partitionColumns(table)
+          .map(jsonStr).mkString("[", ",", "]")
+        actions += s"""{"metaData":{"id":${jsonStr(tableId)},""" +
+          s""""format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${jsonStr(schemaJson)},""" +
+          s""""partitionColumns":$partCols,"configuration":{},""" +
+          s""""createdTime":$ts}}"""
+      }
+      prevFiles.foreach { f =>
+        actions += s"""{"remove":{"path":${jsonStr(f.path)},""" +
+          s""""deletionTimestamp":$ts,"dataChange":true}}"""
+      }
+      files.foreach { f =>
+        actions += s"""{"add":{"path":${jsonStr(f.path)},""" +
+          s""""partitionValues":${partitionValuesJson(f.path)},""" +
+          s""""size":${f.size},"modificationTime":${f.mtime},""" +
+          s""""dataChange":true}}"""
+      }
+      Files.writeString(
+        logDir.resolve(f"$deltaV%020d.json"),
+        actions.result().mkString("", "\n", "\n"))
+      prevFiles = files
+      prevSchema = schemaJson
+    }
+    out
+  }
+
+  private case class FileEntry(path: String, size: Long, mtime: Long)
+
+  /** Hardlink one generation's parquet files under `genDir`, preserving
+    * partition subpaths; returns export-root-relative entries. Falls
+    * back to copying if the filesystem refuses links.
+    */
+  private def linkGeneration(srcDir: Path, genDir: Path, exportRoot: Path): Seq[FileEntry] = {
+    Files.walk(srcDir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .filter(p => !srcDir.relativize(p).toString.startsWith("_"))
+      .map { p =>
+        val rel = srcDir.relativize(p)
+        val dst = genDir.resolve(rel)
+        Files.createDirectories(dst.getParent)
+        try Files.createLink(dst, p)
+        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+          Files.copy(p, dst)
+        }
+        FileEntry(
+          exportRoot.relativize(dst).toString,
+          Files.size(dst),
+          Files.getLastModifiedTime(dst).toMillis)
+      }
+      .toSeq.sortBy(_.path)
+  }
+
+  /** Hive-style `k=v` path segments → Delta partitionValues map. */
+  private def partitionValuesJson(relPath: String): String = {
+    val kvs = relPath.split('/').dropRight(1).toSeq
+      .filter(_.contains('='))
+      .map { seg =>
+        val Array(k, v) = seg.split("=", 2)
+        s"${jsonStr(k)}:${jsonStr(java.net.URLDecoder.decode(v, "UTF-8"))}"
+      }
+    kvs.mkString("{", ",", "}")
+  }
+
+  private def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def deleteRecursively(p: Path): Unit =
+    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+}

@@ -34,12 +34,20 @@ object Graph {
     * honored (each contributes), self-loops allowed.
     * Output: (id, rank) — one row per node.
     */
+  /** @param quantizeDp when > 0, every contribution is rounded to this
+    *        many decimals and summed in DECIMAL, and each rank update is
+    *        rounded the same way — making the fixpoint walk
+    *        order-independent and therefore bit-reproducible across
+    *        engines and cluster layouts (the same exact-moments recipe
+    *        the analytics family uses). 0 = raw double path.
+    */
   def pageRank(
       edges: DataFrame,
       iterations: Int = 10,
       damping: Double = 0.85,
       srcCol: String = "src",
-      dstCol: String = "dst"): DataFrame = {
+      dstCol: String = "dst",
+      quantizeDp: Int = 0): DataFrame = {
     require(iterations >= 1, s"need at least one iteration, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
 
@@ -63,9 +71,14 @@ object Graph {
 
     var ranks = nodes.withColumn("rank", lit(1.0)).localCheckpoint(true)
     for (_ <- 1 to iterations) {
+      val rawC = col("rank") / col("__deg")
+      val contrib =
+        if (quantizeDp > 0)
+          round(rawC, quantizeDp).cast(s"decimal(38,$quantizeDp)")
+        else rawC
       val contribs = eDeg
         .join(ranks.withColumnRenamed("id", "__src"), "__src")
-        .select(col("__dst").as("id"), (col("rank") / col("__deg")).as("__c"))
+        .select(col("__dst").as("id"), contrib.as("__c"))
         .groupBy(col("id")).agg(sum(col("__c")).as("__in"))
       // LAZY checkpoint: with a fixed iteration count there is no
       // driver action inside the loop, so eager materialization would
@@ -74,10 +87,16 @@ object Graph {
       // use, but lets Spark run the whole cascade as one job chain
       // (connectedComponents needs eager only because its convergence
       // count() acts per round)
+      // literal SUBTRACTION (not a pre-folded constant) so the quantized
+      // path's base term is the identical IEEE value an oracle computing
+      // 1.0 - damping produces
+      val newRank =
+        (lit(1.0) - lit(damping)) +
+          lit(damping) * coalesce(col("__in").cast("double"), lit(0.0))
       ranks = nodes
         .join(contribs, Seq("id"), "left")
         .select(col("id"),
-          (lit(1.0 - damping) + lit(damping) * coalesce(col("__in"), lit(0.0)))
+          (if (quantizeDp > 0) round(newRank, quantizeDp) else newRank)
             .as("rank"))
         .localCheckpoint(false)
     }

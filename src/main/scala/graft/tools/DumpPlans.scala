@@ -77,7 +77,18 @@ object DumpPlans {
       graft.queries.Round4Ops78.sim_ann_pq,
       graft.queries.Round4Ops74.kmeans_step,
       graft.queries.Round4Ops74.lm_greedy_decode,
-      graft.queries.Round4Ops65.ts_ohlc)
+      graft.queries.Round4Ops65.ts_ohlc,
+      // round-5: TotalOrder replaces every table-sized global window —
+      // two-phase rank (sorted-neighborhood), distributed ntile (RFM),
+      // prefix-sum midranks (Mann-Whitney), one-pass rank+prefix-sum
+      // (average precision); recall-saturated verified LSH pairs; the
+      // collapsed aggregate()-fold recurrence (Holt)
+      graft.queries.Round4Ops86.dedup_sorted_neighborhood,
+      graft.queries.Round4Ops9.rfm_segmentation,
+      graft.queries.Round4Ops98.a75_mann_whitney,
+      graft.queries.Round4Ops109.eval_average_precision,
+      graft.queries.Round5Ops1.dedup_minhash_verified,
+      graft.queries.Round4Ops123.ts_holt)
 
     val sections = headliners.map { q =>
       val df = q.build(spark, sfDir)
