@@ -377,20 +377,32 @@ object Similarity {
     * Returns (eigenvalue λ = vᵀXᵀXv, component vector v, residual
     * ‖XᵀXv − λv‖/λ — a self-check the caller can assert on).
     */
+  /** @param quantizeDp when > 0, each per-dimension contribution
+    *        `x_dim · (x·v)` rounds to this many decimals and sums in
+    *        DECIMAL — the Gram-product pass (the only distributed sum
+    *        in the walk) becomes order-independent, so the whole power
+    *        iteration is engine-reproducible. 0 = raw double path.
+    */
   def topPrincipalComponent(
       corpus: DataFrame, vecCol: String = "embedding",
-      iterations: Int = 12): (Double, Array[Double], Double) = {
+      iterations: Int = 12,
+      quantizeDp: Int = 0): (Double, Array[Double], Double) = {
     VectorExprs.register(corpus.sparkSession)
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     var v = Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
 
     def gramTimes(vec: Array[Double]): Array[Double] = {
       val lit_v = typedLit(vec)
+      val contrib = col("__x").cast("double") * col("__s")
+      val qContrib =
+        if (quantizeDp > 0)
+          round(contrib, quantizeDp).cast(s"decimal(38,$quantizeDp)")
+        else contrib
       val w = corpus
         .select(posexplode(col(vecCol)).as(Seq("__dim", "__x")),
           VectorExprs.vecDot(col(vecCol), lit_v).as("__s"))
         .groupBy(col("__dim"))
-        .agg(sum(col("__x").cast("double") * col("__s")).as("__w"))
+        .agg(sum(qContrib).cast("double").as("__w"))
         .collect()
       val out = new Array[Double](vec.length)
       w.foreach(r => out(r.getInt(0)) = r.getDouble(1))

@@ -38,7 +38,9 @@ import org.apache.spark.sql.functions.col
   *                       kept on top of these); negative = keep all
   */
 final class TableStore(val spark: SparkSession, val root: String,
-    val retainVersions: Int = 3) {
+    val retainVersions: Int = 3,
+    val lockWaitMs: Long = 3000,
+    val lockStaleMs: Long = 600000) {
 
   /** Table names are flat (`fact`) or 3-level `catalog.schema.table`
     * (01_config.ipynb:193-226) — dots map to directory levels, so
@@ -92,24 +94,50 @@ final class TableStore(val spark: SparkSession, val root: String,
     swapIn(table, tmp)
   }
 
-  /** Single-writer enforcement: the store's contract has always been one
-    * writer per table (like the reference's max_active_runs=1 DAG); this
-    * makes a violation FAIL LOUDLY instead of corrupting a swap. The
-    * lease is an atomically-created lock file held for the whole
-    * stage+swap; a second writer hits FileAlreadyExists and aborts before
-    * writing anything. A writer that died mid-write leaves its lock —
-    * explicitly clearable via [[vacuum]] (which also reports it).
+  /** Writer serialization: one writer per table at a time (like the
+    * reference's max_active_runs=1 DAG). The lease is an
+    * atomically-created lock file held for the whole stage+swap. A
+    * second writer QUEUES for up to [[lockWaitMs]] (so back-to-back
+    * writers serialize), breaks a lock older than [[lockStaleMs]] (a
+    * dead writer's lease), and past the deadline FAILS LOUDLY instead
+    * of corrupting a swap — still clearable via [[vacuum]] (which also
+    * reports stale locks).
     */
   private def withTableLock[T](table: String)(body: => T): T = {
     Files.createDirectories(Paths.get(root))
     val lock = Paths.get(root, s".lock-${flat(table)}")
-    try Files.createFile(lock)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new IllegalStateException(
-          s"concurrent writer detected on '$table': $lock is held. " +
-            "Another writer is active, or a writer died mid-write — " +
-            "vacuum() clears stale locks.")
+    // Bounded-wait queue semantics (Delta-style optimistic writers):
+    // contend for up to lockWaitMs with jittered polling, so two
+    // back-to-back writers serialize instead of one failing. A lock
+    // whose file is older than lockStaleMs is a dead writer's — it is
+    // broken (deleteIfExists; the createFile race after the break still
+    // elects exactly one winner). Past the deadline, fail loudly: at
+    // that point the other writer is alive and long-running, and
+    // queueing silently behind it is an operator decision, not a
+    // default. (The reference itself is single-writer —
+    // ironman_dag.py:195 max_active_runs=1 — so contention here means
+    // misconfiguration more often than throughput.)
+    val deadline = System.currentTimeMillis + lockWaitMs
+    var acquired = false
+    while (!acquired) {
+      try { Files.createFile(lock); acquired = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val stale =
+            try Files.getLastModifiedTime(lock).toMillis <
+              System.currentTimeMillis - lockStaleMs
+            catch { case _: java.io.IOException => false } // just released
+          if (stale) {
+            Files.deleteIfExists(lock) // break a dead writer's lease
+          } else if (System.currentTimeMillis >= deadline) {
+            throw new IllegalStateException(
+              s"concurrent writer detected on '$table': $lock is held " +
+                s"(waited ${lockWaitMs} ms). Another writer is active, or " +
+                "a writer died mid-write — vacuum() clears stale locks.")
+          } else {
+            Thread.sleep(25 + scala.util.Random.nextInt(50))
+          }
+      }
     }
     try {
       Files.write(lock,

@@ -18,7 +18,55 @@ object Round4Ops49 {
     * floor, this gate materializes the per-query report the spec
     * summarizes.
     */
-  val sim_recall_report = OpQuery.noOracle("sim_recall_report") { (spark, dir) =>
+  val sim_recall_report = OpQuery(
+    "sim_recall_report",
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+      |  FROM embeddings WHERE vec_id < 20
+      |), exact AS (
+      |  SELECT query_id, corpus_id FROM (
+      |    SELECT q.query_id, e.vec_id AS corpus_id,
+      |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+      |             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) DESC,
+      |                      e.vec_id ASC) AS rank
+      |    FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+      |  WHERE rank <= 10
+      |), cents AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cell_id,
+      |         embedding::DOUBLE[] AS centroid
+      |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+      |), assigned AS (
+      |  SELECT vec_id, embedding, cell_id FROM (
+      |    SELECT e.vec_id, e.embedding, c.cell_id,
+      |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |             ORDER BY -list_cosine_similarity(e.embedding::DOUBLE[], c.centroid) ASC,
+      |                      c.cell_id ASC) AS rn
+      |    FROM embeddings e CROSS JOIN cents c)
+      |  WHERE rn = 1
+      |), probes AS (
+      |  SELECT query_id, qvec, cell_id FROM (
+      |    SELECT q.query_id, q.qvec, c.cell_id,
+      |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+      |             ORDER BY -list_cosine_similarity(q.qvec, c.centroid) ASC,
+      |                      c.cell_id ASC) AS rn
+      |    FROM q CROSS JOIN cents c)
+      |  WHERE rn <= 4
+      |), approx AS (
+      |  SELECT query_id, corpus_id FROM (
+      |    SELECT p.query_id, a.vec_id AS corpus_id,
+      |           ROW_NUMBER() OVER (PARTITION BY p.query_id
+      |             ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], p.qvec) DESC,
+      |                      a.vec_id ASC) AS rank
+      |    FROM assigned a JOIN probes p ON p.cell_id = a.cell_id
+      |    WHERE a.vec_id <> p.query_id)
+      |  WHERE rank <= 10
+      |)
+      |SELECT e.query_id,
+      |       CAST(ROUND(COUNT(a.corpus_id) / 10.0, 2) AS DOUBLE) AS recall_at_10
+      |FROM exact e LEFT JOIN approx a
+      |  ON a.query_id = e.query_id AND a.corpus_id = e.corpus_id
+      |GROUP BY e.query_id
+      |ORDER BY e.query_id""".stripMargin) { (spark, dir) =>
     val emb = Tables.load(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(emb, queries, 10)

@@ -251,10 +251,49 @@ object ScaleOps {
       .orderBy(col("id1"), col("id2"))
   }
 
-  /** IVF approximate top-k (rows-only; recall vs brute force pinned in
+  /** IVF approximate top-k — fully deterministic (first-16-by-id
+    * centroids, cosine assignment with explicit tie-breaks), so the
+    * whole probe path is oracled in SQL: DuckDB replays centroid
+    * selection, cell assignment, nprobe probing, and in-cell ranking
+    * bit-for-bit (recall vs brute force additionally pinned in
     * SimilaritySpec).
     */
-  val sim_ivf_topk = OpQuery.noOracle("sim_ivf_topk") { (spark, dir) =>
+  val sim_ivf_topk = OpQuery(
+    "sim_ivf_topk",
+    """WITH cents AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cell_id,
+      |         embedding::DOUBLE[] AS centroid
+      |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+      |), assigned AS (
+      |  SELECT vec_id, embedding, cell_id FROM (
+      |    SELECT e.vec_id, e.embedding, c.cell_id,
+      |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |             ORDER BY -list_cosine_similarity(e.embedding::DOUBLE[], c.centroid) ASC,
+      |                      c.cell_id ASC) AS rn
+      |    FROM embeddings e CROSS JOIN cents c)
+      |  WHERE rn = 1
+      |), probes AS (
+      |  SELECT query_id, qvec, cell_id FROM (
+      |    SELECT q.vec_id AS query_id, q.embedding::DOUBLE[] AS qvec, c.cell_id,
+      |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |             ORDER BY -list_cosine_similarity(q.embedding::DOUBLE[], c.centroid) ASC,
+      |                      c.cell_id ASC) AS rn
+      |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 8)
+      |  WHERE rn <= 4
+      |), scored AS (
+      |  SELECT p.query_id, a.vec_id AS corpus_id,
+      |         list_cosine_similarity(a.embedding::DOUBLE[], p.qvec) AS score
+      |  FROM assigned a JOIN probes p ON p.cell_id = a.cell_id
+      |  WHERE a.vec_id <> p.query_id
+      |), ranked AS (
+      |  SELECT query_id, corpus_id,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |              ORDER BY score DESC, corpus_id ASC) AS INT) AS rank,
+      |         score
+      |  FROM scored)
+      |SELECT query_id, corpus_id, rank, CAST(ROUND(score, 6) AS DOUBLE) AS score
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
     val emb = t(spark, dir, "embeddings")
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
         numCells = 16, nprobe = 4)
@@ -278,10 +317,45 @@ object ScaleOps {
       .orderBy(col("id1"), col("id2"))
   }
 
-  /** int8-quantized top-k (rows-only; recall ≥ 0.9 of exact plus the
-    * quantization error bounds pinned in QuantizeSpec).
+  /** int8-quantized top-k — the quantization is pure deterministic
+    * arithmetic (normalize → scale by 127/maxAbs → Math.round →
+    * integer dot → rescale), so the oracle replays it in SQL:
+    * `FLOOR(x + 0.5)` is exactly Java's `Math.round` (half-up toward
+    * +inf, unlike SQL ROUND's half-away-from-zero on negatives).
+    * Recall ≥ 0.9 of exact plus error bounds stay pinned in
+    * QuantizeSpec.
     */
-  val sim_topk_quantized = OpQuery.noOracle("sim_topk_quantized") { (spark, dir) =>
+  val sim_topk_quantized = OpQuery(
+    "sim_topk_quantized",
+    """WITH u AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding::DOUBLE[],
+      |           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+      |                                          embedding::DOUBLE[]))) AS u
+      |  FROM embeddings
+      |), mx AS (
+      |  SELECT vec_id, u,
+      |         list_max(list_transform(u, x -> abs(x))) AS m
+      |  FROM u
+      |), qz AS (
+      |  SELECT vec_id, m,
+      |         list_transform(u,
+      |           x -> CAST(FLOOR(x * (127.0 / m) + 0.5) AS BIGINT)) AS q
+      |  FROM mx WHERE m > 0
+      |), scored AS (
+      |  SELECT q2.vec_id AS query_id, c.vec_id AS corpus_id,
+      |         list_dot_product(c.q, q2.q) * (c.m / 127.0) * (q2.m / 127.0)
+      |           AS score
+      |  FROM qz c JOIN qz q2 ON q2.vec_id < 8 AND c.vec_id <> q2.vec_id
+      |), ranked AS (
+      |  SELECT query_id, corpus_id,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |              ORDER BY score DESC, corpus_id ASC) AS INT) AS rank,
+      |         score
+      |  FROM scored)
+      |SELECT query_id, corpus_id, rank, CAST(ROUND(score, 6) AS DOUBLE) AS score
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
     val emb = t(spark, dir, "embeddings")
     Similarity.bruteForceTopKQuantized(emb, emb.filter(col("vec_id") < 8), k = 5)
       .withColumn("score", round(col("score"), 6).cast("double"))

@@ -87,10 +87,37 @@ object StreamingQueries {
 
   /** session_window equivalence: Spark's native session_window produces
     * the same sessions as the relational statement — asserted in
-    * EventStreamsSpec; at the gate it runs rows-only (its end timestamps
-    * are start+gap-padded, a Spark-specific convention).
+    * EventStreamsSpec AND oracled here by mirroring Spark's conventions
+    * in SQL: session end = last event + gap, and a new session opens at
+    * diff >= gap (session_window's window-end is exclusive, unlike the
+    * `> gap` convention of stream_sessionize above).
     */
-  val stream_session_window = OpQuery.noOracle("stream_session_window") { (spark, dir) =>
+  val stream_session_window = OpQuery(
+    "stream_session_window",
+    """WITH ordered AS (
+      |  SELECT user_id, ts, value,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      |  FROM events
+      |), flagged AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN prev_ts IS NULL
+      |                   OR epoch_us(ts) - epoch_us(prev_ts) >= 1800 * 1000000
+      |              THEN 1 ELSE 0 END AS is_start
+      |  FROM ordered
+      |), numbered AS (
+      |  SELECT user_id, ts, value,
+      |         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM flagged
+      |)
+      |SELECT user_id,
+      |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      |FROM numbered
+      |GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_start""".stripMargin) { (spark, dir) =>
     EventStreams.sessionWindows(events(spark, dir), "30 minutes")
       .orderBy(col("user_id"), col("session_start"))
   }

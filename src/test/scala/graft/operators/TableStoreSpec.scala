@@ -304,8 +304,9 @@ class TableStoreSpec extends SparkSpec {
 
   test("second concurrent writer fails loudly instead of corrupting a swap") {
     val root = Files.createTempDirectory("graft-lock-").toString
-    val a = new TableStore(spark, root)
-    val b = new TableStore(spark, root) // second store on the SAME warehouse
+    // fail-fast configuration: no queueing, immediate deadline
+    val a = new TableStore(spark, root, lockWaitMs = 0)
+    val b = new TableStore(spark, root, lockWaitMs = 0)
     a.overwrite("t", Seq((1, "a")).toDF("id", "v"))
 
     // writer A holds the lease mid-write (simulated: its lock file exists)
@@ -324,6 +325,38 @@ class TableStoreSpec extends SparkSpec {
 
     // a completed write always releases its lease
     assert(!Files.exists(java.nio.file.Paths.get(root, ".lock-t")))
+  }
+
+  test("a queued writer serializes behind a releasing lease") {
+    val root = Files.createTempDirectory("graft-lockq-").toString
+    val b = new TableStore(spark, root) // default: 3 s bounded wait
+    val lock = java.nio.file.Paths.get(root, ".lock-t")
+    Files.createDirectories(java.nio.file.Paths.get(root))
+    Files.createFile(lock)
+    // the holder releases 400 ms in; the queued writer must then proceed
+    val releaser = new Thread(() => {
+      Thread.sleep(400); Files.deleteIfExists(lock)
+    })
+    releaser.start()
+    b.overwrite("t", Seq((2, "b")).toDF("id", "v")) // must not throw
+    releaser.join()
+    assert(b.read("t").select("v").as[String].head() == "b")
+    assert(!Files.exists(lock))
+  }
+
+  test("a stale lease (dead writer) is broken, not queued behind") {
+    val root = Files.createTempDirectory("graft-locks-").toString
+    val b = new TableStore(spark, root, lockWaitMs = 0, lockStaleMs = 1000)
+    val lock = java.nio.file.Paths.get(root, ".lock-t")
+    Files.createDirectories(java.nio.file.Paths.get(root))
+    Files.createFile(lock)
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis - 5000))
+    // lockWaitMs=0 would fail immediately were the lease not stale-broken
+    b.overwrite("t", Seq((3, "c")).toDF("id", "v"))
+    assert(b.read("t").select("v").as[String].head() == "c")
+    assert(!Files.exists(lock))
   }
 
   test("updateWhere: old-value assignment semantics, aligned partitions, versioned") {
