@@ -51,19 +51,21 @@ object FuzzyStrings {
   */
 object FuzzyStringAlgos {
 
-  /** Lengths/comparisons are over Unicode CODE POINTS, matching DuckDB's
-    * per-character semantics — UTF-16 unit iteration would double-count
-    * supplementary characters.
+  /** Lengths/comparisons are over UTF-8 BYTES — pinned empirically to
+    * DuckDB 1.0.0, whose jaro/jaro_winkler/damerau_levenshtein natives
+    * compare UTF-8 code units, not code points (verified: a 4-byte
+    * emoji counts as 4 units in all three: jaro("x😀","x😁") = 0.8667 =
+    * 4-of-5 byte matches, and damerau("😀ab","ab😀") = 4, not the
+    * 2 a per-character walk gives). ASCII is unaffected either way,
+    * and byte iteration also skips the String decode entirely.
     */
-  private def codePoints(u: UTF8String): Array[Int] =
-    u.toString.codePoints().toArray
 
   /** Jaro similarity. Match window = max(|a|,|b|)/2 - 1 (floor, min 0);
     * empty input on either side scores 0.0 (DuckDB convention).
     */
   def jaro(a: UTF8String, b: UTF8String): Double = {
-    val s = codePoints(a)
-    val t = codePoints(b)
+    val s = a.getBytes
+    val t = b.getBytes
     val n = s.length
     val m = t.length
     if (n == 0 || m == 0) return 0.0
@@ -111,8 +113,8 @@ object FuzzyStringAlgos {
   def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
     val j = jaro(a, b)
     if (j <= 0.7) return j
-    val s = codePoints(a)
-    val t = codePoints(b)
+    val s = a.getBytes
+    val t = b.getBytes
     val max = math.min(4, math.min(s.length, t.length))
     var l = 0
     while (l < max && s(l) == t(l)) l += 1
@@ -124,8 +126,8 @@ object FuzzyStringAlgos {
     * the name/title-length strings record linkage runs it on.
     */
   def damerauLevenshtein(a: UTF8String, b: UTF8String): Int = {
-    val s = codePoints(a)
-    val t = codePoints(b)
+    val s = a.getBytes
+    val t = b.getBytes
     val n = s.length
     val m = t.length
     if (n == 0) return m
@@ -138,13 +140,14 @@ object FuzzyStringAlgos {
     while (i <= n) { d(i + 1)(1) = i; d(i + 1)(0) = inf; i += 1 }
     var j = 0
     while (j <= m) { d(1)(j + 1) = j; d(0)(j + 1) = inf; j += 1 }
-    val last = new java.util.HashMap[Integer, Integer]()
+    // last-occurrence dictionary over the 256 byte values — a flat array
+    val last = new Array[Int](256)
     i = 1
     while (i <= n) {
       var db = 0
       j = 1
       while (j <= m) {
-        val i1 = Option(last.get(t(j - 1))).fold(0)(_.intValue())
+        val i1 = last(t(j - 1) & 0xff)
         val j1 = db
         var cost = 1
         if (s(i - 1) == t(j - 1)) { cost = 0; db = j }
@@ -155,7 +158,7 @@ object FuzzyStringAlgos {
         d(i + 1)(j + 1) = math.min(math.min(sub, ins), math.min(del, trans))
         j += 1
       }
-      last.put(s(i - 1), i)
+      last(s(i - 1) & 0xff) = i
       i += 1
     }
     d(n + 1)(m + 1)
