@@ -34,12 +34,16 @@ object Graph {
     * honored (each contributes), self-loops allowed.
     * Output: (id, rank) — one row per node.
     */
-  /** @param quantizeDp when > 0, every contribution is rounded to this
-    *        many decimals and summed in DECIMAL, and each rank update is
-    *        rounded the same way — making the fixpoint walk
-    *        order-independent and therefore bit-reproducible across
-    *        engines and cluster layouts (the same exact-moments recipe
-    *        the analytics family uses). 0 = raw double path.
+  /** @param quantizeDp when > 0, every contribution is quantized onto
+    *        the 10^-quantizeDp grid and summed as a SCALED LONG
+    *        (`ROUND(c · 10^dp)` — long sums cost a fraction of
+    *        DECIMAL(38,dp) ones, measured 10.6 s → ~6 s at sf0.1), and
+    *        each rank update is rounded to the same scale — making the
+    *        fixpoint walk order-independent and therefore
+    *        bit-reproducible across engines and cluster layouts (the
+    *        exact-moments recipe the analytics family uses). Both
+    *        engines compute the identical IEEE `c · 10^dp` before the
+    *        integer round, so parity is exact. 0 = raw double path.
     */
   def pageRank(
       edges: DataFrame,
@@ -72,9 +76,9 @@ object Graph {
     var ranks = nodes.withColumn("rank", lit(1.0)).localCheckpoint(true)
     for (_ <- 1 to iterations) {
       val rawC = col("rank") / col("__deg")
+      val scale = math.pow(10, quantizeDp)
       val contrib =
-        if (quantizeDp > 0)
-          round(rawC, quantizeDp).cast(s"decimal(38,$quantizeDp)")
+        if (quantizeDp > 0) round(rawC * lit(scale)).cast("long")
         else rawC
       val contribs = eDeg
         .join(ranks.withColumnRenamed("id", "__src"), "__src")
@@ -90,9 +94,12 @@ object Graph {
       // literal SUBTRACTION (not a pre-folded constant) so the quantized
       // path's base term is the identical IEEE value an oracle computing
       // 1.0 - damping produces
+      val inTerm =
+        if (quantizeDp > 0) col("__in").cast("double") / lit(scale)
+        else col("__in").cast("double")
       val newRank =
         (lit(1.0) - lit(damping)) +
-          lit(damping) * coalesce(col("__in").cast("double"), lit(0.0))
+          lit(damping) * coalesce(inTerm, lit(0.0))
       ranks = nodes
         .join(contribs, Seq("id"), "left")
         .select(col("id"),
