@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Scale-stress driver for the ANN family: replicates the sf embeddings
+  * corpus `k`× under per-replica Rademacher sign flips — elementwise
+  * ±1 masks drawn from `hash(rep, dim)`. A sign mask preserves norms
+  * AND within-replica dot products exactly ((s∘x)·(s∘y) = x·y), while
+  * cross-replica dot products become random-sign sums ≈ 0 — so the
+  * replicated corpus is n·k geometrically DISTINCT vectors whose true
+  * neighbor structure is k disjoint copies of the base corpus's, and no
+  * two replicas collide (2^dim masks).
+  *
+  * Measures, per scale: exact brute-force top-10 over a bounded query
+  * set (the ground truth — linear in k·|corpus|·|queries|), IVF
+  * build+search time with cells scaled as ~sqrt(n), and recall@10 of
+  * IVF vs exact.
+  *
+  * Usage: runMain graft.StressAnn <sfDir> <replicas> [cpus] [nQueries]
+  * Prints one summary line per stage; results recorded in SCALE.md.
+  */
+object StressAnn {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val k = args(1).toInt
+    val cpus = if (args.length > 2) args(2).toInt else 16
+    val nQueries = if (args.length > 3) args(3).toInt else 100
+    val spark = GraftSession.builder("graft-stress-ann", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val replicas = spark.range(k).select(col("id").cast("int").as("rep"))
+    val corpus = base.crossJoin(replicas)
+      .select(
+        (col("vec_id") + col("rep").cast("long") * lit(10000000L)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(pmod(hash(col("rep"), i), lit(2)) === 0, x)
+            .otherwise(-x)).as("embedding"))
+      .repartition(cpus * 2)
+      .localCheckpoint(true)
+    val n = corpus.count()
+    println(s"[stress-ann] corpus: $n vectors ($k replicas)")
+
+    // bounded query set spread across replicas: one query per replica
+    // round-robin over base ids until nQueries
+    val queries = corpus
+      .filter(pmod(col("vec_id"), lit(10000000L)) < lit((nQueries + k - 1) / k))
+      .orderBy(col("vec_id")).limit(nQueries)
+      .localCheckpoint(true)
+    println(s"[stress-ann] queries: ${queries.count()}")
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stress-ann] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+
+    val exact = timed("brute_force_top10") {
+      Similarity.bruteForceTopK(corpus, queries, 10).localCheckpoint(true)
+    }
+    val nExact = exact.count()
+
+    val cells = math.max(16, math.sqrt(n.toDouble).toInt)
+    val nprobe = math.max(4, cells / 16)
+    val ivf = timed(s"ivf_top10(cells=$cells,probe=$nprobe)") {
+      Similarity.ivfTopK(corpus, queries, 10, cells, nprobe).localCheckpoint(true)
+    }
+    val hits = ivf.join(exact, Seq("query_id", "corpus_id")).count()
+    println(f"[stress-ann] recall@10: ${hits.toDouble / nExact}%.3f ($hits/$nExact)")
+
+    val quant = timed("quantized_top10") {
+      Similarity.bruteForceTopKQuantized(corpus, queries, 10).localCheckpoint(true)
+    }
+    val qHits = quant.join(exact, Seq("query_id", "corpus_id")).count()
+    println(f"[stress-ann] quant recall@10: ${qHits.toDouble / nExact}%.3f")
+    spark.stop()
+  }
+}

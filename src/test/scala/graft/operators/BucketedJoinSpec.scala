@@ -10,28 +10,13 @@ import graft.{SparkSpec, Tables}
   * join shuffle-free forever).
   */
 class BucketedJoinSpec extends SparkSpec {
-  import spark.implicits._
 
   test("join of tables bucketed on the key plans without a shuffle exchange") {
     val sf = "/root/testdata/sf0.001"
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
-    // the in-memory catalog forgets tables between JVMs but their
-    // warehouse dirs persist — purge them or saveAsTable refuses
-    Seq("b_orders", "b_lineitem").foreach { t =>
-      val dir = new java.io.File(s"spark-warehouse/$t")
-      if (dir.exists()) {
-        java.nio.file.Files.walk(dir.toPath)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => java.nio.file.Files.delete(p))
-      }
-    }
-    Tables.load(spark, sf, "orders")
-      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable("b_orders")
-    Tables.load(spark, sf, "lineitem")
-      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable("b_lineitem")
+    Bucketing.writeBucketed(spark, "b_orders",
+      Tables.load(spark, sf, "orders"), Seq("o_orderkey"), 8)
+    Bucketing.writeBucketed(spark, "b_lineitem",
+      Tables.load(spark, sf, "lineitem"), Seq("l_orderkey"), 8)
 
     val joined = spark.table("b_lineitem")
       .join(spark.table("b_orders"),
@@ -39,13 +24,10 @@ class BucketedJoinSpec extends SparkSpec {
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"))
     joined.collect()
-    val plan = joined.queryExecution.executedPlan.toString
     // the join itself must not reshuffle either bucketed side
-    val joinSection = plan.substring(0, plan.length)
-    val exchangesBeforeAgg = "Exchange hashpartitioning\\((l|o)_orderkey".r
-      .findAllIn(joinSection).size
-    assert(exchangesBeforeAgg == 0,
-      s"bucketed join still shuffles on the join key:\n$plan")
+    assert(Bucketing.keyExchanges(joined, Seq("l_orderkey", "o_orderkey")) == 0,
+      s"bucketed join still shuffles on the join key:\n" +
+        joined.queryExecution.executedPlan.toString)
 
     // and the result matches the unbucketed join
     val plain = Tables.load(spark, sf, "lineitem")
@@ -55,5 +37,38 @@ class BucketedJoinSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val bucketed = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(bucketed == plain)
+  }
+
+  test("writeBucketed produces exactly one file per bucket") {
+    val sf = "/root/testdata/sf0.001"
+    Bucketing.writeBucketed(spark, "b_nation_files",
+      Tables.load(spark, sf, "nation"), Seq("n_nationkey"), 4)
+    val loc = spark.sql("DESCRIBE TABLE EXTENDED b_nation_files")
+      .filter(col("col_name") === "Location").head.getString(1)
+    val dir = new java.io.File(java.net.URI.create(loc).getPath)
+    val parts = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    // pre-repartition(buckets, key) aligns write tasks with bucket ids:
+    // each task holds exactly one bucket's rows → one file per bucket
+    assert(parts.length <= 4,
+      s"expected ≤4 bucket files, found ${parts.length}")
+    // bucket file names carry the bucket id: part-...._00003.c000...
+    val bucketIds = parts.map(_.getName).map { n =>
+      "_(\\d{5})\\.".r.findFirstMatchIn(n).map(_.group(1).toInt).getOrElse(-1)
+    }
+    assert(bucketIds.distinct.length == parts.length,
+      s"duplicate bucket ids across files: ${parts.map(_.getName).mkString(", ")}")
+  }
+
+  test("groupBy on the bucket key also skips the shuffle") {
+    val sf = "/root/testdata/sf0.001"
+    Bucketing.writeBucketed(spark, "b_orders_agg",
+      Tables.load(spark, sf, "orders"), Seq("o_custkey"), 8)
+    val agg = spark.table("b_orders_agg")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("t"))
+    agg.collect()
+    assert(Bucketing.keyExchanges(agg, Seq("o_custkey")) == 0,
+      s"bucketed aggregation still shuffles on the bucket key:\n" +
+        agg.queryExecution.executedPlan.toString)
   }
 }
