@@ -36,6 +36,8 @@ object VectorExprs {
       "vec_dot_q8", exprs => VectorDotQ8(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "lsh_sig", exprs => LshSignature(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "nearest_cell", exprs => NearestCell(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 
   /** Column-API entry points; callers must have invoked [[register]] on
@@ -300,6 +302,72 @@ case class LshSignature(vec: Expression, planes: Expression, bits: Expression)
     copy(vec = f, planes = s, bits = t)
 }
 
+/** Nearest-centroid assignment in ONE matrix pass: `cents` is the
+  * cell-major flattened centroid matrix (ordered by ascending cell id),
+  * `ids` the parallel cell-id array — both foldable literals, installed
+  * as codegen reference objects, so the generated code is one tight
+  * loop over all cells independent of their count. Replaces the
+  * corpus×cells cross join + argmin aggregate with a map-only
+  * projection: per row, dot/norm arithmetic is IDENTICAL to
+  * [[VectorDot]]/[[VectorNorm]] composition (sequential index order,
+  * zero for null elements, cos = 0 when either norm is 0), and ties
+  * keep the smallest cell id — bit-equal to the relational argmin it
+  * replaces.
+  */
+case class NearestCell(vec: Expression, cents: Expression, ids: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with VectorExprHelpers {
+
+  override def first: Expression = vec
+  override def second: Expression = cents
+  override def third: Expression = ids
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkArrayOfNumeric(vec, "vec") match {
+      case TypeCheckResult.TypeCheckSuccess =>
+        if (!cents.foldable ||
+            (cents.dataType != ArrayType(DoubleType, false) &&
+              cents.dataType != ArrayType(DoubleType, true)))
+          TypeCheckResult.TypeCheckFailure(
+            "cents must be a foldable array<double> literal")
+        else if (!ids.foldable ||
+            (ids.dataType != ArrayType(IntegerType, false) &&
+              ids.dataType != ArrayType(IntegerType, true)))
+          TypeCheckResult.TypeCheckFailure(
+            "ids must be a foldable array<int> literal")
+        else TypeCheckResult.TypeCheckSuccess
+      case f => f
+    }
+
+  @transient private lazy val flatCents: Array[Double] =
+    cents.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+  @transient private lazy val cellIds: Array[Int] =
+    ids.eval(null).asInstanceOf[ArrayData].toIntArray()
+  @transient private lazy val centNorms: Array[Double] =
+    VectorQuant.rowNorms(flatCents, cellIds.length)
+
+  private def isFloat: Boolean = elementType(vec) == FloatType
+
+  override def nullSafeEval(v: Any, c: Any, i: Any): Any =
+    VectorQuant.nearestCell(
+      v.asInstanceOf[ArrayData], flatCents, centNorms, cellIds, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("nearestCents", flatCents, "double[]")
+    val normsRef = ctx.addReferenceObj("nearestNorms", centNorms, "double[]")
+    val idsRef = ctx.addReferenceObj("nearestIds", cellIds, "int[]")
+    nullSafeCodeGen(ctx, ev, (v, _, _) =>
+      s"""${ev.value} = graft.expressions.VectorQuant.nearestCell(
+         |  $v, $centsRef, $normsRef, $idsRef, $isFloat);""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): NearestCell =
+    copy(vec = f, cents = s, ids = t)
+}
+
 /** Static quantization kernels shared by interpreted eval AND generated
   * code (the codegen emits a single static call — identical arithmetic on
   * both paths by construction, pinned in QuantizeSpec anyway).
@@ -315,6 +383,69 @@ object VectorQuant {
 
   def normalizeFloat(v: ArrayData): ArrayData = normalizeImpl(v, isFloat = true)
   def normalizeDouble(v: ArrayData): ArrayData = normalizeImpl(v, isFloat = false)
+
+  /** Per-row L2 norms of a row-major flattened matrix — the same
+    * sequential sum-of-squares as [[VectorNorm]]'s loop, so precomputed
+    * centroid norms are bit-equal to per-pair `vec_norm(centroid)`.
+    */
+  def rowNorms(flat: Array[Double], rows: Int): Array[Double] = {
+    val dim = if (rows == 0) 0 else flat.length / rows
+    val out = new Array[Double](rows)
+    var r = 0
+    while (r < rows) {
+      val off = r * dim
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { val x = flat(off + i); acc += x * x; i += 1 }
+      out(r) = math.sqrt(acc)
+      r += 1
+    }
+    out
+  }
+
+  /** Argmax-cosine cell for one vector against the flattened centroid
+    * matrix. Arithmetic mirrors `vec_dot / (vec_norm * vec_norm)` with
+    * the same zero-denominator → 0 convention; `ids` is scanned in
+    * ascending-cell order with a STRICT improvement test, so ties keep
+    * the smallest cell id — exactly the relational
+    * `min_by(cell_id, (−cos, cell_id))`.
+    */
+  def nearestCell(v: ArrayData, flat: Array[Double], norms: Array[Double],
+      ids: Array[Int], isFloat: Boolean): Int = {
+    val cells = ids.length
+    val dim = if (cells == 0) return -1 else flat.length / cells
+    val n = Math.min(v.numElements(), dim)
+    var nv = 0.0
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        nv += x * x
+      }
+      i += 1
+    }
+    nv = math.sqrt(nv)
+    var bestId = ids(0)
+    var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < cells) {
+      val off = c * dim
+      var dot = 0.0
+      var j = 0
+      while (j < n) {
+        if (!v.isNullAt(j)) {
+          val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+          dot += x * flat(off + j)
+        }
+        j += 1
+      }
+      val denom = nv * norms(c)
+      val cos = if (denom == 0.0) 0.0 else dot / denom
+      if (cos > bestCos) { bestCos = cos; bestId = ids(c) }
+      c += 1
+    }
+    bestId
+  }
 
   /** All LSH sign-bit buckets in one pass: `flat` is the plane-major
     * flattened hyperplane matrix; plane p spans

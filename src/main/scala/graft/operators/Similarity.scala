@@ -156,12 +156,26 @@ object Similarity {
   def assignCells(corpus: DataFrame, cents: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     VectorExprs.register(corpus.sparkSession)
-    val scored = corpus.join(broadcast(cents))
-      .withColumn("cdist", -VectorExprs.vecCosine(col(vecCol), col("centroid")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("cdist").asc, col("cell_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("cell_id"))
+    // centroids are bounded (≤ ~sqrt(corpus) cells) — collect them once
+    // and install the flattened matrix as a codegen reference object:
+    // the whole assignment becomes ONE map-only projection (a tight
+    // all-cells loop per row inside whole-stage codegen), replacing the
+    // corpus×cells cross join + argmin whose scored intermediate
+    // dominated at scale. Arithmetic and tie-break are bit-equal to the
+    // relational form (see [[graft.expressions.NearestCell]]).
+    val rows = cents
+      .select(col("cell_id").cast("int"), col("centroid"))
+      .orderBy(col("cell_id")) // ascending scan order = smallest-id tie-break
+      .collect()
+    val ids = rows.map(_.getInt(0))
+    val flat = rows.flatMap(_.getSeq[Any](1).map {
+      case null => 0.0 // null elements contribute 0, the VectorDot convention
+      case d: java.lang.Double => d.doubleValue
+      case f: java.lang.Float => f.toDouble
+    }).toArray
+    corpus.select(col(idCol), col(vecCol),
+      call_function("nearest_cell",
+        col(vecCol), lit(flat), lit(ids)).as("cell_id"))
   }
 
   /** IVF search: probe the `nprobe` nearest cells per query, exact cosine
@@ -180,8 +194,22 @@ object Similarity {
   def ivfTopKWith(
       corpus: DataFrame, queries: DataFrame, k: Int,
       cents: DataFrame, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfSearch(assignCells(corpus, cents, idCol, vecCol), queries, k,
+      cents, nprobe, idCol, vecCol)
+
+  /** IVF query against a PRE-BUILT index: `assigned` is the persisted
+    * [[assignCells]] output (the index build — one corpus×cells scoring
+    * pass, paid once), so each query batch costs only the probed-cell
+    * join. This is the build/search split every production ANN system
+    * has: at 100 TB the assignment is written bucketed by `cell_id` and
+    * query batches stream against it shuffle-free.
+    */
+  def ivfSearch(
+      assigned: DataFrame, queries: DataFrame, k: Int,
+      cents: DataFrame, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val assigned = assignCells(corpus, cents, idCol, vecCol)
+    VectorExprs.register(assigned.sparkSession)
     // query → nprobe nearest cells
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val qCells = q.join(broadcast(cents))

@@ -23,7 +23,7 @@ object Round6Ops1 {
     "s47_bucketed_join",
     """SELECT c.c_mktsegment AS segment,
       |       CAST(COUNT(*) AS BIGINT) AS n_orders,
-      |       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+      |       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       |FROM orders o
       |JOIN customer c ON o.o_custkey = c.c_custkey
       |GROUP BY 1
@@ -39,7 +39,7 @@ object Round6Ops1 {
       .agg(
         count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast("decimal(18,2)"))
-          .cast("decimal(18,2)").as("revenue"))
+          .cast("double").as("revenue"))
       .select(col("segment"), col("n_orders"), col("revenue"))
       .orderBy(col("segment"))
     val shuffles = Bucketing.keyExchanges(joined, Seq("o_custkey", "c_custkey"))

@@ -88,7 +88,16 @@ object DumpPlans {
       graft.queries.Round4Ops98.a75_mann_whitney,
       graft.queries.Round4Ops109.eval_average_precision,
       graft.queries.Round5Ops1.dedup_minhash_verified,
-      graft.queries.Round4Ops123.ts_holt)
+      graft.queries.Round4Ops123.ts_holt,
+      // round-6: bucketed co-located join (ZERO exchange on the bucket
+      // key), dynamic partition pruning (runtime filter in the fact
+      // scan's PartitionFilters), shard export (range shuffle + two
+      // partition-local windows, no single-reducer sort), IVF top-k on
+      // the NearestCell map-only assignment
+      graft.queries.Round6Ops1.s47_bucketed_join,
+      graft.queries.Round6Ops2.s48_dpp_join,
+      graft.queries.Round6Ops1.shard_export,
+      graft.queries.ScaleOps.sim_ivf_topk)
 
     val sections = headliners.map { q =>
       val df = q.build(spark, sfDir)
