@@ -1,0 +1,244 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** Round-6 batch 3: the five TPC-H query shapes the suite was still
+  * missing — Q2/Q9/Q16/Q20/Q21 — adapted to the available schema (no
+  * partsupp table, no l_receiptdate/l_commitdate) while keeping each
+  * query's canonical PLAN shape, which is the point of the exercise:
+  *
+  *  - Q2: correlated scalar MIN subquery re-entering the same join tree
+  *  - Q9: profit decomposition (revenue minus cost) by nation × year
+  *  - Q16: grouped COUNT(DISTINCT) with a NOT IN exclusion subquery
+  *  - Q20: two-level nested IN semi-joins with a HAVING threshold
+  *  - Q21: EXISTS + NOT EXISTS double correlation on the same fact
+  *
+  * Substitutions (documented, deterministic): "supply cost" = the
+  * minimum observed DECIMAL(18,2) extended price per (part, supplier)
+  * pair derived from lineitem (exact decimal MIN — order-independent);
+  * "late delivery" = shipped more than 60 days after the order date
+  * (both engines do identical timestamp+INTERVAL arithmetic).
+  *
+  * Completes the sweep: with q1_agg and Q3-Q8/Q10-Q15/Q17-Q19/Q22
+  * already registered, all 22 TPC-H shapes now run oracled.
+  */
+object Round6Ops3 {
+
+  /** TPC-H Q2 shape: min-cost supplier per European part. The correlated
+    * scalar subquery re-enters the cost⋈supplier⋈nation⋈region tree per
+    * part; Catalyst rewrites it into an aggregate + join (one extra
+    * shuffle on partkey), never a per-row loop. All dims broadcast; the
+    * only data-sized shuffle is the (part,supplier) cost aggregation of
+    * lineitem. Cost is an exact decimal MIN, so the equality predicate
+    * against the subquery MIN is bit-exact in both engines.
+    */
+  val tpch_q2_shape = OpQuery(
+    "tpch_q2_shape",
+    """WITH cost AS (
+      |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+      |         MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS supplycost
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT p.p_partkey AS p_partkey, p.p_name AS p_name, s.s_name AS s_name,
+      |       n.n_name AS nation, CAST(s.s_acctbal AS DOUBLE) AS s_acctbal,
+      |       CAST(c.supplycost AS DOUBLE) AS supplycost
+      |FROM part p
+      |JOIN cost c ON p.p_partkey = c.partkey
+      |JOIN supplier s ON s.s_suppkey = c.suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'EUROPE' AND p.p_size <= 5
+      |  AND c.supplycost = (
+      |    SELECT MIN(c2.supplycost)
+      |    FROM cost c2
+      |    JOIN supplier s2 ON s2.s_suppkey = c2.suppkey
+      |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      |    WHERE c2.partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, nation, s_name, p_partkey""".stripMargin) { (spark, dir) =>
+    Seq("lineitem", "part", "supplier", "nation", "region")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(s"graft_q2x_$t"))
+    spark.sql(
+      """WITH cost AS (
+        |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+        |         MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS supplycost
+        |  FROM graft_q2x_lineitem GROUP BY 1, 2)
+        |SELECT p.p_partkey AS p_partkey, p.p_name AS p_name, s.s_name AS s_name,
+        |       n.n_name AS nation, CAST(s.s_acctbal AS DOUBLE) AS s_acctbal,
+        |       CAST(c.supplycost AS DOUBLE) AS supplycost
+        |FROM graft_q2x_part p
+        |JOIN cost c ON p.p_partkey = c.partkey
+        |JOIN graft_q2x_supplier s ON s.s_suppkey = c.suppkey
+        |JOIN graft_q2x_nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN graft_q2x_region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'EUROPE' AND p.p_size <= 5
+        |  AND c.supplycost = (
+        |    SELECT MIN(c2.supplycost)
+        |    FROM cost c2
+        |    JOIN graft_q2x_supplier s2 ON s2.s_suppkey = c2.suppkey
+        |    JOIN graft_q2x_nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |    JOIN graft_q2x_region r2 ON n2.n_regionkey = r2.r_regionkey
+        |    WHERE c2.partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, nation, s_name, p_partkey""".stripMargin)
+  }
+
+  /** TPC-H Q9 shape: profit (revenue − 60%-of-retail cost proxy) by
+    * supplier nation × order year over name-filtered parts. The part
+    * filter prunes before the join (PushedFilters on p_name is a LIKE,
+    * so it evaluates post-scan but pre-join); part and supplier legs
+    * broadcast; the lineitem⋈orders spine is the one shuffle. All
+    * arithmetic stays DECIMAL until the final ROUND+CAST, so the sum is
+    * order-independent under any partitioning.
+    */
+  val tpch_q9_shape = OpQuery(
+    "tpch_q9_shape",
+    """WITH profit AS (
+      |  SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+      |         CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+      |           - CAST(p.p_retailprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2)) * CAST(0.6 AS DECIMAL(3,2)) AS amount
+      |  FROM lineitem l
+      |  JOIN part p ON p.p_partkey = l.l_partkey
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  WHERE p.p_name LIKE '%red%')
+      |SELECT nation, o_year, CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
+      |FROM profit GROUP BY 1, 2
+      |ORDER BY nation, o_year DESC""".stripMargin) { (spark, dir) =>
+    Seq("lineitem", "part", "supplier", "orders", "nation")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(s"graft_q9x_$t"))
+    spark.sql(
+      """WITH profit AS (
+        |  SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |         CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+        |           - CAST(p.p_retailprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2)) * CAST(0.6 AS DECIMAL(3,2)) AS amount
+        |  FROM graft_q9x_lineitem l
+        |  JOIN graft_q9x_part p ON p.p_partkey = l.l_partkey
+        |  JOIN graft_q9x_supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN graft_q9x_orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN graft_q9x_nation n ON s.s_nationkey = n.n_nationkey
+        |  WHERE p.p_name LIKE '%red%')
+        |SELECT nation, o_year, CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
+        |FROM profit GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin)
+  }
+
+  /** TPC-H Q16 shape: supplier diversity per (brand, type, size) bucket,
+    * excluding flagged suppliers via NOT IN. The part↔supplier relation
+    * is the DISTINCT (partkey, suppkey) projection of lineitem — one
+    * shuffle dedup, then a broadcast join against filtered part. The
+    * NOT IN subquery (non-null key) plans as a broadcast anti-join, not
+    * a per-row probe. COUNT(DISTINCT suppkey) expands to a two-phase
+    * aggregate; buckets are bounded (brand × type × 8 sizes), so the
+    * final aggregation is tiny.
+    */
+  val tpch_q16_shape = OpQuery(
+    "tpch_q16_shape",
+    """WITH ps AS (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem)
+      |SELECT p.p_brand AS p_brand, p.p_type AS p_type, CAST(p.p_size AS INT) AS p_size,
+      |       CAST(COUNT(DISTINCT ps.suppkey) AS BIGINT) AS supplier_cnt
+      |FROM ps JOIN part p ON p.p_partkey = ps.partkey
+      |WHERE p.p_brand <> 'Brand#4' AND p.p_type NOT LIKE 'MEDIUM%'
+      |  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      |  AND ps.suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) { (spark, dir) =>
+    Seq("lineitem", "part", "supplier")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(s"graft_q16x_$t"))
+    spark.sql(
+      """WITH ps AS (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM graft_q16x_lineitem)
+        |SELECT p.p_brand AS p_brand, p.p_type AS p_type, CAST(p.p_size AS INT) AS p_size,
+        |       CAST(COUNT(DISTINCT ps.suppkey) AS BIGINT) AS supplier_cnt
+        |FROM ps JOIN graft_q16x_part p ON p.p_partkey = ps.partkey
+        |WHERE p.p_brand <> 'Brand#4' AND p.p_type NOT LIKE 'MEDIUM%'
+        |  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND ps.suppkey NOT IN (SELECT s_suppkey FROM graft_q16x_supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+  }
+
+  /** TPC-H Q20 shape: suppliers who moved serious volume of 'small%'
+    * parts in 1996 — a two-level nested IN (part filter inside the
+    * lineitem aggregate inside the supplier semi-join) with a decimal
+    * HAVING threshold. Both IN subqueries plan as semi-joins (the inner
+    * part filter broadcasts); the (suppkey, partkey) aggregate is the
+    * one shuffle and is date-pruned at the scan.
+    */
+  val tpch_q20_shape = OpQuery(
+    "tpch_q20_shape",
+    """SELECT s.s_name AS s_name, n.n_name AS nation
+      |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |WHERE s.s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY l_suppkey, l_partkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50)
+      |ORDER BY s_name""".stripMargin) { (spark, dir) =>
+    Seq("lineitem", "part", "supplier", "nation")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(s"graft_q20x_$t"))
+    spark.sql(
+      """SELECT s.s_name AS s_name, n.n_name AS nation
+        |FROM graft_q20x_supplier s JOIN graft_q20x_nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE s.s_suppkey IN (
+        |  SELECT l_suppkey FROM graft_q20x_lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM graft_q20x_part WHERE p_name LIKE 'small%')
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50)
+        |ORDER BY s_name""".stripMargin)
+  }
+
+  /** TPC-H Q21 shape: suppliers who were the ONLY late shipper on a
+    * finished multi-supplier order — the suite's hardest correlation:
+    * one EXISTS (some other supplier on the order) and one NOT EXISTS
+    * (no other LATE supplier on the order), both correlated on
+    * l_orderkey. Catalyst plans them as a left-semi and a left-anti
+    * join of lineitem against itself, shuffled on orderkey — three
+    * passes over the fact, no per-row subquery execution. "Late" =
+    * shipped >60 days after order date (no receipt/commit dates in
+    * this schema); the interval arithmetic is identical in both
+    * engines.
+    */
+  val tpch_q21_shape = OpQuery(
+    "tpch_q21_shape",
+    """SELECT s.s_name AS s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM supplier s
+      |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |WHERE o.o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+      |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s.s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin) { (spark, dir) =>
+    Seq("lineitem", "orders", "supplier")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(s"graft_q21x_$t"))
+    spark.sql(
+      """SELECT s.s_name AS s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM graft_q21x_supplier s
+        |JOIN graft_q21x_lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN graft_q21x_orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM graft_q21x_lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_q21x_lineitem l3
+        |                  JOIN graft_q21x_orders o3 ON o3.o_orderkey = l3.l_orderkey
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin)
+  }
+
+  val all: Seq[OpQuery] = Seq(
+    tpch_q2_shape, tpch_q9_shape, tpch_q16_shape, tpch_q20_shape,
+    tpch_q21_shape)
+}
