@@ -52,4 +52,47 @@ object Skew {
       .join(replicatedSmall, keys :+ "__salt")
       .drop("__salt")
   }
+
+  /** Sampled hot-key detection: keys whose share of a small sample
+    * exceeds `minShare`. Driver traffic is bounded by 1/minShare keys
+    * regardless of table size (a 100 TB fact ships back at most ~100
+    * candidate keys at minShare=0.01), so this is safe to run as a
+    * planning step before every skew-sensitive join. The sample is
+    * seeded — the same corpus always yields the same hot set.
+    */
+  def detectHotKeys(
+      df: DataFrame, key: String, sampleFraction: Double = 0.001,
+      minShare: Double = 0.01, seed: Long = 42L): Seq[Any] = {
+    val sampled = df.select(col(key)).sample(sampleFraction, seed)
+      .groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    val total = sampled.agg(sum(col("__n"))).collect()(0).getLong(0)
+    sampled.filter(col("__n") >= lit(minShare * total))
+      .collect().map(_.get(0)).toSeq
+  }
+
+  /** Split-union skew join: rows on `hotKeys` broadcast-join against
+    * the (tiny) hot slice of the small side; everything else takes the
+    * normal shuffle join. Row-for-row identical to `big.join(small,
+    * key)` for ANY hot-key set — detection only affects the plan.
+    *
+    * This is the production answer when the small side is too big to
+    * broadcast whole but its HOT-KEY SLICE is not (almost always: hot
+    * keys are few by definition). Unlike [[saltedJoin]], nothing is
+    * replicated `saltBuckets`x — the measured StressSkew run shows
+    * full-dim salting LOSING to the unmitigated join at 200 MB dim
+    * scale, while this split wins: the hot rows never shuffle at all.
+    */
+  def hotKeyJoin(
+      big: DataFrame, small: DataFrame, key: String,
+      hotKeys: Seq[Any]): DataFrame = {
+    if (hotKeys.isEmpty) big.join(small, Seq(key))
+    else {
+      val isHot = col(key).isin(hotKeys: _*)
+      val cold = big.filter(!isHot).join(small.filter(!isHot), Seq(key))
+      val hot = big.filter(isHot)
+        .join(broadcast(small.filter(isHot)), Seq(key))
+      cold.union(hot)
+    }
+  }
 }

@@ -58,6 +58,30 @@ object ScaleExtras {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Hot/cold split-union join — must equal the plain equi-join
+    * row-for-row for ANY hot-key set (detection only moves rows between
+    * the broadcast and shuffle branches, never changes the result).
+    * Hot keys come from the real sampled detector plus a pinned
+    * override (the known-hot-tenant case), so both branches execute
+    * regardless of what the sample surfaces. Measured in StressSkew:
+    * this shape runs at the uniform-join floor while full-dim salting
+    * loses outright at 200 MB dim scale.
+    */
+  val skew_hotcold_join = OpQuery(
+    "skew_hotcold_join",
+    """SELECT o.o_orderkey, c.c_name
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |ORDER BY o.o_orderkey""".stripMargin) { (spark, dir) =>
+    val orders = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
+    val customer = t(spark, dir, "customer").select(col("c_custkey"), col("c_name"))
+    val hot = Skew.detectHotKeys(orders, "c_custkey",
+      sampleFraction = 0.05, minShare = 0.005) :+ 7L :+ 13L
+    Skew.hotKeyJoin(orders, customer, "c_custkey", hot.distinct)
+      .select(col("o_orderkey"), col("c_name"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Z-order clustered write + selective 2-dim read-back: events are
     * rewritten clustered on (user_id, value) into a scratch warehouse,
     * then filtered on BOTH clustered dimensions. The oracle is the same
@@ -112,6 +136,6 @@ object ScaleExtras {
   }
 
   val all: Seq[OpQuery] = Seq(
-    a11_approx_distinct, skew_salted_agg, skew_salted_join, zorder_cluster,
-    bloom_prune_join)
+    a11_approx_distinct, skew_salted_agg, skew_salted_join,
+    skew_hotcold_join, zorder_cluster, bloom_prune_join)
 }

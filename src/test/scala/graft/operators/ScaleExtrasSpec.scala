@@ -42,6 +42,44 @@ class ScaleExtrasSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("hotKeyJoin equals plain join for any hot-key set, incl. empty and dim-absent keys") {
+    val orders = Tables.load(spark, sf, "orders")
+      .select($"o_orderkey", $"o_custkey".as("c_custkey"))
+    val customer = Tables.load(spark, sf, "customer").select($"c_custkey", $"c_name")
+    val plain = orders.join(customer, "c_custkey")
+      .select($"o_orderkey", $"c_name").as[(Long, String)].collect().sorted.toSeq
+    // empty hot set → pure shuffle branch; keys absent from the dim or
+    // the fact must not invent or drop rows
+    for (hot <- Seq(Seq.empty[Any], Seq[Any](1L, 2L, 3L), Seq[Any](-5L, 999999999L, 4L))) {
+      val split = Skew.hotKeyJoin(orders, customer, "c_custkey", hot)
+        .select($"o_orderkey", $"c_name").as[(Long, String)].collect().sorted.toSeq
+      assert(split == plain, s"hot=$hot")
+    }
+  }
+
+  test("hotKeyJoin broadcasts the hot branch") {
+    val orders = Tables.load(spark, sf, "orders")
+      .select($"o_orderkey", $"o_custkey".as("c_custkey"))
+    val customer = Tables.load(spark, sf, "customer").select($"c_custkey", $"c_name")
+    val planned = Skew.hotKeyJoin(orders, customer, "c_custkey", Seq[Any](1L, 2L))
+      .queryExecution.executedPlan.toString
+    assert(planned.contains("BroadcastHashJoin"),
+      s"expected a broadcast hot branch in:\n$planned")
+  }
+
+  test("detectHotKeys surfaces a planted hot key with bounded driver traffic") {
+    // 60% of rows on key 7, the rest uniform over 10k keys
+    val skewed = spark.range(200000).select(
+      when($"id" % 10 < 6, lit(7L))
+        .otherwise(pmod(hash($"id"), lit(10000L)).cast("long")).as("k"))
+    val hot = Skew.detectHotKeys(skewed, "k", sampleFraction = 0.01, minShare = 0.05)
+    assert(hot.contains(7L), s"planted hot key not found in $hot")
+    // minShare bounds how many keys can come back: at most 1/minShare
+    assert(hot.size <= 20, s"unbounded hot set: ${hot.size}")
+    // seeded sample → deterministic across calls
+    assert(hot == Skew.detectHotKeys(skewed, "k", sampleFraction = 0.01, minShare = 0.05))
+  }
+
   test("HLL sketches: partial-merge estimate within bound, invariant to merge granularity") {
     val events = Tables.load(spark, sf, "events")
     // gate shape: daily sketches unioned to weekly
