@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.Tables
 
@@ -238,7 +239,46 @@ object Round6Ops3 {
         |LIMIT 20""".stripMargin)
   }
 
+  /** Delta interop round trip: a 2-generation TableStore table is
+    * exported as a stock `_delta_log` Delta table ([[graft.operators
+    * .DeltaExport]]) and read back through the protocol-level reader
+    * ([[graft.operators.DeltaImport]]) — log parse, live-set
+    * reconstruction, partition-column reattachment from
+    * partitionValues, `VERSION AS OF` both generations. The oracle is
+    * the source query itself: two storage round-trips through the
+    * public Delta protocol must be observationally invisible. Import of
+    * FOREIGN logs (checkpoints, cleaned-up JSON, refusal of v3
+    * features) is DeltaImportSpec.
+    */
+  val s49_delta_roundtrip = OpQuery(
+    "s49_delta_roundtrip",
+    """SELECT o_orderkey, o_orderstatus,
+      |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
+      |       CAST(year(o_orderdate) AS INT) AS o_year
+      |FROM orders
+      |WHERE o_orderkey % 7 = 0
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    import graft.operators.{DeltaExport, DeltaImport, TableStore}
+    val scratch = java.nio.file.Files.createTempDirectory("graft-delta-rt-")
+    val store = new TableStore(spark, scratch.resolve("store").toString)
+    val src = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double").as("total"),
+        year(col("o_orderdate")).cast("int").as("o_year"))
+    // generation 0: a half-slice; generation 1: the full slice — import
+    // must serve the LATEST generation (and spec covers AS OF 0)
+    store.overwrite("rt", src.filter(col("o_orderkey") % 14 === 0),
+      partitionBy = Seq("o_year"))
+    store.overwrite("rt", src, partitionBy = Seq("o_year"))
+    val exported = DeltaExport.exportTable(store, "rt",
+      scratch.resolve("delta").toString)
+    DeltaImport.read(spark, exported.toString)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("total"), col("o_year"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[OpQuery] = Seq(
     tpch_q2_shape, tpch_q9_shape, tpch_q16_shape, tpch_q20_shape,
-    tpch_q21_shape)
+    tpch_q21_shape, s49_delta_roundtrip)
 }

@@ -97,7 +97,18 @@ object DumpPlans {
       graft.queries.Round6Ops1.s47_bucketed_join,
       graft.queries.Round6Ops2.s48_dpp_join,
       graft.queries.Round6Ops1.shard_export,
-      graft.queries.ScaleOps.sim_ivf_topk)
+      graft.queries.ScaleOps.sim_ivf_topk,
+      // round-6 cont.: the TPC-H sweep completers (correlated scalar
+      // MIN re-entry, null-aware broadcast anti-join for NOT IN,
+      // semi+anti double correlation), the hot/cold skew split (cold
+      // shuffle branch ∪ broadcast hot branch), and the Delta-protocol
+      // round trip (partition columns rejoined broadcast against the
+      // imported scan)
+      graft.queries.Round6Ops3.tpch_q2_shape,
+      graft.queries.Round6Ops3.tpch_q16_shape,
+      graft.queries.Round6Ops3.tpch_q21_shape,
+      graft.queries.ScaleExtras.skew_hotcold_join,
+      graft.queries.Round6Ops3.s49_delta_roundtrip)
 
     val sections = headliners.map { q =>
       val df = q.build(spark, sfDir)

@@ -1,0 +1,146 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.collection.JavaConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** DeltaImport against both our own export (round-trip) and handcrafted
+  * stock logs (another engine's table: removes, checkpoint, cleaned-up
+  * early JSON, refused v3 features).
+  */
+class DeltaImportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeSingleParquet(df: DataFrame, target: Path): Unit = {
+    val tmp = Files.createTempDirectory("graft-di-part-")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.createDirectories(target.getParent)
+    Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("round-trip: import of our export equals TableStore time travel at every version") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-dio-").toString)
+    store.overwrite("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    store.overwrite("t", Seq((1L, "a"), (3L, "c"), (4L, "d")).toDF("id", "v"))
+    store.overwrite("t", Seq((5L, "e")).toDF("id", "v"))
+
+    val out = DeltaExport.exportTable(store, "t",
+      Files.createTempDirectory("graft-diox-").toString).toString
+    val deltaVersions = DeltaImport.versions(out)
+    assert(deltaVersions == store.versions("t").indices.map(_.toLong))
+
+    deltaVersions.zip(store.versions("t")).foreach { case (dv, gv) =>
+      val imported = DeltaImport.read(spark, out, Some(dv))
+      assert(sortedRows(imported) == sortedRows(store.read("t", gv)),
+        s"mismatch at delta version $dv / graft version $gv")
+    }
+    // default = latest
+    assert(sortedRows(DeltaImport.read(spark, out)) ==
+      sortedRows(store.read("t")))
+  }
+
+  test("partitioned round-trip reattaches partition columns with schema types") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-dip-").toString)
+    store.overwrite("p",
+      Seq((1, 2023, "a"), (2, 2024, "b")).toDF("id", "year", "v"),
+      partitionBy = Seq("year"))
+    store.overwrite("p",
+      Seq((3, 2024, "c"), (4, 2025, "d")).toDF("id", "year", "v"),
+      partitionBy = Seq("year"))
+
+    val out = DeltaExport.exportTable(store, "p",
+      Files.createTempDirectory("graft-dipx-").toString).toString
+    val imported = DeltaImport.read(spark, out)
+    // partition column present, integer-typed (cast from partitionValues
+    // strings per the table schema), and the rows match
+    assert(imported.schema("year").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(sortedRows(imported.select("id", "year", "v")) ==
+      sortedRows(store.read("p").select("id", "year", "v")))
+    // time travel to the first generation
+    assert(sortedRows(DeltaImport.read(spark, out, Some(0L)).select("id", "year", "v")) ==
+      sortedRows(store.read("p", store.versions("p").head).select("id", "year", "v")))
+  }
+
+  test("stock log: removes, checkpoint, cleaned-up early JSON") {
+    val table = Files.createTempDirectory("graft-dis-")
+    val log = table.resolve("_delta_log")
+    Files.createDirectories(log)
+    val schemaJson = Seq((1L, "x")).toDF("id", "v").schema.json
+      .replace("\"", "\\\"")
+
+    writeSingleParquet(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      table.resolve("f0.parquet"))
+    writeSingleParquet(Seq((3L, "c")).toDF("id", "v"),
+      table.resolve("f1.parquet"))
+    writeSingleParquet(Seq((4L, "d")).toDF("id", "v"),
+      table.resolve("f2.parquet"))
+
+    def commit(v: Long, lines: Seq[String]): Unit =
+      Files.writeString(log.resolve(f"$v%020d.json"), lines.mkString("", "\n", "\n"))
+
+    commit(0, Seq(
+      """{"commitInfo":{"timestamp":1,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"00000000-0000-0000-0000-000000000001","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":1}}""",
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    commit(1, Seq(
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    commit(2, Seq(
+      """{"remove":{"path":"f0.parquet","deletionTimestamp":2,"dataChange":true}}"""))
+
+    def ids(v: Long): Seq[Long] =
+      DeltaImport.read(spark, table.toString, Some(v))
+        .select("id").as[Long].collect().sorted.toSeq
+    assert(ids(0) == Seq(1L, 2L))
+    assert(ids(1) == Seq(1L, 2L, 3L))
+    assert(ids(2) == Seq(3L))
+
+    // checkpoint at version 2 (state: f1 live) — written the way a stock
+    // engine would: one parquet with one row per action
+    val cpJson = Seq(
+      s"""{"metaData":{"id":"00000000-0000-0000-0000-000000000001","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":1}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":false}}""")
+    val cpDf = spark.read.json(spark.createDataset(cpJson))
+    writeSingleParquet(cpDf, log.resolve(f"${2L}%020d.checkpoint.parquet"))
+    Files.writeString(log.resolve("_last_checkpoint"), """{"version":2,"size":3}""")
+    // simulate log cleanup: versions 0-2 JSON deleted
+    (0L to 2L).foreach(v => Files.delete(log.resolve(f"$v%020d.json")))
+    // a post-checkpoint commit
+    commit(3, Seq(
+      """{"add":{"path":"f2.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+
+    assert(ids(2) == Seq(3L), "checkpoint-only read")
+    assert(ids(3) == Seq(3L, 4L), "checkpoint + tail JSON read")
+    assert(DeltaImport.versions(table.toString).max == 3L)
+  }
+
+  test("refuses column mapping and reader-version-3 tables loudly") {
+    val table = Files.createTempDirectory("graft-dir3-")
+    val log = table.resolve("_delta_log")
+    Files.createDirectories(log)
+    val schemaJson = Seq((1L, "x")).toDF("id", "v").schema.json
+      .replace("\"", "\\\"")
+    Files.writeString(log.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""",
+      s"""{"metaData":{"id":"00000000-0000-0000-0000-000000000002","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":1}}""",
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+    ).mkString("", "\n", "\n"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaImport.read(spark, table.toString)
+    }
+    assert(e.getMessage.contains("reader version") ||
+      e.getMessage.contains("column mapping"))
+  }
+}
