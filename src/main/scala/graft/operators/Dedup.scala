@@ -265,9 +265,14 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int, threshold: Double,
       estMargin: Double = 0.15): DataFrame = {
+    graft.expressions.ArrayExprs.register(df.sparkSession)
+    // sorted ONCE per document so the verify stage can run the native
+    // two-pointer sorted_intersect_size instead of array_intersect's
+    // per-pair hash set + materialized intersection (signature hashing
+    // is order-invariant, so sorting changes nothing upstream)
     val tokenSets = df.select(
         col(idCol).as("doc_id"),
-        TextFunctions.distinctTokens(col(textCol)).as("toks"))
+        array_sort(TextFunctions.distinctTokens(col(textCol))).as("toks"))
       .localCheckpoint(true)
     val sigs = signatureFromUnits(tokenSets, numHashes).localCheckpoint(true)
     // distinct BEFORE scoring: a pair sharing p bands appears p times in
@@ -298,7 +303,8 @@ object Dedup {
     prefiltered
       .join(tokenSets.select(col("doc_id").as("id1"), col("toks").as("toks1")), "id1")
       .join(tokenSets.select(col("doc_id").as("id2"), col("toks").as("toks2")), "id2")
-      .withColumn("n_inter", size(array_intersect(col("toks1"), col("toks2"))))
+      .withColumn("n_inter",
+        graft.expressions.ArrayExprs.sortedIntersectSize(col("toks1"), col("toks2")))
       .withColumn(
         "jaccard",
         col("n_inter").cast("double") /
