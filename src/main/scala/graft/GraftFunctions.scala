@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+import graft.expressions._
+
+/** The engine's full SQL-function surface in one place: every native
+  * expression and TypedImperativeAggregate, as (name → builder) pairs.
+  *
+  * Two consumers:
+  *  - [[registerAll]] — imperative per-session registration (what the
+  *    query builders do piecemeal today via each object's `register`);
+  *  - [[graft.plans.GraftExtensions]] — injects the same list through
+  *    `SparkSessionExtensions.injectFunction`, so a user who only sets
+  *    `spark.sql.extensions=graft.plans.GraftExtensions` gets the whole
+  *    surface in plain `spark.sql(...)` with no Scala imports at all.
+  */
+object GraftFunctions {
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // vector math (native codegen loops)
+    "vec_dot" -> ((e: Seq[Expression]) => VectorDot(e(0), e(1))),
+    "vec_norm" -> ((e: Seq[Expression]) => VectorNorm(e.head)),
+    "vec_unit" -> ((e: Seq[Expression]) => VectorNormalize(e.head)),
+    "vec_q8" -> ((e: Seq[Expression]) => VectorQuantize(e.head)),
+    "vec_dot_q8" -> ((e: Seq[Expression]) => VectorDotQ8(e(0), e(1))),
+    "lsh_sig" -> ((e: Seq[Expression]) => LshSignature(e(0), e(1), e(2))),
+    "nearest_cell" -> ((e: Seq[Expression]) => NearestCell(e(0), e(1), e(2))),
+    // fuzzy string comparators (DuckDB-pinned semantics)
+    "jaro_sim" -> ((e: Seq[Expression]) => JaroSimilarity(e(0), e(1))),
+    "jaro_winkler_sim" -> ((e: Seq[Expression]) => JaroWinklerSimilarity(e(0), e(1))),
+    "damerau_levenshtein" -> ((e: Seq[Expression]) => DamerauLevenshtein(e(0), e(1))),
+    // sorted-array set arithmetic
+    "sorted_intersect_size" -> ((e: Seq[Expression]) => SortedIntersectSize(e(0), e(1))),
+    // scalar codecs over literal tables
+    "bpe_encode" -> ((e: Seq[Expression]) =>
+      BpeEncodeExpr(e(0), BpeEncode.extractMerges(e(1)))),
+    "quantile_bucket" -> ((e: Seq[Expression]) =>
+      QuantileBucket(e(0), QuantileBucketExpr.extractBounds(e(1)))),
+    // sketch / bounded-state aggregates
+    "minhash_sig" -> ((e: Seq[Expression]) => MinHashAggregate(e(0), e(1))),
+    "minhash_sig_arr" -> ((e: Seq[Expression]) => MinHashArraySignature(e(0), e(1))),
+    "simhash_sig" -> ((e: Seq[Expression]) => SimHashAggregate(e.head)),
+    "freq_sketch" -> ((e: Seq[Expression]) => FreqSketchAggregate(e(0), e(1))),
+    "kmv_sketch" -> ((e: Seq[Expression]) => KmvSketchAggregate(e(0), e(1))),
+    "topk_by" -> ((e: Seq[Expression]) => TopKAggregate(e(0), e(1), e(2))),
+    "bloom_build" -> ((e: Seq[Expression]) => BloomBuildAggregate(e(0), e(1), e(2))),
+    "bloom_might_contain" -> ((e: Seq[Expression]) => BloomMightContain(e(0), e(1))))
+
+  /** Register every function on an existing session (idempotent). */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    all.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+}

@@ -44,14 +44,22 @@ object BpeEncode {
     call_function("bpe_encode", text,
       lit(merges.map { case (a, b) => s"$a $b" }.toArray))
 
-  private def extractMerges(e: Expression): Array[(String, String)] = e match {
-    case Literal(arr: ArrayData, ArrayType(StringType, _)) =>
+  private[graft] def extractMerges(e: Expression): Array[(String, String)] = {
+    def fromArrayData(arr: ArrayData): Array[(String, String)] =
       arr.toArray[UTF8String](StringType).map { s =>
         val parts = s.toString.split(' ')
         (parts(0), parts(1))
       }
-    case other => throw new IllegalArgumentException(
-      s"bpe_encode merges must be a literal array<string>, got $other")
+    e match {
+      case Literal(arr: ArrayData, ArrayType(StringType, _)) => fromArrayData(arr)
+      // SQL callers pass array('a b', ...) — foldable but not yet folded
+      // to a Literal when the function builder runs
+      case other if other.foldable && (other.dataType match {
+          case ArrayType(StringType, _) => true; case _ => false }) =>
+        fromArrayData(other.eval().asInstanceOf[ArrayData])
+      case other => throw new IllegalArgumentException(
+        s"bpe_encode merges must be a literal array<string>, got $other")
+    }
   }
 
   /** Greedy rank-ordered BPE of one word. Shared by eval and tests. */

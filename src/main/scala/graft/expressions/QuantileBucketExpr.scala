@@ -26,8 +26,14 @@ object QuantileBucketExpr {
   def bucketOf(v: Column, boundaries: Array[Double]): Column =
     call_function("quantile_bucket", v, lit(boundaries))
 
-  private def extractBounds(e: Expression): Array[Double] = e match {
+  private[graft] def extractBounds(e: Expression): Array[Double] = e match {
     case Literal(arr: ArrayData, ArrayType(DoubleType, _)) => arr.toDoubleArray()
+    // SQL callers write array(1.0, 4.0, ...) — a foldable CreateArray,
+    // not yet a Literal when the function builder runs (constant folding
+    // comes later in analysis)
+    case other if other.foldable && (other.dataType match {
+        case ArrayType(DoubleType, _) => true; case _ => false }) =>
+      other.eval().asInstanceOf[ArrayData].toDoubleArray()
     case other => throw new IllegalArgumentException(
       s"quantile_bucket boundaries must be a literal array<double>, got $other")
   }

@@ -47,10 +47,22 @@ object ApproxDistinctRule extends Rule[LogicalPlan] {
 
 /** Entry point for `spark.sql.extensions=graft.plans.GraftExtensions`
   * (or `SparkSession.builder().withExtensions(new GraftExtensions)`).
+  *
+  * Injects the optimizer rule, the interval-join physical strategy, AND
+  * the engine's full SQL-function surface ([[graft.GraftFunctions]]) —
+  * a user who only sets the config runs `spark.sql("SELECT
+  * vec_dot(...)" )` with no Scala imports.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ApproxDistinctRule)
     ext.injectPlannerStrategy(_ => IntervalJoinStrategy)
+    graft.GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.GraftFunctions", name),
+        builder))
+    }
   }
 }
