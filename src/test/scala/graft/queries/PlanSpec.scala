@@ -170,4 +170,24 @@ class PlanSpec extends SparkSpec {
     assert(p.toLowerCase.contains("dynamicpruning"),
       s"no dynamic partition pruning in the fact scan:\n$p")
   }
+
+  test("q16: NOT IN plans as a null-aware broadcast anti-join, never a nested loop over data") {
+    val p = plan(Round6Ops3.tpch_q16_shape)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"NOT IN not a broadcast anti-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "NOT IN degraded to a nested-loop join")
+  }
+
+  test("q21: EXISTS/NOT EXISTS become semi+anti joins, no per-row subquery execution") {
+    val p = plan(Round6Ops3.tpch_q21_shape)
+    assert(p.contains("LeftSemi"), s"EXISTS not a semi-join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS not an anti-join:\n$p")
+  }
+
+  test("hot/cold skew join: the hot branch broadcasts, the cold branch keeps the equi-join") {
+    val p = plan(ScaleExtras.skew_hotcold_join)
+    assert(p.contains("BroadcastHashJoin"), s"hot branch not broadcast:\n$p")
+    assert(p.contains("Union"), s"missing split-union shape:\n$p")
+  }
 }
