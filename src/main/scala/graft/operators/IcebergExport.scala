@@ -1,0 +1,322 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+
+import scala.collection.JavaConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.functions.{col, count, input_file_name, lit}
+import org.apache.spark.sql.types._
+
+/** Export a [[TableStore]] table's retained generation history as an
+  * Apache Iceberg v2 table (the OTHER major open table format), written
+  * per the PUBLIC spec (iceberg.apache.org/spec): `metadata/
+  * vN.metadata.json` + `version-hint.text` (the HadoopTables layout a
+  * stock reader opens from a bare path), one Avro manifest per
+  * generation, one Avro manifest list per snapshot, every Avro field
+  * carrying its spec-assigned `field-id` and every manifest carrying
+  * the required key/value metadata (schema, partition-spec,
+  * format-version, content).
+  *
+  * TableStore's full-swap generations map onto Iceberg snapshots the
+  * same way they map onto Delta commits ([[DeltaExport]]): snapshot k's
+  * manifest list references ONLY generation k's manifest, so time
+  * travel (`snapshot-id` / sequence number) replays exactly the bytes
+  * this engine's own `read(table, asOf)` serves. Data files are
+  * hardlinked (immutable parquet ⇒ O(file count) export).
+  *
+  * Scope (refused loudly otherwise): primitive column types,
+  * unpartitioned or Hive-style identity partitions — the shapes
+  * TableStore itself writes. Avro classes ship with Spark, so the
+  * export runs offline; IcebergExportSpec replays manifests byte-level
+  * with the same Avro reader a stock implementation uses.
+  */
+object IcebergExport {
+
+  def exportTable(store: TableStore, table: String, exportDir: String): Path = {
+    val out = Paths.get(exportDir)
+    if (Files.exists(out)) deleteRecursively(out)
+    val metaDir = out.resolve("metadata")
+    Files.createDirectories(metaDir)
+    Files.createDirectories(out.resolve("data"))
+
+    val spark = store.spark
+    val versions = store.versions(table)
+    val current = store.currentVersion(table)
+    val partCols = store.partitionColumns(table)
+
+    def srcDir(v: Long): Path =
+      if (v == current) Paths.get(store.path(table))
+      else Paths.get(store.root, "_history", table.replace('.', '_'), f"v$v%05d")
+
+    val schema = spark.read.parquet(srcDir(versions.last).toString).schema
+    val fullSchema = StructType(
+      schema.fields ++ partCols.filterNot(schema.fieldNames.contains)
+        .map(p => StructField(p, partitionColType(store, table, p))))
+    val fieldId: Map[String, Int] =
+      fullSchema.fields.zipWithIndex.map { case (f, i) => f.name -> (i + 1) }.toMap
+    val schemaJson = icebergSchemaJson(fullSchema, fieldId)
+    val specJson = partitionSpecJson(partCols, fieldId)
+
+    val tableUuid = UUID.nameUUIDFromBytes(s"iceberg:$table".getBytes("UTF-8"))
+    val manifestEntrySchema = entrySchema(fullSchema, partCols)
+    val listSchema = manifestListSchema()
+
+    val snapshots = versions.zipWithIndex.map { case (v, idx) =>
+      val seq = idx + 1L
+      val snapshotId = 3000000000L + v
+      val genDir = out.resolve("data").resolve(f"gen-v$v%05d")
+      val files = linkGeneration(srcDir(v), genDir, out)
+      // one scan per generation: per-file row counts for the manifest
+      val counts: Map[String, Long] =
+        spark.read.parquet(genDir.toString)
+          .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+          .collect().map(r => normalize(r.getString(0)) -> r.getLong(1)).toMap
+      val totalRows = counts.values.sum
+
+      // manifest: every file of this generation as an ADDED entry
+      val manifestName = s"${UUID.nameUUIDFromBytes(s"$table-m$v".getBytes)}-m0.avro"
+      val manifestPath = metaDir.resolve(manifestName)
+      writeAvro(manifestPath, manifestEntrySchema, Map(
+        "schema" -> schemaJson,
+        "partition-spec" -> specFieldsJson(partCols, fieldId),
+        "partition-spec-id" -> "0",
+        "format-version" -> "2",
+        "content" -> "data")) { w =>
+        files.foreach { fe =>
+          val entry = new GenericData.Record(manifestEntrySchema)
+          entry.put("status", 1) // ADDED
+          entry.put("snapshot_id", snapshotId)
+          entry.put("sequence_number", seq)
+          entry.put("file_sequence_number", seq)
+          val dfSchema = manifestEntrySchema.getField("data_file").schema()
+          val df = new GenericData.Record(dfSchema)
+          df.put("content", 0)
+          df.put("file_path", s"$out/${fe.path}")
+          df.put("file_format", "PARQUET")
+          val pr = new GenericData.Record(dfSchema.getField("partition").schema())
+          partitionValuesOf(fe.path, partCols, fullSchema).foreach {
+            case (k, value) => pr.put(k, value)
+          }
+          df.put("partition", pr)
+          df.put("record_count",
+            counts.getOrElse(normalize(s"$out/${fe.path}"), 0L))
+          df.put("file_size_in_bytes", fe.size)
+          entry.put("data_file", df)
+          w.append(entry)
+        }
+      }
+
+      // manifest list for this snapshot
+      val listName = s"snap-$snapshotId-1-${UUID.nameUUIDFromBytes(s"$table-s$v".getBytes)}.avro"
+      val listPath = metaDir.resolve(listName)
+      writeAvro(listPath, listSchema, Map(
+        "format-version" -> "2",
+        "snapshot-id" -> snapshotId.toString,
+        "parent-snapshot-id" -> "null",
+        "sequence-number" -> seq.toString)) { w =>
+        val mf = new GenericData.Record(listSchema)
+        mf.put("manifest_path", manifestPath.toString)
+        mf.put("manifest_length", Files.size(manifestPath))
+        mf.put("partition_spec_id", 0)
+        mf.put("content", 0)
+        mf.put("sequence_number", seq)
+        mf.put("min_sequence_number", seq)
+        mf.put("added_snapshot_id", snapshotId)
+        mf.put("added_files_count", files.size)
+        mf.put("existing_files_count", 0)
+        mf.put("deleted_files_count", 0)
+        mf.put("added_rows_count", totalRows)
+        mf.put("existing_rows_count", 0L)
+        mf.put("deleted_rows_count", 0L)
+        w.append(mf)
+      }
+
+      val op = if (idx == 0) "append" else "overwrite"
+      s"""{"snapshot-id":$snapshotId,"sequence-number":$seq,
+         |"timestamp-ms":${System.currentTimeMillis()},
+         |"summary":{"operation":"$op"},
+         |"manifest-list":"$listPath","schema-id":0}""".stripMargin.replace("\n", "")
+    }
+
+    val currentSnapshotId = 3000000000L + versions.last
+    val metadata =
+      s"""{
+         |  "format-version": 2,
+         |  "table-uuid": "$tableUuid",
+         |  "location": "$out",
+         |  "last-sequence-number": ${versions.size},
+         |  "last-updated-ms": ${System.currentTimeMillis()},
+         |  "last-column-id": ${fullSchema.size},
+         |  "current-schema-id": 0,
+         |  "schemas": [$schemaJson],
+         |  "default-spec-id": 0,
+         |  "partition-specs": [$specJson],
+         |  "last-partition-id": ${999 + partCols.size},
+         |  "default-sort-order-id": 0,
+         |  "sort-orders": [{"order-id": 0, "fields": []}],
+         |  "properties": {"write.format.default": "parquet"},
+         |  "current-snapshot-id": $currentSnapshotId,
+         |  "snapshots": [${snapshots.mkString(",")}]
+         |}""".stripMargin
+    Files.writeString(metaDir.resolve("v1.metadata.json"), metadata)
+    Files.writeString(metaDir.resolve("version-hint.text"), "1")
+    out
+  }
+
+  // ---- schema translation --------------------------------------------
+
+  private def icebergType(dt: DataType): String = dt match {
+    case BooleanType => "boolean"
+    case IntegerType | ShortType | ByteType => "int"
+    case LongType => "long"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case StringType => "string"
+    case DateType => "date"
+    case TimestampType => "timestamptz"
+    case TimestampNTZType => "timestamp"
+    case BinaryType => "binary"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case other => throw new IllegalArgumentException(
+      s"IcebergExport supports primitive columns only, got ${other.sql}")
+  }
+
+  private def icebergSchemaJson(schema: StructType, fieldId: Map[String, Int]): String = {
+    val fields = schema.fields.map { f =>
+      s"""{"id": ${fieldId(f.name)}, "name": "${f.name}", """ +
+        s""""required": ${!f.nullable}, "type": "${icebergType(f.dataType)}"}"""
+    }
+    s"""{"type": "struct", "schema-id": 0, "fields": [${fields.mkString(", ")}]}"""
+  }
+
+  private def specFieldsJson(partCols: Seq[String], fieldId: Map[String, Int]): String =
+    partCols.zipWithIndex.map { case (p, i) =>
+      s"""{"name": "$p", "transform": "identity", "source-id": ${fieldId(p)}, "field-id": ${1000 + i}}"""
+    }.mkString("[", ", ", "]")
+
+  private def partitionSpecJson(partCols: Seq[String], fieldId: Map[String, Int]): String =
+    s"""{"spec-id": 0, "fields": ${specFieldsJson(partCols, fieldId)}}"""
+
+  private def partitionColType(store: TableStore, table: String, colName: String): DataType = {
+    // partition columns live in the directory names; recover the type
+    // Spark's partition discovery infers on a normal read
+    store.read(table).schema(colName).dataType
+  }
+
+  private def partitionValuesOf(
+      relPath: String, partCols: Seq[String], schema: StructType): Seq[(String, Any)] = {
+    val kvs = relPath.split('/').filter(_.contains('=')).map { seg =>
+      val Array(k, v) = seg.split("=", 2)
+      k -> java.net.URLDecoder.decode(v, "UTF-8")
+    }.toMap
+    partCols.map { p =>
+      val raw = kvs.getOrElse(p, throw new IllegalArgumentException(
+        s"partition column $p missing from path $relPath"))
+      val typed: Any = schema(p).dataType match {
+        case IntegerType => raw.toInt
+        case LongType => java.lang.Long.valueOf(raw)
+        case StringType => raw
+        case other => throw new IllegalArgumentException(
+          s"identity partition on ${other.sql} not supported")
+      }
+      p -> typed
+    }
+  }
+
+  // ---- avro schemas (field-ids per the Iceberg spec) -----------------
+
+  private def avroPrimitive(dt: DataType): String = dt match {
+    case IntegerType => "\"int\""
+    case LongType => "\"long\""
+    case StringType => "\"string\""
+    case other => throw new IllegalArgumentException(
+      s"identity partition on ${other.sql} not supported")
+  }
+
+  private def entrySchema(schema: StructType, partCols: Seq[String]): Schema = {
+    // every field is written with a concrete value, so plain required
+    // Avro types are used throughout — a reader whose expected schema
+    // marks these optional resolves writer-required → reader-union per
+    // standard Avro schema resolution
+    val partFields = partCols.zipWithIndex.map { case (p, i) =>
+      s"""{"name": "$p", "type": ${avroPrimitive(schema(p).dataType)}, "field-id": ${1000 + i}}"""
+    }.mkString(", ")
+    new Schema.Parser().parse(
+      s"""{"type": "record", "name": "manifest_entry", "fields": [
+         |  {"name": "status", "type": "int", "field-id": 0},
+         |  {"name": "snapshot_id", "type": "long", "field-id": 1},
+         |  {"name": "sequence_number", "type": "long", "field-id": 3},
+         |  {"name": "file_sequence_number", "type": "long", "field-id": 4},
+         |  {"name": "data_file", "field-id": 2, "type": {"type": "record", "name": "r2", "fields": [
+         |    {"name": "content", "type": "int", "field-id": 134},
+         |    {"name": "file_path", "type": "string", "field-id": 100},
+         |    {"name": "file_format", "type": "string", "field-id": 101},
+         |    {"name": "partition", "field-id": 102,
+         |     "type": {"type": "record", "name": "r102", "fields": [$partFields]}},
+         |    {"name": "record_count", "type": "long", "field-id": 103},
+         |    {"name": "file_size_in_bytes", "type": "long", "field-id": 104}
+         |  ]}}
+         |]}""".stripMargin)
+  }
+
+  private def manifestListSchema(): Schema =
+    new Schema.Parser().parse(
+      """{"type": "record", "name": "manifest_file", "fields": [
+        |  {"name": "manifest_path", "type": "string", "field-id": 500},
+        |  {"name": "manifest_length", "type": "long", "field-id": 501},
+        |  {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        |  {"name": "content", "type": "int", "field-id": 517},
+        |  {"name": "sequence_number", "type": "long", "field-id": 515},
+        |  {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        |  {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        |  {"name": "added_files_count", "type": "int", "field-id": 504},
+        |  {"name": "existing_files_count", "type": "int", "field-id": 505},
+        |  {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        |  {"name": "added_rows_count", "type": "long", "field-id": 512},
+        |  {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        |  {"name": "deleted_rows_count", "type": "long", "field-id": 514}
+        |]}""".stripMargin)
+
+  // ---- plumbing -------------------------------------------------------
+
+  private def writeAvro(target: Path, schema: Schema, meta: Map[String, String])(
+      body: DataFileWriter[GenericRecord] => Unit): Unit = {
+    val writer = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    meta.foreach { case (k, v) => writer.setMeta(k, v) }
+    writer.create(schema, target.toFile)
+    try body(writer) finally writer.close()
+  }
+
+  private case class FileEntry(path: String, size: Long)
+
+  private def linkGeneration(srcDir: Path, genDir: Path, exportRoot: Path): Seq[FileEntry] = {
+    Files.walk(srcDir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .filter(p => !srcDir.relativize(p).toString.startsWith("_"))
+      .map { p =>
+        val rel = srcDir.relativize(p)
+        val dst = genDir.resolve(rel)
+        Files.createDirectories(dst.getParent)
+        try Files.createLink(dst, p)
+        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+          Files.copy(p, dst)
+        }
+        FileEntry(exportRoot.relativize(dst).toString, Files.size(dst))
+      }
+      .toSeq.sortBy(_.path)
+  }
+
+  /** input_file_name() URIs vs Path strings: strip the scheme and any
+    * duplicate slashes so per-file row counts key consistently.
+    */
+  private def normalize(p: String): String =
+    java.net.URLDecoder.decode(p.replaceFirst("^file:/*", "/"), "UTF-8")
+
+  private def deleteRecursively(p: Path): Unit =
+    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+}

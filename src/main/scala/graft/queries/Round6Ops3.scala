@@ -278,7 +278,45 @@ object Round6Ops3 {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Iceberg interop round trip — the [[s49_delta_roundtrip]] twin for
+    * the other major open table format: a 2-generation partitioned
+    * TableStore table exported as an Iceberg v2 table
+    * (`metadata.json` + Avro manifest lists/manifests per the public
+    * spec, via [[graft.operators.IcebergExport]]) and read back through
+    * the protocol-level reader ([[graft.operators.IcebergImport]]) —
+    * snapshot resolution, manifest streaming, typed identity-partition
+    * reattachment. Same oracle: two storage round trips through the
+    * public protocol must be observationally invisible. Spec-level
+    * conformance (field-ids, manifest metadata, per-snapshot replay,
+    * refusals) is IcebergExportSpec / IcebergImportSpec.
+    */
+  val s50_iceberg_roundtrip = OpQuery(
+    "s50_iceberg_roundtrip",
+    """SELECT o_orderkey, o_orderpriority,
+      |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
+      |       CAST(year(o_orderdate) AS INT) AS o_year
+      |FROM orders
+      |WHERE o_orderkey % 9 = 0
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    import graft.operators.{IcebergExport, IcebergImport, TableStore}
+    val scratch = java.nio.file.Files.createTempDirectory("graft-ice-rt-")
+    val store = new TableStore(spark, scratch.resolve("store").toString)
+    val src = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderkey") % 9 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double").as("total"),
+        year(col("o_orderdate")).cast("int").as("o_year"))
+    store.overwrite("rt", src.filter(col("o_orderkey") % 18 === 0),
+      partitionBy = Seq("o_year"))
+    store.overwrite("rt", src, partitionBy = Seq("o_year"))
+    val exported = IcebergExport.exportTable(store, "rt",
+      scratch.resolve("iceberg").toString)
+    IcebergImport.read(spark, exported.toString)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("total"), col("o_year"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[OpQuery] = Seq(
     tpch_q2_shape, tpch_q9_shape, tpch_q16_shape, tpch_q20_shape,
-    tpch_q21_shape, s49_delta_roundtrip)
+    tpch_q21_shape, s49_delta_roundtrip, s50_iceberg_roundtrip)
 }

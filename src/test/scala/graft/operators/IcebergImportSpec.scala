@@ -1,0 +1,70 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Round trip through the Iceberg v2 protocol: export → import must be
+  * observationally invisible at every snapshot, including typed
+  * partition reattachment and snapshot-id time travel.
+  */
+class IcebergImportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("unpartitioned round trip at every snapshot") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-ii-").toString)
+    store.overwrite("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    store.overwrite("t", Seq((3L, "c"), (4L, "d"), (5L, "e")).toDF("id", "v"))
+    store.overwrite("t", Seq((6L, "f")).toDF("id", "v"))
+    val out = IcebergExport.exportTable(store, "t",
+      Files.createTempDirectory("graft-iio-").toString).toString
+
+    val snaps = IcebergImport.snapshots(spark, out)
+    assert(snaps.map(_._2) == Seq(1L, 2L, 3L))
+    snaps.map(_._1).zip(store.versions("t")).foreach { case (snapId, graftV) =>
+      assert(sortedRows(IcebergImport.read(spark, out, Some(snapId))) ==
+        sortedRows(store.read("t", graftV)),
+        s"mismatch at snapshot $snapId / graft version $graftV")
+    }
+    assert(sortedRows(IcebergImport.read(spark, out)) ==
+      sortedRows(store.read("t")))
+  }
+
+  test("partitioned round trip: typed partition columns, time travel") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-iip-").toString)
+    store.overwrite("p",
+      Seq((1, 2023, "a"), (2, 2024, "b")).toDF("id", "year", "v"),
+      partitionBy = Seq("year"))
+    store.overwrite("p",
+      Seq((3, 2024, "c"), (4, 2025, "d")).toDF("id", "year", "v"),
+      partitionBy = Seq("year"))
+    val out = IcebergExport.exportTable(store, "p",
+      Files.createTempDirectory("graft-iipo-").toString).toString
+
+    val imported = IcebergImport.read(spark, out)
+    assert(imported.schema("year").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(sortedRows(imported.select("id", "year", "v")) ==
+      sortedRows(store.read("p").select("id", "year", "v")))
+    val firstSnap = IcebergImport.snapshots(spark, out).head._1
+    assert(sortedRows(IcebergImport.read(spark, out, Some(firstSnap))
+        .select("id", "year", "v")) ==
+      sortedRows(store.read("p", store.versions("p").head).select("id", "year", "v")))
+  }
+
+  test("unknown snapshot id and non-iceberg paths refused loudly") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-iir-").toString)
+    store.overwrite("t", Seq((1L, "a")).toDF("id", "v"))
+    val out = IcebergExport.exportTable(store, "t",
+      Files.createTempDirectory("graft-iiro-").toString).toString
+    intercept[IllegalArgumentException] {
+      IcebergImport.read(spark, out, Some(123456789L))
+    }
+    intercept[IllegalArgumentException] {
+      IcebergImport.read(spark, Files.createTempDirectory("graft-nope-").toString)
+    }
+  }
+}
