@@ -82,14 +82,21 @@ object Dedup {
     // full-token shuffles; measured at sf0.1 the shuffles cost more
     // than the extra candidates (hash order still shrinks every
     // posting list by the prefix fraction, ~10× at t = 0.9).
+    graft.expressions.ArrayExprs.register(df.sparkSession)
+    // two per-doc orders, both map-side: `ts` in hash order feeds the
+    // prefix filter (uniform prefix membership); `ts_lex` in string
+    // order feeds the native two-pointer verify (sorted_intersect_size
+    // needs the comparator's order; same token SET, so jaccard is
+    // unchanged)
     val sorted = df.select(
         col(idCol).as("doc_id"),
         transform(
           array_sort(transform(
             TextFunctions.distinctTokens(col(textCol)),
             t => struct(xxhash64(t).as("h"), t.as("tok")))),
-          s => s.getField("tok")).as("ts"))
-      .select(col("doc_id"), col("ts"), size(col("ts")).as("set_size"))
+          s => s.getField("tok")).as("ts"),
+        array_sort(TextFunctions.distinctTokens(col(textCol))).as("ts_lex"))
+      .select(col("doc_id"), col("ts"), col("ts_lex"), size(col("ts")).as("set_size"))
       .localCheckpoint(true)
     // prefix length |A| - ceil(t|A|) + 1; the 1e-9 slack makes double
     // rounding err toward a LONGER prefix (extra candidates are verified
@@ -109,11 +116,12 @@ object Dedup {
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
     candidates
-      .join(sorted.select(col("doc_id").as("id1"), col("ts").as("ts1"),
+      .join(sorted.select(col("doc_id").as("id1"), col("ts_lex").as("ts1"),
         col("set_size").as("size1")), "id1")
-      .join(sorted.select(col("doc_id").as("id2"), col("ts").as("ts2"),
+      .join(sorted.select(col("doc_id").as("id2"), col("ts_lex").as("ts2"),
         col("set_size").as("size2")), "id2")
-      .withColumn("n_inter", size(array_intersect(col("ts1"), col("ts2"))))
+      .withColumn("n_inter",
+        graft.expressions.ArrayExprs.sortedIntersectSize(col("ts1"), col("ts2")))
       .withColumn(
         "jaccard",
         col("n_inter").cast("double") /
