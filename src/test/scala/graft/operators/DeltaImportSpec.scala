@@ -126,6 +126,37 @@ class DeltaImportSpec extends SparkSpec {
     assert(DeltaImport.versions(table.toString).max == 3L)
   }
 
+  test("multi-part checkpoint: all parts read, state reconstructed") {
+    val table = Files.createTempDirectory("graft-dimp-")
+    val log = table.resolve("_delta_log")
+    Files.createDirectories(log)
+    val schemaJson = Seq((1L, "x")).toDF("id", "v").schema.json
+      .replace("\"", "\\\"")
+
+    writeSingleParquet(Seq((1L, "a")).toDF("id", "v"), table.resolve("f0.parquet"))
+    writeSingleParquet(Seq((2L, "b")).toDF("id", "v"), table.resolve("f1.parquet"))
+
+    // version-2 checkpoint split into two parts (the protocol's
+    // NNNN.checkpoint.<part>.<of>.parquet naming), each carrying a
+    // slice of the actions; no JSON predecessors at all
+    val metaPart = Seq(
+      s"""{"metaData":{"id":"00000000-0000-0000-0000-000000000003","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":1}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":false}}""")
+    val addPart = Seq(
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":false}}""")
+    writeSingleParquet(spark.read.json(spark.createDataset(metaPart)),
+      log.resolve(f"${2L}%020d.checkpoint.${1}%010d.${2}%010d.parquet"))
+    writeSingleParquet(spark.read.json(spark.createDataset(addPart)),
+      log.resolve(f"${2L}%020d.checkpoint.${2}%010d.${2}%010d.parquet"))
+    Files.writeString(log.resolve("_last_checkpoint"),
+      """{"version":2,"size":4,"parts":2}""")
+
+    val ids = DeltaImport.read(spark, table.toString, Some(2L))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L), "multi-part checkpoint must union all parts")
+  }
+
   test("refuses column mapping and reader-version-3 tables loudly") {
     val table = Files.createTempDirectory("graft-dir3-")
     val log = table.resolve("_delta_log")

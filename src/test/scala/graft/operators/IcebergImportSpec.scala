@@ -55,6 +55,57 @@ class IcebergImportSpec extends SparkSpec {
       sortedRows(store.read("p", store.versions("p").head).select("id", "year", "v")))
   }
 
+  test("DELETED manifest entries (status=2) drop out of the snapshot") {
+    // handcraft a foreign manifest: re-use an export, then append a
+    // second manifest whose only entry is a DELETED tombstone for one
+    // of the live files — a stock compaction writes exactly this
+    val store = new TableStore(spark, Files.createTempDirectory("graft-iid-").toString)
+    store.overwrite("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"), numFiles = 2)
+    val out = IcebergExport.exportTable(store, "t",
+      Files.createTempDirectory("graft-iido-").toString).toString
+
+    val snaps = IcebergImport.snapshots(spark, out)
+    val before = IcebergImport.read(spark, out).select("id").as[Long].collect().sorted
+    assert(before.sameElements(Array(1L, 2L)))
+
+    // rewrite the snapshot's manifest: flip one entry's status to 2
+    import org.apache.avro.file.{DataFileReader, DataFileWriter}
+    import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+    import scala.collection.JavaConverters._
+    val md = spark.read.option("multiLine", true)
+      .json(s"$out/metadata/v1.metadata.json").head()
+    val listPath = md.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("snapshots")
+      .head.getAs[String]("manifest-list")
+    val mfReader = new DataFileReader[GenericRecord](
+      new java.io.File(listPath), new GenericDatumReader[GenericRecord]())
+    val mPath = mfReader.iterator().asScala.toList.head.get("manifest_path").toString
+    mfReader.close()
+    val eReader = new DataFileReader[GenericRecord](
+      new java.io.File(mPath), new GenericDatumReader[GenericRecord]())
+    val schema = eReader.getSchema
+    val entries = eReader.iterator().asScala.toList
+    val metaKeys = Seq("schema", "partition-spec", "partition-spec-id",
+      "format-version", "content")
+      .map(k => k -> new String(eReader.getMeta(k), "UTF-8"))
+    eReader.close()
+    assert(entries.size == 2)
+    entries.head.put("status", 2) // DELETED
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    metaKeys.foreach { case (k, v) => w.setMeta(k, v) }
+    w.create(schema, new java.io.File(mPath))
+    entries.foreach(w.append)
+    w.close()
+
+    val after = IcebergImport.read(spark, out).select("id").as[Long].collect().sorted
+    val deletedFile = entries.head.get("data_file")
+      .asInstanceOf[GenericRecord].get("file_path").toString
+    val survivorIds = spark.read.parquet(
+        entries(1).get("data_file").asInstanceOf[GenericRecord].get("file_path").toString)
+      .select("id").as[Long].collect().sorted
+    assert(after.sameElements(survivorIds),
+      s"DELETED entry $deletedFile still served: ${after.toSeq}")
+  }
+
   test("unknown snapshot id and non-iceberg paths refused loudly") {
     val store = new TableStore(spark, Files.createTempDirectory("graft-iir-").toString)
     store.overwrite("t", Seq((1L, "a")).toDF("id", "v"))
