@@ -73,6 +73,24 @@ object Graph {
         e.groupBy(col("__src")).agg(count(lit(1)).as("__deg")), "__src")
       .localCheckpoint(false)
 
+    // Dangling handling, ONCE instead of per-iteration: a node with no
+    // in-edges has the CONSTANT rank (1-d) + d·0 from iteration 1 on,
+    // so the old `nodes LEFT JOIN contribs` each round (a full extra
+    // shuffle whose only job was re-surfacing those nodes) collapses to
+    // one static frame computed up front and unioned in. The base term
+    // is built from the same Spark expressions the joined path
+    // evaluated, so the doubles are bit-identical (and identical to an
+    // oracle's COALESCE(…, 0) arithmetic). For symmetrized/undirected
+    // edge lists the anti-join is empty and the union degenerates.
+    val baseRank = {
+      val b = lit(1.0) - lit(damping) + lit(damping) * lit(0.0)
+      if (quantizeDp > 0) round(b, quantizeDp) else b
+    }
+    val danglingRanks = nodes
+      .join(e.select(col("__dst").as("id")).distinct(), Seq("id"), "left_anti")
+      .select(col("id"), baseRank.as("rank"))
+      .localCheckpoint(true)
+
     var ranks = nodes.withColumn("rank", lit(1.0)).localCheckpoint(true)
     for (_ <- 1 to iterations) {
       val rawC = col("rank") / col("__deg")
@@ -100,11 +118,11 @@ object Graph {
       val newRank =
         (lit(1.0) - lit(damping)) +
           lit(damping) * coalesce(inTerm, lit(0.0))
-      ranks = nodes
-        .join(contribs, Seq("id"), "left")
+      ranks = contribs
         .select(col("id"),
           (if (quantizeDp > 0) round(newRank, quantizeDp) else newRank)
             .as("rank"))
+        .unionByName(danglingRanks)
         .localCheckpoint(false)
     }
     ranks
