@@ -77,7 +77,19 @@ def main():
             continue
         name = os.path.basename(qdir)
         files = glob.glob(os.path.join(qdir, "*.parquet"))
-        spark_df = pq.ParquetDataset(files).read().to_pandas() if files else pd.DataFrame()
+        spark_tbl = pq.ParquetDataset(files).read() if files else None
+        spark_df = spark_tbl.to_pandas() if spark_tbl is not None else pd.DataFrame()
+        # Driver-parity guard: the driver row-sorts with pandas before
+        # hashing and nested (list/struct/map) cells are unhashable there
+        # — any gate emitting one fails at the driver even if the values
+        # match. Fail it here too, before a round burns on it again.
+        if spark_tbl is not None:
+            import pyarrow as pa
+            nested = [f.name for f in spark_tbl.schema if pa.types.is_nested(f.type)]
+            if nested:
+                failures.append((name, f"non-scalar output columns {nested} — "
+                                 "serialize with array_join/to_json in both engines"))
+                continue
         if name not in oracles:
             no_oracle.append((name, len(spark_df)))
             continue
@@ -93,6 +105,23 @@ def main():
         if len(s) != len(d):
             failures.append((name, f"rowcount spark={len(s)} duck={len(d)}"))
             continue
+        # Row-sort both frames on the canonicalized values before the
+        # compare, like the driver does (round-5 verdict item 2): equal
+        # multisets of canonical tuples compare equal regardless of each
+        # engine's ORDER BY tie-breaking; a positional compare would both
+        # miss driver failures and flag spurious tie-order diffs.
+        try:
+            s_key = pd.DataFrame({c: s[c].map(canon) for c in s.columns})
+            d_key = pd.DataFrame({c: d[c].map(canon) for c in d.columns})
+            cols = list(s.columns)
+            s_ord = s_key.sort_values(cols, kind="mergesort").index if cols else s_key.index
+            d_ord = d_key.sort_values(cols, kind="mergesort").index if cols else d_key.index
+            s, d = s.loc[s_ord].reset_index(drop=True), d.loc[d_ord].reset_index(drop=True)
+            s_key = s_key.loc[s_ord].reset_index(drop=True)
+            d_key = d_key.loc[d_ord].reset_index(drop=True)
+        except Exception as e:
+            failures.append((name, f"row-sort error (driver would fail too): {e}"))
+            continue
         diffs = []
         for c in s.columns:
             sv, dv = s[c], d[c]
@@ -101,8 +130,7 @@ def main():
                 # '100.50' while float64 is '100.5', int64 is '1' while
                 # float64 is '1.0' — exactly the divergences the driver's
                 # value hash sees. No float coercion before comparing.
-                scs, dcs = sv.map(canon), dv.map(canon)
-                eq = scs == dcs
+                eq = s_key[c] == d_key[c]
                 if not bool(eq.all()):
                     bad = (~eq).idxmax()
                     diffs.append(

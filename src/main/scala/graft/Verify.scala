@@ -22,9 +22,22 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // The driver's checker row-sorts results with pandas before
+        // hashing; nested cells (array/map/struct) are unhashable there
+        // and fail the gate even when values match. Refuse them here so
+        // the failure is loud and local, not a burned round.
+        val nested = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+                    f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] ||
+                    f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] => f.name
+        }
+        require(nested.isEmpty,
+          s"non-scalar output columns ${nested.mkString(",")} — serialize " +
+            "with array_join/to_json in both engines (driver checker cannot hash them)")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -103,7 +103,8 @@ object DeltaExport {
     * back to copying if the filesystem refuses links.
     */
   private def linkGeneration(srcDir: Path, genDir: Path, exportRoot: Path): Seq[FileEntry] = {
-    Files.walk(srcDir).iterator().asScala
+    val walk = Files.walk(srcDir)
+    try walk.iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
       .filter(p => !srcDir.relativize(p).toString.startsWith("_"))
       .map { p =>
@@ -120,6 +121,7 @@ object DeltaExport {
           Files.getLastModifiedTime(dst).toMillis)
       }
       .toSeq.sortBy(_.path)
+    finally walk.close()
   }
 
   /** Hive-style `k=v` path segments → Delta partitionValues map. */
@@ -143,6 +145,9 @@ object DeltaExport {
     case c => c.toString
   } + "\""
 
-  private def deleteRecursively(p: Path): Unit =
-    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+  private def deleteRecursively(p: Path): Unit = {
+    val s = Files.walk(p)
+    val all = try s.iterator().asScala.toSeq finally s.close()
+    all.reverse.foreach(Files.delete)
+  }
 }

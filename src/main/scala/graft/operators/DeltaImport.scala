@@ -31,13 +31,17 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    legitimately omit partition columns), cast to the table schema
   *
   * Refused loudly (features that change how DATA bytes are read):
-  * minReaderVersion > 2, column mapping, deletion vectors. Silent wrong
+  * minReaderVersion > 2, column mapping, deletion vectors, and
+  * absolute/scheme-qualified add paths (shallow clones). Silent wrong
   * answers are worse than a clear "needs Delta jars".
   *
   * Scale posture: the log is parsed with `spark.read.json/parquet` and
   * the live-set reconstruction is a window over (path → last action) —
-  * all distributed; a million-file table's state never collects to the
-  * driver. The file→partition mapping joins broadcast against the scan.
+  * all distributed. The final live PATH LIST does collect to the driver
+  * to feed `spark.read.parquet(paths)` (same order as a catalog file
+  * index: ~100 bytes/file, so ~100 MB at a million files — fine for the
+  * target scale, but it is driver-resident state, not zero). The
+  * file→partition mapping joins broadcast against the scan.
   */
 object DeltaImport {
 
@@ -63,9 +67,16 @@ object DeltaImport {
       .select(col("path"), col("partitionValues"))
       .localCheckpoint(true)
 
-    // add-action paths are URL-encoded relative paths per the protocol
-    val files = live.select("path").collect().map(r =>
-      s"$tablePath/${java.net.URLDecoder.decode(r.getString(0), "UTF-8")}")
+    // add-action paths are URL-encoded table-relative paths per the
+    // protocol, but MAY be absolute URIs (e.g. shallow clones). We don't
+    // implement external-file resolution, so refuse loudly rather than
+    // mis-prefix them under tablePath and read garbage.
+    val files = live.select("path").collect().map { r =>
+      val decoded = java.net.URLDecoder.decode(r.getString(0), "UTF-8")
+      require(!decoded.startsWith("/") && !decoded.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*"),
+        s"absolute/scheme-qualified add path not supported (shallow clone?): $decoded")
+      s"$tablePath/$decoded"
+    }
     val scan =
       if (files.isEmpty)
         spark.createDataFrame(
@@ -100,13 +111,21 @@ object DeltaImport {
   def versions(tablePath: String): Seq[Long] = {
     val log = Paths.get(tablePath, "_delta_log")
     require(Files.isDirectory(log), s"not a Delta table (no _delta_log): $tablePath")
-    val entries = Files.list(log).iterator().asScala.map(_.getFileName.toString).toSeq
+    val entries = listFileNames(log)
     val json = entries.collect { case JsonCommit(v) => v.toLong }
     val cp = entries.collect { case CheckpointFile(v, _, _) => v.toLong }
     (json ++ cp).distinct.sorted
   }
 
   // ---- internals ------------------------------------------------------
+
+  /** Files.list holds an open DirectoryStream — materialize and close,
+    * or repeated imports leak file descriptors (round-5 advice item).
+    */
+  private def listFileNames(dir: Path): Seq[String] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString).toSeq finally s.close()
+  }
 
   private val JsonCommit = """(\d{20})\.json""".r
   private val CheckpointFile =
@@ -131,7 +150,7 @@ object DeltaImport {
     */
   private def actionFrame(spark: SparkSession, tablePath: String, target: Long): DataFrame = {
     val log = Paths.get(tablePath, "_delta_log")
-    val entries = Files.list(log).iterator().asScala.map(_.getFileName.toString).toSeq
+    val entries = listFileNames(log)
 
     val cpVersion: Option[Long] = entries
       .collect { case CheckpointFile(v, _, _) => v.toLong }

@@ -37,7 +37,12 @@ import org.apache.spark.sql.types._
 object IcebergExport {
 
   def exportTable(store: TableStore, table: String, exportDir: String): Path = {
-    val out = Paths.get(exportDir)
+    // Resolve to an absolute, normalized path up front: record_count is
+    // looked up by normalize(input_file_name) vs normalize(s"$out/rel"),
+    // and a relative exportDir would make the keys never match — the
+    // manifest would silently carry record_count=0, so stock Iceberg
+    // readers answering count(*) from the manifest would be wrong.
+    val out = Paths.get(exportDir).toAbsolutePath.normalize
     if (Files.exists(out)) deleteRecursively(out)
     val metaDir = out.resolve("metadata")
     Files.createDirectories(metaDir)
@@ -102,8 +107,12 @@ object IcebergExport {
             case (k, value) => pr.put(k, value)
           }
           df.put("partition", pr)
-          df.put("record_count",
-            counts.getOrElse(normalize(s"$out/${fe.path}"), 0L))
+          // require the match: a silent 0 here corrupts manifest-based
+          // count(*) in stock readers (round-5 advice item)
+          df.put("record_count", counts.getOrElse(
+            normalize(s"$out/${fe.path}"),
+            throw new IllegalStateException(
+              s"no row count for ${fe.path} — key mismatch in manifest build")))
           df.put("file_size_in_bytes", fe.size)
           entry.put("data_file", df)
           w.append(entry)
@@ -295,7 +304,8 @@ object IcebergExport {
   private case class FileEntry(path: String, size: Long)
 
   private def linkGeneration(srcDir: Path, genDir: Path, exportRoot: Path): Seq[FileEntry] = {
-    Files.walk(srcDir).iterator().asScala
+    val walk = Files.walk(srcDir)
+    try walk.iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
       .filter(p => !srcDir.relativize(p).toString.startsWith("_"))
       .map { p =>
@@ -309,6 +319,7 @@ object IcebergExport {
         FileEntry(exportRoot.relativize(dst).toString, Files.size(dst))
       }
       .toSeq.sortBy(_.path)
+    finally walk.close()
   }
 
   /** input_file_name() URIs vs Path strings: strip the scheme and any
@@ -317,6 +328,9 @@ object IcebergExport {
   private def normalize(p: String): String =
     java.net.URLDecoder.decode(p.replaceFirst("^file:/*", "/"), "UTF-8")
 
-  private def deleteRecursively(p: Path): Unit =
-    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+  private def deleteRecursively(p: Path): Unit = {
+    val s = Files.walk(p)
+    val all = try s.iterator().asScala.toSeq finally s.close()
+    all.reverse.foreach(Files.delete)
+  }
 }

@@ -64,11 +64,18 @@ object Skew {
       df: DataFrame, key: String, sampleFraction: Double = 0.001,
       minShare: Double = 0.01, seed: Long = 42L): Seq[Any] = {
     val sampled = df.select(col(key)).sample(sampleFraction, seed)
+      .filter(col(key).isNotNull) // null never matches an inner join — a
+      // null "hot key" would also poison hotKeyJoin's isin predicate
       .groupBy(col(key)).agg(count(lit(1)).as("__n"))
       .localCheckpoint(true)
-    val total = sampled.agg(sum(col("__n"))).collect()(0).getLong(0)
-    sampled.filter(col("__n") >= lit(minShare * total))
-      .collect().map(_.get(0)).toSeq
+    // tiny input x small fraction can sample zero rows: sum() is NULL
+    val totalRow = sampled.agg(sum(col("__n"))).collect()(0)
+    if (totalRow.isNullAt(0) || totalRow.getLong(0) == 0L) Seq.empty
+    else {
+      val total = totalRow.getLong(0)
+      sampled.filter(col("__n") >= lit(minShare * total))
+        .collect().map(_.get(0)).toSeq
+    }
   }
 
   /** Split-union skew join: rows on `hotKeys` broadcast-join against
@@ -86,9 +93,18 @@ object Skew {
   def hotKeyJoin(
       big: DataFrame, small: DataFrame, key: String,
       hotKeys: Seq[Any]): DataFrame = {
-    if (hotKeys.isEmpty) big.join(small, Seq(key))
+    // A null in hotKeys would make isin() three-valued NULL for every
+    // non-matching row, so BOTH branches' filters would drop it and the
+    // join result silently loses almost all rows. Null keys never match
+    // an inner equi-join anyway, so stripping them preserves the
+    // row-for-row contract for ANY caller-supplied hot set.
+    val hks = hotKeys.filter(_ != null)
+    if (hks.isEmpty) big.join(small, Seq(key))
     else {
-      val isHot = col(key).isin(hotKeys: _*)
+      // coalesce(..., false): rows with a NULL key must land in the cold
+      // branch (where the join drops them, same as the plain join) —
+      // not vanish from both branches.
+      val isHot = coalesce(col(key).isin(hks: _*), lit(false))
       val cold = big.filter(!isHot).join(small.filter(!isHot), Seq(key))
       val hot = big.filter(isHot)
         .join(broadcast(small.filter(isHot)), Seq(key))

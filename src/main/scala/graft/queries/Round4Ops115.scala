@@ -171,6 +171,10 @@ object Round4Ops115 {
     * exists/forall predicates, and a fold to the sum — Spark's
     * transform/filter/aggregate against DuckDB's list_* family, same
     * results. Arrays built by collect_list over an explicit sort.
+    * Array-typed columns are serialized to comma-joined strings in BOTH
+    * engines: the driver's checker row-sorts with pandas before hashing
+    * and numpy arrays are unhashable, so every gate output column must
+    * be scalar (round-5 verdict item 1).
     */
   val p26_lambda_funcs = OpQuery(
     "p26_lambda_funcs",
@@ -179,9 +183,11 @@ object Round4Ops115 {
       |         list_sort(list(CAST(l_quantity AS INT))) AS qs
       |  FROM lineitem WHERE l_orderkey < 100
       |  GROUP BY l_orderkey)
-      |SELECT l_orderkey, qs,
-      |       list_transform(qs, x -> x * 2) AS doubled,
-      |       list_filter(qs, x -> x % 2 = 0) AS evens,
+      |SELECT l_orderkey,
+      |       array_to_string(qs, ',') AS qs_str,
+      |       array_to_string(list_transform(qs, x -> x * 2), ',') AS doubled,
+      |       COALESCE(array_to_string(list_filter(qs, x -> x % 2 = 0), ','), '')
+      |         AS evens,
       |       len(list_filter(qs, x -> x > 30)) > 0 AS any_gt30,
       |       len(list_filter(qs, x -> x > 0)) = len(qs) AS all_pos,
       |       CAST(list_sum(qs) AS BIGINT) AS total
@@ -193,9 +199,10 @@ object Round4Ops115 {
         |         array_sort(collect_list(CAST(l_quantity AS INT))) AS qs
         |  FROM graft_hof_li WHERE l_orderkey < 100
         |  GROUP BY l_orderkey)
-        |SELECT l_orderkey, qs,
-        |       transform(qs, x -> x * 2) AS doubled,
-        |       filter(qs, x -> x % 2 = 0) AS evens,
+        |SELECT l_orderkey,
+        |       array_join(qs, ',') AS qs_str,
+        |       array_join(transform(qs, x -> x * 2), ',') AS doubled,
+        |       array_join(filter(qs, x -> x % 2 = 0), ',') AS evens,
         |       exists(qs, x -> x > 30) AS any_gt30,
         |       forall(qs, x -> x > 0) AS all_pos,
         |       CAST(aggregate(qs, 0L, (acc, x) -> acc + x) AS BIGINT) AS total

@@ -94,10 +94,9 @@ object Round6Ops2 {
           .cast("double").as("revenue"))
       .select(col("yr").cast("long").as("yr"), col("n_orders"), col("revenue"))
       .orderBy(col("yr"))
-    joined.collect() // materialize so the adaptive plan is final
-    val plan = joined.queryExecution.executedPlan.toString
-    require(plan.contains("dynamicpruning"),
-      s"expected dynamic partition pruning in the fact scan:\n$plan")
+    // The dynamic-pruning plan assertion lives in PlanSpec ("s48: ..."),
+    // not here: an in-gate collect() would execute the query twice
+    // (round-5 verdict item 3) — the gate runs it exactly once.
     joined
   }
 

@@ -50,6 +50,21 @@ class BpeSpec extends SparkSpec {
     assert(toks === Seq("aaab", "aa", "b"))
   }
 
+  test("batched training equals the sequential merge list, merge for merge") {
+    // real text (gate corpus slice): shared symbols force early batch
+    // stops, created-pair bounds gate the rest — the prefix-only
+    // acceptance must still reproduce sequential output exactly
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sequential = Bpe.train(docs, "text", numMerges = 30, batchSize = 1)
+    val batched = Bpe.train(docs, "text", numMerges = 30, batchSize = 16)
+    assert(sequential.size === 30)
+    assert(batched === sequential)
+    // and on the adversarial hand corpus where every pair interacts
+    val hand = Seq("aaab aaab", "aaab aab").toDF("text")
+    assert(Bpe.train(hand, "text", 3, minPairCount = 1, batchSize = 8) ===
+      Bpe.train(hand, "text", 3, minPairCount = 1, batchSize = 1))
+  }
+
   test("train is deterministic across layouts") {
     val docs = (1 to 50).map(i => s"spark scan spark merge batch b$i").toDF("text")
     val m1 = Bpe.train(docs.repartition(2), "text", 5)

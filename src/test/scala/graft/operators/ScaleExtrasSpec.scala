@@ -50,11 +50,34 @@ class ScaleExtrasSpec extends SparkSpec {
       .select($"o_orderkey", $"c_name").as[(Long, String)].collect().sorted.toSeq
     // empty hot set → pure shuffle branch; keys absent from the dim or
     // the fact must not invent or drop rows
-    for (hot <- Seq(Seq.empty[Any], Seq[Any](1L, 2L, 3L), Seq[Any](-5L, 999999999L, 4L))) {
+    // a null in the hot set must not flip isin() three-valued and drop
+    // every cold row (round-5 advice item)
+    for (hot <- Seq(Seq.empty[Any], Seq[Any](1L, 2L, 3L), Seq[Any](-5L, 999999999L, 4L),
+                    Seq[Any](null, 3L), Seq[Any](null))) {
       val split = Skew.hotKeyJoin(orders, customer, "c_custkey", hot)
         .select($"o_orderkey", $"c_name").as[(Long, String)].collect().sorted.toSeq
       assert(split == plain, s"hot=$hot")
     }
+  }
+
+  test("hotKeyJoin with null-valued join keys in the data routes them cold (dropped, like the plain join)") {
+    val big = Seq((1L, Option(10L)), (2L, Option(10L)), (3L, None), (4L, Option(20L)))
+      .toDF("id", "k")
+    val dim = Seq((Option(10L), "a"), (None, "x"), (Option(20L), "b")).toDF("k", "v")
+    val plain = big.join(dim, "k").select($"id", $"v").as[(Long, String)]
+      .collect().sorted.toSeq
+    val split = Skew.hotKeyJoin(big, dim, "k", Seq[Any](10L))
+      .select($"id", $"v").as[(Long, String)].collect().sorted.toSeq
+    assert(split == plain)
+  }
+
+  test("detectHotKeys: empty sample returns empty, null keys never reported hot") {
+    val tiny = Seq(1L, 2L, 3L).toDF("k")
+    assert(Skew.detectHotKeys(tiny, "k", sampleFraction = 0.0001) == Seq.empty)
+    val nullHeavy = spark.range(50000)
+      .select(when($"id" % 10 < 8, lit(null).cast("long")).otherwise($"id" % 100).as("k"))
+    val hot = Skew.detectHotKeys(nullHeavy, "k", sampleFraction = 0.05, minShare = 0.05)
+    assert(!hot.contains(null), s"null reported hot: $hot")
   }
 
   test("hotKeyJoin broadcasts the hot branch") {

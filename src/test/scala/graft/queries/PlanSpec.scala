@@ -171,6 +171,12 @@ class PlanSpec extends SparkSpec {
       s"no dynamic partition pruning in the fact scan:\n$p")
   }
 
+  test("s48: the year-partitioned fact scan is dynamically pruned by the dim filter") {
+    val p = plan(Round6Ops2.s48_dpp_join)
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in the s48 fact scan:\n$p")
+  }
+
   test("q16: NOT IN plans as a null-aware broadcast anti-join, never a nested loop over data") {
     val p = plan(Round6Ops3.tpch_q16_shape)
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
