@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expressions.VectorExprs
+
+/** Persistent IVF vector index as a warehouse artifact — the
+  * build/serve split every production vector store has, expressed as
+  * two [[TableStore]] tables so the index survives the session, is
+  * versioned/compacted/vacuumed like any other table, and is readable
+  * by any engine that speaks parquet:
+  *
+  *  - `<name>_ann_centroids` — (cell_id INT, centroid ARRAY) — the
+  *    coarse quantizer, tiny (≤ ~sqrt(corpus) rows), broadcast at
+  *    query time;
+  *  - `<name>_ann_postings` — (idCol, vecCol) PARTITIONED BY cell_id —
+  *    every corpus vector under its nearest-centroid cell, Hive-layout
+  *    `cell_id=N/` subdirectories.
+  *
+  * The partition layout is the point: a query batch probes `nprobe`
+  * cells per query, so the serve path collects the probed-cell union
+  * (bounded by min(numCells, queries x nprobe) ints — driver-safe at
+  * any corpus size) and scans ONLY those subdirectories
+  * (PartitionFilters at the parquet scan, asserted in AnnIndexSpec).
+  * At 100 TB the index build pays one corpus-sized assignment pass
+  * ([[Similarity.assignCells]], map-only against broadcast centroids)
+  * plus one cell-partitioned shuffle-write; each query batch after
+  * that reads nprobe/numCells of the corpus, not all of it.
+  *
+  * Search results are bit-identical to the in-memory
+  * [[Similarity.ivfTopKWith]] path (same expressions, same tie-breaks;
+  * parquet roundtrips float arrays exactly) — gate `sim_ivf_persisted`
+  * hash-matches the same DuckDB oracle as the in-memory `sim_ivf_topk`.
+  */
+object AnnIndex {
+
+  final case class Handle(store: TableStore, name: String,
+      idCol: String, vecCol: String) {
+    def centroidsTable: String = s"${name}_ann_centroids"
+    def postingsTable: String = s"${name}_ann_postings"
+    def centroids: DataFrame = store.read(centroidsTable)
+    def postings: DataFrame = store.read(postingsTable)
+  }
+
+  /** Build and persist: centroid selection (+ optional Lloyd
+    * refinement on the full corpus — at 100 TB pass a sample instead),
+    * one assignment pass, one partitioned write per table.
+    */
+  def build(store: TableStore, name: String, corpus: DataFrame,
+      numCells: Int, refineIterations: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Handle = {
+    val seed = Similarity.centroids(corpus, numCells, idCol, vecCol)
+    val cents =
+      if (refineIterations == 0) seed
+      else Similarity.refineCentroids(corpus, seed, refineIterations, idCol, vecCol)
+    val h = Handle(store, name, idCol, vecCol)
+    store.overwrite(h.centroidsTable, cents, numFiles = 1)
+    val assigned = Similarity.assignCells(corpus, cents, idCol, vecCol)
+    store.overwrite(h.postingsTable, assigned, partitionBy = Seq("cell_id"))
+    h
+  }
+
+  /** Incremental maintenance: assign a batch of NEW vectors to the
+    * existing centroids and merge them into their cells via the
+    * partition-aligned copy-on-write ([[TableStore.overwritePartitions]])
+    * — cost is O(touched cells), not O(index); untouched cell
+    * partitions keep their files byte-for-byte. The coarse quantizer is
+    * intentionally frozen (standard IVF practice — centroids drift only
+    * on rebuild), so a search after append is exactly a search of the
+    * one-shot index over the union corpus, given the same centroids.
+    *
+    * Contract: ids in `newVectors` must not already exist in the index
+    * (an id's new embedding could land in a DIFFERENT cell than its old
+    * row, leaving a stale duplicate no cell-local check can see).
+    * Collisions within the touched cells — the only ones detectable
+    * without a full index scan — are refused loudly.
+    */
+  def append(h: Handle, newVectors: DataFrame): Handle = {
+    val cents = h.centroids
+    val assigned = Similarity.assignCells(newVectors, cents, h.idCol, h.vecCol)
+      .localCheckpoint(true) // freeze: assignment feeds both the touch list and the merge
+    val touched = assigned.select(col("cell_id")).distinct()
+      .collect().map(r => Int.box(r.getInt(0))).toSeq
+    if (touched.nonEmpty) {
+      // partition-pruned read of just the touched cells
+      val existing = h.postings.filter(col("cell_id").isin(touched: _*))
+      val dup = existing.select(col(h.idCol))
+        .join(assigned.select(col(h.idCol)), Seq(h.idCol)).limit(1).collect()
+      require(dup.isEmpty,
+        s"append would duplicate ${h.idCol}=${dup.head.get(0)} — ids must be new " +
+          s"(deleteWhere the old rows first, or rebuild)")
+      val merged = existing.unionByName(
+        assigned.select(existing.columns.map(col): _*))
+      h.store.overwritePartitions(h.postingsTable, merged, "cell_id", touched)
+    }
+    h
+  }
+
+  /** Reattach to a previously built index (any session). */
+  def open(store: TableStore, name: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Handle = {
+    val h = Handle(store, name, idCol, vecCol)
+    require(store.exists(h.centroidsTable) && store.exists(h.postingsTable),
+      s"no persisted ANN index '$name' in warehouse ${store.root}")
+    h
+  }
+
+  /** Top-k cosine search against the persisted index. Exact within the
+    * probed cells; identical to [[Similarity.ivfSearch]] over the full
+    * assignment — the only difference is that the postings scan is
+    * statically pruned to the probed-cell union before the per-query
+    * probe join runs.
+    */
+  def search(h: Handle, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val spark = h.store.spark
+    VectorExprs.register(spark)
+    val cents = h.centroids
+    // probed-cell union, computed once against the broadcast centroids:
+    // a bounded driver pull (cell ids only) that turns the postings
+    // read into a static partition-pruned scan of nprobe-ish dirs
+    val q = queries.select(col(h.idCol).as("query_id"), col(h.vecCol).as("qvec"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("cdist").asc, col("cell_id").asc)
+    val probedCells = q.join(broadcast(cents))
+      .withColumn("cdist", -VectorExprs.vecCosine(col("qvec"), col("centroid")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("cell_id").cast("int")).distinct()
+      .collect().map(r => Int.box(r.getInt(0))).toSeq
+    val pruned = h.postings.filter(col("cell_id").isin(probedCells: _*))
+    Similarity.ivfSearch(pruned, queries, k, cents, nprobe, h.idCol, h.vecCol)
+  }
+}

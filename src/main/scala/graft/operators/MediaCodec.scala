@@ -1,0 +1,257 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Pure-JVM media codecs for the container formats a training-data
+  * pipeline actually meets as raw bytes — WAV/PCM audio and BMP / PPM
+  * images — so [[Multimodal]]'s decode seam is REAL for these formats
+  * (the stub now only covers compressed codecs that need native libs).
+  *
+  * Decoders are strict: every header field is validated against the
+  * payload length and unsupported variants throw with the reason
+  * (compressed WAV, paletted/compressed BMP, 16-bit PPM) — a silent
+  * garbage decode is worse than a loud refusal. Encoders exist so
+  * tests and gates can synthesize bit-exact deterministic media; both
+  * directions are roundtrip-pinned in MultimodalSpec and the
+  * `mm_wav_decode` / `mm_bmp_decode` gates hash-check decoded sample /
+  * pixel aggregates against a DuckDB replay of the generator formula.
+  */
+object MediaCodec {
+
+  final case class WavData(sampleRate: Int, channels: Int, samples: Array[Short])
+  final case class ImageData(width: Int, height: Int, rgb: Array[Int]) {
+    def r(i: Int): Int = (rgb(i) >> 16) & 0xff
+    def g(i: Int): Int = (rgb(i) >> 8) & 0xff
+    def b(i: Int): Int = rgb(i) & 0xff
+  }
+
+  // ---- WAV (RIFF / PCM16) ---------------------------------------------
+
+  /** Canonical 44-byte-header mono/stereo PCM16 WAV. `samples` is
+    * frame-interleaved when channels > 1.
+    */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short],
+      channels: Int = 1): Array[Byte] = {
+    require(channels >= 1 && samples.length % channels == 0, "ragged frames")
+    val dataLen = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1) // PCM
+    buf.putShort(channels.toShort)
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * channels * 2) // byte rate
+    buf.putShort((channels * 2).toShort) // block align
+    buf.putShort(16) // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** RIFF chunk walk: any chunk order, unknown chunks skipped (word
+    * aligned per the spec), PCM16 required.
+    */
+  def decodeWav(bytes: Array[Byte]): WavData = {
+    require(bytes.length >= 44, s"WAV too short: ${bytes.length} bytes")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val t = new Array[Byte](4); buf.get(t); new String(t, "US-ASCII")
+    }
+    require(tag() == "RIFF", "not a RIFF container")
+    val riffLen = buf.getInt
+    require(riffLen + 8 <= bytes.length, s"RIFF length $riffLen overruns payload")
+    require(tag() == "WAVE", "RIFF is not WAVE")
+    var rate = -1; var channels = -1; var bits = -1
+    var data: Array[Short] = null
+    while (buf.remaining() >= 8) {
+      val id = tag(); val len = buf.getInt
+      require(len >= 0 && buf.remaining() >= len, s"chunk $id overruns payload")
+      id match {
+        case "fmt " =>
+          require(len >= 16, "fmt chunk too short")
+          val p0 = buf.position()
+          val fmt = buf.getShort
+          require(fmt == 1, s"only PCM supported, got format $fmt")
+          channels = buf.getShort
+          rate = buf.getInt
+          buf.getInt; buf.getShort // byte rate, block align
+          bits = buf.getShort
+          require(bits == 16, s"only 16-bit PCM supported, got $bits")
+          buf.position(p0 + len)
+        case "data" =>
+          require(len % 2 == 0, "odd PCM16 data length")
+          data = new Array[Short](len / 2)
+          var i = 0
+          while (i < data.length) { data(i) = buf.getShort; i += 1 }
+        case _ =>
+          buf.position(buf.position() + len)
+      }
+      if (len % 2 == 1 && buf.remaining() > 0) buf.get() // chunk word padding
+    }
+    require(rate > 0 && channels > 0, "missing fmt chunk")
+    require(data != null, "missing data chunk")
+    require(data.length % channels == 0, "ragged final frame")
+    WavData(rate, channels, data)
+  }
+
+  // ---- BMP (BITMAPINFOHEADER, 24bpp uncompressed) ---------------------
+
+  /** Bottom-up 24bpp BMP with the standard 4-byte row padding.
+    * `pixel(x, y)` returns packed 0xRRGGBB with y=0 the TOP row.
+    */
+  def encodeBmp24(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "empty image")
+    val rowBytes = (width * 3 + 3) / 4 * 4
+    val dataLen = rowBytes * height
+    val buf = ByteBuffer.allocate(54 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+    buf.putInt(0).putInt(54) // reserved, pixel-data offset
+    buf.putInt(40).putInt(width).putInt(height) // positive height = bottom-up
+    buf.putShort(1).putShort(24) // planes, bpp
+    buf.putInt(0).putInt(dataLen) // BI_RGB, image size
+    buf.putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 dpi, palette
+    var y = height - 1
+    while (y >= 0) { // bottom-up row order
+      var x = 0
+      while (x < width) {
+        val p = pixel(x, y)
+        buf.put((p & 0xff).toByte) // B
+        buf.put(((p >> 8) & 0xff).toByte) // G
+        buf.put(((p >> 16) & 0xff).toByte) // R
+        x += 1
+      }
+      var pad = rowBytes - width * 3
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** Handles bottom-up (positive height) and top-down (negative height)
+    * storage and the row padding; rgb is row-major with y=0 the top row.
+    */
+  def decodeBmp(bytes: Array[Byte]): ImageData = {
+    require(bytes.length >= 54, s"BMP too short: ${bytes.length} bytes")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(buf.get() == 'B'.toByte && buf.get() == 'M'.toByte, "not a BMP")
+    val fileSize = buf.getInt
+    require(fileSize == bytes.length, s"declared size $fileSize != ${bytes.length}")
+    buf.getInt // reserved
+    val dataOffset = buf.getInt
+    val hdrSize = buf.getInt
+    require(hdrSize >= 40, s"unsupported DIB header size $hdrSize")
+    val width = buf.getInt
+    val rawHeight = buf.getInt
+    val topDown = rawHeight < 0
+    val height = math.abs(rawHeight)
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$rawHeight")
+    buf.getShort // planes
+    val bpp = buf.getShort
+    require(bpp == 24, s"only 24bpp supported, got $bpp")
+    val compression = buf.getInt
+    require(compression == 0, s"only BI_RGB supported, got compression $compression")
+    val rowBytes = (width * 3 + 3) / 4 * 4
+    require(dataOffset + rowBytes.toLong * height <= bytes.length,
+      "pixel data overruns payload")
+    val rgb = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (topDown) y else height - 1 - y
+      var x = 0
+      val base = dataOffset + srcRow * rowBytes
+      while (x < width) {
+        val b = bytes(base + x * 3) & 0xff
+        val g = bytes(base + x * 3 + 1) & 0xff
+        val r = bytes(base + x * 3 + 2) & 0xff
+        rgb(y * width + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    ImageData(width, height, rgb)
+  }
+
+  // ---- PPM (P6, 8-bit) ------------------------------------------------
+
+  /** Binary P6 PPM, maxval 255; `pixel(x, y)` packed 0xRRGGBB. */
+  def encodePpm(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "empty image")
+    val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + width * height * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = header.length
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val p = pixel(x, y)
+        out(i) = ((p >> 16) & 0xff).toByte
+        out(i + 1) = ((p >> 8) & 0xff).toByte
+        out(i + 2) = (p & 0xff).toByte
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Tokenized header parse (whitespace runs + `#` comment lines per
+    * the netpbm spec), then exactly width*height*3 raster bytes.
+    */
+  def decodePpm(bytes: Array[Byte]): ImageData = {
+    require(bytes.length > 2 && bytes(0) == 'P'.toByte && bytes(1) == '6'.toByte,
+      "not a binary PPM (P6)")
+    var pos = 2
+    def nextToken(): Int = {
+      // skip whitespace and comments
+      var inComment = false
+      while (pos < bytes.length &&
+          (inComment || bytes(pos).toChar.isWhitespace || bytes(pos) == '#'.toByte)) {
+        if (bytes(pos) == '#'.toByte) inComment = true
+        else if (bytes(pos) == '\n'.toByte) inComment = false
+        pos += 1
+      }
+      var v = 0; var any = false
+      while (pos < bytes.length && bytes(pos) >= '0'.toByte && bytes(pos) <= '9'.toByte) {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1; any = true
+      }
+      require(any, "truncated PPM header")
+      v
+    }
+    val width = nextToken()
+    val height = nextToken()
+    val maxval = nextToken()
+    require(maxval == 255, s"only 8-bit PPM supported, got maxval $maxval")
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    pos += 1 // single whitespace byte after maxval per spec
+    require(bytes.length - pos == width * height * 3,
+      s"raster is ${bytes.length - pos} bytes, expected ${width * height * 3}")
+    val rgb = new Array[Int](width * height)
+    var i = 0
+    while (i < rgb.length) {
+      rgb(i) = ((bytes(pos) & 0xff) << 16) | ((bytes(pos + 1) & 0xff) << 8) |
+        (bytes(pos + 2) & 0xff)
+      pos += 3; i += 1
+    }
+    ImageData(width, height, rgb)
+  }
+
+  // ---- dispatch -------------------------------------------------------
+
+  /** Decode when the payload's leading bytes AND validated structure
+    * mark a format this module handles; None otherwise. Strict (full
+    * header validation, size fields must match) so arbitrary
+    * text/binary payloads never false-positive into a garbage decode.
+    */
+  def decodeAny(bytes: Array[Byte]): Option[Either[WavData, ImageData]] = {
+    if (bytes == null || bytes.length < 8) None
+    else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')
+      scala.util.Try(decodeWav(bytes)).toOption.map(Left(_))
+    else if (bytes(0) == 'B' && bytes(1) == 'M')
+      scala.util.Try(decodeBmp(bytes)).toOption.map(Right(_))
+    else if (bytes(0) == 'P' && bytes(1) == '6')
+      scala.util.Try(decodePpm(bytes)).toOption.map(Right(_))
+    else None
+  }
+}

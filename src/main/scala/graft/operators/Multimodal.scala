@@ -9,12 +9,16 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus the batch plumbing for decode / feature
   * extraction.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic STUB ([[stubDecodeFeatures]]); everything
-  * around it — the schema, the binary column handling, the partition-wise
-  * batched execution (`mapPartitions`, the Scala analog of
-  * `mapInPandas`), the frame-sampling relational ops — is real and
-  * tested. Swapping the stub for a JNI/codec call changes one function.
+  * Decode is REAL for the raw container formats a pure JVM can parse —
+  * WAV/PCM audio and BMP/PPM images via [[MediaCodec]], dispatched by
+  * validated magic bytes in [[decodeFeatures]] and gate-checked against
+  * a DuckDB replay (`mm_wav_decode` / `mm_bmp_decode`). Compressed
+  * codecs (JPEG/MP3/H.264) need native libs the container lacks, so
+  * those payloads fall back to the clearly-marked deterministic STUB
+  * ([[stubDecodeFeatures]]); the surrounding plumbing — schema, binary
+  * column handling, partition-wise batched execution (`mapPartitions`,
+  * the Scala analog of `mapInPandas`), frame sampling — is identical
+  * either way, so swapping a stub for a JNI call changes one function.
   */
 object Multimodal {
 
@@ -47,17 +51,60 @@ object Multimodal {
         lit(16000).cast("int").as("sample_rate"),
         (col("doc_id") % 50 + 1).cast("int").as("n_frames")).as("meta"))
 
-  /** ======== STUB ========
-    * Deterministic fake decode: "features" are k doubles derived from
-    * payload length and the md5 of the bytes. A real implementation
-    * decodes the image/audio and emits real features; the signature,
-    * schema, and batching are what production code would keep.
+  /** ======== STUB (fallback only) ========
+    * Deterministic fake decode for payloads in formats the pure-JVM
+    * [[MediaCodec]] can't parse (compressed codecs need native libs the
+    * container lacks): "features" are k doubles derived from payload
+    * length and the md5 of the bytes. WAV/PCM, BMP and PPM payloads
+    * never reach this — [[decodeFeatures]] really decodes those.
     */
   def stubDecodeFeatures(payload: Array[Byte], k: Int): Array[Double] = {
     if (payload == null) return Array.fill(k)(0.0)
     val digest = java.security.MessageDigest.getInstance("MD5").digest(payload)
     Array.tabulate(k)(i =>
       ((digest(i % digest.length) & 0xff) * 31 + payload.length % 97) / 255.0)
+  }
+
+  /** Real decode dispatch: WAV payloads yield audio features
+    * [1, sampleRate, channels, nFrames, mean, rms, min, max, 0...],
+    * BMP/PPM yield image features
+    * [2, width, height, meanR, meanG, meanB, minLuma, maxLuma, 0...]
+    * (ITU-R 601 integer luma), each padded/truncated to k. Unknown
+    * formats fall back to [[stubDecodeFeatures]] — sniffing is strict
+    * (validated headers, size fields must match), so text or foreign
+    * binary never false-positives into a garbage decode.
+    */
+  def decodeFeatures(payload: Array[Byte], k: Int): Array[Double] = {
+    def fit(xs: Array[Double]): Array[Double] =
+      Array.tabulate(k)(i => if (i < xs.length) xs(i) else 0.0)
+    MediaCodec.decodeAny(payload) match {
+      case Some(Left(wav)) =>
+        val s = wav.samples
+        val n = math.max(s.length, 1)
+        val sum = s.foldLeft(0L)(_ + _)
+        val sumSq = s.foldLeft(0L)((a, x) => a + x.toLong * x)
+        fit(Array(1.0, wav.sampleRate, wav.channels,
+          s.length.toDouble / wav.channels,
+          sum.toDouble / n, math.sqrt(sumSq.toDouble / n),
+          if (s.isEmpty) 0.0 else s.min.toDouble,
+          if (s.isEmpty) 0.0 else s.max.toDouble))
+      case Some(Right(img)) =>
+        val n = img.rgb.length
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var minL = Int.MaxValue; var maxL = Int.MinValue
+        var i = 0
+        while (i < n) {
+          val r = img.r(i); val g = img.g(i); val b = img.b(i)
+          sr += r; sg += g; sb += b
+          val l = (77 * r + 150 * g + 29 * b) >> 8
+          if (l < minL) minL = l
+          if (l > maxL) maxL = l
+          i += 1
+        }
+        fit(Array(2.0, img.width, img.height,
+          sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, minL, maxL))
+      case None => stubDecodeFeatures(payload, k)
+    }
   }
 
   private def featureSchema(df: DataFrame): StructType =
@@ -80,7 +127,7 @@ object Multimodal {
       // load) — the stub needs none
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        Row.fromSeq(keepIdx.map(r.get) :+ stubDecodeFeatures(payload, k).toSeq)
+        Row.fromSeq(keepIdx.map(r.get) :+ decodeFeatures(payload, k).toSeq)
       }
     }(enc)
   }

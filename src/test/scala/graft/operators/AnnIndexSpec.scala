@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+
+  private def freshStore(): TableStore = {
+    val root = java.nio.file.Files.createTempDirectory("graft-annspec-").toString
+    new TableStore(spark, root)
+  }
+
+  private def asTuples(df: org.apache.spark.sql.DataFrame) = df
+    .select($"query_id".cast("long"), $"corpus_id".cast("long"), $"rank".cast("int"),
+      round($"score", 9).cast("double"))
+    .as[(Long, Long, Int, Double)].collect().sortBy(t => (t._1, t._3)).toSeq
+
+  test("persisted search is bit-identical to the in-memory IVF path") {
+    val store = freshStore()
+    AnnIndex.build(store, "e", emb, numCells = 16)
+    val reopened = AnnIndex.open(store, "e")
+    val queries = emb.filter($"vec_id" < 10)
+    val persisted = asTuples(AnnIndex.search(reopened, queries, k = 5, nprobe = 4))
+    val cents = Similarity.centroids(emb, 16)
+    val memory = asTuples(
+      Similarity.ivfTopKWith(emb, queries, k = 5, cents, nprobe = 4))
+    assert(persisted === memory)
+    assert(persisted.nonEmpty)
+  }
+
+  test("postings land as Hive cell_id partitions and the search scan prunes to probed cells") {
+    val store = freshStore()
+    val h = AnnIndex.build(store, "e", emb, numCells = 16)
+    // physical layout: one cell_id=N subdirectory per non-empty cell
+    val dirs = new java.io.File(store.path(h.postingsTable)).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("cell_id=")), dirs.toString)
+    // the serve path's postings scan carries the probed-cell partition
+    // filter — only nprobe-ish directories are read, not the corpus
+    val res = AnnIndex.search(h, emb.filter($"vec_id" === 3), k = 5, nprobe = 2)
+    res.collect()
+    val plan = res.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("ann_postings") && l.contains("PartitionFilters"))
+    assert(scanLine.exists(l =>
+      l.substring(l.indexOf("PartitionFilters")).take(200).contains("cell_id")),
+      s"postings scan not partition-pruned:\n$plan")
+  }
+
+  test("recall vs brute force matches the in-memory IVF recall (same tuning)") {
+    val store = freshStore()
+    val h = AnnIndex.build(store, "e", emb, numCells = 16)
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select($"query_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    val approx = AnnIndex.search(h, queries, k = 5, nprobe = 4)
+      .select($"query_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // identical tuning to SimilaritySpec's in-memory IVF recall floor
+    assert(recall >= 0.6, s"persisted IVF recall $recall below floor")
+  }
+
+  test("append merges new vectors cell-aligned; search equals the one-shot index") {
+    val n = emb.agg(max($"vec_id")).as[Long].head()
+    val half = n / 2 // first half holds vec_id 0..15, so centroids match one-shot
+    val store = freshStore()
+    val h = AnnIndex.build(store, "e", emb.filter($"vec_id" <= half), numCells = 16)
+    AnnIndex.append(h, emb.filter($"vec_id" > half))
+    val oneShot = AnnIndex.build(freshStore(), "e", emb, numCells = 16)
+    val queries = emb.filter($"vec_id" < 10)
+    assert(asTuples(AnnIndex.search(AnnIndex.open(store, "e"), queries, k = 5, nprobe = 4)) ===
+      asTuples(AnnIndex.search(oneShot, queries, k = 5, nprobe = 4)))
+    // duplicate ids within a touched cell are refused, not silently doubled
+    val e = intercept[IllegalArgumentException](
+      AnnIndex.append(h, emb.filter($"vec_id" === 0)))
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("open on a missing index fails loudly; rebuild overwrites in place") {
+    val store = freshStore()
+    intercept[IllegalArgumentException](AnnIndex.open(store, "nope"))
+    AnnIndex.build(store, "e", emb.filter($"vec_id" < 50), numCells = 4)
+    val v1 = AnnIndex.search(AnnIndex.open(store, "e"),
+      emb.filter($"vec_id" === 1), k = 3, nprobe = 2).count()
+    AnnIndex.build(store, "e", emb, numCells = 16) // rebuild, larger corpus
+    val v2 = AnnIndex.search(AnnIndex.open(store, "e"),
+      emb.filter($"vec_id" === 1), k = 3, nprobe = 2).count()
+    assert(v1 === 3L && v2 === 3L)
+  }
+}

@@ -65,4 +65,90 @@ class MultimodalSpec extends SparkSpec {
     assert(unchanged.join(after, "media_id")
       .filter($"w" =!= $"w2" || $"h" =!= $"h2").count() == 0)
   }
+
+  // ---- real codecs (MediaCodec) --------------------------------------
+
+  test("WAV roundtrip: mono and stereo PCM16, samples bit-exact") {
+    val mono = Array.tabulate(777)(i => ((i * 131) % 30000 - 15000).toShort)
+    val w1 = MediaCodec.decodeWav(MediaCodec.encodeWavPcm16(16000, mono))
+    assert(w1.sampleRate === 16000 && w1.channels === 1)
+    assert(w1.samples.toSeq === mono.toSeq)
+    val stereo = Array.tabulate(400)(i => (i - 200).toShort) // 200 frames x 2ch
+    val w2 = MediaCodec.decodeWav(MediaCodec.encodeWavPcm16(44100, stereo, channels = 2))
+    assert(w2.channels === 2 && w2.samples.toSeq === stereo.toSeq)
+  }
+
+  test("WAV decode walks unknown chunks and refuses non-PCM loudly") {
+    // splice a LIST chunk (odd length -> word padding) between fmt and data
+    val base = MediaCodec.encodeWavPcm16(8000, Array[Short](1, -2, 3))
+    val extra = "LIST".getBytes("US-ASCII") ++ Array[Byte](5, 0, 0, 0) ++
+      Array[Byte](1, 2, 3, 4, 5, 0) // 5 data bytes + 1 pad byte
+    val spliced = java.nio.ByteBuffer
+      .allocate(base.length + extra.length).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(base, 0, 36) // RIFF..fmt chunk end
+      .put(extra)
+      .put(base, 36, base.length - 36)
+      .array()
+    // fix the RIFF size field for the added bytes
+    java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, spliced.length - 8)
+    assert(MediaCodec.decodeWav(spliced).samples.toSeq === Seq[Short](1, -2, 3))
+    // format code 3 (IEEE float) must be refused, not garbled
+    val nonPcm = base.clone()
+    nonPcm(20) = 3
+    val e = intercept[IllegalArgumentException](MediaCodec.decodeWav(nonPcm))
+    assert(e.getMessage.contains("PCM"))
+  }
+
+  test("BMP roundtrip: odd widths exercise row padding; top-down height decodes too") {
+    for (w <- Seq(1, 3, 5, 7); h <- Seq(1, 2, 4)) {
+      def px(x: Int, y: Int): Int = ((x * 37 + y * 91) % 256 << 16) |
+        ((x + y) % 256 << 8) | ((x * y + 7) % 256)
+      val img = MediaCodec.decodeBmp(MediaCodec.encodeBmp24(w, h, px))
+      assert(img.width === w && img.height === h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.rgb(y * w + x) === px(x, y), s"($x,$y) of ${w}x$h")
+    }
+    // hand-build a top-down variant (negative height, rows not flipped)
+    val bottomUp = MediaCodec.encodeBmp24(3, 2, (x, y) => x + y * 10)
+    val topDown = bottomUp.clone()
+    java.nio.ByteBuffer.wrap(topDown).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, -2) // height := -2
+    // flip the two pixel rows so the image content stays identical
+    val rowBytes = (3 * 3 + 3) / 4 * 4
+    System.arraycopy(bottomUp, 54 + rowBytes, topDown, 54, rowBytes)
+    System.arraycopy(bottomUp, 54, topDown, 54 + rowBytes, rowBytes)
+    assert(MediaCodec.decodeBmp(topDown).rgb.toSeq ===
+      MediaCodec.decodeBmp(bottomUp).rgb.toSeq)
+  }
+
+  test("PPM roundtrip, comment-bearing headers, and strict raster length") {
+    def px(x: Int, y: Int): Int = (x % 256 << 16) | (y % 256 << 8) | 200
+    val img = MediaCodec.decodePpm(MediaCodec.encodePpm(4, 3, px))
+    assert(img.width === 4 && img.height === 3 && img.rgb(5) === px(1, 1))
+    val withComment = ("P6\n# a comment line\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4, 5, 6))
+    val c = MediaCodec.decodePpm(withComment)
+    assert(c.width === 2 && c.rgb.toSeq === Seq(0x010203, 0x040506))
+    val truncated = MediaCodec.encodePpm(4, 3, px).dropRight(1)
+    intercept[IllegalArgumentException](MediaCodec.decodePpm(truncated))
+  }
+
+  test("decodeFeatures dispatches on validated magic; text still takes the stub path") {
+    val wav = MediaCodec.encodeWavPcm16(8000, Array[Short](100, -100, 100, -100))
+    val fa = Multimodal.decodeFeatures(wav, 8)
+    assert(fa(0) === 1.0 && fa(1) === 8000.0 && fa(3) === 4.0)
+    assert(fa(4) === 0.0 && fa(7) === 100.0) // mean, max
+    val bmp = MediaCodec.encodeBmp24(2, 2, (_, _) => 0x0A141E)
+    val fi = Multimodal.decodeFeatures(bmp, 8)
+    assert(fi(0) === 2.0 && fi(3) === 10.0 && fi(4) === 20.0 && fi(5) === 30.0)
+    // plain text (even one starting like a magic string) stays on the stub
+    for (s <- Seq("hello world", "BMX bikes are great, really great stuff",
+        "P6 is a chess opening?? no idea honestly",
+        "RIFFle shuffle technique described at length")) {
+      val bytes = s.getBytes("UTF-8")
+      assert(Multimodal.decodeFeatures(bytes, 8).toSeq ===
+        Multimodal.stubDecodeFeatures(bytes, 8).toSeq, s)
+    }
+  }
 }
