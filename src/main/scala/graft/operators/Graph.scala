@@ -226,4 +226,135 @@ object Graph {
     e.select(col("__a").as("id")).union(e.select(col("__b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))
   }
+
+  /** Canonical undirected simple edge set: (u, v) with u < v, loops and
+    * parallel/reversed duplicates removed, null endpoints dropped.
+    */
+  private def undirect(edges: DataFrame, aCol: String, bCol: String): DataFrame =
+    edges
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull && col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .distinct()
+
+  /** Exact per-node triangle counts by DEGREE-ORDERED ORIENTATION
+    * (compact-forward / Schank–Wagner) — the shape that makes triangle
+    * counting survive hubs: every undirected edge is directed from its
+    * lower-(degree, id) endpoint to the higher one, so each triangle
+    * has exactly ONE node with two out-edges into it and is generated
+    * as exactly one wedge; the maximum out-degree of the oriented graph
+    * is O(√m) regardless of how big the hubs are, so the wedge join
+    * produces Σ outdeg² = O(m^1.5) rows worst case instead of the
+    * Σ deg² hub blow-up of the naive neighbor self-join. Wedge closure
+    * checks against the canonical edge set with a uniform (u,v)-keyed
+    * equi-join.
+    *
+    * Input: undirected edges (`aCol`, `bCol`) in any direction/
+    * multiplicity (canonicalized internally). Output: (id, triangles)
+    * for every node of the simple graph, zero-count nodes included.
+    */
+  def triangles(edges: DataFrame, aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val und = undirect(edges, aCol, bCol).localCheckpoint(true)
+    val deg = und.select(col("u").as("id")).union(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val oriented = und
+      .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+      .localCheckpoint(true)
+    // one wedge per unordered out-neighbor pair at the common source
+    val wedges = oriented.select(col("s"), col("t").as("x"))
+      .join(oriented.select(col("s"), col("t").as("y")), Seq("s"))
+      .filter(col("x") < col("y"))
+      .select(col("s"), least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+    val tris = wedges.join(und, Seq("u", "v")) // closure check, uniform key
+    val credited = tris.select(explode(array(col("s"), col("u"), col("v"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    deg.select(col("id"))
+      .join(credited, Seq("id"), "left")
+      .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  /** Common-neighbor / Jaccard link prediction: for every NON-adjacent
+    * pair with ≥ `minCommon` shared neighbors, the count of shared
+    * neighbors and the Jaccard score |N(a)∩N(b)| / |N(a)∪N(b)|.
+    *
+    * Scale shape: wedges are generated at the shared neighbor, so a hub
+    * of degree D fans out D² pairs — unavoidable for EXACT common-
+    * neighbor counts. The production bound is `maxHubDegree`: nodes
+    * above it do not SERVE as wedge centers (they still appear as
+    * endpoints and in degrees) — the graph analog of dropping stopword
+    * tokens before a pair join, deterministic and replayed identically
+    * by the SQL oracle, so the gate stays hash-green. Pass
+    * Int.MaxValue for the exact small-graph form.
+    *
+    * Output: (a, b, common, jaccard) with a < b.
+    */
+  def jaccardLinks(
+      edges: DataFrame, minCommon: Long = 1L,
+      maxHubDegree: Int = Int.MaxValue,
+      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val und = undirect(edges, aCol, bCol).localCheckpoint(true)
+    val deg = und.select(col("u").as("id")).union(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    // full adjacency (both directions), centers capped at maxHubDegree
+    val adj = und.select(col("u").as("ctr"), col("v").as("nbr"))
+      .union(und.select(col("v").as("ctr"), col("u").as("nbr")))
+    val centers = adj
+      .join(deg.filter(col("d") <= maxHubDegree).select(col("id").as("ctr")), Seq("ctr"))
+    val pairs = centers.select(col("ctr"), col("nbr").as("a"))
+      .join(centers.select(col("ctr"), col("nbr").as("b")), Seq("ctr"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    val nonAdj = pairs.join(und,
+      pairs("a") === und("u") && pairs("b") === und("v"), "left_anti")
+    nonAdj
+      .join(deg.select(col("id").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("d").as("db")), Seq("b"))
+      .select(col("a"), col("b"), col("common"),
+        (col("common").cast("double") /
+          (col("da") + col("db") - col("common"))).as("jaccard"))
+  }
+
+  /** Synchronous label propagation, `rounds` rounds, DETERMINISTIC:
+    * every node starts labeled with its own id; each round every node
+    * adopts the most frequent label among its neighbors, ties broken by
+    * the SMALLEST label. Synchronous + explicit tie-break makes the
+    * fixpoint walk layout-invariant and SQL-replayable (the gate
+    * oracles 2 rounds in DuckDB), unlike the asynchronous textbook
+    * variant whose result depends on visit order.
+    *
+    * Each round is one adjacency join + two aggregations, all keyed on
+    * node id; the per-round argmax uses the max-struct trick (count
+    * desc, label asc) instead of a per-node window sort.
+    */
+  def labelPropagation(
+      edges: DataFrame, rounds: Int,
+      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und = undirect(edges, aCol, bCol).localCheckpoint(true)
+    val adj = und.select(col("u").as("id"), col("v").as("nbr"))
+      .union(und.select(col("v").as("id"), col("u").as("nbr")))
+      .localCheckpoint(true)
+    var labels = adj.select(col("id")).distinct()
+      .select(col("id"), col("id").cast("long").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      labels = adj
+        .join(labels.select(col("id").as("nbr"), col("label")), Seq("nbr"))
+        .groupBy(col("id"), col("label")).agg(count(lit(1)).as("n"))
+        .groupBy(col("id"))
+        .agg(max(struct(col("n"), (-col("label")).as("negl"))).as("top"))
+        .select(col("id"), (-col("top.negl")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.{greatest, hash, least, lit, pmod}
 import org.scalatest.matchers.should.Matchers
 
 import graft.SparkSpec
@@ -117,5 +118,87 @@ class GraphSpec extends SparkSpec with Matchers {
         Seq(1L).toDF("id"), 4)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     a shouldBe b
+  }
+
+  test("triangles: hand graphs — K4, triangle+tail, bipartite has none") {
+    def count(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      Graph.triangles(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4: every node is in C(3,2)=3 triangles
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    assert(count(k4) === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // triangle 1-2-3 with tail 3-4: tail node has zero
+    assert(count(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+    // complete bipartite K2,3 is triangle-free
+    val kb = for (i <- 0L to 1L; j <- 10L to 12L) yield (i, j)
+    assert(count(kb).values.forall(_ == 0L))
+    // duplicates / reversed edges / self-loops don't inflate counts
+    assert(count(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L), (3L, 1L))) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangles: oriented wedge plan matches the naive triple join on a random graph") {
+    val edges = spark.range(400).select(
+      pmod(hash($"id" * 7), lit(60)).cast("long").as("a"),
+      pmod(hash($"id" * 13 + 1), lit(60)).cast("long").as("b"))
+    val fast = Graph.triangles(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val und = edges.filter($"a" =!= $"b")
+      .select(least($"a", $"b").as("u"), greatest($"a", $"b").as("v")).distinct()
+    und.createOrReplaceTempView("gs_e0")
+    val naive = spark.sql(
+      """SELECT id, COUNT(*) AS t FROM (
+        |  SELECT a.u AS id FROM gs_e0 a JOIN gs_e0 b ON b.u = a.v
+        |    JOIN gs_e0 c ON c.u = a.u AND c.v = b.v
+        |  UNION ALL
+        |  SELECT a.v FROM gs_e0 a JOIN gs_e0 b ON b.u = a.v
+        |    JOIN gs_e0 c ON c.u = a.u AND c.v = b.v
+        |  UNION ALL
+        |  SELECT b.v FROM gs_e0 a JOIN gs_e0 b ON b.u = a.v
+        |    JOIN gs_e0 c ON c.u = a.u AND c.v = b.v) x
+        |GROUP BY id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast.filter(_._2 > 0) === naive)
+  }
+
+  test("jaccardLinks: square predicts both diagonals at jaccard 1, skips adjacent pairs") {
+    // cycle 1-2-3-4: non-adjacent (1,3) and (2,4) share both neighbors
+    val links = Graph.jaccardLinks(
+        Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b"),
+        minCommon = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(links === Seq((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)))
+  }
+
+  test("jaccardLinks: hub cap drops only wedges centered at the hub, deterministically") {
+    // star center 0 with leaves 1..5, plus edge 1-2: with the cap at 2
+    // the hub can't serve as a center, so only wedges through 1 and 2
+    // survive — (0,x) pairs are adjacent anyway; no predictions remain
+    // except leaf pairs via the hub, which the cap removes
+    val edges = ((1L to 5L).map(i => (0L, i)) :+ (1L, 2L)).toDF("a", "b")
+    val capped = Graph.jaccardLinks(edges, minCommon = 1L, maxHubDegree = 2)
+      .collect()
+    assert(capped.isEmpty)
+    val uncapped = Graph.jaccardLinks(edges, minCommon = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // via the hub: all C(5,2) leaf pairs minus the adjacent (1,2)
+    assert(uncapped === (for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j))
+      .toSet - ((1L, 2L)))
+  }
+
+  test("labelPropagation: two cliques with a bridge converge to their min labels") {
+    val cliqueA = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val cliqueB = for (i <- 11L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    val edges = (cliqueA ++ cliqueB :+ (4L, 11L)).toDF("a", "b")
+    val labels = Graph.labelPropagation(edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).forall(labels(_) == 1L), labels.toString)
+    assert((12L to 14L).forall(labels(_) == 11L), labels.toString)
+    // layout invariance: same result from a different partitioning
+    val again = Graph.labelPropagation(edges.repartition(17), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === again)
   }
 }
