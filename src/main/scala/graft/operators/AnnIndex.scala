@@ -62,6 +62,61 @@ object AnnIndex {
     h
   }
 
+  /** Quantized build: postings store int8 codes ([[graft.expressions
+    * .VectorExprs.vecQ8]] of the UNIT vector, packed binary — ~4x
+    * smaller than float32 arrays, the difference between a 100 TB and
+    * a 25 TB vector store) instead of raw embeddings. Cell assignment
+    * still runs at full precision against the float centroids; only
+    * the SERVING payload is quantized, exactly like a production
+    * IVF-SQ8 index. Query with [[searchQuantized]].
+    */
+  def buildQuantized(store: TableStore, name: String, corpus: DataFrame,
+      numCells: Int, refineIterations: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Handle = {
+    VectorExprs.register(store.spark)
+    val seed = Similarity.centroids(corpus, numCells, idCol, vecCol)
+    val cents =
+      if (refineIterations == 0) seed
+      else Similarity.refineCentroids(corpus, seed, refineIterations, idCol, vecCol)
+    val h = Handle(store, name, idCol, vecCol)
+    store.overwrite(h.centroidsTable, cents, numFiles = 1)
+    val assigned = Similarity.assignCells(corpus, cents, idCol, vecCol)
+      .select(col(idCol),
+        VectorExprs.vecQ8(Similarity.normalize(col(vecCol))).as("cq"),
+        col("cell_id"))
+    store.overwrite(h.postingsTable, assigned, partitionBy = Seq("cell_id"))
+    h
+  }
+
+  /** Top-k against a [[buildQuantized]] index: full-precision probe
+    * selection (centroids are float), int8 dot-product scoring inside
+    * the probed cells — the same arithmetic as
+    * [[Similarity.bruteForceTopKQuantized]], so the q8 math is DuckDB-
+    * replayable and gate `sim_ivf_persisted_q8` is hash-green.
+    */
+  def searchQuantized(h: Handle, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val spark = h.store.spark
+    VectorExprs.register(spark)
+    val cents = h.centroids
+    val q = queries.select(col(h.idCol).as("query_id"), col(h.vecCol).as("qvec"),
+      VectorExprs.vecQ8(Similarity.normalize(col(h.vecCol))).as("qq"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("cdist").asc, col("cell_id").asc)
+    val probes = q.join(broadcast(cents))
+      .withColumn("cdist", -VectorExprs.vecCosine(col("qvec"), col("centroid")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qq"), col("cell_id"))
+    val probedCells = probes.select(col("cell_id").cast("int")).distinct()
+      .collect().map(r => Int.box(r.getInt(0))).toSeq
+    val scored = h.postings.filter(col("cell_id").isin(probedCells: _*))
+      .join(probes, Seq("cell_id"))
+      .filter(col(h.idCol) =!= col("query_id"))
+      .withColumn("score", VectorExprs.vecDotQ8(col("cq"), col("qq")))
+      .withColumn("corpus_id", col(h.idCol))
+    Similarity.topKPerGroup(scored, col("query_id"), k)
+  }
+
   /** Incremental maintenance: assign a batch of NEW vectors to the
     * existing centroids and merge them into their cells via the
     * partition-aligned copy-on-write ([[TableStore.overwritePartitions]])

@@ -100,7 +100,7 @@ object Similarity {
     * unnest ranked hits. Output: (group, corpus_id, rank, score) with
     * rank 1..k ordered by (score desc, corpus_id asc).
     */
-  private def topKPerGroup(scored: DataFrame, group: Column, k: Int): DataFrame = {
+  private[operators] def topKPerGroup(scored: DataFrame, group: Column, k: Int): DataFrame = {
     graft.expressions.TopKAgg.register(scored.sparkSession)
     scored
       .groupBy(group.as("query_id"))

@@ -69,6 +69,74 @@ object Round6Ops4 {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The quantized persisted index (IVF-SQ8): postings hold int8 codes
+    * (4x smaller), probe selection stays full-precision, in-cell
+    * scoring is the integer dot product. Both the IVF cell logic and
+    * the q8 arithmetic (`FLOOR(x + 0.5)` = Java Math.round) already
+    * have exact SQL replays, so their composition is hash-green too.
+    */
+  val sim_ivf_persisted_q8 = OpQuery(
+    "sim_ivf_persisted_q8",
+    """WITH cents AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cell_id,
+      |         embedding::DOUBLE[] AS centroid
+      |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+      |), assigned AS (
+      |  SELECT vec_id, cell_id FROM (
+      |    SELECT e.vec_id, c.cell_id,
+      |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |             ORDER BY -list_cosine_similarity(e.embedding::DOUBLE[], c.centroid) ASC,
+      |                      c.cell_id ASC) AS rn
+      |    FROM embeddings e CROSS JOIN cents c)
+      |  WHERE rn = 1
+      |), u AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding::DOUBLE[],
+      |           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+      |                                          embedding::DOUBLE[]))) AS u
+      |  FROM embeddings
+      |), qz AS (
+      |  SELECT vec_id, m,
+      |         list_transform(u, x -> CAST(FLOOR(x * (127.0 / m) + 0.5) AS BIGINT)) AS q
+      |  FROM (SELECT vec_id, u,
+      |               list_max(list_transform(u, x -> abs(x))) AS m FROM u)
+      |  WHERE m > 0
+      |), probes AS (
+      |  SELECT query_id, cell_id FROM (
+      |    SELECT q.vec_id AS query_id, c.cell_id,
+      |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |             ORDER BY -list_cosine_similarity(q.embedding::DOUBLE[], c.centroid) ASC,
+      |                      c.cell_id ASC) AS rn
+      |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 8)
+      |  WHERE rn <= 4
+      |), scored AS (
+      |  SELECT p.query_id, a.vec_id AS corpus_id,
+      |         list_dot_product(cz.q, qz2.q) * (cz.m / 127.0) * (qz2.m / 127.0)
+      |           AS score
+      |  FROM assigned a
+      |  JOIN probes p ON p.cell_id = a.cell_id
+      |  JOIN qz cz ON cz.vec_id = a.vec_id
+      |  JOIN qz qz2 ON qz2.vec_id = p.query_id
+      |  WHERE a.vec_id <> p.query_id
+      |), ranked AS (
+      |  SELECT query_id, corpus_id,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |              ORDER BY score DESC, corpus_id ASC) AS INT) AS rank,
+      |         score
+      |  FROM scored)
+      |SELECT query_id, corpus_id, rank, CAST(ROUND(score, 6) AS DOUBLE) AS score
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    val emb = t(spark, dir, "embeddings")
+    val root = java.nio.file.Files.createTempDirectory("graft-annq8-").toString
+    val store = new TableStore(spark, root)
+    AnnIndex.buildQuantized(store, "embq", emb, numCells = 16)
+    val idx = AnnIndex.open(store, "embq")
+    AnnIndex.searchQuantized(idx, emb.filter(col("vec_id") < 8), k = 5, nprobe = 4)
+      .withColumn("score", round(col("score"), 6).cast("double"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** REAL audio decode end-to-end: per document, synthesize a PCM16
     * mono WAV (deterministic sawtooth-ish formula in doc_id), run it
     * through [[graft.operators.MediaCodec.decodeWav]] — a genuine RIFF
@@ -181,5 +249,5 @@ object Round6Ops4 {
       .orderBy(col("media_id"))
   }
 
-  val all: Seq[OpQuery] = Seq(sim_ivf_persisted, mm_wav_decode, mm_bmp_decode)
+  val all: Seq[OpQuery] = Seq(sim_ivf_persisted, sim_ivf_persisted_q8, mm_wav_decode, mm_bmp_decode)
 }

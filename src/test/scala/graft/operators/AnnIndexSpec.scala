@@ -82,6 +82,29 @@ class AnnIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate"))
   }
 
+  test("quantized index: int8 postings shrink the payload ~4x at recall parity") {
+    val storeF = freshStore(); val storeQ = freshStore()
+    AnnIndex.build(storeF, "e", emb, numCells = 16)
+    val hq = AnnIndex.buildQuantized(storeQ, "e", emb, numCells = 16)
+    def bytes(store: TableStore, table: String): Long = {
+      def size(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(size).sum else f.length()
+      size(new java.io.File(store.path(table)))
+    }
+    val full = bytes(storeF, "e_ann_postings")
+    val quant = bytes(storeQ, "e_ann_postings")
+    assert(quant < full * 0.45, // parquet framing overhead eats some of the 4x
+      s"quantized postings not smaller: $quant vs $full bytes")
+    // recall of the quantized serve path vs exact brute force
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select($"query_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    val approx = AnnIndex.searchQuantized(hq, queries, k = 5, nprobe = 4)
+      .select($"query_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"quantized IVF recall $recall below the float floor")
+  }
+
   test("open on a missing index fails loudly; rebuild overwrites in place") {
     val store = freshStore()
     intercept[IllegalArgumentException](AnnIndex.open(store, "nope"))

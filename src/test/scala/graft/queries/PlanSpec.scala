@@ -171,6 +171,42 @@ class PlanSpec extends SparkSpec {
       s"no dynamic partition pruning in the fact scan:\n$p")
   }
 
+  test("runtime bloom filter: a selective dim filter reaches the fact scan of a shuffle join") {
+    // The optimizer's InjectRuntimeFilter builds a bloom filter from the
+    // selective creation side and pushes might_contain into the big
+    // side's scan — the shuffle-join analog of DPP, and the mechanism
+    // that keeps a 100 TB fact scan from shipping rows a filtered dim
+    // will drop anyway. Local datasets sit below the default 10 GB
+    // application-side threshold, so the thresholds are scoped down for
+    // this test and restored after.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set(keys(0), "true")
+      conf.set(keys(1), "0")
+      conf.set(keys(2), "-1") // force the shuffle join bloom filters serve
+      val li = graft.Tables.load(spark, sf, "lineitem")
+        .select(org.apache.spark.sql.functions.col("l_orderkey"),
+          org.apache.spark.sql.functions.col("l_quantity"))
+      val ord = graft.Tables.load(spark, sf, "orders")
+        .filter("o_totalprice < 1000") // selective creation side
+        .select(org.apache.spark.sql.functions.col("o_orderkey"))
+      val joined = li.join(ord,
+        li("l_orderkey") === ord("o_orderkey"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        s"no runtime bloom filter injected into the fact side:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("s48: the year-partitioned fact scan is dynamically pruned by the dim filter") {
     val p = plan(Round6Ops2.s48_dpp_join)
     assert(p.toLowerCase.contains("dynamicpruning"),
