@@ -33,6 +33,8 @@ object GraftFunctions {
     "damerau_levenshtein" -> ((e: Seq[Expression]) => DamerauLevenshtein(e(0), e(1))),
     // sorted-array set arithmetic
     "sorted_intersect_size" -> ((e: Seq[Expression]) => SortedIntersectSize(e(0), e(1))),
+    "word_ngrams" -> ((e: Seq[Expression]) =>
+      WordNgrams(e(0), ArrayExprs.extractN(e(1)))),
     // scalar codecs over literal tables
     "bpe_encode" -> ((e: Seq[Expression]) =>
       BpeEncodeExpr(e(0), BpeEncode.extractMerges(e(1)))),

