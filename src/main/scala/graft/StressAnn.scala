@@ -52,10 +52,24 @@ object StressAnn {
       .localCheckpoint(true)
     println(s"[stress-ann] queries: ${queries.count()}")
 
+    // input-bytes accounting: at local corpus sizes (~130 MB of
+    // postings) the scan is job-overhead-bound, so BYTES READ, not
+    // seconds, is the honest measure of what cell pruning saves
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            bytesRead.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+      })
+
     def timed[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
+      bytesRead.set(0L)
       val r = f
-      println(f"[stress-ann] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200) // drain trailing task-end events
+      println(f"[stress-ann] $label%-34s $secs%5.1f s  read=${bytesRead.get / 1e6}%8.1f MB")
       r
     }
 
@@ -88,6 +102,44 @@ object StressAnn {
     }
     val qHits = quant.join(exact, Seq("query_id", "corpus_id")).count()
     println(f"[stress-ann] quant recall@10: ${qHits.toDouble / nExact}%.3f")
+
+    // persisted index: one partitioned write, then serve off disk with
+    // cell pruning — measures the build-once/query-forever split plus
+    // how much the pruned scan saves vs reading the whole posting table
+    val root = java.nio.file.Files.createTempDirectory("graft-stress-annidx-").toString
+    val store = new graft.operators.TableStore(spark, root)
+    val h = timed(s"persisted_build(cells=$cells)") {
+      val hh = graft.operators.AnnIndex.Handle(store, "s", "vec_id", "embedding")
+      store.overwrite(hh.centroidsTable, cents, numFiles = 1)
+      store.overwrite(hh.postingsTable,
+        index.repartition(col("cell_id")), partitionBy = Seq("cell_id"))
+      hh
+    }
+    val nprobe = math.max(8, cells / 4)
+    val persisted = timed(s"persisted_search(probe=$nprobe)") {
+      graft.operators.AnnIndex.search(h, queries, 10, nprobe).localCheckpoint(true)
+    }
+    val pHits = persisted.join(exact, Seq("query_id", "corpus_id")).count()
+    println(f"[stress-ann] persisted recall@10: ${pHits.toDouble / nExact}%.3f")
+    timed("full_posting_scan_baseline") {
+      // what the same query batch costs without cell pruning: the whole
+      // posting table re-read and shuffled into the probe join
+      Similarity.ivfSearch(h.postings, queries, 10, h.centroids, nprobe)
+        .localCheckpoint(true)
+    }
+    // the pruning payoff case: a SMALL batch (one request's worth) probes
+    // few cells, so the pruned scan touches a fraction of the partitions —
+    // saturated batches above cover every cell and pruning cannot help
+    val fewQueries = queries.limit(5).localCheckpoint(true)
+    val smallProbe = math.max(4, cells / 16)
+    timed(s"persisted_search(q=5,probe=$smallProbe)") {
+      graft.operators.AnnIndex.search(h, fewQueries, 10, smallProbe)
+        .localCheckpoint(true)
+    }
+    timed(s"full_scan_search(q=5,probe=$smallProbe)") {
+      Similarity.ivfSearch(h.postings, fewQueries, 10, h.centroids, smallProbe)
+        .localCheckpoint(true)
+    }
     spark.stop()
   }
 }

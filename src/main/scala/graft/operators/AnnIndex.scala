@@ -57,7 +57,12 @@ object AnnIndex {
       else Similarity.refineCentroids(corpus, seed, refineIterations, idCol, vecCol)
     val h = Handle(store, name, idCol, vecCol)
     store.overwrite(h.centroidsTable, cents, numFiles = 1)
+    // shuffle onto cell_id BEFORE the partitioned write: otherwise every
+    // write task emits a file into every cell directory it sees, and a
+    // numCells x tasks small-file explosion follows (measured 21 s vs
+    // 6 s at 500k vectors / 447 cells in StressAnn)
     val assigned = Similarity.assignCells(corpus, cents, idCol, vecCol)
+      .repartition(col("cell_id"))
     store.overwrite(h.postingsTable, assigned, partitionBy = Seq("cell_id"))
     h
   }
@@ -84,6 +89,7 @@ object AnnIndex {
       .select(col(idCol),
         VectorExprs.vecQ8(Similarity.normalize(col(vecCol))).as("cq"),
         col("cell_id"))
+      .repartition(col("cell_id")) // one-ish file per cell, see build()
     store.overwrite(h.postingsTable, assigned, partitionBy = Seq("cell_id"))
     h
   }

@@ -220,6 +220,25 @@ object Dedup {
       signatures: DataFrame, numHashes: Int, bands: Int): DataFrame =
     minHashCandidatesRaw(signatures, numHashes, bands).distinct()
 
+  /** The banding itself: (doc_id, band_idx, band_hash), one row per
+    * (signature, band). This is the LSH index's bucket relation — the
+    * persisted form lives in [[LshTextIndex]]; candidate pairs are
+    * same-bucket joins over it.
+    */
+  def bandBuckets(signatures: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(rowsPerBand * bands == numHashes, "bands must divide numHashes")
+    val bandCols = (0 until bands).map { bIdx =>
+      struct(
+        lit(bIdx).as("band_idx"),
+        hash(slice(col("sig"), bIdx * rowsPerBand + 1, rowsPerBand)).as("band_hash"))
+    }
+    signatures.select(
+        col("doc_id"),
+        explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+  }
+
   /** Banded candidate pairs WITHOUT the distinct — a pair sharing p
     * bands appears p times. The full pipeline uses this form and defers
     * deduplication until after the cheap signature-estimate prefilter,
@@ -228,17 +247,7 @@ object Dedup {
     */
   private[graft] def minHashCandidatesRaw(
       signatures: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    require(rowsPerBand * bands == numHashes, "bands must divide numHashes")
-    val bandCols = (0 until bands).map { bIdx =>
-      struct(
-        lit(bIdx).as("band_idx"),
-        hash(slice(col("sig"), bIdx * rowsPerBand + 1, rowsPerBand)).as("band_hash"))
-    }
-    val banded = signatures.select(
-      col("doc_id"),
-      explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+    val banded = bandBuckets(signatures, numHashes, bands)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
