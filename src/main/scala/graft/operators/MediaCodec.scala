@@ -3,9 +3,10 @@ package graft.operators
 import java.nio.{ByteBuffer, ByteOrder}
 
 /** Pure-JVM media codecs for the container formats a training-data
-  * pipeline actually meets as raw bytes — WAV/PCM audio and BMP / PPM
-  * images — so [[Multimodal]]'s decode seam is REAL for these formats
-  * (the stub now only covers compressed codecs that need native libs).
+  * pipeline actually meets as raw bytes — WAV/PCM audio, BMP / PPM
+  * images, and uncompressed-DIB AVI video — so [[Multimodal]]'s decode
+  * seam is REAL for all three modalities (the stub now only covers
+  * compressed codecs that need native libs).
   *
   * Decoders are strict: every header field is validated against the
   * payload length and unsupported variants throw with the reason
@@ -237,6 +238,143 @@ object MediaCodec {
     ImageData(width, height, rgb)
   }
 
+  // ---- AVI (RIFF, uncompressed 24bpp DIB frames) ----------------------
+
+  final case class AviData(width: Int, height: Int,
+      microSecPerFrame: Int, frames: IndexedSeq[ImageData])
+
+  /** Minimal standard-layout AVI: RIFF('AVI ') → LIST(hdrl){avih,
+    * LIST(strl){strh 'vids'/'DIB ', strf BITMAPINFOHEADER}} →
+    * LIST(movi){'00db' DIB frames, bottom-up rows, 4-byte padding}.
+    * `pixel(frame, x, y)` packed 0xRRGGBB with y=0 the TOP row.
+    */
+  def encodeAvi(width: Int, height: Int, nFrames: Int,
+      microSecPerFrame: Int, pixel: (Int, Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames > 0, "empty video")
+    val rowBytes = (width * 3 + 3) / 4 * 4
+    val frameBytes = rowBytes * height
+    val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val moviSize = 4 + nFrames * (8 + frameBytes)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val buf = ByteBuffer.allocate(8 + riffSize).order(ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); buf.putInt(riffSize); fourcc("AVI ")
+    fourcc("LIST"); buf.putInt(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); buf.putInt(56)
+    buf.putInt(microSecPerFrame).putInt(frameBytes * 1000000 / math.max(microSecPerFrame, 1))
+    buf.putInt(0).putInt(0) // padding granularity; flags 0 (no idx1 written)
+    buf.putInt(nFrames).putInt(0).putInt(1).putInt(frameBytes)
+    buf.putInt(width).putInt(height)
+    buf.putInt(0).putInt(0).putInt(0).putInt(0) // reserved
+    fourcc("LIST"); buf.putInt(4 + (8 + 56) + (8 + 40)); fourcc("strl")
+    fourcc("strh"); buf.putInt(56)
+    fourcc("vids"); fourcc("DIB ")
+    buf.putInt(0).putInt(0) // flags, priority+language
+    buf.putInt(0) // initial frames
+    buf.putInt(microSecPerFrame).putInt(1000000) // scale/rate = fps
+    buf.putInt(0).putInt(nFrames)
+    buf.putInt(frameBytes).putInt(-1).putInt(0) // buffer, quality, sampleSize
+    buf.putShort(0).putShort(0)
+      .putShort(width.toShort).putShort(height.toShort) // rcFrame
+    fourcc("strf"); buf.putInt(40)
+    buf.putInt(40).putInt(width).putInt(height) // BITMAPINFOHEADER, bottom-up
+    buf.putShort(1).putShort(24)
+    buf.putInt(0).putInt(frameBytes)
+    buf.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    fourcc("LIST"); buf.putInt(moviSize); fourcc("movi")
+    var f = 0
+    while (f < nFrames) {
+      fourcc("00db"); buf.putInt(frameBytes)
+      var y = height - 1
+      while (y >= 0) { // bottom-up rows, like BMP
+        var x = 0
+        while (x < width) {
+          val p = pixel(f, x, y)
+          buf.put((p & 0xff).toByte)
+          buf.put(((p >> 8) & 0xff).toByte)
+          buf.put(((p >> 16) & 0xff).toByte)
+          x += 1
+        }
+        var pad = rowBytes - width * 3
+        while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+        y -= 1
+      }
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** Strict single-stream uncompressed-DIB AVI reader: walks the RIFF
+    * tree, takes geometry from the strf BITMAPINFOHEADER, decodes every
+    * `00db`/`00dc` movi chunk as a bottom-up 24bpp raster. Compressed
+    * streams (non-zero biCompression / non-DIB handlers) are refused.
+    */
+  def decodeAvi(bytes: Array[Byte]): AviData = {
+    require(bytes.length >= 12, s"AVI too short: ${bytes.length} bytes")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val t = new Array[Byte](4); buf.get(t); new String(t, "US-ASCII")
+    }
+    require(tag() == "RIFF", "not a RIFF container")
+    val riffLen = buf.getInt
+    require(riffLen + 8 <= bytes.length, s"RIFF length $riffLen overruns payload")
+    require(tag() == "AVI ", "RIFF is not AVI")
+    var width = -1; var height = -1; var usPerFrame = 0
+    var compression = -1; var bpp = -1
+    val frames = IndexedSeq.newBuilder[ImageData]
+    def walkList(end: Int): Unit = {
+      while (buf.position() + 8 <= end) {
+        val id = tag(); val len = buf.getInt
+        val next = buf.position() + len + (len % 2) // word-aligned chunks
+        require(len >= 0 && buf.position() + len <= end, s"chunk $id overruns list")
+        id match {
+          case "LIST" =>
+            tag() // list type (hdrl / strl / movi) — contents self-identify
+            walkList(next)
+          case "avih" =>
+            usPerFrame = buf.getInt
+          case "strf" =>
+            require(len >= 40, "strf too short for BITMAPINFOHEADER")
+            buf.getInt // biSize
+            width = buf.getInt; height = buf.getInt
+            buf.getShort // planes
+            bpp = buf.getShort
+            compression = buf.getInt
+            require(bpp == 24 && compression == 0,
+              s"only uncompressed 24bpp DIB supported, got bpp=$bpp compression=$compression")
+          case "00db" | "00dc" =>
+            require(width > 0 && height > 0, "frame chunk before strf header")
+            val rowBytes = (width * 3 + 3) / 4 * 4
+            require(len == rowBytes * height,
+              s"frame chunk is $len bytes, expected ${rowBytes * height}")
+            val base0 = buf.position()
+            val rgb = new Array[Int](width * height)
+            var y = 0
+            while (y < height) {
+              val base = base0 + (height - 1 - y) * rowBytes
+              var x = 0
+              while (x < width) {
+                val b = bytes(base + x * 3) & 0xff
+                val g = bytes(base + x * 3 + 1) & 0xff
+                val r = bytes(base + x * 3 + 2) & 0xff
+                rgb(y * width + x) = (r << 16) | (g << 8) | b
+                x += 1
+              }
+              y += 1
+            }
+            frames += ImageData(width, height, rgb)
+          case _ => // skip unknown chunks (idx1, INFO, junk)
+        }
+        buf.position(math.min(next, end))
+      }
+    }
+    walkList(8 + riffLen)
+    require(width > 0, "missing strf stream format")
+    val fs = frames.result()
+    require(fs.nonEmpty, "no frame chunks in movi list")
+    AviData(width, height, usPerFrame, fs)
+  }
+
   // ---- dispatch -------------------------------------------------------
 
   /** Decode when the payload's leading bytes AND validated structure
@@ -244,14 +382,23 @@ object MediaCodec {
     * header validation, size fields must match) so arbitrary
     * text/binary payloads never false-positive into a garbage decode.
     */
-  def decodeAny(bytes: Array[Byte]): Option[Either[WavData, ImageData]] = {
-    if (bytes == null || bytes.length < 8) None
-    else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')
-      scala.util.Try(decodeWav(bytes)).toOption.map(Left(_))
+  def decodeAny(bytes: Array[Byte]): Option[DecodedMedia] = {
+    if (bytes == null || bytes.length < 12) None
+    else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') {
+      val form = new String(bytes, 8, 4, "US-ASCII")
+      if (form == "WAVE") scala.util.Try(decodeWav(bytes)).toOption.map(DecodedAudio)
+      else if (form == "AVI ") scala.util.Try(decodeAvi(bytes)).toOption.map(DecodedVideo)
+      else None
+    }
     else if (bytes(0) == 'B' && bytes(1) == 'M')
-      scala.util.Try(decodeBmp(bytes)).toOption.map(Right(_))
+      scala.util.Try(decodeBmp(bytes)).toOption.map(DecodedImage)
     else if (bytes(0) == 'P' && bytes(1) == '6')
-      scala.util.Try(decodePpm(bytes)).toOption.map(Right(_))
+      scala.util.Try(decodePpm(bytes)).toOption.map(DecodedImage)
     else None
   }
+
+  sealed trait DecodedMedia
+  final case class DecodedAudio(wav: WavData) extends DecodedMedia
+  final case class DecodedImage(img: ImageData) extends DecodedMedia
+  final case class DecodedVideo(avi: AviData) extends DecodedMedia
 }

@@ -10,9 +10,10 @@ import org.apache.spark.sql.types._
   * extraction.
   *
   * Decode is REAL for the raw container formats a pure JVM can parse —
-  * WAV/PCM audio and BMP/PPM images via [[MediaCodec]], dispatched by
-  * validated magic bytes in [[decodeFeatures]] and gate-checked against
-  * a DuckDB replay (`mm_wav_decode` / `mm_bmp_decode`). Compressed
+  * WAV/PCM audio, BMP/PPM images, and uncompressed-DIB AVI video via
+  * [[MediaCodec]], dispatched by validated magic bytes in
+  * [[decodeFeatures]] and gate-checked against a DuckDB replay
+  * (`mm_wav_decode` / `mm_bmp_decode` / `mm_avi_decode`). Compressed
   * codecs (JPEG/MP3/H.264) need native libs the container lacks, so
   * those payloads fall back to the clearly-marked deterministic STUB
   * ([[stubDecodeFeatures]]); the surrounding plumbing — schema, binary
@@ -69,7 +70,9 @@ object Multimodal {
     * [1, sampleRate, channels, nFrames, mean, rms, min, max, 0...],
     * BMP/PPM yield image features
     * [2, width, height, meanR, meanG, meanB, minLuma, maxLuma, 0...]
-    * (ITU-R 601 integer luma), each padded/truncated to k. Unknown
+    * (ITU-R 601 integer luma), AVI video yields
+    * [3, width, height, nFrames, usPerFrame, meanLuma, firstLuma,
+    * lastLuma], each padded/truncated to k. Unknown
     * formats fall back to [[stubDecodeFeatures]] — sniffing is strict
     * (validated headers, size fields must match), so text or foreign
     * binary never false-positives into a garbage decode.
@@ -78,7 +81,22 @@ object Multimodal {
     def fit(xs: Array[Double]): Array[Double] =
       Array.tabulate(k)(i => if (i < xs.length) xs(i) else 0.0)
     MediaCodec.decodeAny(payload) match {
-      case Some(Left(wav)) =>
+      case Some(MediaCodec.DecodedVideo(avi)) =>
+        // [3, width, height, nFrames, usPerFrame, meanLumaAllFrames,
+        //  firstFrameMeanLuma, lastFrameMeanLuma]
+        def meanLuma(img: MediaCodec.ImageData): Double = {
+          var acc = 0L; var i = 0
+          while (i < img.rgb.length) {
+            acc += (77 * img.r(i) + 150 * img.g(i) + 29 * img.b(i)) >> 8
+            i += 1
+          }
+          acc.toDouble / math.max(img.rgb.length, 1)
+        }
+        fit(Array(3.0, avi.width, avi.height, avi.frames.length,
+          avi.microSecPerFrame,
+          avi.frames.map(meanLuma).sum / avi.frames.length,
+          meanLuma(avi.frames.head), meanLuma(avi.frames.last)))
+      case Some(MediaCodec.DecodedAudio(wav)) =>
         val s = wav.samples
         val n = math.max(s.length, 1)
         val sum = s.foldLeft(0L)(_ + _)
@@ -88,7 +106,7 @@ object Multimodal {
           sum.toDouble / n, math.sqrt(sumSq.toDouble / n),
           if (s.isEmpty) 0.0 else s.min.toDouble,
           if (s.isEmpty) 0.0 else s.max.toDouble))
-      case Some(Right(img)) =>
+      case Some(MediaCodec.DecodedImage(img)) =>
         val n = img.rgb.length
         var sr = 0L; var sg = 0L; var sb = 0L
         var minL = Int.MaxValue; var maxL = Int.MinValue

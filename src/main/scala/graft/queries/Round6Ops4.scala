@@ -249,5 +249,74 @@ object Round6Ops4 {
       .orderBy(col("media_id"))
   }
 
-  val all: Seq[OpQuery] = Seq(sim_ivf_persisted, sim_ivf_persisted_q8, mm_wav_decode, mm_bmp_decode)
+  /** REAL video decode end-to-end: synthesize an uncompressed-DIB AVI
+    * per document (RIFF hdrl/strl/movi tree, bottom-up padded frames),
+    * decode through [[graft.operators.MediaCodec.decodeAvi]], and emit
+    * per-video frame/pixel aggregates — every-2nd-frame SAMPLED sums,
+    * so the gate also exercises decode-then-frame-sample composition.
+    * Oracle replays the generator over a triple generate_series. With
+    * this, all three modalities decode for real.
+    */
+  val mm_avi_decode = OpQuery(
+    "mm_avi_decode",
+    """WITH g AS (
+      |  SELECT doc_id,
+      |         3 + CAST(doc_id % 9 AS INT) AS w,
+      |         2 + CAST(doc_id % 5 AS INT) AS h,
+      |         1 + CAST(doc_id % 7 AS INT) AS nf
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h, nf, f.f AS f,
+      |         (doc_id + f.f + x.x) % 256 AS r,
+      |         (doc_id * 2 + f.f * 2 + y.y * 3) % 256 AS gg,
+      |         (f.f * x.x + y.y + doc_id) % 256 AS b
+      |  FROM g,
+      |       LATERAL unnest(generate_series(0, nf - 1)) AS f(f),
+      |       LATERAL unnest(generate_series(0, w - 1)) AS x(x),
+      |       LATERAL unnest(generate_series(0, h - 1)) AS y(y)
+      |  WHERE f.f % 2 = 0)
+      |SELECT doc_id AS media_id,
+      |       CAST(MAX(w) AS INT) AS width,
+      |       CAST(MAX(h) AS INT) AS height,
+      |       CAST(MAX(nf) AS INT) AS n_frames,
+      |       CAST(COUNT(DISTINCT f) AS INT) AS n_sampled,
+      |       CAST(SUM(r) AS BIGINT) AS sum_r,
+      |       CAST(SUM(gg) AS BIGINT) AS sum_g,
+      |       CAST(SUM(b) AS BIGINT) AS sum_b
+      |FROM px
+      |GROUP BY doc_id
+      |ORDER BY media_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.operators.MediaCodec
+    t(spark, dir, "documents").select("doc_id").as[Long]
+      .mapPartitions(_.map { d =>
+        val w = 3 + (d % 9).toInt
+        val h = 2 + (d % 5).toInt
+        val nf = 1 + (d % 7).toInt
+        val payload = MediaCodec.encodeAvi(w, h, nf, 40000, (f, x, y) => {
+          val r = ((d + f + x) % 256).toInt
+          val g = ((d * 2 + f * 2 + y * 3) % 256).toInt
+          val b = ((f.toLong * x + y + d) % 256).toInt
+          (r << 16) | (g << 8) | b
+        })
+        (d, payload)
+      })
+      .map { case (d, payload) =>
+        val avi = MediaCodec.decodeAvi(payload) // the real parser under test
+        // decode-then-sample: keep every 2nd frame
+        val sampled = avi.frames.zipWithIndex.collect { case (fr, i) if i % 2 == 0 => fr }
+        var sr = 0L; var sg = 0L; var sb = 0L
+        sampled.foreach { fr =>
+          var i = 0
+          while (i < fr.rgb.length) { sr += fr.r(i); sg += fr.g(i); sb += fr.b(i); i += 1 }
+        }
+        (d, avi.width, avi.height, avi.frames.length, sampled.length, sr, sg, sb)
+      }
+      .toDF("media_id", "width", "height", "n_frames", "n_sampled",
+        "sum_r", "sum_g", "sum_b")
+      .orderBy(col("media_id"))
+  }
+
+  val all: Seq[OpQuery] = Seq(sim_ivf_persisted, sim_ivf_persisted_q8,
+    mm_wav_decode, mm_bmp_decode, mm_avi_decode)
 }

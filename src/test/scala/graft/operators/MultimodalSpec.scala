@@ -134,6 +134,40 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](MediaCodec.decodePpm(truncated))
   }
 
+  test("AVI roundtrip: frames bit-exact incl. padding; compressed streams refused") {
+    for (w <- Seq(1, 3, 5); h <- Seq(1, 2); nf <- Seq(1, 4)) {
+      def px(f: Int, x: Int, y: Int): Int =
+        ((f * 31 + x) % 256 << 16) | ((x + y * 7) % 256 << 8) | ((f + y) % 256)
+      val avi = MediaCodec.decodeAvi(MediaCodec.encodeAvi(w, h, nf, 40000, px))
+      assert(avi.width === w && avi.height === h && avi.frames.length === nf)
+      assert(avi.microSecPerFrame === 40000)
+      for (f <- 0 until nf; y <- 0 until h; x <- 0 until w)
+        assert(avi.frames(f).rgb(y * w + x) === px(f, x, y), s"f$f ($x,$y) ${w}x$h")
+    }
+    // flip biCompression in strf to a non-zero codec id → loud refusal
+    val bytes = MediaCodec.encodeAvi(3, 2, 2, 40000, (_, _, _) => 0x123456)
+    val strf = { // locate 'strf' fourcc, compression sits at +8(hdr)+16
+      var i = 0
+      while (!(bytes(i) == 's' && bytes(i + 1) == 't' &&
+        bytes(i + 2) == 'r' && bytes(i + 3) == 'f')) i += 1
+      i
+    }
+    val broken = bytes.clone()
+    java.nio.ByteBuffer.wrap(broken).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(strf + 8 + 16, 0x44495658) // 'XVID'
+    val e = intercept[IllegalArgumentException](MediaCodec.decodeAvi(broken))
+    assert(e.getMessage.contains("uncompressed"))
+  }
+
+  test("decodeFeatures recognizes AVI payloads as video") {
+    val avi = MediaCodec.encodeAvi(2, 2, 3, 50000, (_, _, _) => 0x0A141E)
+    val fv = Multimodal.decodeFeatures(avi, 8)
+    assert(fv(0) === 3.0 && fv(1) === 2.0 && fv(2) === 2.0 && fv(3) === 3.0)
+    assert(fv(4) === 50000.0)
+    // constant-color frames: mean luma = (77*10+150*20+29*30)>>8 = 18
+    assert(fv(5) === 18.0 && fv(6) === 18.0 && fv(7) === 18.0)
+  }
+
   test("decodeFeatures dispatches on validated magic; text still takes the stub path") {
     val wav = MediaCodec.encodeWavPcm16(8000, Array[Short](100, -100, 100, -100))
     val fa = Multimodal.decodeFeatures(wav, 8)
