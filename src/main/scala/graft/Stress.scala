@@ -61,6 +61,47 @@ object Stress {
     }
     val nClusters = cc.select("component").distinct().count()
     println(s"[stress] clusters: $nClusters over ${cc.count()} member rows")
+
+    // incremental-dedup economics: index the corpus ONCE, then dedup a
+    // 10%-sized "daily batch" by probing — vs re-running the full
+    // pipeline over (corpus ∪ batch), which is what a pipeline without
+    // a persisted index must do every day
+    // corpus ids are multiples of 5 (plus replica offsets): take the
+    // ids ≡ 5 (mod 50) — a deterministic 10% slice
+    val batch = corpus.filter(col("doc_id") % 50 === 5)
+      .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+      .localCheckpoint(true)
+    println(s"[stress] incremental batch: ${batch.count()} docs")
+    val root = java.nio.file.Files.createTempDirectory("graft-stress-lsh-").toString
+    val store = new graft.operators.TableStore(spark, root)
+    val idx = timed("lsh_index_build") {
+      graft.operators.LshTextIndex.build(store, "c", corpus,
+        numHashes = 32, bands = 4)
+    }
+    val probed = timed("lsh_index_probe(batch)") {
+      graft.operators.LshTextIndex.probe(idx, batch, threshold = 0.9)
+        .localCheckpoint(true)
+    }
+    println(s"[stress] probe pairs: ${probed.count()}")
+    timed("full_rerun(corpus+batch)") {
+      Dedup.minHashNearDups(corpus.unionByName(batch), "doc_id", "text",
+          numHashes = 32, bands = 4, threshold = 0.9)
+        .localCheckpoint(true)
+    }
+    // the realistic ingest case: a batch of mostly NOVEL content (fresh
+    // vocabulary) — probe work collapses to the batch's own map-side
+    // pass because nothing buckets with the corpus
+    val novel = batch.select(
+        (col("doc_id") + 1000000000L).as("doc_id"),
+        concat_ws(" ",
+          transform(split(col("text"), "\\s+"),
+            t => concat(t, lit("_new")))).as("text"))
+      .localCheckpoint(true)
+    val novelPairs = timed("lsh_index_probe(novel batch)") {
+      graft.operators.LshTextIndex.probe(idx, novel, threshold = 0.9)
+        .localCheckpoint(true)
+    }
+    println(s"[stress] novel probe pairs: ${novelPairs.count()}")
     spark.stop()
   }
 }
