@@ -139,9 +139,19 @@ object AnnIndex {
     * without a full index scan — are refused loudly.
     */
   def append(h: Handle, newVectors: DataFrame): Handle = {
+    VectorExprs.register(h.store.spark)
     val cents = h.centroids
-    val assigned = Similarity.assignCells(newVectors, cents, h.idCol, h.vecCol)
-      .localCheckpoint(true) // freeze: assignment feeds both the touch list and the merge
+    // match the index's posting payload: a buildQuantized index stores
+    // int8 codes (`cq`), so the batch is quantized the same way; a
+    // float index keeps raw embeddings. Same assignment either way.
+    val quantized = h.postings.columns.contains("cq")
+    val assignedRaw = Similarity.assignCells(newVectors, cents, h.idCol, h.vecCol)
+    val assigned = (if (quantized)
+        assignedRaw.select(col(h.idCol),
+          VectorExprs.vecQ8(Similarity.normalize(col(h.vecCol))).as("cq"),
+          col("cell_id"))
+      else assignedRaw)
+      .localCheckpoint(true) // freeze: feeds both the touch list and the merge
     val touched = assigned.select(col("cell_id")).distinct()
       .collect().map(r => Int.box(r.getInt(0))).toSeq
     if (touched.nonEmpty) {
@@ -153,7 +163,8 @@ object AnnIndex {
         s"append would duplicate ${h.idCol}=${dup.head.get(0)} — ids must be new " +
           s"(deleteWhere the old rows first, or rebuild)")
       val merged = existing.unionByName(
-        assigned.select(existing.columns.map(col): _*))
+          assigned.select(existing.columns.map(col): _*))
+        .repartition(col("cell_id")) // one-ish file per cell, see build()
       h.store.overwritePartitions(h.postingsTable, merged, "cell_id", touched)
     }
     h

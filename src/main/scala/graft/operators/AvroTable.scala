@@ -157,6 +157,13 @@ object AvroTable {
         paths.flatMap { p =>
           val reader = new DataFileReader[GenericRecord](
             new File(p), new GenericDatumReader[GenericRecord](schema))
+          // close on task completion too: an early-exit operator (limit)
+          // or a mid-read exception abandons the iterator before the
+          // drained-to-exhaustion close below ever runs — without this
+          // the fd leaks for the executor's lifetime
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ =>
+              scala.util.Try(reader.close())))
           // DataFileReader streams blocks lazily; drain it inside the
           // iterator so memory stays block-bounded
           new Iterator[Row] {

@@ -109,7 +109,6 @@ object Bpe {
         // uncollected pair counts are <= the last collected count (0 if
         // nothing was truncated, i.e. we hold the complete tail)
         val threshold = if (top.length < collectTop) 0L else top.last._2
-        val counts = top.toMap
         var selected = Vector.empty[(String, String, Long)] // a, b, n
         var usedSyms = Set.empty[String] // symbols + merged tokens of selected
         var createdBound = 0L // max possible count of any batch-created pair

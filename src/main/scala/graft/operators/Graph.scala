@@ -339,6 +339,18 @@ object Graph {
       edges: DataFrame, rounds: Int,
       aCol: String = "a", bCol: String = "b"): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // labels ride as longs (the -label max-struct tie-break needs a
+    // signed numeric); a string-keyed graph would cast to all-null
+    // labels and propagate silent garbage — refuse it loudly instead
+    val idType = edges.schema(aCol).dataType
+    val integral = idType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(integral,
+      s"labelPropagation needs integral node ids, got $idType — " +
+        "hash or dictionary-encode string ids first")
     val und = undirect(edges, aCol, bCol).localCheckpoint(true)
     val adj = und.select(col("u").as("id"), col("v").as("nbr"))
       .union(und.select(col("v").as("id"), col("u").as("nbr")))

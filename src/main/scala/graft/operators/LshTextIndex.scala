@@ -119,9 +119,18 @@ object LshTextIndex {
   }
 
   /** Fold a (probed) batch into the index so the NEXT batch dedups
-    * against it too: tokenize/sign/band the batch once and append via
-    * the union-rewrite of each table. Ids must be new (same contract
-    * and reasoning as [[AnnIndex.append]]).
+    * against it too. Ids must be new (same contract and reasoning as
+    * [[AnnIndex.append]]).
+    *
+    * Crash consistency: the three tables are updated in separate swaps,
+    * so a failure can leave a PARTIAL append — each write therefore
+    * merges as (old rows MINUS batch ids) ∪ batch rows, making a RETRY
+    * of the same batch idempotent (no duplicated bucket/sig rows), and
+    * the toks table — the duplicate-check source — commits LAST, so a
+    * half-appended batch is never refused as "already present". Until
+    * the retry lands, a batch missing from sigs/toks simply doesn't
+    * match probes (the joins are inner) — consistent with "not yet
+    * appended", never wrong pairs.
     */
   def append(h: Handle, newDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): Handle = {
@@ -132,10 +141,13 @@ object LshTextIndex {
       s"append would duplicate doc_id=${dup.headOption.map(_.get(0)).orNull} — " +
         "ids must be new")
     val sigs = Dedup.signatureFromUnits(toks, h.numHashes).localCheckpoint(true)
-    h.store.overwrite(h.toksTable, h.toks.unionByName(toks))
-    h.store.overwrite(h.sigsTable, h.sigs.unionByName(sigs))
+    val batchIds = toks.select("doc_id")
+    def merged(old: DataFrame, add: DataFrame): DataFrame =
+      old.join(batchIds, Seq("doc_id"), "left_anti").unionByName(add)
     h.store.overwrite(h.bucketsTable,
-      h.buckets.unionByName(Dedup.bandBuckets(sigs, h.numHashes, h.bands)))
+      merged(h.buckets, Dedup.bandBuckets(sigs, h.numHashes, h.bands)))
+    h.store.overwrite(h.sigsTable, merged(h.sigs, sigs))
+    h.store.overwrite(h.toksTable, merged(h.toks, toks)) // commit point
     h
   }
 }

@@ -153,6 +153,10 @@ object MediaCodec {
     val compression = buf.getInt
     require(compression == 0, s"only BI_RGB supported, got compression $compression")
     val rowBytes = (width * 3 + 3) / 4 * 4
+    // lower bound too: dataOffset < 54 would silently decode header
+    // bytes as pixels (and a negative one would AIOOBE, not refuse)
+    require(dataOffset >= 54 && dataOffset <= bytes.length,
+      s"bad pixel-data offset $dataOffset")
     require(dataOffset + rowBytes.toLong * height <= bytes.length,
       "pixel data overruns payload")
     val rgb = new Array[Int](width * height)
@@ -261,7 +265,9 @@ object MediaCodec {
     fourcc("RIFF"); buf.putInt(riffSize); fourcc("AVI ")
     fourcc("LIST"); buf.putInt(hdrlSize); fourcc("hdrl")
     fourcc("avih"); buf.putInt(56)
-    buf.putInt(microSecPerFrame).putInt(frameBytes * 1000000 / math.max(microSecPerFrame, 1))
+    buf.putInt(microSecPerFrame).putInt( // bytes/sec, Long math: Int overflows past ~26x26 frames
+      math.min(frameBytes.toLong * 1000000L / math.max(microSecPerFrame, 1),
+        Int.MaxValue.toLong).toInt)
     buf.putInt(0).putInt(0) // padding granularity; flags 0 (no idx1 written)
     buf.putInt(nFrames).putInt(0).putInt(1).putInt(frameBytes)
     buf.putInt(width).putInt(height)

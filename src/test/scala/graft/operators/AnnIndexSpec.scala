@@ -105,6 +105,18 @@ class AnnIndexSpec extends SparkSpec {
     assert(recall >= 0.6, s"quantized IVF recall $recall below the float floor")
   }
 
+  test("append works on a quantized index too (batch quantized to match)") {
+    val n = emb.agg(max($"vec_id")).as[Long].head()
+    val half = n / 2
+    val store = freshStore()
+    val h = AnnIndex.buildQuantized(store, "e", emb.filter($"vec_id" <= half), numCells = 16)
+    AnnIndex.append(h, emb.filter($"vec_id" > half))
+    val oneShot = AnnIndex.buildQuantized(freshStore(), "e", emb, numCells = 16)
+    val queries = emb.filter($"vec_id" < 10)
+    assert(asTuples(AnnIndex.searchQuantized(AnnIndex.open(store, "e"), queries, k = 5, nprobe = 4)) ===
+      asTuples(AnnIndex.searchQuantized(oneShot, queries, k = 5, nprobe = 4)))
+  }
+
   test("open on a missing index fails loudly; rebuild overwrites in place") {
     val store = freshStore()
     intercept[IllegalArgumentException](AnnIndex.open(store, "nope"))

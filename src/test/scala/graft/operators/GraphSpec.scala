@@ -188,6 +188,12 @@ class GraphSpec extends SparkSpec with Matchers {
       .toSet - ((1L, 2L)))
   }
 
+  test("labelPropagation refuses non-integral node ids instead of emitting null labels") {
+    val e = intercept[IllegalArgumentException](
+      Graph.labelPropagation(Seq(("a", "b"), ("b", "c")).toDF("a", "b"), rounds = 2))
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("labelPropagation: two cliques with a bridge converge to their min labels") {
     val cliqueA = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
     val cliqueB = for (i <- 11L to 14L; j <- (i + 1) to 14L) yield (i, j)

@@ -55,6 +55,31 @@ class LshTextIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate"))
   }
 
+  test("a partial (crashed) append is invisible to probes and retryable without duplicates") {
+    val a = docs.filter($"doc_id" % 5 === 0)
+    val b = docs.filter($"doc_id" % 5 === 1)
+    val store = freshStore()
+    val h = LshTextIndex.build(store, "c", a, numHashes = 32, bands = 16)
+    // simulate a crash after the FIRST table swap of append: buckets
+    // updated, sigs/toks not (the write order append() documents)
+    val sigsB = Dedup.signatureFromUnits(
+      b.select($"doc_id", org.apache.spark.sql.functions.array_sort(
+        graft.functions.TextFunctions.distinctTokens(org.apache.spark.sql.functions.lower($"text"))).as("toks")), 32)
+    store.overwrite(h.bucketsTable,
+      h.buckets.unionByName(Dedup.bandBuckets(sigsB, 32, 16)))
+    // half-appended batch: probes of slice c still behave as if b were absent
+    val c = docs.filter($"doc_id" % 5 === 2)
+    val before = LshTextIndex.probe(h, c, threshold = 0.9, estMargin = 0.35)
+    assert(before.filter(($"indexed_id" % 5) === 1).count() === 0)
+    // retry lands cleanly: no duplicate bucket rows, probe sees slice b
+    LshTextIndex.append(h, b)
+    val dupBuckets = h.buckets.groupBy("doc_id", "band_idx", "band_hash")
+      .count().filter($"count" > 1)
+    assert(dupBuckets.count() === 0, "retry duplicated bucket rows")
+    val after = LshTextIndex.probe(h, c, threshold = 0.9, estMargin = 0.35)
+    assert(after.filter(($"indexed_id" % 5) === 1).count() > 0)
+  }
+
   test("open restores the tuning from meta; mismatched banding cannot happen silently") {
     val store = freshStore()
     LshTextIndex.build(store, "c", docs.limit(50), numHashes = 16, bands = 8)

@@ -122,6 +122,24 @@ class MultimodalSpec extends SparkSpec {
       MediaCodec.decodeBmp(bottomUp).rgb.toSeq)
   }
 
+  test("BMP with a header-overlapping pixel offset is refused, not decoded as garbage") {
+    val bytes = MediaCodec.encodeBmp24(3, 2, (x, y) => x + y)
+    val broken = bytes.clone()
+    java.nio.ByteBuffer.wrap(broken).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(10, 0) // dataOffset := 0 — points into the headers
+    val e = intercept[IllegalArgumentException](MediaCodec.decodeBmp(broken))
+    assert(e.getMessage.contains("offset"))
+  }
+
+  test("AVI byte-rate header survives frames past the Int overflow size") {
+    // 30x30 frames: frameBytes*1e6 overflows Int; field must stay positive
+    val bytes = MediaCodec.encodeAvi(30, 30, 1, 40000, (_, _, _) => 0)
+    val rate = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .getInt(24 + 4) // avih payload starts at 24; dwMaxBytesPerSec is its 2nd int
+    assert(rate > 0, s"overflowed byte rate $rate")
+    assert(MediaCodec.decodeAvi(bytes).frames.head.rgb.length === 900)
+  }
+
   test("PPM roundtrip, comment-bearing headers, and strict raster length") {
     def px(x: Int, y: Int): Int = (x % 256 << 16) | (y % 256 << 8) | 200
     val img = MediaCodec.decodePpm(MediaCodec.encodePpm(4, 3, px))
