@@ -50,6 +50,7 @@ object DeltaExport {
     val current = store.currentVersion(table)
     var prevFiles: Seq[FileEntry] = Nil
     var prevSchema: String = null
+    var prevPartCols: Seq[String] = Nil
     versions.zipWithIndex.foreach { case (v, deltaV) =>
       // history layout: <warehouse root>/_history/<flat table>/vNNNNN
       val srcDir =
@@ -68,13 +69,18 @@ object DeltaExport {
       if (deltaV == 0) {
         actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
       }
-      if (deltaV == 0 || schemaJson != prevSchema) {
-        val partCols = store.partitionColumns(table)
-          .map(jsonStr).mkString("[", ",", "]")
+      // partition columns are a property of THIS generation's layout —
+      // the current table's layout would mislabel history across a
+      // partition evolution (gen-0 flat files declared partitioned, or
+      // vice versa), and stock readers take partition values from
+      // metaData+partitionValues, not the files
+      val genPartCols = partitionColumnsOf(srcDir)
+      val partColsJson = genPartCols.map(jsonStr).mkString("[", ",", "]")
+      if (deltaV == 0 || schemaJson != prevSchema || genPartCols != prevPartCols) {
         actions += s"""{"metaData":{"id":${jsonStr(tableId)},""" +
           s""""format":{"provider":"parquet","options":{}},""" +
           s""""schemaString":${jsonStr(schemaJson)},""" +
-          s""""partitionColumns":$partCols,"configuration":{},""" +
+          s""""partitionColumns":$partColsJson,"configuration":{},""" +
           s""""createdTime":$ts}}"""
       }
       prevFiles.foreach { f =>
@@ -92,6 +98,7 @@ object DeltaExport {
         actions.result().mkString("", "\n", "\n"))
       prevFiles = files
       prevSchema = schemaJson
+      prevPartCols = genPartCols
     }
     out
   }
@@ -124,13 +131,33 @@ object DeltaExport {
     finally walk.close()
   }
 
-  /** Hive-style `k=v` path segments → Delta partitionValues map. */
+  /** Partition columns of one GENERATION directory, from its first
+    * level of Hive `col=` segments (recursing for multi-level layouts).
+    */
+  private def partitionColumnsOf(genDir: Path): Seq[String] = {
+    def firstPartDir(d: Path): Option[Path] = {
+      val st = Files.list(d)
+      try st.iterator().asScala
+        .find(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+      finally st.close()
+    }
+    Iterator.iterate(firstPartDir(genDir))(_.flatMap(firstPartDir))
+      .takeWhile(_.isDefined).map(_.get.getFileName.toString.split("=", 2)(0))
+      .toSeq
+  }
+
+  /** Hive-style `k=v` path segments → Delta partitionValues map.
+    * Decoded with Hive's own unescaping (the inverse of how Spark wrote
+    * the directory) — URLDecoder additionally maps '+' to space, which
+    * corrupts any value containing a literal plus.
+    */
   private def partitionValuesJson(relPath: String): String = {
     val kvs = relPath.split('/').dropRight(1).toSeq
       .filter(_.contains('='))
       .map { seg =>
         val Array(k, v) = seg.split("=", 2)
-        s"${jsonStr(k)}:${jsonStr(java.net.URLDecoder.decode(v, "UTF-8"))}"
+        s"${jsonStr(k)}:${jsonStr(
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v))}"
       }
     kvs.mkString("{", ",", "}")
   }

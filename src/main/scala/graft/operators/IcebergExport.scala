@@ -220,7 +220,9 @@ object IcebergExport {
       relPath: String, partCols: Seq[String], schema: StructType): Seq[(String, Any)] = {
     val kvs = relPath.split('/').filter(_.contains('=')).map { seg =>
       val Array(k, v) = seg.split("=", 2)
-      k -> java.net.URLDecoder.decode(v, "UTF-8")
+      // Hive unescaping (the inverse of how the dirs were written) —
+      // URLDecoder would additionally fold '+' into a space
+      k -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
     }.toMap
     partCols.map { p =>
       val raw = kvs.getOrElse(p, throw new IllegalArgumentException(

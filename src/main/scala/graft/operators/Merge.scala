@@ -41,6 +41,22 @@ object Merge {
       .select(keys.map(col) ++ valueCols.map(c => col(s"__r.$c").as(c)): _*)
   }
 
+  /** Delta parity guard: a source with duplicate merge keys would fan
+    * out each matched target row through the inner join — duplicate
+    * primary keys committed silently. Delta MERGE fails such sources
+    * with "multiple source rows matched"; so do we. One bounded job
+    * over the (batch-sized) source; callers with legitimate multi-row
+    * batches deduplicate first via [[precombine]].
+    */
+  private def requireUniqueKeys(source: DataFrame, keys: Seq[String], op: String): Unit = {
+    val dup = source.groupBy(keys.map(col): _*)
+      .count().filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"$op: multiple source rows share merge key " +
+        s"(${keys.zip(dup.headOption.map(_.toSeq).getOrElse(Nil)).mkString(",")}) — " +
+        "precombine the source first (Merge.precombine)")
+  }
+
   /** S6 — insert-only MERGE: insert source rows whose key is absent from
     * the target; never update existing rows.
     * Ref: 02_bronze.ipynb:300-320 (cell-8), 03_silver.ipynb:642-662,
@@ -62,6 +78,7 @@ object Merge {
       source: DataFrame,
       keys: Seq[String],
       updateCols: Seq[String]): DataFrame = {
+    requireUniqueKeys(source, keys, "scd1")
     val keptCols = target.columns.filterNot(updateCols.contains)
     // matched: target's kept columns + source's updated columns
     val updated = target
@@ -93,18 +110,30 @@ object Merge {
       table: String,
       source: DataFrame,
       keys: Seq[String],
-      partCol: String): Unit = {
+      partCol: String): Unit = store.withTableLock(table) {
     if (!store.exists(table)) {
       store.overwrite(table, source, partitionBy = Seq(partCol))
-      return
+    } else {
+      val tableCols = store.read(table).columns.map(_.toLowerCase).toSet
+      if (!source.columns.forall(c => tableCols.contains(c.toLowerCase))) {
+        // a WIDER source must widen EVERY partition, or untouched ones
+        // keep the old schema and reads become listing-order-dependent —
+        // the aligned path only rewrites touched partitions, so fall
+        // back to the full versioned swap for this (rare) load
+        val (t, s) = alignSchemas(store.read(table), source)
+        store.overwrite(table, insertOnly(t, s, keys),
+          partitionBy = Seq(partCol))
+      } else {
+        val values = source.select(col(partCol)).distinct()
+          .collect().map(_.get(0)).toSeq
+        val touched = store.read(table)
+          .filter(col(partCol).isInCollection(values)) // partition-pruned scan
+        // align to the UNION of schemas: a source narrower than an
+        // evolved table must not strip the partition's extra columns
+        val (t, s) = alignSchemas(touched, source)
+        store.overwritePartitions(table, insertOnly(t, s, keys), partCol, values)
+      }
     }
-    val values = source.select(col(partCol)).distinct().collect().map(_.get(0)).toSeq
-    val touched = store.read(table)
-      .filter(col(partCol).isInCollection(values))  // partition-pruned scan
-    // align to the UNION of schemas: a source narrower than an evolved
-    // table must not strip the partition's extra columns on rewrite
-    val (t, s) = alignSchemas(touched, source)
-    store.overwritePartitions(table, insertOnly(t, s, keys), partCol, values)
   }
 
   /** SCD1 with a delete clause — the `WHEN MATCHED AND <cond> THEN
@@ -159,8 +188,11 @@ object Merge {
     require(source.columns.sorted.toSeq == dataCols.sorted,
       s"scd2 source must carry exactly the data columns ${dataCols.mkString(",")}; " +
         s"got ${source.columns.mkString(",")}")
-    val cur = target.filter(col(isCurrent))
-    val hist = target.filter(!col(isCurrent))
+    requireUniqueKeys(source, keys, "scd2")
+    // a NULL current flag (e.g. a row widened in by schema evolution)
+    // must not vanish from BOTH branches — treat it as history
+    val cur = target.filter(coalesce(col(isCurrent), lit(false)))
+    val hist = target.filter(!coalesce(col(isCurrent), lit(false)))
     // keys whose tracked attributes actually moved (null-safe compare)
     val differs = trackCols.map(c => !(col("s." + c) <=> col("t." + c))).reduce(_ || _)
     val changedKeys = cur.as("t")
@@ -211,18 +243,24 @@ object Merge {
     * coercion is how lakes rot.
     */
   def alignSchemas(target: DataFrame, source: DataFrame): (DataFrame, DataFrame) = {
+    // name matching is CASE-INSENSITIVE, like Spark's own column
+    // resolution: comparing case-sensitively here while withColumn
+    // resolves insensitively let a source "Id" silently null out a
+    // target "id" (the withColumn REPLACED it)
+    val srcByLower = source.schema.map(f => f.name.toLowerCase -> f).toMap
+    val tgtLower = target.columns.map(_.toLowerCase).toSet
     val conflicts = target.schema.filter(f =>
-      source.columns.contains(f.name) &&
-        source.schema(f.name).dataType != f.dataType)
+      srcByLower.get(f.name.toLowerCase).exists(_.dataType != f.dataType))
     require(conflicts.isEmpty,
       "schema evolution cannot reconcile type conflicts: " + conflicts.map(f =>
         s"${f.name} (target ${f.dataType.sql} vs source " +
-          s"${source.schema(f.name).dataType.sql})").mkString(", "))
-    val newCols = source.columns.filterNot(target.columns.contains)
+          s"${srcByLower(f.name.toLowerCase).dataType.sql})").mkString(", "))
+    val newCols = source.columns.filterNot(c => tgtLower.contains(c.toLowerCase))
     val widenedTarget = newCols.foldLeft(target)((df, c) =>
       df.withColumn(c, org.apache.spark.sql.functions.lit(null)
         .cast(source.schema(c).dataType)))
-    val missing = target.columns.filterNot(source.columns.contains)
+    val missing = target.columns.filterNot(c =>
+      srcByLower.contains(c.toLowerCase))
     val widenedSource = missing.foldLeft(source)((df, c) =>
       df.withColumn(c, org.apache.spark.sql.functions.lit(null)
         .cast(target.schema(c).dataType)))
@@ -243,7 +281,7 @@ object Merge {
       keys: Seq[String],
       updateCols: Seq[String] = Nil,
       partitionBy: Seq[String] = Nil,
-      evolveSchema: Boolean = false): Unit = {
+      evolveSchema: Boolean = false): Unit = store.withTableLock(table) {
     if (!store.exists(table)) store.overwrite(table, source, partitionBy = partitionBy)
     else {
       val (target, aligned) =

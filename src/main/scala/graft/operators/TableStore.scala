@@ -103,17 +103,35 @@ final class TableStore(val spark: SparkSession, val root: String,
     * of corrupting a swap — still clearable via [[vacuum]] (which also
     * reports stale locks).
     */
-  private def withTableLock[T](table: String)(body: => T): T = {
+  private val heldLocks = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
+  private[operators] def withTableLock[T](table: String)(body: => T): T = {
+    // REENTRANT within a thread: read-modify-write operations
+    // (deleteWhere/updateWhere/replaceWhere, Merge.mergeInto) take the
+    // lock around their READ as well as the final swap — otherwise a
+    // queued writer commits a result computed against the generation
+    // its predecessor replaced (lost update / moved-files read failure).
+    // Their inner overwrite() re-enters here and must pass through.
+    val key = s"$root#$table"
+    if (heldLocks.get.contains(key)) return body
     Files.createDirectories(Paths.get(root))
     val lock = Paths.get(root, s".lock-${flat(table)}")
     // Bounded-wait queue semantics (Delta-style optimistic writers):
     // contend for up to lockWaitMs with jittered polling, so two
     // back-to-back writers serialize instead of one failing. A lock
     // whose file is older than lockStaleMs is a dead writer's — it is
-    // broken (deleteIfExists; the createFile race after the break still
-    // elects exactly one winner). Past the deadline, fail loudly: at
-    // that point the other writer is alive and long-running, and
-    // queueing silently behind it is an operator decision, not a
+    // broken by ATOMICALLY RENAMING it aside first: rename is the
+    // election (exactly one breaker wins it; losers see NoSuchFile and
+    // just re-loop), so a breaker can never delete a LIVE lock that a
+    // faster waiter re-created between its staleness check and its
+    // delete — the two-concurrent-writers TOCTOU a plain deleteIfExists
+    // here allowed. Lease caveat (documented): the mtime is written at
+    // acquisition and not heartbeat-refreshed, so lockStaleMs must
+    // exceed the longest expected single write. Past the deadline, fail
+    // loudly: at that point the other writer is alive and long-running,
+    // and queueing silently behind it is an operator decision, not a
     // default. (The reference itself is single-writer —
     // ironman_dag.py:195 max_active_runs=1 — so contention here means
     // misconfiguration more often than throughput.)
@@ -128,7 +146,14 @@ final class TableStore(val spark: SparkSession, val root: String,
               System.currentTimeMillis - lockStaleMs
             catch { case _: java.io.IOException => false } // just released
           if (stale) {
-            Files.deleteIfExists(lock) // break a dead writer's lease
+            // atomic rename = single-winner break election
+            val broken = Paths.get(root,
+              s".lock-broken-${flat(table)}-${System.nanoTime()}")
+            try {
+              Files.move(lock, broken,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              Files.deleteIfExists(broken)
+            } catch { case _: java.io.IOException => () } // lost the election
           } else if (System.currentTimeMillis >= deadline) {
             throw new IllegalStateException(
               s"concurrent writer detected on '$table': $lock is held " +
@@ -140,11 +165,15 @@ final class TableStore(val spark: SparkSession, val root: String,
       }
     }
     try {
+      heldLocks.set(heldLocks.get + key)
       Files.write(lock,
         s"pid=${ProcessHandle.current.pid} at=${System.currentTimeMillis}"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       body
-    } finally Files.deleteIfExists(lock)
+    } finally {
+      heldLocks.set(heldLocks.get - key)
+      Files.deleteIfExists(lock)
+    }
   }
 
   /** `OPTIMIZE`-style compaction (ref: 02:354, 03:721, 04d:501): rewrite
@@ -294,7 +323,7 @@ final class TableStore(val spark: SparkSession, val root: String,
     * partition-aligned path — unless a partition empties completely
     * (partition removal needs the full swap) . Returns rows deleted.
     */
-  def deleteWhere(table: String, cond: org.apache.spark.sql.Column): Long = {
+  def deleteWhere(table: String, cond: org.apache.spark.sql.Column): Long = withTableLock(table) {
     import org.apache.spark.sql.functions.{coalesce, lit}
     val parts = partitionColumns(table)
     val before = read(table)
@@ -303,15 +332,21 @@ final class TableStore(val spark: SparkSession, val root: String,
     val keep = !coalesce(cond, lit(false))
     if (parts.size == 1) {
       val pc = parts.head
-      val values = before.filter(cond).select(col(pc)).distinct()
-        .collect().map(_.get(0)).toSeq.filterNot(_ == null)
+      val rawValues = before.filter(cond).select(col(pc)).distinct()
+        .collect().map(_.get(0)).toSeq
+      val values = rawValues.filterNot(_ == null)
+      // ANY null-partitioned match forces the full swap: the aligned
+      // path only rewrites named col=value directories, so a match in
+      // __HIVE_DEFAULT_PARTITION__ would silently survive while still
+      // being counted in nDeleted
+      val anyNullMatch = rawValues.contains(null)
       val touchedKept = before.filter(col(pc).isInCollection(values)).filter(keep)
       val valuesWithRows = touchedKept.select(col(pc)).distinct()
         .collect().map(_.get(0)).toSet
-      if (values.forall(valuesWithRows.contains) && values.nonEmpty)
+      if (!anyNullMatch && values.forall(valuesWithRows.contains) && values.nonEmpty)
         overwritePartitions(table, touchedKept, pc, values)
-      else // a partition emptied entirely (or matches had null partition
-           // values): removal needs the full versioned swap
+      else // a partition emptied entirely, or matches live in the null
+           // partition: both need the full versioned swap
         overwrite(table, before.filter(keep), partitionBy = parts)
     } else {
       overwrite(table, before.filter(keep), partitionBy = parts)
@@ -333,7 +368,7 @@ final class TableStore(val spark: SparkSession, val root: String,
   def updateWhere(
       table: String,
       cond: org.apache.spark.sql.Column,
-      set: Map[String, org.apache.spark.sql.Column]): Long = {
+      set: Map[String, org.apache.spark.sql.Column]): Long = withTableLock(table) {
     import org.apache.spark.sql.functions.{coalesce, lit, when}
     val parts = partitionColumns(table)
     val before = read(table)
@@ -356,12 +391,15 @@ final class TableStore(val spark: SparkSession, val root: String,
     }
     if (parts.size == 1) {
       val pc = parts.head
-      val values = before.filter(hit).select(col(pc)).distinct()
-        .collect().map(_.get(0)).toSeq.filterNot(_ == null)
-      if (values.nonEmpty)
+      val rawValues = before.filter(hit).select(col(pc)).distinct()
+        .collect().map(_.get(0)).toSeq
+      val values = rawValues.filterNot(_ == null)
+      // same rule as deleteWhere: a match in the null partition cannot
+      // ride the aligned path (its directory is never in `values`)
+      if (!rawValues.contains(null) && values.nonEmpty)
         overwritePartitions(table,
           applied(before.filter(col(pc).isInCollection(values))), pc, values)
-      else // matches only in null-valued partitions: full swap
+      else // matches touch the null partition (or nothing named): full swap
         overwrite(table, applied(before), partitionBy = parts)
     } else {
       overwrite(table, applied(before), partitionBy = parts)
@@ -408,7 +446,7 @@ final class TableStore(val spark: SparkSession, val root: String,
   def replaceWhere(
       table: String,
       cond: org.apache.spark.sql.Column,
-      replacement: DataFrame): (Long, Long) = {
+      replacement: DataFrame): (Long, Long) = withTableLock(table) {
     import org.apache.spark.sql.functions.{coalesce, lit}
     val before = read(table)
     val hit = coalesce(cond, lit(false))
@@ -600,6 +638,17 @@ final class TableStore(val spark: SparkSession, val root: String,
       if (Files.exists(trash)) deleteRecursively(trash)
     }
     deleteRecursively(tmp)
+    // in-place partition rewrites invalidate driver-side file statistics
+    // (the full-swap path sheds them with the directory; this path must
+    // shed them explicitly, or readPruned/readPrunedString keep keying
+    // off file names that no longer exist — stale-stat wrong answers)
+    val tblDir = dir(table)
+    Files.deleteIfExists(tblDir.resolve(manifestName))
+    val statsStream = Files.list(tblDir)
+    try statsStream.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("_strstats_"))
+      .foreach(Files.deleteIfExists(_))
+    finally statsStream.close()
   }
 
   /** `OPTIMIZE ... ZORDER BY` analog: rewrite the table clustered on

@@ -137,6 +137,25 @@ class DeltaExportSpec extends SparkSpec {
     }
   }
 
+  test("partition-evolved history exports per-generation metaData (DeltaImport replays both layouts)") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-dxe-").toString)
+    // generation 0: FLAT layout
+    store.overwrite("e", Seq((1, 2023, "a"), (2, 2024, "b")).toDF("id", "year", "v"))
+    // generation 1: evolved to year= partitions
+    store.evolvePartitioning("e", Seq("year"))
+    val out = DeltaExport.exportTable(store, "e",
+      Files.createTempDirectory("graft-dxeo-").toString).toString
+    // VERSION AS OF 0 must read the flat generation with year as a DATA
+    // column (metaData for commit 0 declares no partition columns)
+    val v0 = DeltaImport.read(spark, out, Some(0L))
+      .select("id", "year", "v").as[(Int, Int, String)].collect().sorted.toSeq
+    assert(v0 === Seq((1, 2023, "a"), (2, 2024, "b")))
+    // latest reads the partitioned layout with year reattached
+    val v1 = DeltaImport.read(spark, out)
+      .select("id", "year", "v").as[(Int, Int, String)].collect().sorted.toSeq
+    assert(v1 === v0)
+  }
+
   test("export survives source vacuum (hardlinked files remain readable)") {
     val store = new TableStore(spark, Files.createTempDirectory("graft-dxv-").toString)
     (1 to 4).foreach(i =>

@@ -167,4 +167,64 @@ class MergeSpec extends SparkSpec {
       assert(got(k) === expect, s"key $k")
     }
   }
+
+  test("scd1/scd2 refuse duplicate source keys like Delta MERGE") {
+    val target = Seq((1L, "a")).toDF("k", "v")
+    val dupSource = Seq((1L, "b"), (1L, "c")).toDF("k", "v")
+    val e1 = intercept[IllegalArgumentException](
+      Merge.scd1(target, dupSource, Seq("k"), Seq("v")).count())
+    assert(e1.getMessage.contains("multiple source rows"))
+    val t2 = Seq((1L, "a", "2024-01-01", null: String, true))
+      .toDF("k", "v", "valid_from", "valid_to", "is_current")
+    val e2 = intercept[IllegalArgumentException](
+      Merge.scd2(t2, dupSource, Seq("k"), Seq("v"), "2024-06-01").count())
+    assert(e2.getMessage.contains("multiple source rows"))
+    // deduplicated via precombine, the same batch merges fine
+    val combined = Merge.precombine(dupSource, Seq("k"), Seq("v"))
+    assert(Merge.scd1(target, combined, Seq("k"), Seq("v")).count() === 1)
+  }
+
+  test("scd2 keeps rows whose is_current flag is NULL (as history)") {
+    val target = Seq(
+      (1L, "a", "2024-01-01", null: String, Option(true)),
+      (2L, "old", "2023-01-01", "2024-01-01", Option(false)),
+      (3L, "widened", null: String, null: String, Option.empty[Boolean]))
+      .toDF("k", "v", "valid_from", "valid_to", "is_current")
+    val source = Seq((1L, "a2")).toDF("k", "v")
+    val out = Merge.scd2(target, source, Seq("k"), Seq("v"), "2024-06-01")
+    // the NULL-flag row survives (as history), not silently dropped
+    assert(out.filter($"k" === 3).count() === 1)
+    assert(out.count() === 4) // hist + closed-out 1 + new 1 + null-flag row
+  }
+
+  test("alignSchemas treats names case-insensitively like Spark resolution") {
+    val target = Seq((1L, "x")).toDF("id", "v")
+    val source = Seq((2L, "y")).toDF("Id", "v")
+    // same column, different case: NOT a new column — the old behavior
+    // nulled out the target's id via withColumn("Id", null)
+    val (t, s2) = Merge.alignSchemas(target, source)
+    assert(t.columns.toSeq === Seq("id", "v"))
+    assert(t.filter($"id".isNull).count() === 0)
+    assert(s2.select("id").as[Long].collect().toSeq === Seq(2L))
+    // and a true type conflict across cases still fails loudly
+    val bad = Seq((2, "y")).toDF("Id", "v") // Int vs Long
+    intercept[IllegalArgumentException](Merge.alignSchemas(target, bad))
+  }
+
+  test("insertOnlyPartitionAligned with a WIDER source widens every partition") {
+    val store = freshStore()
+    store.overwrite("t",
+      Seq((1L, 2023, "a"), (2L, 2024, "b")).toDF("k", "year", "v"),
+      partitionBy = Seq("year"))
+    // source adds a new column and touches only year=2024
+    val wider = Seq((3L, 2024, "c", "blue")).toDF("k", "year", "v", "color")
+    Merge.insertOnlyPartitionAligned(store, "t", wider, Seq("k"), "year")
+    val back = store.read("t")
+    // every row carries the new column (old partitions as nulls) — no
+    // listing-order-dependent schema
+    assert(back.columns.contains("color"))
+    assert(back.count() === 3)
+    assert(back.filter($"k" === 1 && $"color".isNull).count() === 1)
+    assert(back.filter($"k" === 3 && $"color" === "blue").count() === 1)
+  }
 }

@@ -446,4 +446,35 @@ class TableStoreSpec extends SparkSpec {
     assert(store.savedViews.toMap.apply("a__b") == "SELECT 1 AS one")
     assert(store.savedViews.toMap.apply("b") == "SELECT 3 AS three")
   }
+
+  test("deleteWhere/updateWhere hit rows in the NULL partition too") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-nullpart-").toString)
+    val df = Seq((1, Option(2023), "a"), (2, Option(2023), "x"),
+      (3, Option.empty[Int], "x"), (4, Option(2024), "b"))
+      .toDF("id", "year", "v")
+    store.overwrite("t", df, partitionBy = Seq("year"))
+    // matches live in year=2023 AND the null partition: both must go
+    val n = store.deleteWhere("t", $"v" === "x")
+    assert(n === 2)
+    assert(store.read("t").select("id").as[Int].collect().sorted.toSeq === Seq(1, 4))
+    // same for updates
+    store.overwrite("t", df, partitionBy = Seq("year"))
+    val u = store.updateWhere("t", $"v" === "x", Map("v" -> lit("y")))
+    assert(u === 2)
+    assert(store.read("t").filter($"v" === "y").count() === 2)
+  }
+
+  test("partition-aligned rewrites shed stale string stats (no wrong-file pruning)") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-stalestat-").toString)
+    val df = Seq((1, 2023, "alpha"), (2, 2023, "beta"), (3, 2024, "delta"))
+      .toDF("id", "year", "name")
+    store.overwrite("t", df, partitionBy = Seq("year"))
+    store.analyzeStringColumn("t", "name")
+    // aligned rewrite of year=2023 replaces its files -> stats are stale
+    store.deleteWhere("t", $"name" === "beta")
+    // pruned read must not key off vanished files or miss the new ones
+    val names = store.readPrunedString("t", "name", "a", "e")
+      .select("name").as[String].collect().sorted.toSeq
+    assert(names === Seq("alpha", "delta"))
+  }
 }
