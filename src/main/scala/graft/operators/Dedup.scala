@@ -205,7 +205,14 @@ object Dedup {
     // DedupSpec); the aggregate form remains for token streams that
     // arrive as rows rather than arrays
     tokenSets
-      .filter(col("toks").isNotNull)
+      // Docs with NO real tokens are excluded along with null ones:
+      // whitespace-only text tokenizes to [""] (split semantics) and
+      // truly empty sets to [], so N such docs would share one
+      // signature, flood every band bucket, and the candidate self-join
+      // would emit ~N^2/2 pairs. Near-dup detection is for content;
+      // exact dedup owns empties.
+      .filter(col("toks").isNotNull &&
+        size(array_remove(col("toks"), "")) > 0)
       .select(
         col("doc_id"),
         graft.expressions.MinHashAgg.minhashSigArr(col("toks"), numHashes).as("sig"))
@@ -240,10 +247,11 @@ object Dedup {
   }
 
   /** Banded candidate pairs WITHOUT the distinct — a pair sharing p
-    * bands appears p times. The full pipeline uses this form and defers
-    * deduplication until after the cheap signature-estimate prefilter,
-    * trading a full-candidate-set shuffle for re-scoring duplicates
-    * map-side (the sigs join is broadcast; scoring is a 32-step loop).
+    * bands appears p times. Exists for callers that want to defer
+    * deduplication; [[minHashNearDups]] itself uses the DISTINCT form
+    * before scoring (measured 2.7 s vs 5.6 s warm at sf0.1 — re-scoring
+    * duplicate pairs through the estimate costs more than the pair-key
+    * shuffle saves).
     */
   private[graft] def minHashCandidatesRaw(
       signatures: DataFrame, numHashes: Int, bands: Int): DataFrame = {
@@ -506,10 +514,18 @@ object Dedup {
     val comps = connectedComponents(pairs)
     val withPri = df.select(col(idCol).as("node"), priority.as("__pri"))
     val members = comps.join(withPri, Seq("node"))
-    // max_by over (priority, -id): highest priority wins, ties take the
-    // smallest id — deterministic under any partitioning
-    val winners = members.groupBy(col("component"))
-      .agg(max_by(col("node"), struct(col("__pri"), -col("node"))).as("keep"))
+    // highest priority wins, ties take the smallest id — as a two-level
+    // aggregate (max priority per component, then min id among the rows
+    // attaining it) instead of max_by(struct(pri, -id)): negating the
+    // id nulls out (or throws under ANSI) for the non-numeric id types
+    // connectedComponents explicitly supports, which silently turned
+    // the tie-break partition-order-dependent
+    val top = members.groupBy(col("component"))
+      .agg(org.apache.spark.sql.functions.max(col("__pri")).as("__top"))
+    val winners = members.join(top, Seq("component"))
+      .filter(col("__pri") <=> col("__top"))
+      .groupBy(col("component"))
+      .agg(org.apache.spark.sql.functions.min(col("node")).as("keep"))
       .select(col("keep").as(idCol))
     val unpaired = df.join(comps.select(col("node").as(idCol)), Seq(idCol), "left_anti")
     unpaired.unionByName(df.join(winners, Seq(idCol), "left_semi"))

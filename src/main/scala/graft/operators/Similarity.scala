@@ -101,6 +101,17 @@ object Similarity {
     * rank 1..k ordered by (score desc, corpus_id asc).
     */
   private[operators] def topKPerGroup(scored: DataFrame, group: Column, k: Int): DataFrame = {
+    // corpus ids ride through the heap as longs: a non-integral id
+    // column would cast to all-null, the aggregate would skip every
+    // row, and the operator would return ZERO rows with no error
+    val idType = scored.schema("corpus_id").dataType
+    val integral = idType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(integral,
+      s"top-k needs integral ids, got $idType — dictionary-encode string ids first")
     graft.expressions.TopKAgg.register(scored.sparkSession)
     scored
       .groupBy(group.as("query_id"))
@@ -137,7 +148,7 @@ object Similarity {
     var current = cents
     for (_ <- 0 until iterations) {
       val assigned = assignCells(corpus, current, idCol, vecCol)
-      current = assigned
+      val updated = assigned
         .select(col("cell_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy(col("cell_id"), col("pos"))
         .agg(avg(col("x").cast("double")).as("m"))
@@ -146,6 +157,12 @@ object Similarity {
         .select(
           col("cell_id"),
           transform(col("pairs"), p => p.getField("m")).as("centroid"))
+      // a cell that won zero vectors this round KEEPS its old centroid:
+      // dropping it silently shrinks the requested cell count (lower
+      // recall per nprobe) and can keep shrinking across iterations
+      current = updated.unionByName(
+        current.join(updated.select("cell_id"), Seq("cell_id"), "left_anti")
+          .select(col("cell_id"), col("centroid").cast("array<double>")))
     }
     current
   }

@@ -75,17 +75,7 @@ object EventStreams {
     * emitted in exact microseconds (BIGINT) for oracle parity.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, horizon: String): DataFrame =
-    left.alias("l").join(
-        right.alias("r"),
-        col("l.user_id") === col("r.user_id") &&
-          col("r.ts") >= col("l.ts") &&
-          col("r.ts") <= col("l.ts") + expr(s"INTERVAL $horizon"),
-        "inner")
-      .select(
-        col("l.event_id").as("left_id"),
-        col("r.event_id").as("right_id"),
-        col("l.user_id").as("user_id"),
-        (unix_micros(col("r.ts")) - unix_micros(col("l.ts"))).as("usecs_between"))
+    intervalJoinWith(left, right, horizon, "inner")
 
   /** The attribution shape over the events table: views joined to the
     * same user's purchases within the horizon.
@@ -119,12 +109,20 @@ object EventStreams {
     * (bounded state, eventual completeness — pinned in EventStreamsSpec).
     */
   def intervalJoinOuter(left: DataFrame, right: DataFrame, horizon: String): DataFrame =
+    intervalJoinWith(left, right, horizon, "left_outer")
+
+  /** Shared body of the two interval joins — one place owns the horizon
+    * predicate and the latency projection.
+    */
+  private def intervalJoinWith(
+      left: DataFrame, right: DataFrame, horizon: String,
+      joinType: String): DataFrame =
     left.alias("l").join(
         right.alias("r"),
         col("l.user_id") === col("r.user_id") &&
           col("r.ts") >= col("l.ts") &&
           col("r.ts") <= col("l.ts") + expr(s"INTERVAL $horizon"),
-        "left_outer")
+        joinType)
       .select(
         col("l.event_id").as("left_id"),
         col("r.event_id").as("right_id"),
@@ -299,6 +297,34 @@ object EventStreams {
     * first-class (several can coexist per key) — this processor needs
     * one, so it deletes the previous before re-arming.
     */
+  /** Fold a batch of events (sorted ascending) into the per-key session
+    * list. Each event enters as a singleton session and MERGES with
+    * every existing session within `gapMs` of it — so a late event can
+    * extend a session BACKWARDS (lowering its start) or bridge two
+    * sessions into one, exactly like the batch `session_window`
+    * semantics; the old `t <= end + gap` guard silently absorbed
+    * arbitrarily-old events without moving the start. Returns
+    * (closeNow, stillOpen): every session but the latest closes
+    * immediately — single-open-session state cannot keep several alive,
+    * and the watermark bounds how late a reviving event could be.
+    */
+  private def foldSessions(
+      stateSession: Option[OpenSession], sorted: Seq[Event], gapMs: Long)
+      : (Seq[OpenSession], Option[OpenSession]) = {
+    var sessions = stateSession.toList
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      val (mergeable, rest) = sessions.partition(s =>
+        t >= s.start - gapMs && t <= s.end + gapMs)
+      val merged = mergeable.foldLeft(OpenSession(t, t, 1, e.value)) { (a, s) =>
+        OpenSession(math.min(a.start, s.start), math.max(a.end, s.end),
+          a.n + s.n, a.value + s.value)
+      }
+      sessions = (merged :: rest).sortBy(_.start)
+    }
+    if (sessions.isEmpty) (Nil, None) else (sessions.init, Some(sessions.last))
+  }
+
   class SessionProcessor(gapMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, ClosedSession] {
     import org.apache.spark.sql.Encoders
@@ -319,20 +345,9 @@ object EventStreams {
         timers: TimerValues): Iterator[ClosedSession] = {
       val sorted = rows.toSeq.sortBy(_.ts.getTime)
       val closed = Seq.newBuilder[ClosedSession]
-      var cur = if (open.exists()) Some(open.get()) else None
-      sorted.foreach { e =>
-        val t = e.ts.getTime
-        cur match {
-          case Some(s) if t <= s.end + gapMs =>
-            cur = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1,
-              s.value + e.value))
-          case Some(s) =>
-            closed += close(user, s) // gap exceeded within the batch
-            cur = Some(OpenSession(t, t, 1, e.value))
-          case None =>
-            cur = Some(OpenSession(t, t, 1, e.value))
-        }
-      }
+      val (closeNow, cur) = foldSessions(
+        if (open.exists()) Some(open.get()) else None, sorted, gapMs)
+      closeNow.foreach(s => closed += close(user, s))
       cur.foreach { s =>
         open.update(s)
         // re-arm THE timer: drop any previously registered deadline
@@ -406,20 +421,8 @@ object EventStreams {
           } else {
             val sorted = batch.toSeq.sortBy(_.ts.getTime)
             val closed = Seq.newBuilder[ClosedSession]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1,
-                    s.value + e.value))
-                case Some(s) =>
-                  closed += close(user, s)
-                  cur = Some(OpenSession(t, t, 1, e.value))
-                case None =>
-                  cur = Some(OpenSession(t, t, 1, e.value))
-              }
-            }
+            val (closeNow, cur) = foldSessions(state.getOption, sorted, gapMs)
+            closeNow.foreach(s => closed += close(user, s))
             cur.foreach { s =>
               state.update(s)
               // deadline must sit at/after the current watermark or Spark
@@ -438,9 +441,11 @@ object EventStreams {
     * then STOP — the batch-job-shaped run of a streaming pipeline (the
     * scheduler-friendly backfill mode). The checkpoint records which
     * files were consumed, so a later run with the SAME checkpoint
-    * processes only files that arrived since — exactly-once ingest
-    * across restarts with no idempotence required of `process`
-    * (pinned in StreamingIngestSpec).
+    * processes only files that arrived since (pinned in
+    * StreamingIngestSpec). Delivery to `process` is AT-LEAST-ONCE on a
+    * crash between process() and the checkpoint commit — pair a
+    * non-idempotent sink with the (appId, batchId) ledger the way
+    * [[streamingScd1Upsert]] does for exactly-once effects.
     *
     * At scale this is the standard landing-zone pattern: object-store
     * prefix in, `process` (usually a foreachBatch MERGE into the store)
@@ -468,21 +473,29 @@ object EventStreams {
     * idempotent; update sinks need exactly this guard — it is the
     * Delta txnAppId/txnVersion pattern on the directory store.
     */
+  /** @param checkpointDir durable checkpoint location. REQUIRED for the
+    *        ledger guarantee to hold across restarts: without one, a
+    *        restarted query renumbers micro-batches from 0 and the
+    *        (appId, batchId) ledger would SKIP the new run's batches as
+    *        replays — silent data loss. None is for single-run tests.
+    */
   def streamingScd1Upsert(
       stream: DataFrame,
       store: graft.operators.TableStore,
       table: String,
       keys: Seq[String],
       updateCols: Seq[String],
-      appId: String): org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
+      appId: String,
+      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         store.commitIfNew(table, appId, batchId) {
           graft.operators.Merge.mergeInto(store, table, batch, keys, updateCols)
         }
         ()
       }
-      .start()
+    checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+  }
 
   /** Convenience: read the events table as a file-source stream (one
     * parquet file = one micro-batch when `maxFilesPerTrigger=1`).

@@ -250,4 +250,18 @@ class DedupSpec extends SparkSpec {
     assert(a === b)
     assert(a === exhaustiveHamming(rows, 2))
   }
+
+  test("empty and whitespace-only docs get no signature and flood no buckets") {
+    val docs = (Seq((1L, "real content here"), (2L, "more real content here")) ++
+      (10L to 60L).map(i => (i, if (i % 2 == 0) "" else "   ")))
+      .toDF("doc_id", "text")
+    val toks = docs.select($"doc_id",
+      array_sort(graft.functions.TextFunctions.distinctTokens(lower($"text"))).as("toks"))
+    val sigs = Dedup.signatureFromUnits(toks, 16)
+    assert(sigs.count() === 2, "empty docs must not sign") // only the real docs
+    // and the full pipeline emits zero candidate pairs among the empties
+    val pairs = Dedup.minHashNearDups(docs, "doc_id", "text",
+      numHashes = 16, bands = 4, threshold = 0.5)
+    assert(pairs.filter($"id1" >= 10L).count() === 0)
+  }
 }

@@ -183,4 +183,26 @@ class SimilaritySpec extends SparkSpec {
     val s = if (v1(0) * v7(0) < 0) -1.0 else 1.0
     v1.zip(v7).foreach { case (a, b) => assert(math.abs(a - s * b) < 1e-9) }
   }
+
+  test("refineCentroids keeps cells that win no vectors (no silent shrink)") {
+    // two identical seeds: one cell gets every vector of the pair's
+    // region, the other wins none — it must survive with its old centroid
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f)), (4L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val seeds = Similarity.centroids(corpus, 3) // seeds 1,2 identical
+    val refined = Similarity.refineCentroids(corpus, seeds, iterations = 2)
+    assert(refined.count() === 3, "a zero-win cell was dropped")
+    assert(refined.select("cell_id").distinct().count() === 3)
+  }
+
+  test("top-k refuses non-integral id columns instead of returning empty results") {
+    val corpus = Seq(("doc-1", Array(1.0f, 0.0f)), ("doc-2", Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(corpus, corpus, k = 1).collect()
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }

@@ -265,6 +265,66 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late cross-batch event extends the open session BACKWARDS (batch-equivalent)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    def ev(id: Long, user: Long, hm: String, v: Double) =
+      Event(id, Timestamp.valueOf(s"2024-01-01 $hm:00"), user, "click", v)
+
+    val q = expiringSessions(mem.toDS(), gapSeconds = 1800, watermark = "2 hours")
+      .writeStream.format("memory").queryName("latesess")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1: open session at 10:00
+      mem.addData(ev(1, 1L, "10:00", 1.0))
+      q.processAllAvailable()
+      // batch 2: a LATE event at 09:45 — within the gap of the open
+      // session's START, so it must merge and LOWER session_start
+      // (the old guard kept start at 10:00)
+      mem.addData(ev(2, 1L, "09:45", 2.0))
+      q.processAllAvailable()
+      // batch 3: far-future same-user event closes the session in-handler
+      mem.addData(ev(3, 1L, "13:00", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("latesess")
+        .select("session_start", "n_events").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getTimestamp(0).toString.startsWith("2024-01-01 09:45:00"),
+        s"late event did not extend the session backwards: ${rows.toSeq}")
+      assert(rows.head.getLong(1) == 2L)
+    } finally q.stop()
+  }
+
+  test("late DISJOINT cross-batch event closes as its own session, not absorbed") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    def ev(id: Long, user: Long, hm: String, v: Double) =
+      Event(id, Timestamp.valueOf(s"2024-01-01 $hm:00"), user, "click", v)
+
+    val q = expiringSessions(mem.toDS(), gapSeconds = 1800, watermark = "6 hours")
+      .writeStream.format("memory").queryName("latedisj")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      mem.addData(ev(1, 1L, "10:00", 1.0))
+      q.processAllAvailable()
+      // batch 2: a late event a full 3 HOURS before the open session —
+      // batch semantics puts it in its own session; the old guard
+      // folded it into [10:00] and inflated n_events
+      mem.addData(ev(2, 1L, "07:00", 2.0))
+      q.processAllAvailable()
+      mem.addData(ev(3, 1L, "14:00", 0.0)) // close the 10:00 session
+      q.processAllAvailable()
+      val rows = spark.table("latedisj")
+        .select("session_start", "n_events").collect()
+        .map(r => (r.getTimestamp(0).toString.take(19), r.getLong(1)))
+        .sortBy(_._1).toSeq
+      assert(rows === Seq(("2024-01-01 07:00:00", 1L), ("2024-01-01 10:00:00", 1L)),
+        s"got $rows")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState: running totals accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
