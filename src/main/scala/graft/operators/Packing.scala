@@ -44,7 +44,12 @@ object Packing {
       .withColumn("__before", col("__cum") - toks)
       .withColumn("__lane_bin", floor(col("__before") / capacity))
     withLane
-      .withColumn("bin", col("lane") * 1000000L + col("__lane_bin"))
+      // 2^40 bins per lane before ids would collide across lanes — a
+      // lane would need capacity × 2^40 tokens to get there (the old
+      // ×1e6 encoding was reachable: ~1M bins/lane is a few hundred
+      // billion tokens at capacity 512, i.e. one big corpus)
+      .withColumn("bin",
+        shiftleft(col("lane").cast("long"), 40) + col("__lane_bin"))
       .withColumn("seq_pos",
         row_number().over(Window.partitionBy(col("lane"), col("__lane_bin"))
           .orderBy(col(idCol))))

@@ -150,12 +150,14 @@ object TotalOrder {
 
   /** `DENSE_RANK() OVER (ORDER BY keys...)` distributed: a dense 1..k
     * index over the DISTINCT key tuples (k = distinct count), joined
-    * back. The distinct side is corpus-small (group cardinality), so the
-    * back-join broadcasts when it fits.
+    * back. The distinct side is group-cardinality-sized, so Catalyst
+    * auto-broadcasts it when it fits — deliberately NOT a broadcast()
+    * hint, which would force a high-cardinality key set through the
+    * driver instead of falling back to a shuffled hash join.
     */
   def denseIndex(df: DataFrame, keys: Seq[String], outCol: String = "idx"): DataFrame = {
     val distinctKeys = df.select(keys.map(col): _*).distinct()
     val indexed = rowNumber(distinctKeys, keys.map(c => col(c).asc), outCol)
-    df.join(broadcast(indexed), keys)
+    df.join(indexed, keys)
   }
 }

@@ -653,7 +653,7 @@ object ScaleOps {
       |  FROM lanes
       |)
       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, lane,
-      |       lane * 1000000 + CAST(FLOOR(before_ / 512.0) AS BIGINT) AS bin,
+      |       lane * 1099511627776 + CAST(FLOOR(before_ / 512.0) AS BIGINT) AS bin,
       |       CAST(ROW_NUMBER() OVER (
       |         PARTITION BY lane, FLOOR(before_ / 512.0) ORDER BY doc_id) AS INT) AS seq_pos
       |FROM packed

@@ -44,4 +44,23 @@ class PackingSpec extends SparkSpec {
     // lanes actually parallelize: more than one lane in use
     assert(packed.select("lane").distinct().count() > 1)
   }
+
+  test("bin ids never collide across lanes, even past a million bins per lane") {
+    // capacity 1 turns every token into its own bin-index unit: docs of
+    // 600k tokens push lane-local bin indices past the old 1e6 packing
+    // multiplier, which made lane 0's high bins collide with lane 1's low
+    // bins. The 2^40 encoding must keep every (lane, lane_bin) distinct.
+    val docs = (1L to 40L).map(i => (i, 600000L)).toDF("doc_id", "n_tokens")
+    val packed = Packing.packSequences(docs, "doc_id", "n_tokens",
+      capacity = 1L, buckets = 4).cache()
+    val lanesPerBin = packed.groupBy("bin")
+      .agg(countDistinct("lane").as("n"))
+      .filter(col("n") > 1).count()
+    assert(lanesPerBin == 0, "a bin id is shared by two lanes")
+    // the regression territory was actually exercised
+    val maxLaneBin = packed
+      .select(max(col("bin").bitwiseAND(lit((1L << 40) - 1)))).head().getLong(0)
+    assert(maxLaneBin > 1000000L, s"test corpus too small: max lane bin $maxLaneBin")
+    packed.unpersist()
+  }
 }
