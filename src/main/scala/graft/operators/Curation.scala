@@ -222,12 +222,14 @@ object Curation {
     * reassembled from their surviving lines in original order.
     *
     * Plan shape at 100 TB: posexplode lines (map-side), ONE groupBy on
-    * the line fingerprint for the distinct-doc counts, and the
-    * boilerplate set — corpus-small (only lines crossing the threshold)
-    * — comes back as a broadcast anti-join; reassembly is a groupBy on
-    * doc id using positionally-sorted array_agg. The full corpus is
-    * shuffled once (on doc id, for reassembly), the line-count shuffle
-    * carries only (fingerprint, doc_id) pairs.
+    * the line's md5 fingerprint for the distinct-doc counts (16-byte
+    * keys, not line text, cross the wire), and the boilerplate
+    * fingerprint set comes back as an anti-join — deliberately NOT
+    * broadcast-hinted: at minDocs=2 over a web corpus the boilerplate
+    * set is NOT small (most nav/footer lines qualify), so Catalyst
+    * must stay free to shuffle it; AQE broadcasts when it does fit.
+    * Reassembly is a groupBy on doc id using positionally-sorted
+    * array_agg — the one corpus-sized shuffle.
     *
     * Output: (id, text) with `text` rebuilt from kept lines joined by
     * `sep`; documents whose every line was boilerplate keep an empty
@@ -239,12 +241,13 @@ object Curation {
     val lines = df
       .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("__pos", "__line")))
+      .withColumn("__k", md5(col("__line")))
     val boiler = lines
-      .groupBy(col("__line"))
+      .groupBy(col("__k"))
       .agg(countDistinct(col(idCol)).as("__n_docs"))
       .filter(col("__n_docs") >= minDocs)
-      .select("__line")
-    val kept = lines.join(broadcast(boiler), Seq("__line"), "left_anti")
+      .select("__k")
+    val kept = lines.join(boiler, Seq("__k"), "left_anti").drop("__k")
     df.select(col(idCol))
       .join(kept, Seq(idCol), "left")
       .groupBy(col(idCol))
