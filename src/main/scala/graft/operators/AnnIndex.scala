@@ -204,4 +204,35 @@ object AnnIndex {
     val pruned = h.postings.filter(col("cell_id").isin(probedCells: _*))
     Similarity.ivfSearch(pruned, queries, k, cents, nprobe, h.idCol, h.vecCol)
   }
+
+  /** Serve a STREAM of query vectors against the persisted index —
+    * the online half of the build/serve split: each micro-batch runs
+    * the same partition-pruned [[search]] (so per batch it reads the
+    * probed-cell union, not the corpus) and appends results to
+    * `resultTable` under the (appId, batchId) ledger, making delivery
+    * exactly-once across restarts exactly like
+    * [[graft.streaming.EventStreams.streamingScd1Upsert]].
+    *
+    * Output rows: (query_id, rank, corpus_id, score, batch_id).
+    * Pass a durable `checkpointDir` in production — without one a
+    * restarted query renumbers batches from 0 and the ledger would
+    * skip them as replays.
+    */
+  def serveStream(
+      h: Handle, queryStream: DataFrame, k: Int, nprobe: Int,
+      resultTable: String, appId: String,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = queryStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        h.store.commitIfNew(resultTable, appId, batchId) {
+          val hits = search(h, batch, k, nprobe)
+            .withColumn("batch_id", lit(batchId))
+          if (h.store.exists(resultTable)) h.store.append(resultTable, hits)
+          else h.store.overwrite(resultTable, hits)
+        }
+        ()
+      }
+    checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+  }
 }

@@ -614,6 +614,54 @@ final class TableStore(val spark: SparkSession, val root: String,
     * byte — the partition-aligned copy-on-write that makes incremental
     * merges O(touched data) instead of O(table).
     */
+  /** Blind APPEND: add `df`'s rows as new parquet files beside the
+    * current generation's — O(new data) regardless of table size, the
+    * streaming-sink primitive ([[graft.operators.AnnIndex.serveStream]],
+    * foreachBatch result feeds). A new version is minted (the previous
+    * generation is hardlink-snapshotted, so time travel and the CDF see
+    * the append as pure inserts); existing files are untouched.
+    *
+    * Guards: the table must be UNPARTITIONED (appending flat files into
+    * a Hive-layout directory corrupts partition discovery — use
+    * [[overwritePartitions]] / [[Merge.insertOnlyPartitionAligned]]
+    * there), and `df` must carry exactly the table's column names
+    * (parquet resolves by name across files, so a missing/extra column
+    * would silently null-fill every historical row).
+    */
+  def append(table: String, df: DataFrame): Unit = withTableLock(table) {
+    if (!exists(table)) { overwrite(table, df); return }
+    require(partitionColumns(table).isEmpty,
+      s"append targets unpartitioned tables; '$table' is partitioned by " +
+        partitionColumns(table).mkString(",") + " — use overwritePartitions")
+    val existing = read(table).columns.toSet
+    require(df.columns.toSet == existing,
+      s"append schema mismatch for '$table': table has ${existing.toSeq.sorted
+        .mkString(",")}, frame has ${df.columns.sorted.mkString(",")}")
+    val tmp = stage(table, df, numFiles = 0)
+    snapshotCurrent(table) // prior generation preserved; marker bumped
+    val target = dir(table)
+    val staged = Files.list(tmp)
+    try staged.iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      .foreach { p =>
+        Files.move(p, target.resolve(
+          s"append-${System.nanoTime()}-${p.getFileName.toString}"))
+      }
+    finally staged.close()
+    deleteRecursively(tmp)
+    // new files are absent from any driver-side skipping stats — shed
+    // them or readPruned would silently skip the appended rows
+    Files.deleteIfExists(target.resolve(manifestName))
+    val statsStream = Files.list(target)
+    try statsStream.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("_strstats_"))
+      .foreach(Files.deleteIfExists(_))
+    finally statsStream.close()
+  }
+
   def overwritePartitions(
       table: String, df: DataFrame, partCol: String, values: Seq[Any]): Unit =
     withTableLock(table) {

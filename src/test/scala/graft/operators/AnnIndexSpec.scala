@@ -128,4 +128,36 @@ class AnnIndexSpec extends SparkSpec {
       emb.filter($"vec_id" === 1), k = 3, nprobe = 2).count()
     assert(v1 === 3L && v2 === 3L)
   }
+
+  test("serveStream: streamed query batches equal batch search, replays append nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = freshStore()
+    AnnIndex.build(store, "e", emb, numCells = 16)
+    val h = AnnIndex.open(store, "e")
+    val qvecs = emb.filter($"vec_id" < 10)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toSeq
+    val (b1, b2) = qvecs.partition(_._1 < 5)
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val q = AnnIndex.serveStream(
+      h, mem.toDS().toDF("vec_id", "embedding"), k = 5, nprobe = 4,
+      resultTable = "hits", appId = "serve-test")
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = asTuples(store.read("hits"))
+    val batch = asTuples(AnnIndex.search(h, emb.filter($"vec_id" < 10), 5, 4))
+    assert(streamed === batch)
+    // a replayed batch id must not double-append (the ledger guard)
+    val before = store.read("hits").count()
+    store.commitIfNew("hits", "serve-test", 0L) {
+      store.append("hits",
+        AnnIndex.search(h, emb.filter($"vec_id" < 10), 5, 4)
+          .withColumn("batch_id", lit(0L)))
+    }
+    assert(store.read("hits").count() === before)
+  }
 }

@@ -2,6 +2,8 @@ package graft.operators
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -476,5 +478,41 @@ class TableStoreSpec extends SparkSpec {
     val names = store.readPrunedString("t", "name", "a", "e")
       .select("name").as[String].collect().sorted.toSeq
     assert(names === Seq("alpha", "delta"))
+  }
+
+  test("append adds rows O(new data), versions the prior generation, CDF sees inserts") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-app-").toString)
+    store.append("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v")) // creates
+    val gen0Files = Files.list(java.nio.file.Paths.get(store.path("t")))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.endsWith(".parquet")).toSet
+    store.append("t", Seq((3L, "c")).toDF("id", "v"))
+    // existing files untouched (same names still present), new rows visible
+    val nowFiles = Files.list(java.nio.file.Paths.get(store.path("t")))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.endsWith(".parquet")).toSet
+    assert(gen0Files.subsetOf(nowFiles))
+    assert(store.read("t").as[(Long, String)].collect().sortBy(_._1).toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // time travel: generation 0 still reads the pre-append rows
+    assert(store.read("t", 0).count() === 2)
+    // CDF: the append is pure inserts
+    val ch = store.changes("t", 0, 1)
+      .select($"_change_type", $"id").as[(String, Long)].collect().toSeq
+    assert(ch === Seq(("insert", 3L)))
+  }
+
+  test("append refuses partitioned tables and mismatched schemas") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-appg-").toString)
+    store.overwrite("p", Seq((2023, 1L)).toDF("year", "id"), partitionBy = Seq("year"))
+    val e1 = intercept[IllegalArgumentException] {
+      store.append("p", Seq((2024, 2L)).toDF("year", "id"))
+    }
+    assert(e1.getMessage.contains("unpartitioned"))
+    store.overwrite("t", Seq((1L, "a")).toDF("id", "v"))
+    val e2 = intercept[IllegalArgumentException] {
+      store.append("t", Seq((2L, "b", 1.0)).toDF("id", "v", "extra"))
+    }
+    assert(e2.getMessage.contains("schema mismatch"))
   }
 }
