@@ -186,6 +186,63 @@ object Graph {
     visited
   }
 
+  /** Bounded-hop WEIGHTED shortest paths (Bellman-Ford delta
+    * relaxation, the Pregel formulation): after round h, `dist(v)` is
+    * the minimum cost of any seed→v path using at most h edges — exact
+    * shortest-path distance once `maxHops` reaches the graph's hop
+    * diameter (non-negative weights assumed; negative cycles would
+    * relax forever and are the caller's contract to exclude).
+    *
+    * Scale shape: each round is ONE frontier⋈edges equi-join plus a
+    * min-aggregation, both shuffled on the node id (map-side combined);
+    * only nodes whose distance IMPROVED enter the next frontier, so
+    * rounds shrink as distances settle, and a drained frontier stops
+    * the loop early. Distances are summed in the weight column's own
+    * type — pass integral weights (cents/hops) for bit-exact,
+    * layout-invariant results; the gate pins that contract.
+    *
+    * Output: (id, dist) for every node reachable within `maxHops`.
+    */
+  def shortestPaths(
+      edges: DataFrame,
+      seeds: DataFrame,
+      maxHops: Int,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      weightCol: String = "w",
+      idCol: String = "id"): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+        col(weightCol).as("__w"))
+      .localCheckpoint(false)
+    var dist = seeds.select(col(idCol).as("id")).distinct()
+      .withColumn("dist", lit(0L).cast(e.schema("__w").dataType))
+      .localCheckpoint(true)
+    var frontier = dist
+    var hop = 1
+    var drained = false
+    while (hop <= maxHops && !drained) {
+      val cand = frontier
+        .join(e, frontier("id") === e("__src"))
+        .groupBy(col("__dst").as("id"))
+        .agg(min(frontier("dist") + col("__w")).as("__cand"))
+      val improved = cand
+        .join(dist, Seq("id"), "left")
+        .filter(col("dist").isNull || col("__cand") < col("dist"))
+        .select(col("id"), col("__cand").as("dist"))
+        .localCheckpoint(true)
+      if (improved.isEmpty) drained = true
+      else {
+        dist = dist.join(improved.select(col("id")), Seq("id"), "left_anti")
+          .union(improved)
+          .localCheckpoint(true)
+        frontier = improved
+        hop += 1
+      }
+    }
+    dist
+  }
+
   /** Bounded k-core peeling: `rounds` synchronous rounds of "drop every
     * node with degree < k, restrict edges to survivors". With enough
     * rounds this converges to the exact k-core; a fixed bound keeps the

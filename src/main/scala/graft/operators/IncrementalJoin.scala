@@ -88,4 +88,83 @@ object IncrementalJoin {
       .filter(col("__mult") > 0)
     store.overwrite(viewTable, merged)
   }
+
+  // ------------------------------------------------- aggregate-over-join
+  private val Dec = "decimal(18,2)"
+
+  /** Materialize COUNT/SUM(measure) grouped by `groupCols` over the
+    * equi-join — the gold-table shape ("revenue by segment") that
+    * [[refreshAgg]] maintains. `__nn` (non-null measure count) rides
+    * along so a maintained SUM can go back to NULL when its last
+    * non-null contributor is deleted — without it, "all contributors
+    * deleted then re-inserted as nulls" silently turns NULL into 0.00
+    * and the maintained view stops matching the full recompute.
+    */
+  def fullJoinAgg(
+      a: DataFrame, b: DataFrame, keys: Seq[String],
+      groupCols: Seq[String], measureCol: String): DataFrame =
+    a.join(b, keys)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col(measureCol)).as("__nn"),
+        sum(col(measureCol).cast(Dec)).as(s"total_$measureCol"))
+
+  /** Maintain a [[fullJoinAgg]] view across versions of BOTH base
+    * tables: the same signed delta-join algebra as [[refresh]], but the
+    * delta collapses straight into per-group (Δcount, Δsum) — the full
+    * join is never materialized, and refresh cost is O(deltas joined to
+    * one side each) + O(groups).
+    *
+    * Invariant (gate-oracled): refreshAgg(view over (aᵢ,bᵢ), deltas to
+    * (aⱼ,bⱼ)) ≡ fullJoinAgg(aⱼ, bⱼ). Sums ride DECIMAL so
+    * subtract-then-add is exact and order-independent.
+    */
+  def refreshAgg(
+      store: TableStore,
+      viewTable: String,
+      aTable: String, aFrom: Int, aTo: Int,
+      bTable: String, bFrom: Int, bTo: Int,
+      keys: Seq[String],
+      groupCols: Seq[String], measureCol: String): Unit = {
+    val aOld = store.read(aTable, aFrom)
+    val bOld = store.read(bTable, bFrom)
+    val dA = signedChanges(store, aTable, aFrom, aTo)
+    val dB = signedChanges(store, bTable, bFrom, bTo)
+
+    val t1 = dA.join(bOld, keys)
+    val t2 = aOld.join(dB, keys)
+    val t3 = dA.withColumnRenamed("__sign", "__sa")
+      .join(dB.withColumnRenamed("__sign", "__sb"), keys)
+      .withColumn("__sign", col("__sa") * col("__sb"))
+      .drop("__sa", "__sb")
+    val contribCols = (groupCols :+ measureCol :+ "__sign").map(col)
+    val delta = t1.select(contribCols: _*)
+      .unionByName(t2.select(contribCols: _*))
+      .unionByName(t3.select(contribCols: _*))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(col("__sign")).as("__dn"),
+        sum(when(col(measureCol).isNotNull, col("__sign")).otherwise(lit(0L)))
+          .as("__dnn"),
+        sum(col(measureCol).cast(Dec) * col("__sign")).as("__ds"))
+
+    val totalCol = s"total_$measureCol"
+    val view = store.read(viewTable).as("cur")
+    val d = delta.as("d")
+    val cond = groupCols.map(c => col(s"cur.$c") <=> col(s"d.$c")).reduce(_ && _)
+    val zero = lit(0).cast(Dec)
+    val nn = coalesce(col("__nn"), lit(0L)) + coalesce(col("__dnn"), lit(0L))
+    val merged = view.join(d, cond, "full_outer")
+      .select(
+        groupCols.map(c => coalesce(col(s"cur.$c"), col(s"d.$c")).as(c)) ++ Seq(
+          (coalesce(col("n_rows"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+            .as("n_rows"),
+          nn.as("__nn"),
+          when(nn > 0,
+            (coalesce(col(totalCol), zero) + coalesce(col("__ds"), zero))
+              .cast(Dec)).as(totalCol)): _*)
+      .filter(col("n_rows") > 0)
+    store.overwrite(viewTable, merged)
+  }
 }

@@ -207,4 +207,32 @@ class GraphSpec extends SparkSpec with Matchers {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels === again)
   }
+
+  private def spMap(
+      edges: Seq[(Long, Long, Long)], seeds: Seq[Long], hops: Int): Map[Long, Long] =
+    Graph.shortestPaths(
+        edges.toDF("src", "dst", "w"), seeds.toDF("id"), hops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("shortestPaths: cheaper long route beats the expensive direct edge") {
+    // 1 -> 3 costs 10 direct, but 1 -> 2 -> 3 costs 3: the 2-hop path
+    // must WIN even though the 1-hop relaxation reaches 3 first
+    val edges = Seq((1L, 3L, 10L), (1L, 2L, 1L), (2L, 3L, 2L))
+    spMap(edges, Seq(1L), 4) shouldBe Map(1L -> 0L, 2L -> 1L, 3L -> 3L)
+  }
+
+  test("shortestPaths: hop bound truncates, multi-seed takes the min") {
+    val chain = Seq((1L, 2L, 5L), (2L, 3L, 5L), (3L, 4L, 5L))
+    spMap(chain, Seq(1L), 2) shouldBe Map(1L -> 0L, 2L -> 5L, 3L -> 10L)
+    // seed 4 keeps dist 0; seed 1's route to it never improves on that
+    spMap(chain, Seq(1L, 4L), 3) shouldBe
+      Map(1L -> 0L, 2L -> 5L, 3L -> 10L, 4L -> 0L)
+  }
+
+  test("shortestPaths: drains early on a cycle instead of looping maxHops") {
+    // positive-weight cycle: after both nodes settle no distance can
+    // improve — a huge hop budget must not cost a huge job count
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L))
+    spMap(edges, Seq(1L), 1000) shouldBe Map(1L -> 0L, 2L -> 1L)
+  }
 }

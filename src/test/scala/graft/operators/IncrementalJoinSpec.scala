@@ -85,4 +85,49 @@ class IncrementalJoinSpec extends SparkSpec {
     assert(viewRows(store.read("V")) ==
       viewRows(IncrementalJoin.fullJoin(a0, b0, Seq("k"))))
   }
+
+  private def aggRows(df: org.apache.spark.sql.DataFrame) = df
+    .selectExpr("g", "n_rows", "__nn", "CAST(total_m AS STRING)")
+    .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      Option(r.getString(3)))).toSet
+
+  test("refreshAgg ≡ fullJoinAgg across both-side inserts and deletes") {
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft-ivmja-").toString, retainVersions = 10)
+    val a0 = Seq((1L, Some(10.0)), (1L, Some(5.0)), (2L, Some(7.0)), (3L, Some(1.0)))
+      .toDF("k", "m")
+    val b0 = Seq((1L, "g1"), (2L, "g1"), (3L, "g2"), (4L, "g3")).toDF("k", "g")
+    store.overwrite("A", a0); store.overwrite("B", b0)
+    val (av0, bv0) = (store.currentVersion("A"), store.currentVersion("B"))
+    store.overwrite("V", IncrementalJoin.fullJoinAgg(a0, b0, Seq("k"), Seq("g"), "m"))
+
+    val a1 = Seq((1L, Some(10.0)), (2L, Some(7.0)), (4L, Some(100.0)), (5L, None))
+      .toDF("k", "m") // delete (1,5.0) and (3,1.0); insert (4,100), (5,null)
+    val b1 = Seq((1L, "g1"), (2L, "g1"), (4L, "g3"), (5L, "g2")).toDF("k", "g")
+    store.overwrite("A", a1); store.overwrite("B", b1)
+    IncrementalJoin.refreshAgg(store, "V",
+      "A", av0, store.currentVersion("A"), "B", bv0, store.currentVersion("B"),
+      Seq("k"), Seq("g"), "m")
+    assert(aggRows(store.read("V")) ==
+      aggRows(IncrementalJoin.fullJoinAgg(a1, b1, Seq("k"), Seq("g"), "m")))
+    // g2 survives on the null-measure row alone: SUM must be NULL, not 0
+    val g2 = store.read("V").where("g = 'g2'")
+      .select("n_rows", "total_m").collect()
+    assert(g2.length == 1 && g2(0).getLong(0) == 1L && g2(0).isNullAt(1))
+  }
+
+  test("refreshAgg drops a group whose last join row disappears, exactly") {
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft-ivmja2-").toString, retainVersions = 10)
+    val a0 = Seq((1L, 2.0), (3L, 9.0)).toDF("k", "m")
+    val b0 = Seq((1L, "g1"), (3L, "g9")).toDF("k", "g")
+    store.overwrite("A", a0); store.overwrite("B", b0)
+    val (av0, bv0) = (store.currentVersion("A"), store.currentVersion("B"))
+    store.overwrite("V", IncrementalJoin.fullJoinAgg(a0, b0, Seq("k"), Seq("g"), "m"))
+    val a1 = Seq((1L, 2.0)).toDF("k", "m") // g9 loses its only row
+    store.overwrite("A", a1)
+    IncrementalJoin.refreshAgg(store, "V",
+      "A", av0, store.currentVersion("A"), "B", bv0, bv0, Seq("k"), Seq("g"), "m")
+    assert(store.read("V").select("g").collect().map(_.getString(0)).toSeq == Seq("g1"))
+  }
 }
