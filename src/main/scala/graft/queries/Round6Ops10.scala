@@ -56,5 +56,48 @@ object Round6Ops10 {
       .orderBy(col("c_mktsegment"))
   }
 
-  val all: Seq[OpQuery] = Seq(ivm_join_agg_refresh)
+  /** MIN/MAX IVM — the NON-additive case: deletes that hit a stored
+    * extremum force a rescan of ONLY the affected groups
+    * ([[IncrementalJoin]] companion in `IncrementalAgg.refreshMinMax`).
+    * The gate mutates the base with inserts AND deletes (including
+    * extremum-hitting ones — the v0 slice holds each segment's cheapest
+    * orders, and v1 removes part of it) and hash-matches the full
+    * recompute of the final state.
+    */
+  val ivm_minmax_refresh = OpQuery(
+    "ivm_minmax_refresh",
+    """WITH base AS (
+      |  SELECT o.o_orderkey, c.c_mktsegment AS g,
+      |         CAST(o.o_totalprice AS DECIMAL(18,2)) AS v
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE o.o_orderkey % 10 < 6 AND o.o_orderkey % 3 <> 0
+      |)
+      |SELECT g, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(MIN(v) AS DOUBLE) AS min_v,
+      |       CAST(MAX(v) AS DOUBLE) AS max_v
+      |FROM base GROUP BY g ORDER BY g""".stripMargin) { (spark, dir) =>
+    val joined = Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment").as("g"),
+        col("o_totalprice").cast("decimal(18,2)").as("v"))
+    val root = java.nio.file.Files.createTempDirectory("graft-ivmm-gate-").toString
+    val store = new TableStore(spark, root, retainVersions = 5)
+    store.overwrite("base", joined.filter(col("o_orderkey") % 10 < 4))
+    store.overwrite("mm",
+      graft.operators.IncrementalAgg.fullMinMax(store.read("base"), Seq("g"), "v"))
+    // v1: widen the slice (inserts) AND delete every 3rd order key —
+    // some deletions hit per-segment extrema, forcing targeted rescans
+    store.overwrite("base",
+      joined.filter(col("o_orderkey") % 10 < 6 && col("o_orderkey") % 3 =!= 0))
+    graft.operators.IncrementalAgg.refreshMinMax(
+      store, "mm", "base", 0, 1, Seq("g"), "v")
+    store.read("mm")
+      .select(col("g"), col("n_rows"),
+        col("min_v").cast("double").as("min_v"),
+        col("max_v").cast("double").as("max_v"))
+      .orderBy(col("g"))
+  }
+
+  val all: Seq[OpQuery] = Seq(ivm_join_agg_refresh, ivm_minmax_refresh)
 }

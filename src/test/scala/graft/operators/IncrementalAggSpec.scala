@@ -84,4 +84,75 @@ class IncrementalAggSpec extends SparkSpec {
     IncrementalAgg.refresh(store, "agg", "base", 0, 1, Seq("g"), "v")
     assert(agg(store).keySet == Set("y"))
   }
+
+  private def mm(store: TableStore): Map[String, (Long, Any, Any)] =
+    store.read("mm").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.get(2), r.get(3)))).toMap
+
+  private def mmExpected(store: TableStore): Map[String, (Long, Any, Any)] =
+    IncrementalAgg.fullMinMax(store.read("base"), Seq("g"), "v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.get(2), r.get(3)))).toMap
+
+  test("min/max refresh across random generations == full reagg (rescan only when hit)") {
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(100 + seed)
+      val store = new TableStore(spark,
+        Files.createTempDirectory(s"graft-ivmm-$seed-").toString, retainVersions = 10)
+      val groups = Seq("a", "b", "c")
+      def rows(n: Int) = (1 to n).map(_ => (rnd.nextInt(1000).toLong,
+        groups(rnd.nextInt(groups.size)), rnd.nextInt(500).toDouble))
+
+      var current = rows(120).distinct
+      store.overwrite("base", current.toDF("k", "g", "v"))
+      store.overwrite("mm",
+        IncrementalAgg.fullMinMax(store.read("base"), Seq("g"), "v"))
+      (1 to 3).foreach { gen =>
+        val next = (current.filter(_ => rnd.nextInt(3) > 0) ++ rows(40)).distinct
+        store.overwrite("base", next.toDF("k", "g", "v"))
+        IncrementalAgg.refreshMinMax(store, "mm", "base", gen - 1, gen, Seq("g"), "v")
+        current = next
+      }
+      assert(mm(store) == mmExpected(store), s"seed $seed diverged")
+    }
+  }
+
+  test("min/max: deleting the stored minimum forces the rescan to the true runner-up") {
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft-ivmm-hit-").toString, retainVersions = 10)
+    store.overwrite("base",
+      Seq((1L, "g", 1.0), (2L, "g", 5.0), (3L, "g", 9.0)).toDF("k", "g", "v"))
+    store.overwrite("mm",
+      IncrementalAgg.fullMinMax(store.read("base"), Seq("g"), "v"))
+    // delete the min row AND insert something above the runner-up: the
+    // incremental path alone would keep min=1.0
+    store.overwrite("base",
+      Seq((2L, "g", 5.0), (3L, "g", 9.0), (4L, "g", 7.0)).toDF("k", "g", "v"))
+    IncrementalAgg.refreshMinMax(store, "mm", "base", 0, 1, Seq("g"), "v")
+    assert(mm(store) == Map("g" -> ((3L, 5.0, 9.0))))
+  }
+
+  test("min/max: interior deletes refresh without touching the extrema") {
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft-ivmm-int-").toString, retainVersions = 10)
+    store.overwrite("base",
+      Seq((1L, "g", 1.0), (2L, "g", 5.0), (3L, "g", 9.0)).toDF("k", "g", "v"))
+    store.overwrite("mm",
+      IncrementalAgg.fullMinMax(store.read("base"), Seq("g"), "v"))
+    store.overwrite("base",
+      Seq((1L, "g", 1.0), (3L, "g", 9.0), (4L, "g", 2.0)).toDF("k", "g", "v"))
+    IncrementalAgg.refreshMinMax(store, "mm", "base", 0, 1, Seq("g"), "v")
+    assert(mm(store) == Map("g" -> ((3L, 1.0, 9.0))))
+  }
+
+  test("min/max: a group emptied by deletes disappears") {
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft-ivmm-gone-").toString, retainVersions = 10)
+    store.overwrite("base",
+      Seq((1L, "x", 5.0), (2L, "y", 7.0)).toDF("k", "g", "v"))
+    store.overwrite("mm",
+      IncrementalAgg.fullMinMax(store.read("base"), Seq("g"), "v"))
+    store.overwrite("base", Seq((2L, "y", 7.0)).toDF("k", "g", "v"))
+    IncrementalAgg.refreshMinMax(store, "mm", "base", 0, 1, Seq("g"), "v")
+    assert(mm(store).keySet == Set("y"))
+  }
 }
