@@ -208,12 +208,16 @@ object AnnIndex {
   /** Serve a STREAM of query vectors against the persisted index —
     * the online half of the build/serve split: each micro-batch runs
     * the same partition-pruned [[search]] (so per batch it reads the
-    * probed-cell union, not the corpus) and appends results to
-    * `resultTable` under the (appId, batchId) ledger, making delivery
-    * exactly-once across restarts exactly like
-    * [[graft.streaming.EventStreams.streamingScd1Upsert]].
+    * probed-cell union, not the corpus) and lands results in
+    * `resultTable` PARTITIONED BY batch_id. The write is a partition
+    * overwrite of the batch's OWN partition, so the body is idempotent
+    * — a replay (checkpoint recovery, or a crash inside the
+    * commitIfNew window after the write but before the ledger move)
+    * rewrites the same partition with the same rows instead of
+    * doubling them. The (appId, batchId) ledger then only saves the
+    * rewrite work; exactly-once OUTPUT holds either way.
     *
-    * Output rows: (query_id, rank, corpus_id, score, batch_id).
+    * Output rows: (query_id, rank, corpus_id, score) + batch_id.
     * Pass a durable `checkpointDir` in production — without one a
     * restarted query renumbers batches from 0 and the ledger would
     * skip them as replays.
@@ -228,8 +232,13 @@ object AnnIndex {
         h.store.commitIfNew(resultTable, appId, batchId) {
           val hits = search(h, batch, k, nprobe)
             .withColumn("batch_id", lit(batchId))
-          if (h.store.exists(resultTable)) h.store.append(resultTable, hits)
-          else h.store.overwrite(resultTable, hits)
+            .localCheckpoint(true) // one execution: emptiness probe + write
+          if (!hits.isEmpty) {
+            if (h.store.exists(resultTable))
+              h.store.overwritePartitions(resultTable, hits, "batch_id", Seq(batchId))
+            else
+              h.store.overwrite(resultTable, hits, partitionBy = Seq("batch_id"))
+          }
         }
         ()
       }

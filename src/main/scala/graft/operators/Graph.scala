@@ -214,6 +214,11 @@ object Graph {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
         col(weightCol).as("__w"))
+      // a NULL-weight edge is no edge: it would propagate a NULL
+      // distance that re-qualifies as "improved" every round (NULL <
+      // anything is never true, but dist-missing checks pass), pinning
+      // the frontier open for the full hop budget
+      .filter(col("__w").isNotNull)
       .localCheckpoint(false)
     var dist = seeds.select(col(idCol).as("id")).distinct()
       .withColumn("dist", lit(0L).cast(e.schema("__w").dataType))

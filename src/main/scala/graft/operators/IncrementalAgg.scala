@@ -137,8 +137,14 @@ object IncrementalAgg {
 
     val affectedKeys = joined.filter(col("__affected"))
       .select(groupCols.map(col): _*)
-    val rescanned = store.read(baseTable, toVersion)
-      .join(affectedKeys, groupCols, "left_semi")
+    // null-safe semi join: groupBy collapses NULL keys into one group
+    // (the sibling refresh() merge handles them with <=>), so the
+    // rescan must reach a NULL-keyed affected group too — a plain
+    // equality join would silently drop it from the refreshed view
+    val b = store.read(baseTable, toVersion).as("b")
+    val ak = affectedKeys.as("ak")
+    val semiCond = groupCols.map(c => col(s"b.$c") <=> col(s"ak.$c")).reduce(_ && _)
+    val rescanned = b.join(ak, semiCond, "left_semi")
     val recomputed = fullMinMax(rescanned, groupCols, valueCol)
     val kept = joined.filter(!col("__affected")).drop("__affected")
     store.overwrite(aggTable, kept.unionByName(recomputed))

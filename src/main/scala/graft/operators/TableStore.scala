@@ -624,42 +624,55 @@ final class TableStore(val spark: SparkSession, val root: String,
     * Guards: the table must be UNPARTITIONED (appending flat files into
     * a Hive-layout directory corrupts partition discovery — use
     * [[overwritePartitions]] / [[Merge.insertOnlyPartitionAligned]]
-    * there), and `df` must carry exactly the table's column names
-    * (parquet resolves by name across files, so a missing/extra column
-    * would silently null-fill every historical row).
+    * there), and `df` must carry exactly the table's column names AND
+    * types (parquet resolves by name across files, so a missing column
+    * would silently null-fill every historical row — and a retyped one
+    * would leave the generation unreadable at scan time).
+    *
+    * Atomicity: the new generation is assembled ASIDE (hardlinks of the
+    * current data files + the staged new files, skipping stale skipping
+    * stats) and committed with the same single-directory swap as
+    * [[overwrite]] — a crash mid-append leaves the current generation
+    * byte-untouched, never a torn half-append.
     */
   def append(table: String, df: DataFrame): Unit = withTableLock(table) {
     if (!exists(table)) { overwrite(table, df); return }
     require(partitionColumns(table).isEmpty,
       s"append targets unpartitioned tables; '$table' is partitioned by " +
         partitionColumns(table).mkString(",") + " — use overwritePartitions")
-    val existing = read(table).columns.toSet
-    require(df.columns.toSet == existing,
-      s"append schema mismatch for '$table': table has ${existing.toSeq.sorted
-        .mkString(",")}, frame has ${df.columns.sorted.mkString(",")}")
+    val existing = read(table).schema.map(f => f.name -> f.dataType).toMap
+    val incoming = df.schema.map(f => f.name -> f.dataType).toMap
+    require(incoming == existing,
+      s"append schema mismatch for '$table': table has ${existing.toSeq.sortBy(_._1)
+        .map { case (n, t) => s"$n:${t.simpleString}" }.mkString(",")}, " +
+        s"frame has ${incoming.toSeq.sortBy(_._1)
+          .map { case (n, t) => s"$n:${t.simpleString}" }.mkString(",")}")
     val tmp = stage(table, df, numFiles = 0)
-    snapshotCurrent(table) // prior generation preserved; marker bumped
-    val target = dir(table)
-    val staged = Files.list(tmp)
-    try staged.iterator().asScala
-      .filter { p =>
+    // assemble the NEXT generation aside: hardlinked current data files
+    // (stale _manifest/_strstats deliberately left behind — new files
+    // are absent from them, and readPruned would otherwise skip
+    // appended rows) plus the staged files under collision-free names
+    val gen = Paths.get(root, s".tmp-append-${flat(table)}-${System.nanoTime()}")
+    Files.createDirectories(gen)
+    def dataFiles(d: Path) = {
+      val s = Files.list(d)
+      try s.iterator().asScala.filter { p =>
         val n = p.getFileName.toString
-        !n.startsWith("_") && !n.startsWith(".")
-      }
-      .foreach { p =>
-        Files.move(p, target.resolve(
-          s"append-${System.nanoTime()}-${p.getFileName.toString}"))
-      }
-    finally staged.close()
+        Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+      }.toList
+      finally s.close()
+    }
+    dataFiles(dir(table)).foreach { p =>
+      try Files.createLink(gen.resolve(p.getFileName.toString), p)
+      catch { case _: UnsupportedOperationException =>
+        Files.copy(p, gen.resolve(p.getFileName.toString)) }
+    }
+    dataFiles(tmp).foreach { p =>
+      Files.move(p, gen.resolve(
+        s"append-${System.nanoTime()}-${p.getFileName.toString}"))
+    }
     deleteRecursively(tmp)
-    // new files are absent from any driver-side skipping stats — shed
-    // them or readPruned would silently skip the appended rows
-    Files.deleteIfExists(target.resolve(manifestName))
-    val statsStream = Files.list(target)
-    try statsStream.iterator().asScala
-      .filter(_.getFileName.toString.startsWith("_strstats_"))
-      .foreach(Files.deleteIfExists(_))
-    finally statsStream.close()
+    swapIn(table, gen) // marker, history archive, ONE atomic move
   }
 
   def overwritePartitions(

@@ -151,13 +151,18 @@ class AnnIndexSpec extends SparkSpec {
     val streamed = asTuples(store.read("hits"))
     val batch = asTuples(AnnIndex.search(h, emb.filter($"vec_id" < 10), 5, 4))
     assert(streamed === batch)
-    // a replayed batch id must not double-append (the ledger guard)
     val before = store.read("hits").count()
-    store.commitIfNew("hits", "serve-test", 0L) {
-      store.append("hits",
-        AnnIndex.search(h, emb.filter($"vec_id" < 10), 5, 4)
-          .withColumn("batch_id", lit(0L)))
-    }
+    // ledger-visible replay: commitIfNew skips the body entirely
+    var ran = false
+    store.commitIfNew("hits", "serve-test", 0L) { ran = true }
+    assert(!ran && store.read("hits").count() === before)
+    // crash-window replay (write done, ledger move lost): the body is a
+    // partition overwrite of the batch's own partition — re-running it
+    // must leave the table row-identical, not doubled
+    val batch0Hits = AnnIndex.search(h, emb.filter($"vec_id" < 5), 5, 4)
+      .withColumn("batch_id", lit(0L))
+    store.overwritePartitions("hits", batch0Hits, "batch_id", Seq(0L))
     assert(store.read("hits").count() === before)
+    assert(asTuples(store.read("hits")) === batch)
   }
 }

@@ -229,6 +229,15 @@ class GraphSpec extends SparkSpec with Matchers {
       Map(1L -> 0L, 2L -> 5L, 3L -> 10L, 4L -> 0L)
   }
 
+  test("shortestPaths: null-weight edges are no edges and cannot pin the frontier open") {
+    val edges = Seq((1L, Some(2L), Some(1L)), (1L, Some(3L), None))
+      .map { case (s, d, w) => (s, d.get, w) }
+      .toDF("src", "dst", "w")
+    val out = Graph.shortestPaths(edges, Seq(1L).toDF("id"), maxHops = 500)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 1L)) // 3 unreachable, no null dist
+  }
+
   test("shortestPaths: drains early on a cycle instead of looping maxHops") {
     // positive-weight cycle: after both nodes settle no distance can
     // improve — a huge hop budget must not cost a huge job count

@@ -144,6 +144,24 @@ class IncrementalAggSpec extends SparkSpec {
     assert(mm(store) == Map("g" -> ((3L, 1.0, 9.0))))
   }
 
+  test("min/max: a NULL-keyed group hit at its extremum is rescanned, not dropped") {
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft-ivmm-null-").toString, retainVersions = 10)
+    store.overwrite("base",
+      Seq((1L, None, 5.0), (2L, None, 9.0), (3L, Some("g"), 1.0))
+        .toDF("k", "g", "v"))
+    store.overwrite("mm",
+      IncrementalAgg.fullMinMax(store.read("base"), Seq("g"), "v"))
+    // delete the NULL group's min: the rescan join must match NULL keys
+    store.overwrite("base",
+      Seq((2L, None, 9.0), (3L, Some("g"), 1.0)).toDF("k", "g", "v"))
+    IncrementalAgg.refreshMinMax(store, "mm", "base", 0, 1, Seq("g"), "v")
+    val nullGroup = store.read("mm").filter(col("g").isNull)
+      .select("n_rows", "min_v", "max_v").collect()
+    assert(nullGroup.map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq ===
+      Seq((1L, 9.0, 9.0)))
+  }
+
   test("min/max: a group emptied by deletes disappears") {
     val store = new TableStore(spark,
       Files.createTempDirectory("graft-ivmm-gone-").toString, retainVersions = 10)

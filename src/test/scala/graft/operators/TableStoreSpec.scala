@@ -514,5 +514,17 @@ class TableStoreSpec extends SparkSpec {
       store.append("t", Seq((2L, "b", 1.0)).toDF("id", "v", "extra"))
     }
     assert(e2.getMessage.contains("schema mismatch"))
+    // same names, retyped column: mixed-type parquet files would brick
+    // the generation at scan time — refuse up front
+    val e3 = intercept[IllegalArgumentException] {
+      store.append("t", Seq((2L, 3.5)).toDF("id", "v"))
+    }
+    assert(e3.getMessage.contains("schema mismatch"))
+    // the refused appends left no torn state behind
+    assert(store.read("t").as[(Long, String)].collect().toSeq === Seq((1L, "a")))
+    val leftovers = Files.list(java.nio.file.Paths.get(store.root))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith(".tmp")).toSeq
+    assert(leftovers.isEmpty, s"staged leftovers: $leftovers")
   }
 }
