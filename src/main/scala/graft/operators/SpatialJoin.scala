@@ -52,4 +52,46 @@ object SpatialJoin {
           col(yCol) >= col(yloCol) && col(yCol) <= col(yhiCol))
       .drop("__tx", "__ty")
   }
+
+  /** Distance join: pairs of (left point, right point) within `radius`
+    * (Euclidean, inclusive) — the other classic spatial-join shape
+    * (nearest-station, points-of-interest, collision candidates).
+    *
+    * Tiles are `radius`-wide, so a qualifying partner can only sit in
+    * the point's own tile or one of its 8 neighbours: the LEFT side is
+    * exploded over that 3×3 neighbourhood (9× replication, fixed and
+    * radius-independent), the right side keeps one row per point, and
+    * the equi-join on the tile id bounds compares to co-located pairs.
+    * The exact check compares SQUARED distance to radius² — integral
+    * coordinates stay in exact integer arithmetic end-to-end (no sqrt,
+    * no FP boundary flakes; the gate pins that contract).
+    *
+    * Column contract: left has (`xCol`, `yCol`), right has
+    * (`x2Col`, `y2Col`); remaining columns pass through.
+    */
+  def pointsWithinRadius(
+      left: DataFrame,
+      right: DataFrame,
+      radius: Double,
+      xCol: String = "x", yCol: String = "y",
+      x2Col: String = "x2", y2Col: String = "y2"): DataFrame = {
+    require(radius > 0, s"radius must be positive, got $radius")
+    def tile(c: org.apache.spark.sql.Column) =
+      floor(c / radius).cast("long")
+    val offsets = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")))): _*)
+    val l = left
+      .withColumn("__o", explode(offsets))
+      .withColumn("__tx", tile(col(xCol)) + col("__o.dx"))
+      .withColumn("__ty", tile(col(yCol)) + col("__o.dy"))
+      .drop("__o")
+    val r = right
+      .withColumn("__tx", tile(col(x2Col)))
+      .withColumn("__ty", tile(col(y2Col)))
+    val d2 = (col(xCol) - col(x2Col)) * (col(xCol) - col(x2Col)) +
+      (col(yCol) - col(y2Col)) * (col(yCol) - col(y2Col))
+    l.join(r, Seq("__tx", "__ty"))
+      .filter(d2 <= radius * radius)
+      .drop("__tx", "__ty")
+  }
 }

@@ -102,5 +102,43 @@ object Round6Ops9 {
       .orderBy(col("point_id"), col("box_id"))
   }
 
-  val all: Seq[OpQuery] = Seq(graph_shortest_paths, spatial_points_in_boxes)
+  /** Distance join at radius 20 between customer- and supplier-derived
+    * integral points: 3×3-neighbourhood tile join ≡ the exhaustive
+    * squared-distance join. All arithmetic stays in the integer domain
+    * (squared distance vs radius², no sqrt) so both engines agree
+    * bit-for-bit on the boundary.
+    */
+  val spatial_within_radius = OpQuery(
+    "spatial_within_radius",
+    """WITH p AS (
+      |  SELECT c_custkey AS point_id,
+      |         (c_custkey * 37) % 1000 AS x, (c_custkey * 91) % 1000 AS y
+      |  FROM customer
+      |), q AS (
+      |  SELECT s_suppkey AS station_id,
+      |         (s_suppkey * 53) % 1000 AS x2, (s_suppkey * 67) % 1000 AS y2
+      |  FROM supplier
+      |)
+      |SELECT p.point_id, q.station_id,
+      |       CAST((p.x - q.x2) * (p.x - q.x2) + (p.y - q.y2) * (p.y - q.y2) AS BIGINT) AS d2
+      |FROM p JOIN q
+      |  ON (p.x - q.x2) * (p.x - q.x2) + (p.y - q.y2) * (p.y - q.y2) <= 400
+      |ORDER BY point_id, station_id""".stripMargin) { (spark, dir) =>
+    val pts = Tables.load(spark, dir, "customer").select(
+      col("c_custkey").cast("long").as("point_id"),
+      ((col("c_custkey") * 37) % 1000).cast("long").as("x"),
+      ((col("c_custkey") * 91) % 1000).cast("long").as("y"))
+    val stations = Tables.load(spark, dir, "supplier").select(
+      col("s_suppkey").cast("long").as("station_id"),
+      ((col("s_suppkey") * 53) % 1000).cast("long").as("x2"),
+      ((col("s_suppkey") * 67) % 1000).cast("long").as("y2"))
+    SpatialJoin.pointsWithinRadius(pts, stations, radius = 20.0)
+      .select(col("point_id"), col("station_id"),
+        ((col("x") - col("x2")) * (col("x") - col("x2")) +
+          (col("y") - col("y2")) * (col("y") - col("y2"))).cast("long").as("d2"))
+      .orderBy(col("point_id"), col("station_id"))
+  }
+
+  val all: Seq[OpQuery] = Seq(
+    graph_shortest_paths, spatial_points_in_boxes, spatial_within_radius)
 }

@@ -48,6 +48,27 @@ class SpatialJoinSpec extends SparkSpec {
     assert(pairs(SpatialJoin.pointsInBoxes(p, b, 1.0)) === Seq((1L, 1L)))
   }
 
+  test("radius join equals the exhaustive distance join, boundary inclusive") {
+    val l = (1 to 150).map(i =>
+      (i.toLong, ((i * 37) % 100).toLong, ((i * 91) % 100).toLong))
+      .toDF("point_id", "x", "y")
+    val r = (1 to 80).map(i =>
+      (i.toLong, ((i * 53) % 100).toLong, ((i * 67) % 100).toLong))
+      .toDF("station_id", "x2", "y2")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("point_id", "station_id").as[(Long, Long)].collect().sorted.toSeq
+    val d2 = ($"x" - $"x2") * ($"x" - $"x2") + ($"y" - $"y2") * ($"y" - $"y2")
+    for (radius <- Seq(1.0, 7.0, 15.0)) {
+      val exact = pairSet(l.crossJoin(r).filter(d2 <= radius * radius))
+      val tiled = pairSet(SpatialJoin.pointsWithinRadius(l, r, radius))
+      assert(tiled === exact, s"divergence at radius=$radius")
+    }
+    // a pair at EXACTLY the radius must be included, across a tile edge
+    val lp = Seq((1L, 0L, 0L)).toDF("point_id", "x", "y")
+    val rp = Seq((2L, 5L, 0L), (3L, 6L, 0L)).toDF("station_id", "x2", "y2")
+    assert(pairSet(SpatialJoin.pointsWithinRadius(lp, rp, 5.0)) === Seq((1L, 2L)))
+  }
+
   test("null coordinates and inverted boxes match nothing") {
     val p = Seq((1L, Some(5.0), Some(5.0)), (2L, None, Some(5.0)))
       .toDF("point_id", "x", "y")
