@@ -48,6 +48,26 @@ object IncrementalJoin {
         when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)))
       .drop("_change_type")
 
+  /** The three signed terms of ΔV = ΔA ⋈ B₀ + A₀ ⋈ ΔB + ΔA ⋈ ΔB, each
+    * carrying `__sign` — shared by [[refresh]] (multiset view) and
+    * [[refreshAgg]] (aggregate view), so the delta algebra lives once.
+    */
+  private def signedDeltaTerms(
+      store: TableStore,
+      aTable: String, aFrom: Int, aTo: Int,
+      bTable: String, bFrom: Int, bTo: Int,
+      keys: Seq[String]): Seq[DataFrame] = {
+    val aOld = store.read(aTable, aFrom)
+    val bOld = store.read(bTable, bFrom)
+    val dA = signedChanges(store, aTable, aFrom, aTo)
+    val dB = signedChanges(store, bTable, bFrom, bTo)
+    val t3 = dA.withColumnRenamed("__sign", "__sa")
+      .join(dB.withColumnRenamed("__sign", "__sb"), keys)
+      .withColumn("__sign", col("__sa") * col("__sb"))
+      .drop("__sa", "__sb")
+    Seq(dA.join(bOld, keys), aOld.join(dB, keys), t3)
+  }
+
   /** Refresh `viewTable` (built by [[fullJoin]] over versions
     * (`aFrom`, `bFrom`) of the base tables) to versions (`aTo`, `bTo`),
     * writing the result back as a new generation of the view.
@@ -58,17 +78,8 @@ object IncrementalJoin {
       aTable: String, aFrom: Int, aTo: Int,
       bTable: String, bFrom: Int, bTo: Int,
       keys: Seq[String]): Unit = {
-    val aOld = store.read(aTable, aFrom)
-    val bOld = store.read(bTable, bFrom)
-    val dA = signedChanges(store, aTable, aFrom, aTo)
-    val dB = signedChanges(store, bTable, bFrom, bTo)
-
-    val t1 = dA.join(bOld, keys)
-    val t2 = aOld.join(dB, keys)
-    val t3raw = dA.withColumnRenamed("__sign", "__sa")
-      .join(dB.withColumnRenamed("__sign", "__sb"), keys)
-    val t3 = t3raw.withColumn("__sign", col("__sa") * col("__sb"))
-      .drop("__sa", "__sb")
+    val Seq(t1, t2, t3) =
+      signedDeltaTerms(store, aTable, aFrom, aTo, bTable, bFrom, bTo, keys)
 
     val view = store.read(viewTable)
     val tupleCols = view.columns.filterNot(_ == "__mult").toSeq
@@ -127,22 +138,12 @@ object IncrementalJoin {
       bTable: String, bFrom: Int, bTo: Int,
       keys: Seq[String],
       groupCols: Seq[String], measureCol: String): Unit = {
-    val aOld = store.read(aTable, aFrom)
-    val bOld = store.read(bTable, bFrom)
-    val dA = signedChanges(store, aTable, aFrom, aTo)
-    val dB = signedChanges(store, bTable, bFrom, bTo)
-
-    val t1 = dA.join(bOld, keys)
-    val t2 = aOld.join(dB, keys)
-    val t3 = dA.withColumnRenamed("__sign", "__sa")
-      .join(dB.withColumnRenamed("__sign", "__sb"), keys)
-      .withColumn("__sign", col("__sa") * col("__sb"))
-      .drop("__sa", "__sb")
     val contribCols = (groupCols :+ measureCol :+ "__sign").map(col)
-    val delta = t1.select(contribCols: _*)
-      .unionByName(t2.select(contribCols: _*))
-      .unionByName(t3.select(contribCols: _*))
-      .groupBy(groupCols.map(col): _*)
+    val delta =
+      signedDeltaTerms(store, aTable, aFrom, aTo, bTable, bFrom, bTo, keys)
+        .map(_.select(contribCols: _*))
+        .reduce(_.unionByName(_))
+        .groupBy(groupCols.map(col): _*)
       .agg(
         sum(col("__sign")).as("__dn"),
         sum(when(col(measureCol).isNotNull, col("__sign")).otherwise(lit(0L)))

@@ -24,6 +24,10 @@ import org.apache.spark.sql.functions._
   */
 object SpatialJoin {
 
+  /** Grid coordinate of a value at the given tile width. */
+  private def tile(c: org.apache.spark.sql.Column, width: Double) =
+    floor(c / width).cast("long")
+
   /** @param points   one row per point: (`pidCol`, `xCol`, `yCol`)
     * @param boxes    one row per box: (`bidCol`, xlo, xhi, ylo, yhi),
     *                 bounds inclusive
@@ -38,14 +42,14 @@ object SpatialJoin {
       xloCol: String = "xlo", xhiCol: String = "xhi",
       yloCol: String = "ylo", yhiCol: String = "yhi"): DataFrame = {
     require(cellSize > 0, s"cellSize must be positive, got $cellSize")
-    def tile(c: org.apache.spark.sql.Column) =
-      floor(c / cellSize).cast("long")
     val p = points
-      .withColumn("__tx", tile(col(xCol)))
-      .withColumn("__ty", tile(col(yCol)))
+      .withColumn("__tx", tile(col(xCol), cellSize))
+      .withColumn("__ty", tile(col(yCol), cellSize))
     val b = boxes
-      .withColumn("__tx", explode(sequence(tile(col(xloCol)), tile(col(xhiCol)))))
-      .withColumn("__ty", explode(sequence(tile(col(yloCol)), tile(col(yhiCol)))))
+      .withColumn("__tx",
+        explode(sequence(tile(col(xloCol), cellSize), tile(col(xhiCol), cellSize))))
+      .withColumn("__ty",
+        explode(sequence(tile(col(yloCol), cellSize), tile(col(yhiCol), cellSize))))
     p.join(b, Seq("__tx", "__ty"))
       .filter(
         col(xCol) >= col(xloCol) && col(xCol) <= col(xhiCol) &&
@@ -76,18 +80,16 @@ object SpatialJoin {
       xCol: String = "x", yCol: String = "y",
       x2Col: String = "x2", y2Col: String = "y2"): DataFrame = {
     require(radius > 0, s"radius must be positive, got $radius")
-    def tile(c: org.apache.spark.sql.Column) =
-      floor(c / radius).cast("long")
     val offsets = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
       struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")))): _*)
     val l = left
       .withColumn("__o", explode(offsets))
-      .withColumn("__tx", tile(col(xCol)) + col("__o.dx"))
-      .withColumn("__ty", tile(col(yCol)) + col("__o.dy"))
+      .withColumn("__tx", tile(col(xCol), radius) + col("__o.dx"))
+      .withColumn("__ty", tile(col(yCol), radius) + col("__o.dy"))
       .drop("__o")
     val r = right
-      .withColumn("__tx", tile(col(x2Col)))
-      .withColumn("__ty", tile(col(y2Col)))
+      .withColumn("__tx", tile(col(x2Col), radius))
+      .withColumn("__ty", tile(col(y2Col), radius))
     val d2 = (col(xCol) - col(x2Col)) * (col(xCol) - col(x2Col)) +
       (col(yCol) - col(y2Col)) * (col(yCol) - col(y2Col))
     l.join(r, Seq("__tx", "__ty"))

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{IncrementalJoin, TableStore}
+import graft.operators.{IncrementalAgg, IncrementalJoin, TableStore}
 
 /** Round-6 batch 10: aggregate-over-join IVM — the gold-table shape
   * ("revenue by segment" over customer⋈orders) maintained through
@@ -85,12 +85,12 @@ object Round6Ops10 {
     val store = new TableStore(spark, root, retainVersions = 5)
     store.overwrite("base", joined.filter(col("o_orderkey") % 10 < 4))
     store.overwrite("mm",
-      graft.operators.IncrementalAgg.fullMinMax(store.read("base"), Seq("g"), "v"))
+      IncrementalAgg.fullMinMax(store.read("base"), Seq("g"), "v"))
     // v1: widen the slice (inserts) AND delete every 3rd order key —
     // some deletions hit per-segment extrema, forcing targeted rescans
     store.overwrite("base",
       joined.filter(col("o_orderkey") % 10 < 6 && col("o_orderkey") % 3 =!= 0))
-    graft.operators.IncrementalAgg.refreshMinMax(
+    IncrementalAgg.refreshMinMax(
       store, "mm", "base", 0, 1, Seq("g"), "v")
     store.read("mm")
       .select(col("g"), col("n_rows"),

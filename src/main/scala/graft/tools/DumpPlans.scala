@@ -108,7 +108,12 @@ object DumpPlans {
       graft.queries.Round6Ops3.tpch_q16_shape,
       graft.queries.Round6Ops3.tpch_q21_shape,
       graft.queries.ScaleExtras.skew_hotcold_join,
-      graft.queries.Round6Ops3.s49_delta_roundtrip)
+      graft.queries.Round6Ops3.s49_delta_roundtrip,
+      // round-6 final block: grid-tile spatial joins (box explode /
+      // 3×3 neighbourhood explode feeding a plain shuffled equi-join on
+      // the tile id — the plans that replace BroadcastNestedLoopJoin)
+      graft.queries.Round6Ops9.spatial_points_in_boxes,
+      graft.queries.Round6Ops9.spatial_within_radius)
 
     val sections = headliners.map { q =>
       val df = q.build(spark, sfDir)
