@@ -58,7 +58,11 @@ object Graph {
     // The raw edge frame is NOT checkpointed: it is read only while
     // building nodes and eDeg, recomputing it is a projected scan, and
     // an eager checkpoint would pay a full extra materialization pass.
+    // Null endpoints are no edges: a null-src edge would otherwise drop
+    // its dst's whole in-flow (the eDeg join is null-unsafe) and the
+    // loss cascades — real nodes silently vanish from the output.
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .filter(col("__src").isNotNull && col("__dst").isNotNull)
     val nodes = e.select(col("__src").as("id"))
       .union(e.select(col("__dst").as("id")))
       .distinct()
@@ -160,9 +164,14 @@ object Graph {
     // a union of both orientations over a fact scan) must evaluate once,
     // not once per hop — materialized on the first frontier join, every
     // later hop reads the cached copy
+    // null endpoints are no edges, null seeds no seeds: a null id never
+    // matches the visited anti-join, so it would re-enter the frontier
+    // as a fresh phantom row every hop
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .filter(col("__src").isNotNull && col("__dst").isNotNull)
       .localCheckpoint(false)
     var visited = seeds.select(col(idCol).as("id")).distinct()
+      .filter(col("id").isNotNull)
       .withColumn("dist", lit(0))
       .localCheckpoint(true)
     var frontier = visited
@@ -214,13 +223,16 @@ object Graph {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
         col(weightCol).as("__w"))
-      // a NULL-weight edge is no edge: it would propagate a NULL
-      // distance that re-qualifies as "improved" every round (NULL <
-      // anything is never true, but dist-missing checks pass), pinning
-      // the frontier open for the full hop budget
-      .filter(col("__w").isNotNull)
+      // a NULL weight, endpoint, or seed is no edge/seed: a null dst
+      // or weight would propagate a NULL-distance phantom row that
+      // never matches the dist frame's (null-unsafe) joins, so it
+      // re-qualifies as "improved" every round and pins the frontier
+      // open for the full hop budget
+      .filter(col("__src").isNotNull && col("__dst").isNotNull &&
+        col("__w").isNotNull)
       .localCheckpoint(false)
     var dist = seeds.select(col(idCol).as("id")).distinct()
+      .filter(col("id").isNotNull)
       .withColumn("dist", lit(0L).cast(e.schema("__w").dataType))
       .localCheckpoint(true)
     var frontier = dist
@@ -403,16 +415,20 @@ object Graph {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     // labels ride as longs (the -label max-struct tie-break needs a
     // signed numeric); a string-keyed graph would cast to all-null
-    // labels and propagate silent garbage — refuse it loudly instead
-    val idType = edges.schema(aCol).dataType
-    val integral = idType match {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
-      case _ => false
+    // labels and propagate silent garbage — refuse it loudly instead.
+    // BOTH endpoint columns must qualify: a mixed (long, string) edge
+    // list slips a guard that checks only one side.
+    Seq(aCol, bCol).foreach { c =>
+      val idType = edges.schema(c).dataType
+      val integral = idType match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      require(integral,
+        s"labelPropagation needs integral node ids, got $idType in '$c' — " +
+          "hash or dictionary-encode string ids first")
     }
-    require(integral,
-      s"labelPropagation needs integral node ids, got $idType — " +
-        "hash or dictionary-encode string ids first")
     val und = undirect(edges, aCol, bCol).localCheckpoint(true)
     val adj = und.select(col("u").as("id"), col("v").as("nbr"))
       .union(und.select(col("v").as("id"), col("u").as("nbr")))

@@ -159,10 +159,16 @@ object Similarity {
           transform(col("pairs"), p => p.getField("m")).as("centroid"))
       // a cell that won zero vectors this round KEEPS its old centroid:
       // dropping it silently shrinks the requested cell count (lower
-      // recall per nprobe) and can keep shrinking across iterations
+      // recall per nprobe) and can keep shrinking across iterations.
+      // EAGER checkpoint per round: `updated` sits on both sides of the
+      // union and assignCells collect()s the centroid frame, so an
+      // unbroken lineage re-evaluates every earlier round's corpus
+      // aggregation — O(iterations²) corpus passes by the last round
+      // (the same reason every iterative loop in Graph checkpoints).
       current = updated.unionByName(
         current.join(updated.select("cell_id"), Seq("cell_id"), "left_anti")
           .select(col("cell_id"), col("centroid").cast("array<double>")))
+        .localCheckpoint(true)
     }
     current
   }
@@ -295,7 +301,15 @@ object Similarity {
     // usual regime — near-dup LSH is run per-shard/per-partition of a
     // 100 TB corpus). For a corpus too big to broadcast, carry the
     // vectors through the bucket join instead (one extra shuffle).
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    // max(size) rather than first-row size: null-skipping (a null first
+    // vector crashed the old first() probe) and an empty shard — the
+    // documented per-shard regime — returns the empty pair set instead
+    // of throwing on a driver-side head of nothing.
+    val dimRow = corpus.agg(max(size(col(vecCol)))).first()
+    if (dimRow.isNullAt(0))
+      return corpus.select(col(idCol).as("id1"), col(idCol).as("id2"),
+        lit(0.0).as("score")).limit(0)
+    val dim = dimRow.getInt(0)
     // materialize the signature table (standard LSH practice — it is
     // id+table+bucket, tiny next to the corpus). Without this the
     // numTables×bitsPerTable literal-hyperplane dot expressions inline
@@ -360,8 +374,11 @@ object Similarity {
       .filter(col("id1") < col("id2"))
       .withColumn("score", VectorExprs.vecCosine(col("v1"), col("v2")))
       .filter(col("score") >= threshold)
+      // no distinct: every vector sits in exactly ONE cell, so the
+      // cell-keyed self-join with id1 < id2 emits each pair at most
+      // once — a dedup pass would be a pure extra shuffle (unlike
+      // lshNearDups, where multiple tables re-emit pairs)
       .select("id1", "id2", "score")
-      .distinct()
   }
 
   /** Per-label embedding statistics: the class-centroid diagnostics run
@@ -381,9 +398,14 @@ object Similarity {
     * Output: (label, n, centroid_norm, mean_cos), one row per label.
     */
   def labelCentroidStats(
-      corpus: DataFrame, labelCol: String = "label",
+      input: DataFrame, labelCol: String = "label",
       vecCol: String = "embedding"): DataFrame = {
-    VectorExprs.register(corpus.sparkSession)
+    VectorExprs.register(input.sparkSession)
+    // null embeddings are excluded UP FRONT so every reported statistic
+    // describes the same population — posexplode would silently drop
+    // them from the centroid while count(*) still counted them, making
+    // n and mean_cos describe different row sets
+    val corpus = input.filter(col(vecCol).isNotNull)
     val comps = corpus
       .select(col(labelCol), posexplode(col(vecCol)).as(Seq("__dim", "__v")))
       .groupBy(col(labelCol), col("__dim"))
@@ -433,8 +455,12 @@ object Similarity {
       iterations: Int = 12,
       quantizeDp: Int = 0): (Double, Array[Double], Double) = {
     VectorExprs.register(corpus.sparkSession)
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
-    var v = Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
+    // max(size): robust to ragged rows (a longer later vector indexed
+    // past a first-row-sized array) and loud on an empty/all-null corpus
+    val dimRow = corpus.agg(max(size(col(vecCol)))).head()
+    require(!dimRow.isNullAt(0),
+      "topPrincipalComponent needs at least one non-null vector")
+    val dim = dimRow.getInt(0)
 
     def gramTimes(vec: Array[Double]): Array[Double] = {
       val lit_v = typedLit(vec)
@@ -454,16 +480,36 @@ object Similarity {
       out
     }
 
-    var lambda = 0.0
-    for (_ <- 1 to iterations) {
-      val w = gramTimes(v)
+    // Start-vector selection: e1 is deterministic but can sit in the
+    // null space of XᵀX (dimension 0 identically zero — padded/sparse
+    // embeddings), which would turn every later iterate into NaN. Probe
+    // basis vectors in order until one leaves the null space (its probe
+    // IS iteration 1, so the normal path pays no extra pass); once v is
+    // in the image of the symmetric XᵀX it never returns to the null
+    // space, so later lambdas stay nonzero. All-zero data degrades to
+    // the zero component instead of NaN.
+    def basis(i: Int) = Array.tabulate(dim)(j => if (j == i) 1.0 else 0.0)
+    var start = 0
+    var v = basis(0)
+    var w = gramTimes(v)
+    var lambda = math.sqrt(w.map(x => x * x).sum)
+    while (lambda == 0.0 && start + 1 < dim) {
+      start += 1
+      v = basis(start)
+      w = gramTimes(v)
       lambda = math.sqrt(w.map(x => x * x).sum)
-      v = w.map(_ / lambda)
+    }
+    if (lambda == 0.0) return (0.0, new Array[Double](dim), 0.0)
+    v = w.map(_ / lambda)
+    for (_ <- 2 to iterations) {
+      val w2 = gramTimes(v)
+      lambda = math.sqrt(w2.map(x => x * x).sum)
+      v = w2.map(_ / lambda)
     }
     // self-check residual: ‖XᵀXv − λv‖ / λ
-    val w = gramTimes(v)
+    val wf = gramTimes(v)
     val resid = math.sqrt(
-      w.zip(v).map { case (wi, vi) => val d = wi - lambda * vi; d * d }.sum) / lambda
+      wf.zip(v).map { case (wi, vi) => val d = wi - lambda * vi; d * d }.sum) / lambda
     (lambda, v, resid)
   }
 }

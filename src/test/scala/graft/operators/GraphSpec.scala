@@ -229,6 +229,39 @@ class GraphSpec extends SparkSpec with Matchers {
       Map(1L -> 0L, 2L -> 5L, 3L -> 10L, 4L -> 0L)
   }
 
+  test("pageRank: null edge endpoints are dropped, not silently cascading node loss") {
+    val clean = Seq((5L, 6L), (6L, 5L)).toDF("src", "dst")
+    val dirty = Seq((Some(5L), Some(6L)), (Some(6L), Some(5L)),
+      (None, Some(5L)), (Some(6L), None)).toDF("src", "dst")
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      Graph.pageRank(df, iterations = 5)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks(dirty) === ranks(clean)) // no phantom null node, 5 survives
+  }
+
+  test("bfs: null endpoints and null seeds produce no phantom rows") {
+    val edges = Seq((Some(1L), Some(2L)), (Some(1L), None), (None, Some(9L)))
+      .toDF("src", "dst")
+    val out = Graph.bfs(edges, Seq(Some(1L), Option.empty[Long]).toDF("id"), 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(out === Map(1L -> 0, 2L -> 1))
+  }
+
+  test("shortestPaths: null dst edges cannot accumulate phantom rows") {
+    val edges = Seq((Some(1L), Some(2L), 1L), (Some(1L), None, 1L),
+      (Some(2L), None, 1L)).toDF("src", "dst", "w")
+    val out = Graph.shortestPaths(edges, Seq(1L).toDF("id"), maxHops = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 1L))
+  }
+
+  test("labelPropagation refuses a non-integral SECOND endpoint column too") {
+    val e = Seq((1L, "x")).toDF("a", "b")
+    val err = intercept[IllegalArgumentException](
+      Graph.labelPropagation(e, rounds = 1))
+    assert(err.getMessage.contains("'b'"))
+  }
+
   test("shortestPaths: null-weight edges are no edges and cannot pin the frontier open") {
     val edges = Seq((1L, Some(2L), Some(1L)), (1L, Some(3L), None))
       .map { case (s, d, w) => (s, d.get, w) }

@@ -184,6 +184,40 @@ class SimilaritySpec extends SparkSpec {
     v1.zip(v7).foreach { case (a, b) => assert(math.abs(a - s * b) < 1e-9) }
   }
 
+  test("lshNearDups: empty shard and null leading vector degrade gracefully") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.lshNearDups(empty, threshold = 0.5).count() === 0L)
+    // null vector FIRST — the old first-row dim probe NPE'd here
+    val dirty = Seq((1L, None), (2L, Some(Array(1.0f, 0.0f))),
+      (3L, Some(Array(1.0f, 0.01f)))).toDF("vec_id", "embedding")
+    val pairs = Similarity.lshNearDups(dirty, threshold = 0.9,
+      numTables = 16, bitsPerTable = 2)
+    assert(pairs.select("id1", "id2").as[(Long, Long)].collect().toSet === Set((2L, 3L)))
+  }
+
+  test("topPrincipalComponent survives a null-space start dimension (no NaN)") {
+    // dimension 0 identically zero: the old fixed-e1 start divided 0/0
+    val corpus = Seq(
+      (1L, Array(0.0f, 3.0f, 1.0f)), (2L, Array(0.0f, 2.9f, 1.1f)),
+      (3L, Array(0.0f, 3.1f, 0.9f))).toDF("vec_id", "embedding")
+    val (lambda, v, resid) = Similarity.topPrincipalComponent(corpus, iterations = 15)
+    assert(!lambda.isNaN && lambda > 0 && v.forall(!_.isNaN))
+    assert(math.abs(v(0)) < 1e-12) // the dead dimension stays zero
+    assert(resid < 1e-6)
+    // all-zero data: zero component, not NaN
+    val zeros = Seq((1L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val (l0, v0, r0) = Similarity.topPrincipalComponent(zeros, iterations = 3)
+    assert(l0 === 0.0 && v0.forall(_ === 0.0) && r0 === 0.0)
+  }
+
+  test("labelCentroidStats: null embeddings are excluded from n, not just the centroid") {
+    val df = Seq(
+      (1L, "a", Some(Array(1.0f, 0.0f))), (2L, "a", Some(Array(1.0f, 0.0f))),
+      (3L, "a", None)).toDF("vec_id", "label", "embedding")
+    val row = Similarity.labelCentroidStats(df).collect().head
+    assert(row.getLong(1) === 2L) // n describes the same rows as the centroid
+  }
+
   test("refineCentroids keeps cells that win no vectors (no silent shrink)") {
     // two identical seeds: one cell gets every vector of the pair's
     // region, the other wins none — it must survive with its old centroid
