@@ -10,11 +10,21 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Strip ALL leading/trailing whitespace. Spark's `trim` removes only
+    * ASCII spaces, and `split` keeps edge empties (limit −1) — so
+    * `split(trim("hello\n"), "\\s+")` is `["hello", ""]`: a phantom
+    * empty token that would inflate every count/ratio and hand two
+    * unrelated newline-terminated docs a shared jaccard/minhash unit.
+    */
+  private def stripEdges(text: Column): Column =
+    regexp_replace(text, "^\\s+|\\s+$", "")
+
   /** Whitespace tokenization (the baseline for jaccard/minhash). */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  def tokens(text: Column): Column = split(stripEdges(text), "\\s+")
 
   def tokenCount(text: Column): Column =
-    when(text.isNull || trim(text) === "", lit(0)).otherwise(size(tokens(text)))
+    when(text.isNull || stripEdges(text) === "", lit(0))
+      .otherwise(size(tokens(text)))
 
   /** BPE-ish token counting: alphanumeric runs and single non-space
     * symbols counted separately — the standard cheap estimator when a
@@ -43,9 +53,13 @@ object TextFunctions {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
     // native WordNgrams expression: the composable transform/slice/
     // concat_ws form ran its lambda interpreted per window — measured
-    // 3.1 s warm vs 0.3 s native for a 250k-bigram corpus pass
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.expressions.ArrayExprs.register)
+    // 3.1 s warm vs 0.3 s native for a 250k-bigram corpus pass.
+    // Registration must be LOUD on a missing session: a silent skip
+    // surfaces later as "Undefined function word_ngrams" far from here
+    val session = org.apache.spark.sql.SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException(
+        "wordNgrams needs an active SparkSession on this thread to register its kernel"))
+    graft.expressions.ArrayExprs.register(session)
     val ng = call_function("word_ngrams", tokens(lower(text)), lit(n))
     // null text must yield an empty array (the composable form's
     // when/otherwise did), not NULL
@@ -53,14 +67,20 @@ object TextFunctions {
   }
 
   /** Character n-gram shingles (for minhash/simhash). Expressed with
-    * sequence+transform so it stays a codegen'd expression.
+    * sequence+transform so it stays a codegen'd expression. Null,
+    * whitespace-only, and shorter-than-n docs yield the EMPTY array
+    * (the wordNgrams contract) — the old form returned `[null]` /
+    * `[" "]` / one truncated shingle, which slipped N contentless docs
+    * past Dedup's empty-doc guard into one shared signature and a
+    * ~N²/2 band-bucket flood.
     */
   def shingles(text: Column, n: Int): Column = {
-    val s = lower(text)
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(length(s) - n, lit(0))),
-        i => substring(s, lit(1) + i, lit(n))))
+    val s = lower(stripEdges(text))
+    when(text.isNull || length(s) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(
+          sequence(lit(0), length(s) - n),
+          i => substring(s, lit(1) + i, lit(n)))))
   }
 
   /** Language-ID marker words: tiny per-language stopword sets. The
@@ -131,9 +151,13 @@ object TextFunctions {
 
   def meanTokenLength(text: Column): Column = {
     val toks = tokens(text)
+    // sum of token lengths == length of the separator-less join — and
+    // array_join stays in whole-stage codegen where the equivalent
+    // aggregate() lambda runs interpreted per token (this file's own
+    // measured 10x lesson at wordNgrams/stopwordRatio)
     when(text.isNull || size(toks) === 0, lit(0.0))
       .otherwise(
-        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+        length(array_join(toks, "")).cast("double") / size(toks))
   }
 
   /** Composite quality score in [0,1]: weighted blend of the components,
@@ -144,7 +168,11 @@ object TextFunctions {
     val lengthScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
     val raw = lengthScore * 0.3 + alphaRatio(text) * 0.3 +
       stopwordRatio(text) * 0.2 + (lit(1.0) - punctRatio(text)) * 0.2
-    round(greatest(least(raw, lit(1.0)), lit(0.0)), 4)
+    // a doc with no tokens scores 0, not the 0.2 floor the
+    // punctuation-complement term would hand it — an empty document
+    // must never outscore real (if ugly) content
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(round(greatest(least(raw, lit(1.0)), lit(0.0)), 4))
   }
 
   /** PII-style scrubbing for training corpora: mask email-shaped tokens
@@ -174,5 +202,8 @@ object TextFunctions {
     * upgrade path for near-identical long docs.)
     */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+    // stripEdges, not trim: space-only trim left "hello\n" normalizing
+    // to "hello " — a doc and its newline-terminated twin (the single
+    // most common near-identical duplicate) got DIFFERENT exact-dedup keys
+    md5(regexp_replace(lower(stripEdges(text)), "\\s+", " "))
 }

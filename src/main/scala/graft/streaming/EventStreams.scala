@@ -227,7 +227,7 @@ object EventStreams {
             case ((cn, cv), e) => (cn + 1, cv + e.value)
           }
           state.update(UserRunningState(n, v))
-          UserSnapshot(userId, n, math.round(v * 100).toDouble / 100)
+          UserSnapshot(userId, n, roundCents(v))
       }
   }
 
@@ -271,7 +271,7 @@ object EventStreams {
       val tc = perType.iterator()
         .map { case (t, c) => s"$t:$c" }.toSeq.sorted.mkString(",")
       Iterator.single(UserProfile(
-        user, st.nEvents, math.round(st.totalValue * 100).toDouble / 100, tc))
+        user, st.nEvents, roundCents(st.totalValue), tc))
     }
   }
 
@@ -297,79 +297,104 @@ object EventStreams {
     * first-class (several can coexist per key) — this processor needs
     * one, so it deletes the previous before re-arming.
     */
-  /** Fold a batch of events (sorted ascending) into the per-key session
-    * list. Each event enters as a singleton session and MERGES with
-    * every existing session within `gapMs` of it — so a late event can
-    * extend a session BACKWARDS (lowering its start) or bridge two
-    * sessions into one, exactly like the batch `session_window`
-    * semantics; the old `t <= end + gap` guard silently absorbed
-    * arbitrarily-old events without moving the start. Returns
-    * (closeNow, stillOpen): every session but the latest closes
-    * immediately — single-open-session state cannot keep several alive,
-    * and the watermark bounds how late a reviving event could be.
+  /** Event time in MICROSECONDS — Spark's native timestamp resolution
+    * and the unit the batch sessionization uses (`unix_micros`); the
+    * old millisecond `getTime` arithmetic mis-merged gap-boundary
+    * events with sub-millisecond timestamps and truncated emitted
+    * session bounds.
+    */
+  private def tsMicros(ts: java.sql.Timestamp): Long =
+    ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+
+  private def microsTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000000L * 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  private def roundCents(v: Double): Double = math.round(v * 100).toDouble / 100
+
+  private def closeSession(user: Long, s: OpenSession): ClosedSession =
+    ClosedSession(user, microsTs(s.start), microsTs(s.end), s.n,
+      roundCents(s.value))
+
+  /** Fold a batch of events (sorted ascending) into the per-key OPEN
+    * session list. Each event enters as a singleton session and MERGES
+    * with every existing session within `gapUs` of it — so a late event
+    * can extend a session backwards or bridge two sessions, exactly
+    * like batch `session_window`. Closure is decided by the WATERMARK
+    * alone: a session closes iff `end + gap <= watermark` (it can never
+    * grow again — any still-admissible event is at or after the
+    * watermark and therefore beyond the gap). Keeping EVERY unexpired
+    * session open, not just the latest, is what makes the streamed
+    * closed-session set equal the batch one: the old
+    * latest-session-only state re-fragmented sessions whenever an
+    * admissible late event fell near an already-emitted one.
     */
   private def foldSessions(
-      stateSession: Option[OpenSession], sorted: Seq[Event], gapMs: Long)
-      : (Seq[OpenSession], Option[OpenSession]) = {
-    var sessions = stateSession.toList
+      openBefore: Seq[OpenSession], sorted: Seq[Event], gapUs: Long,
+      watermarkUs: Long): (Seq[OpenSession], Seq[OpenSession]) = {
+    var sessions = openBefore.toList
     sorted.foreach { e =>
-      val t = e.ts.getTime
+      val t = tsMicros(e.ts)
       val (mergeable, rest) = sessions.partition(s =>
-        t >= s.start - gapMs && t <= s.end + gapMs)
+        t >= s.start - gapUs && t <= s.end + gapUs)
       val merged = mergeable.foldLeft(OpenSession(t, t, 1, e.value)) { (a, s) =>
         OpenSession(math.min(a.start, s.start), math.max(a.end, s.end),
           a.n + s.n, a.value + s.value)
       }
       sessions = (merged :: rest).sortBy(_.start)
     }
-    if (sessions.isEmpty) (Nil, None) else (sessions.init, Some(sessions.last))
+    val (expired, open) = sessions.partition(s => s.end + gapUs <= watermarkUs)
+    (expired, open)
   }
 
   class SessionProcessor(gapMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, ClosedSession] {
     import org.apache.spark.sql.Encoders
-    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TTLConfig, TimerValues, ValueState}
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, TimeMode, TTLConfig, TimerValues}
 
-    @transient private var open: ValueState[OpenSession] = _
+    private val gapUs = gapMs * 1000L
+    @transient private var open: ListState[OpenSession] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      open = getHandle.getValueState[OpenSession](
+      open = getHandle.getListState[OpenSession](
         "open", Encoders.product[OpenSession], TTLConfig.NONE)
 
-    private def close(user: Long, s: OpenSession): ClosedSession =
-      ClosedSession(user, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
-        s.n, math.round(s.value * 100).toDouble / 100)
+    /** Persist the open set and re-arm ONE timer at the earliest
+      * deadline (ms, clamped at/after the watermark as Spark requires).
+      */
+    private def persist(sessions: Seq[OpenSession], watermarkMs: Long): Unit = {
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      if (sessions.isEmpty) open.clear()
+      else {
+        open.put(sessions.toArray)
+        val earliestUs = sessions.map(s => s.end + gapUs).min
+        // ceil to ms: an early-by-truncation timer would fire before
+        // the watermark actually passes the deadline
+        val deadlineMs = (earliestUs + 999L) / 1000L
+        getHandle.registerTimer(math.max(deadlineMs, watermarkMs + 1))
+      }
+    }
 
     override def handleInputRows(
         user: Long, rows: Iterator[Event],
         timers: TimerValues): Iterator[ClosedSession] = {
-      val sorted = rows.toSeq.sortBy(_.ts.getTime)
-      val closed = Seq.newBuilder[ClosedSession]
-      val (closeNow, cur) = foldSessions(
-        if (open.exists()) Some(open.get()) else None, sorted, gapMs)
-      closeNow.foreach(s => closed += close(user, s))
-      cur.foreach { s =>
-        open.update(s)
-        // re-arm THE timer: drop any previously registered deadline
-        getHandle.listTimers().foreach(getHandle.deleteTimer)
-        // event-time timers must sit at/after the current watermark
-        val deadline = math.max(s.end + gapMs, timers.getCurrentWatermarkInMs() + 1)
-        getHandle.registerTimer(deadline)
-      }
-      closed.result().iterator
+      val wmUs = timers.getCurrentWatermarkInMs() * 1000L
+      val (expired, stillOpen) = foldSessions(
+        open.get().toSeq, rows.toSeq.sortBy(e => tsMicros(e.ts)), gapUs, wmUs)
+      persist(stillOpen, timers.getCurrentWatermarkInMs())
+      expired.map(closeSession(user, _)).iterator
     }
 
     override def handleExpiredTimer(
         user: Long, timers: TimerValues,
         expired: ExpiredTimerInfo): Iterator[ClosedSession] = {
-      if (!open.exists()) Iterator.empty
-      else {
-        val s = open.get()
-        if (timers.getCurrentWatermarkInMs() >= s.end + gapMs) {
-          open.clear()
-          Iterator.single(close(user, s))
-        } else Iterator.empty // session grew since this timer was armed
-      }
+      val wmUs = timers.getCurrentWatermarkInMs() * 1000L
+      val (done, stillOpen) = open.get().toSeq
+        .partition(s => s.end + gapUs <= wmUs)
+      persist(stillOpen, timers.getCurrentWatermarkInMs())
+      done.map(closeSession(user, _)).iterator
     }
   }
 
@@ -389,7 +414,11 @@ object EventStreams {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** start/end are event-time MICROSECONDS (Spark's native timestamp
+    * resolution — ms arithmetic mis-merged gap-boundary events).
+    */
   final case class OpenSession(start: Long, end: Long, n: Long, value: Double)
+  final case class OpenSessionSet(sessions: Seq[OpenSession])
   final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, session_value: Double)
 
@@ -397,42 +426,36 @@ object EventStreams {
     * + event-time-timeout form of [[sessionWindows]]: a session is
     * emitted exactly once, as soon as the watermark passes its gap
     * deadline, instead of living in a Complete-mode result table. This
-    * is the shape for infinite streams: state holds only OPEN sessions,
-    * each closed session is appended downstream once and forgotten.
+    * is the shape for infinite streams: state holds only OPEN sessions
+    * — ALL of them per key, not just the latest, so an admissible late
+    * event near an earlier session merges instead of fragmenting —
+    * and each closed session is appended downstream once and forgotten.
     */
   def expiringSessions(
       events: Dataset[Event], gapSeconds: Long, watermark: String): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
-    val gapMs = gapSeconds * 1000L
-    def close(user: Long, s: OpenSession): ClosedSession =
-      ClosedSession(user, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
-        s.n, math.round(s.value * 100).toDouble / 100)
+    val gapUs = gapSeconds * 1000000L
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, ClosedSession](
+      .flatMapGroupsWithState[OpenSessionSet, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (user: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
-          if (batch.isEmpty && state.hasTimedOut) {
-            // watermark passed end + gap: the session can never grow again
-            val s = state.get
-            state.remove()
-            Iterator(close(user, s))
+        (user: Long, batch: Iterator[Event], state: GroupState[OpenSessionSet]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val before = state.getOption.map(_.sessions).getOrElse(Nil)
+          val (expired, stillOpen) = foldSessions(
+            before, batch.toSeq.sortBy(e => tsMicros(e.ts)), gapUs, wmUs)
+          if (stillOpen.isEmpty) {
+            if (state.exists) state.remove()
           } else {
-            val sorted = batch.toSeq.sortBy(_.ts.getTime)
-            val closed = Seq.newBuilder[ClosedSession]
-            val (closeNow, cur) = foldSessions(state.getOption, sorted, gapMs)
-            closeNow.foreach(s => closed += close(user, s))
-            cur.foreach { s =>
-              state.update(s)
-              // deadline must sit at/after the current watermark or Spark
-              // rejects it; clamping only matters for already-expired
-              // sessions, which then time out on the next batch
-              state.setTimeoutTimestamp(
-                math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
-            }
-            closed.result().iterator
+            state.update(OpenSessionSet(stillOpen))
+            // one timeout at the EARLIEST deadline (ceil to ms; Spark
+            // requires it at/after the current watermark)
+            val earliestMs = (stillOpen.map(s => s.end + gapUs).min + 999L) / 1000L
+            state.setTimeoutTimestamp(
+              math.max(earliestMs, state.getCurrentWatermarkMs() + 1))
           }
+          expired.map(closeSession(user, _)).iterator
       }
   }
 

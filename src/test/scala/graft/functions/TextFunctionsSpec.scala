@@ -100,4 +100,52 @@ class TextFunctionsSpec extends SparkSpec {
     assert(Seq(null: String).toDF("t")
       .select(wordNgrams($"t", 2).as("g")).as[Seq[String]].head() === Seq.empty)
   }
+
+  test("tabs/newlines at document edges produce no phantom empty tokens") {
+    // Spark trim strips only spaces and split keeps edge empties —
+    // "hello\n" used to tokenize as ["hello", ""]
+    val df = Seq("hello\n", "\tworld here", "\n", "a b\r\n").toDF("t")
+      .select($"t", tokenCount($"t").as("n"), tokens($"t").as("toks"))
+    val got = df.select($"t", $"n", $"toks").as[(String, Int, Seq[String])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("hello\n") === ((1, Seq("hello"))))
+    assert(got("\tworld here") === ((2, Seq("world", "here"))))
+    assert(got("\n")._1 === 0)
+    assert(got("a b\r\n") === ((2, Seq("a", "b"))))
+  }
+
+  test("fingerprint: a doc and its newline-terminated twin dedup to the same key") {
+    val fps = Seq("hello world", "hello world\n", "\thello   world ")
+      .toDF("t").select(fingerprint($"t")).as[String].collect()
+    assert(fps.distinct.length === 1)
+    assert(Seq("hello world", "hello words").toDF("t")
+      .select(fingerprint($"t")).as[String].collect().distinct.length === 2)
+  }
+
+  test("shingles: null, whitespace-only, and shorter-than-n docs yield EMPTY") {
+    val df = Seq(Some("abcd"), Some("ab"), Some("   "), None).toDF("t")
+      .select($"t", shingles($"t", 3).as("s"))
+    val got = df.as[(Option[String], Seq[String])].collect().toMap
+    assert(got(Some("abcd")) === Seq("abc", "bcd"))
+    assert(got(Some("ab")) === Seq.empty)   // no truncated shingle
+    assert(got(Some("   ")) === Seq.empty)  // no [" "] flood unit
+    assert(got(None) === Seq.empty)         // no [null] flood unit
+  }
+
+  test("empty and null documents score quality 0, below any real content") {
+    val scores = Seq(Some(""), None, Some("   \n"), Some("!!!???"), Some("7"))
+      .toDF("t").select(qualityScore($"t")).as[Double].collect()
+    assert(scores(0) === 0.0 && scores(1) === 0.0 && scores(2) === 0.0)
+    // even pure punctuation/digit docs (no alpha, no stopwords) are
+    // nonzero via the length term — strictly above empties
+    assert(scores(3) > 0.0 && scores(4) > 0.0)
+  }
+
+  test("meanTokenLength: array_join form equals the per-token sum") {
+    val df = Seq("a bb ccc", "single", "x\ty zz\n").toDF("t")
+    val got = df.select(meanTokenLength($"t")).as[Double].collect()
+    assert(got(0) === 2.0)
+    assert(got(1) === 6.0)
+    assert(got(2) === (1 + 1 + 2) / 3.0)
+  }
 }

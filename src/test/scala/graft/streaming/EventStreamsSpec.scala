@@ -310,18 +310,54 @@ class EventStreamsSpec extends SparkSpec {
       mem.addData(ev(1, 1L, "10:00", 1.0))
       q.processAllAvailable()
       // batch 2: a late event a full 3 HOURS before the open session —
-      // batch semantics puts it in its own session; the old guard
-      // folded it into [10:00] and inflated n_events
+      // batch semantics puts it in its own session; single-open-session
+      // state used to fold it into [10:00] and inflate n_events
       mem.addData(ev(2, 1L, "07:00", 2.0))
       q.processAllAvailable()
-      mem.addData(ev(3, 1L, "14:00", 0.0)) // close the 10:00 session
-      q.processAllAvailable()
+      // sessions close only when the WATERMARK proves them final (no
+      // in-handler force-close) — walk it forward past each deadline
+      Seq("14:00", "18:00", "22:00").zipWithIndex.foreach { case (hm, i) =>
+        mem.addData(ev(10 + i, 1L, hm, 0.0)); q.processAllAvailable()
+      }
       val rows = spark.table("latedisj")
         .select("session_start", "n_events").collect()
         .map(r => (r.getTimestamp(0).toString.take(19), r.getLong(1)))
         .sortBy(_._1).toSeq
-      assert(rows === Seq(("2024-01-01 07:00:00", 1L), ("2024-01-01 10:00:00", 1L)),
-        s"got $rows")
+      // the first watermark-walking helper (14:00) expires too once the
+      // watermark reaches 16:00 — the late 07:00 event stays its OWN
+      // session and 10:00 keeps n_events=1 (no absorption)
+      assert(rows === Seq(("2024-01-01 07:00:00", 1L), ("2024-01-01 10:00:00", 1L),
+        ("2024-01-01 14:00:00", 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("session gap compares in MICROSECONDS: a 10.0008s delta splits at gap 10s") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    def at(id: Long, t: String) =
+      Event(id, Timestamp.valueOf(t), 1L, "click", 1.0)
+    val q = expiringSessions(mem.toDS(), gapSeconds = 10, watermark = "1 minute")
+      .writeStream.format("memory").queryName("microgap")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // true delta 10.0008 s > gap — millisecond truncation saw exactly
+      // 10000 ms and wrongly merged them into one session
+      mem.addData(
+        at(1, "2024-01-01 10:00:00.0001"),
+        at(2, "2024-01-01 10:00:10.0009"))
+      q.processAllAvailable()
+      mem.addData(at(3, "2024-01-01 10:30:00")) // advance the watermark
+      q.processAllAvailable()
+      mem.addData(at(4, "2024-01-01 11:00:00"))
+      q.processAllAvailable()
+      val rows = spark.table("microgap")
+        .filter($"session_start" < Timestamp.valueOf("2024-01-01 10:05:00"))
+        .select("session_start", "n_events").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(0).getNanos, r.getLong(1)))
+      assert(rows.length === 2, s"expected two sessions, got ${rows.toSeq}")
+      // emitted bounds keep their microseconds
+      assert(rows.map(_._2).toSet === Set(100000, 900000))
     } finally q.stop()
   }
 
