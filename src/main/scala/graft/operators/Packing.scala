@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   * Capacity semantics are "soft": a document is placed by the cumulative
   * count BEFORE it, so the bin that ends at the boundary may overflow by
   * at most one document (downstream truncation/splitting is the
-  * tokenizer's job, not the packer's). Documents longer than `capacity`
-  * occupy a bin alone.
+  * tokenizer's job, not the packer's). A document longer than `capacity`
+  * still shares its bin with whatever shorter documents preceded it
+  * there — start-offset placement does not isolate oversized docs, it
+  * only guarantees no LATER document joins the overflowed bin.
   */
 object Packing {
 

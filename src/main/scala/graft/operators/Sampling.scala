@@ -15,6 +15,23 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** The heap-based samplers ride ids through [[graft.expressions
+    * .TopKAgg]] as longs — a non-integral id column would cast to
+    * all-null, the aggregate would skip every row, and the sample would
+    * come back silently EMPTY. Refuse loudly instead (the
+    * [[Similarity]] top-k guard, same reason).
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types._
+    val t = df.schema(idCol).dataType
+    val ok = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    require(ok, s"$op needs an integral id column, got $t in '$idCol' — " +
+      "dictionary-encode or hash string ids first")
+  }
+
   /** md5-derived bucket in [0, buckets): stable per id, uniform. */
   def hashBucket(id: Column, buckets: Int, salt: String = ""): Column =
     pmod(
@@ -24,7 +41,9 @@ object Sampling {
 
   /** Assign train/val/test by cumulative percentage over the hash bucket
     * space. `weights` are integer percents summing to <= 100 (the
-    * remainder, if any, becomes the last split).
+    * remainder, if any, becomes the last split). A NULL id gets a NULL
+    * split — the old fallthrough silently funneled every null-id row
+    * into the LAST split (usually 'test'), biasing the eval set.
     */
   def deterministicSplit(
       df: DataFrame, idCol: String,
@@ -36,7 +55,8 @@ object Sampling {
     val expr = labeled.init.foldRight(lit(labeled.last._1): Column) {
       case ((name, cutoff), rest) => when(bucket < cutoff, name).otherwise(rest)
     }
-    df.withColumn("split", expr)
+    df.withColumn("split",
+      when(col(idCol).isNull, lit(null).cast("string")).otherwise(expr))
   }
 
   /** Deterministic uniform k-sample per group: keep the k rows with the
@@ -52,6 +72,7 @@ object Sampling {
   def uniformPerGroup(
       df: DataFrame, groupCol: String, idCol: String, k: Int,
       salt: String = ""): DataFrame = {
+    requireIntegralId(df, idCol, "uniformPerGroup")
     graft.expressions.TopKAgg.register(df.sparkSession)
     val priority =
       conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 8), 16, 10)
@@ -108,44 +129,19 @@ object Sampling {
   def selectByTokenBudget(
       df: DataFrame, idCol: String, qualityCol: String, tokenCol: String,
       budget: Long): DataFrame = {
-    // Two-phase distributed prefix sum — a naive global
-    // Window.orderBy(quality) would funnel the whole corpus through ONE
-    // reducer. Range-partition on the selection order (each partition
-    // holds a contiguous quality slice), window WITHIN partitions, and
-    // add each partition's token offset (a partition-count-sized
-    // aggregate, broadcast back). Selection = total-order prefix sums,
-    // so the kept set is exact and layout-invariant; the frame is
-    // frozen once (localCheckpoint) so both passes see the same
-    // partition ids.
+    // The two-phase distributed prefix sum lives in
+    // [[TotalOrder.prefixAggs]] (range partition on the selection
+    // order, window within partitions, per-partition offsets broadcast
+    // back — no single-reducer sort); this used to hand-roll the same
+    // machinery. Spent-before = inclusive prefix minus the row's own
+    // (null-coalesced) cost, exactly [[ShardExport.assignShards]]'s
+    // start-offset trick.
     val ordered = Seq(col(qualityCol).desc, col(idCol).asc)
-    // materialize the input BEFORE the range shuffle: repartitionByRange
-    // SAMPLES its input to pick boundaries, which would re-run the
-    // caller's (often regex-heavy) quality expression a second time over
-    // the whole corpus
-    val slim = df.localCheckpoint(true)
-    val ranged = slim
-      .repartitionByRange(df.sparkSession.sessionState.conf.numShufflePartitions,
-        ordered: _*)
-      .sortWithinPartitions(ordered: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
-    val offsets = ranged.groupBy(col("__pid"))
-      .agg(sum(col(tokenCol)).as("__part_tokens"))
-      .select(col("__pid"),
-        (sum(col("__part_tokens"))
-          .over(org.apache.spark.sql.expressions.Window.orderBy(col("__pid"))
-            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
-          .as("__offset"))   // tiny: one row per partition
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__pid")).orderBy(ordered: _*)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    ranged
-      .join(broadcast(offsets), Seq("__pid"))
-      .withColumn("__spent_before",
-        coalesce(col("__offset"), lit(0L)) +
-          coalesce(sum(col(tokenCol)).over(win), lit(0L)))
-      .filter(col("__spent_before") < budget)
-      .drop("__pid", "__offset", "__spent_before")
+    TotalOrder.prefixAggs(
+        df.withColumn("__tok0", coalesce(col(tokenCol).cast("long"), lit(0L))),
+        ordered, sums = Seq("__tok0" -> "__spent"))
+      .filter(col("__spent") - col("__tok0") < budget)
+      .drop("__tok0", "__spent")
   }
 
   /** Weighted sampling WITHOUT replacement, k rows, deterministic
@@ -170,6 +166,7 @@ object Sampling {
   def weightedSample(
       df: DataFrame, idCol: String, weightCol: String, k: Int,
       salt: String = ""): DataFrame = {
+    requireIntegralId(df, idCol, "weightedSample")
     graft.expressions.TopKAgg.register(df.sparkSession)
     val h =
       conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 8), 16, 10)

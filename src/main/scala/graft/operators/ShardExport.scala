@@ -30,9 +30,14 @@ object ShardExport {
   /** Assign every row a shard id such that consecutive rows (in
     * deterministic-shuffle order) pack into shards of ~`targetCost`
     * total `costCol` (chars, bytes, or tokens). A document belongs to
-    * the shard its STARTING offset falls in, so every shard except the
-    * last holds at least `targetCost` and overflows by less than the
-    * largest single document.
+    * the shard its STARTING offset falls in: every shard holds MORE
+    * than `targetCost − maxDocCost` and overflows by less than the
+    * largest single document — the exact minimum-size guarantee, which
+    * degenerates when one document's cost reaches the target (such a
+    * doc spans several targets, and the shard ids it covers are
+    * skipped: shard ids are monotone but not gap-free on such data).
+    * Null costs count as 0 (the [[Packing]] convention) — a null must
+    * not poison its own and every later row's shard id.
     *
     * Adds: `__shuffle_key` (md5 order), `shard` (0-based LongType).
     */
@@ -42,14 +47,15 @@ object ShardExport {
     require(targetCost > 0, s"targetCost must be positive, got $targetCost")
     val keyed = df.withColumn("__shuffle_key", shuffleKey(col(idCol)))
     val withPrefix = TotalOrder.prefixAggs(
-      keyed.withColumn("__cost", col(costCol).cast("long")),
+      keyed.withColumn("__cost", coalesce(col(costCol).cast("long"), lit(0L))),
       order = Seq(col("__shuffle_key"), col(idCol)),
       sums = Seq("__cost" -> "__prefix"))
-    // start offset of this doc = prefix minus its own cost; integer
-    // division by the target is the shard id (exact in Long arithmetic)
+    // start offset of this doc = prefix minus its own cost; `div` is
+    // Long integer division — floor over a double quotient would lose
+    // exactness once the running prefix passes 2^53
     withPrefix
       .withColumn("shard",
-        floor((col("__prefix") - col("__cost")) / lit(targetCost)).cast("long"))
+        expr(s"(__prefix - __cost) div ${targetCost}L").cast("long"))
       .drop("__cost", "__prefix")
   }
 
@@ -71,8 +77,13 @@ object ShardExport {
   def writeShards(
       assigned: DataFrame, costCol: String, outDir: String): DataFrame = {
     assigned
-      .drop("__shuffle_key")
+      // the in-file row order IS the loader's training order: sort each
+      // shard by the shuffle key before writing — a bare repartition
+      // leaves shuffle-fetch order, which differs run-over-run and
+      // breaks the module's reproducible-order contract
       .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("__shuffle_key"))
+      .drop("__shuffle_key")
       .write
       .mode("overwrite")
       .partitionBy("shard")

@@ -98,26 +98,30 @@ object TotalOrder {
         maxes.map { case (in, _) => max(col(in)).as(s"__m_$in") }): _*)
     val wPrev = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // distinct offset prefixes per aggregate KIND: one column in both
+    // `sums` and `maxes` (running total + running high-water-mark of
+    // the same metric) must not collide into one ambiguous __off name
     val offsets = perPart.select(
       col("__pid") +:
         (Seq(coalesce(sum(col("__part_rows")).over(wPrev), lit(0L)).as("__rn_off")) ++
           sums.map { case (in, _) =>
-            sum(col(s"__s_$in")).over(wPrev).as(s"__off_$in") } ++
+            sum(col(s"__s_$in")).over(wPrev).as(s"__soff_$in") } ++
           maxes.map { case (in, _) =>
-            max(col(s"__m_$in")).over(wPrev).as(s"__off_$in") }): _*)
+            max(col(s"__m_$in")).over(wPrev).as(s"__moff_$in") }): _*)
     val within = Window.partitionBy(col("__pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     var out = ranged.join(broadcast(offsets), Seq("__pid"))
     for ((in, outC) <- sums) out = out.withColumn(outC,
-      when(col(s"__off_$in").isNull, sum(col(in)).over(within))
-        .otherwise(col(s"__off_$in") + coalesce(sum(col(in)).over(within), lit(0))))
+      when(col(s"__soff_$in").isNull, sum(col(in)).over(within))
+        .otherwise(col(s"__soff_$in") + coalesce(sum(col(in)).over(within), lit(0))))
     for ((in, outC) <- maxes) out = out.withColumn(outC,
-      greatest(col(s"__off_$in"), max(col(in)).over(within)))
+      greatest(col(s"__moff_$in"), max(col(in)).over(within)))
     for (rc <- rnCol) out = out.withColumn(rc,
       col("__rn_off") + row_number().over(
         Window.partitionBy(col("__pid")).orderBy(order: _*)))
     out.drop(("__pid" +: "__rn_off" +:
-      (sums ++ maxes).map { case (in, _) => s"__off_$in" }): _*)
+      (sums.map { case (in, _) => s"__soff_$in" } ++
+        maxes.map { case (in, _) => s"__moff_$in" })): _*)
   }
 
   /** `SUM(valueCol) OVER (ORDER BY order ROWS UNBOUNDED PRECEDING)`
@@ -158,6 +162,14 @@ object TotalOrder {
   def denseIndex(df: DataFrame, keys: Seq[String], outCol: String = "idx"): DataFrame = {
     val distinctKeys = df.select(keys.map(col): _*).distinct()
     val indexed = rowNumber(distinctKeys, keys.map(c => col(c).asc), outCol)
-    df.join(indexed, keys)
+    // null-safe join-back: distinct() emits a null-key tuple and the
+    // window form ranks it, so a plain equality join would silently
+    // drop every null-keyed input row from the "bit-equal" result
+    val l = df.as("l"); val r = indexed.as("r")
+    val cond = keys.map(c => col(s"l.$c") <=> col(s"r.$c")).reduce(_ && _)
+    l.join(r, cond)
+      .select(keys.map(c => col(s"l.$c").as(c)) ++
+        df.columns.filterNot(keys.contains).map(c => col(s"l.$c").as(c)) :+
+        col(s"r.$outCol").as(outCol): _*)
   }
 }

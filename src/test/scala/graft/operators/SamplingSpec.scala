@@ -163,4 +163,22 @@ class SamplingSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(got === Set(1L, 5L))
   }
+
+  test("heap samplers refuse non-integral ids; null-id rows split to NULL") {
+    val strIds = Seq(("doc-1", "a"), ("doc-2", "a")).toDF("id", "g")
+    val e1 = intercept[IllegalArgumentException](
+      Sampling.uniformPerGroup(strIds, "g", "id", k = 1))
+    assert(e1.getMessage.contains("integral"))
+    val weighted = Seq(("doc-1", 1.0)).toDF("id", "w")
+    val e2 = intercept[IllegalArgumentException](
+      Sampling.weightedSample(weighted, "id", "w", k = 1))
+    assert(e2.getMessage.contains("integral"))
+    // a null id must NOT fall through into the last split (eval bias)
+    val withNull = Seq(Some(1L), Some(2L), None).toDF("doc_id")
+    val splits = Sampling.deterministicSplit(withNull, "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .collect().map(r => Option(r.get(0)) -> Option(r.getString(1))).toMap
+    assert(splits(None).isEmpty, "null id must get a NULL split")
+    assert(splits(Some(1L)).nonEmpty && splits(Some(2L)).nonEmpty)
+  }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.{SparkSpec, Tables}
 
 class ShardExportSpec extends SparkSpec {
+  import spark.implicits._
 
   private val sf = "/root/testdata/sf0.001"
   private def docs = Tables.load(spark, sf, "documents")
@@ -77,5 +78,44 @@ class ShardExportSpec extends SparkSpec {
     // shard docs are recoverable in deterministic order from the payload
     val dirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("shard="))
     assert(dirs.length == manifest.length)
+  }
+
+  test("in-file row order inside each shard is the md5 order, byte-stable across runs") {
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 400L).map(i => (i, 50L + i % 37)).toDF("doc_id", "cost")
+    def writeOnce(layout: org.apache.spark.sql.DataFrame): (String, Seq[Seq[Long]]) = {
+      val out = java.nio.file.Files.createTempDirectory("graft-shard-ord-").toString
+      ShardExport.writeShards(
+        ShardExport.assignShards(layout, "doc_id", "cost", targetCost = 1000L),
+        "cost", out)
+      // one file per shard (repartition on the shard column) — a
+      // single-file scan preserves in-file row order
+      val dirs = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+      val orders = dirs.toSeq.map { d =>
+        spark.read.parquet(d.toString).select("doc_id")
+          .collect().map(_.getLong(0)).toSeq
+      }
+      (out, orders)
+    }
+    val (_, o1) = writeOnce(docs)
+    val (_, o2) = writeOnce(docs.repartition(7)) // different input layout
+    assert(o1 === o2, "in-file order changed across runs/layouts")
+    // and it IS the md5 order within each shard
+    val md5Order = docs.withColumn("k", md5(col("doc_id").cast("string")))
+      .orderBy("k").select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(o1.flatten.toSet === md5Order.toSet)
+    o1.foreach { shardSeq =>
+      val positions = shardSeq.map(md5Order.indexOf)
+      assert(positions === positions.sorted, "shard rows not in md5 order")
+    }
+  }
+
+  test("null costs count as zero instead of poisoning the shard id") {
+    val docs = Seq((1L, Some(500L)), (2L, None), (3L, Some(500L)), (4L, Some(10L)))
+      .toDF("doc_id", "cost")
+    val assigned = ShardExport.assignShards(docs, "doc_id", "cost", 600L)
+    assert(assigned.filter(col("shard").isNull).count() === 0)
+    assert(assigned.count() === 4)
   }
 }

@@ -115,4 +115,31 @@ class TotalOrderSpec extends SparkSpec {
         s"ntile mismatch at n=$n k=$k")
     }
   }
+
+  test("denseIndex keeps null-keyed rows (null-safe join-back)") {
+    val df = Seq(Some("b"), None, Some("a"), None).toDF("k")
+    val out = TotalOrder.denseIndex(df, Seq("k"), "idx")
+    assert(out.count() === 4) // the two null rows survive
+    val nullIdx = out.filter(col("k").isNull).select("idx")
+      .collect().map(_.getLong(0)).toSet
+    assert(nullIdx.size === 1) // one dense index for the null group
+  }
+
+  test("prefixAggs: running sum AND running max of the SAME column coexist") {
+    // the offset columns used to collide into one __off name and fail
+    // analysis when one metric wanted both aggregates
+    val df = (1L to 40L).map(i => (i, (i * 17) % 23 + 1)).toDF("id", "v")
+    val out = TotalOrder.prefixAggs(df, order = Seq(col("id").asc),
+      sums = Seq("v" -> "run_sum"), maxes = Seq("v" -> "run_max"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val got = out.select("id", "run_sum", "run_max").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val exp = df
+      .withColumn("run_sum", sum(col("v")).over(w))
+      .withColumn("run_max", max(col("v")).over(w))
+      .select("id", "run_sum", "run_max").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got === exp)
+  }
 }
