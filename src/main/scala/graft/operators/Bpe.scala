@@ -81,6 +81,9 @@ object Bpe {
   def train(
       df: DataFrame, textCol: String, numMerges: Int,
       minPairCount: Long = 2L, batchSize: Int = 16): Seq[(String, String)] = {
+    // batchSize 0 would select no merge per round and loop the same
+    // Spark aggregation forever
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     // corpus → vocabulary: the one corpus-sized pass
     var vocab = df
       .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
@@ -159,6 +162,13 @@ object Bpe {
   }
 
   /** Tokenize `text` with trained merges (see [[BpeEncode]]). */
+  /** Encode with the same normalization [[train]] applied: train
+    * lowercases internally, so its merge table only contains lowercase
+    * symbols — encoding raw text would silently leave every capitalized
+    * word as unmerged single characters. Lowercasing here keeps
+    * fit/transform symmetric (idempotent for callers that already
+    * lowered).
+    */
   def encode(text: Column, merges: Seq[(String, String)]): Column =
-    BpeEncode.encode(text, merges)
+    BpeEncode.encode(lower(text), merges)
 }

@@ -19,6 +19,50 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object MediaCodec {
 
+  /** Upper bound on decoded pixel count (64 Mpixel ≈ 256 MB of ints).
+    * All dimension arithmetic runs in LONG against this bound before
+    * any allocation: header fields are attacker-controlled, and Int
+    * products like `width * 3` wrap for crafted dimensions — a tiny
+    * payload would pass every byte-length check and then OOM the
+    * executor on a multi-GB array (OutOfMemoryError is fatal, so the
+    * decodeAny Try would NOT contain it).
+    */
+  private val MaxPixels = 1L << 26
+
+  private def checkDims(width: Int, height: Int, what: String): Unit = {
+    require(width > 0 && height > 0, s"bad $what dimensions ${width}x$height")
+    require(width.toLong * height <= MaxPixels,
+      s"$what ${width}x$height exceeds the $MaxPixels-pixel decode bound")
+  }
+
+  /** Padded 24bpp row stride, computed in Long (see [[MaxPixels]]). */
+  private def rowStride(width: Int): Long = (width.toLong * 3 + 3) / 4 * 4
+
+  /** Shared 24bpp DIB raster decode (BMP pixel data and AVI `00db`
+    * frame chunks are byte-identical formats): row padding, bottom-up
+    * or top-down order, BGR → packed 0xRRGGBB.
+    */
+  private def readDib24(bytes: Array[Byte], offset: Int,
+      width: Int, height: Int, topDown: Boolean): Array[Int] = {
+    val rowBytes = rowStride(width).toInt // safe: dims pre-checked
+    val rgb = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (topDown) y else height - 1 - y
+      val base = offset + srcRow * rowBytes
+      var x = 0
+      while (x < width) {
+        val b = bytes(base + x * 3) & 0xff
+        val g = bytes(base + x * 3 + 1) & 0xff
+        val r = bytes(base + x * 3 + 2) & 0xff
+        rgb(y * width + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    rgb
+  }
+
   final case class WavData(sampleRate: Int, channels: Int, samples: Array[Short])
   final case class ImageData(width: Int, height: Int, rgb: Array[Int]) {
     def r(i: Int): Int = (rgb(i) >> 16) & 0xff
@@ -61,7 +105,10 @@ object MediaCodec {
     }
     require(tag() == "RIFF", "not a RIFF container")
     val riffLen = buf.getInt
-    require(riffLen + 8 <= bytes.length, s"RIFF length $riffLen overruns payload")
+    // Long arithmetic: riffLen near Int.MaxValue wraps `riffLen + 8`
+    // negative and the bound would pass vacuously
+    require(riffLen >= 4 && riffLen.toLong + 8 <= bytes.length,
+      s"RIFF length $riffLen overruns payload")
     require(tag() == "WAVE", "RIFF is not WAVE")
     var rate = -1; var channels = -1; var bits = -1
     var data: Array[Short] = null
@@ -146,35 +193,19 @@ object MediaCodec {
     val rawHeight = buf.getInt
     val topDown = rawHeight < 0
     val height = math.abs(rawHeight)
-    require(width > 0 && height > 0, s"bad dimensions ${width}x$rawHeight")
+    checkDims(width, height, "BMP")
     buf.getShort // planes
     val bpp = buf.getShort
     require(bpp == 24, s"only 24bpp supported, got $bpp")
     val compression = buf.getInt
     require(compression == 0, s"only BI_RGB supported, got compression $compression")
-    val rowBytes = (width * 3 + 3) / 4 * 4
     // lower bound too: dataOffset < 54 would silently decode header
     // bytes as pixels (and a negative one would AIOOBE, not refuse)
     require(dataOffset >= 54 && dataOffset <= bytes.length,
       s"bad pixel-data offset $dataOffset")
-    require(dataOffset + rowBytes.toLong * height <= bytes.length,
+    require(dataOffset + rowStride(width) * height <= bytes.length,
       "pixel data overruns payload")
-    val rgb = new Array[Int](width * height)
-    var y = 0
-    while (y < height) {
-      val srcRow = if (topDown) y else height - 1 - y
-      var x = 0
-      val base = dataOffset + srcRow * rowBytes
-      while (x < width) {
-        val b = bytes(base + x * 3) & 0xff
-        val g = bytes(base + x * 3 + 1) & 0xff
-        val r = bytes(base + x * 3 + 2) & 0xff
-        rgb(y * width + x) = (r << 16) | (g << 8) | b
-        x += 1
-      }
-      y += 1
-    }
-    ImageData(width, height, rgb)
+    ImageData(width, height, readDib24(bytes, dataOffset, width, height, topDown))
   }
 
   // ---- PPM (P6, 8-bit) ------------------------------------------------
@@ -228,10 +259,10 @@ object MediaCodec {
     val height = nextToken()
     val maxval = nextToken()
     require(maxval == 255, s"only 8-bit PPM supported, got maxval $maxval")
-    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    checkDims(width, height, "PPM")
     pos += 1 // single whitespace byte after maxval per spec
-    require(bytes.length - pos == width * height * 3,
-      s"raster is ${bytes.length - pos} bytes, expected ${width * height * 3}")
+    require((bytes.length - pos).toLong == width.toLong * height * 3,
+      s"raster is ${bytes.length - pos} bytes, expected ${width.toLong * height * 3}")
     val rgb = new Array[Int](width * height)
     var i = 0
     while (i < rgb.length) {
@@ -323,7 +354,8 @@ object MediaCodec {
     }
     require(tag() == "RIFF", "not a RIFF container")
     val riffLen = buf.getInt
-    require(riffLen + 8 <= bytes.length, s"RIFF length $riffLen overruns payload")
+    require(riffLen >= 4 && riffLen.toLong + 8 <= bytes.length,
+      s"RIFF length $riffLen overruns payload")
     require(tag() == "AVI ", "RIFF is not AVI")
     var width = -1; var height = -1; var usPerFrame = 0
     var compression = -1; var bpp = -1
@@ -331,8 +363,12 @@ object MediaCodec {
     def walkList(end: Int): Unit = {
       while (buf.position() + 8 <= end) {
         val id = tag(); val len = buf.getInt
-        val next = buf.position() + len + (len % 2) // word-aligned chunks
-        require(len >= 0 && buf.position() + len <= end, s"chunk $id overruns list")
+        // Long bound: a chunk len near Int.MaxValue wraps the Int sum
+        // and would pass the overrun check vacuously
+        val nextL = buf.position().toLong + len + (len % 2) // word-aligned
+        require(len >= 0 && buf.position().toLong + len <= end,
+          s"chunk $id overruns list")
+        val next = math.min(nextL, end.toLong).toInt
         id match {
           case "LIST" =>
             tag() // list type (hdrl / strl / movi) — contents self-identify
@@ -343,6 +379,7 @@ object MediaCodec {
             require(len >= 40, "strf too short for BITMAPINFOHEADER")
             buf.getInt // biSize
             width = buf.getInt; height = buf.getInt
+            checkDims(width, height, "AVI stream")
             buf.getShort // planes
             bpp = buf.getShort
             compression = buf.getInt
@@ -350,28 +387,13 @@ object MediaCodec {
               s"only uncompressed 24bpp DIB supported, got bpp=$bpp compression=$compression")
           case "00db" | "00dc" =>
             require(width > 0 && height > 0, "frame chunk before strf header")
-            val rowBytes = (width * 3 + 3) / 4 * 4
-            require(len == rowBytes * height,
-              s"frame chunk is $len bytes, expected ${rowBytes * height}")
-            val base0 = buf.position()
-            val rgb = new Array[Int](width * height)
-            var y = 0
-            while (y < height) {
-              val base = base0 + (height - 1 - y) * rowBytes
-              var x = 0
-              while (x < width) {
-                val b = bytes(base + x * 3) & 0xff
-                val g = bytes(base + x * 3 + 1) & 0xff
-                val r = bytes(base + x * 3 + 2) & 0xff
-                rgb(y * width + x) = (r << 16) | (g << 8) | b
-                x += 1
-              }
-              y += 1
-            }
-            frames += ImageData(width, height, rgb)
+            require(len.toLong == rowStride(width) * height,
+              s"frame chunk is $len bytes, expected ${rowStride(width) * height}")
+            frames += ImageData(width, height,
+              readDib24(bytes, buf.position(), width, height, topDown = false))
           case _ => // skip unknown chunks (idx1, INFO, junk)
         }
-        buf.position(math.min(next, end))
+        buf.position(next)
       }
     }
     walkList(8 + riffLen)

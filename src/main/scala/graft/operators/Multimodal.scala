@@ -77,6 +77,20 @@ object Multimodal {
     * (validated headers, size fields must match), so text or foreign
     * binary never false-positives into a garbage decode.
     */
+  /** ITU-R 601 integer luma — ONE definition for both the image and
+    * video branches, so the cross-modality features cannot drift.
+    */
+  private def luma(r: Int, g: Int, b: Int): Int = (77 * r + 150 * g + 29 * b) >> 8
+
+  private def meanLuma(img: MediaCodec.ImageData): Double = {
+    var acc = 0L; var i = 0
+    while (i < img.rgb.length) {
+      acc += luma(img.r(i), img.g(i), img.b(i))
+      i += 1
+    }
+    acc.toDouble / math.max(img.rgb.length, 1)
+  }
+
   def decodeFeatures(payload: Array[Byte], k: Int): Array[Double] = {
     def fit(xs: Array[Double]): Array[Double] =
       Array.tabulate(k)(i => if (i < xs.length) xs(i) else 0.0)
@@ -84,18 +98,11 @@ object Multimodal {
       case Some(MediaCodec.DecodedVideo(avi)) =>
         // [3, width, height, nFrames, usPerFrame, meanLumaAllFrames,
         //  firstFrameMeanLuma, lastFrameMeanLuma]
-        def meanLuma(img: MediaCodec.ImageData): Double = {
-          var acc = 0L; var i = 0
-          while (i < img.rgb.length) {
-            acc += (77 * img.r(i) + 150 * img.g(i) + 29 * img.b(i)) >> 8
-            i += 1
-          }
-          acc.toDouble / math.max(img.rgb.length, 1)
-        }
+        // one luma pass per frame, reused for mean/first/last
+        val lumas = avi.frames.map(meanLuma)
         fit(Array(3.0, avi.width, avi.height, avi.frames.length,
           avi.microSecPerFrame,
-          avi.frames.map(meanLuma).sum / avi.frames.length,
-          meanLuma(avi.frames.head), meanLuma(avi.frames.last)))
+          lumas.sum / lumas.length, lumas.head, lumas.last))
       case Some(MediaCodec.DecodedAudio(wav)) =>
         val s = wav.samples
         val n = math.max(s.length, 1)
@@ -114,7 +121,7 @@ object Multimodal {
         while (i < n) {
           val r = img.r(i); val g = img.g(i); val b = img.b(i)
           sr += r; sg += g; sb += b
-          val l = (77 * r + 150 * g + 29 * b) >> 8
+          val l = luma(r, g, b)
           if (l < minL) minL = l
           if (l > maxL) maxL = l
           i += 1
@@ -152,14 +159,19 @@ object Multimodal {
 
   /** Frame sampling for video rows: explode frame indices from meta,
     * keep every `everyNth` — pure relational, no decode needed.
+    * Guarded against n_frames <= 0: Spark's `sequence(0, -1)` counts
+    * DOWN ([0, -1]), so a zero-frame video would emit phantom frame
+    * indices instead of no rows.
     */
-  def frameSample(media: DataFrame, everyNth: Int): DataFrame =
+  def frameSample(media: DataFrame, everyNth: Int): DataFrame = {
+    require(everyNth > 0, s"everyNth must be positive, got $everyNth")
     media
-      .filter(col("modality") === "video")
+      .filter(col("modality") === "video" && col("meta.n_frames") >= 1)
       .select(
         col("media_id"),
         explode(sequence(lit(0), col("meta.n_frames") - 1)).as("frame_idx"))
       .filter(col("frame_idx") % everyNth === 0)
+  }
 
   /** ======== STUB ======== resize: a metadata-only transform here (a
     * real one maps payload through a codec); demonstrates the

@@ -80,4 +80,20 @@ class BpeSpec extends SparkSpec {
       .as[Int].collect().toSeq
     assert(n === Seq(0, -1, 1)) // null text → null array (size -1)
   }
+
+  test("encode normalizes like train: capitalized text merges identically") {
+    val docs = Seq.fill(20)("the cat sat on the mat").toDF("text")
+    val merges = Bpe.train(docs, "text", numMerges = 6)
+    val toks = Seq("The Cat", "the cat").toDF("t")
+      .select(Bpe.encode(col("t"), merges).as("toks"))
+      .as[Seq[String]].collect()
+    assert(toks(0) === toks(1), "fit/transform normalization asymmetry")
+  }
+
+  test("train refuses batchSize < 1 instead of looping forever") {
+    val docs = Seq("aa bb").toDF("text")
+    val e = intercept[IllegalArgumentException](
+      Bpe.train(docs, "text", numMerges = 2, batchSize = 0))
+    assert(e.getMessage.contains("batchSize"))
+  }
 }

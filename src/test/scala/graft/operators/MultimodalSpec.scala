@@ -203,4 +203,43 @@ class MultimodalSpec extends SparkSpec {
         Multimodal.stubDecodeFeatures(bytes, 8).toSeq, s)
     }
   }
+
+  test("crafted overflow dimensions are refused, never allocated") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // BMP: width*3 wraps to 2 in Int, so a 58-byte payload used to pass
+    // every bounds check and then allocate a ~5.7 GB pixel array
+    val w = 1431655766 // (w * 3) wraps to 2
+    val bmp = ByteBuffer.allocate(58).order(ByteOrder.LITTLE_ENDIAN)
+    bmp.put('B'.toByte).put('M'.toByte).putInt(58).putInt(0).putInt(54)
+    bmp.putInt(40).putInt(w).putInt(1).putShort(1).putShort(24)
+    bmp.putInt(0).putInt(4).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val eBmp = intercept[IllegalArgumentException](MediaCodec.decodeBmp(bmp.array()))
+    assert(eBmp.getMessage.contains("pixel"), eBmp.getMessage)
+
+    val ppm = (s"P6\n$w 1\n255\n" + "xx").getBytes("US-ASCII")
+    val ePpm = intercept[IllegalArgumentException](MediaCodec.decodePpm(ppm))
+    assert(ePpm.getMessage.contains("pixel"), ePpm.getMessage)
+
+    // lying RIFF length near Int.MaxValue used to wrap the bound check
+    val wav = MediaCodec.encodeWavPcm16(8000, Array[Short](1, 2, 3))
+    val lying = wav.clone()
+    ByteBuffer.wrap(lying).order(ByteOrder.LITTLE_ENDIAN).putInt(4, Int.MaxValue)
+    val eWav = intercept[IllegalArgumentException](MediaCodec.decodeWav(lying))
+    assert(eWav.getMessage.contains("overruns"), eWav.getMessage)
+    // and the strict dispatcher turns all of these into None, not OOM
+    assert(MediaCodec.decodeAny(bmp.array()).isEmpty)
+    assert(MediaCodec.decodeAny(lying).isEmpty)
+  }
+
+  test("frameSample: zero-frame videos emit no phantom indices; everyNth must be positive") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "video", 0), (2L, "video", 3), (3L, "image", 5))
+      .toDF("media_id", "modality", "nf")
+      .withColumn("meta", struct(col("nf").as("n_frames")))
+    val out = Multimodal.frameSample(media, everyNth = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(out === Set((2L, 0), (2L, 1), (2L, 2))) // no rows for n_frames=0
+    intercept[IllegalArgumentException](Multimodal.frameSample(media, everyNth = 0))
+  }
 }
