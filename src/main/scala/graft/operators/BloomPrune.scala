@@ -44,16 +44,30 @@ object BloomPrune {
       expectedItems: Long = -1L,
       fpp: Double = 0.01): DataFrame = {
     BloomFilter.register(fact.sparkSession)
+    // the filter expressions take BIGINT: integral keys cast losslessly,
+    // everything else goes through xxhash64 on BOTH sides — the same
+    // hash on build and probe preserves the no-false-negative contract
+    // (a bare cast(\"long\") turned string keys into NULLs and the probe
+    // then dropped EVERY fact row)
+    def asLong(c: org.apache.spark.sql.Column,
+        t: org.apache.spark.sql.types.DataType) = t match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+        c.cast("long")
+      case _ => xxhash64(c)
+    }
     // auto-size when the caller has no estimate: one count over the
     // (filtered) dim — trivial next to the fact scan the filter saves
     val n = if (expectedItems > 0) expectedItems
             else math.max(1L, dim.count())
     val bloom = dim.agg(
-      BloomFilter.bloomBuild(col(dimKey).cast("long"), n, fpp).as("__bf"))
+      BloomFilter.bloomBuild(
+        asLong(col(dimKey), dim.schema(dimKey).dataType), n, fpp).as("__bf"))
     // 1-row broadcast => BroadcastNestedLoopJoin that streams the fact
     // side map-only; the probe stays in the scan's codegen stage
     fact.crossJoin(broadcast(bloom))
-      .filter(BloomFilter.bloomMightContain(col(factKey).cast("long"), col("__bf")))
+      .filter(BloomFilter.bloomMightContain(
+        asLong(col(factKey), fact.schema(factKey).dataType), col("__bf")))
       .drop("__bf")
   }
 }

@@ -53,14 +53,22 @@ object EventAnalytics {
     // entry time of stage i
     val head = ev.filter(col("__t") === stages.head)
       .groupBy(col("__u")).agg(min(col("__us")).as("__entry"))
-    val reached = stages.tail.scanLeft(head) { (prev, stage) =>
-      val inWindow = conversionWindowMicros
-        .map(w => col("__us") <= col("__prev") + w)
-        .getOrElse(lit(true))
-      ev.filter(col("__t") === stage)
-        .join(prev.select(col("__u"), col("__entry").as("__prev")), "__u")
-        .filter(col("__us") >= col("__prev") && inWindow)
-        .groupBy(col("__u")).agg(min(col("__us")).as("__entry"))
+    val reached = stages.tail.zip(stages.init).scanLeft(head) {
+      case (prev, (stage, prevStage)) =>
+        val inWindow = conversionWindowMicros
+          .map(w => col("__us") <= col("__prev") + w)
+          .getOrElse(lit(true))
+        // when two CONSECUTIVE stages share a type, the stage-i entry
+        // event must not satisfy stage i+1 too (>= with equal types let
+        // one \"view\" convert a view→view funnel); distinct types keep
+        // >= so simultaneous cross-type events still count
+        val after =
+          if (stage == prevStage) col("__us") > col("__prev")
+          else col("__us") >= col("__prev")
+        ev.filter(col("__t") === stage)
+          .join(prev.select(col("__u"), col("__entry").as("__prev")), "__u")
+          .filter(after && inWindow)
+          .groupBy(col("__u")).agg(min(col("__us")).as("__entry"))
     }
 
     val counts = reached.zipWithIndex.map { case (df, idx) =>

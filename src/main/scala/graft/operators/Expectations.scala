@@ -31,6 +31,11 @@ object Expectations {
     */
   def annotate(df: DataFrame, exps: Seq[Expectation]): DataFrame = {
     require(exps.nonEmpty, "at least one expectation required")
+    // stacked annotation would silently OVERWRITE (and valid() would
+    // then drop) an upstream violation record — refuse instead
+    require(!df.columns.contains("failed_expectations"),
+      "input already carries failed_expectations — merge or rename the " +
+        "upstream annotation before re-annotating")
     val failed = exps.map(e =>
       when(coalesce(e.condition, lit(false)), lit(null).cast("string"))
         .otherwise(lit(e.name)))

@@ -48,6 +48,9 @@ object LanguageModel {
     val cw = cwp.groupBy(col("w1")).agg(sum(col("c")).as("cw"))
     val vocab = docs
       .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
+      // empty/whitespace docs tokenize to [""] — the phantom must not
+      // count as a vocabulary word and shift every smoothed probability
+      .filter(col("w") =!= "")
       .agg(countDistinct(col("w"))).first().getLong(0)
     docs.select(col(idCol).as("doc_id"))
       .join(bg, Seq("doc_id"), "left")

@@ -26,13 +26,24 @@ object Retrieval {
       docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty,
+      "bm25 needs at least one query term — an empty query would still scan the corpus")
     val toks = docs.select(
       col(idCol).as("doc_id"),
       TextFunctions.tokens(lower(col(textCol))).as("t"))
-    val lens = toks.select(col("doc_id"), size(col("t")).cast("double").as("dl"))
+    // tokenCount semantics: empty/whitespace docs have dl = 0, not the
+    // phantom [""] token's 1 — a blank-doc cohort must not skew avgdl
+    val lens = toks.select(col("doc_id"),
+        when(col("t").isNull ||
+          (size(col("t")) === 1 && element_at(col("t"), 1) === ""), lit(0.0))
+          .otherwise(size(col("t")).cast("double")).as("dl"))
       .localCheckpoint(true)
     val n = lens.count()
-    val avgdl = lens.agg(avg(col("dl"))).first().getDouble(0)
+    val avgdlRow = lens.agg(avg(col("dl"))).first()
+    if (avgdlRow.isNullAt(0)) // empty corpus: empty scores, not an NPE
+      return lens.select(col("doc_id"),
+        lit(0L).as("n_matched_terms"), lit(0.0).as("score")).limit(0)
+    val avgdl = avgdlRow.getDouble(0)
     val matches = toks
       .select(col("doc_id"), explode(col("t")).as("term"))
       .filter(col("term").isInCollection(queryTerms))

@@ -29,22 +29,36 @@ object TimeSeries {
     *   - `<value>_ffill` — last non-null observation at or before the day
     *   - `is_gap`        — true on synthesized spine days
     */
-  def resampleDailyFfill(
-      df: DataFrame, keyCol: String, dateCol: String, valueCol: String): DataFrame = {
-    val spine = df
-      .groupBy(col(keyCol))
+  /** Per-key daily spine over [min(date), max(date)] — shared by both
+    * resamplers.
+    */
+  private def dailySpine(df: DataFrame, keyCol: String, dateCol: String): DataFrame =
+    df.groupBy(col(keyCol))
       .agg(min(col(dateCol)).as("__d0"), max(col(dateCol)).as("__d1"))
       .select(col(keyCol),
         explode(sequence(col("__d0"), col("__d1"), expr("interval 1 day")))
           .as(dateCol))
-    val joined = spine.join(df, Seq(keyCol, dateCol), "left")
+
+  /** Join the spine to the observations with an explicit observed
+    * marker: `is_gap` must mean "synthesized spine day", and a REAL
+    * input row whose value happens to be null is still an observed day
+    * (valueCol IS NULL would mislabel it).
+    */
+  private def spineJoined(
+      df: DataFrame, keyCol: String, dateCol: String): DataFrame =
+    dailySpine(df, keyCol, dateCol)
+      .join(df.withColumn("__obs", lit(true)), Seq(keyCol, dateCol), "left")
+
+  def resampleDailyFfill(
+      df: DataFrame, keyCol: String, dateCol: String, valueCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(dateCol).asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    joined
+    spineJoined(df, keyCol, dateCol)
       .withColumn(s"${valueCol}_ffill",
         last(col(valueCol), ignoreNulls = true).over(w))
-      .withColumn("is_gap", col(valueCol).isNull)
+      .withColumn("is_gap", col("__obs").isNull)
+      .drop("__obs")
   }
 
   /** Exact integer z-score anomaly flags: each observation is compared
@@ -71,7 +85,11 @@ object TimeSeries {
       df: DataFrame, keyCol: String, dateCol: String, valueCol: String,
       lookbackDays: Int = 7, minPrevDays: Int = 3,
       zThreshold: Int = 3): DataFrame = {
-    val v = col(valueCol)
+    // widen BEFORE any product: an IntegerType valueCol wraps at
+    // |v| >= 46341 inside v*v. (The Long math itself is exact for
+    // |v| up to ~1e8 at the default window — beyond that, move the
+    // values to a coarser unit first.)
+    val v = col(valueCol).cast("long")
     val pw = Window.partitionBy(col(keyCol))
       .orderBy(datediff(col(dateCol), to_date(lit("1970-01-01"))))
       .rangeBetween(-lookbackDays, -1)
@@ -112,13 +130,7 @@ object TimeSeries {
     */
   def resampleDailyInterpolate(
       df: DataFrame, keyCol: String, dateCol: String, valueCol: String): DataFrame = {
-    val spine = df
-      .groupBy(col(keyCol))
-      .agg(min(col(dateCol)).as("__d0"), max(col(dateCol)).as("__d1"))
-      .select(col(keyCol),
-        explode(sequence(col("__d0"), col("__d1"), expr("interval 1 day")))
-          .as(dateCol))
-    val joined = spine.join(df, Seq(keyCol, dateCol), "left")
+    val joined = spineJoined(df, keyCol, dateCol)
     val v = col(valueCol)
     val wBack = Window.partitionBy(col(keyCol)).orderBy(col(dateCol).asc)
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -137,7 +149,7 @@ object TimeSeries {
               (col("__nv").cast("double") - col("__pv").cast("double")) *
               datediff(col(dateCol), col("__pd")) /
               datediff(col("__nd"), col("__pd"))))
-      .withColumn("is_gap", v.isNull)
-      .drop("__pv", "__pd", "__nv", "__nd")
+      .withColumn("is_gap", col("__obs").isNull)
+      .drop("__pv", "__pd", "__nv", "__nd", "__obs")
   }
 }

@@ -168,4 +168,17 @@ class EventAnalyticsSpec extends SparkSpec with Matchers {
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
   }
+
+  test("repeat-stage funnel requires a SECOND event, not the anchor itself") {
+    def at(t: String) = java.sql.Timestamp.valueOf(t)
+    val ev = Seq(
+      (1L, "view", at("2024-01-01 10:00:00")),  // one view only
+      (2L, "view", at("2024-01-01 10:00:00")),
+      (2L, "view", at("2024-01-01 10:05:00"))) // two views
+      .toDF("user_id", "event_type", "ts")
+    val out = EventAnalytics.funnel(ev, Seq("view", "view"))
+      .select("stage_idx", "n_users").as[(Int, Long)].collect().toMap
+    assert(out(0) === 2L)
+    assert(out(1) === 1L, "the anchoring event must not satisfy the repeat stage")
+  }
 }

@@ -43,4 +43,12 @@ class ExpectationsSpec extends SparkSpec {
     assert(m("failed_positive") == 3L) // ids 2, 3 (null), 5
     assert(m("failed_good_tag") == 2L) // ids 4, 5
   }
+
+  test("re-annotating refuses instead of silently overwriting the violation record") {
+    val df = Seq((1L, 5)).toDF("id", "v")
+    val once = Expectations.annotate(df, Seq(Expectations.expect("pos", col("v") > 0)))
+    val e = intercept[IllegalArgumentException](
+      Expectations.annotate(once, Seq(Expectations.expect("big", col("v") > 10))))
+    assert(e.getMessage.contains("failed_expectations"))
+  }
 }

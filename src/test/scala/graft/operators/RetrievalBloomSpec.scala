@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Regression pins for the review fixes in Retrieval.bm25 and
+  * BloomPrune.prune.
+  */
+class RetrievalBloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25: empty corpus returns empty scores; blank docs carry dl 0") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Retrieval.bm25(empty, "doc_id", "text", Seq("term")).count() === 0L)
+    // blank docs carry dl = 0 (not the phantom token's 1): closed-form
+    // check with one real doc + one blank — avgdl must be 1.5, not 2.0
+    val rows = Seq((1L, "alpha beta gamma"), (10L, ""))
+    val got = Retrieval.bm25(rows.toDF("doc_id", "text"), "doc_id", "text",
+        Seq("alpha"))
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val idf = math.log((2.0 - 1 + 0.5) / (1 + 0.5) + 1)
+    val k1 = 1.2; val b = 0.75
+    val expected = idf * (1 * (k1 + 1)) / (1 + k1 * (1 - b + b * 3.0 / 1.5))
+    assert(math.abs(got(1L) - BigDecimal(expected)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-6,
+      s"got ${got(1L)}, expected ~$expected (phantom-dl avgdl would differ)")
+    val e = intercept[IllegalArgumentException](
+      Retrieval.bm25(rows.toDF("doc_id", "text"), "doc_id", "text", Seq.empty))
+    assert(e.getMessage.contains("query term"))
+  }
+
+  test("bloom prune keeps its no-false-negative contract for STRING keys") {
+    val fact = Seq(("CUST-1", 10.0), ("CUST-2", 20.0), ("CUST-9", 90.0))
+      .toDF("k", "v")
+    val dim = Seq("CUST-1", "CUST-9").toDF("k")
+    // the old cast("long") nulled every string key and dropped ALL rows
+    val kept = BloomPrune.prune(fact, "k", dim, "k")
+      .select("k").as[String].collect().toSet
+    assert(Set("CUST-1", "CUST-9").subsetOf(kept),
+      s"bloom pruned away true matches: $kept")
+    val joined = BloomPrune.prune(fact, "k", dim, "k").join(dim, Seq("k"))
+    assert(joined.count() === fact.join(dim, Seq("k")).count())
+  }
+}

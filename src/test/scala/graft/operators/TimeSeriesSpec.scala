@@ -130,4 +130,21 @@ class TimeSeriesSpec extends SparkSpec {
       .orderBy("k", "dt").collect().toSeq
     assert(a === b)
   }
+
+  test("a real observed row with a NULL value is not labeled a gap") {
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-01"), Some(5.0)),
+      (1L, java.sql.Date.valueOf("2024-01-02"), Option.empty[Double]),
+      (1L, java.sql.Date.valueOf("2024-01-04"), Some(9.0)))
+      .toDF("k", "d", "v")
+    val out = TimeSeries.resampleDailyFfill(df, "k", "d", "v")
+      .select(col("d").cast("string"), col("is_gap"))
+      .as[(String, Boolean)].collect().toMap
+    assert(out("2024-01-02") === false) // observed, value unknown
+    assert(out("2024-01-03") === true)  // synthesized spine day
+    val interp = TimeSeries.resampleDailyInterpolate(df, "k", "d", "v")
+      .select(col("d").cast("string"), col("is_gap"))
+      .as[(String, Boolean)].collect().toMap
+    assert(interp("2024-01-02") === false && interp("2024-01-03") === true)
+  }
 }
