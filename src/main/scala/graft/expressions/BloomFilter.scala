@@ -26,10 +26,21 @@ object BloomFilter {
   /** Optimal parameters for `n` expected items at false-positive rate
     * `p`: m = -n·ln p / (ln 2)², k = (m/n)·ln 2.
     */
+  /** Largest supported filter: the word array must serialize into one
+    * ByteBuffer whose size is computed as `8 * numWords` in Int — an
+    * unclamped m near 2e9 items overflowed that product NEGATIVE and
+    * crashed allocate() mid-shuffle. 2^34 bits = 2 GiB of filter; past
+    * that, partition the key space and build one filter per shard.
+    */
+  private val MaxBits = 1L << 34
+
   def parameters(n: Long, p: Double): (Long, Int) = {
     require(n > 0 && p > 0 && p < 1, s"invalid bloom parameters n=$n p=$p")
     val ln2 = math.log(2)
     val m = math.max(64L, math.ceil(-n * math.log(p) / (ln2 * ln2)).toLong)
+    require(m <= MaxBits,
+      s"bloom filter needs $m bits for n=$n p=$p — beyond the $MaxBits-bit " +
+        "bound; shard the build or relax fpp")
     val k = math.max(1, math.round(m.toDouble / n * ln2).toInt)
     (m, k)
   }
@@ -42,16 +53,22 @@ object BloomFilter {
     z ^ (z >>> 31)
   }
 
-  private def bitPositions(key: Long, numBits: Long, k: Int): Iterator[Long] = {
-    val h1 = mix(key)
+  /** Allocation-free double-hashing set — the same unrolled `h1 += h2`
+    * walk [[mightContain]] uses (the old Range-iterator form allocated
+    * an iterator + k boxed longs PER INPUT ROW on the build pass, the
+    * exact overhead these expressions exist to avoid).
+    */
+  private[expressions] def set(words: Array[Long], numBits: Long, k: Int, key: Long): Unit = {
+    var h1 = mix(key)
     val h2 = mix(h1) | 1L // odd => full-period double hashing
-    (0 until k).iterator.map(i => java.lang.Long.remainderUnsigned(h1 + i.toLong * h2, numBits))
-  }
-
-  private[expressions] def set(words: Array[Long], numBits: Long, k: Int, key: Long): Unit =
-    bitPositions(key, numBits, k).foreach { b =>
+    var i = 0
+    while (i < k) {
+      val b = java.lang.Long.remainderUnsigned(h1, numBits)
       words((b >>> 6).toInt) |= (1L << (b & 63))
+      h1 += h2
+      i += 1
     }
+  }
 
   /** Static probe used by both interpreted eval and generated code. */
   def mightContain(bytes: Array[Byte], key: Long): Boolean = {
@@ -126,7 +143,13 @@ case class BloomBuildAggregate(
 
   override def checkInputDataTypes(): TypeCheckResult =
     (child.dataType, nExpr.dataType, fppExpr.dataType) match {
-      case (LongType, LongType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+      // foldable: a column-valued n/fpp would fail executor-side with
+      // an unbound-reference NPE mid-job instead of at analysis
+      case (LongType, LongType, DoubleType)
+          if nExpr.foldable && fppExpr.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (LongType, LongType, DoubleType) => TypeCheckResult.TypeCheckFailure(
+        "bloom_build's expectedItems and fpp must be literals")
       case (c, n, p) => TypeCheckResult.TypeCheckFailure(
         s"bloom_build expects (BIGINT, BIGINT, DOUBLE), got (${c.sql}, ${n.sql}, ${p.sql})")
     }

@@ -73,8 +73,11 @@ case class TopKAggregate(
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (scoreExpr.dataType, idExpr.dataType, kExpr.dataType) match {
-      case (DoubleType, LongType, IntegerType) =>
+      case (DoubleType, LongType, IntegerType) if kExpr.foldable =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (DoubleType, LongType, IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "topk_by's k must be a literal") // column k would fail mid-job
       case (s, i, kt) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"topk_by expects (DOUBLE, BIGINT, INT), got (${s.sql}, ${i.sql}, ${kt.sql})")
@@ -102,7 +105,11 @@ case class TopKAggregate(
       input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
     val s = scoreExpr.eval(input)
     val i = idExpr.eval(input)
-    if (s != null && i != null)
+    // NaN scores are unrankable AND poisonous: under the total Double
+    // ordering NaN sorts above every real, so one NaN at the heap's
+    // head makes both eviction comparisons false forever — the
+    // aggregate would silently return the first-k arrival order
+    if (s != null && i != null && !s.asInstanceOf[Double].isNaN)
       offer(buffer, s.asInstanceOf[Double], i.asInstanceOf[Long])
     buffer
   }

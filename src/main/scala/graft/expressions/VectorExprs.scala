@@ -413,7 +413,13 @@ object VectorQuant {
   def nearestCell(v: ArrayData, flat: Array[Double], norms: Array[Double],
       ids: Array[Int], isFloat: Boolean): Int = {
     val cells = ids.length
-    val dim = if (cells == 0) return -1 else flat.length / cells
+    if (cells == 0) return -1
+    // a ragged/mis-sized centroid matrix would floor dim and walk every
+    // cell's offsets misaligned — wrong-but-plausible assignments with
+    // no error (a silent IVF recall collapse); refuse instead
+    require(flat.length % cells == 0,
+      s"centroid matrix of ${flat.length} values is not a multiple of $cells cells")
+    val dim = flat.length / cells
     val n = Math.min(v.numElements(), dim)
     var nv = 0.0
     var i = 0
@@ -454,9 +460,18 @@ object VectorQuant {
     * [[VectorDot]] convention).
     */
   def lshSig(v: ArrayData, flat: Array[Double], bits: Int, isFloat: Boolean): ArrayData = {
+    require(bits >= 1, s"bits per table must be >= 1, got $bits")
     val dim = v.numElements()
+    // the plane matrix is numPlanes×dim flattened FOR THIS dim: a
+    // vector whose length disagrees floors numPlanes, reads every
+    // plane misaligned, and writes out(p/bits) one slot past the array
+    // for the tail planes (a data-dependent AIOOBE) — refuse instead
+    require(dim == 0 || flat.length % dim == 0,
+      s"vector of $dim dims does not divide the ${flat.length}-value plane matrix")
     val numPlanes = if (dim == 0) 0 else flat.length / dim
-    val out = new Array[Long](if (bits == 0) 0 else numPlanes / bits)
+    require(numPlanes % bits == 0 || numPlanes == 0,
+      s"$numPlanes planes do not fill whole $bits-bit tables")
+    val out = new Array[Long](numPlanes / bits)
     var p = 0
     while (p < numPlanes) {
       val off = p * dim

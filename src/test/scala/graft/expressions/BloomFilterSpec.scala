@@ -93,4 +93,18 @@ class BloomFilterSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
+
+  test("oversized filters and column-valued parameters are refused at analysis") {
+    // m for 2e9 items at 1% overflows the Int byte-size math — clamp
+    val e = intercept[IllegalArgumentException](
+      BloomFilter.parameters(2000000000L, 0.01))
+    assert(e.getMessage.contains("bit"))
+    // a column-valued n must fail at ANALYSIS, not executor-side NPE
+    BloomFilter.register(spark)
+    val df = Seq((1L, 10L)).toDF("k", "n")
+    df.createOrReplaceTempView("bf_fold")
+    val err = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT bloom_build(k, n, 0.01d) FROM bf_fold").collect())
+    assert(err.getMessage.contains("literal"))
+  }
 }

@@ -239,4 +239,16 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("integral"))
   }
+
+  test("a NaN score cannot freeze the top-k heap") {
+    graft.expressions.TopKAgg.register(spark)
+    // NaN arrives FIRST: under the old ordering it sat at the heap head
+    // and blocked every later (better) candidate
+    val df = Seq((1L, Double.NaN), (2L, 0.1), (3L, 0.9), (4L, 0.5))
+      .toDF("id", "s")
+    val got = df.agg(graft.expressions.TopKAgg.topKBy(col("s"), col("id"), 2).as("t"))
+      .select(explode(col("t")).as("h"))
+      .select(col("h.corpus_id")).as[Long].collect().toSet
+    assert(got === Set(3L, 4L), s"heap returned $got")
+  }
 }
