@@ -130,7 +130,8 @@ object TrainingDataOps {
       |), cw AS (
       |  SELECT w1, SUM(c) AS cw FROM cwp GROUP BY 1
       |), vocab AS (
-      |  SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM toks)
+      |  SELECT COUNT(DISTINCT w) AS v
+      |  FROM (SELECT unnest(t) AS w FROM toks) WHERE w <> ''
       |)
       |SELECT d.doc_id,
       |       CAST(COUNT(b.w1) AS BIGINT) AS n_bigrams,

@@ -7,14 +7,15 @@ class LanguageModelSpec extends SparkSpec {
 
   test("bigram LM: hand-computed smoothed score, short docs score NULL") {
     // corpus: "a b a b" and "a b c". Bigrams: (a,b)x3, (b,a)x1, (b,c)x1.
-    // c(a)=3, c(b)=2; vocab = {a, b, c, solo, ""} -> V=5 (the blank doc
-    // tokenizes to one empty-string token, same as the oracle engine).
+    // c(a)=3, c(b)=2; vocab = {a, b, c, solo} -> V=4: the blank doc's
+    // phantom "" token is EXCLUDED from the vocabulary (it is a split
+    // artifact, not a word — the oracle filters it identically).
     val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo"), (4L, ""))
       .toDF("doc_id", "text")
     val got = LanguageModel.scoreDocs(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
-    def p(c: Long, cw: Long) = math.log((c + 1.0) / (cw + 5.0))
+    def p(c: Long, cw: Long) = math.log((c + 1.0) / (cw + 4.0))
     // doc 1: ln P(b|a)*2 + ln P(a|b), with P(b|a)=(3+1)/(3+5), P(a|b)=(1+1)/(2+5)
     val d1 = (p(3, 3) * 2 + p(1, 2)) / 3
     val d2 = (p(3, 3) + p(1, 2)) / 2 // ln P(b|a) + ln P(c|b); P(c|b)=(1+1)/(2+5)
