@@ -37,9 +37,9 @@ object GraftFunctions {
       WordNgrams(e(0), ArrayExprs.extractN(e(1)))),
     // scalar codecs over literal tables
     "bpe_encode" -> ((e: Seq[Expression]) =>
-      BpeEncodeExpr(e(0), BpeEncode.extractMerges(e(1)))),
+      BpeEncodeExpr(e(0), BpeEncode.extractMerges(e(1)).toSeq)),
     "quantile_bucket" -> ((e: Seq[Expression]) =>
-      QuantileBucket(e(0), QuantileBucketExpr.extractBounds(e(1)))),
+      QuantileBucket(e(0), QuantileBucketExpr.extractBounds(e(1)).toSeq)),
     // sketch / bounded-state aggregates
     "minhash_sig" -> ((e: Seq[Expression]) => MinHashAggregate(e(0), e(1))),
     "minhash_sig_arr" -> ((e: Seq[Expression]) => MinHashArraySignature(e(0), e(1))),

@@ -36,7 +36,7 @@ object BpeEncode {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bpe_encode",
-      exprs => BpeEncodeExpr(exprs(0), extractMerges(exprs(1))),
+      exprs => BpeEncodeExpr(exprs(0), extractMerges(exprs(1)).toSeq),
       "built-in")
 
   /** Column API: tokenize `text` with the trained merge list. */
@@ -62,10 +62,25 @@ object BpeEncode {
     }
   }
 
-  /** Greedy rank-ordered BPE of one word. Shared by eval and tests. */
+  /** Greedy rank-ordered BPE of one word. Shared by eval and tests.
+    * Splits by CODE POINT, matching the trainer's split(w, "") code-
+    * point semantics — toCharArray would shear an astral-plane char
+    * (emoji) into two lone surrogates that no trained merge matches
+    * and that serialize as replacement bytes.
+    */
   def encodeWord(rank: Map[(String, String), Int], word: String): Array[String] = {
     if (word.isEmpty) return Array.empty
-    var syms: Array[String] = word.toCharArray.map(_.toString)
+    var syms: Array[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        val n = Character.charCount(cp)
+        out += word.substring(i, i + n)
+        i += n
+      }
+      out.toArray
+    }
     var done = false
     while (!done && syms.length >= 2) {
       // best-ranked adjacent pair present in the table
@@ -99,7 +114,9 @@ object BpeEncode {
   }
 }
 
-case class BpeEncodeExpr(child: Expression, merges: Array[(String, String)])
+// merges ride as a Seq: a case-class Array field compares by
+// REFERENCE, breaking semanticEquals between identical calls
+case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

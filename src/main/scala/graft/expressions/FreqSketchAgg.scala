@@ -54,12 +54,20 @@ case class FreqSketchAggregate(
 
   override def children: Seq[Expression] = Seq(child, kExpr)
   override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(StructType(Seq(
+  override def dataType: DataType = ArrayType(containsNull = false,
+    elementType = StructType(Seq(
     StructField("key", LongType, nullable = false),
     StructField("count_lower", LongType, nullable = false))))
 
   override def checkInputDataTypes(): TypeCheckResult =
     (child.dataType, kExpr.dataType) match {
+      // foldable + k >= 1 at ANALYSIS: a column-valued k would NPE on
+      // the executor; k <= 0 silently returns an empty sketch
+      case (LongType, IntegerType) if !kExpr.foldable =>
+        TypeCheckResult.TypeCheckFailure("freq_sketch's k must be a literal")
+      case (LongType, IntegerType)
+          if Option(kExpr.eval()).forall(_.asInstanceOf[Int] < 1) =>
+        TypeCheckResult.TypeCheckFailure("freq_sketch's k must be >= 1")
       case (LongType, IntegerType) => TypeCheckResult.TypeCheckSuccess
       case (c, kk) => TypeCheckResult.TypeCheckFailure(
         s"freq_sketch expects (BIGINT, INT), got (${c.sql}, ${kk.sql})")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native fuzzy-string-matching expressions: Jaro, Jaro-Winkler, and
@@ -165,12 +165,27 @@ object FuzzyStringAlgos {
   }
 }
 
-// Inputs are StringType columns at every call site; no implicit-cast
-// contract needed (AbstractDataType is private[sql] in Spark 4.x, so an
-// ImplicitCastInputTypes mixin can't be declared outside that package).
+// No implicit-cast contract (AbstractDataType is private[sql] in Spark
+// 4.x, so an ImplicitCastInputTypes mixin can't be declared outside
+// that package) — but wrong types must still fail at ANALYSIS, not as
+// a codegen compile error + ClassCastException mid-job.
+
+private[expressions] trait StringPairCheck { self: BinaryExpression =>
+  def fnName: String
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$fnName expects (STRING, STRING), got (${l.sql}, ${r.sql})")
+    }
+}
 
 case class JaroSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with StringPairCheck {
+  override def fnName: String = "jaro_sim"
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     FuzzyStringAlgos.jaro(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
@@ -183,7 +198,8 @@ case class JaroSimilarity(left: Expression, right: Expression)
 }
 
 case class JaroWinklerSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with StringPairCheck {
+  override def fnName: String = "jaro_winkler_sim"
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     FuzzyStringAlgos.jaroWinkler(
@@ -197,7 +213,8 @@ case class JaroWinklerSimilarity(left: Expression, right: Expression)
 }
 
 case class DamerauLevenshtein(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with StringPairCheck {
+  override def fnName: String = "damerau_levenshtein"
   override def dataType: DataType = IntegerType
   override def nullSafeEval(a: Any, b: Any): Any =
     FuzzyStringAlgos.damerauLevenshtein(

@@ -104,6 +104,14 @@ case class KmvSketchAggregate(
 
   override def checkInputDataTypes(): TypeCheckResult =
     (child.dataType, kExpr.dataType) match {
+      // foldable + k >= 2 at ANALYSIS: a column-valued k would NPE on
+      // the executor, k <= 0 crashes boundedAdd's last() on an empty
+      // TreeSet, and k = 1 estimates (k-1)/u_k = 0 always
+      case (LongType, IntegerType) if !kExpr.foldable =>
+        TypeCheckResult.TypeCheckFailure("kmv_sketch's k must be a literal")
+      case (LongType, IntegerType)
+          if Option(kExpr.eval()).forall(_.asInstanceOf[Int] < 2) =>
+        TypeCheckResult.TypeCheckFailure("kmv_sketch's k must be >= 2")
       case (LongType, IntegerType) => TypeCheckResult.TypeCheckSuccess
       case (c, kk) => TypeCheckResult.TypeCheckFailure(
         s"kmv_sketch expects (BIGINT hash, INT k), got (${c.sql}, ${kk.sql})")

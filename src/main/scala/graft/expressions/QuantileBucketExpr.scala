@@ -19,7 +19,7 @@ object QuantileBucketExpr {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "quantile_bucket",
-      exprs => QuantileBucket(exprs(0), extractBounds(exprs(1))),
+      exprs => QuantileBucket(exprs(0), extractBounds(exprs(1)).toSeq),
       "built-in")
 
   /** Column API: `bucketOf(v, boundaries)` ∈ [0, boundaries.length]. */
@@ -43,6 +43,10 @@ object QuantileBucketExpr {
     * quantiles resolve to the rightmost, keeping buckets contiguous).
     */
   def bucket(bounds: Array[Double], v: Double): Long = {
+    // NaN sorts GREATEST in Spark: every `bounds(mid) <= NaN` compare
+    // is false, which would drop NaN rows into bucket 0 with the
+    // SMALLEST values — the exact opposite region
+    if (v.isNaN) return bounds.length.toLong
     var lo = 0
     var hi = bounds.length
     while (lo < hi) {
@@ -53,8 +57,13 @@ object QuantileBucketExpr {
   }
 }
 
-case class QuantileBucket(child: Expression, boundaries: Array[Double])
+// boundaries ride as a Seq: a case-class Array field compares by
+// REFERENCE, so two identical quantile_bucket(...) calls would fail
+// semanticEquals (GROUP BY resolution, subexpression elimination)
+case class QuantileBucket(child: Expression, boundaries: Seq[Double])
     extends UnaryExpression {
+
+  private lazy val boundsArr: Array[Double] = boundaries.toArray
 
   override def dataType: DataType = LongType
 
@@ -65,10 +74,10 @@ case class QuantileBucket(child: Expression, boundaries: Array[Double])
   }
 
   override def nullSafeEval(v: Any): Any =
-    QuantileBucketExpr.bucket(boundaries, v.asInstanceOf[Double])
+    QuantileBucketExpr.bucket(boundsArr, v.asInstanceOf[Double])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val bounds = ctx.addReferenceObj("bounds", boundaries, "double[]")
+    val bounds = ctx.addReferenceObj("bounds", boundsArr, "double[]")
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = graft.expressions.QuantileBucketExpr.bucket($bounds, $v);")
   }
