@@ -19,17 +19,45 @@ object Bench {
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // failed queries report -1 (never a fake timing) and are excluded
-    // from the total, so a regression cannot "improve" the benchmark
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // from the total, so a regression cannot "improve" the benchmark.
+    // Each run times TWO phases: the gate-fn call (for ordinary gates a
+    // lazy plan build, ~0; for the persisted-index gates the eager
+    // index BUILD) and the count() (the query/probe execution) — so
+    // bench_detail.json can attribute an index gate's cost to build vs
+    // the amortized probe without splitting the gate.
+    def timeOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Double) =
+      try {
+        val t0 = System.nanoTime()
+        val df = fn(spark, sfDir)
+        val t1 = System.nanoTime()
+        df.count()
+        val t2 = System.nanoTime()
+        ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        (-1.0, -1.0)
+      }
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    val firstRun: Seq[(String, (Double, Double))] =
+      queries.map { case (name, fn) => name -> timeOnce(name, fn) }
+    val results: Map[String, Double] = firstRun.map { case (name, (setup, exec)) =>
+      name -> (if (setup < 0) -1.0 else setup + exec)
+    }.toMap
+    // repeatability: the top-20 most expensive gates run 2 more times
+    // and report the min-of-3 WARM number alongside the single-shot one
+    // — single-run timings at 0.3-9 s amplitude could not distinguish
+    // JVM/IO noise from a real plan regression (VERDICT r6 item 3)
+    val fnByName = queries.toMap
+    val top20 = results.toSeq.filter(_._2 > 0).sortBy(-_._2).take(20).map(_._1)
+    val warm: Map[String, Double] = top20.map { name =>
+      val reruns = (1 to 2).map { _ =>
+        val (s, e) = timeOnce(name, fnByName(name))
+        if (s < 0) Double.MaxValue else s + e
+      }
+      name -> math.min(results(name), reruns.min)
     }.toMap
     // The driver captures a fixed-size tail (~2000 chars) of the run
     // output; with 85+ registered queries a full per-query dump pushes
@@ -80,10 +108,22 @@ object Bench {
     val fullJson = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // phases: only gates whose fn call did real work (index builds) —
+    // a lazy plan construction under 50 ms is noise, not a phase
+    val phasesJson = firstRun
+      .filter { case (_, (setup, _)) => setup >= 0.05 }
+      .sortBy(_._1)
+      .map { case (k, (s, e)) =>
+        s"\"" + k + "\":{\"setup\":" + fmt(s) + ",\"exec\":" + fmt(e) + "}" }
+      .mkString("{", ",", "}")
+    val warmJson = warm.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_detail.json"),
-        s"""{"total":${fmt(total)},"sf":"$sfDir","queries":$fullJson}""".getBytes("UTF-8"))
+        (s"""{"total":${fmt(total)},"sf":"$sfDir","queries":$fullJson,""" +
+          s""""phases":$phasesJson,"warm":$warmJson}""").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     // queries_timed lets a round-over-round reader normalize the total:
     // the registry grows every round, so total alone is not comparable

@@ -102,7 +102,13 @@ object AvroTable {
       val schema = new Schema.Parser().parse(avroJson)
       val writer = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema))
-      val file = new File(dirStr, f"part-$pid%05d.avro")
+      // task-commit protocol: write to an attempt-unique temp name and
+      // rename into place only on success — a retried or speculative
+      // attempt writing the final path directly would race the original
+      // and could leave a torn container that only fails at read time
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
+      val file = new File(dirStr, f".part-$pid%05d.avro.$attempt%d.tmp")
       writer.create(schema, file)
       var n = 0L
       rows.foreach { internal =>
@@ -125,6 +131,11 @@ object AvroTable {
         writer.append(rec); n += 1
       }
       writer.close()
+      // POSIX rename: atomic publish; the losing attempt's temp file is
+      // simply never renamed (and is dot-prefixed, so read() skips it)
+      Files.move(file.toPath, new File(dirStr, f"part-$pid%05d.avro").toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       Iterator.single(n)
     }.count() // action: materialize the write
     ()
@@ -167,10 +178,18 @@ object AvroTable {
           // DataFileReader streams blocks lazily; drain it inside the
           // iterator so memory stays block-bounded
           new Iterator[Row] {
+            // once exhausted the reader is CLOSED — a later hasNext
+            // (consumers may legally probe repeatedly) must answer
+            // false without touching the closed reader, whose
+            // underlying stream can throw
+            private var done = false
             def hasNext: Boolean = {
-              val h = reader.hasNext
-              if (!h) reader.close()
-              h
+              if (done) false
+              else {
+                val h = reader.hasNext
+                if (!h) { done = true; reader.close() }
+                h
+              }
             }
             def next(): Row = {
               val rec = reader.next()

@@ -48,14 +48,30 @@ object BloomPrune {
     // everything else goes through xxhash64 on BOTH sides — the same
     // hash on build and probe preserves the no-false-negative contract
     // (a bare cast(\"long\") turned string keys into NULLs and the probe
-    // then dropped EVERY fact row)
-    def asLong(c: org.apache.spark.sql.Column,
-        t: org.apache.spark.sql.types.DataType) = t match {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
-        c.cast("long")
-      case _ => xxhash64(c)
+    // then dropped EVERY fact row).
+    // The encoding must be decided from BOTH key types together: if the
+    // dim key picked cast and the fact key picked xxhash64 (or xxhash64
+    // over different raw types — xxhash64(int 5) != xxhash64("5")),
+    // build and probe would encode joinable values differently and the
+    // filter would silently drop nearly every matching fact row. Both
+    // integral → cast (value-equal across widths); same non-integral
+    // type → hash both; anything else is refused loudly — align the key
+    // types before pruning.
+    import org.apache.spark.sql.types._
+    val dimType = dim.schema(dimKey).dataType
+    val factType = fact.schema(factKey).dataType
+    def integral(t: DataType) = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
     }
+    val bothIntegral = integral(dimType) && integral(factType)
+    require(bothIntegral || dimType == factType,
+      s"bloomPruneFact: key types must both be integral or identical — " +
+        s"dim $dimKey is ${dimType.sql}, fact $factKey is ${factType.sql}; " +
+        "cast the keys to a common type before pruning (a mixed encoding " +
+        "would silently drop matching fact rows)")
+    def asLong(c: org.apache.spark.sql.Column, t: DataType) =
+      if (bothIntegral) c.cast("long") else xxhash64(c)
     // auto-size when the caller has no estimate: one count over the
     // (filtered) dim — trivial next to the fact scan the filter saves
     val n = if (expectedItems > 0) expectedItems

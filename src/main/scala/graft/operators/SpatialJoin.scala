@@ -40,16 +40,39 @@ object SpatialJoin {
       cellSize: Double,
       xCol: String = "x", yCol: String = "y",
       xloCol: String = "xlo", xhiCol: String = "xhi",
-      yloCol: String = "ylo", yhiCol: String = "yhi"): DataFrame = {
+      yloCol: String = "ylo", yhiCol: String = "yhi",
+      maxTilesPerAxis: Long = 10000L): DataFrame = {
     require(cellSize > 0, s"cellSize must be positive, got $cellSize")
+    require(maxTilesPerAxis > 0,
+      s"maxTilesPerAxis must be positive, got $maxTilesPerAxis")
+    // refuse malformed/huge boxes LOUDLY before exploding: an inverted
+    // box makes sequence() count DOWNWARD (this repo's 3×-recurring bug
+    // class), and one extreme box (xhi ≫ xlo, or a corrupt coordinate)
+    // would otherwise generate an enormous / Spark-limit-exceeding tile
+    // sequence and fail the whole job with an opaque runtime error.
+    // Null-BOUNDED boxes keep relational semantics (match nothing, like
+    // a null join key); only inverted/over-span boxes raise.
+    def guardedTile(lo: String, hi: String, axis: String) = {
+      val err = raise_error(concat(
+        lit(s"pointsInBoxes: box $axis range ["), col(lo).cast("string"),
+        lit(", "), col(hi).cast("string"),
+        lit(s"] is inverted or spans more than " +
+          s"$maxTilesPerAxis tiles at cellSize=$cellSize — fix the box " +
+          "or raise cellSize/maxTilesPerAxis")))
+      val (tlo, thi) = (tile(col(lo), cellSize), tile(col(hi), cellSize))
+      explode(
+        when(col(lo).isNull || col(hi).isNull,
+          lit(null).cast("array<bigint>"))
+          .when(col(lo) <= col(hi) && (thi - tlo) < maxTilesPerAxis,
+            sequence(tlo, thi))
+          .otherwise(err))
+    }
     val p = points
       .withColumn("__tx", tile(col(xCol), cellSize))
       .withColumn("__ty", tile(col(yCol), cellSize))
     val b = boxes
-      .withColumn("__tx",
-        explode(sequence(tile(col(xloCol), cellSize), tile(col(xhiCol), cellSize))))
-      .withColumn("__ty",
-        explode(sequence(tile(col(yloCol), cellSize), tile(col(yhiCol), cellSize))))
+      .withColumn("__tx", guardedTile(xloCol, xhiCol, "x"))
+      .withColumn("__ty", guardedTile(yloCol, yhiCol, "y"))
     p.join(b, Seq("__tx", "__ty"))
       .filter(
         col(xCol) >= col(xloCol) && col(xCol) <= col(xhiCol) &&

@@ -303,12 +303,17 @@ object EventStreams {
     * events with sub-millisecond timestamps and truncated emitted
     * session bounds.
     */
-  private def tsMicros(ts: java.sql.Timestamp): Long =
-    ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+  // floorDiv/floorMod, not `/` and `%`: truncating division rounds
+  // toward zero for pre-epoch (negative) times, shifting the seconds
+  // component one too high — and a truncated negative remainder handed
+  // setNanos a negative argument (IllegalArgumentException). Floor
+  // semantics make the roundtrip exact on both sides of the epoch.
+  private[streaming] def tsMicros(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
-  private def microsTs(us: Long): java.sql.Timestamp = {
-    val t = new java.sql.Timestamp(us / 1000000L * 1000L)
-    t.setNanos(((us % 1000000L) * 1000L).toInt)
+  private[streaming] def microsTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
     t
   }
 

@@ -169,16 +169,28 @@ class MergeSpec extends SparkSpec {
   }
 
   test("scd1/scd2 refuse duplicate source keys like Delta MERGE") {
+    // the guard is FUSED into the merge plan (no separate pre-merge
+    // job), so the refusal surfaces at first action, raised from the
+    // executor via raise_error — assert on the full cause chain
+    def rootMessages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
     val target = Seq((1L, "a")).toDF("k", "v")
     val dupSource = Seq((1L, "b"), (1L, "c")).toDF("k", "v")
-    val e1 = intercept[IllegalArgumentException](
+    val e1 = intercept[Exception](
       Merge.scd1(target, dupSource, Seq("k"), Seq("v")).count())
-    assert(e1.getMessage.contains("multiple source rows"))
+    assert(rootMessages(e1).contains("multiple source rows"))
     val t2 = Seq((1L, "a", "2024-01-01", null: String, true))
       .toDF("k", "v", "valid_from", "valid_to", "is_current")
-    val e2 = intercept[IllegalArgumentException](
+    val e2 = intercept[Exception](
       Merge.scd2(t2, dupSource, Seq("k"), Seq("v"), "2024-06-01").count())
-    assert(e2.getMessage.contains("multiple source rows"))
+    assert(rootMessages(e2).contains("multiple source rows"))
+    // a dup key that matches NOTHING in the target must still refuse
+    // (it would otherwise insert twice — duplicate primary keys)
+    val unmatchedDup = Seq((9L, "x"), (9L, "y")).toDF("k", "v")
+    val e3 = intercept[Exception](
+      Merge.scd1(target, unmatchedDup, Seq("k"), Seq("v")).count())
+    assert(rootMessages(e3).contains("multiple source rows"))
     // deduplicated via precombine, the same batch merges fine
     val combined = Merge.precombine(dupSource, Seq("k"), Seq("v"))
     assert(Merge.scd1(target, combined, Seq("k"), Seq("v")).count() === 1)

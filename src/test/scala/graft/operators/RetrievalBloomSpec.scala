@@ -42,4 +42,22 @@ class RetrievalBloomSpec extends SparkSpec {
     val joined = BloomPrune.prune(fact, "k", dim, "k").join(dim, Seq("k"))
     assert(joined.count() === fact.join(dim, Seq("k")).count())
   }
+
+  test("bloom prune refuses cross-class key types (mixed encodings drop matches)") {
+    // string dim key vs integral fact key: dim would build with
+    // xxhash64("5") while the fact probes with cast(5L) — silently
+    // dropping nearly every matching row; must refuse loudly instead
+    val fact = Seq((1L, 10.0), (5L, 50.0)).toDF("k", "v")
+    val dimStr = Seq("1", "5").toDF("k")
+    val e = intercept[IllegalArgumentException](
+      BloomPrune.prune(fact, "k", dimStr, "k"))
+    assert(e.getMessage.contains("key types"))
+    // mixed integral widths are fine: cast(long) is value-preserving
+    val dimInt = Seq(1, 5).toDF("k")
+    assert(BloomPrune.prune(fact, "k", dimInt, "k").count() === 2)
+    // same non-integral type on both sides stays supported (hash both)
+    val factStr = Seq(("1", 1.0), ("7", 7.0)).toDF("k", "v")
+    assert(BloomPrune.prune(factStr, "k", dimStr, "k")
+      .select("k").as[String].collect().toSet.contains("1"))
+  }
 }

@@ -69,11 +69,29 @@ class SpatialJoinSpec extends SparkSpec {
     assert(pairSet(SpatialJoin.pointsWithinRadius(lp, rp, 5.0)) === Seq((1L, 2L)))
   }
 
-  test("null coordinates and inverted boxes match nothing") {
+  test("null coordinates/bounds match nothing; inverted and over-span boxes refuse loudly") {
     val p = Seq((1L, Some(5.0), Some(5.0)), (2L, None, Some(5.0)))
       .toDF("point_id", "x", "y")
-    val b = Seq((1L, 0.0, 10.0, 0.0, 10.0), (2L, 10.0, 0.0, 0.0, 10.0))
+    // null-BOUNDED box: relational null semantics, silently no match
+    val b = Seq((1L, Some(0.0), Some(10.0), 0.0, 10.0),
+        (2L, Some(3.0), None, 0.0, 10.0))
       .toDF("box_id", "xlo", "xhi", "ylo", "yhi")
     assert(pairs(SpatialJoin.pointsInBoxes(p, b, 2.0)) === Seq((1L, 1L)))
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+    // inverted box: an upstream bug, not data — refuse with a clear error
+    val inverted = Seq((2L, 10.0, 0.0, 0.0, 10.0))
+      .toDF("box_id", "xlo", "xhi", "ylo", "yhi")
+    val e1 = intercept[Exception](
+      SpatialJoin.pointsInBoxes(p, inverted, 2.0).count())
+    assert(messages(e1).contains("inverted or spans more than"))
+    // one huge box would explode into millions of tiles and take the
+    // whole job down — refused up front with the cellSize hint
+    val huge = Seq((3L, 0.0, 1e9, 0.0, 10.0))
+      .toDF("box_id", "xlo", "xhi", "ylo", "yhi")
+    val e2 = intercept[Exception](
+      SpatialJoin.pointsInBoxes(p, huge, 2.0).count())
+    assert(messages(e2).contains("spans more than"))
   }
 }

@@ -464,4 +464,21 @@ class EventStreamsSpec extends SparkSpec {
       }
     }
   }
+
+  test("timestamp<->micros roundtrip is exact on both sides of the epoch") {
+    // truncating division rounded pre-epoch seconds toward zero (micros
+    // ~1s too high) and handed setNanos a negative argument on the way
+    // back — floorDiv/floorMod semantics make the roundtrip exact
+    val cases = Seq(
+      0L, 1L, -1L, 999999L, -999999L, 1718000000123456L,
+      -1718000000123456L, -500000L, 1000000L, -1000000L)
+    cases.foreach { us =>
+      val ts = EventStreams.microsTs(us)
+      assert(ts.getNanos >= 0, s"negative nanos for $us")
+      assert(EventStreams.tsMicros(ts) === us, s"roundtrip broke for $us")
+    }
+    // and from the Timestamp side: -0.5 s
+    val preEpoch = new java.sql.Timestamp(-500L)
+    assert(EventStreams.tsMicros(preEpoch) === -500000L)
+  }
 }
