@@ -273,6 +273,174 @@ object MediaCodec {
     ImageData(width, height, rgb)
   }
 
+  // ---- PNG (8-bit truecolor, non-interlaced; java.util.zip DEFLATE) --
+
+  private val PngSig =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Standards-correct minimal PNG: 8-bit RGB (color type 2),
+    * non-interlaced, filter-0 scanlines, one zlib IDAT, CRC'd chunks.
+    * `pixel(x, y)` packed 0xRRGGBB with y=0 the TOP row.
+    */
+  def encodePng(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "empty image")
+    val stride = 1 + width * 3
+    val raw = new Array[Byte](stride * height)
+    var y = 0
+    while (y < height) {
+      val base = y * stride // filter byte 0 already zeroed
+      var x = 0
+      while (x < width) {
+        val p = pixel(x, y)
+        raw(base + 1 + x * 3) = ((p >> 16) & 0xff).toByte
+        raw(base + 2 + x * 3) = ((p >> 8) & 0xff).toByte
+        raw(base + 3 + x * 3) = (p & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zipped = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished())
+      zipped.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig, 0, PngSig.length)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(ByteBuffer.allocate(4).putInt(data.length).array(), 0, 4)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb, 0, 4); out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array(), 0, 4)
+    }
+    val ihdr = ByteBuffer.allocate(13).putInt(width).putInt(height)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", zipped.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Strict PNG decode for the subset the encoder writes plus anything
+    * standards-equivalent: 8-bit truecolor, non-interlaced, ALL five
+    * scanline filters (None/Sub/Up/Average/Paeth — real encoders pick
+    * per row), ancillary chunks skipped, every chunk CRC-verified, the
+    * inflate bounded to exactly the raster size (a zip-bomb IDAT is
+    * refused, not inflated). Palette/alpha/16-bit/interlaced variants
+    * refuse with the reason.
+    */
+  def decodePng(bytes: Array[Byte]): ImageData = {
+    require(bytes.length >= PngSig.length + 12,
+      s"PNG too short: ${bytes.length} bytes")
+    require(PngSig.indices.forall(i => bytes(i) == PngSig(i)), "not a PNG")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    buf.position(PngSig.length)
+    var width = 0; var height = 0
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!seenIend) {
+      require(buf.remaining >= 12, "truncated chunk stream (no IEND)")
+      val len = buf.getInt
+      require(len >= 0 && len <= buf.remaining - 8, s"bad chunk length $len")
+      val typeBytes = new Array[Byte](4)
+      buf.get(typeBytes)
+      val typ = new String(typeBytes, "US-ASCII")
+      val dataStart = buf.position()
+      val crc = new java.util.zip.CRC32()
+      crc.update(typeBytes); crc.update(bytes, dataStart, len)
+      buf.position(dataStart + len)
+      require(buf.getInt == crc.getValue.toInt, s"CRC mismatch in $typ chunk")
+      typ match {
+        case "IHDR" =>
+          require(!seenIhdr, "duplicate IHDR")
+          require(len == 13, s"IHDR is $len bytes, expected 13")
+          val h = ByteBuffer.wrap(bytes, dataStart, 13).order(ByteOrder.BIG_ENDIAN)
+          width = h.getInt; height = h.getInt
+          checkDims(width, height, "PNG")
+          val depth = h.get(); val color = h.get()
+          val comp = h.get(); val filt = h.get(); val inter = h.get()
+          require(depth == 8, s"only bit depth 8 supported, got $depth")
+          require(color == 2, s"only truecolor RGB (color type 2) supported, got $color")
+          require(comp == 0 && filt == 0,
+            s"nonstandard compression/filter method $comp/$filt")
+          require(inter == 0, "interlaced (Adam7) PNG not supported")
+          seenIhdr = true
+        case "IDAT" =>
+          require(seenIhdr, "IDAT before IHDR")
+          idat.write(bytes, dataStart, len)
+        case "IEND" =>
+          require(len == 0, "non-empty IEND"); seenIend = true
+        case _ => () // ancillary chunks (tEXt, pHYs, ...) skipped
+      }
+    }
+    require(seenIhdr, "missing IHDR")
+    val stride = 1 + width * 3 // dims pre-checked: fits Int
+    val raw = new Array[Byte](stride * height)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    try {
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        require(n > 0 || !inf.needsInput(), "truncated IDAT stream")
+        off += n
+      }
+      require(off == raw.length,
+        s"IDAT inflated to $off bytes, expected ${raw.length}")
+      // exactly the raster, no more: an over-long stream is refused
+      require(inf.finished() || inf.inflate(new Array[Byte](1)) == 0,
+        "IDAT stream longer than the image raster")
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(s"corrupt IDAT zlib stream: ${e.getMessage}")
+    } finally inf.end()
+    // unfilter: each scanline is filter-type byte + width*3 samples;
+    // a/b/c are the RECONSTRUCTED left/up/up-left bytes per the spec
+    val bpp = 3
+    val rowLen = width * bpp
+    val rgb = new Array[Int](width * height)
+    val prev = new Array[Byte](rowLen)
+    val cur = new Array[Byte](rowLen)
+    var y = 0
+    while (y < height) {
+      val rowStart = y * stride
+      val ft = raw(rowStart) & 0xff
+      require(ft <= 4, s"bad scanline filter type $ft")
+      var i = 0
+      while (i < rowLen) {
+        val x = raw(rowStart + 1 + i) & 0xff
+        val a = if (i >= bpp) cur(i - bpp) & 0xff else 0
+        val b = prev(i) & 0xff
+        val rec = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + ((a + b) >> 1)
+          case _ =>
+            val c = if (i >= bpp) prev(i - bpp) & 0xff else 0
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        cur(i) = (rec & 0xff).toByte
+        i += 1
+      }
+      var px = 0
+      while (px < width) {
+        rgb(y * width + px) = ((cur(px * 3) & 0xff) << 16) |
+          ((cur(px * 3 + 1) & 0xff) << 8) | (cur(px * 3 + 2) & 0xff)
+        px += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, rowLen)
+      y += 1
+    }
+    ImageData(width, height, rgb)
+  }
+
   // ---- AVI (RIFF, uncompressed 24bpp DIB frames) ----------------------
 
   final case class AviData(width: Int, height: Int,
@@ -422,6 +590,9 @@ object MediaCodec {
       scala.util.Try(decodeBmp(bytes)).toOption.map(DecodedImage)
     else if (bytes(0) == 'P' && bytes(1) == '6')
       scala.util.Try(decodePpm(bytes)).toOption.map(DecodedImage)
+    else if (bytes(0) == PngSig(0) && bytes(1) == PngSig(1) &&
+        bytes(2) == PngSig(2) && bytes(3) == PngSig(3))
+      scala.util.Try(decodePng(bytes)).toOption.map(DecodedImage)
     else None
   }
 

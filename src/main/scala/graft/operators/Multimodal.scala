@@ -54,9 +54,10 @@ object Multimodal {
 
   /** ======== STUB (fallback only) ========
     * Deterministic fake decode for payloads in formats the pure-JVM
-    * [[MediaCodec]] can't parse (compressed codecs need native libs the
-    * container lacks): "features" are k doubles derived from payload
-    * length and the md5 of the bytes. WAV/PCM, BMP and PPM payloads
+    * [[MediaCodec]] can't parse (codecs that genuinely need native
+    * libs: JPEG, H.264, MP3, ...): "features" are k doubles derived
+    * from payload length and the md5 of the bytes. WAV/PCM, BMP, PPM,
+    * PNG (DEFLATE via java.util.zip) and uncompressed AVI payloads
     * never reach this — [[decodeFeatures]] really decodes those.
     */
   def stubDecodeFeatures(payload: Array[Byte], k: Int): Array[Double] = {
@@ -68,7 +69,7 @@ object Multimodal {
 
   /** Real decode dispatch: WAV payloads yield audio features
     * [1, sampleRate, channels, nFrames, mean, rms, min, max, 0...],
-    * BMP/PPM yield image features
+    * BMP/PPM/PNG yield image features
     * [2, width, height, meanR, meanG, meanB, minLuma, maxLuma, 0...]
     * (ITU-R 601 integer luma), AVI video yields
     * [3, width, height, nFrames, usPerFrame, meanLuma, firstLuma,

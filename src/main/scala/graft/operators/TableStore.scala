@@ -42,6 +42,15 @@ final class TableStore(val spark: SparkSession, val root: String,
     val lockWaitMs: Long = 3000,
     val lockStaleMs: Long = 600000) {
 
+  /** Fault-injection hook for crash-consistency tests
+    * (TableStoreCrashSpec): called with a labeled injection point at
+    * every step of the swap/append/partition-overwrite protocols; a
+    * test installs a throwing hook to simulate a writer dying at
+    * exactly that point. Production leaves it a no-op. The full label
+    * list is [[TableStore.injectionPoints]].
+    */
+  private[graft] var crashHook: String => Unit = _ => ()
+
   /** Table names are flat (`fact`) or 3-level `catalog.schema.table`
     * (01_config.ipynb:193-226) — dots map to directory levels, so
     * `ironman.gold.fact` lives at `root/ironman/gold/fact` and schemas
@@ -91,6 +100,7 @@ final class TableStore(val spark: SparkSession, val root: String,
   def overwrite(table: String, df: DataFrame, numFiles: Int = 0,
       partitionBy: Seq[String] = Nil): Unit = withTableLock(table) {
     val tmp = stage(table, df, numFiles, partitionBy)
+    crashHook("overwrite:staged")
     swapIn(table, tmp)
   }
 
@@ -216,12 +226,96 @@ final class TableStore(val spark: SparkSession, val root: String,
     if (Files.exists(target)) {
       val oldV = currentVersion(table)
       writeMarker(tmp, oldV + 1)
+      crashHook("swap:marked")
       Files.createDirectories(historyDir(table))
       Files.move(target, historyDir(table).resolve(versionDirName(oldV)))
+      // the ONE window where the table directory does not exist: a
+      // writer dying here leaves (history vN, marked tmp vN+1) —
+      // recover() rolls FORWARD from the fully-staged tmp
+      crashHook("swap:old-archived")
     } else writeMarker(tmp, 0)
     if (target.getParent != null) Files.createDirectories(target.getParent)
     Files.move(tmp, target)
     if (retainVersions >= 0) vacuumVersions(table, retainVersions)
+  }
+
+  /** Crash recovery: bring `table` back to a consistent OLD-or-NEW
+    * state after a writer died mid-protocol (the states a kill can
+    * leave are enumerated in [[TableStore.injectionPoints]] and
+    * exercised one by one in TableStoreCrashSpec). Decision table:
+    *
+    *   - table dir MISSING + a marked `.tmp` staging dir whose version
+    *     is history-latest+1 → the writer died between the two swap
+    *     renames; the staging dir is COMPLETE (it was fully written
+    *     and fsync'd before the swap began) → roll FORWARD (finish the
+    *     swap) = NEW.
+    *   - table dir MISSING, no usable staging dir → roll BACK: restore
+    *     the latest history generation = OLD.
+    *   - table dir present + a `.trash` stray → the writer died inside
+    *     a partition-overwrite loop (the only protocol that trashes
+    *     partitions in place); the table may hold a MIX of old and new
+    *     partitions, but [[snapshotCurrent]] archived the full old
+    *     generation before the first move → roll BACK to it = OLD.
+    *   - table dir present + only `.tmp` strays → the writer died
+    *     before its swap started; the current generation was never
+    *     touched → drop the strays, keep the table = OLD.
+    *
+    * Run BEFORE [[vacuum]] after an unclean shutdown: vacuum deletes
+    * the staging/trash evidence this routine recovers from.
+    */
+  def recover(table: String): String = withTableLock(table) {
+    val strays = strayDirs(table)
+    val hist = historyVersions(table)
+    val expectedNext = hist.lastOption.map(_ + 1).getOrElse(0)
+    def clearStrays(): Unit =
+      strays.filter(Files.exists(_)).foreach(deleteRecursively)
+    if (!exists(table)) {
+      strays.find(p => Files.isDirectory(p) && markerOf(p).contains(expectedNext)) match {
+        case Some(tmp) =>
+          val target = dir(table)
+          if (target.getParent != null) Files.createDirectories(target.getParent)
+          Files.move(tmp, target)
+          clearStrays()
+          "rolled-forward"
+        case None if hist.nonEmpty =>
+          Files.move(historyDir(table).resolve(versionDirName(hist.last)), dir(table))
+          clearStrays()
+          "rolled-back"
+        case None =>
+          clearStrays()
+          "no-table"
+      }
+    } else if (strays.exists(_.getFileName.toString.startsWith(s".trash-${flat(table)}-"))) {
+      require(hist.nonEmpty,
+        s"mid-partition-overwrite crash on '$table' but no history snapshot to roll back to")
+      // move the mixed current aside FIRST: if recovery itself dies
+      // between these renames, the next recover() lands in the
+      // missing-dir branch above and resumes the same rollback
+      val aside = Paths.get(root, s".trash-${flat(table)}-recover-${System.nanoTime()}")
+      Files.move(dir(table), aside)
+      Files.move(historyDir(table).resolve(versionDirName(hist.last)), dir(table))
+      deleteRecursively(aside)
+      clearStrays()
+      "rolled-back"
+    } else if (strays.nonEmpty) {
+      clearStrays()
+      "cleared-strays"
+    } else "clean"
+  }
+
+  private def strayDirs(table: String): Seq[Path] = {
+    val prefixes = Seq(s".tmp-${flat(table)}-", s".tmp-append-${flat(table)}-",
+      s".trash-${flat(table)}-")
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => prefixes.exists(f.getName.startsWith))
+      .map(_.toPath).toSeq
+  }
+
+  private def markerOf(d: Path): Option[Int] = {
+    val m = d.resolve(markerName)
+    if (!Files.exists(m)) None
+    else scala.util.Try(new String(Files.readAllBytes(m),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toInt).toOption
   }
 
   // ---- versioned reads (time travel) ----------------------------------
@@ -648,6 +742,7 @@ final class TableStore(val spark: SparkSession, val root: String,
         s"frame has ${incoming.toSeq.sortBy(_._1)
           .map { case (n, t) => s"$n:${t.simpleString}" }.mkString(",")}")
     val tmp = stage(table, df, numFiles = 0)
+    crashHook("append:staged")
     // assemble the NEXT generation aside: hardlinked current data files
     // (stale _manifest/_strstats deliberately left behind — new files
     // are absent from them, and readPruned would otherwise skip
@@ -672,6 +767,7 @@ final class TableStore(val spark: SparkSession, val root: String,
         s"append-${System.nanoTime()}-${p.getFileName.toString}"))
     }
     deleteRecursively(tmp)
+    crashHook("append:assembled")
     swapIn(table, gen) // marker, history archive, ONE atomic move
   }
 
@@ -682,7 +778,18 @@ final class TableStore(val spark: SparkSession, val root: String,
     require(!values.contains(null),
       s"null $partCol partition values are not supported by the partition-aligned path")
     val tmp = stage(table, df, numFiles = 0, partitionBy = Seq(partCol))
+    crashHook("opart:staged")
     snapshotCurrent(table) // hardlink snapshot AFTER staging succeeds
+    crashHook("opart:snapshotted")
+    // in-flight intent marker: the partition loop below mutates the
+    // table IN PLACE, so a writer dying anywhere inside it can leave a
+    // mix of old and new partitions with no other trace (a brand-new
+    // partition value trashes nothing). The marker survives any crash
+    // in the loop and tells recover() to roll back to the snapshot;
+    // it is removed only after the loop AND the stats cleanup finish.
+    val inflight = Paths.get(root,
+      s".trash-${flat(table)}-inflight-${System.nanoTime()}")
+    Files.createDirectories(inflight)
     values.foreach { v =>
       // match Spark's own partition-path encoding (spaces, ':', '/', …)
       val partDir = s"$partCol=${ExternalCatalogUtils.escapePathName(v.toString)}"
@@ -694,10 +801,12 @@ final class TableStore(val spark: SparkSession, val root: String,
         s"staged write is missing partition $partDir — df/values mismatch")
       val target = dir(table).resolve(partDir)
       val trash = Paths.get(root, s".trash-${flat(table)}-${System.nanoTime()}")
-      if (Files.exists(target)) Files.move(target, trash)
+      if (Files.exists(target)) { Files.move(target, trash); crashHook("opart:part-trashed") }
       Files.move(src, target)
+      crashHook("opart:part-moved")
       if (Files.exists(trash)) deleteRecursively(trash)
     }
+    crashHook("opart:pre-cleanup")
     deleteRecursively(tmp)
     // in-place partition rewrites invalidate driver-side file statistics
     // (the full-swap path sheds them with the directory; this path must
@@ -710,6 +819,8 @@ final class TableStore(val spark: SparkSession, val root: String,
       .filter(_.getFileName.toString.startsWith("_strstats_"))
       .foreach(Files.deleteIfExists(_))
     finally statsStream.close()
+    // only now is the new generation fully consistent (data AND stats)
+    Files.deleteIfExists(inflight)
   }
 
   /** `OPTIMIZE ... ZORDER BY` analog: rewrite the table clustered on
@@ -1029,4 +1140,28 @@ final class TableStore(val spark: SparkSession, val root: String,
       true
     }
   }
+}
+
+object TableStore {
+  /** Every labeled crash-injection point in the write protocols — the
+    * states a dying writer can leave, each exercised by
+    * TableStoreCrashSpec via [[TableStore.crashHook]]:
+    *
+    *   - `overwrite:staged`     tmp written, swap not started
+    *   - `swap:marked`          tmp carries its version marker, current intact
+    *   - `swap:old-archived`    current archived, tmp not yet moved in
+    *                            (the table-missing window)
+    *   - `append:staged`        incoming rows staged, nothing assembled
+    *   - `append:assembled`     next generation assembled aside, swap not started
+    *   - `opart:staged`         partitioned staging written, snapshot not taken
+    *   - `opart:snapshotted`    old generation archived, loop not started
+    *   - `opart:part-trashed`   a partition moved to trash, replacement not in
+    *   - `opart:part-moved`     a replacement partition moved in, trash not cleared
+    *   - `opart:pre-cleanup`    all partitions swapped, staging/stats not cleaned
+    */
+  val injectionPoints: Seq[String] = Seq(
+    "overwrite:staged", "swap:marked", "swap:old-archived",
+    "append:staged", "append:assembled",
+    "opart:staged", "opart:snapshotted", "opart:part-trashed",
+    "opart:part-moved", "opart:pre-cleanup")
 }

@@ -53,7 +53,8 @@ object Round4Ops70 {
         |m AS (SELECT COUNT(*) AS n FROM ranked),
         |draws AS (
         |  SELECT b.b, i.i,
-        |         ((b.b * 48271 + i.i * 16807) % 2147483647) % i.n + 1 AS idx
+        |         ((CAST(b.b AS BIGINT) * 48271 + CAST(i.i AS BIGINT) * 16807)
+        |            % 2147483647) % i.n + 1 AS idx
         |  FROM (SELECT explode(sequence(1, 100)) AS b) b
         |  CROSS JOIN (SELECT explode(sequence(1, CAST(n AS INT))) AS i, n FROM m) i),
         |means AS (

@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+
+/** Build a K×-scaled copy of a testdata directory for scale studies
+  * (SCALE.md §sf1): every fact/dim table is replicated K times with
+  * key columns offset by a disjoint stride, so PRIMARY KEYS STAY
+  * UNIQUE and foreign keys stay consistent (copy i of orders points at
+  * copy i of customer). nation/region stay fixed — TPC-H semantics:
+  * reference dims don't grow with scale factor.
+  *
+  * Documents get a per-replica suffix token appended to `text` for
+  * i>0: naive identical-text replication makes every LSH/minhash
+  * bucket quadratic in K (each doc gains K-1 perfect twins), which
+  * measures the replication artifact, not the operator. A one-token
+  * perturbation keeps jaccard within a hair of 1 for true near-dups
+  * while keeping replicas distinct. Embeddings are replicated as-is
+  * (identical vectors don't change ANN work shape; the query set is
+  * pinned to copy 0 by `vec_id < 8`).
+  *
+  * Usage: runMain graft.tools.MakeScaled [srcDir] [outDir] [k]
+  */
+object MakeScaled {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val k = if (args.length > 2) args(2).toInt else 10
+    val spark: SparkSession = GraftSession.local("graft-make-scaled")
+    // stride far above any key in the source (max sf0.1 key ~600k) and
+    // divisible by the small moduli gates slice on (doc_id % 5 etc.),
+    // so replica slices scale proportionally
+    val stride = 10000000L
+    def load(t: String): DataFrame =
+      graft.Tables.load(spark, src, t)
+    def rep(df: DataFrame, keyCols: Seq[String],
+        perturbText: Boolean = false): DataFrame =
+      (0 until k).map { i =>
+        val shifted = keyCols.foldLeft(df)((d, c) =>
+          d.withColumn(c, col(c) + lit(i * stride)))
+        if (perturbText && i > 0)
+          shifted.withColumn("text", concat(col("text"), lit(s" zrep$i")))
+        else shifted
+      }.reduce(_ unionByName _)
+    val plans: Seq[(String, DataFrame)] = Seq(
+      "region" -> load("region"),
+      "nation" -> load("nation"),
+      "customer" -> rep(load("customer"), Seq("c_custkey")),
+      "supplier" -> rep(load("supplier"), Seq("s_suppkey")),
+      "part" -> rep(load("part"), Seq("p_partkey")),
+      "orders" -> rep(load("orders"), Seq("o_orderkey", "o_custkey")),
+      "lineitem" -> rep(load("lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey")),
+      "events" -> rep(load("events"), Seq("event_id", "user_id")),
+      "documents" -> rep(load("documents"), Seq("doc_id"),
+        perturbText = true),
+      "embeddings" -> rep(load("embeddings"), Seq("vec_id")))
+    plans.foreach { case (t, df) =>
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[make-scaled] $t written")
+    }
+    spark.stop()
+  }
+}

@@ -242,4 +242,137 @@ class MultimodalSpec extends SparkSpec {
     assert(out === Set((2L, 0), (2L, 1), (2L, 2))) // no rows for n_frames=0
     intercept[IllegalArgumentException](Multimodal.frameSample(media, everyNth = 0))
   }
+
+  // ---- PNG ------------------------------------------------------------
+
+  /** Hand-build a PNG with a caller-chosen filter type per scanline
+    * (the shipped encoder always writes filter 0) and overridable IHDR
+    * fields, so the decoder's unfilter paths and refusals are testable.
+    */
+  private def buildPng(width: Int, height: Int, rgb: (Int, Int) => Int,
+      filterFor: Int => Int, depth: Int = 8, colorType: Int = 2,
+      interlace: Int = 0): Array[Byte] = {
+    val bpp = 3
+    val rowLen = width * bpp
+    val raw = new Array[Byte]((1 + rowLen) * height)
+    val prev = new Array[Byte](rowLen)
+    val cur = new Array[Byte](rowLen)
+    for (y <- 0 until height) {
+      for (x <- 0 until width) {
+        val p = rgb(x, y)
+        cur(x * 3) = ((p >> 16) & 0xff).toByte
+        cur(x * 3 + 1) = ((p >> 8) & 0xff).toByte
+        cur(x * 3 + 2) = (p & 0xff).toByte
+      }
+      val ft = filterFor(y)
+      raw(y * (1 + rowLen)) = ft.toByte
+      for (i <- 0 until rowLen) {
+        val xv = cur(i) & 0xff
+        val a = if (i >= bpp) cur(i - bpp) & 0xff else 0
+        val b = prev(i) & 0xff
+        val c = if (i >= bpp) prev(i - bpp) & 0xff else 0
+        val f = ft match {
+          case 0 => xv
+          case 1 => xv - a
+          case 2 => xv - b
+          case 3 => xv - ((a + b) >> 1)
+          case 4 =>
+            val p0 = a + b - c
+            val pa = math.abs(p0 - a); val pb = math.abs(p0 - b)
+            val pc = math.abs(p0 - c)
+            xv - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw(y * (1 + rowLen) + 1 + i) = (f & 0xff).toByte
+      }
+      Array.copy(cur, 0, prev, 0, rowLen)
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zipped = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) zipped.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte), 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(data.length).array(), 0, 4)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb, 0, 4); out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array(), 0, 4)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(width).putInt(height)
+      .put(depth.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(interlace.toByte)
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", zipped.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  test("PNG roundtrip: deflate+unfilter bit-exact over odd sizes") {
+    for (w <- Seq(1, 3, 5, 13); h <- Seq(1, 2, 7)) {
+      def px(x: Int, y: Int): Int = ((x * 53 + y * 17) % 256 << 16) |
+        ((x * y + 3) % 256 << 8) | ((x + 7 * y) % 256)
+      val img = MediaCodec.decodePng(MediaCodec.encodePng(w, h, px))
+      assert(img.width === w && img.height === h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.rgb(y * w + x) === px(x, y), s"($x,$y) of ${w}x$h")
+    }
+  }
+
+  test("PNG: all five scanline filters reconstruct identically") {
+    def px(x: Int, y: Int): Int = ((x * 37 + y * 91) % 256 << 16) |
+      ((x * x + y) % 256 << 8) | ((255 - x * y) % 256 + 256) % 256
+    val w = 9; val h = 10
+    val expected = MediaCodec.decodePng(buildPng(w, h, px, _ => 0)).rgb.toSeq
+    // one filter type per row, cycling through all five — a real
+    // encoder's per-row heuristic choice looks exactly like this
+    val mixed = MediaCodec.decodePng(buildPng(w, h, px, y => y % 5))
+    assert(mixed.rgb.toSeq === expected)
+    for (ft <- 1 to 4) {
+      val one = MediaCodec.decodePng(buildPng(w, h, px, _ => ft))
+      assert(one.rgb.toSeq === expected, s"filter $ft")
+    }
+  }
+
+  test("PNG refusals: corrupt CRC, unsupported color/depth/interlace, oversize IDAT") {
+    def px(x: Int, y: Int): Int = (x + y) % 256
+    val good = MediaCodec.encodePng(5, 4, px)
+    // flip one IDAT byte, leave the stale CRC — must refuse, not garbage-decode
+    val corrupt = good.clone()
+    corrupt(8 + 25 + 8 + 2) = (corrupt(8 + 25 + 8 + 2) ^ 0x5a).toByte
+    val e1 = intercept[IllegalArgumentException](MediaCodec.decodePng(corrupt))
+    assert(e1.getMessage.contains("CRC mismatch"))
+    val e2 = intercept[IllegalArgumentException](
+      MediaCodec.decodePng(buildPng(5, 4, px, _ => 0, colorType = 6)))
+    assert(e2.getMessage.contains("color type"))
+    val e3 = intercept[IllegalArgumentException](
+      MediaCodec.decodePng(buildPng(5, 4, px, _ => 0, depth = 16)))
+    assert(e3.getMessage.contains("bit depth"))
+    val e4 = intercept[IllegalArgumentException](
+      MediaCodec.decodePng(buildPng(5, 4, px, _ => 0, interlace = 1)))
+    assert(e4.getMessage.contains("interlaced"))
+    // an IDAT that inflates LONGER than the declared raster is refused:
+    // build 4 rows of data but declare height 3 via a hand-patched IHDR
+    val tall = buildPng(5, 4, px, _ => 0)
+    val short = {
+      val b = tall.clone()
+      java.nio.ByteBuffer.wrap(b).putInt(8 + 8 + 4, 3) // IHDR height := 3
+      // recompute the IHDR CRC so only the length lie remains
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, 8 + 4, 4 + 13)
+      java.nio.ByteBuffer.wrap(b).putInt(8 + 8 + 13, crc.getValue.toInt)
+      b
+    }
+    val e5 = intercept[IllegalArgumentException](MediaCodec.decodePng(short))
+    assert(e5.getMessage.contains("longer than the image raster"))
+    // dispatch: a PNG payload is recognized as an image
+    assert(MediaCodec.decodeAny(good).exists {
+      case MediaCodec.DecodedImage(img) => img.width == 5 && img.height == 4
+      case _ => false
+    })
+  }
 }

@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.tools.PlanBudget
+
+/** Plan-COST regression guard for the most expensive registry gates:
+  * round 6 proved a correctness patch can silently buy exchanges and
+  * eager materializations (graph_bfs gained ~5 checkpoint jobs, the
+  * scd merges a whole pre-merge aggregation job) while every value
+  * stays hash-green — so the budget for shuffles / broadcasts / jobs
+  * is pinned here and a robustness patch that doubles a plan's cost
+  * fails a TEST, not a judge review.
+  *
+  * Budgets are the values measured at commit time at sf0.001
+  * (regenerate with `runMain graft.tools.PlanBudget`), with +2 jobs
+  * of headroom for AQE jitter. They are CEILINGS: getting cheaper is
+  * always fine — re-pin downward when a fix lands.
+  */
+class PlanBudgetSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** (max shuffle exchanges, max broadcast exchanges, max jobs). */
+  private final case class Budget(shuffles: Int, broadcasts: Int, jobs: Int)
+
+  // measured 2026-08-14 (round 7) after the bfs/curation/merge fixes,
+  // under the spec session's own parallelism (4 cores — counts shift
+  // slightly with shuffle-partition count, so regenerate budgets with
+  // SPARK_GRAFT_CPUS=4)
+  private val budgets: Map[String, Budget] = Map(
+    "dedup_minhash_verified" -> Budget(4, 10, 10),
+    "dedup_incremental_probe" -> Budget(4, 10, 23),
+    "pagerank_quantized" -> Budget(0, 0, 22),
+    "pagerank_parts" -> Budget(0, 0, 22),
+    "graph_bfs" -> Budget(1, 0, 5),
+    "bpe_tokenize" -> Budget(2, 0, 41),
+    "a93_harrell_cindex" -> Budget(2, 4, 5),
+    "graph_modularity" -> Budget(26, 17, 16),
+    "ml_adaboost_stumps" -> Budget(97, 134, 23),
+    "curation_e2e" -> Budget(6, 0, 6),
+    "emb_pca_quantized" -> Budget(2, 0, 24),
+    "dedup_fuzzy_names" -> Budget(4, 2, 6),
+    "emb_pca_power" -> Budget(2, 0, 58),
+    "corpus_stats" -> Budget(6, 2, 7),
+    "graph_jaccard" -> Budget(12, 6, 8),
+    "s17_update_delete" -> Budget(2, 0, 14),
+    "a17_winsorize" -> Budget(6, 2, 7),
+    "s21_precombine_merge" -> Budget(8, 11, 10),
+    "feature_bucketize" -> Budget(6, 2, 7),
+    "s13_jdbc_extract" -> Budget(2, 0, 7),
+    "graph_closeness" -> Budget(74, 104, 17),
+    "ivm_join_agg_refresh" -> Budget(2, 0, 33),
+    "ivm_join_refresh" -> Budget(2, 0, 33),
+    "corpus_select" -> Budget(8, 2, 12),
+    "graph_link_prediction" -> Budget(102, 33, 14),
+    "ivm_minmax_refresh" -> Budget(2, 0, 28),
+    "lm_greedy_decode" -> Budget(2, 0, 58),
+    "dedup_minhash_lsh" -> Budget(4, 10, 10),
+    "s15_scd2_merge" -> Budget(10, 12, 8),
+    "graph_shortest_paths" -> Budget(2, 0, 64),
+  )
+
+  // +2 jobs and +2 exchanges of headroom: AQE finalizes plans from
+  // runtime statistics, and parallelism (shuffle partition count) can
+  // shift a coalesce/broadcast decision by a node or two between
+  // environments — the regression signal this spec exists for (a per-
+  // iteration repartition or materialization, +5 and up) still trips
+  private val jobHeadroom = 2
+  private val exchangeHeadroom = 2
+
+  budgets.toSeq.sortBy(_._1).foreach { case (gate, b) =>
+    test(s"$gate stays within its plan-cost budget") {
+      val c = PlanBudget.measure(spark, sf, gate)
+      assert(c.shuffles <= b.shuffles + exchangeHeadroom,
+        s"$gate shuffle exchanges grew: $c vs budget $b — a repartition " +
+          "was added; fix the plan or consciously re-pin the budget")
+      assert(c.broadcasts <= b.broadcasts + exchangeHeadroom,
+        s"$gate broadcast exchanges grew: $c vs budget $b")
+      assert(c.jobs <= b.jobs + jobHeadroom,
+        s"$gate now runs more Spark jobs: $c vs budget $b — an eager " +
+          "materialization (checkpoint/count/collect) was added; fix " +
+          "the plan or consciously re-pin the budget")
+    }
+  }
+}
