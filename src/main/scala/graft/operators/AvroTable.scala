@@ -131,13 +131,23 @@ object AvroTable {
         writer.append(rec); n += 1
       }
       writer.close()
-      // POSIX rename: atomic publish; the losing attempt's temp file is
-      // simply never renamed (and is dot-prefixed, so read() skips it)
+      // POSIX rename: atomic publish; a losing/failed attempt's temp
+      // file is simply never renamed — read() ignores it because it
+      // filters on the `.avro` SUFFIX (the `.tmp` tail is the
+      // load-bearing part of the temp name, not the dot prefix)
       Files.move(file.toPath, new File(dirStr, f"part-$pid%05d.avro").toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       Iterator.single(n)
     }.count() // action: materialize the write
+    // orphan sweep: temp files from failed/lost task attempts would
+    // otherwise accumulate full-size containers forever (the pre-write
+    // cleanup above only runs on the NEXT write to this directory). By
+    // now every task has committed or been cancelled, so anything still
+    // wearing the .tmp suffix is garbage.
+    Option(out.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".tmp"))
+      .foreach(f => Files.deleteIfExists(f.toPath))
     ()
   }
 

@@ -282,21 +282,58 @@ object MediaCodec {
     * non-interlaced, filter-0 scanlines, one zlib IDAT, CRC'd chunks.
     * `pixel(x, y)` packed 0xRRGGBB with y=0 the TOP row.
     */
-  def encodePng(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+  def encodePng(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] =
+    encodePngFiltered(width, height, pixel, _ => 0)
+
+  /** Full-control variant for tests (MultimodalSpec): caller-chosen
+    * scanline filter per row (forward-applied per the spec's filter
+    * math) and overridable IHDR fields, so the decoder's unfilter
+    * paths and refusal branches can be exercised without duplicating
+    * the container framing in test code.
+    */
+  private[graft] def encodePngFiltered(width: Int, height: Int,
+      pixel: (Int, Int) => Int, filterFor: Int => Int,
+      depth: Int = 8, colorType: Int = 2, interlace: Int = 0): Array[Byte] = {
     require(width > 0 && height > 0, "empty image")
-    val stride = 1 + width * 3
-    val raw = new Array[Byte](stride * height)
+    val bpp = 3
+    val rowLen = width * bpp
+    val raw = new Array[Byte]((1 + rowLen) * height)
+    val prev = new Array[Byte](rowLen)
+    val cur = new Array[Byte](rowLen)
     var y = 0
     while (y < height) {
-      val base = y * stride // filter byte 0 already zeroed
       var x = 0
       while (x < width) {
         val p = pixel(x, y)
-        raw(base + 1 + x * 3) = ((p >> 16) & 0xff).toByte
-        raw(base + 2 + x * 3) = ((p >> 8) & 0xff).toByte
-        raw(base + 3 + x * 3) = (p & 0xff).toByte
+        cur(x * 3) = ((p >> 16) & 0xff).toByte
+        cur(x * 3 + 1) = ((p >> 8) & 0xff).toByte
+        cur(x * 3 + 2) = (p & 0xff).toByte
         x += 1
       }
+      val ft = filterFor(y)
+      require(ft >= 0 && ft <= 4, s"bad filter type $ft")
+      raw(y * (1 + rowLen)) = ft.toByte
+      var i = 0
+      while (i < rowLen) {
+        val xv = cur(i) & 0xff
+        val a = if (i >= bpp) cur(i - bpp) & 0xff else 0
+        val b = prev(i) & 0xff
+        val f = ft match {
+          case 0 => xv
+          case 1 => xv - a
+          case 2 => xv - b
+          case 3 => xv - ((a + b) >> 1)
+          case _ =>
+            val c = if (i >= bpp) prev(i - bpp) & 0xff else 0
+            val p0 = a + b - c
+            val pa = math.abs(p0 - a); val pb = math.abs(p0 - b)
+            val pc = math.abs(p0 - c)
+            xv - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw(y * (1 + rowLen) + 1 + i) = (f & 0xff).toByte
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, rowLen)
       y += 1
     }
     val deflater = new java.util.zip.Deflater()
@@ -317,7 +354,8 @@ object MediaCodec {
       out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array(), 0, 4)
     }
     val ihdr = ByteBuffer.allocate(13).putInt(width).putInt(height)
-      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .put(depth.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(interlace.toByte)
     chunk("IHDR", ihdr.array())
     chunk("IDAT", zipped.toByteArray)
     chunk("IEND", Array.emptyByteArray)
@@ -385,7 +423,16 @@ object MediaCodec {
       var off = 0
       while (off < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, off, raw.length - off)
-        require(n > 0 || !inf.needsInput(), "truncated IDAT stream")
+        if (n == 0 && !inf.finished()) {
+          // zero progress must REFUSE, never spin: a preset-dictionary
+          // (FDICT) zlib header makes inflate return 0 with input still
+          // buffered — without this check one crafted payload wedges
+          // the executor task in an infinite loop
+          require(!inf.needsDictionary(),
+            "preset-dictionary (FDICT) zlib streams not supported")
+          require(!inf.needsInput(), "truncated IDAT stream")
+          throw new IllegalArgumentException("stalled IDAT inflate")
+        }
         off += n
       }
       require(off == raw.length,

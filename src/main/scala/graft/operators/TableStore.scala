@@ -264,41 +264,52 @@ final class TableStore(val spark: SparkSession, val root: String,
     * the staging/trash evidence this routine recovers from.
     */
   def recover(table: String): String = withTableLock(table) {
-    val strays = strayDirs(table)
+    // recover() must itself be crash-safe: every branch below is
+    // ordered so that dying between any two steps lands the NEXT
+    // recover() in a branch that resumes toward the same end state —
+    // in particular, all stray evidence is cleared BEFORE a restore
+    // makes the table readable again (a restored table plus surviving
+    // trash evidence would re-trigger rollback and roll PAST the
+    // generation just restored), and roll-forward only ever considers
+    // STAGING (`.tmp-`) dirs — a trash dir from an interrupted
+    // rollback can carry the same version marker but hold a torn mix.
     val hist = historyVersions(table)
     val expectedNext = hist.lastOption.map(_ + 1).getOrElse(0)
-    def clearStrays(): Unit =
-      strays.filter(Files.exists(_)).foreach(deleteRecursively)
+    def strays(): Seq[Path] = strayDirs(table)
+    def isTrash(p: Path): Boolean =
+      p.getFileName.toString.startsWith(s".trash-${flat(table)}-")
+    def clear(ps: Seq[Path]): Unit =
+      ps.filter(Files.exists(_)).foreach(deleteRecursively)
     if (!exists(table)) {
-      strays.find(p => Files.isDirectory(p) && markerOf(p).contains(expectedNext)) match {
+      strays().find(p => !isTrash(p) && Files.isDirectory(p) &&
+          markerOf(p).contains(expectedNext)) match {
         case Some(tmp) =>
+          clear(strays().filterNot(_ == tmp))
           val target = dir(table)
           if (target.getParent != null) Files.createDirectories(target.getParent)
           Files.move(tmp, target)
-          clearStrays()
           "rolled-forward"
         case None if hist.nonEmpty =>
+          clear(strays())
           Files.move(historyDir(table).resolve(versionDirName(hist.last)), dir(table))
-          clearStrays()
           "rolled-back"
         case None =>
-          clearStrays()
+          clear(strays())
           "no-table"
       }
-    } else if (strays.exists(_.getFileName.toString.startsWith(s".trash-${flat(table)}-"))) {
+    } else if (strays().exists(isTrash)) {
       require(hist.nonEmpty,
         s"mid-partition-overwrite crash on '$table' but no history snapshot to roll back to")
-      // move the mixed current aside FIRST: if recovery itself dies
-      // between these renames, the next recover() lands in the
-      // missing-dir branch above and resumes the same rollback
-      val aside = Paths.get(root, s".trash-${flat(table)}-recover-${System.nanoTime()}")
-      Files.move(dir(table), aside)
+      // the old generation is fully intact in history (hardlink
+      // snapshot taken before the first in-place move), so deleting
+      // the torn current is safe AND idempotent: a crash anywhere in
+      // this branch resumes via the missing-dir rollback above
+      deleteRecursively(dir(table))
+      clear(strays())
       Files.move(historyDir(table).resolve(versionDirName(hist.last)), dir(table))
-      deleteRecursively(aside)
-      clearStrays()
       "rolled-back"
-    } else if (strays.nonEmpty) {
-      clearStrays()
+    } else if (strays().nonEmpty) {
+      clear(strays())
       "cleared-strays"
     } else "clean"
   }

@@ -30,9 +30,12 @@ object MakeScaled {
     val k = if (args.length > 2) args(2).toInt else 10
     val spark: SparkSession = GraftSession.local("graft-make-scaled")
     // stride far above any key in the source (max sf0.1 key ~600k) and
-    // divisible by the small moduli gates slice on (doc_id % 5 etc.),
-    // so replica slices scale proportionally
-    val stride = 10000000L
+    // divisible by EVERY modulus 1..16 (it's a multiple of lcm(1..16) =
+    // 720720) — gates slice and parameterize on doc_id % 5 / % 7 /
+    // % 11 / % 13, and a stride with a nonzero residue would ROTATE a
+    // replica's modulus classes instead of replicating them
+    // proportionally (10^7 % 11 = 10, for instance)
+    val stride = 720720L * 14 // 10,090,080
     def load(t: String): DataFrame =
       graft.Tables.load(spark, src, t)
     def rep(df: DataFrame, keyCols: Seq[String],

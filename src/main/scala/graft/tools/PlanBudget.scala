@@ -53,8 +53,12 @@ object PlanBudget {
         if (now == last) stable += 1 else { stable = 0; last = now }
       }
       val plan = df.queryExecution.executedPlan.toString
+      // every shuffle flavor counts — RoundRobinPartitioning is exactly
+      // the "someone added a .repartition(n)" regression this guard
+      // exists to catch (ReusedExchange prints without a partitioning
+      // clause, so it never inflates the count)
       val shuffles =
-        "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+        "Exchange (hashpartitioning|rangepartitioning|SinglePartition|RoundRobinPartitioning)".r
           .findAllIn(plan).size
       val broadcasts = "BroadcastExchange".r.findAllIn(plan).size
       Cost(shuffles, broadcasts, jobs.get())

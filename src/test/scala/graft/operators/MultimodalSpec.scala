@@ -245,72 +245,16 @@ class MultimodalSpec extends SparkSpec {
 
   // ---- PNG ------------------------------------------------------------
 
-  /** Hand-build a PNG with a caller-chosen filter type per scanline
-    * (the shipped encoder always writes filter 0) and overridable IHDR
-    * fields, so the decoder's unfilter paths and refusals are testable.
+  /** PNG with a caller-chosen filter type per scanline and overridable
+    * IHDR fields — delegates to the codec's own container framing
+    * ([[MediaCodec.encodePngFiltered]]) so the test can never validate
+    * a stale format.
     */
   private def buildPng(width: Int, height: Int, rgb: (Int, Int) => Int,
       filterFor: Int => Int, depth: Int = 8, colorType: Int = 2,
-      interlace: Int = 0): Array[Byte] = {
-    val bpp = 3
-    val rowLen = width * bpp
-    val raw = new Array[Byte]((1 + rowLen) * height)
-    val prev = new Array[Byte](rowLen)
-    val cur = new Array[Byte](rowLen)
-    for (y <- 0 until height) {
-      for (x <- 0 until width) {
-        val p = rgb(x, y)
-        cur(x * 3) = ((p >> 16) & 0xff).toByte
-        cur(x * 3 + 1) = ((p >> 8) & 0xff).toByte
-        cur(x * 3 + 2) = (p & 0xff).toByte
-      }
-      val ft = filterFor(y)
-      raw(y * (1 + rowLen)) = ft.toByte
-      for (i <- 0 until rowLen) {
-        val xv = cur(i) & 0xff
-        val a = if (i >= bpp) cur(i - bpp) & 0xff else 0
-        val b = prev(i) & 0xff
-        val c = if (i >= bpp) prev(i - bpp) & 0xff else 0
-        val f = ft match {
-          case 0 => xv
-          case 1 => xv - a
-          case 2 => xv - b
-          case 3 => xv - ((a + b) >> 1)
-          case 4 =>
-            val p0 = a + b - c
-            val pa = math.abs(p0 - a); val pb = math.abs(p0 - b)
-            val pc = math.abs(p0 - c)
-            xv - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
-        }
-        raw(y * (1 + rowLen) + 1 + i) = (f & 0xff).toByte
-      }
-      Array.copy(cur, 0, prev, 0, rowLen)
-    }
-    val deflater = new java.util.zip.Deflater()
-    deflater.setInput(raw); deflater.finish()
-    val zipped = new java.io.ByteArrayOutputStream()
-    val tmp = new Array[Byte](8192)
-    while (!deflater.finished()) zipped.write(tmp, 0, deflater.deflate(tmp))
-    deflater.end()
-    val out = new java.io.ByteArrayOutputStream()
-    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
-      .map(_.toByte), 0, 8)
-    def chunk(typ: String, data: Array[Byte]): Unit = {
-      out.write(java.nio.ByteBuffer.allocate(4).putInt(data.length).array(), 0, 4)
-      val tb = typ.getBytes("US-ASCII")
-      out.write(tb, 0, 4); out.write(data, 0, data.length)
-      val crc = new java.util.zip.CRC32()
-      crc.update(tb); crc.update(data)
-      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array(), 0, 4)
-    }
-    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(width).putInt(height)
-      .put(depth.toByte).put(colorType.toByte)
-      .put(0.toByte).put(0.toByte).put(interlace.toByte)
-    chunk("IHDR", ihdr.array())
-    chunk("IDAT", zipped.toByteArray)
-    chunk("IEND", Array.emptyByteArray)
-    out.toByteArray
-  }
+      interlace: Int = 0): Array[Byte] =
+    MediaCodec.encodePngFiltered(width, height, rgb, filterFor,
+      depth, colorType, interlace)
 
   test("PNG roundtrip: deflate+unfilter bit-exact over odd sizes") {
     for (w <- Seq(1, 3, 5, 13); h <- Seq(1, 2, 7)) {

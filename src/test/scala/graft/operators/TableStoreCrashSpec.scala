@@ -145,6 +145,46 @@ class TableStoreCrashSpec extends SparkSpec {
     assert(strayCount(store) == 0)
   }
 
+  test("recover itself dying mid-rollback resumes instead of corrupting") {
+    // crash state: mid-partition-overwrite (torn mix + trash evidence)
+    val store = freshStore()
+    store.overwrite("t", oldPart.toDF("k", "v", "p"), partitionBy = Seq("p"))
+    assert(crashAt(store, "opart:part-trashed")(
+      store.overwritePartitions("t", newP1.toDF("k", "v", "p"), "p", Seq(1))))
+    // simulate recover() #1 dying right after its first step (deleting
+    // the torn current): the next recover must RESUME the rollback via
+    // the missing-dir branch — not roll the trash evidence forward
+    // (the trash dirs carry no usable staging) and not give up
+    deleteDir(Paths.get(store.root, "t"))
+    val action = store.recover("t")
+    assert(action == "rolled-back", action)
+    assert(partRows(store) == oldPart.toSet)
+    assert(strayCount(store) == 0)
+  }
+
+  test("a trash dir carrying a next-version marker is never rolled forward") {
+    // regression guard for the review finding: an interrupted rollback
+    // used to leave an aside dir whose marker matched history+1, and a
+    // re-run would move the TORN mix back in as 'rolled-forward'
+    val store = freshStore()
+    store.overwrite("t", oldDf)
+    store.overwrite("t", newDf) // history v0 = oldRows, current v1 = newRows
+    val cur = Paths.get(store.root, "t")
+    val torn = Paths.get(store.root, s".trash-t-${System.nanoTime()}")
+    Files.move(cur, torn) // crash state: table missing, marked trash dir
+    val action = store.recover("t")
+    assert(action == "rolled-back", action) // restores v0, ignores the trash
+    assert(rows(store, "t") == oldRows)
+    assert(strayCount(store) == 0)
+  }
+
+  private def deleteDir(p: java.nio.file.Path): Unit = {
+    val s = Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => Files.delete(f))
+    finally s.close()
+  }
+
   test("recover on a healthy table is a no-op; every protocol point is covered") {
     val store = freshStore()
     store.overwrite("t", oldDf)
