@@ -49,9 +49,15 @@ object Bench {
     // repeatability: the top-20 most expensive gates run 2 more times
     // and report the min-of-3 WARM number alongside the single-shot one
     // — single-run timings at 0.3-9 s amplitude could not distinguish
-    // JVM/IO noise from a real plan regression (VERDICT r6 item 3)
+    // JVM/IO noise from a real plan regression (VERDICT r6 item 3).
+    // SPARK_GRAFT_WARM=0 skips the re-runs (scale studies at 10×+ data,
+    // where a second pass over the heavy tail costs more than the
+    // noise it removes); the driver never sets it.
     val fnByName = queries.toMap
-    val top20 = results.toSeq.filter(_._2 > 0).sortBy(-_._2).take(20).map(_._1)
+    val warmRuns = sys.env.get("SPARK_GRAFT_WARM").forall(_ != "0")
+    val top20 =
+      if (!warmRuns) Seq.empty
+      else results.toSeq.filter(_._2 > 0).sortBy(-_._2).take(20).map(_._1)
     val warm: Map[String, Double] = top20.map { name =>
       val reruns = (1 to 2).map { _ =>
         val (s, e) = timeOnce(name, fnByName(name))

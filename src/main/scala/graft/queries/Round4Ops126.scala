@@ -300,16 +300,35 @@ object Round4Ops126 {
       |         / (SELECT n FROM n_all), 6) AS DOUBLE) AS train_accuracy
       |FROM ens""".stripMargin) { (spark, dir) =>
     Tables.load(spark, dir, "orders").createOrReplaceTempView("graft_ab_orders")
+    // the decile cut points come from TotalOrder.ntile (two-phase range
+    // partition + broadcast offsets), NOT a partition-less NTILE window
+    // — a global single-reducer sort over every raw order row was the
+    // one remaining violation of the "global sorts go through
+    // TotalOrder" invariant. Cut VALUES are identical: the max of tile
+    // t is the x at a fixed global rank, the same value under any tie
+    // permutation, so the NTILE-based oracle still hash-matches.
+    val base = spark.sql(
+      """SELECT LN(CAST(o_totalprice AS DOUBLE)) AS x,
+        |       CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE -1 END AS y
+        |FROM graft_ab_orders""".stripMargin)
+    base.createOrReplaceTempView("graft_ab_base")
+    // ...and the 9-row cut table is MATERIALIZED once (eager
+    // localCheckpoint): the boosting SQL references the candidate set
+    // in two fanout aggregates and eight scalar subqueries, and a lazy
+    // view would re-inline (re-plan, re-execute) the whole ranking
+    // machinery into every one of them
+    import org.apache.spark.sql.functions.{col => c, round => rnd, max => mx}
+    graft.operators.TotalOrder
+      .ntile(base.select(c("x")), Seq(c("x")), 10, "tile")
+      .filter(c("tile") < 10)
+      .groupBy(c("tile")).agg(rnd(mx(c("x")), 8).as("th"))
+      .select(c("th"))
+      .localCheckpoint(true)
+      .createOrReplaceTempView("graft_ab_cuts")
     spark.sql(
-      """WITH base AS (
-        |  SELECT LN(CAST(o_totalprice AS DOUBLE)) AS x,
-        |         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE -1 END AS y
-        |  FROM graft_ab_orders),
+      """WITH base AS (SELECT * FROM graft_ab_base),
         |n_all AS (SELECT COUNT(*) AS n FROM base),
-        |tiles AS (
-        |  SELECT NTILE(10) OVER (ORDER BY x) AS tile, x FROM base),
-        |cuts AS (
-        |  SELECT ROUND(MAX(x), 8) AS th FROM tiles WHERE tile < 10 GROUP BY tile),
+        |cuts AS (SELECT th FROM graft_ab_cuts),
         |cand AS (
         |  SELECT th, pol FROM cuts CROSS JOIN (SELECT 1 AS pol UNION ALL SELECT -1) p),
         |r1 AS (

@@ -12,14 +12,20 @@ import graft.GraftSession
   * copy i of customer). nation/region stay fixed — TPC-H semantics:
   * reference dims don't grow with scale factor.
   *
-  * Documents get a per-replica suffix token appended to `text` for
-  * i>0: naive identical-text replication makes every LSH/minhash
-  * bucket quadratic in K (each doc gains K-1 perfect twins), which
-  * measures the replication artifact, not the operator. A one-token
-  * perturbation keeps jaccard within a hair of 1 for true near-dups
-  * while keeping replicas distinct. Embeddings are replicated as-is
-  * (identical vectors don't change ANN work shape; the query set is
-  * pinned to copy 0 by `vec_id < 8`).
+  * Documents get a PER-TOKEN replica suffix for i>0 (every token `t`
+  * becomes `t_r<i>`): replicated text must not create cross-replica
+  * similarity, or every near-dup operator measures the replication
+  * artifact instead of the workload. A single appended token is NOT
+  * enough — jaccard between a doc and its suffixed twin is n/(n+2)
+  * ≈ 0.98, far above any dedup threshold, so every LSH bucket went
+  * K× deep and within-bucket verify work went K² (measured: the
+  * streaming-ingest gate exploded 5 s → 15+ min at K=10). Disjoint
+  * token alphabets give replicas jaccard 0: each replica is an
+  * independent corpus clone with the same token-frequency SHAPE, and
+  * near-dup work scales linearly — the scaling a K×-bigger real
+  * corpus would show. Embeddings are replicated as-is (identical
+  * vectors don't change ANN work shape; the query set is pinned to
+  * copy 0 by `vec_id < 8`).
   *
   * Usage: runMain graft.tools.MakeScaled [srcDir] [outDir] [k]
   */
@@ -44,7 +50,10 @@ object MakeScaled {
         val shifted = keyCols.foldLeft(df)((d, c) =>
           d.withColumn(c, col(c) + lit(i * stride)))
         if (perturbText && i > 0)
-          shifted.withColumn("text", concat(col("text"), lit(s" zrep$i")))
+          // suffix EVERY token: replica alphabets are disjoint, so
+          // cross-replica jaccard is 0 and LSH buckets never mix copies
+          shifted.withColumn("text",
+            regexp_replace(col("text"), "(\\S+)", s"$$1_r$i"))
         else shifted
       }.reduce(_ unionByName _)
     val plans: Seq[(String, DataFrame)] = Seq(

@@ -36,7 +36,7 @@ class PlanBudgetSpec extends SparkSpec {
     "bpe_tokenize" -> Budget(2, 0, 41),
     "a93_harrell_cindex" -> Budget(2, 4, 5),
     "graph_modularity" -> Budget(26, 17, 16),
-    "ml_adaboost_stumps" -> Budget(97, 134, 23),
+    "ml_adaboost_stumps" -> Budget(86, 108, 36),
     "curation_e2e" -> Budget(6, 0, 6),
     "emb_pca_quantized" -> Budget(2, 0, 24),
     "dedup_fuzzy_names" -> Budget(4, 2, 6),
