@@ -131,6 +131,19 @@ object TotalOrder {
       outCol: String): DataFrame =
     prefixAggs(df, order, sums = Seq(valueCol -> outCol))
 
+  /** [[rowNumber]] plus the total count broadcast onto every row — the
+    * distributed form of the `ROW_NUMBER() OVER (ORDER BY …)` +
+    * `COUNT(*) OVER ()` pair that exact order statistics (medians,
+    * quantile cut rows, ECDF positions) are built from. The count side
+    * re-executes only the cheap tail above [[rowNumber]]'s internal
+    * checkpoint, and the 1-row frame broadcasts.
+    */
+  def rowNumberWithCount(df: DataFrame, order: Seq[Column],
+      rnCol: String = "rn", nCol: String = "n"): DataFrame = {
+    val ranked = rowNumber(df, order, rnCol)
+    ranked.crossJoin(broadcast(ranked.agg(count(lit(1)).as(nCol))))
+  }
+
   /** `NTILE(k) OVER (ORDER BY order...)` distributed: [[rowNumber]] plus
     * the standard larger-buckets-first assignment (first `n % k` buckets
     * get `n/k + 1` rows) — bit-equal to the window `ntile`, one range

@@ -100,14 +100,21 @@ object Round4Ops116 {
       |       CAST(ROUND(num / SQRT(varz), 6) AS DOUBLE) AS z
       |FROM st""".stripMargin) { (spark, dir) =>
     Tables.load(spark, dir, "orders").createOrReplaceTempView("graft_ca_orders")
+    // exact median via TotalOrder (two-phase range ranks) — the window
+    // form funneled every raw order row through one reducer. The value
+    // at the middle RANK is the same under any tie permutation, so the
+    // window-based oracle still hash-matches.
+    graft.operators.TotalOrder
+      .rowNumberWithCount(
+        spark.sql("""SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x, o_orderkey
+                    |FROM graft_ca_orders""".stripMargin),
+        Seq(col("x"), col("o_orderkey")), "r", "n")
+      .filter(col("r") * 2 === col("n") || col("r") * 2 === col("n") + 1)
+      .select(col("x").as("m"))
+      .localCheckpoint(true)
+      .createOrReplaceTempView("graft_ca_med")
     spark.sql(
-      """WITH med AS (
-        |  SELECT x AS m FROM (
-        |    SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x,
-        |           ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS r,
-        |           COUNT(*) OVER () AS n
-        |    FROM graft_ca_orders) q
-        |  WHERE r * 2 = n OR r * 2 = n + 1),
+      """WITH med AS (SELECT m FROM graft_ca_med),
         |g AS (
         |  SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS s,
         |         CASE WHEN CAST(o_totalprice AS DECIMAL(18,2)) > med.m

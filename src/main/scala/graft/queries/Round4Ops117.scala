@@ -59,22 +59,28 @@ object Round4Ops117 {
       |       CAST(gini_gain AS DOUBLE) AS gini_gain
       |FROM best WHERE rk = 1""".stripMargin) { (spark, dir) =>
     Tables.load(spark, dir, "orders").createOrReplaceTempView("graft_stump_orders")
+    // global rank + running positive count in ONE TotalOrder.prefixAggs
+    // pass (two-phase range ranks); the scalar totals broadcast — the
+    // window form pushed every raw order row through a single reducer
+    val stumpBase = spark.sql(
+      """SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+        |       CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+        |       o_orderkey
+        |FROM graft_stump_orders""".stripMargin)
+    graft.operators.TotalOrder
+      .prefixAggs(stumpBase, Seq(col("x"), col("o_orderkey")),
+        sums = Seq("y" -> "cpos"), rnCol = Some("r"))
+      .crossJoin(broadcast(stumpBase.agg(
+        count(lit(1)).as("n"), sum(col("y")).as("pos"))))
+      .select(col("x"), col("y"), col("r"), col("cpos"), col("n"), col("pos"))
+      .createOrReplaceTempView("graft_stump_ranked")
     spark.sql(
-      """WITH base AS (
-        |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x,
-        |         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
-        |         o_orderkey
-        |  FROM graft_stump_orders),
-        |ranked AS (
-        |  SELECT x, y, ROW_NUMBER() OVER (ORDER BY x, o_orderkey) AS r,
-        |         SUM(y) OVER (ORDER BY x, o_orderkey
-        |                      ROWS UNBOUNDED PRECEDING) AS cpos,
-        |         COUNT(*) OVER () AS n, SUM(y) OVER () AS pos
-        |  FROM base),
+      """WITH ranked AS (
+        |  SELECT x, y, r, cpos, n, pos FROM graft_stump_ranked),
         |cand AS (
         |  SELECT r, x AS threshold, cpos, n, pos FROM ranked
         |  WHERE r IN (SELECT (n * k) DIV 20 FROM
-        |              (SELECT DISTINCT n FROM (SELECT COUNT(*) AS n FROM base) z) nn
+        |              (SELECT DISTINCT n FROM ranked) nn
         |              CROSS JOIN (SELECT explode(sequence(1, 19)) AS k) ks)),
         |gain AS (
         |  SELECT threshold, r AS n_left, n - r AS n_right, cpos AS pos_left,

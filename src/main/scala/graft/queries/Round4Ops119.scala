@@ -127,16 +127,20 @@ object Round4Ops119 {
       |       CAST(ROUND(chi.x2, 6) AS DOUBLE) AS chi2_10bucket
       |FROM ks CROSS JOIN chi""".stripMargin) { (spark, dir) =>
     Tables.load(spark, dir, "customer").createOrReplaceTempView("graft_hu_customer")
+    // the ECDF rank of every hashed key via TotalOrder two-phase ranks
+    // (the window form single-reduced the whole customer table)
+    graft.operators.TotalOrder
+      .rowNumberWithCount(
+        spark.sql(
+          """SELECT CAST(conv(substr(md5(CAST(c_custkey AS STRING)), 1, 8), 16, 10)
+            |         AS BIGINT) AS v, c_custkey
+            |FROM graft_hu_customer""".stripMargin),
+        Seq(org.apache.spark.sql.functions.col("v"),
+          org.apache.spark.sql.functions.col("c_custkey")), "r", "n")
+      .selectExpr("CAST(v AS DOUBLE) / 4294967296.0 AS x", "r", "n")
+      .createOrReplaceTempView("graft_hu_u")
     spark.sql(
-      """WITH h AS (
-        |  SELECT CAST(conv(substr(md5(CAST(c_custkey AS STRING)), 1, 8), 16, 10)
-        |           AS BIGINT) AS v, c_custkey
-        |  FROM graft_hu_customer),
-        |u AS (
-        |  SELECT CAST(v AS DOUBLE) / 4294967296.0 AS x,
-        |         ROW_NUMBER() OVER (ORDER BY v, c_custkey) AS r,
-        |         COUNT(*) OVER () AS n
-        |  FROM h),
+      """WITH u AS (SELECT x, r, n FROM graft_hu_u),
         |ks AS (
         |  SELECT MAX(ROUND(GREATEST(CAST(r AS DOUBLE) / n - x,
         |                            x - CAST(r - 1 AS DOUBLE) / n), 8)) AS d,
@@ -197,6 +201,21 @@ object Round4Ops119 {
       |       CAST(ks.d AS DOUBLE) AS ks_d_vs_exp
       |FROM fit CROSS JOIN ks""".stripMargin) { (spark, dir) =>
     Tables.load(spark, dir, "events").createOrReplaceTempView("graft_ia_events")
+    // the ECDF rank of every gap via TotalOrder two-phase ranks (the
+    // per-user LAG stays a PARTITIONED window — that one scales); only
+    // the partition-less global rank moved off the single reducer
+    graft.operators.TotalOrder
+      .rowNumberWithCount(
+        spark.sql(
+          """WITH g AS (
+            |  SELECT CAST(unix_micros(ts) - LAG(unix_micros(ts))
+            |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+            |           AS gap
+            |  FROM graft_ia_events)
+            |SELECT gap FROM g WHERE gap IS NOT NULL AND gap > 0""".stripMargin),
+        Seq(org.apache.spark.sql.functions.col("gap")), "r", "n")
+      .selectExpr("CAST(gap AS DOUBLE) AS x", "r", "n")
+      .createOrReplaceTempView("graft_ia_u")
     spark.sql(
       """WITH g AS (
         |  SELECT CAST(unix_micros(ts) - LAG(unix_micros(ts))
@@ -218,11 +237,7 @@ object Round4Ops119 {
         |           CAST(r AS DOUBLE) / u.n - (1 - EXP(-x / fit.mean)),
         |           (1 - EXP(-x / fit.mean)) - CAST(r - 1 AS DOUBLE) / u.n), 8))
         |           AS d
-        |  FROM (
-        |    SELECT CAST(gap AS DOUBLE) AS x,
-        |           ROW_NUMBER() OVER (ORDER BY gap) AS r,
-        |           COUNT(*) OVER () AS n
-        |    FROM v) u CROSS JOIN fit)
+        |  FROM graft_ia_u u CROSS JOIN fit)
         |SELECT CAST(fit.n AS BIGINT) AS n_gaps,
         |       CAST(ROUND(fit.mean / 1000000, 4) AS DOUBLE) AS mean_gap_sec,
         |       CAST(ROUND(1000000 / fit.mean, 6) AS DOUBLE) AS rate_per_sec,

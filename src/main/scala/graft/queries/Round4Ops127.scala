@@ -59,12 +59,19 @@ object Round4Ops127 {
       |FROM emp CROSS JOIN mom
       |ORDER BY j""".stripMargin) { (spark, dir) =>
     Tables.load(spark, dir, "orders").createOrReplaceTempView("graft_qq_orders")
+    // global empirical-quantile ranks via TotalOrder (two-phase range
+    // ranks, internally checkpointed so the three references below
+    // re-read a materialized frame) — the window form single-reduced
+    // every raw order row
+    graft.operators.TotalOrder
+      .rowNumber(
+        spark.sql("""SELECT CAST(o_totalprice AS DOUBLE) AS x, o_orderkey
+                    |FROM graft_qq_orders""".stripMargin),
+        Seq(col("x"), col("o_orderkey")), "rk")
+      .select(col("x"), col("rk"))
+      .createOrReplaceTempView("graft_qq_v")
     spark.sql(
-      """WITH v AS (
-        |  SELECT CAST(o_totalprice AS DOUBLE) AS x,
-        |         ROW_NUMBER() OVER (ORDER BY CAST(o_totalprice AS DOUBLE), o_orderkey)
-        |           AS rk
-        |  FROM graft_qq_orders),
+      """WITH v AS (SELECT x, rk FROM graft_qq_v),
         |n_all AS (SELECT COUNT(*) AS n FROM v),
         |mom AS (
         |  SELECT COUNT(*) AS n,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.Tables
 
@@ -187,12 +188,19 @@ object Round4Ops23 {
       |ORDER BY o.o_orderdate, o.o_orderkey
       |LIMIT 100""".stripMargin) { (spark, dir) =>
     Tables.load(spark, dir, "orders").createOrReplaceTempView("graft_page_orders")
+    // the page anchor (global row #200) via TotalOrder two-phase ranks;
+    // ranking every order through one reducer to read a single anchor
+    // row was the whole query's scale ceiling
+    graft.operators.TotalOrder
+      .rowNumber(
+        spark.sql("SELECT o_orderkey, o_orderdate FROM graft_page_orders"),
+        Seq(col("o_orderdate"), col("o_orderkey")), "rn")
+      .filter(col("rn") === 200)
+      .select(col("o_orderdate").as("d"), col("o_orderkey").as("k"))
+      .localCheckpoint(true)
+      .createOrReplaceTempView("graft_page_anchor")
     spark.sql(
-      """WITH ordered AS (
-        |  SELECT o_orderkey, o_orderdate, o_totalprice,
-        |         ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
-        |  FROM graft_page_orders),
-        |last_of_p2 AS (SELECT o_orderdate AS d, o_orderkey AS k FROM ordered WHERE rn = 200)
+      """WITH last_of_p2 AS (SELECT d, k FROM graft_page_anchor)
         |SELECT o.o_orderkey, date_format(o.o_orderdate, 'yyyy-MM-dd') AS order_date,
         |       CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM graft_page_orders o, last_of_p2

@@ -68,12 +68,20 @@ object Round4Ops42 {
       |FROM per, tot
       |ORDER BY decile""".stripMargin) { (spark, dir) =>
     Tables.load(spark, dir, "orders").createOrReplaceTempView("graft_lift_orders")
+    // decile assignment via TotalOrder.ntile (two-phase range ranks,
+    // bit-equal to the window NTILE) — the window form single-reduced
+    // the whole per-customer spend frame
+    import org.apache.spark.sql.functions.col
+    graft.operators.TotalOrder
+      .ntile(
+        spark.sql(
+          """SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+            |FROM graft_lift_orders GROUP BY o_custkey""".stripMargin),
+        Seq(col("s").desc, col("o_custkey")), 10, "decile")
+      .select(col("s"), col("decile"))
+      .createOrReplaceTempView("graft_lift_ranked")
     spark.sql(
-      """WITH spend AS (
-        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
-        |  FROM graft_lift_orders GROUP BY o_custkey),
-        |ranked AS (
-        |  SELECT s, NTILE(10) OVER (ORDER BY s DESC, o_custkey) AS decile FROM spend),
+      """WITH ranked AS (SELECT s, decile FROM graft_lift_ranked),
         |per AS (
         |  SELECT decile, COUNT(*) AS n, SUM(s) AS ds FROM ranked GROUP BY decile),
         |tot AS (SELECT SUM(ds) AS t, SUM(n) AS cn FROM per)

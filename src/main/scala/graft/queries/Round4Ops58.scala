@@ -107,12 +107,19 @@ object Round4Ops58 {
       |                  / (n * CAST(t AS DOUBLE)), 6) AS DOUBLE) AS gini
       |FROM m""".stripMargin) { (spark, dir) =>
     Tables.load(spark, dir, "orders").createOrReplaceTempView("graft_gini_orders")
+    // the Gini rank index via TotalOrder two-phase ranks — the window
+    // form single-reduced the whole per-customer spend frame
+    import org.apache.spark.sql.functions.col
+    graft.operators.TotalOrder
+      .rowNumber(
+        spark.sql(
+          """SELECT o_custkey, CAST(ROUND(SUM(o_totalprice)) AS BIGINT) AS s
+            |FROM graft_gini_orders GROUP BY o_custkey""".stripMargin),
+        Seq(col("s"), col("o_custkey")), "i")
+      .select(col("s"), col("i"))
+      .createOrReplaceTempView("graft_gini_ranked")
     spark.sql(
-      """WITH spend AS (
-        |  SELECT o_custkey, CAST(ROUND(SUM(o_totalprice)) AS BIGINT) AS s
-        |  FROM graft_gini_orders GROUP BY o_custkey),
-        |ranked AS (
-        |  SELECT s, ROW_NUMBER() OVER (ORDER BY s, o_custkey) AS i FROM spend),
+      """WITH ranked AS (SELECT s, i FROM graft_gini_ranked),
         |m AS (SELECT COUNT(*) AS n, SUM(s) AS t,
         |             SUM((2 * i - 1) * s) AS num FROM ranked)
         |SELECT CAST(n AS BIGINT) AS n_customers,

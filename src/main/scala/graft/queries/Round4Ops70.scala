@@ -140,19 +140,30 @@ object Round4Ops70 {
       |            ((SELECT n1 FROM counts) * (SELECT n2 FROM counts)), 6) AS DOUBLE) AS ks_d
       |FROM gaps""".stripMargin) { (spark, dir) =>
     Tables.load(spark, dir, "events").createOrReplaceTempView("graft_ks_events")
+    // both running ECDF counters in ONE TotalOrder.prefixAggs pass
+    // (two-phase range ranks) — the window form pushed every sampled
+    // event through a single reducer. Ties on `value` are absorbed by
+    // the MAX-per-value collapse downstream, exactly as in the window
+    // form, so the oracle still hash-matches.
+    import org.apache.spark.sql.functions.col
+    val ksSamples = spark.sql(
+      """SELECT value,
+        |       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,
+        |       CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS ig
+        |FROM graft_ks_events
+        |WHERE event_type IN ('purchase', 'view')""".stripMargin)
+    graft.operators.TotalOrder
+      .prefixAggs(ksSamples, Seq(col("value")),
+        sums = Seq("g" -> "c1", "ig" -> "c2"))
+      .select(col("value"), col("c1"), col("c2"))
+      .createOrReplaceTempView("graft_ks_cum")
     spark.sql(
       """WITH samples AS (
         |  SELECT value, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g
         |  FROM graft_ks_events WHERE event_type IN ('purchase', 'view')),
         |counts AS (
         |  SELECT SUM(g) AS n1, SUM(1 - g) AS n2 FROM samples),
-        |cum AS (
-        |  SELECT value,
-        |         SUM(g) OVER (ORDER BY value
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
-        |         SUM(1 - g) OVER (ORDER BY value
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
-        |  FROM samples),
+        |cum AS (SELECT value, c1, c2 FROM graft_ks_cum),
         |at_value AS (
         |  SELECT value, MAX(c1) AS c1, MAX(c2) AS c2 FROM cum GROUP BY value),
         |gaps AS (

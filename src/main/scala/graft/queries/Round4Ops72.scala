@@ -122,22 +122,32 @@ object Round4Ops72 {
       |            AS DOUBLE) AS z
       |FROM m2""".stripMargin) { (spark, dir) =>
     Tables.load(spark, dir, "events").createOrReplaceTempView("graft_runs_events")
+    // both global ranks via TotalOrder (arrival index + value rank for
+    // the median); the LAG becomes an equi-join on the DENSE index
+    // (p.i = s.i - 1) — predecessor lookup as a shuffle join on i, not
+    // a single-reducer global sort of every purchase row
+    val runsSeq = graft.operators.TotalOrder
+      .rowNumber(
+        spark.sql("""SELECT value, ts, event_id FROM graft_runs_events
+                    |WHERE event_type = 'purchase'""".stripMargin),
+        Seq(col("ts"), col("event_id")), "i")
+      .select(col("value"), col("i"))
+    runsSeq.createOrReplaceTempView("graft_runs_seq")
+    graft.operators.TotalOrder
+      .rowNumberWithCount(runsSeq, Seq(col("value")), "r", "n")
+      .filter(col("r") === floor((col("n") + 1) / 2).cast("int"))
+      .select(col("value").as("m"))
+      .localCheckpoint(true)
+      .createOrReplaceTempView("graft_runs_med")
     spark.sql(
-      """WITH seq AS (
-        |  SELECT value, ROW_NUMBER() OVER (ORDER BY ts, event_id) AS i
-        |  FROM graft_runs_events WHERE event_type = 'purchase'),
-        |med AS (
-        |  SELECT value AS m FROM (
-        |    SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS r, COUNT(*) OVER () AS n
-        |    FROM seq) t
-        |  WHERE r = CAST(FLOOR((n + 1) / 2) AS INT)),
+      """WITH seq AS (SELECT value, i FROM graft_runs_seq),
+        |med AS (SELECT m FROM graft_runs_med),
         |signs AS (
         |  SELECT i, CASE WHEN value > (SELECT m FROM med) THEN 1 ELSE 0 END AS s
         |  FROM seq),
         |runs AS (
-        |  SELECT s, CASE WHEN LAG(s) OVER (ORDER BY i) IS NULL
-        |                   OR LAG(s) OVER (ORDER BY i) <> s THEN 1 ELSE 0 END AS new_run
-        |  FROM signs),
+        |  SELECT s.s, CASE WHEN p.s IS NULL OR p.s <> s.s THEN 1 ELSE 0 END AS new_run
+        |  FROM signs s LEFT JOIN signs p ON p.i = s.i - 1),
         |m2 AS (
         |  SELECT SUM(new_run) AS r, SUM(s) AS n1, SUM(1 - s) AS n2 FROM runs)
         |SELECT CAST(r AS BIGINT) AS runs,

@@ -47,24 +47,33 @@ object Round4Ops80 {
       |         AS emd
       |FROM terms""".stripMargin) { (spark, dir) =>
     Tables.load(spark, dir, "events").createOrReplaceTempView("graft_emd_events")
+    // running ECDF counters via ONE TotalOrder.prefixAggs pass, and the
+    // LEAD over distinct values as an equi-join on the dense TotalOrder
+    // rank (b.rn = a.rn + 1) — the window forms pushed every sampled
+    // event (and then every distinct value) through a single reducer
+    import org.apache.spark.sql.functions.{col, max}
+    val emdSamples = spark.sql(
+      """SELECT value,
+        |       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,
+        |       CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS ig
+        |FROM graft_emd_events
+        |WHERE event_type IN ('purchase', 'view')""".stripMargin)
+    val emdAtValue = graft.operators.TotalOrder
+      .prefixAggs(emdSamples, Seq(col("value")),
+        sums = Seq("g" -> "c1", "ig" -> "c2"))
+      .groupBy(col("value"))
+      .agg(max(col("c1")).as("c1"), max(col("c2")).as("c2"))
+    graft.operators.TotalOrder
+      .rowNumber(emdAtValue, Seq(col("value")), "rn")
+      .createOrReplaceTempView("graft_emd_sl")
     spark.sql(
       """WITH samples AS (
         |  SELECT value, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g
         |  FROM graft_emd_events WHERE event_type IN ('purchase', 'view')),
         |counts AS (SELECT SUM(g) AS n1, SUM(1 - g) AS n2 FROM samples),
-        |cum AS (
-        |  SELECT value,
-        |         SUM(g) OVER (ORDER BY value
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
-        |         SUM(1 - g) OVER (ORDER BY value
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
-        |  FROM samples),
-        |at_value AS (
-        |  SELECT value, MAX(c1) AS c1, MAX(c2) AS c2 FROM cum GROUP BY value),
         |slices AS (
-        |  SELECT value, c1, c2,
-        |         LEAD(value) OVER (ORDER BY value) AS next_v
-        |  FROM at_value),
+        |  SELECT a.value, a.c1, a.c2, b.value AS next_v
+        |  FROM graft_emd_sl a LEFT JOIN graft_emd_sl b ON b.rn = a.rn + 1),
         |terms AS (
         |  SELECT CAST(ROUND(ABS(c1 * (SELECT n2 FROM counts) -
         |                         c2 * (SELECT n1 FROM counts)) * (next_v - value), 12)

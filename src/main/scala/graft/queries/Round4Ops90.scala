@@ -43,19 +43,29 @@ object Round4Ops90 {
       |FROM m""".stripMargin) { (spark, dir) =>
     Tables.load(spark, dir, "orders").createOrReplaceTempView("graft_sp_orders")
     Tables.load(spark, dir, "customer").createOrReplaceTempView("graft_sp_customer")
+    // both rank columns via chained TotalOrder passes (rowNumber keeps
+    // every input column, so the second ranking runs over the first's
+    // output) — each window form single-reduced the whole per-customer
+    // frame, twice
+    import org.apache.spark.sql.functions.col
+    val spJoined = spark.sql(
+      """SELECT c.c_custkey,
+        |       CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal,
+        |       s.cents
+        |FROM graft_sp_customer c
+        |JOIN (SELECT o_custkey,
+        |             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |               AS cents
+        |      FROM graft_sp_orders GROUP BY o_custkey) s
+        |  ON c.c_custkey = s.o_custkey""".stripMargin)
+    val rankedX = graft.operators.TotalOrder
+      .rowNumber(spJoined, Seq(col("bal"), col("c_custkey")), "rx")
+    graft.operators.TotalOrder
+      .rowNumber(rankedX, Seq(col("cents"), col("c_custkey")), "ry")
+      .select(col("rx"), col("ry"))
+      .createOrReplaceTempView("graft_sp_ranked")
     spark.sql(
-      """WITH spend AS (
-        |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
-        |           AS cents
-        |  FROM graft_sp_orders GROUP BY o_custkey),
-        |joined AS (
-        |  SELECT c.c_custkey, CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |           AS bal, s.cents
-        |  FROM graft_sp_customer c JOIN spend s ON c.c_custkey = s.o_custkey),
-        |ranked AS (
-        |  SELECT ROW_NUMBER() OVER (ORDER BY bal, c_custkey) AS rx,
-        |         ROW_NUMBER() OVER (ORDER BY cents, c_custkey) AS ry
-        |  FROM joined),
+      """WITH ranked AS (SELECT rx, ry FROM graft_sp_ranked),
         |m AS (
         |  SELECT COUNT(*) AS n, SUM(rx) AS sx, SUM(ry) AS sy,
         |         SUM(rx * ry) AS sxy,
