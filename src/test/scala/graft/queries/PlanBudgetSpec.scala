@@ -58,6 +58,24 @@ class PlanBudgetSpec extends SparkSpec {
     "dedup_minhash_lsh" -> Budget(4, 10, 10),
     "s15_scd2_merge" -> Budget(10, 12, 8),
     "graph_shortest_paths" -> Budget(2, 0, 64),
+    // the round-7 partition-less-window sweep: these 12 moved from a
+    // single-reducer global window to TotalOrder two-phase ranks, and
+    // the budgets pin the new shape (the eager checkpoints inside
+    // TotalOrder are the deliberate constant cost; a regression back to
+    // the window form shows as a shuffle-count DROP, which is fine, but
+    // a second materialization sneaking in trips the job ceiling)
+    "a92_cochran_armitage" -> Budget(4, 2, 18),
+    "stat_qq_normal" -> Budget(15, 12, 19),
+    "ml_tree_stump" -> Budget(14, 12, 19),
+    "o5_keyset_pagination" -> Budget(0, 2, 12),
+    "a51_runs_test" -> Budget(12, 5, 30),
+    "a49_ks_test" -> Budget(22, 2, 14),
+    "dq_hash_uniformity" -> Budget(25, 21, 22),
+    "a64_spearman" -> Budget(8, 2, 22),
+    "a34_decile_lift" -> Budget(23, 11, 20),
+    "a43_gini" -> Budget(8, 2, 12),
+    "ts_emd_drift" -> Budget(21, 6, 24),
+    "event_interarrival" -> Budget(20, 10, 21),
   )
 
   // +2 jobs and +2 exchanges of headroom: AQE finalizes plans from
