@@ -60,7 +60,7 @@ final class TableStore(val spark: SparkSession, val root: String,
     table.split('.').foldLeft(Paths.get(root))(_ resolve _)
 
   /** Flattened name for tmp/trash staging at the warehouse root. */
-  private def flat(table: String): String = table.replace('.', '_')
+  private[operators] def flat(table: String): String = table.replace('.', '_')
 
   def exists(table: String): Boolean = Files.exists(dir(table))
 
@@ -210,7 +210,7 @@ final class TableStore(val spark: SparkSession, val root: String,
       .map(_.getName.takeWhile(_ != '='))
       .distinct.toSeq
 
-  private def stage(table: String, df: DataFrame, numFiles: Int,
+  private[operators] def stage(table: String, df: DataFrame, numFiles: Int,
       partitionBy: Seq[String] = Nil): Path = {
     val tmp = Paths.get(root, s".tmp-${flat(table)}-${System.nanoTime()}")
     val out = if (numFiles > 0) df.coalesce(numFiles) else df
@@ -221,7 +221,7 @@ final class TableStore(val spark: SparkSession, val root: String,
     tmp
   }
 
-  private def swapIn(table: String, tmp: Path): Unit = {
+  private[operators] def swapIn(table: String, tmp: Path): Unit = {
     val target = dir(table)
     if (Files.exists(target)) {
       val oldV = currentVersion(table)
@@ -706,7 +706,7 @@ final class TableStore(val spark: SparkSession, val root: String,
     if (retainVersions >= 0) vacuumVersions(table, retainVersions)
   }
 
-  private def deleteRecursively(p: Path): Unit = {
+  private[operators] def deleteRecursively(p: Path): Unit = {
     // Files.walk holds open DirectoryStreams — close or leak handles
     val stream = Files.walk(p)
     try stream.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
@@ -754,6 +754,15 @@ final class TableStore(val spark: SparkSession, val root: String,
           .map { case (n, t) => s"$n:${t.simpleString}" }.mkString(",")}")
     val tmp = stage(table, df, numFiles = 0)
     crashHook("append:staged")
+    appendStaged(table, tmp)
+  }
+
+  /** Commit half of [[append]]: assemble and swap in a generation that
+    * adds the pre-staged files in `tmp` to the CURRENT generation.
+    * Caller must hold the table lock; the staged files' schema must
+    * already be verified against the generation the swap lands on.
+    */
+  private[operators] def appendStaged(table: String, tmp: Path): Unit = {
     // assemble the NEXT generation aside: hardlinked current data files
     // (stale _manifest/_strstats deliberately left behind — new files
     // are absent from them, and readPruned would otherwise skip
@@ -790,6 +799,15 @@ final class TableStore(val spark: SparkSession, val root: String,
       s"null $partCol partition values are not supported by the partition-aligned path")
     val tmp = stage(table, df, numFiles = 0, partitionBy = Seq(partCol))
     crashHook("opart:staged")
+    applyStagedPartitions(table, tmp, partCol, values)
+  }
+
+  /** Commit half of [[overwritePartitions]]: swap the pre-staged
+    * partition directories in `tmp` into the CURRENT generation (and
+    * consume `tmp`). Caller must hold the table lock.
+    */
+  private[operators] def applyStagedPartitions(
+      table: String, tmp: Path, partCol: String, values: Seq[Any]): Unit = {
     snapshotCurrent(table) // hardlink snapshot AFTER staging succeeds
     crashHook("opart:snapshotted")
     // in-flight intent marker: the partition loop below mutates the
