@@ -72,6 +72,17 @@ final case class OccTxn(table: String, readVersion: Int)
   */
 final class OptimisticWriter(val store: TableStore) {
 
+  /** Instrumentation hook: called with the nanoseconds each commit
+    * spent INSIDE the table lock (the serial fraction of a writer
+    * fleet — what [[graft.StressOcc]] measures). No-op in production.
+    */
+  private[graft] var commitTimer: Long => Unit = _ => ()
+
+  private def timed[T](body: => T): T = {
+    val t0 = System.nanoTime()
+    try body finally commitTimer(System.nanoTime() - t0)
+  }
+
   /** Open a transaction against the table's current version. */
   def begin(table: String): OccTxn = {
     require(store.exists(table),
@@ -96,21 +107,19 @@ final class OptimisticWriter(val store: TableStore) {
       s"append targets unpartitioned tables; '${txn.table}' is partitioned — " +
         "use commitReplacePartitions")
     val tmp = store.stage(txn.table, df, numFiles = 0)
-    store.withTableLock(txn.table) {
+    cleanupOnConflict(tmp) { store.withTableLock(txn.table) { timed {
       // metadata conflict check: the schema the staged files must land
       // beside is the CURRENT one, not the snapshot's
       val live = store.read(txn.table).schema.map(f => f.name -> f.dataType).toMap
       val staged = store.spark.read.parquet(tmp.toString)
         .schema.map(f => f.name -> f.dataType).toMap
-      if (live != staged) {
-        store.deleteRecursively(tmp)
+      if (live != staged)
         throw new ConcurrentWriteException(txn.table, txn.readVersion,
           store.currentVersion(txn.table),
           "the table's schema changed under the append")
-      }
       store.appendStaged(txn.table, tmp)
       logCommit(txn.table, "append", None)
-    }
+    } } }
   }
 
   /** Full-table compare-and-swap: commits only if NOTHING landed since
@@ -120,16 +129,14 @@ final class OptimisticWriter(val store: TableStore) {
   def commitOverwrite(txn: OccTxn, df: DataFrame, numFiles: Int = 0,
       partitionBy: Seq[String] = Nil): Int = {
     val tmp = store.stage(txn.table, df, numFiles, partitionBy)
-    store.withTableLock(txn.table) {
+    cleanupOnConflict(tmp) { store.withTableLock(txn.table) { timed {
       val cur = store.currentVersion(txn.table)
-      if (cur != txn.readVersion) {
-        store.deleteRecursively(tmp)
+      if (cur != txn.readVersion)
         throw new ConcurrentWriteException(txn.table, txn.readVersion, cur,
           "a full-table overwrite conflicts with every intervening commit")
-      }
       store.swapIn(txn.table, tmp)
       logCommit(txn.table, "overwrite", None)
-    }
+    } } }
   }
 
   /** Partition-scoped replace: commits as long as every intervening
@@ -147,18 +154,16 @@ final class OptimisticWriter(val store: TableStore) {
       values.map(v => s"$partCol=${ExternalCatalogUtils.escapePathName(v.toString)}")
         .toSet
     val tmp = store.stage(txn.table, df, numFiles = 0, partitionBy = Seq(partCol))
-    store.withTableLock(txn.table) {
+    cleanupOnConflict(tmp) { store.withTableLock(txn.table) { timed {
       val cur = store.currentVersion(txn.table)
       ((txn.readVersion + 1) to cur).foreach { v =>
         touchedBy(txn.table, v) match {
           case Some(parts) if parts.intersect(mine).isEmpty => // disjoint: rebase
           case Some(parts) =>
-            store.deleteRecursively(tmp)
             throw new ConcurrentWriteException(txn.table, txn.readVersion, cur,
               s"v$v rewrote overlapping partitions: " +
                 parts.intersect(mine).toSeq.sorted.mkString(", "))
           case None =>
-            store.deleteRecursively(tmp)
             throw new ConcurrentWriteException(txn.table, txn.readVersion, cur,
               s"v$v has no commit record (a legacy or interrupted writer) — " +
                 "treated as a full-table touch")
@@ -166,7 +171,7 @@ final class OptimisticWriter(val store: TableStore) {
       }
       store.applyStagedPartitions(txn.table, tmp, partCol, values)
       logCommit(txn.table, "replace", Some(mine))
-    }
+    } } }
   }
 
   /** Run `body` (begin → stage → commit) until it commits, retrying on
@@ -184,6 +189,20 @@ final class OptimisticWriter(val store: TableStore) {
     }
     sys.error("unreachable")
   }
+
+  /** A conflicted transaction must leave no trace, but its staged
+    * directory can be large — delete it AFTER the lock is released so
+    * losers don't stretch every winner's critical section. Non-conflict
+    * failures keep the staging dir as crash evidence for
+    * [[TableStore.recover]].
+    */
+  private def cleanupOnConflict[T](tmp: Path)(body: => T): T =
+    try body
+    catch {
+      case e: ConcurrentWriteException =>
+        if (Files.exists(tmp)) store.deleteRecursively(tmp)
+        throw e
+    }
 
   // ---- commit log -----------------------------------------------------
 
