@@ -174,6 +174,48 @@ final class OptimisticWriter(val store: TableStore) {
     } } }
   }
 
+  /** SCD1 MERGE as an optimistic transaction — the op the whole layer
+    * exists for: a merge's Spark work (three key-wise joins over the
+    * snapshot) is exactly the long-running stage that must NOT hold the
+    * table lock. When the table is partitioned by a merge key, the
+    * merge is partition-scoped: only partitions PRESENT in the source
+    * are read (partition-pruned snapshot scan), merged, and committed
+    * via [[commitReplacePartitions]] — so concurrent merges into
+    * disjoint partition sets (per-region feeds, per-day backfills)
+    * commit without retries. Otherwise it degrades to a full CAS
+    * overwrite. Conflicts retry with a fresh snapshot up to
+    * `maxAttempts`. Returns the committed version (or the snapshot
+    * version untouched for an empty source).
+    *
+    * The partition-scoped path is sound because the partition column
+    * being a MERGE KEY means an update can never move a row across
+    * partitions, and inserts land only in source-present partitions —
+    * the same constraint Delta's `replaceWhere` merges rely on.
+    */
+  def mergeScd1(table: String, source: DataFrame, keys: Seq[String],
+      updateCols: Seq[String], maxAttempts: Int = 3): Int =
+    withRetry(maxAttempts) { () =>
+      val txn = begin(table)
+      val snapshot = readSnapshot(txn)
+      store.partitionColumns(table) match {
+        case Seq(pc) if keys.contains(pc) =>
+          import org.apache.spark.sql.functions.col
+          val touched = source.select(col(pc)).distinct()
+            .collect().map(_.get(0)).toSeq
+          require(!touched.contains(null),
+            s"source rows with a null partition key '$pc' cannot merge " +
+              "through the partition-aligned path")
+          if (touched.isEmpty) txn.readVersion
+          else commitReplacePartitions(txn,
+            Merge.scd1(snapshot.filter(col(pc).isInCollection(touched)),
+              source, keys, updateCols),
+            pc, touched)
+        case parts =>
+          commitOverwrite(txn, Merge.scd1(snapshot, source, keys, updateCols),
+            partitionBy = parts)
+      }
+    }
+
   /** Run `body` (begin → stage → commit) until it commits, retrying on
     * [[ConcurrentWriteException]] with a fresh snapshot each attempt —
     * the standard optimistic loop. Non-conflict failures propagate
