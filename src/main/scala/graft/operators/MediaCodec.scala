@@ -618,6 +618,223 @@ object MediaCodec {
     AviData(width, height, usPerFrame, fs)
   }
 
+  // ---- GIF87a (palette-indexed, REAL LZW) -----------------------------
+
+  /** Standards-correct minimal GIF87a: one image, global color table,
+    * non-interlaced, REAL variable-width LZW (clear/EOI codes, code
+    * width growth, 4096-entry dictionary reset, LSB-first bit packing,
+    * ≤255-byte sub-blocks). `palette` must be a power-of-two size in
+    * [2, 256]; `index(x, y)` returns the palette index of the pixel at
+    * (x, y) with y=0 the top row. LZW here is the OTHER compressed
+    * family next to PNG's DEFLATE — dictionary coding instead of
+    * LZ77+Huffman — so the decode seam covers both.
+    */
+  def encodeGif(width: Int, height: Int, palette: Array[Int],
+      index: (Int, Int) => Int): Array[Byte] = {
+    checkDims(width, height, "GIF")
+    require(palette.length >= 2 && palette.length <= 256 &&
+      Integer.bitCount(palette.length) == 1,
+      s"GIF palette must be a power-of-two size in [2,256], got ${palette.length}")
+    val bits = math.max(1, 31 - Integer.numberOfLeadingZeros(palette.length))
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF87a".getBytes("US-ASCII"))
+    u16(width); u16(height)
+    out.write(0x80 | ((bits - 1) << 4) | (bits - 1)) // GCT present, size
+    out.write(0) // background color index
+    out.write(0) // no aspect ratio
+    palette.foreach { c =>
+      out.write((c >> 16) & 0xff); out.write((c >> 8) & 0xff); out.write(c & 0xff)
+    }
+    out.write(0x2c) // image descriptor
+    u16(0); u16(0); u16(width); u16(height)
+    out.write(0) // no local table, not interlaced
+    // LZW minimum code size (GIF mandates >= 2 even for 2-color images)
+    val minCode = math.max(2, bits)
+    out.write(minCode)
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    // bit packer: LSB-first into sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitLen = 0
+    def putCode(code: Int, width0: Int): Unit = {
+      bitBuf |= code.toLong << bitLen; bitLen += width0
+      while (bitLen >= 8) { data.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitLen -= 8 }
+    }
+    // dictionary: (prefix code, next byte) -> code, reset on clear
+    var codeWidth = minCode + 1
+    var next = eoi + 1
+    val dict = new java.util.HashMap[Integer, Integer]()
+    def dictKey(prefix: Int, k: Int): Integer = Integer.valueOf((prefix << 8) | k)
+    putCode(clear, codeWidth)
+    var cur = -1
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val k = index(x, y)
+        require(k >= 0 && k < palette.length,
+          s"pixel index $k outside the ${palette.length}-entry palette")
+        if (cur < 0) cur = k
+        else {
+          val hit = dict.get(dictKey(cur, k))
+          if (hit != null) cur = hit.intValue()
+          else {
+            putCode(cur, codeWidth)
+            dict.put(dictKey(cur, k), Integer.valueOf(next))
+            if (next == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+            next += 1
+            if (next > 4095) { // dictionary full: reset (exercises decoder clears)
+              putCode(clear, codeWidth)
+              dict.clear(); next = eoi + 1; codeWidth = minCode + 1
+            }
+            cur = k
+          }
+        }
+        x += 1
+      }
+      y += 1
+    }
+    if (cur >= 0) putCode(cur, codeWidth)
+    putCode(eoi, codeWidth)
+    if (bitLen > 0) data.write((bitBuf & 0xff).toInt)
+    // package into <=255-byte sub-blocks
+    val payload = data.toByteArray
+    var off = 0
+    while (off < payload.length) {
+      val n = math.min(255, payload.length - off)
+      out.write(n); out.write(payload, off, n); off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Strict GIF87a/89a decoder for the single-image shapes a data
+    * pipeline meets: global or local color table, extensions skipped,
+    * REAL LZW decompression (deferred-clear tolerant, KwKwK case,
+    * width growth mirrored with the encoder, 12-bit cap). Interlaced
+    * images and truncated streams are refused loudly.
+    */
+  def decodeGif(bytes: Array[Byte]): ImageData = {
+    require(bytes.length >= 13, "truncated GIF header")
+    val sig = new String(bytes, 0, 6, "US-ASCII")
+    require(sig == "GIF87a" || sig == "GIF89a", s"not a GIF: $sig")
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    var pos = 6
+    pos += 4 // logical screen w/h (per-image descriptor dims are authoritative)
+    val flags = bytes(pos) & 0xff; pos += 3
+    var palette: Array[Int] = null
+    if ((flags & 0x80) != 0) {
+      val n = 2 << (flags & 7)
+      require(bytes.length >= pos + 3 * n, "truncated global color table")
+      palette = Array.tabulate(n)(i => ((bytes(pos + 3 * i) & 0xff) << 16) |
+        ((bytes(pos + 3 * i + 1) & 0xff) << 8) | (bytes(pos + 3 * i + 2) & 0xff))
+      pos += 3 * n
+    }
+    // walk blocks to the first image descriptor
+    while (pos < bytes.length && (bytes(pos) & 0xff) == 0x21) {
+      pos += 2 // extension introducer + label
+      while ({ require(pos < bytes.length, "truncated extension"); (bytes(pos) & 0xff) != 0 })
+        pos += 1 + (bytes(pos) & 0xff)
+      pos += 1
+    }
+    require(pos < bytes.length && (bytes(pos) & 0xff) == 0x2c,
+      "no image descriptor (animated/exotic layout not supported)")
+    val width = u16(pos + 5); val height = u16(pos + 7)
+    val iflags = bytes(pos + 9) & 0xff
+    pos += 10
+    require((iflags & 0x40) == 0, "interlaced GIF not supported")
+    if ((iflags & 0x80) != 0) { // local color table wins
+      val n = 2 << (iflags & 7)
+      require(bytes.length >= pos + 3 * n, "truncated local color table")
+      palette = Array.tabulate(n)(i => ((bytes(pos + 3 * i) & 0xff) << 16) |
+        ((bytes(pos + 3 * i + 1) & 0xff) << 8) | (bytes(pos + 3 * i + 2) & 0xff))
+      pos += 3 * n
+    }
+    require(palette != null, "GIF has neither global nor local color table")
+    checkDims(width, height, "GIF")
+    val minCode = bytes(pos) & 0xff; pos += 1
+    require(minCode >= 2 && minCode <= 11, s"bad LZW minimum code size $minCode")
+    // concatenate sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    while ({ require(pos < bytes.length, "truncated image data"); (bytes(pos) & 0xff) != 0 }) {
+      val n = bytes(pos) & 0xff
+      require(bytes.length >= pos + 1 + n, "truncated data sub-block")
+      data.write(bytes, pos + 1, n); pos += 1 + n
+    }
+    val lzw = data.toByteArray
+    // LZW decode: table of (prefix, suffix) chains
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    var next = eoi + 1
+    var codeWidth = minCode + 1
+    var bitBuf = 0L; var bitLen = 0; var bp = 0
+    def readCode(): Int = {
+      while (bitLen < codeWidth) {
+        if (bp >= lzw.length) return eoi // truncation ends the stream
+        bitBuf |= (lzw(bp) & 0xffL) << bitLen; bitLen += 8; bp += 1
+      }
+      val c = (bitBuf & ((1L << codeWidth) - 1)).toInt
+      bitBuf >>>= codeWidth; bitLen -= codeWidth
+      c
+    }
+    val pixels = new Array[Int](width * height)
+    var nOut = 0
+    val stack = new Array[Int](4097)
+    def emitChain(code: Int): Int = { // returns the chain's FIRST byte
+      var sp = 0
+      var c = code
+      while (c >= clear) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+      val first = c
+      require(nOut + sp + 1 <= pixels.length, "LZW output overruns the raster")
+      pixels(nOut) = first; nOut += 1
+      while (sp > 0) { sp -= 1; pixels(nOut) = stack(sp); nOut += 1 }
+      first
+    }
+    var prev = -1
+    var done = false
+    while (!done) {
+      val code = readCode()
+      if (code == eoi) done = true
+      else if (code == clear) {
+        next = eoi + 1; codeWidth = minCode + 1; prev = -1
+      } else if (prev < 0) {
+        require(code < clear, s"first code after clear must be literal, got $code")
+        require(nOut < pixels.length, "LZW output overruns the raster")
+        pixels(nOut) = code; nOut += 1
+        prev = code
+      } else {
+        require(code <= next, s"LZW code $code beyond table size $next")
+        val first =
+          if (code == next) { // KwKwK: output = chain(prev) ++ [firstOf(prev)]
+            val f = emitChain(prev)
+            require(nOut < pixels.length, "LZW output overruns the raster")
+            pixels(nOut) = f; nOut += 1
+            f
+          } else emitChain(code)
+        if (next < 4096) {
+          prefix(next) = prev; suffix(next) = first
+          if (next + 1 == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+          next += 1
+        }
+        prev = code
+      }
+    }
+    require(nOut == pixels.length,
+      s"LZW stream produced $nOut pixels for a ${width}x$height raster")
+    val rgb = new Array[Int](pixels.length)
+    var i = 0
+    while (i < pixels.length) {
+      val k = pixels(i)
+      require(k < palette.length, s"pixel index $k outside the palette")
+      rgb(i) = palette(k); i += 1
+    }
+    ImageData(width, height, rgb)
+  }
+
   // ---- dispatch -------------------------------------------------------
 
   /** Decode when the payload's leading bytes AND validated structure
@@ -637,6 +854,8 @@ object MediaCodec {
       scala.util.Try(decodeBmp(bytes)).toOption.map(DecodedImage)
     else if (bytes(0) == 'P' && bytes(1) == '6')
       scala.util.Try(decodePpm(bytes)).toOption.map(DecodedImage)
+    else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
+      scala.util.Try(decodeGif(bytes)).toOption.map(DecodedImage)
     else if (bytes(0) == PngSig(0) && bytes(1) == PngSig(1) &&
         bytes(2) == PngSig(2) && bytes(3) == PngSig(3))
       scala.util.Try(decodePng(bytes)).toOption.map(DecodedImage)

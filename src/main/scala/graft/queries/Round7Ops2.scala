@@ -75,5 +75,58 @@ object Round7Ops2 {
       .orderBy(col("o_orderpriority"))
   }
 
-  val all: Seq[OpQuery] = Seq(occ_disjoint_writers)
+  /** GIF87a decode through REAL variable-width LZW — the second
+    * compressed family next to PNG's DEFLATE (dictionary coding vs
+    * LZ77+Huffman). Per-document GIFs are synthesized with a formulaic
+    * 64-color palette, decoded back through
+    * [[graft.operators.MediaCodec.decodeGif]], and the oracle replays
+    * palette + index formulas over generate_series — a slip in the
+    * LSB-first bit unpacking, code-width growth, dictionary reset, or
+    * palette resolution hash-fails.
+    */
+  val mm_gif_decode = OpQuery(
+    "mm_gif_decode",
+    """WITH g AS (
+      |  SELECT doc_id,
+      |         4 + CAST(doc_id % 13 AS INT) AS w,
+      |         3 + CAST(doc_id % 7 AS INT) AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h, (doc_id + 3 * x.x + 5 * y.y) % 64 AS i
+      |  FROM g,
+      |       LATERAL unnest(generate_series(0, w - 1)) AS x(x),
+      |       LATERAL unnest(generate_series(0, h - 1)) AS y(y))
+      |SELECT doc_id AS media_id,
+      |       CAST(MAX(w) AS INT) AS width,
+      |       CAST(MAX(h) AS INT) AS height,
+      |       CAST(SUM((7 * i) % 256) AS BIGINT) AS sum_r,
+      |       CAST(SUM((11 * i) % 256) AS BIGINT) AS sum_g,
+      |       CAST(SUM((5 * i + 3) % 256) AS BIGINT) AS sum_b
+      |FROM px GROUP BY doc_id
+      |ORDER BY media_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.operators.MediaCodec
+    val palette = Array.tabulate(64)(i =>
+      (((7 * i) % 256) << 16) | (((11 * i) % 256) << 8) | ((5 * i + 3) % 256))
+    Tables.load(spark, dir, "documents").select("doc_id").as[Long]
+      .mapPartitions(_.map { d =>
+        val w = 4 + (d % 13).toInt
+        val h = 3 + (d % 7).toInt
+        (d, MediaCodec.encodeGif(w, h, palette,
+          (x, y) => ((d + 3 * x + 5 * y) % 64).toInt))
+      })
+      .map { case (d, payload) =>
+        val img = MediaCodec.decodeGif(payload) // the real LZW under test
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < img.rgb.length) {
+          sr += img.r(i); sg += img.g(i); sb += img.b(i); i += 1
+        }
+        (d, img.width, img.height, sr, sg, sb)
+      }
+      .toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
+      .orderBy(col("media_id"))
+  }
+
+  val all: Seq[OpQuery] = Seq(occ_disjoint_writers, mm_gif_decode)
 }

@@ -319,4 +319,68 @@ class MultimodalSpec extends SparkSpec {
       case _ => false
     })
   }
+
+  test("GIF roundtrip: LZW bit-exact across sizes, widths, and palette sizes") {
+    for ((w, h, palBits) <- Seq((1, 1, 1), (3, 2, 2), (7, 5, 4), (41, 17, 6),
+        (64, 64, 8), (255, 31, 6))) {
+      val pal = Array.tabulate(1 << palBits)(i =>
+        (((7 * i) % 256) << 16) | (((11 * i) % 256) << 8) | ((5 * i + 3) % 256))
+      def idx(x: Int, y: Int): Int = (x * 31 + y * 7 + x * y) % pal.length
+      val img = MediaCodec.decodeGif(MediaCodec.encodeGif(w, h, pal, idx))
+      assert(img.width == w && img.height == h)
+      var i = 0
+      while (i < w * h) {
+        val x = i % w; val y = i / w
+        assert(img.rgb(i) == pal(idx(x, y)), s"pixel ($x,$y) at ${w}x$h/$palBits")
+        i += 1
+      }
+    }
+  }
+
+  test("GIF: dictionary-reset path (>4096 LZW entries) decodes bit-exact") {
+    // a large noisy image forces the 12-bit table to fill and the
+    // encoder to emit mid-stream clear codes
+    val pal = Array.tabulate(256)(i => (i << 16) | (((i * 31) % 256) << 8) | ((i * 7) % 256))
+    def idx(x: Int, y: Int): Int = ((x * 2654435761L + y * 40503L) % 256).toInt
+    val (w, h) = (200, 150)
+    val bytes = MediaCodec.encodeGif(w, h, pal, idx)
+    val img = MediaCodec.decodeGif(bytes)
+    var i = 0
+    while (i < w * h) {
+      assert(img.rgb(i) == pal(idx(i % w, i / w)), s"pixel $i after dict reset")
+      i += 1
+    }
+  }
+
+  test("GIF: KwKwK runs (immediate repeat patterns) decode bit-exact") {
+    // constant rasters hit the code==next case on the very first steps
+    val pal = Array.tabulate(4)(i => i * 0x010101 * 80)
+    for (c <- 0 until 4) {
+      val img = MediaCodec.decodeGif(MediaCodec.encodeGif(9, 7, pal, (_, _) => c))
+      assert(img.rgb.forall(_ == pal(c)), s"constant raster of palette index $c")
+    }
+  }
+
+  test("GIF refusals: interlace, truncation, bad palette sizes, raster mismatch") {
+    val pal = Array.tabulate(4)(i => i * 40)
+    val good = MediaCodec.encodeGif(6, 4, pal, (x, y) => (x + y) % 4)
+    // interlace flag set in the image descriptor
+    val inter = good.clone()
+    // image descriptor starts right after header(13) + GCT(12)
+    inter(13 + 12 + 9) = (inter(13 + 12 + 9) | 0x40).toByte
+    intercept[IllegalArgumentException] { MediaCodec.decodeGif(inter) }
+    // truncated mid-data
+    intercept[IllegalArgumentException] {
+      MediaCodec.decodeGif(java.util.Arrays.copyOf(good, good.length - 4))
+    }
+    // non-power-of-two palette refused at encode time
+    intercept[IllegalArgumentException] {
+      MediaCodec.encodeGif(2, 2, Array.tabulate(3)(identity), (_, _) => 0)
+    }
+    // decodeAny dispatches GIFs and stays None for near-miss magic
+    assert(MediaCodec.decodeAny(good).collect {
+      case MediaCodec.DecodedImage(i) => (i.width, i.height) }.contains((6, 4)))
+    val bad = good.clone(); bad(2) = 'X'.toByte
+    assert(MediaCodec.decodeAny(bad).isEmpty)
+  }
 }
