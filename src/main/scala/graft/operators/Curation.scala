@@ -265,4 +265,73 @@ object Curation {
         coalesce(col("__n_total"), lit(0L)) - col("n_lines_kept"))
       .drop("__n_total")
   }
+
+  // --------------------------------------- duplicated-span REMOVAL
+  /** Exact substring deduplication — the full rewrite step behind
+    * [[duplicatedSpans]]'s audit (Lee et al. "Deduplicating Training
+    * Data Makes Language Models Better", the ExactSubstr variant):
+    * every `n`-token window whose fingerprint occurs in >= `minDocs`
+    * distinct documents is CUT from every document; overlapping
+    * duplicated windows merge into one maximal removed span, and each
+    * document is rebuilt from its surviving tokens in original order.
+    *
+    * Matching is case-insensitive (fingerprints are over lowercased
+    * tokens, the [[duplicatedSpans]] convention) but the rebuilt text
+    * keeps the original-case tokens — positions align because
+    * lowercasing never adds or removes whitespace.
+    *
+    * Plan shape at 100 TB: window fingerprinting is map-side; the
+    * duplicated-fingerprint set is ONE shuffle on the uniform 128-bit
+    * md5 key; the span starts come back per document through one more
+    * uniform groupBy on the doc id; the rewrite itself (merge intervals,
+    * drop covered positions, reassemble) is pure per-row array algebra
+    * inside the scan — `flatten(transform(starts, p -> sequence(...)))`
+    * costs O(duplicated_spans x n) per document, the size of the text
+    * being removed, never O(L²). Nothing is all-pairs; total cost is
+    * O(total tokens), the same asymptotics as the suffix array this
+    * approximates, in three scans.
+    *
+    * Output: (id, text rebuilt, n_tokens, n_dropped) — n_dropped is the
+    * count of removed token positions, so `n_dropped = 0 <=> text` is
+    * byte-identical to the whitespace-normalized original.
+    */
+  def removeDuplicatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    require(n >= 2, s"span length must be >= 2 tokens, got $n")
+    val base = df
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
+      .withColumn("__tl", transform(col("__t"), t => lower(t)))
+      .withColumn("__L", size(col("__t")))
+    val spans = base
+      .select(col(idCol),
+        explode(
+          when(col("__L") >= n, sequence(lit(1), col("__L") - (n - 1)))
+            .otherwise(array().cast("array<int>"))).as("__pos"),
+        col("__tl"))
+      .select(col(idCol), col("__pos"),
+        md5(concat_ws(" ", slice(col("__tl"), col("__pos"), lit(n)))).as("__k"))
+    val dup = spans
+      .groupBy(col("__k"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("__k")
+    val starts = spans.join(dup, Seq("__k"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(col("__pos"))).as("__starts"))
+    base.join(starts, Seq(idCol), "left")
+      .withColumn("__cov",
+        when(col("__starts").isNull, array().cast("array<int>"))
+          .otherwise(array_distinct(flatten(
+            transform(col("__starts"), p => sequence(p, p + (n - 1)))))))
+      .withColumn("__keep",
+        // array_except keeps left-operand order, so positions stay sorted
+        array_except(sequence(lit(1), col("__L")), col("__cov")))
+      .select(
+        col(idCol),
+        concat_ws(" ",
+          transform(col("__keep"), i => element_at(col("__t"), i))).as(textCol),
+        col("__L").cast("int").as("n_tokens"),
+        size(col("__cov")).cast("int").as("n_dropped"))
+  }
 }

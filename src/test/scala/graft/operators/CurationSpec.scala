@@ -250,4 +250,70 @@ class CurationSpec extends SparkSpec {
     assert(a == b)
     assert(a.map(_.getLong(2)) == Seq(1L, 1L)) // "the quick brown fox"
   }
+
+  // ------------------------------------------ duplicated-span removal
+  test("removeDuplicatedSpans cuts the shared window and keeps the rest") {
+    val d = Seq(
+      (1L, "a b p q r s c d"),   // "p q r s" shared with doc 2 → cut
+      (2L, "p q r s x y z"),
+      (3L, "m n o t u v w")      // untouched
+    ).toDF("doc_id", "text")
+    val out = Curation.removeDuplicatedSpans(d, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(out(1L) == ("a b c d", 8, 4))
+    assert(out(2L) == ("x y z", 7, 4))
+    assert(out(3L) == ("m n o t u v w", 7, 0))
+  }
+
+  test("removeDuplicatedSpans merges OVERLAPPING duplicated windows into one span") {
+    // docs 1 and 2 share the 5-token run "p q r s t": two overlapping
+    // 4-grams ("p q r s", "q r s t") whose covered positions must merge
+    // to ONE maximal 5-token cut, not 8 tokens.
+    val d = Seq(
+      (1L, "a p q r s t b"),
+      (2L, "p q r s t z w")
+    ).toDF("doc_id", "text")
+    val out = Curation.removeDuplicatedSpans(d, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(3))).toMap
+    assert(out(1L) == (("a b", 5)))
+    assert(out(2L) == (("z w", 5)))
+  }
+
+  test("removeDuplicatedSpans matches case-insensitively, rebuilds original case") {
+    val d = Seq(
+      (1L, "KEEP The Quick Brown Fox END"),
+      (2L, "the quick brown fox sleeps")
+    ).toDF("doc_id", "text")
+    val out = Curation.removeDuplicatedSpans(d, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "KEEP END")      // original case survives around the cut
+    assert(out(2L) == "sleeps")
+  }
+
+  test("removeDuplicatedSpans: clean corpus is whitespace-normalized identity") {
+    val d = Seq(
+      (1L, "  alpha   beta\tgamma  "),
+      (2L, "delta epsilon zeta eta")
+    ).toDF("doc_id", "text")
+    val out = Curation.removeDuplicatedSpans(d, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(3))).toMap
+    assert(out(1L) == (("alpha beta gamma", 0)))
+    assert(out(2L) == (("delta epsilon zeta eta", 0)))
+  }
+
+  test("removeDuplicatedSpans is partitioning-invariant") {
+    val d = Seq(
+      (1L, "a b p q r s c d"),
+      (2L, "p q r s x y z"),
+      (3L, "m n o t u v w")
+    ).toDF("doc_id", "text")
+    val a = Curation.removeDuplicatedSpans(d, "doc_id", "text", n = 4)
+      .orderBy("doc_id").collect().toSeq
+    val b = Curation.removeDuplicatedSpans(d.repartition(13), "doc_id", "text", n = 4)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
 }
