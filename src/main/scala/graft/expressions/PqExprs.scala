@@ -1,0 +1,198 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Product-quantization kernels (Jégou et al., "Product Quantization
+  * for Nearest Neighbor Search"): [[PqEncode]] maps a D-dim vector to m
+  * sub-codebook indices (argmin L2 per subspace), [[PqAdc]] computes the
+  * asymmetric distance — the sum of per-subspace query→centroid lookup
+  * entries — against a per-query LUT column.
+  *
+  * Why native: encoding visits m·k·(D/m) = k·D doubles per vector and
+  * ADC is the inner loop of every PQ scan; as higher-order-function
+  * lambdas both would evaluate interpretively per element (and per PAIR
+  * once CollapseProject inlines them into the scoring join — the
+  * [[VectorExprs.vecUnit]] lesson). Here both are primitive loops inside
+  * whole-stage codegen, with the codebook installed once as a codegen
+  * reference object.
+  *
+  * Static kernels shared by interpreted eval AND generated code —
+  * identical arithmetic on both paths by construction.
+  */
+object PqExprs {
+
+  // element-kind codes for the shared kernels (codegen inlines one)
+  final val KindDouble = 0
+  final val KindFloat = 1
+  final val KindLong = 2
+  final val KindInt = 3
+
+  def kindOf(dt: DataType): Int = dt match {
+    case DoubleType => KindDouble
+    case FloatType => KindFloat
+    case LongType => KindLong
+    case IntegerType => KindInt
+    case other => throw new IllegalArgumentException(s"unsupported element type $other")
+  }
+
+  /** null elements read as 0.0 — the [[VectorDot]] convention. */
+  private def elem(vec: ArrayData, kind: Int, i: Int): Double =
+    if (vec.isNullAt(i)) 0.0
+    else kind match {
+      case KindDouble => vec.getDouble(i)
+      case KindFloat => vec.getFloat(i).toDouble
+      case KindLong => vec.getLong(i).toDouble
+      case _ => vec.getInt(i).toDouble
+    }
+
+  /** m sub-codebook indices for one vector. `cents` is laid out
+    * `(s*k + j)*subDim + t`; ties keep the smallest j (strict-less
+    * argmin), matching the relational ROW_NUMBER(ORDER BY dist, j) form.
+    */
+  def pqEncode(vec: ArrayData, kind: Int, cents: Array[Double], m: Int): ArrayData = {
+    val d = vec.numElements()
+    if (d == 0 || d % m != 0)
+      throw new IllegalArgumentException(
+        s"vector dim $d not divisible into m=$m subspaces")
+    if (cents.length % d != 0 || cents.length == 0)
+      throw new IllegalArgumentException(
+        s"codebook length ${cents.length} is not k*dim for dim $d")
+    val k = cents.length / d
+    val sub = d / m
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var j = 0
+      while (j < k) {
+        val base = (s * k + j) * sub
+        var acc = 0.0
+        var t = 0
+        while (t < sub) {
+          val diff = elem(vec, kind, s * sub + t) - cents(base + t)
+          acc += diff * diff
+          t += 1
+        }
+        if (acc < bestD) { bestD = acc; best = j }
+        j += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Asymmetric distance: Σ_s lut[s*k + code[s]] with k = |lut| / |code|.
+    * Malformed codes fail loudly — a silent 0/null here would quietly
+    * corrupt every ranking downstream.
+    */
+  def pqAdc(code: ArrayData, lut: ArrayData): Double = {
+    val m = code.numElements()
+    if (m == 0) throw new IllegalArgumentException("empty PQ code")
+    val n = lut.numElements()
+    if (n == 0 || n % m != 0)
+      throw new IllegalArgumentException(
+        s"LUT length $n is not a multiple of code length $m")
+    val k = n / m
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      if (code.isNullAt(s))
+        throw new IllegalArgumentException(s"null PQ code element at $s")
+      val j = code.getInt(s)
+      if (j < 0 || j >= k)
+        throw new IllegalArgumentException(s"PQ code $j out of range [0,$k)")
+      val idx = s * k + j
+      if (lut.isNullAt(idx))
+        throw new IllegalArgumentException(s"null LUT entry at $idx")
+      acc += lut.getDouble(idx)
+      s += 1
+    }
+    acc
+  }
+}
+
+/** pq_encode(vec, flatCodebook, m) → array<int> of m sub-indices.
+  * The codebook is a foldable literal (installed once as a codegen
+  * reference object, the [[NearestCell]] pattern); `m` a foldable int.
+  */
+case class PqEncode(vec: Expression, cents: Expression, m: Expression)
+    extends TernaryExpression with VectorExprHelpers {
+
+  override def first: Expression = vec
+  override def second: Expression = cents
+  override def third: Expression = m
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = vec.dataType match {
+    case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) =>
+      if (!cents.foldable ||
+          (cents.dataType != ArrayType(DoubleType, false) &&
+            cents.dataType != ArrayType(DoubleType, true)))
+        TypeCheckResult.TypeCheckFailure(
+          "codebook must be a foldable array<double> literal")
+      else if (!m.foldable || m.dataType != IntegerType)
+        TypeCheckResult.TypeCheckFailure("m must be a foldable int literal")
+      else TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec must be an array of float/double/int/long, got ${other.sql}")
+  }
+
+  @transient private lazy val flatCents: Array[Double] =
+    cents.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+  @transient private lazy val mVal: Int = m.eval(null).asInstanceOf[Int]
+
+  private def kind: Int =
+    PqExprs.kindOf(vec.dataType.asInstanceOf[ArrayType].elementType)
+
+  override def nullSafeEval(v: Any, c: Any, mm: Any): Any =
+    PqExprs.pqEncode(v.asInstanceOf[ArrayData], kind, flatCents, mVal)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("pqCents", flatCents, "double[]")
+    nullSafeCodeGen(ctx, ev, (v, _, _) =>
+      s"""${ev.value} = graft.expressions.PqExprs.pqEncode(
+         |  $v, $kind, $centsRef, $mVal);""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PqEncode =
+    copy(vec = f, cents = s, m = t)
+}
+
+/** pq_adc(code, lut) → double asymmetric distance. `lut` is a regular
+  * column (one per query row, from a broadcast join), not a literal.
+  */
+case class PqAdc(code: Expression, lut: Expression)
+    extends BinaryExpression with VectorExprHelpers {
+
+  override def left: Expression = code
+  override def right: Expression = lut
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (code.dataType, lut.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (c, l) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc expects (array<int>, array<double>), got (${c.sql}, ${l.sql})")
+    }
+
+  override def nullSafeEval(c: Any, l: Any): Any =
+    PqExprs.pqAdc(c.asInstanceOf[ArrayData], l.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l) =>
+      s"${ev.value} = graft.expressions.PqExprs.pqAdc($c, $l);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(code = newLeft, lut = newRight)
+}

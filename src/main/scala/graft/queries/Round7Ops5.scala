@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Pq
+
+/** Round-7 batch 5: product-quantization ANN ([[graft.operators.Pq]]).
+  *
+  * `sim_pq_adc_fixed` is the hash-green deterministic twin: embeddings
+  * are quantized to integers (`round(x·256)`), the codebook comes from a
+  * closed formula instead of k-means, so encode (argmin L2 per
+  * subspace), the per-query LUTs, the ADC sums, and the top-k ranking
+  * are ALL exact integer arithmetic that DuckDB replays end-to-end —
+  * a slip in codebook layout, subspace slicing, tie-breaking, or LUT
+  * indexing hash-fails. `sim_pq_topk` is the learned path (driver-side
+  * Lloyd codebooks — not SQL-expressible); its recall against the exact
+  * brute-force ranking and the encode/ADC algebra are pinned in PqSpec.
+  */
+object Round7Ops5 {
+
+  private val M = 8
+  private val K = 16
+  private val SubDim = 8
+
+  /** Formula codebook: c[s][j][t] = ((7s + 11j + 13t) mod 161) − 80,
+    * flattened (s*k + j)*subDim + t — integer-valued doubles.
+    */
+  private def fixedCodebook: Pq.Codebook = {
+    val flat = new Array[Double](K * M * SubDim)
+    for (s <- 0 until M; j <- 0 until K; t <- 0 until SubDim)
+      flat((s * K + j) * SubDim + t) = ((7 * s + 11 * j + 13 * t) % 161 - 80).toDouble
+    Pq.Codebook(M, K, SubDim, flat)
+  }
+
+  val sim_pq_adc_fixed = OpQuery(
+    "sim_pq_adc_fixed",
+    """WITH e AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |           x -> CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)) AS q
+      |  FROM embeddings
+      |), sub AS (
+      |  SELECT vec_id, s.s AS s, j.j AS j,
+      |         list_sum(list_transform(generate_series(0, 7), t ->
+      |           (q[s.s * 8 + t + 1] - ((7 * s.s + 11 * j.j + 13 * t) % 161 - 80))
+      |           * (q[s.s * 8 + t + 1] - ((7 * s.s + 11 * j.j + 13 * t) % 161 - 80)))) AS d
+      |  FROM e,
+      |       unnest(generate_series(0, 7)) AS s(s),
+      |       unnest(generate_series(0, 15)) AS j(j)
+      |), code AS (
+      |  SELECT vec_id, s, j FROM (
+      |    SELECT vec_id, s, j,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+      |    FROM sub)
+      |  WHERE rn = 1
+      |), adc AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, SUM(qd.d) AS dist
+      |  FROM (SELECT vec_id FROM e WHERE vec_id < 4) q
+      |  JOIN code c ON c.vec_id <> q.vec_id
+      |  JOIN sub qd ON qd.vec_id = q.vec_id AND qd.s = c.s AND qd.j = c.j
+      |  GROUP BY q.vec_id, c.vec_id
+      |)
+      |SELECT query_id, CAST(rn AS INT) AS rank, corpus_id,
+      |       CAST(dist AS BIGINT) AS adc
+      |FROM (SELECT *,
+      |        ROW_NUMBER() OVER (PARTITION BY query_id
+      |                           ORDER BY dist, corpus_id) AS rn
+      |      FROM adc)
+      |WHERE rn <= 10
+      |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    val cb = fixedCodebook
+    val quant = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 256).cast("long")).as("qv"))
+    val encoded = Pq.encode(quant, cb, idCol = "vec_id", vecCol = "qv")
+    val queries = quant.filter(col("vec_id") < 4)
+    Pq.adcTopK(encoded, queries, cb, topK = 10, idCol = "vec_id", vecCol = "qv")
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        col("adc").cast("long").as("adc"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Learned PQ (driver-side Lloyd per subspace on the deterministic
+    * id-ordered sample): rows-only gate; recall vs exact brute force and
+    * the ADC/encode algebra are pinned in PqSpec.
+    */
+  val sim_pq_topk = OpQuery.noOracle("sim_pq_topk") { (spark, dir) =>
+    import graft.expressions.VectorExprs
+    VectorExprs.register(spark)
+    val embs = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorExprs.vecUnit(col("embedding")).as("uv"))
+    val cb = Pq.train(embs, m = 16, k = 64, iters = 5,
+      idCol = "vec_id", vecCol = "uv")
+    val encoded = Pq.encode(embs, cb, idCol = "vec_id", vecCol = "uv")
+    val queries = embs.filter(col("vec_id") < 8)
+    Pq.adcTopK(encoded, queries, cb, topK = 10, idCol = "vec_id", vecCol = "uv")
+      .select(col("query_id"), col("rank"), col("corpus_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** ADC shortlist + exact re-rank (the faiss refine shape) — rows-only;
+    * PqSpec pins the reranked recall floor and that rerank can only
+    * improve over raw ADC.
+    */
+  val sim_pq_rerank = OpQuery.noOracle("sim_pq_rerank") { (spark, dir) =>
+    import graft.expressions.VectorExprs
+    VectorExprs.register(spark)
+    val embs = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorExprs.vecUnit(col("embedding")).as("uv"))
+    val cb = Pq.train(embs, m = 16, k = 64, iters = 5,
+      idCol = "vec_id", vecCol = "uv")
+    val encoded = Pq.encode(embs, cb, idCol = "vec_id", vecCol = "uv")
+    val queries = embs.filter(col("vec_id") < 8)
+    Pq.adcTopKReranked(encoded, embs, queries, cb, topK = 10, shortlist = 50,
+        idCol = "vec_id", vecCol = "uv")
+      .select(col("query_id"), col("rank"), col("corpus_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val all: Seq[OpQuery] = Seq(sim_pq_adc_fixed, sim_pq_topk, sim_pq_rerank)
+}
