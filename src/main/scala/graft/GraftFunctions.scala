@@ -28,6 +28,7 @@ object GraftFunctions {
     "lsh_sig" -> ((e: Seq[Expression]) => LshSignature(e(0), e(1), e(2))),
     "nearest_cell" -> ((e: Seq[Expression]) => NearestCell(e(0), e(1), e(2))),
     "pq_encode" -> ((e: Seq[Expression]) => PqEncode(e(0), e(1), e(2))),
+    "pq_encode_packed" -> ((e: Seq[Expression]) => PqEncodePacked(e(0), e(1), e(2))),
     "pq_adc" -> ((e: Seq[Expression]) => PqAdc(e(0), e(1))),
     // fuzzy string comparators (DuckDB-pinned semantics)
     "jaro_sim" -> ((e: Seq[Expression]) => JaroSimilarity(e(0), e(1))),

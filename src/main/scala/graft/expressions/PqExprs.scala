@@ -87,6 +87,46 @@ object PqExprs {
     new GenericArrayData(out)
   }
 
+  /** Packed byte-code variant of [[pqEncode]]: one unsigned byte per
+    * subspace (requires k ≤ 256) — the honest m-bytes-per-vector PQ
+    * payload for persisted indexes.
+    */
+  def pqEncodePacked(vec: ArrayData, kind: Int, cents: Array[Double], m: Int): Array[Byte] = {
+    val codes = pqEncode(vec, kind, cents, m)
+    val d = vec.numElements()
+    val k = cents.length / d
+    if (k > 256)
+      throw new IllegalArgumentException(s"packed PQ codes need k <= 256, got $k")
+    val out = new Array[Byte](m)
+    var s = 0
+    while (s < m) { out(s) = codes.getInt(s).toByte; s += 1 }
+    out
+  }
+
+  /** [[pqAdc]] over a packed byte code. */
+  def pqAdcPacked(code: Array[Byte], lut: ArrayData): Double = {
+    val m = code.length
+    if (m == 0) throw new IllegalArgumentException("empty PQ code")
+    val n = lut.numElements()
+    if (n == 0 || n % m != 0)
+      throw new IllegalArgumentException(
+        s"LUT length $n is not a multiple of code length $m")
+    val k = n / m
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      val j = code(s) & 0xff
+      if (j >= k)
+        throw new IllegalArgumentException(s"PQ code $j out of range [0,$k)")
+      val idx = s * k + j
+      if (lut.isNullAt(idx))
+        throw new IllegalArgumentException(s"null LUT entry at $idx")
+      acc += lut.getDouble(idx)
+      s += 1
+    }
+    acc
+  }
+
   /** Asymmetric distance: Σ_s lut[s*k + code[s]] with k = |lut| / |code|.
     * Malformed codes fail loudly — a silent 0/null here would quietly
     * corrupt every ranking downstream.
@@ -166,8 +206,46 @@ case class PqEncode(vec: Expression, cents: Expression, m: Expression)
     copy(vec = f, cents = s, m = t)
 }
 
-/** pq_adc(code, lut) → double asymmetric distance. `lut` is a regular
-  * column (one per query row, from a broadcast join), not a literal.
+/** pq_encode_packed(vec, flatCodebook, m) → binary of m unsigned-byte
+  * sub-indices (k ≤ 256) — the persisted-index payload form.
+  */
+case class PqEncodePacked(vec: Expression, cents: Expression, m: Expression)
+    extends TernaryExpression with VectorExprHelpers {
+
+  override def first: Expression = vec
+  override def second: Expression = cents
+  override def third: Expression = m
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    PqEncode(vec, cents, m).checkInputDataTypes()
+
+  @transient private lazy val flatCents: Array[Double] =
+    cents.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+  @transient private lazy val mVal: Int = m.eval(null).asInstanceOf[Int]
+
+  private def kind: Int =
+    PqExprs.kindOf(vec.dataType.asInstanceOf[ArrayType].elementType)
+
+  override def nullSafeEval(v: Any, c: Any, mm: Any): Any =
+    PqExprs.pqEncodePacked(v.asInstanceOf[ArrayData], kind, flatCents, mVal)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("pqCents", flatCents, "double[]")
+    nullSafeCodeGen(ctx, ev, (v, _, _) =>
+      s"""${ev.value} = graft.expressions.PqExprs.pqEncodePacked(
+         |  $v, $kind, $centsRef, $mVal);""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PqEncodePacked =
+    copy(vec = f, cents = s, m = t)
+}
+
+/** pq_adc(code, lut) → double asymmetric distance. `code` is either the
+  * array<int> form or the packed binary form; `lut` a regular column
+  * (one per query row, from a broadcast join), not a literal.
   */
 case class PqAdc(code: Expression, lut: Expression)
     extends BinaryExpression with VectorExprHelpers {
@@ -179,18 +257,22 @@ case class PqAdc(code: Expression, lut: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (code.dataType, lut.dataType) match {
-      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+      case (ArrayType(IntegerType, _) | BinaryType, ArrayType(DoubleType, _)) =>
         TypeCheckResult.TypeCheckSuccess
       case (c, l) => TypeCheckResult.TypeCheckFailure(
-        s"pq_adc expects (array<int>, array<double>), got (${c.sql}, ${l.sql})")
+        s"pq_adc expects (array<int> | binary, array<double>), got (${c.sql}, ${l.sql})")
     }
 
+  private def packed: Boolean = code.dataType == BinaryType
+
   override def nullSafeEval(c: Any, l: Any): Any =
-    PqExprs.pqAdc(c.asInstanceOf[ArrayData], l.asInstanceOf[ArrayData])
+    if (packed) PqExprs.pqAdcPacked(c.asInstanceOf[Array[Byte]], l.asInstanceOf[ArrayData])
+    else PqExprs.pqAdc(c.asInstanceOf[ArrayData], l.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (c, l) =>
-      s"${ev.value} = graft.expressions.PqExprs.pqAdc($c, $l);")
+      if (packed) s"${ev.value} = graft.expressions.PqExprs.pqAdcPacked($c, $l);"
+      else s"${ev.value} = graft.expressions.PqExprs.pqAdc($c, $l);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PqAdc =

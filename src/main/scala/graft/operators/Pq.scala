@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.expressions.{PqAdc, PqEncode}
+import graft.expressions.{PqAdc, PqEncode, PqEncodePacked}
 
 /** Product quantization ANN (Jégou et al.): compress each D-dim vector
   * to m sub-codebook indices (m bytes-ish vs 4·D), then answer top-k by
@@ -64,6 +64,8 @@ object Pq {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "pq_encode", e => PqEncode(e(0), e(1), e(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "pq_encode_packed", e => PqEncodePacked(e(0), e(1), e(2)), "built-in")
     reg.createOrReplaceTempFunction(
       "pq_adc", e => PqAdc(e(0), e(1)), "built-in")
   }

@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Persistent IVF-PQ index — the classical two-level ANN layout (faiss
+  * IVFPQ): a coarse quantizer routes each vector to one of `numCells`
+  * inverted lists, and inside the list the vector is stored as m PACKED
+  * BYTES of product-quantizer codes. Both levels persist as
+  * [[TableStore]] tables, so the index is versioned / compacted /
+  * crash-consistent like any other warehouse artifact:
+  *
+  *  - `<name>_pq_meta` — ONE row: (m, k, sub_dim, num_cells,
+  *    codebook ARRAY<DOUBLE>, coarse ARRAY<DOUBLE>) — both codebooks,
+  *    kilobytes, read to the driver on open;
+  *  - `<name>_pq_postings` — (idCol, pq_code BINARY) PARTITIONED BY
+  *    cell_id — m bytes per vector instead of 4·D: the layout that
+  *    makes a 100 TB float corpus a ~3 TB index.
+  *
+  * Distances are L2 throughout (the PQ-native metric): the coarse
+  * assignment reuses [[graft.expressions.PqEncode]] with m=1 — an
+  * argmin-L2 over the cell centroids, exact integer arithmetic on
+  * integer-quantized vectors, which is what makes the full persisted
+  * lifecycle DuckDB-replayable in gate `sim_pq_persisted`.
+  *
+  * Query cost shape: probe selection is DRIVER-side (queries are
+  * collected to build ADC LUTs anyway; numCells distances per query),
+  * the postings read statically prunes to the probed-cell union
+  * (PartitionFilters, the [[AnnIndex]] property), and scoring inside
+  * the cells is one [[graft.expressions.PqAdc]] lookup-sum per
+  * (candidate × query) through the bounded-heap top-k.
+  */
+object PqIndex {
+
+  final case class Handle(store: TableStore, name: String, idCol: String,
+      vecCol: String, m: Int, k: Int, subDim: Int, numCells: Int,
+      codebook: Array[Double], coarse: Array[Double]) {
+    def metaTable: String = s"${name}_pq_meta"
+    def postingsTable: String = s"${name}_pq_postings"
+    def postings: DataFrame = store.read(postingsTable)
+    def dim: Int = m * subDim
+    def pqCb: Pq.Codebook = Pq.Codebook(m, k, subDim, codebook)
+    /** The coarse quantizer viewed as a 1-subspace PQ codebook — its
+      * lutFor(query) is exactly the numCells L2² cell distances.
+      */
+    def coarseCb: Pq.Codebook = Pq.Codebook(1, numCells, dim, coarse)
+  }
+
+  private def metaName(name: String) = s"${name}_pq_meta"
+  private def postingsName(name: String) = s"${name}_pq_postings"
+
+  /** Coarse cell id for a vector column: argmin-L2 over the cell
+    * centroids via pq_encode with m=1 (ties → lowest cell id).
+    */
+  private def cellExpr(vec: org.apache.spark.sql.Column,
+      coarse: Array[Double]): org.apache.spark.sql.Column =
+    element_at(
+      call_function("pq_encode", vec, lit(coarse), lit(1)), 1)
+
+  /** Train both quantizers (driver-side Lloyd on the bounded id-ordered
+    * sample, [[Pq.train]]) and persist: one map-only encode+assign pass
+    * over the corpus, one cell-partitioned write.
+    */
+  def build(store: TableStore, name: String, corpus: DataFrame,
+      numCells: Int, m: Int, k: Int, iters: Int = 3,
+      sampleCap: Int = 16384,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Handle = {
+    Pq.register(store.spark)
+    val coarseCb = Pq.train(corpus, m = 1, k = numCells, iters = iters,
+      sampleCap = sampleCap, idCol = idCol, vecCol = vecCol)
+    val pqCb = Pq.train(corpus, m = m, k = k, iters = iters,
+      sampleCap = sampleCap, idCol = idCol, vecCol = vecCol)
+    val h = Handle(store, name, idCol, vecCol, m, k, pqCb.subDim, numCells,
+      pqCb.flat, coarseCb.flat)
+    import store.spark.implicits._
+    val meta = Seq((m, k, pqCb.subDim, numCells, pqCb.flat.toSeq, coarseCb.flat.toSeq))
+      .toDF("m", "k", "sub_dim", "num_cells", "codebook", "coarse")
+    store.overwrite(h.metaTable, meta, numFiles = 1)
+    val assigned = corpus.select(
+        col(idCol),
+        call_function("pq_encode_packed",
+          col(vecCol), lit(pqCb.flat), lit(m)).as("pq_code"),
+        cellExpr(col(vecCol), coarseCb.flat).as("cell_id"))
+      .repartition(col("cell_id")) // one-ish file per cell (AnnIndex lesson)
+    store.overwrite(h.postingsTable, assigned, partitionBy = Seq("cell_id"))
+    h
+  }
+
+  /** Reattach to a persisted index (any session): reads the one-row
+    * meta table back to the driver.
+    */
+  def open(store: TableStore, name: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Handle = {
+    require(store.exists(metaName(name)) && store.exists(postingsName(name)),
+      s"no persisted PQ index '$name' in warehouse ${store.root}")
+    val r = store.read(metaName(name)).collect()
+    require(r.length == 1, s"corrupt PQ meta for '$name': ${r.length} rows")
+    val row = r.head
+    def darr(field: String): Array[Double] =
+      row.getSeq[Double](row.fieldIndex(field)).toArray
+    Handle(store, name, idCol, vecCol,
+      row.getInt(row.fieldIndex("m")), row.getInt(row.fieldIndex("k")),
+      row.getInt(row.fieldIndex("sub_dim")), row.getInt(row.fieldIndex("num_cells")),
+      darr("codebook"), darr("coarse"))
+  }
+
+  /** ADC top-k within the probed cells. Output (query_id, corpus_id,
+    * rank, adc) by (adc asc, corpus_id asc), self-matches excluded.
+    */
+  def search(h: Handle, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= h.numCells, s"bad nprobe $nprobe")
+    val spark = h.store.spark
+    Pq.register(spark)
+    val qRows = queries
+      .select(col(h.idCol).cast("long"), col(h.vecCol).cast("array<double>"))
+      .collect()
+    require(qRows.length <= 4096,
+      s"query batch of ${qRows.length} too large to LUT-broadcast — split it")
+    import spark.implicits._
+    val pqCb = h.pqCb; val coarseCb = h.coarseCb
+    val probes = qRows.toSeq.map { r =>
+      val qv = r.getSeq[Any](1).iterator.map {
+        case null => 0.0
+        case d: java.lang.Double => d.doubleValue
+      }.toArray
+      val cellDists = coarseCb.lutFor(qv) // numCells L2² distances
+      val cells = cellDists.zipWithIndex
+        .sortBy { case (d, c) => (d, c) }.take(nprobe).map(_._2)
+      (r.getLong(0), pqCb.lutFor(qv), cells)
+    }
+    val union = probes.flatMap(_._3).distinct.map(Int.box)
+    val q = probes.toDF("query_id", "lut", "cells")
+      .select(col("query_id"), col("lut"), explode(col("cells")).as("cell_id"))
+    val scored = h.postings
+      .filter(col("cell_id").isin(union: _*)) // static partition prune
+      .join(broadcast(q), Seq("cell_id"))
+      .filter(col(h.idCol) =!= col("query_id"))
+      .withColumn("corpus_id", col(h.idCol))
+      .withColumn("score", -call_function("pq_adc", col("pq_code"), col("lut")))
+    Similarity.topKPerGroup(scored, col("query_id"), k)
+      .select(col("query_id"), col("corpus_id"), col("rank"),
+        (-col("score")).as("adc"))
+  }
+
+  /** Shortlist via [[search]], exact L2² re-rank against the raw corpus
+    * (the faiss refine stage) — shortlist×queries point lookups of raw
+    * vectors, never a corpus scan.
+    */
+  def searchReranked(h: Handle, corpus: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < topK $k")
+    val spark = h.store.spark
+    graft.expressions.VectorExprs.register(spark)
+    import graft.expressions.VectorExprs.vecDot
+    val cand = search(h, queries, shortlist, nprobe)
+      .select(col("query_id"), col("corpus_id"))
+    val q = queries.select(
+      col(h.idCol).cast("long").as("query_id"), col(h.vecCol).as("__qv"))
+    val scored = cand
+      .join(corpus.select(col(h.idCol).as("corpus_id"), col(h.vecCol).as("__cv")),
+        "corpus_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("score",
+        -(vecDot(col("__cv"), col("__cv"))
+          - lit(2.0) * vecDot(col("__cv"), col("__qv"))
+          + vecDot(col("__qv"), col("__qv"))))
+    Similarity.topKPerGroup(scored, col("query_id"), k)
+      .select(col("query_id"), col("corpus_id"), col("rank"),
+        (-col("score")).as("dist"))
+  }
+
+  /** Incremental maintenance: encode+assign the new batch against the
+    * FROZEN quantizers (standard IVF practice — codebooks drift only on
+    * rebuild) and merge via partition-aligned copy-on-write — cost
+    * O(touched cells), untouched cell partitions keep their files
+    * byte-for-byte. Same new-ids-only contract as [[AnnIndex.append]]:
+    * a re-embedded id could land in a different cell than its old row,
+    * so collisions within touched cells are refused loudly.
+    */
+  def append(h: Handle, newVectors: DataFrame): Handle = {
+    Pq.register(h.store.spark)
+    val assigned = newVectors.select(
+        col(h.idCol),
+        call_function("pq_encode_packed",
+          col(h.vecCol), lit(h.codebook), lit(h.m)).as("pq_code"),
+        cellExpr(col(h.vecCol), h.coarse).as("cell_id"))
+      .localCheckpoint(true) // freeze: feeds both the touch list and the merge
+    val touched = assigned.select(col("cell_id")).distinct()
+      .collect().map(r => Int.box(r.getInt(0))).toSeq
+    if (touched.nonEmpty) {
+      val existing = h.postings.filter(col("cell_id").isin(touched: _*))
+      val dup = existing.select(col(h.idCol))
+        .join(assigned.select(col(h.idCol)), Seq(h.idCol)).limit(1).collect()
+      require(dup.isEmpty,
+        s"append would duplicate ${h.idCol}=${dup.head.get(0)} — ids must be new " +
+          s"(deleteWhere the old rows first, or rebuild)")
+      val merged = existing.unionByName(
+          assigned.select(existing.columns.map(col): _*))
+        .repartition(col("cell_id"))
+      h.store.overwritePartitions(h.postingsTable, merged, "cell_id", touched)
+    }
+    h
+  }
+}

@@ -119,5 +119,89 @@ object Round7Ops5 {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val all: Seq[OpQuery] = Seq(sim_pq_adc_fixed, sim_pq_topk, sim_pq_rerank)
+  /** Persisted IVF-PQ, full lifecycle, hash-green: integer-quantized
+    * vectors + iters=0 quantizers make BOTH codebooks data-derived and
+    * SQL-expressible — the coarse centroids are the first 16 quantized
+    * embeddings (whole vectors), the PQ sub-codebooks their subvectors
+    * (the [[graft.operators.Pq.train]] id-ordered init) — so cell
+    * assignment (argmin integer L2), packed encode, LUTs, ADC sums, and
+    * ranking are all exact arithmetic DuckDB replays. The index is
+    * built, PERSISTED (packed binary codes in cell_id partitions),
+    * reopened as a fresh handle, and served — persistence must be
+    * invisible in the results, bit for bit.
+    */
+  val sim_pq_persisted = OpQuery(
+    "sim_pq_persisted",
+    """WITH e AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |           x -> CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)) AS q
+      |  FROM embeddings
+      |), samp AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j, q
+      |  FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 16)
+      |), coarse_d AS (
+      |  SELECT e.vec_id, s.j AS cell,
+      |         list_sum(list_transform(generate_series(1, 64), i ->
+      |           (e.q[i] - s.q[i]) * (e.q[i] - s.q[i]))) AS d
+      |  FROM e, samp s
+      |), assigned AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |    FROM coarse_d)
+      |  WHERE rn = 1
+      |), subd AS (
+      |  SELECT e.vec_id, ss.s AS s, sj.j AS j,
+      |         list_sum(list_transform(generate_series(1, 8), t ->
+      |           (e.q[ss.s * 8 + t] - sj.q[ss.s * 8 + t])
+      |           * (e.q[ss.s * 8 + t] - sj.q[ss.s * 8 + t]))) AS d
+      |  FROM e, unnest(generate_series(0, 7)) AS ss(s), samp sj
+      |), code AS (
+      |  SELECT vec_id, s, j FROM (
+      |    SELECT vec_id, s, j,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+      |    FROM subd)
+      |  WHERE rn = 1
+      |), probes AS (
+      |  SELECT vec_id AS query_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |    FROM coarse_d WHERE vec_id < 4)
+      |  WHERE rn <= 3
+      |), adc AS (
+      |  SELECT p.query_id, a.vec_id AS corpus_id, SUM(qd.d) AS dist
+      |  FROM probes p
+      |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+      |  JOIN code c ON c.vec_id = a.vec_id
+      |  JOIN subd qd ON qd.vec_id = p.query_id AND qd.s = c.s AND qd.j = c.j
+      |  GROUP BY p.query_id, a.vec_id
+      |)
+      |SELECT query_id, CAST(rn AS INT) AS rank, corpus_id,
+      |       CAST(dist AS BIGINT) AS adc
+      |FROM (SELECT *,
+      |        ROW_NUMBER() OVER (PARTITION BY query_id
+      |                           ORDER BY dist, corpus_id) AS rn
+      |      FROM adc)
+      |WHERE rn <= 5
+      |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    import graft.operators.{PqIndex, TableStore}
+    val quant = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 256).cast("long")).as("qv"))
+    val root = java.nio.file.Files.createTempDirectory("graft-pqidx-").toString
+    val store = new TableStore(spark, root)
+    PqIndex.build(store, "embq", quant, numCells = 16, m = M, k = K,
+      iters = 0, idCol = "vec_id", vecCol = "qv")
+    // reopen from disk — nothing of the build survives but the tables
+    val idx = PqIndex.open(store, "embq", idCol = "vec_id", vecCol = "qv")
+    PqIndex.search(idx, quant.filter(col("vec_id") < 4), k = 5, nprobe = 3)
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        col("adc").cast("long").as("adc"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val all: Seq[OpQuery] =
+    Seq(sim_pq_adc_fixed, sim_pq_topk, sim_pq_rerank, sim_pq_persisted)
 }

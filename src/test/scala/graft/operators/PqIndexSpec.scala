@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.expressions.VectorExprs
+
+/** Pins the persisted IVF-PQ lifecycle: packed-code equivalence to the
+  * array form, build→open→search across handles, partition-pruned
+  * postings scans, the O(touched cells) append contract, and reranked
+  * recall.
+  */
+class PqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+
+  private def freshStore(): TableStore = new TableStore(spark,
+    java.nio.file.Files.createTempDirectory("graft-pqidx-").toString)
+
+  test("packed codes equal the array-form codes byte for byte") {
+    Pq.register(spark)
+    val cb = Pq.train(emb, m = 8, k = 16, iters = 2)
+    val both = emb.select(
+        call_function("pq_encode", $"embedding", lit(cb.flat), lit(8)).as("arr"),
+        call_function("pq_encode_packed", $"embedding", lit(cb.flat), lit(8)).as("bin"))
+      .collect()
+    both.foreach { r =>
+      val arr = r.getSeq[Int](0)
+      val bin = r.getAs[Array[Byte]](1)
+      assert(arr.map(_.toByte).toSeq == bin.toSeq)
+    }
+  }
+
+  test("build → reopen → search equals searching the in-memory encode (bit-equal)") {
+    val store = freshStore()
+    PqIndex.build(store, "e", emb, numCells = 8, m = 8, k = 16, iters = 2)
+    val h = PqIndex.open(store, "e")
+    val queries = emb.filter($"vec_id" < 5)
+    val persisted = PqIndex.search(h, queries, k = 5, nprobe = 8) // all cells
+      .orderBy("query_id", "rank").collect().toSeq
+    // nprobe = numCells probes everything → must equal the flat ADC scan
+    val cb = h.pqCb
+    val flat = Pq.adcTopK(Pq.encode(emb, cb), queries, cb, topK = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(persisted.map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))) ==
+      flat.map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))))
+  }
+
+  test("postings are cell_id partitions and the search scan prunes to probed cells") {
+    val store = freshStore()
+    val h = PqIndex.build(store, "e", emb, numCells = 8, m = 8, k = 16, iters = 1)
+    val dirs = new java.io.File(store.path(h.postingsTable)).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("cell_id=")), dirs.toString)
+    val res = PqIndex.search(h, emb.filter($"vec_id" === 3), k = 5, nprobe = 2)
+    res.collect()
+    val plan = res.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("pq_postings") && l.contains("PartitionFilters"))
+    assert(scanLine.exists(l =>
+      l.substring(l.indexOf("PartitionFilters")).take(200).contains("cell_id")),
+      s"postings scan not partition-pruned:\n$plan")
+  }
+
+  test("append merges new vectors into touched cells only; duplicate ids refused") {
+    val store = freshStore()
+    val base = emb.filter($"vec_id" < 40)
+    val batch = emb.filter($"vec_id" >= 40 && $"vec_id" < 50)
+    val h = PqIndex.build(store, "e", base, numCells = 4, m = 8, k = 8, iters = 1)
+    val before = store.currentVersion(h.postingsTable)
+    PqIndex.append(h, batch)
+    assert(store.read(h.postingsTable).count() == 50)
+    assert(store.currentVersion(h.postingsTable) > before)
+    // search after append sees the union corpus under the frozen quantizers
+    val hits = PqIndex.search(h, emb.filter($"vec_id" === 45), k = 3, nprobe = 4)
+    assert(hits.count() == 3)
+    // duplicate ids must be refused loudly
+    val e = intercept[IllegalArgumentException] { PqIndex.append(h, batch) }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("append-then-search equals one-shot build over the union (frozen quantizers)") {
+    val storeA = freshStore(); val storeB = freshStore()
+    val base = emb.filter($"vec_id" < 40)
+    val batch = emb.filter($"vec_id" >= 40 && $"vec_id" < 50)
+    val union = emb.filter($"vec_id" < 50)
+    val hA = PqIndex.build(storeA, "e", base, numCells = 4, m = 8, k = 8, iters = 1)
+    PqIndex.append(hA, batch)
+    // one-shot over the union, with quantizers trained on the SAME base
+    // sample (sampleCap bounds the id-ordered sample to the base rows)
+    val hB = PqIndex.build(storeB, "e", union, numCells = 4, m = 8, k = 8,
+      iters = 1, sampleCap = 40)
+    val q = emb.filter($"vec_id" < 3)
+    val a = PqIndex.search(hA, q, k = 5, nprobe = 4)
+      .orderBy("query_id", "rank").collect().toSeq
+    val b = PqIndex.search(hB, q, k = 5, nprobe = 4)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(a == b)
+  }
+
+  test("reranked search recovers exact ordering within the probed candidates") {
+    VectorExprs.register(spark)
+    val store = freshStore()
+    val unit = emb.select($"vec_id", VectorExprs.vecUnit($"embedding").as("embedding"))
+    val h = PqIndex.build(store, "e", unit, numCells = 4, m = 16, k = 16, iters = 3)
+    val queries = unit.filter($"vec_id" < 5)
+    val rr = PqIndex.searchReranked(h, unit, queries, k = 5, nprobe = 4, shortlist = 25)
+    val rows = rr.orderBy("query_id", "rank").collect()
+    assert(rows.length == 25) // 5 queries × k=5
+    // reranked distances are the TRUE L2² — monotone non-decreasing in rank
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ds = rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+      assert(ds == ds.sorted, s"rerank distances not monotone: $ds")
+    }
+  }
+}
