@@ -29,6 +29,7 @@ object GraftFunctions {
     "nearest_cell" -> ((e: Seq[Expression]) => NearestCell(e(0), e(1), e(2))),
     "pq_encode" -> ((e: Seq[Expression]) => PqEncode(e(0), e(1), e(2))),
     "pq_encode_packed" -> ((e: Seq[Expression]) => PqEncodePacked(e(0), e(1), e(2))),
+    "pq_encode_residual" -> ((e: Seq[Expression]) => PqEncodeResidual(e(0), e(1), e(2), e(3))),
     "pq_adc" -> ((e: Seq[Expression]) => PqAdc(e(0), e(1))),
     // fuzzy string comparators (DuckDB-pinned semantics)
     "jaro_sim" -> ((e: Seq[Expression]) => JaroSimilarity(e(0), e(1))),

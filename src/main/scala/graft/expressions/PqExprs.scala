@@ -103,6 +103,48 @@ object PqExprs {
     out
   }
 
+  /** Residual IVFPQ encode (the classical faiss IVFPQ formulation):
+    * find the nearest coarse centroid (argmin L2 over
+    * `coarse.length / dim` full-vector cells), subtract it, and PQ-encode
+    * the RESIDUAL with `cents`. Residuals have far less variance than
+    * raw vectors, so the same code budget quantizes them much more
+    * tightly. Returns the packed byte codes; the cell id itself comes
+    * from the m=1 [[pqEncode]] over `coarse` (identical argmin by
+    * construction — same kernel semantics, strict-less / lowest-j).
+    */
+  def pqEncodeResidualPacked(vec: ArrayData, kind: Int,
+      coarse: Array[Double], cents: Array[Double], m: Int): Array[Byte] = {
+    val d = vec.numElements()
+    if (d == 0 || d % m != 0)
+      throw new IllegalArgumentException(
+        s"vector dim $d not divisible into m=$m subspaces")
+    if (coarse.length % d != 0 || coarse.length == 0)
+      throw new IllegalArgumentException(
+        s"coarse codebook length ${coarse.length} is not numCells*dim for dim $d")
+    val numCells = coarse.length / d
+    var cell = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < numCells) {
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        val diff = elem(vec, kind, i) - coarse(c * d + i)
+        acc += diff * diff
+        i += 1
+      }
+      if (acc < bestD) { bestD = acc; cell = c }
+      c += 1
+    }
+    val resid = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      resid(i) = elem(vec, kind, i) - coarse(cell * d + i)
+      i += 1
+    }
+    pqEncodePacked(new GenericArrayData(resid), KindDouble, cents, m)
+  }
+
   /** [[pqAdc]] over a packed byte code. */
   def pqAdcPacked(code: Array[Byte], lut: ArrayData): Double = {
     val m = code.length
@@ -241,6 +283,72 @@ case class PqEncodePacked(vec: Expression, cents: Expression, m: Expression)
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): PqEncodePacked =
     copy(vec = f, cents = s, m = t)
+}
+
+/** pq_encode_residual(vec, coarseCodebook, pqCodebook, m) → binary
+  * packed codes of the residual to the nearest coarse centroid (faiss
+  * IVFPQ). Both codebooks are foldable literals.
+  */
+case class PqEncodeResidual(vec: Expression, coarse: Expression,
+    cents: Expression, m: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+    with VectorExprHelpers {
+
+  override def first: Expression = vec
+  override def second: Expression = coarse
+  override def third: Expression = cents
+  override def fourth: Expression = m
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = vec.dataType match {
+    case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) =>
+      def foldableDoubles(e: Expression, name: String): TypeCheckResult =
+        if (!e.foldable ||
+            (e.dataType != ArrayType(DoubleType, false) &&
+              e.dataType != ArrayType(DoubleType, true)))
+          TypeCheckResult.TypeCheckFailure(
+            s"$name must be a foldable array<double> literal")
+        else TypeCheckResult.TypeCheckSuccess
+      foldableDoubles(coarse, "coarse codebook") match {
+        case TypeCheckResult.TypeCheckSuccess =>
+          foldableDoubles(cents, "pq codebook") match {
+            case TypeCheckResult.TypeCheckSuccess =>
+              if (!m.foldable || m.dataType != IntegerType)
+                TypeCheckResult.TypeCheckFailure("m must be a foldable int literal")
+              else TypeCheckResult.TypeCheckSuccess
+            case f => f
+          }
+        case f => f
+      }
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec must be an array of float/double/int/long, got ${other.sql}")
+  }
+
+  @transient private lazy val coarseFlat: Array[Double] =
+    coarse.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+  @transient private lazy val flatCents: Array[Double] =
+    cents.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+  @transient private lazy val mVal: Int = m.eval(null).asInstanceOf[Int]
+
+  private def kind: Int =
+    PqExprs.kindOf(vec.dataType.asInstanceOf[ArrayType].elementType)
+
+  override def nullSafeEval(v: Any, co: Any, ce: Any, mm: Any): Any =
+    PqExprs.pqEncodeResidualPacked(
+      v.asInstanceOf[ArrayData], kind, coarseFlat, flatCents, mVal)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val coarseRef = ctx.addReferenceObj("pqCoarse", coarseFlat, "double[]")
+    val centsRef = ctx.addReferenceObj("pqCents", flatCents, "double[]")
+    nullSafeCodeGen(ctx, ev, (v, _, _, _) =>
+      s"""${ev.value} = graft.expressions.PqExprs.pqEncodeResidualPacked(
+         |  $v, $kind, $coarseRef, $centsRef, $mVal);""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): PqEncodeResidual =
+    copy(vec = f, coarse = s, cents = t, m = q)
 }
 
 /** pq_adc(code, lut) → double asymmetric distance. `code` is either the

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.expressions.{PqAdc, PqEncode, PqEncodePacked}
+import graft.expressions.{PqAdc, PqEncode, PqEncodePacked, PqEncodeResidual}
 
 /** Product quantization ANN (Jégou et al.): compress each D-dim vector
   * to m sub-codebook indices (m bytes-ish vs 4·D), then answer top-k by
@@ -33,6 +33,48 @@ object Pq {
     */
   final case class Codebook(m: Int, k: Int, subDim: Int, flat: Array[Double]) {
     def dim: Int = m * subDim
+
+    /** Driver-side encode (mirrors the [[graft.expressions.PqExprs]]
+      * kernel: strict-less argmin, lowest-j ties) — used for residual
+      * computation during training and probe-side LUT building.
+      */
+    def encodeOne(v: Array[Double]): Array[Int] = {
+      require(v.length == dim, s"vector dim ${v.length} != codebook dim $dim")
+      Array.tabulate(m) { s =>
+        var best = 0; var bestD = Double.PositiveInfinity
+        var j = 0
+        while (j < k) {
+          val base = (s * k + j) * subDim
+          var acc = 0.0; var t = 0
+          while (t < subDim) {
+            val diff = v(s * subDim + t) - flat(base + t)
+            acc += diff * diff; t += 1
+          }
+          if (acc < bestD) { bestD = acc; best = j }
+          j += 1
+        }
+        best
+      }
+    }
+
+    /** v minus its reconstruction — for an m=1 (coarse) codebook this is
+      * the IVF residual that second-level PQ codebooks train on.
+      */
+    def residualOf(v: Array[Double]): Array[Double] = {
+      val codes = encodeOne(v)
+      val r = new Array[Double](dim)
+      var s = 0
+      while (s < m) {
+        val base = (s * k + codes(s)) * subDim
+        var t = 0
+        while (t < subDim) {
+          r(s * subDim + t) = v(s * subDim + t) - flat(base + t)
+          t += 1
+        }
+        s += 1
+      }
+      r
+    }
 
     /** Per-query ADC lookup table: lut[s*k + j] = ‖q_s − c_{s,j}‖². */
     def lutFor(query: Array[Double]): Array[Double] = {
@@ -67,6 +109,8 @@ object Pq {
     reg.createOrReplaceTempFunction(
       "pq_encode_packed", e => PqEncodePacked(e(0), e(1), e(2)), "built-in")
     reg.createOrReplaceTempFunction(
+      "pq_encode_residual", e => PqEncodeResidual(e(0), e(1), e(2), e(3)), "built-in")
+    reg.createOrReplaceTempFunction(
       "pq_adc", e => PqAdc(e(0), e(1)), "built-in")
   }
 
@@ -84,12 +128,22 @@ object Pq {
     */
   def train(corpus: DataFrame, m: Int, k: Int, iters: Int,
       sampleCap: Int = 16384,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Codebook = {
-    require(m > 0 && k > 0 && iters >= 0, s"bad PQ params m=$m k=$k iters=$iters")
-    val sample: Array[Array[Double]] = corpus
-      .orderBy(col(idCol)).limit(sampleCap)
+      idCol: String = "vec_id", vecCol: String = "embedding"): Codebook =
+    trainOnSample(collectSample(corpus, sampleCap, idCol, vecCol), m, k, iters)
+
+  /** The bounded, deterministic (id-ordered) training sample. */
+  private[operators] def collectSample(corpus: DataFrame, sampleCap: Int,
+      idCol: String, vecCol: String): Array[Array[Double]] =
+    corpus.orderBy(col(idCol)).limit(sampleCap)
       .select(col(vecCol).cast("array<double>"))
       .collect().map(r => asDoubles(r.get(0)))
+
+  /** Driver-side Lloyd over an in-memory sample — shared by [[train]]
+    * and the residual training in [[PqIndex.build]].
+    */
+  private[operators] def trainOnSample(sample: Array[Array[Double]],
+      m: Int, k: Int, iters: Int): Codebook = {
+    require(m > 0 && k > 0 && iters >= 0, s"bad PQ params m=$m k=$k iters=$iters")
     require(sample.length >= k,
       s"need at least k=$k training vectors, got ${sample.length}")
     val d = sample.head.length

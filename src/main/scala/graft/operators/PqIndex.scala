@@ -34,7 +34,8 @@ object PqIndex {
 
   final case class Handle(store: TableStore, name: String, idCol: String,
       vecCol: String, m: Int, k: Int, subDim: Int, numCells: Int,
-      codebook: Array[Double], coarse: Array[Double]) {
+      codebook: Array[Double], coarse: Array[Double],
+      residual: Boolean = false) {
     def metaTable: String = s"${name}_pq_meta"
     def postingsTable: String = s"${name}_pq_postings"
     def postings: DataFrame = store.read(postingsTable)
@@ -63,28 +64,49 @@ object PqIndex {
     */
   def build(store: TableStore, name: String, corpus: DataFrame,
       numCells: Int, m: Int, k: Int, iters: Int = 3,
-      sampleCap: Int = 16384,
+      sampleCap: Int = 16384, residual: Boolean = false,
       idCol: String = "vec_id", vecCol: String = "embedding"): Handle = {
     Pq.register(store.spark)
-    val coarseCb = Pq.train(corpus, m = 1, k = numCells, iters = iters,
-      sampleCap = sampleCap, idCol = idCol, vecCol = vecCol)
-    val pqCb = Pq.train(corpus, m = m, k = k, iters = iters,
-      sampleCap = sampleCap, idCol = idCol, vecCol = vecCol)
+    val sample = Pq.collectSample(corpus, sampleCap, idCol, vecCol)
+    val coarseCb = Pq.trainOnSample(sample, m = 1, k = numCells, iters = iters)
+    // residual mode (faiss IVFPQ proper): the PQ codebooks are trained
+    // on coarse-cell RESIDUALS, which have far less variance than raw
+    // vectors — the same byte budget quantizes them much more tightly
+    val pqCb =
+      if (residual) {
+        // rotate the residual sample past the coarse seeds: sample row
+        // j < numCells IS coarse centroid j (id-ordered init), so its
+        // residual is exactly the zero vector — seeding the k-means init
+        // from those would collapse the whole residual codebook to zeros
+        val r = sample.map(coarseCb.residualOf)
+        Pq.trainOnSample(r.drop(numCells) ++ r.take(numCells), m, k, iters)
+      } else Pq.trainOnSample(sample, m, k, iters)
     val h = Handle(store, name, idCol, vecCol, m, k, pqCb.subDim, numCells,
-      pqCb.flat, coarseCb.flat)
+      pqCb.flat, coarseCb.flat, residual)
     import store.spark.implicits._
-    val meta = Seq((m, k, pqCb.subDim, numCells, pqCb.flat.toSeq, coarseCb.flat.toSeq))
-      .toDF("m", "k", "sub_dim", "num_cells", "codebook", "coarse")
+    val meta = Seq((m, k, pqCb.subDim, numCells, pqCb.flat.toSeq,
+        coarseCb.flat.toSeq, residual))
+      .toDF("m", "k", "sub_dim", "num_cells", "codebook", "coarse", "residual")
     store.overwrite(h.metaTable, meta, numFiles = 1)
     val assigned = corpus.select(
         col(idCol),
-        call_function("pq_encode_packed",
-          col(vecCol), lit(pqCb.flat), lit(m)).as("pq_code"),
+        codeExpr(h, col(vecCol)).as("pq_code"),
         cellExpr(col(vecCol), coarseCb.flat).as("cell_id"))
       .repartition(col("cell_id")) // one-ish file per cell (AnnIndex lesson)
     store.overwrite(h.postingsTable, assigned, partitionBy = Seq("cell_id"))
     h
   }
+
+  /** The posting payload: packed residual codes in residual mode, packed
+    * raw-vector codes otherwise.
+    */
+  private def codeExpr(h: Handle,
+      vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    if (h.residual)
+      call_function("pq_encode_residual",
+        vec, lit(h.coarse), lit(h.codebook), lit(h.m))
+    else
+      call_function("pq_encode_packed", vec, lit(h.codebook), lit(h.m))
 
   /** Reattach to a persisted index (any session): reads the one-row
     * meta table back to the driver.
@@ -101,7 +123,8 @@ object PqIndex {
     Handle(store, name, idCol, vecCol,
       row.getInt(row.fieldIndex("m")), row.getInt(row.fieldIndex("k")),
       row.getInt(row.fieldIndex("sub_dim")), row.getInt(row.fieldIndex("num_cells")),
-      darr("codebook"), darr("coarse"))
+      darr("codebook"), darr("coarse"),
+      row.getBoolean(row.fieldIndex("residual")))
   }
 
   /** ADC top-k within the probed cells. Output (query_id, corpus_id,
@@ -118,7 +141,10 @@ object PqIndex {
       s"query batch of ${qRows.length} too large to LUT-broadcast — split it")
     import spark.implicits._
     val pqCb = h.pqCb; val coarseCb = h.coarseCb
-    val probes = qRows.toSeq.map { r =>
+    // one (query, cell, lut) row per probe: in residual mode the LUT is
+    // cell-specific (distances of the query RESIDUAL to the residual
+    // codebooks); in raw mode the same LUT is shared across the probes
+    val probes = qRows.toSeq.flatMap { r =>
       val qv = r.getSeq[Any](1).iterator.map {
         case null => 0.0
         case d: java.lang.Double => d.doubleValue
@@ -126,11 +152,18 @@ object PqIndex {
       val cellDists = coarseCb.lutFor(qv) // numCells L2² distances
       val cells = cellDists.zipWithIndex
         .sortBy { case (d, c) => (d, c) }.take(nprobe).map(_._2)
-      (r.getLong(0), pqCb.lutFor(qv), cells)
+      lazy val rawLut = pqCb.lutFor(qv)
+      cells.map { cell =>
+        val lut =
+          if (h.residual) {
+            val qr = Array.tabulate(h.dim)(i => qv(i) - h.coarse(cell * h.dim + i))
+            pqCb.lutFor(qr)
+          } else rawLut
+        (r.getLong(0), lut, cell)
+      }
     }
-    val union = probes.flatMap(_._3).distinct.map(Int.box)
-    val q = probes.toDF("query_id", "lut", "cells")
-      .select(col("query_id"), col("lut"), explode(col("cells")).as("cell_id"))
+    val union = probes.map(_._3).distinct.map(Int.box)
+    val q = probes.toDF("query_id", "lut", "cell_id")
     val scored = h.postings
       .filter(col("cell_id").isin(union: _*)) // static partition prune
       .join(broadcast(q), Seq("cell_id"))
@@ -181,8 +214,7 @@ object PqIndex {
     Pq.register(h.store.spark)
     val assigned = newVectors.select(
         col(h.idCol),
-        call_function("pq_encode_packed",
-          col(h.vecCol), lit(h.codebook), lit(h.m)).as("pq_code"),
+        codeExpr(h, col(h.vecCol)).as("pq_code"),
         cellExpr(col(h.vecCol), h.coarse).as("cell_id"))
       .localCheckpoint(true) // freeze: feeds both the touch list and the merge
     val touched = assigned.select(col("cell_id")).distinct()

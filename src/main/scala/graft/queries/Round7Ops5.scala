@@ -202,6 +202,105 @@ object Round7Ops5 {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val all: Seq[OpQuery] =
-    Seq(sim_pq_adc_fixed, sim_pq_topk, sim_pq_rerank, sim_pq_persisted)
+  /** Residual IVF-PQ (faiss IVFPQ proper): codes quantize the residual
+    * to the nearest coarse centroid, LUTs are cell-specific (query
+    * residual vs the residual codebooks). Same exact-integer replay
+    * trick as `sim_pq_persisted` — iters=0 makes the residual codebooks
+    * data-derived (the first 16 RESIDUAL vectors' subvectors) and every
+    * distance integer — so the whole two-level pipeline hash-matches.
+    */
+  val sim_pq_residual = OpQuery(
+    "sim_pq_residual",
+    """WITH e AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |           x -> CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)) AS q
+      |  FROM embeddings
+      |), samp AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j, q
+      |  FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 16)
+      |), coarse_d AS (
+      |  SELECT e.vec_id, s.j AS cell,
+      |         list_sum(list_transform(generate_series(1, 64), i ->
+      |           (e.q[i] - s.q[i]) * (e.q[i] - s.q[i]))) AS d
+      |  FROM e, samp s
+      |), assigned AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |    FROM coarse_d)
+      |  WHERE rn = 1
+      |), resid AS (
+      |  SELECT e.vec_id, a.cell,
+      |         list_transform(generate_series(1, 64), i -> e.q[i] - s.q[i]) AS r
+      |  FROM e JOIN assigned a USING (vec_id) JOIN samp s ON s.j = a.cell
+      |), rsamp AS (
+      |  -- residual codebook seeds skip the coarse-seed rows (their
+      |  -- residuals are zero): rows 16..31 in id order
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j, r
+      |  FROM (SELECT vec_id, r FROM resid ORDER BY vec_id LIMIT 16 OFFSET 16)
+      |), subd AS (
+      |  SELECT x.vec_id, ss.s AS s, sj.j AS j,
+      |         list_sum(list_transform(generate_series(1, 8), t ->
+      |           (x.r[ss.s * 8 + t] - sj.r[ss.s * 8 + t])
+      |           * (x.r[ss.s * 8 + t] - sj.r[ss.s * 8 + t]))) AS d
+      |  FROM resid x, unnest(generate_series(0, 7)) AS ss(s), rsamp sj
+      |), code AS (
+      |  SELECT vec_id, s, j FROM (
+      |    SELECT vec_id, s, j,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+      |    FROM subd)
+      |  WHERE rn = 1
+      |), probes AS (
+      |  SELECT vec_id AS query_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |    FROM coarse_d WHERE vec_id < 4)
+      |  WHERE rn <= 3
+      |), qres AS (
+      |  -- query residual AGAINST EACH PROBED CELL's centroid
+      |  SELECT p.query_id, p.cell,
+      |         list_transform(generate_series(1, 64), i -> e.q[i] - s.q[i]) AS qr
+      |  FROM probes p JOIN e ON e.vec_id = p.query_id JOIN samp s ON s.j = p.cell
+      |), qlut AS (
+      |  SELECT q.query_id, q.cell, ss.s AS s, sj.j AS j,
+      |         list_sum(list_transform(generate_series(1, 8), t ->
+      |           (q.qr[ss.s * 8 + t] - sj.r[ss.s * 8 + t])
+      |           * (q.qr[ss.s * 8 + t] - sj.r[ss.s * 8 + t]))) AS d
+      |  FROM qres q, unnest(generate_series(0, 7)) AS ss(s), rsamp sj
+      |), adc AS (
+      |  SELECT p.query_id, a.vec_id AS corpus_id, SUM(l.d) AS dist
+      |  FROM probes p
+      |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+      |  JOIN code c ON c.vec_id = a.vec_id
+      |  JOIN qlut l ON l.query_id = p.query_id AND l.cell = p.cell
+      |             AND l.s = c.s AND l.j = c.j
+      |  GROUP BY p.query_id, a.vec_id
+      |)
+      |SELECT query_id, CAST(rn AS INT) AS rank, corpus_id,
+      |       CAST(dist AS BIGINT) AS adc
+      |FROM (SELECT *,
+      |        ROW_NUMBER() OVER (PARTITION BY query_id
+      |                           ORDER BY dist, corpus_id) AS rn
+      |      FROM adc)
+      |WHERE rn <= 5
+      |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    import graft.operators.{PqIndex, TableStore}
+    val quant = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 256).cast("long")).as("qv"))
+    val root = java.nio.file.Files.createTempDirectory("graft-pqres-").toString
+    val store = new TableStore(spark, root)
+    PqIndex.build(store, "embr", quant, numCells = 16, m = M, k = K,
+      iters = 0, residual = true, idCol = "vec_id", vecCol = "qv")
+    val idx = PqIndex.open(store, "embr", idCol = "vec_id", vecCol = "qv")
+    PqIndex.search(idx, quant.filter(col("vec_id") < 4), k = 5, nprobe = 3)
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        col("adc").cast("long").as("adc"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val all: Seq[OpQuery] = Seq(sim_pq_adc_fixed, sim_pq_topk, sim_pq_rerank,
+    sim_pq_persisted, sim_pq_residual)
 }
