@@ -64,4 +64,53 @@ object Retrieval {
         count(lit(1)).as("n_matched_terms"),
         round(sum(col("term_score")), 6).cast("double").as("score"))
   }
+
+  // ------------------------------------------- feature hashing
+  /** Signed feature hashing (the "hashing trick", Weinberger et al.):
+    * every token hashes to one of `dim` buckets with a ±1 sign from a
+    * second hash, giving a fixed-width, VOCABULARY-FREE document vector
+    * — the featurizer that needs no dictionary build, no term-id join,
+    * and no growth as the corpus grows, which is why it's the default
+    * first featurizer at 100 TB. Signed counting makes collisions
+    * cancel in expectation instead of biasing upward.
+    *
+    * Hash = the first 8 hex chars of md5 (bucket) and the 9th's parity
+    * (sign) — chosen over xxhash64 deliberately: md5 and hex slicing
+    * exist in DuckDB, so the gate pins every bucket and sign exactly.
+    *
+    * Output: (id, vector ARRAY<BIGINT> of length dim, nnz, l1) — an
+    * integer vector ready for [[Similarity]] / [[Pq]] consumption
+    * (cast to double downstream). Plan shape: explode + ONE shuffle on
+    * (id, bucket) + dense reassembly per doc via map lookup — no
+    * vocabulary state anywhere.
+    */
+  def hashedFeatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    require(dim > 0 && dim <= 65536, s"bad feature-hash dim $dim")
+    val toks = docs.select(
+      col(idCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("h", md5(col("tok")))
+      .withColumn("b", conv(substring(col("h"), 1, 8), 16, 10).cast("long") % dim)
+      .withColumn("s",
+        when(conv(substring(col("h"), 9, 1), 16, 10).cast("long") % 2 === 0, 1L)
+          .otherwise(-1L))
+    val cells = toks.groupBy(col(idCol), col("b"))
+      .agg(sum(col("s")).as("v"))
+      .filter(col("v") =!= 0) // exact cancellations drop out of nnz
+    val pairs = cells.groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("v")))).as("mv"),
+        count(lit(1)).as("nnz"),
+        sum(abs(col("v"))).as("l1"))
+    docs.select(col(idCol))
+      .join(pairs, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("mv"), i.cast("long")), lit(0L))).as("vector"),
+        coalesce(col("nnz"), lit(0L)).cast("int").as("nnz"),
+        coalesce(col("l1"), lit(0L)).as("l1"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 
 /** Regression pins for the review fixes in Retrieval.bm25 and
   * BloomPrune.prune.
@@ -59,5 +59,50 @@ class RetrievalBloomSpec extends SparkSpec {
     val factStr = Seq(("1", 1.0), ("7", 7.0)).toDF("k", "v")
     assert(BloomPrune.prune(factStr, "k", dimStr, "k")
       .select("k").as[String].collect().toSet.contains("1"))
+  }
+
+  // ---------------------------------------------- feature hashing
+  test("hashedFeatures: signed counts, dense layout, blank docs zero") {
+    val docs = Seq(
+      (1L, "alpha alpha beta"),
+      (2L, "ALPHA beta"),    // case-folds to doc-1 tokens
+      (3L, "   "),           // whitespace-only → zero vector
+      (4L, "gamma")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.hashedFeatures(docs, "doc_id", "text", dim = 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Long](1), r.getInt(2), r.getLong(3))).toMap
+    // every vector is dense with exactly dim entries
+    assert(out.values.forall(_._1.length == 16))
+    // blank doc: all-zero vector, nnz 0, l1 0
+    assert(out(3L)._1.forall(_ == 0L) && out(3L)._2 == 0 && out(3L)._3 == 0L)
+    // same tokens → same buckets: doc 2's vector is doc 1's minus one alpha
+    def bucket(tok: String): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(h.substring(0, 8), 16) % 16).toInt
+    }
+    def sign(tok: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(h.substring(8, 9), 16) % 2 == 0) 1L else -1L
+    }
+    assert(out(1L)._1(bucket("alpha")) == 2 * sign("alpha") +
+      (if (bucket("beta") == bucket("alpha")) sign("beta") else 0L))
+    assert(out(4L)._1(bucket("gamma")) == sign("gamma"))
+    assert(out(4L)._2 == 1 && out(4L)._3 == 1L)
+  }
+
+  test("hashedFeatures is partitioning-invariant and dimension-bounded") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    val a = Retrieval.hashedFeatures(docs, "doc_id", "text", 32)
+      .orderBy("doc_id").collect().toSeq
+    val b = Retrieval.hashedFeatures(docs.repartition(7), "doc_id", "text", 32)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    assert(a.forall(_.getSeq[Long](1).length == 32))
+    intercept[IllegalArgumentException] {
+      Retrieval.hashedFeatures(docs, "doc_id", "text", 0)
+    }
   }
 }
