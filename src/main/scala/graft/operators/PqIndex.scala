@@ -202,6 +202,38 @@ object PqIndex {
         (-col("score")).as("dist"))
   }
 
+  /** Serve a STREAM of query vectors against the persisted index — the
+    * [[AnnIndex.serveStream]] contract on the PQ layout: each
+    * micro-batch runs the partition-pruned ADC [[search]] and lands
+    * results in `resultTable` PARTITIONED BY batch_id via a
+    * partition-overwrite of the batch's own partition (idempotent on
+    * replay), under the (appId, batchId) once-only ledger. Pass a
+    * durable `checkpointDir` in production — without one a restarted
+    * query renumbers batches from 0 and the ledger would skip them.
+    */
+  def serveStream(
+      h: Handle, queryStream: DataFrame, k: Int, nprobe: Int,
+      resultTable: String, appId: String,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = queryStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        h.store.commitIfNew(resultTable, appId, batchId) {
+          val hits = search(h, batch, k, nprobe)
+            .withColumn("batch_id", lit(batchId))
+            .localCheckpoint(true) // one execution: emptiness probe + write
+          if (!hits.isEmpty) {
+            if (h.store.exists(resultTable))
+              h.store.overwritePartitions(resultTable, hits, "batch_id", Seq(batchId))
+            else
+              h.store.overwrite(resultTable, hits, partitionBy = Seq("batch_id"))
+          }
+        }
+        ()
+      }
+    checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+  }
+
   /** Incremental maintenance: encode+assign the new batch against the
     * FROZEN quantizers (standard IVF practice — codebooks drift only on
     * rebuild) and merge via partition-aligned copy-on-write — cost

@@ -52,5 +52,76 @@ object Round7Ops6 {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[OpQuery] = Seq(text_hash_embed)
+  /** End-to-end text clustering on the vocabulary-free path: documents →
+    * signed hashed vectors → argmin-L2 assignment to 8 seed centroids
+    * (the first 8 docs' vectors, the id-ordered init convention) →
+    * per-cluster stats. Every stage is integer arithmetic — md5 buckets,
+    * signed counts, L2² over BIGINT vectors — so DuckDB replays the
+    * WHOLE pipeline including tie-breaks. This is the smoke test that
+    * the text featurizer, the PQ argmin kernel, and the cluster
+    * aggregation compose, not just work alone.
+    */
+  val text_hash_cluster = OpQuery(
+    "text_hash_cluster",
+    """WITH toks AS (
+      |  SELECT doc_id, t.tok AS tok
+      |  FROM (SELECT doc_id,
+      |               regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+      |        FROM documents),
+      |       unnest(ts) AS t(tok)
+      |  WHERE t.tok <> ''
+      |), cells AS (
+      |  SELECT doc_id,
+      |         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 32 AS b,
+      |         SUM(CASE WHEN CAST(('0x' || substr(md5(tok), 9, 1)) AS BIGINT) % 2 = 0
+      |                  THEN 1 ELSE -1 END) AS v
+      |  FROM toks GROUP BY doc_id, b
+      |  HAVING SUM(CASE WHEN CAST(('0x' || substr(md5(tok), 9, 1)) AS BIGINT) % 2 = 0
+      |                  THEN 1 ELSE -1 END) <> 0
+      |), dense AS (
+      |  SELECT d.doc_id, list(COALESCE(c.v, 0) ORDER BY g.i) AS vec,
+      |         SUM(ABS(COALESCE(c.v, 0))) AS l1
+      |  FROM documents d
+      |  CROSS JOIN unnest(generate_series(0, 31)) AS g(i)
+      |  LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.b = g.i
+      |  GROUP BY d.doc_id
+      |), cents AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS INT) AS cell, vec
+      |  FROM (SELECT doc_id, vec FROM dense ORDER BY doc_id LIMIT 8)
+      |), assigned AS (
+      |  SELECT doc_id, l1, cell FROM (
+      |    SELECT x.doc_id, x.l1, c.cell,
+      |           ROW_NUMBER() OVER (PARTITION BY x.doc_id ORDER BY
+      |             list_sum(list_transform(generate_series(1, 32), i ->
+      |               (x.vec[i] - c.vec[i]) * (x.vec[i] - c.vec[i]))) ASC,
+      |             c.cell ASC) AS rn
+      |    FROM dense x, cents c)
+      |  WHERE rn = 1
+      |)
+      |SELECT CAST(cell AS INT) AS cell_id,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(l1) AS BIGINT) AS sum_l1,
+      |       CAST(MIN(doc_id) AS BIGINT) AS min_doc
+      |FROM assigned GROUP BY cell
+      |ORDER BY cell_id""".stripMargin) { (spark, dir) =>
+    import graft.operators.Pq
+    Pq.register(spark)
+    val feats = Retrieval.hashedFeatures(
+      Tables.load(spark, dir, "documents"), "doc_id", "text", dim = 32)
+    val seeds = feats.orderBy(col("doc_id")).limit(8)
+      .select(col("vector")).collect()
+    val flat = seeds.flatMap(_.getSeq[Long](0).map(_.toDouble))
+    feats
+      .withColumn("cell_id",
+        element_at(call_function("pq_encode",
+          col("vector"), lit(flat), lit(1)), 1))
+      .groupBy(col("cell_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("l1")).cast("long").as("sum_l1"),
+        min(col("doc_id")).cast("long").as("min_doc"))
+      .orderBy(col("cell_id"))
+  }
+
+  val all: Seq[OpQuery] = Seq(text_hash_embed, text_hash_cluster)
 }

@@ -155,6 +155,38 @@ class PqIndexSpec extends SparkSpec {
     assert(rRes >= 0.3, f"residual recall $rRes%.2f below pinned floor")
   }
 
+  test("serveStream: streamed query batches equal batch search, replays append nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = freshStore()
+    PqIndex.build(store, "e", emb, numCells = 8, m = 8, k = 16, iters = 1)
+    val h = PqIndex.open(store, "e")
+    val qvecs = emb.filter($"vec_id" < 10)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toSeq
+    val (b1, b2) = qvecs.partition(_._1 < 5)
+    def asTuples(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"corpus_id", $"rank")
+        .as[(Long, Long, Int)].collect().toSet
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val q = PqIndex.serveStream(
+      h, mem.toDS().toDF("vec_id", "embedding"), k = 5, nprobe = 4,
+      resultTable = "hits", appId = "pq-serve-test")
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = asTuples(store.read("hits"))
+    val batch = asTuples(PqIndex.search(h, emb.filter($"vec_id" < 10), 5, 4))
+    assert(streamed === batch)
+    // ledger-visible replay: commitIfNew skips the body entirely
+    val before = store.read("hits").count()
+    var ran = false
+    store.commitIfNew("hits", "pq-serve-test", 0L) { ran = true }
+    assert(!ran && store.read("hits").count() === before)
+  }
+
   test("reranked search recovers exact ordering within the probed candidates") {
     VectorExprs.register(spark)
     val store = freshStore()
