@@ -35,6 +35,8 @@ object GraftFunctions {
     "jaro_sim" -> ((e: Seq[Expression]) => JaroSimilarity(e(0), e(1))),
     "jaro_winkler_sim" -> ((e: Seq[Expression]) => JaroWinklerSimilarity(e(0), e(1))),
     "damerau_levenshtein" -> ((e: Seq[Expression]) => DamerauLevenshtein(e(0), e(1))),
+    // unicode normalization (pre-dedup canonicalization)
+    "unicode_normalize" -> ((e: Seq[Expression]) => UnicodeNormalize(e(0), e(1))),
     // sorted-array set arithmetic
     "sorted_intersect_size" -> ((e: Seq[Expression]) => SortedIntersectSize(e(0), e(1))),
     "word_ngrams" -> ((e: Seq[Expression]) =>

@@ -22,6 +22,15 @@ object TextFunctions {
   /** Whitespace tokenization (the baseline for jaccard/minhash). */
   def tokens(text: Column): Column = split(stripEdges(text), "\\s+")
 
+  /** Unicode normalization ([[graft.expressions.UnicodeNormalize]]) —
+    * run BEFORE any fingerprint/dedup step: composed "é" and
+    * "e"+combining-acute are byte-different to md5/minhash until
+    * canonicalized. Callers must have registered the graft function
+    * surface ([[graft.GraftFunctions.registerAll]]).
+    */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    call_function("unicode_normalize", text, lit(form))
+
   /** Token count as ONE regex-count pass (`\S+` runs), no split, no
     * array, no stripEdges: a run of non-whitespace IS a whitespace
     * token, so the count equals `size(tokens(text))` for every input

@@ -123,5 +123,43 @@ object Round7Ops6 {
       .orderBy(col("cell_id"))
   }
 
-  val all: Seq[OpQuery] = Seq(text_hash_embed, text_hash_cluster)
+  /** Unicode NFC normalization ([[graft.expressions.UnicodeNormalize]],
+    * the JDK Normalizer behind a codegen expression) — each document is
+    * suffixed with DECOMPOSED sequences (e+combining acute, A+combining
+    * ring, u+combining diaeresis) and both engines must compose them to
+    * the identical canonical bytes: lengths shrink by exactly the three
+    * combining marks and the md5 of the normalized text hash-matches
+    * DuckDB's utf8proc-based `nfc_normalize`. Two independent Unicode
+    * implementations agreeing byte-for-byte IS the correctness claim.
+    */
+  val text_nfc_normalize = OpQuery(
+    "text_nfc_normalize",
+    """WITH r AS (
+      |  SELECT doc_id,
+      |         text || ' e' || chr(769) || ' A' || chr(778)
+      |              || ' gru' || chr(776) || 'n' AS raw
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |       CAST(length(raw) AS INT) AS len_raw,
+      |       CAST(length(nfc_normalize(raw)) AS INT) AS len_nfc,
+      |       md5(nfc_normalize(raw)) AS nfc_md5
+      |FROM r ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    graft.GraftFunctions.registerAll(spark)
+    import graft.functions.TextFunctions
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        // DECOMPOSED suffix: e+U+0301, A+U+030A, u+U+0308 — NFC must
+        // compose all three (the oracle builds the same bytes via chr())
+        concat(col("text"),
+          lit(" e\u0301 A\u030a gru\u0308n")).as("raw"))
+      .select(col("doc_id"),
+        length(col("raw")).as("len_raw"),
+        length(TextFunctions.normalizeUnicode(col("raw"))).as("len_nfc"),
+        md5(TextFunctions.normalizeUnicode(col("raw"))).as("nfc_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[OpQuery] =
+    Seq(text_hash_embed, text_hash_cluster, text_nfc_normalize)
 }
