@@ -297,7 +297,7 @@ object Curation {
     */
   def removeDuplicatedSpans(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, minDocs: Int = 2): DataFrame = {
+      n: Int, minDocs: Int = 2, keepFirst: Boolean = false): DataFrame = {
     require(n >= 2, s"span length must be >= 2 tokens, got $n")
     val base = df
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
@@ -316,7 +316,26 @@ object Curation {
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select("__k")
-    val starts = spans.join(dup, Seq("__k"), "left_semi")
+    val dupSpans = spans.join(dup, Seq("__k"), "left_semi")
+    // keepFirst (the Lee-et-al convention): the globally FIRST occurrence
+    // of each duplicated window — min (doc id, position), a deterministic
+    // total order — is not itself marked for removal, so exactly one
+    // copy of the duplicated content survives in the corpus. (It can
+    // still lose tokens to OTHER overlapping duplicated windows whose
+    // first occurrence lies elsewhere — cuts are cuts.) One extra
+    // aggregation on the same uniform fingerprint key, nothing all-pairs.
+    val cuts =
+      if (!keepFirst) dupSpans
+      else {
+        val winners = dupSpans
+          .groupBy(col("__k"))
+          .agg(min(struct(col(idCol), col("__pos"))).as("__w"))
+          .select(col("__k"),
+            col("__w").getField(idCol).as(idCol),
+            col("__w").getField("__pos").as("__pos"))
+        dupSpans.join(winners, Seq("__k", idCol, "__pos"), "left_anti")
+      }
+    val starts = cuts
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(col("__pos"))).as("__starts"))
     base.join(starts, Seq(idCol), "left")

@@ -304,6 +304,38 @@ class CurationSpec extends SparkSpec {
     assert(out(2L) == (("delta epsilon zeta eta", 0)))
   }
 
+  test("removeDuplicatedSpans keepFirst: exactly one copy of the span survives") {
+    val d = Seq(
+      (1L, "a b p q r s c d"),   // first occurrence of "p q r s" → kept
+      (2L, "p q r s x y z"),     // later occurrence → cut
+      (3L, "w p q r s v e f")    // later occurrence → cut
+    ).toDF("doc_id", "text")
+    val out = Curation.removeDuplicatedSpans(d, "doc_id", "text",
+        n = 4, keepFirst = true)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(3))).toMap
+    assert(out(1L) == (("a b p q r s c d", 0)))  // survivor untouched
+    assert(out(2L) == (("x y z", 4)))
+    assert(out(3L) == (("w v e f", 4)))
+    // default mode cuts ALL occurrences including the first
+    val all = Curation.removeDuplicatedSpans(d, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(all(1L) == "a b c d")
+  }
+
+  test("removeDuplicatedSpans keepFirst: winner chosen by (doc, pos) order within one doc too") {
+    // the duplicated window appears twice in doc 1; only position 1 wins
+    val d = Seq(
+      (1L, "p q r s m p q r s"),
+      (2L, "z p q r s w")
+    ).toDF("doc_id", "text")
+    val out = Curation.removeDuplicatedSpans(d, "doc_id", "text",
+        n = 4, keepFirst = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "p q r s m")  // first occurrence kept, second cut
+    assert(out(2L) == "z w")
+  }
+
   test("removeDuplicatedSpans is partitioning-invariant") {
     val d = Seq(
       (1L, "a b p q r s c d"),
