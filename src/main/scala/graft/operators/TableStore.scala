@@ -845,7 +845,10 @@ final class TableStore(val spark: SparkSession, val root: String,
     Files.deleteIfExists(tblDir.resolve(manifestName))
     val statsStream = Files.list(tblDir)
     try statsStream.iterator().asScala
-      .filter(_.getFileName.toString.startsWith("_strstats_"))
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("_strstats_") || n.startsWith("_bloom_")
+      }
       .foreach(Files.deleteIfExists(_))
     finally statsStream.close()
     // only now is the new generation fully consistent (data AND stats)
@@ -1039,6 +1042,103 @@ final class TableStore(val spark: SparkSession, val root: String,
       lo: String, hi: String): Int =
     stringKeepSet(table, column, lo, hi)
       .getOrElse(sys.error(s"$table/$column has no string stats")).size
+
+  // ---- bloom-filter file skipping (point lookups, post-hoc ANALYZE) ----
+  //
+  // Min/max zone maps ([[readPruned]]/[[readPrunedString]]) prune RANGE
+  // predicates but are useless for equality on a high-cardinality key
+  // whose values span every file (the "find this document id in 100 TB"
+  // lookup): every file's [min,max] contains the probe. A per-file
+  // bloom sidecar answers exactly that: `column = v` schedules only the
+  // files whose filter might contain v — at fpp 1%, ~1% of files plus
+  // the true hits. Same lifecycle as the other sidecars: built post-hoc
+  // by ANALYZE, lives inside the table generation (vanishes with the
+  // next overwrite), shed explicitly on partition-aligned rewrites, and
+  // deliberately NOT copied by appends (absent stats = no skipping =
+  // still correct).
+
+  private def bloomStatsFile(table: String, column: String): Path =
+    dir(table).resolve(s"_bloom_$column.tsv")
+
+  /** The long key a value is bloom-hashed as — the [[BloomPrune]]
+    * convention: integral columns cast losslessly, everything else goes
+    * through xxhash64. Build and probe MUST agree, so both go through
+    * this one expression.
+    */
+  private def bloomKeyExpr(c: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => c.cast("long")
+      case _ => org.apache.spark.sql.functions.xxhash64(c)
+    }
+  }
+
+  /** Build per-file bloom filters for `column` (the ANALYZE step): one
+    * map-side aggregation pass grouped by input file, one sidecar line
+    * per file. `expectedPerFile` sizes the filters — oversizing is just
+    * bytes, undersizing raises the false-keep rate, never correctness.
+    */
+  def analyzeBloomColumn(table: String, column: String,
+      expectedPerFile: Long = 1000000L, fpp: Double = 0.01): Unit = {
+    graft.GraftFunctions.registerAll(spark)
+    val df = read(table)
+    val dt = df.schema(column).dataType
+    val rows = df
+      .groupBy(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .agg(graft.expressions.BloomFilter
+        .bloomBuild(bloomKeyExpr(col(column), dt), expectedPerFile, fpp).as("bf"))
+      .collect()
+    val lines = rows.map { r =>
+      val f = r.getString(0).split('/').last
+      s"$f\t${java.util.Base64.getEncoder.encodeToString(r.getAs[Array[Byte]](1))}"
+    }
+    Files.write(bloomStatsFile(table, column),
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def bloomKeepSet(table: String, column: String,
+      value: Any): Option[Seq[String]] = {
+    val bf = bloomStatsFile(table, column)
+    if (!Files.exists(bf)) return None
+    // the probe key must be hashed EXACTLY as the build hashed rows —
+    // evaluate the same bloomKeyExpr through Spark on a one-row frame
+    val dt = read(table).schema(column).dataType
+    val keyRow = spark.range(1)
+      .select(bloomKeyExpr(org.apache.spark.sql.functions.lit(value).cast(dt), dt))
+      .head()
+    if (keyRow.isNullAt(0)) return None // null probe: no skipping, plain read
+    val key = keyRow.getLong(0)
+    val lines = new String(Files.readAllBytes(bf),
+      java.nio.charset.StandardCharsets.UTF_8).split('\n').toSeq
+    Some(lines.flatMap { ln =>
+      val Array(f, b) = ln.split('\t')
+      if (graft.expressions.BloomFilter.mightContain(
+          java.util.Base64.getDecoder.decode(b), key))
+        Some(dir(table).resolve(f).toString)
+      else None
+    })
+  }
+
+  /** Read `table` filtered to `column = value`, skipping files whose
+    * bloom filter rules the value out. No false negatives by the bloom
+    * contract, exact filtering on top — results are identical with or
+    * without the sidecar; requires [[analyzeBloomColumn]] for any
+    * skipping to happen.
+    */
+  def readPrunedEquals(table: String, column: String, value: Any): DataFrame = {
+    val predicate = col(column) === org.apache.spark.sql.functions.lit(value)
+    bloomKeepSet(table, column, value) match {
+      case None => read(table).filter(predicate)
+      case Some(Nil) => read(table).filter(predicate).limit(0)
+      case Some(keep) => spark.read.parquet(keep: _*).filter(predicate)
+    }
+  }
+
+  /** Files an equality read would schedule — observability for specs. */
+  def prunedEqualsFileCount(table: String, column: String, value: Any): Int =
+    bloomKeepSet(table, column, value)
+      .getOrElse(sys.error(s"$table/$column has no bloom stats")).size
 
   /** Partition evolution: re-layout a live table under a NEW partition
     * column set (Iceberg-style evolution, done the copy-on-write way a

@@ -160,6 +160,36 @@ object Round7Ops6 {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-sidecar point lookup ([[graft.operators.TableStore
+    * .analyzeBloomColumn]] / `readPrunedEquals`): the equality-predicate
+    * counterpart to the min/max zone maps — `column = v` schedules only
+    * the files whose per-file bloom might contain v. The gate runs the
+    * FULL lifecycle (range-clustered write, ANALYZE, pruned read) and
+    * must return exactly the plain filter's rows — pruning is invisible
+    * in results (no false negatives by the bloom contract); the actual
+    * file-count reduction and stats-shedding discipline are pinned in
+    * BloomSkipSpec.
+    */
+  val s54_bloom_point_lookup = OpQuery(
+    "s54_bloom_point_lookup",
+    """SELECT o_orderkey, o_custkey,
+      |       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+      |FROM orders WHERE o_custkey = 371
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    import graft.operators.TableStore
+    val root = java.nio.file.Files.createTempDirectory("graft-bloomskip-").toString
+    val store = new TableStore(spark, root)
+    store.overwrite("orders_bl",
+      Tables.load(spark, dir, "orders")
+        .repartitionByRange(16, col("o_custkey")))
+    store.analyzeBloomColumn("orders_bl", "o_custkey", expectedPerFile = 100000L)
+    store.readPrunedEquals("orders_bl", "o_custkey", 371L)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(12,2)").cast("double").as("price"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[OpQuery] =
-    Seq(text_hash_embed, text_hash_cluster, text_nfc_normalize)
+    Seq(text_hash_embed, text_hash_cluster, text_nfc_normalize,
+      s54_bloom_point_lookup)
 }
