@@ -60,7 +60,22 @@ object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     all.foreach { case (name, builder) =>
-      reg.createOrReplaceTempFunction(name, builder, "built-in")
+      registerIfAbsent(reg, name, builder, "built-in")
     }
   }
+
+  /** Register-if-missing: operators defensively (re)register the natives
+    * they use on every call, which is correct but — via
+    * `createOrReplaceTempFunction` — replaced the live entry each time
+    * and spammed every bench/pipeline log with hundreds of
+    * "function X replaced a previously registered function" warnings.
+    * The builders are all stateless singletons, so first-registration
+    * wins is exactly as correct, and quiet.
+    */
+  def registerIfAbsent(
+      reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry,
+      name: String, builder: Seq[Expression] => Expression,
+      source: String): Unit =
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+      reg.createOrReplaceTempFunction(name, builder, source)
 }

@@ -72,7 +72,7 @@ object Stress {
       .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
       .localCheckpoint(true)
     println(s"[stress] incremental batch: ${batch.count()} docs")
-    val root = java.nio.file.Files.createTempDirectory("graft-stress-lsh-").toString
+    val root = graft.queries.GateScratch.dir("graft-stress-lsh-").toString
     val store = new graft.operators.TableStore(spark, root)
     val idx = timed("lsh_index_build") {
       graft.operators.LshTextIndex.build(store, "c", corpus,

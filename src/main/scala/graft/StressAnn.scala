@@ -106,7 +106,7 @@ object StressAnn {
     // persisted index: one partitioned write, then serve off disk with
     // cell pruning — measures the build-once/query-forever split plus
     // how much the pruned scan saves vs reading the whole posting table
-    val root = java.nio.file.Files.createTempDirectory("graft-stress-annidx-").toString
+    val root = graft.queries.GateScratch.dir("graft-stress-annidx-").toString
     val store = new graft.operators.TableStore(spark, root)
     val h = timed(s"persisted_build(cells=$cells)") {
       val hh = graft.operators.AnnIndex.Handle(store, "s", "vec_id", "embedding")

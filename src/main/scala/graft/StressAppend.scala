@@ -34,7 +34,7 @@ object StressAppend {
 
     for (n <- Seq(rows / 10, rows)) {
       val store = new TableStore(spark,
-        Files.createTempDirectory(s"graft-append-$n-").toString)
+        graft.queries.GateScratch.dir(s"graft-append-$n-").toString)
       store.overwrite("t", payload(n))
       val tAppend = time(store.append("t", payload(batch, offset = n)))
       val tRewrite = time(

@@ -40,7 +40,7 @@ object StressCompact {
     println(s"[compact] corpus: $n event rows, local[$cpus]")
 
     val store = new TableStore(spark,
-      Files.createTempDirectory("graft-compact-").toString)
+      graft.queries.GateScratch.dir("graft-compact-").toString)
 
     def timeScan(label: String): Unit = {
       def t(what: String)(f: => Long): Unit = {

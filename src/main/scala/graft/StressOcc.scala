@@ -59,7 +59,7 @@ object StressOcc {
         sha2(concat(lit(i.toString), col("id").cast("string")), 256).as("v"))
 
     // ---- 1. serialized: lock held across each full Spark job --------
-    val st1 = freshTable(Files.createTempDirectory("graft-occ-serial-").toString)
+    val st1 = freshTable(graft.queries.GateScratch.dir("graft-occ-serial-").toString)
     val t1 = System.nanoTime()
     val serialThreads = (0 until writers).map { i =>
       new Thread(() => st1.overwritePartitions("t", slice(i), "p", Seq(s"p$i")))
@@ -68,7 +68,7 @@ object StressOcc {
     val serialSec = (System.nanoTime() - t1) / 1e9
 
     // ---- 2. optimistic: jobs stage concurrently, commits serialize --
-    val st2 = freshTable(Files.createTempDirectory("graft-occ-opt-").toString)
+    val st2 = freshTable(graft.queries.GateScratch.dir("graft-occ-opt-").toString)
     val occ = new OptimisticWriter(st2)
     val commitNanos = new AtomicLong(0)
     val maxCommit = new AtomicLong(0)

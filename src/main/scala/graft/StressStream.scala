@@ -55,7 +55,7 @@ object StressStream {
     def scenario(label: String, provider: String, mode: String = "append")(
         pipeline: DataFrame => DataFrame): Unit = {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
-      val ckpt = Files.createTempDirectory(s"graft-stream-$label-").toString
+      val ckpt = graft.queries.GateScratch.dir(s"graft-stream-$label-").toString
       val q = pipeline(source()).writeStream
         .format("noop")
         .outputMode(mode)

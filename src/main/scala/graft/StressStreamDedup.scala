@@ -58,7 +58,7 @@ object StressStreamDedup {
     }
 
     def scenario(label: String, ttl: Option[java.time.Duration]): Unit = {
-      val ckpt = Files.createTempDirectory(s"graft-sdedup-$label-").toString
+      val ckpt = graft.queries.GateScratch.dir(s"graft-sdedup-$label-").toString
       val q = StreamingDedup.nearDupPairs(
           docs(), numHashes = 16, bands = 8, threshold = 0.8, ttl = ttl)
         .writeStream

@@ -23,10 +23,10 @@ object ArrayExprs {
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
+    graft.GraftFunctions.registerIfAbsent(reg, 
       "sorted_intersect_size",
       exprs => SortedIntersectSize(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
+    graft.GraftFunctions.registerIfAbsent(reg, 
       "word_ngrams",
       exprs => WordNgrams(exprs(0), ArrayExprs.extractN(exprs(1))), "built-in")
   }

@@ -90,11 +90,11 @@ object BloomFilter {
   }
 
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    graft.GraftFunctions.registerIfAbsent(spark.sessionState.functionRegistry, 
       "bloom_build",
       exprs => BloomBuildAggregate(exprs(0), exprs(1), exprs(2)),
       "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    graft.GraftFunctions.registerIfAbsent(spark.sessionState.functionRegistry, 
       "bloom_might_contain",
       exprs => BloomMightContain(exprs(0), exprs(1)),
       "built-in")

@@ -34,7 +34,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object BpeEncode {
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    graft.GraftFunctions.registerIfAbsent(spark.sessionState.functionRegistry, 
       "bpe_encode",
       exprs => BpeEncodeExpr(exprs(0), extractMerges(exprs(1)).toSeq),
       "built-in")

@@ -28,7 +28,7 @@ import org.apache.spark.sql.types._
 object FreqSketchAgg {
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    graft.GraftFunctions.registerIfAbsent(spark.sessionState.functionRegistry, 
       "freq_sketch",
       exprs => FreqSketchAggregate(exprs(0), exprs(1)),
       "built-in")

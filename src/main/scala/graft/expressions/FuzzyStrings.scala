@@ -30,11 +30,11 @@ object FuzzyStrings {
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
+    graft.GraftFunctions.registerIfAbsent(reg, 
       "jaro_sim", exprs => JaroSimilarity(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
+    graft.GraftFunctions.registerIfAbsent(reg, 
       "jaro_winkler_sim", exprs => JaroWinklerSimilarity(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
+    graft.GraftFunctions.registerIfAbsent(reg, 
       "damerau_levenshtein", exprs => DamerauLevenshtein(exprs(0), exprs(1)), "built-in")
   }
 

@@ -40,7 +40,7 @@ import org.apache.spark.sql.types._
 object KmvSketch {
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    graft.GraftFunctions.registerIfAbsent(spark.sessionState.functionRegistry, 
       "kmv_sketch",
       exprs => KmvSketchAggregate(exprs(0), exprs(1)),
       "built-in")

@@ -40,11 +40,11 @@ object MinHashAgg {
     coefficients(k).flatMap { case (a, b) => Array(a, b) }
 
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    graft.GraftFunctions.registerIfAbsent(spark.sessionState.functionRegistry, 
       "minhash_sig",
       exprs => MinHashAggregate(exprs(0), exprs(1)),
       "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    graft.GraftFunctions.registerIfAbsent(spark.sessionState.functionRegistry, 
       "minhash_sig_arr",
       exprs => MinHashArraySignature(exprs(0), exprs(1)),
       "built-in")

@@ -17,7 +17,7 @@ import org.apache.spark.sql.types._
 object QuantileBucketExpr {
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    graft.GraftFunctions.registerIfAbsent(spark.sessionState.functionRegistry, 
       "quantile_bucket",
       exprs => QuantileBucket(exprs(0), extractBounds(exprs(1)).toSeq),
       "built-in")

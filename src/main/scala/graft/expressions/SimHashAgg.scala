@@ -19,7 +19,7 @@ import org.apache.spark.sql.types._
 object SimHashAgg {
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    graft.GraftFunctions.registerIfAbsent(spark.sessionState.functionRegistry, 
       "simhash_sig",
       exprs => SimHashAggregate(exprs.head),
       "built-in")

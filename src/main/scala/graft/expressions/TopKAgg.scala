@@ -31,7 +31,7 @@ import org.apache.spark.sql.types._
 object TopKAgg {
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    graft.GraftFunctions.registerIfAbsent(spark.sessionState.functionRegistry, 
       "topk_by",
       exprs => TopKAggregate(exprs(0), exprs(1), exprs(2)),
       "built-in")

@@ -63,10 +63,17 @@ case class UnicodeNormalize(text: Expression, form: Expression)
       TypeCheckResult.TypeCheckFailure("form must be a foldable string literal")
     else {
       // resolve the form at analysis time so a typo fails the QUERY,
-      // not the first task that touches a row
-      try { UnicodeExprs.formOf(form.eval(null).toString); TypeCheckResult.TypeCheckSuccess }
-      catch { case e: IllegalArgumentException =>
-        TypeCheckResult.TypeCheckFailure(e.getMessage) }
+      // not the first task that touches a row; a foldable NULL form
+      // (lit(null).cast("string")) folds to null and must fail the same
+      // clean way, not NPE
+      form.eval(null) match {
+        case null =>
+          TypeCheckResult.TypeCheckFailure("form must be a non-null literal")
+        case v =>
+          try { UnicodeExprs.formOf(v.toString); TypeCheckResult.TypeCheckSuccess }
+          catch { case e: IllegalArgumentException =>
+            TypeCheckResult.TypeCheckFailure(e.getMessage) }
+      }
     }
 
   @transient private lazy val resolvedForm: java.text.Normalizer.Form =

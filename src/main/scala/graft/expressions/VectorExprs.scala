@@ -24,19 +24,19 @@ object VectorExprs {
   /** Register SQL-callable names (idempotent per session). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
+    graft.GraftFunctions.registerIfAbsent(reg, 
       "vec_dot", exprs => VectorDot(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
+    graft.GraftFunctions.registerIfAbsent(reg, 
       "vec_norm", exprs => VectorNorm(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
+    graft.GraftFunctions.registerIfAbsent(reg, 
       "vec_unit", exprs => VectorNormalize(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
+    graft.GraftFunctions.registerIfAbsent(reg, 
       "vec_q8", exprs => VectorQuantize(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
+    graft.GraftFunctions.registerIfAbsent(reg, 
       "vec_dot_q8", exprs => VectorDotQ8(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
+    graft.GraftFunctions.registerIfAbsent(reg, 
       "lsh_sig", exprs => LshSignature(exprs(0), exprs(1), exprs(2)), "built-in")
-    reg.createOrReplaceTempFunction(
+    graft.GraftFunctions.registerIfAbsent(reg, 
       "nearest_cell", exprs => NearestCell(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 

@@ -104,13 +104,13 @@ object Pq {
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
+    graft.GraftFunctions.registerIfAbsent(reg, 
       "pq_encode", e => PqEncode(e(0), e(1), e(2)), "built-in")
-    reg.createOrReplaceTempFunction(
+    graft.GraftFunctions.registerIfAbsent(reg, 
       "pq_encode_packed", e => PqEncodePacked(e(0), e(1), e(2)), "built-in")
-    reg.createOrReplaceTempFunction(
+    graft.GraftFunctions.registerIfAbsent(reg, 
       "pq_encode_residual", e => PqEncodeResidual(e(0), e(1), e(2), e(3)), "built-in")
-    reg.createOrReplaceTempFunction(
+    graft.GraftFunctions.registerIfAbsent(reg, 
       "pq_adc", e => PqAdc(e(0), e(1)), "built-in")
   }
 

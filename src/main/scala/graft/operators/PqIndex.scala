@@ -79,6 +79,15 @@ object PqIndex {
         // residual is exactly the zero vector — seeding the k-means init
         // from those would collapse the whole residual codebook to zeros
         val r = sample.map(coarseCb.residualOf)
+        // the rotation only avoids the zero residuals when enough
+        // NON-seed rows exist to fill the k inits; with fewer the wrap
+        // silently re-admits the zeros and collapses the codebook —
+        // fail loudly instead (and the sim_pq_residual oracle's
+        // LIMIT/OFFSET convention assumes the same bound)
+        require(r.length >= numCells + k,
+          s"residual build needs >= numCells+k = ${numCells + k} training " +
+            s"vectors (got ${r.length}) — rows 0..${numCells - 1} are the " +
+            "coarse seeds whose residuals are identically zero")
         Pq.trainOnSample(r.drop(numCells) ++ r.take(numCells), m, k, iters)
       } else Pq.trainOnSample(sample, m, k, iters)
     val h = Handle(store, name, idCol, vecCol, m, k, pqCb.subDim, numCells,

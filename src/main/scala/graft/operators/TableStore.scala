@@ -965,6 +965,30 @@ final class TableStore(val spark: SparkSession, val root: String,
   private def strStatsFile(table: String, column: String): Path =
     dir(table).resolve(s"_strstats_$column.tsv")
 
+  /** Table-dir-relative path of a scanned data file, from the URI that
+    * `input_file_name()` reports. Hive-partitioned layouts nest files
+    * under `col=value/` subdirectories, so sidecar lines must keep that
+    * prefix — a bare basename would resolve against the table ROOT at
+    * prune time and name files that don't exist. Flat tables relativize
+    * to the plain basename, so old sidecars stay readable.
+    */
+  private def relativeDataPath(table: String, inputFile: String): String = {
+    // input_file_name() yields a URL-encoded file URI; decode when
+    // parseable, fall back to the raw string minus the scheme otherwise
+    val p = try Paths.get(new java.net.URI(inputFile).getPath)
+      catch { case _: Exception => Paths.get(inputFile.stripPrefix("file:")) }
+    dir(table).toAbsolutePath.normalize
+      .relativize(p.toAbsolutePath.normalize).toString
+  }
+
+  /** Read exactly `keep` files of `table`, preserving partition columns:
+    * `basePath` tells the parquet source where the `col=value/` directory
+    * structure starts, so a pruned read of a partitioned table still
+    * surfaces the partition columns a full-table read would.
+    */
+  private def readFiles(table: String, keep: Seq[String]): DataFrame =
+    spark.read.option("basePath", dir(table).toString).parquet(keep: _*)
+
   private def b64(s: String): String = java.util.Base64.getEncoder
     .encodeToString(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
@@ -988,7 +1012,7 @@ final class TableStore(val spark: SparkSession, val root: String,
         org.apache.spark.sql.functions.max(col(column)).as("mx"))
       .collect()
     val lines = rows.map { r =>
-      val f = r.getString(0).split('/').last
+      val f = relativeDataPath(table, r.getString(0))
       if (r.isNullAt(1)) s"$f\tnull\tnull"
       else s"$f\t${b64(r.getString(1))}\t${b64(r.getString(2))}"
     }
@@ -1014,7 +1038,10 @@ final class TableStore(val spark: SparkSession, val root: String,
     val (loB, hiB) = (lo.getBytes("UTF-8"), hi.getBytes("UTF-8"))
     val lines = new String(Files.readAllBytes(sf),
       java.nio.charset.StandardCharsets.UTF_8).split('\n').toSeq
-    Some(lines.flatMap { ln =>
+    // blank lines: an ANALYZE over an empty generation writes a sidecar
+    // with no rows; "".split never yields 3 fields and must not throw —
+    // an empty keep set (prune everything) is the correct answer there
+    Some(lines.filter(_.nonEmpty).flatMap { ln =>
       val Array(f, mn, mx) = ln.split('\t')
       if (mn == "null" || (utf8Leq(unb64(mn), hiB) && utf8Leq(loB, unb64(mx))))
         Some(dir(table).resolve(f).toString)
@@ -1033,7 +1060,7 @@ final class TableStore(val spark: SparkSession, val root: String,
     stringKeepSet(table, column, lo, hi) match {
       case None => read(table).filter(predicate)
       case Some(Nil) => read(table).filter(predicate).limit(0)
-      case Some(keep) => spark.read.parquet(keep: _*).filter(predicate)
+      case Some(keep) => readFiles(table, keep).filter(predicate)
     }
   }
 
@@ -1090,7 +1117,7 @@ final class TableStore(val spark: SparkSession, val root: String,
         .bloomBuild(bloomKeyExpr(col(column), dt), expectedPerFile, fpp).as("bf"))
       .collect()
     val lines = rows.map { r =>
-      val f = r.getString(0).split('/').last
+      val f = relativeDataPath(table, r.getString(0))
       s"$f\t${java.util.Base64.getEncoder.encodeToString(r.getAs[Array[Byte]](1))}"
     }
     Files.write(bloomStatsFile(table, column),
@@ -1111,7 +1138,7 @@ final class TableStore(val spark: SparkSession, val root: String,
     val key = keyRow.getLong(0)
     val lines = new String(Files.readAllBytes(bf),
       java.nio.charset.StandardCharsets.UTF_8).split('\n').toSeq
-    Some(lines.flatMap { ln =>
+    Some(lines.filter(_.nonEmpty).flatMap { ln =>
       val Array(f, b) = ln.split('\t')
       if (graft.expressions.BloomFilter.mightContain(
           java.util.Base64.getDecoder.decode(b), key))
@@ -1131,7 +1158,7 @@ final class TableStore(val spark: SparkSession, val root: String,
     bloomKeepSet(table, column, value) match {
       case None => read(table).filter(predicate)
       case Some(Nil) => read(table).filter(predicate).limit(0)
-      case Some(keep) => spark.read.parquet(keep: _*).filter(predicate)
+      case Some(keep) => readFiles(table, keep).filter(predicate)
     }
   }
 

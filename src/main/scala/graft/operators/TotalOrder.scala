@@ -33,20 +33,37 @@ object TotalOrder {
     // samples its input to pick boundaries, which would recompute an
     // expensive upstream a second time
     val slim = df.localCheckpoint(true)
-    val n = slim.sparkSession.sessionState.conf.numShufflePartitions
+    val spark = slim.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    // ONE materializing pass instead of two: the ranged layout is
+    // cached lazily and the per-partition COUNT action below both
+    // populates that cache (freezing partition ids for the final join)
+    // and returns the n-row count frame the offsets need — the r6/r7
+    // shape paid a full extra read (eager checkpoint, then a separate
+    // count pass over it)
     val ranged = slim
       .repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true) // freeze partition ids for both passes
-    val offsets = ranged.groupBy(col("__pid"))
+      .localCheckpoint(false) // LAZY: the count action below materializes it
+    val counts = ranged.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__part_rows"))
-      .select(col("__pid"),
-        coalesce(
-          sum(col("__part_rows")).over(
-            Window.orderBy(col("__pid"))
-              .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)).as("__offset")) // tiny: one row per partition
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    // prefix offsets over ≤ shuffle.partitions rows: driver arithmetic,
+    // not a job
+    val offsetRows = counts
+      .zip(counts.scanLeft(0L)(_ + _._2))
+      .map { case ((pid, _), off) =>
+        org.apache.spark.sql.Row(pid, off) }
+    val offsets = spark.createDataFrame(
+      java.util.Arrays.asList(offsetRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__pid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__offset",
+          org.apache.spark.sql.types.LongType, nullable = false))))
     val within = Window.partitionBy(col("__pid")).orderBy(order: _*)
     ranged
       .join(broadcast(offsets), Seq("__pid"))
@@ -78,25 +95,48 @@ object TotalOrder {
     * additionally emits `ROW_NUMBER() OVER (ORDER BY order…)`, sharing
     * the same shuffle. Max offsets combine via `greatest` (null-skipping,
     * matching `IGNORE NULLS`); sum inputs follow SQL sum null-skipping.
+    *
+    * `suffixMaxes` computes the mirror-image running max over rows AT OR
+    * AFTER the current position in the SAME ascending layout
+    * (`ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING` within a
+    * partition, plus the max of every HIGHER range partition) — so a
+    * forward walk and a backward walk (the nearest-neighbor-join pattern:
+    * closest candidate below AND above each probe) share ONE range
+    * shuffle instead of paying a second reversed-order pass.
     */
   def prefixAggs(
       df: DataFrame,
       order: Seq[Column],
       sums: Seq[(String, String)] = Nil,
       maxes: Seq[(String, String)] = Nil,
-      rnCol: Option[String] = None): DataFrame = {
+      rnCol: Option[String] = None,
+      suffixMaxes: Seq[(String, String)] = Nil): DataFrame = {
     val slim = df.localCheckpoint(true)
-    val n = slim.sparkSession.sessionState.conf.numShufflePartitions
+    val spark = slim.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    // same single-materializing-pass shape as [[rowNumber]]: the cache
+    // is populated by the per-partition aggregate action, and the
+    // offsets window then runs over a COLLECTED literal frame (≤ n
+    // rows) — keeping the offset arithmetic in Spark SQL preserves the
+    // exact sum/max type semantics (longs, decimals, null skipping)
+    // for every aggregate input type
     val ranged = slim
       .repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
-    val perPart = ranged.groupBy(col("__pid")).agg(
+      .localCheckpoint(false) // LAZY: the count action below materializes it
+    val perPartDistributed = ranged.groupBy(col("__pid")).agg(
       count(lit(1)).as("__part_rows"),
       (sums.map { case (in, _) => sum(col(in)).as(s"__s_$in") } ++
-        maxes.map { case (in, _) => max(col(in)).as(s"__m_$in") }): _*)
+        maxes.map { case (in, _) => max(col(in)).as(s"__m_$in") } ++
+        suffixMaxes.map { case (in, _) => max(col(in)).as(s"__sm_$in") }): _*)
+    val perPart = spark.createDataFrame(
+      java.util.Arrays.asList(perPartDistributed.collect(): _*),
+      perPartDistributed.schema)
     val wPrev = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // suffix offsets come from the HIGHER range partitions
+    val wNext = Window.orderBy(col("__pid").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     // distinct offset prefixes per aggregate KIND: one column in both
     // `sums` and `maxes` (running total + running high-water-mark of
@@ -107,7 +147,9 @@ object TotalOrder {
           sums.map { case (in, _) =>
             sum(col(s"__s_$in")).over(wPrev).as(s"__soff_$in") } ++
           maxes.map { case (in, _) =>
-            max(col(s"__m_$in")).over(wPrev).as(s"__moff_$in") }): _*)
+            max(col(s"__m_$in")).over(wPrev).as(s"__moff_$in") } ++
+          suffixMaxes.map { case (in, _) =>
+            max(col(s"__sm_$in")).over(wNext).as(s"__smoff_$in") }): _*)
     val within = Window.partitionBy(col("__pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     var out = ranged.join(broadcast(offsets), Seq("__pid"))
@@ -116,12 +158,17 @@ object TotalOrder {
         .otherwise(col(s"__soff_$in") + coalesce(sum(col(in)).over(within), lit(0))))
     for ((in, outC) <- maxes) out = out.withColumn(outC,
       greatest(col(s"__moff_$in"), max(col(in)).over(within)))
+    val withinSuffix = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    for ((in, outC) <- suffixMaxes) out = out.withColumn(outC,
+      greatest(col(s"__smoff_$in"), max(col(in)).over(withinSuffix)))
     for (rc <- rnCol) out = out.withColumn(rc,
       col("__rn_off") + row_number().over(
         Window.partitionBy(col("__pid")).orderBy(order: _*)))
     out.drop(("__pid" +: "__rn_off" +:
       (sums.map { case (in, _) => s"__soff_$in" } ++
-        maxes.map { case (in, _) => s"__moff_$in" })): _*)
+        maxes.map { case (in, _) => s"__moff_$in" } ++
+        suffixMaxes.map { case (in, _) => s"__smoff_$in" })): _*)
   }
 
   /** `SUM(valueCol) OVER (ORDER BY order ROWS UNBOUNDED PRECEDING)`
@@ -135,8 +182,8 @@ object TotalOrder {
     * distributed form of the `ROW_NUMBER() OVER (ORDER BY …)` +
     * `COUNT(*) OVER ()` pair that exact order statistics (medians,
     * quantile cut rows, ECDF positions) are built from. The count side
-    * re-executes only the cheap tail above [[rowNumber]]'s internal
-    * checkpoint, and the 1-row frame broadcasts.
+    * re-reads [[rowNumber]]'s internal cache of the ranged layout, and
+    * the 1-row frame broadcasts.
     */
   def rowNumberWithCount(df: DataFrame, order: Seq[Column],
       rnCol: String = "rn", nCol: String = "n"): DataFrame = {

@@ -32,7 +32,7 @@ object JdbcQueries {
     """SELECT c_custkey, c_name, c_mktsegment
       |FROM customer
       |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
-    val db = Files.createTempDirectory("graft-jdbc-").resolve("extractdb")
+    val db = graft.queries.GateScratch.dir("graft-jdbc-").resolve("extractdb")
     val url = s"jdbc:derby:$db;create=true"
     val src = t(spark, dir, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))

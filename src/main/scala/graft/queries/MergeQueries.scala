@@ -199,7 +199,7 @@ object MergeQueries {
       |FROM customer
       |WHERE c_custkey % 11 <> 0
       |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
-    val scratch = java.nio.file.Files.createTempDirectory("graft-dml-gate-")
+    val scratch = graft.queries.GateScratch.dir("graft-dml-gate-")
     val store = new graft.operators.TableStore(spark, scratch.toString)
     val customer = t(spark, dir, "customer")
     store.overwrite("t", customer.select(
@@ -236,7 +236,7 @@ object MergeQueries {
       |SELECT c_custkey, c_mktsegment, 'delete' AS change_type
       |FROM (SELECT * FROM v0 EXCEPT ALL SELECT * FROM v1)
       |ORDER BY c_custkey, change_type""".stripMargin) { (spark, dir) =>
-    val scratch = java.nio.file.Files.createTempDirectory("graft-cdc-gate-")
+    val scratch = graft.queries.GateScratch.dir("graft-cdc-gate-")
     val store = new graft.operators.TableStore(spark, scratch.toString)
     val customer = t(spark, dir, "customer")
     val v0 = customer.select(col("c_custkey"), col("c_mktsegment"))
@@ -273,7 +273,7 @@ object MergeQueries {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
     import graft.operators.{IncrementalAgg, TableStore}
-    val scratch = java.nio.file.Files.createTempDirectory("graft-ivm-gate-")
+    val scratch = graft.queries.GateScratch.dir("graft-ivm-gate-")
     val store = new TableStore(spark, scratch.toString)
     val customer = t(spark, dir, "customer")
     val v0 = customer.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))

@@ -26,7 +26,7 @@ object Round4Ops110 {
       |FROM supplier
       |GROUP BY s_nationkey
       |ORDER BY nationkey""".stripMargin) { (spark, dir) =>
-    val tmp = Files.createTempDirectory("graft_orc_").toString
+    val tmp = graft.queries.GateScratch.dir("graft_orc_").toString
     Tables.load(spark, dir, "supplier").write.mode("overwrite")
       .orc(s"$tmp/supplier_orc")
     spark.read.orc(s"$tmp/supplier_orc")

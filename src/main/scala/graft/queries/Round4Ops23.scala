@@ -158,7 +158,7 @@ object Round4Ops23 {
       |WHERE lang IN ('en', 'fr')
       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val docs = Tables.load(spark, dir, "documents")
-    val out = java.nio.file.Files.createTempDirectory("graft-partdisc-").toString
+    val out = graft.queries.GateScratch.dir("graft-partdisc-").toString
     docs.select("doc_id", "source", "lang")
       .write.mode("overwrite").partitionBy("lang").parquet(out)
     spark.read.parquet(out)

@@ -26,7 +26,7 @@ object Round4Ops25 {
     val docs = Tables.load(spark, dir, "documents")
       .filter(col("doc_id") % 20 === 0)
       .select("doc_id", "text", "lang")
-    val out = java.nio.file.Files.createTempDirectory("graft-mlcsv-").toString
+    val out = graft.queries.GateScratch.dir("graft-mlcsv-").toString
     docs.coalesce(1).write.mode("overwrite")
       .option("header", "true").option("quoteAll", "true")
       .option("escape", "\"")

@@ -88,7 +88,7 @@ object Round4Ops27 {
       |GROUP BY c.codec
       |ORDER BY c.codec""".stripMargin) { (spark, dir) =>
     val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
-    val base = java.nio.file.Files.createTempDirectory("graft-codec-").toString
+    val base = graft.queries.GateScratch.dir("graft-codec-").toString
     Seq("gzip", "snappy", "zstd").foreach { c =>
       docs.write.mode("overwrite").option("compression", c).parquet(s"$base/$c")
     }

@@ -37,7 +37,7 @@ object Round4Ops31 {
     val customer = Tables.load(spark, dir, "customer")
       .select(col("c_custkey").as("k"), col("c_mktsegment"))
 
-    val root = java.nio.file.Files.createTempDirectory("graft-ivmj-gate-").toString
+    val root = graft.queries.GateScratch.dir("graft-ivmj-gate-").toString
     val store = new TableStore(spark, root, retainVersions = 5)
     // version 0: different slices than the final state — both tables
     // will see inserts AND deletes on the way to v1

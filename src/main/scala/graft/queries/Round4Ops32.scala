@@ -68,7 +68,7 @@ object Round4Ops32 {
       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val docs = Tables.load(spark, dir, "documents")
       .filter(col("doc_id") % 10 < 2).select("doc_id", "lang")
-    val base = java.nio.file.Files.createTempDirectory("graft-rec-").toString
+    val base = graft.queries.GateScratch.dir("graft-rec-").toString
     // nested tree: two levels, plus a decoy .json sidecar the glob must skip
     docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$base/2024/01")
     docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$base/2024/02")

@@ -25,7 +25,7 @@ object Round4Ops33 {
       |WHERE lang >= 'de' AND lang <= 'en'
       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val docs = Tables.load(spark, dir, "documents").select("doc_id", "lang", "source")
-    val root = java.nio.file.Files.createTempDirectory("graft-strprune-").toString
+    val root = graft.queries.GateScratch.dir("graft-strprune-").toString
     val store = new TableStore(spark, root)
     store.overwrite("docs", docs.repartitionByRange(5, col("lang"), col("doc_id")))
     store.analyzeStringColumn("docs", "lang")
@@ -51,7 +51,7 @@ object Round4Ops33 {
       .filter(col("event_id") % 5 === 0)
       .select(col("event_id"), col("event_type"), col("value"))
       .withColumn("band", (col("value").cast("int") / lit(25)).cast("int"))
-    val root = java.nio.file.Files.createTempDirectory("graft-evolve-gate-").toString
+    val root = graft.queries.GateScratch.dir("graft-evolve-gate-").toString
     val store = new TableStore(spark, root, retainVersions = 3)
     store.overwrite("ev", events, partitionBy = Seq("event_type"))
     store.evolvePartitioning("ev", Seq("band"))

@@ -107,7 +107,7 @@ object Round4Ops35 {
       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val docs = Tables.load(spark, dir, "documents")
       .filter(col("doc_id") % 7 === 0).select("doc_id", "lang", "n_chars")
-    val out = java.nio.file.Files.createTempDirectory("graft-jsonlw-").toString
+    val out = graft.queries.GateScratch.dir("graft-jsonlw-").toString
     docs.write.mode("overwrite").json(out)
     spark.read.schema(docs.schema).json(out).orderBy("doc_id")
   }

@@ -120,7 +120,7 @@ object Round4Ops36 {
       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val docs = Tables.load(spark, dir, "documents")
       .filter(col("doc_id") % 9 === 0).select("doc_id", "lang", "source", "n_chars")
-    val out = java.nio.file.Files.createTempDirectory("graft-psv-").toString
+    val out = graft.queries.GateScratch.dir("graft-psv-").toString
     docs.coalesce(1).write.mode("overwrite")
       .option("header", "true").option("sep", "|").option("quoteAll", "true")
       .csv(out)

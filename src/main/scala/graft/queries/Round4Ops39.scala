@@ -24,7 +24,7 @@ object Round4Ops39 {
       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val docs = Tables.load(spark, dir, "documents")
       .filter(col("doc_id") % 11 === 0).select("doc_id", "lang")
-    val out = java.nio.file.Files.createTempDirectory("graft-corrupt-").toString
+    val out = graft.queries.GateScratch.dir("graft-corrupt-").toString
     docs.write.mode("overwrite").parquet(out)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(out, "part-99999-garbage.parquet"),

@@ -103,7 +103,7 @@ object Round4Ops40 {
       |FROM documents WHERE doc_id % 13 = 0""".stripMargin) { (spark, dir) =>
     val docs = Tables.load(spark, dir, "documents")
       .filter(col("doc_id") % 13 === 0).select("doc_id", "lang")
-    val out = java.nio.file.Files.createTempDirectory("graft-meta-").toString
+    val out = graft.queries.GateScratch.dir("graft-meta-").toString
     docs.coalesce(1).write.mode("overwrite").parquet(out)
     spark.read.parquet(out)
       .select(col("doc_id"), col("_metadata.file_name").as("fn"),

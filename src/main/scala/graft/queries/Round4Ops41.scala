@@ -28,7 +28,7 @@ object Round4Ops41 {
       |GROUP BY e.event_type, d.type_len
       |ORDER BY e.event_type""".stripMargin) { (spark, dir) =>
     val events = Tables.load(spark, dir, "events")
-    val base = java.nio.file.Files.createTempDirectory("graft-dpp-").toString
+    val base = graft.queries.GateScratch.dir("graft-dpp-").toString
     events.select("event_id", "user_id", "event_type")
       .write.mode("overwrite").partitionBy("event_type").parquet(base)
     val fact = spark.read.parquet(base)

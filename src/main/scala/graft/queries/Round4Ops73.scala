@@ -122,24 +122,27 @@ object Round4Ops73 {
       .unionByName(probes.select(col("price"), lit(1).as("side"),
         lit(null).cast("long").as("pk"), col("id")))
     // The union frame is candidate-table-sized, so the two LAST_VALUE
-    // IGNORE NULLS walks run as distributed prefix-MAX via TotalOrder:
-    // the last candidate in (price, side, key) prefix order IS the max
-    // of struct(price, pk) among candidates (side sorts cands before the
-    // probe at equal price, pk ascending → max pk breaks price ties),
-    // and the descending walk is the max of struct(-price, pk).
+    // IGNORE NULLS walks run as ONE distributed TotalOrder pass: the
+    // below-candidate is the prefix MAX of struct(price, pk) among
+    // candidates (side sorts cands before the probe at equal price, pk
+    // ascending → max pk breaks price ties) and the above-candidate is
+    // the SUFFIX max of struct(-price, pk) in the same ascending layout
+    // — one range shuffle carries both walks. The suffix form excludes
+    // equal-price candidates (they sort before the probe), but those
+    // always appear in the below walk at distance 0, which the
+    // ties-to-below rule then picks — output-identical to the oracle's
+    // descending walk.
     val T = graft.operators.TotalOrder
     val ordKey = coalesce(col("pk"), col("id"))
-    val w1 = T.prefixAggs(
+    val walkedBoth = T.prefixAggs(
       u.withColumn("__b",
-        when(col("side") === 0, struct(col("price"), col("pk")))),
+          when(col("side") === 0, struct(col("price"), col("pk"))))
+        .withColumn("__a",
+          when(col("side") === 0, struct((-col("price")).as("np"), col("pk")))),
       Seq(col("price"), col("side"), ordKey),
-      maxes = Seq("__b" -> "__below"))
-    val w2 = T.prefixAggs(
-      w1.withColumn("__a",
-        when(col("side") === 0, struct((-col("price")).as("np"), col("pk")))),
-      Seq(col("price").desc, col("side"), ordKey),
-      maxes = Seq("__a" -> "__above"))
-    val walked = w2
+      maxes = Seq("__b" -> "__below"),
+      suffixMaxes = Seq("__a" -> "__above"))
+    val walked = walkedBoth
       .withColumn("below_p", col("__below.price"))
       .withColumn("below_pk", col("__below.pk"))
       .withColumn("above_p", -col("__above.np"))

@@ -32,7 +32,7 @@ object Round6Ops10 {
     val customer = Tables.load(spark, dir, "customer")
       .select(col("c_custkey").as("k"), col("c_mktsegment"))
 
-    val root = java.nio.file.Files.createTempDirectory("graft-ivmja-gate-").toString
+    val root = graft.queries.GateScratch.dir("graft-ivmja-gate-").toString
     val store = new TableStore(spark, root, retainVersions = 5)
     // v0 slices differ from the final state in both directions, so the
     // refresh must survive inserts AND deletes on BOTH tables
@@ -81,7 +81,7 @@ object Round6Ops10 {
         col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_mktsegment").as("g"),
         col("o_totalprice").cast("decimal(18,2)").as("v"))
-    val root = java.nio.file.Files.createTempDirectory("graft-ivmm-gate-").toString
+    val root = graft.queries.GateScratch.dir("graft-ivmm-gate-").toString
     val store = new TableStore(spark, root, retainVersions = 5)
     store.overwrite("base", joined.filter(col("o_orderkey") % 10 < 4))
     store.overwrite("mm",

@@ -73,7 +73,7 @@ object Round6Ops2 {
       |WHERE EXTRACT(year FROM o_orderdate) % 3 = 0
       |GROUP BY 1
       |ORDER BY 1""".stripMargin) { (spark, dir) =>
-    val out = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val out = graft.queries.GateScratch.dir("graft-dpp").toString
     Tables.load(spark, dir, "orders")
       .withColumn("yr", year(col("o_orderdate")))
       .write.mode("overwrite").partitionBy("yr").parquet(out)

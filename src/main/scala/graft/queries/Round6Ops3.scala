@@ -259,7 +259,7 @@ object Round6Ops3 {
       |WHERE o_orderkey % 7 = 0
       |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
     import graft.operators.{DeltaExport, DeltaImport, TableStore}
-    val scratch = java.nio.file.Files.createTempDirectory("graft-delta-rt-")
+    val scratch = graft.queries.GateScratch.dir("graft-delta-rt-")
     val store = new TableStore(spark, scratch.resolve("store").toString)
     val src = Tables.load(spark, dir, "orders")
       .filter(col("o_orderkey") % 7 === 0)
@@ -299,7 +299,7 @@ object Round6Ops3 {
       |WHERE o_orderkey % 9 = 0
       |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
     import graft.operators.{IcebergExport, IcebergImport, TableStore}
-    val scratch = java.nio.file.Files.createTempDirectory("graft-ice-rt-")
+    val scratch = graft.queries.GateScratch.dir("graft-ice-rt-")
     val store = new TableStore(spark, scratch.resolve("store").toString)
     val src = Tables.load(spark, dir, "orders")
       .filter(col("o_orderkey") % 9 === 0)

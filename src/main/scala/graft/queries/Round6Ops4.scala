@@ -59,7 +59,7 @@ object Round6Ops4 {
   val sim_ivf_persisted = OpQuery(
     "sim_ivf_persisted", ivfOracle) { (spark, dir) =>
     val emb = t(spark, dir, "embeddings")
-    val root = java.nio.file.Files.createTempDirectory("graft-annidx-").toString
+    val root = graft.queries.GateScratch.dir("graft-annidx-").toString
     val store = new TableStore(spark, root)
     AnnIndex.build(store, "emb", emb, numCells = 16)
     // reopen from disk — nothing of the build survives but the tables
@@ -128,7 +128,7 @@ object Round6Ops4 {
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
     val emb = t(spark, dir, "embeddings")
-    val root = java.nio.file.Files.createTempDirectory("graft-annq8-").toString
+    val root = graft.queries.GateScratch.dir("graft-annq8-").toString
     val store = new TableStore(spark, root)
     AnnIndex.buildQuantized(store, "embq", emb, numCells = 16)
     val idx = AnnIndex.open(store, "embq")

@@ -40,7 +40,7 @@ object Round6Ops6 {
     val v1 = orders.select(col("o_orderkey"), col("bucket"),
       when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 2)
         .otherwise(col("o_totalprice")).cast("decimal(18,2)").as("price"))
-    val root = java.nio.file.Files.createTempDirectory("graft-mvagg-").toString
+    val root = graft.queries.GateScratch.dir("graft-mvagg-").toString
     val store = new TableStore(spark, root)
     store.overwrite("t", v0) // version 0
     store.overwrite("t", v1) // version 1
@@ -74,7 +74,7 @@ object Round6Ops6 {
       .select(col("o_orderkey"), col("o_custkey"),
         col("o_totalprice").cast("decimal(18,2)").cast("string").as("price_str"),
         col("o_orderstatus"))
-    val out = java.nio.file.Files.createTempDirectory("graft-avrort-").toString
+    val out = graft.queries.GateScratch.dir("graft-avrort-").toString
     // decimals ride as strings through Avro's primitive surface — cast
     // back after the scan; exactness is part of what the hash checks
     graft.operators.AvroTable.write(orders, out)

@@ -44,7 +44,7 @@ object Round6Ops7 {
     val docs = Tables.load(spark, dir, "documents")
     val indexed = docs.filter(col("doc_id") % 5 === 0)
     val batch = docs.filter(col("doc_id") % 5 === 1)
-    val root = java.nio.file.Files.createTempDirectory("graft-lshidx-").toString
+    val root = graft.queries.GateScratch.dir("graft-lshidx-").toString
     val store = new TableStore(spark, root)
     LshTextIndex.build(store, "c", indexed, numHashes = 32, bands = 16)
     val idx = LshTextIndex.open(store, "c") // fresh handle, tuning from meta

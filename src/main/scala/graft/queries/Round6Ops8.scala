@@ -43,7 +43,7 @@ object Round6Ops8 {
       .select(col("doc_id"), col("text"))
     // land the slice as 3 files; maxFilesPerTrigger=1 makes each file a
     // micro-batch, so pairs must survive cross-batch bucket state
-    val landing = java.nio.file.Files.createTempDirectory("graft-sdi-").toString
+    val landing = graft.queries.GateScratch.dir("graft-sdi-").toString
     docs.repartition(3).write.mode("overwrite").parquet(landing)
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val before = spark.conf.getOption(providerKey)

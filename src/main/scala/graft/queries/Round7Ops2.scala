@@ -35,7 +35,7 @@ object Round7Ops2 {
       |FROM final
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
-    val scratch = java.nio.file.Files.createTempDirectory("graft-occ-gate-")
+    val scratch = graft.queries.GateScratch.dir("graft-occ-gate-")
     val store = new TableStore(spark, scratch.toString)
     val occ = new OptimisticWriter(store)
     val orders = Tables.load(spark, dir, "orders")

@@ -190,7 +190,7 @@ object Round7Ops5 {
       .select(col("vec_id"),
         transform(col("embedding"),
           x => round(x.cast("double") * 256).cast("long")).as("qv"))
-    val root = java.nio.file.Files.createTempDirectory("graft-pqidx-").toString
+    val root = graft.queries.GateScratch.dir("graft-pqidx-").toString
     val store = new TableStore(spark, root)
     PqIndex.build(store, "embq", quant, numCells = 16, m = M, k = K,
       iters = 0, idCol = "vec_id", vecCol = "qv")
@@ -290,7 +290,7 @@ object Round7Ops5 {
       .select(col("vec_id"),
         transform(col("embedding"),
           x => round(x.cast("double") * 256).cast("long")).as("qv"))
-    val root = java.nio.file.Files.createTempDirectory("graft-pqres-").toString
+    val root = graft.queries.GateScratch.dir("graft-pqres-").toString
     val store = new TableStore(spark, root)
     PqIndex.build(store, "embr", quant, numCells = 16, m = M, k = K,
       iters = 0, residual = true, idCol = "vec_id", vecCol = "qv")

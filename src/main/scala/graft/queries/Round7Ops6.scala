@@ -177,7 +177,7 @@ object Round7Ops6 {
       |FROM orders WHERE o_custkey = 371
       |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
     import graft.operators.TableStore
-    val root = java.nio.file.Files.createTempDirectory("graft-bloomskip-").toString
+    val root = graft.queries.GateScratch.dir("graft-bloomskip-").toString
     val store = new TableStore(spark, root)
     store.overwrite("orders_bl",
       Tables.load(spark, dir, "orders")

@@ -96,7 +96,7 @@ object ScaleExtras {
       |FROM events
       |WHERE user_id BETWEEN 100 AND 160 AND value BETWEEN 10 AND 60
       |ORDER BY event_id""".stripMargin) { (spark, dir) =>
-    val scratch = java.nio.file.Files.createTempDirectory("graft-zorder-gate-")
+    val scratch = graft.queries.GateScratch.dir("graft-zorder-gate-")
     val store = new TableStore(spark, scratch.toString)
     store.overwriteClustered(
       "events_z",

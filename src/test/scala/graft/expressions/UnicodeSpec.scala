@@ -78,4 +78,15 @@ class UnicodeSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("nfx") ||
       e.getMessage.toLowerCase.contains("normalization"))
   }
+
+  test("foldable NULL form is a clean type-check failure, not an NPE") {
+    graft.GraftFunctions.registerAll(spark)
+    val e = intercept[Exception] {
+      Seq("x").toDF("t")
+        .select(call_function("unicode_normalize", $"t",
+          lit(null).cast("string"))).collect()
+    }
+    assert(!e.isInstanceOf[NullPointerException])
+    assert(e.getMessage.toLowerCase.contains("non-null"))
+  }
 }

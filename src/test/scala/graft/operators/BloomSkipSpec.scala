@@ -71,6 +71,47 @@ class BloomSkipSpec extends SparkSpec {
     assert(store.readPrunedEquals("o", "o_custkey", -987654321L).count() == 0)
   }
 
+  test("live sidecar on a Hive-partitioned table: pruned read keeps the partition column") {
+    val store = freshStore()
+    val orders = Tables.load(spark, sf, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderpriority")
+    store.overwrite("o", orders, partitionBy = Seq("o_orderpriority"))
+    store.analyzeBloomColumn("o", "o_custkey", expectedPerFile = 10000L)
+    // the sidecar must store partition-subdir-relative paths: a bare
+    // basename resolves against the table root and the read throws
+    val keys = store.read("o").select($"o_custkey").distinct()
+      .orderBy($"o_custkey").limit(10).as[Long].collect()
+    keys.foreach { k =>
+      val pruned = store.readPrunedEquals("o", "o_custkey", k)
+      // partition column survives the file-list read (basePath)
+      assert(pruned.columns.contains("o_orderpriority"))
+      val expected = store.read("o").filter($"o_custkey" === k)
+        .select($"o_orderkey", $"o_orderpriority").orderBy($"o_orderkey")
+        .collect().toSeq
+      val got = pruned.select($"o_orderkey", $"o_orderpriority")
+        .orderBy($"o_orderkey").collect().toSeq
+      assert(got == expected, s"key $k")
+    }
+    // string zone-map sidecar takes the same path
+    store.analyzeStringColumn("o", "o_orderpriority")
+    val viaStats = store.readPrunedString("o", "o_orderpriority",
+      "1-URGENT", "1-URGENT")
+    assert(viaStats.count() ==
+      store.read("o").filter($"o_orderpriority" === "1-URGENT").count())
+  }
+
+  test("ANALYZE on an empty table yields an empty keep set, not a parse error") {
+    val store = freshStore()
+    val empty = Tables.load(spark, sf, "orders").filter(lit(false))
+      .select($"o_orderkey", $"o_custkey")
+    store.overwrite("e", empty)
+    store.analyzeBloomColumn("e", "o_custkey", expectedPerFile = 100L)
+    // empty generation: pruning everything is the right answer, and the
+    // blank sidecar line must not MatchError
+    assert(store.readPrunedEquals("e", "o_custkey", 1L).count() == 0)
+    assert(store.prunedEqualsFileCount("e", "o_custkey", 1L) == 0)
+  }
+
   test("partition-aligned rewrites shed bloom sidecars (no stale-file pruning)") {
     val store = freshStore()
     val orders = Tables.load(spark, sf, "orders")

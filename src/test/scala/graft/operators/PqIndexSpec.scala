@@ -132,6 +132,21 @@ class PqIndexSpec extends SparkSpec {
       f"residual MSE ${mse(hRes)}%.4f not below raw MSE ${mse(hRaw)}%.4f")
   }
 
+  test("residual build refuses a sample too small to rotate past the coarse seeds") {
+    val store = freshStore()
+    // sampleCap = numCells + k - 1: the rotation would wrap back into
+    // the all-zero coarse-seed residuals and silently collapse the
+    // codebook — must fail loudly instead
+    val e = intercept[IllegalArgumentException] {
+      PqIndex.build(store, "tiny", emb, numCells = 8, m = 8, k = 16,
+        iters = 1, residual = true, sampleCap = 8 + 16 - 1)
+    }
+    assert(e.getMessage.contains("numCells+k"))
+    // exactly numCells + k is the minimum and must succeed
+    PqIndex.build(store, "min", emb, numCells = 8, m = 8, k = 16,
+      iters = 1, residual = true, sampleCap = 8 + 16)
+  }
+
   test("residual search beats raw-PQ recall at the same code budget") {
     VectorExprs.register(spark)
     val unit = emb.select($"vec_id", VectorExprs.vecUnit($"embedding").as("embedding"))

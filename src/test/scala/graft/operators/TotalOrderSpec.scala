@@ -85,6 +85,38 @@ class TotalOrderSpec extends SparkSpec {
     assert(dist.except(seq).count() === 0 && seq.except(dist).count() === 0)
   }
 
+  test("prefixAggs suffixMaxes equals FIRST_VALUE IGNORE NULLS looking forward") {
+    // the mirror image of the prefix walk: the next non-null carrier at
+    // or after the current row in (v, id) order is the suffix max of
+    // struct(-v, -id) — and both walks must come out of ONE call (one
+    // range shuffle)
+    val df = (1 to 2000).map { i =>
+      (i.toLong, (i * 7 % 50).toLong, if (i % 3 == 0) Some(i * 3L) else None)
+    }.toDF("id", "v", "payload").repartition(9)
+    val order = Seq(col("v").asc, col("id").asc)
+    val dist = TotalOrder.prefixAggs(
+        df.withColumn("__c",
+            when(col("payload").isNotNull, struct(col("v"), col("id"))))
+          .withColumn("__n",
+            when(col("payload").isNotNull,
+              struct((-col("v")).as("nv"), (-col("id")).as("nid")))),
+        order,
+        maxes = Seq("__c" -> "lastc"),
+        suffixMaxes = Seq("__n" -> "nextc"))
+      .select(col("id"), col("lastc.id").as("last_id"),
+        (-col("nextc.nid")).as("next_id"))
+    val w = Window.orderBy(order: _*)
+    val seq = df
+      .withColumn("last_id",
+        last(when(col("payload").isNotNull, col("id")), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("next_id",
+        first(when(col("payload").isNotNull, col("id")), ignoreNulls = true)
+          .over(w.rowsBetween(0, Window.unboundedFollowing)))
+      .select("id", "last_id", "next_id")
+    assert(dist.except(seq).count() === 0 && seq.except(dist).count() === 0)
+  }
+
   test("prefixAggs emits sums and row numbers from one pass") {
     val df = (1 to 500).map(i => (i.toLong, (i % 23).toLong)).toDF("id", "y")
       .repartition(7)
