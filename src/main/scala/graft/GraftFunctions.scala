@@ -31,6 +31,9 @@ object GraftFunctions {
     "pq_encode_packed" -> ((e: Seq[Expression]) => PqEncodePacked(e(0), e(1), e(2))),
     "pq_encode_residual" -> ((e: Seq[Expression]) => PqEncodeResidual(e(0), e(1), e(2), e(3))),
     "pq_adc" -> ((e: Seq[Expression]) => PqAdc(e(0), e(1))),
+    "pq_probe_cells" -> ((e: Seq[Expression]) => PqProbeCells(e(0), e(1), e(2))),
+    "pq_cell_residual" -> ((e: Seq[Expression]) => PqCellResidual(e(0), e(1), e(2))),
+    "pq_query_lut" -> ((e: Seq[Expression]) => PqQueryLut(e(0), e(1), e(2))),
     // fuzzy string comparators (DuckDB-pinned semantics)
     "jaro_sim" -> ((e: Seq[Expression]) => JaroSimilarity(e(0), e(1))),
     "jaro_winkler_sim" -> ((e: Seq[Expression]) => JaroWinklerSimilarity(e(0), e(1))),

@@ -197,6 +197,111 @@ object PqExprs {
     }
     acc
   }
+
+  // ---- bulk-serve kernels (query-side, one eval per query×probe row) --
+
+  /** The `nprobe` nearest coarse cells of a query by L2², ties to the
+    * lower cell id — ARITHMETIC-IDENTICAL to the driver-side
+    * `Codebook.lutFor` + `sortBy((dist, cell))` probe selection in
+    * [[graft.operators.PqIndex.search]] (same accumulation order), so
+    * the join-form bulk serve probes exactly the cells the LUT-collect
+    * path probes.
+    */
+  def probeCells(vec: ArrayData, kind: Int, coarse: Array[Double],
+      nprobe: Int): ArrayData = {
+    val d = vec.numElements()
+    if (d == 0 || coarse.length % d != 0)
+      throw new IllegalArgumentException(
+        s"query dim $d does not divide the coarse codebook (${coarse.length})")
+    val numCells = coarse.length / d
+    if (nprobe < 1 || nprobe > numCells)
+      throw new IllegalArgumentException(s"nprobe $nprobe outside 1..$numCells")
+    val dist = new Array[Double](numCells)
+    var j = 0
+    while (j < numCells) {
+      var acc = 0.0
+      var t = 0
+      while (t < d) {
+        val diff = elem(vec, kind, t) - coarse(j * d + t)
+        acc += diff * diff
+        t += 1
+      }
+      dist(j) = acc
+      j += 1
+    }
+    // partial selection sort on (dist, id): numCells is index-tuning
+    // sized (16..4096), nprobe a handful — O(nprobe·numCells) beats a
+    // full sort and keeps the tie rule explicit
+    val idx = Array.tabulate(numCells)(identity)
+    var s = 0
+    while (s < nprobe) {
+      var best = s
+      var i = s + 1
+      while (i < numCells) {
+        if (dist(idx(i)) < dist(idx(best)) ||
+            (dist(idx(i)) == dist(idx(best)) && idx(i) < idx(best))) best = i
+        i += 1
+      }
+      val tmp = idx(s); idx(s) = idx(best); idx(best) = tmp
+      s += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(idx, nprobe))
+  }
+
+  /** Query residual against one coarse cell: r_t = q_t − c_{cell,t}. */
+  def cellResidual(vec: ArrayData, kind: Int, coarse: Array[Double],
+      cell: Int): ArrayData = {
+    val d = vec.numElements()
+    if (d == 0 || coarse.length % d != 0)
+      throw new IllegalArgumentException(
+        s"query dim $d does not divide the coarse codebook (${coarse.length})")
+    val numCells = coarse.length / d
+    if (cell < 0 || cell >= numCells)
+      throw new IllegalArgumentException(s"cell $cell outside 0..${numCells - 1}")
+    val r = new Array[Double](d)
+    var t = 0
+    while (t < d) {
+      r(t) = elem(vec, kind, t) - coarse(cell * d + t)
+      t += 1
+    }
+    new GenericArrayData(r)
+  }
+
+  /** Per-query ADC LUT: lut[s*k + j] = ‖q_s − c_{s,j}‖², mirroring
+    * `Codebook.lutFor` loop-for-loop (same FP accumulation order — the
+    * bulk serve must be BIT-equal to the collect path).
+    */
+  def queryLut(vec: ArrayData, kind: Int, cents: Array[Double],
+      m: Int): ArrayData = {
+    val d = vec.numElements()
+    if (d == 0 || d % m != 0)
+      throw new IllegalArgumentException(
+        s"query dim $d not divisible into m=$m subspaces")
+    val subDim = d / m
+    if (cents.length % (m * subDim) != 0)
+      throw new IllegalArgumentException(
+        s"codebook length ${cents.length} does not fit m=$m subDim=$subDim")
+    val k = cents.length / (m * subDim)
+    val lut = new Array[Double](m * k)
+    var s = 0
+    while (s < m) {
+      var j = 0
+      while (j < k) {
+        val base = (s * k + j) * subDim
+        var acc = 0.0
+        var t = 0
+        while (t < subDim) {
+          val diff = elem(vec, kind, s * subDim + t) - cents(base + t)
+          acc += diff * diff
+          t += 1
+        }
+        lut(s * k + j) = acc
+        j += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(lut)
+  }
 }
 
 /** pq_encode(vec, flatCodebook, m) → array<int> of m sub-indices.
@@ -385,4 +490,154 @@ case class PqAdc(code: Expression, lut: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PqAdc =
     copy(code = newLeft, lut = newRight)
+}
+
+/** pq_probe_cells(vec, flatCoarse, nprobe) → array<int> of the nprobe
+  * nearest coarse cells (L2², ties to the lower id) — the query-side
+  * probe selection of the join-form bulk serve, running distributed
+  * instead of in a driver loop.
+  */
+case class PqProbeCells(vec: Expression, coarse: Expression, nprobe: Expression)
+    extends TernaryExpression with VectorExprHelpers {
+
+  override def first: Expression = vec
+  override def second: Expression = coarse
+  override def third: Expression = nprobe
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = vec.dataType match {
+    case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) =>
+      if (!coarse.foldable ||
+          (coarse.dataType != ArrayType(DoubleType, false) &&
+            coarse.dataType != ArrayType(DoubleType, true)))
+        TypeCheckResult.TypeCheckFailure(
+          "coarse codebook must be a foldable array<double> literal")
+      else if (!nprobe.foldable || nprobe.dataType != IntegerType)
+        TypeCheckResult.TypeCheckFailure("nprobe must be a foldable int literal")
+      else TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec must be an array of float/double/int/long, got ${other.sql}")
+  }
+
+  @transient private lazy val flatCoarse: Array[Double] =
+    coarse.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+  @transient private lazy val nprobeVal: Int = nprobe.eval(null).asInstanceOf[Int]
+
+  private def kind: Int =
+    PqExprs.kindOf(vec.dataType.asInstanceOf[ArrayType].elementType)
+
+  override def nullSafeEval(v: Any, c: Any, n: Any): Any =
+    PqExprs.probeCells(v.asInstanceOf[ArrayData], kind, flatCoarse, nprobeVal)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val coarseRef = ctx.addReferenceObj("pqCoarse", flatCoarse, "double[]")
+    nullSafeCodeGen(ctx, ev, (v, _, _) =>
+      s"""${ev.value} = graft.expressions.PqExprs.probeCells(
+         |  $v, $kind, $coarseRef, $nprobeVal);""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PqProbeCells =
+    copy(vec = f, coarse = s, nprobe = t)
+}
+
+/** pq_cell_residual(vec, flatCoarse, cellId) → array<double> — the
+  * query residual against a PROBED cell (cellId is a live column, one
+  * row per (query, probe)); composes with [[PqQueryLut]] for the
+  * residual-mode bulk serve.
+  */
+case class PqCellResidual(vec: Expression, coarse: Expression, cell: Expression)
+    extends TernaryExpression with VectorExprHelpers {
+
+  override def first: Expression = vec
+  override def second: Expression = coarse
+  override def third: Expression = cell
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = vec.dataType match {
+    case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) =>
+      if (!coarse.foldable ||
+          (coarse.dataType != ArrayType(DoubleType, false) &&
+            coarse.dataType != ArrayType(DoubleType, true)))
+        TypeCheckResult.TypeCheckFailure(
+          "coarse codebook must be a foldable array<double> literal")
+      else if (cell.dataType != IntegerType)
+        TypeCheckResult.TypeCheckFailure(s"cell must be int, got ${cell.dataType.sql}")
+      else TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec must be an array of float/double/int/long, got ${other.sql}")
+  }
+
+  @transient private lazy val flatCoarse: Array[Double] =
+    coarse.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+
+  private def kind: Int =
+    PqExprs.kindOf(vec.dataType.asInstanceOf[ArrayType].elementType)
+
+  override def nullSafeEval(v: Any, c: Any, ce: Any): Any =
+    PqExprs.cellResidual(v.asInstanceOf[ArrayData], kind, flatCoarse,
+      ce.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val coarseRef = ctx.addReferenceObj("pqCoarse", flatCoarse, "double[]")
+    nullSafeCodeGen(ctx, ev, (v, _, ce) =>
+      s"""${ev.value} = graft.expressions.PqExprs.cellResidual(
+         |  $v, $kind, $coarseRef, $ce);""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PqCellResidual =
+    copy(vec = f, coarse = s, cell = t)
+}
+
+/** pq_query_lut(vec, flatCodebook, m) → array<double> ADC LUT — the
+  * query-side table [[PqAdc]] scores postings against, computed
+  * DISTRIBUTED so serve batches need no driver collect (the 4096-query
+  * LUT-broadcast ceiling of the collect path does not apply).
+  */
+case class PqQueryLut(vec: Expression, cents: Expression, m: Expression)
+    extends TernaryExpression with VectorExprHelpers {
+
+  override def first: Expression = vec
+  override def second: Expression = cents
+  override def third: Expression = m
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = vec.dataType match {
+    case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) =>
+      if (!cents.foldable ||
+          (cents.dataType != ArrayType(DoubleType, false) &&
+            cents.dataType != ArrayType(DoubleType, true)))
+        TypeCheckResult.TypeCheckFailure(
+          "codebook must be a foldable array<double> literal")
+      else if (!m.foldable || m.dataType != IntegerType)
+        TypeCheckResult.TypeCheckFailure("m must be a foldable int literal")
+      else TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec must be an array of float/double/int/long, got ${other.sql}")
+  }
+
+  @transient private lazy val flatCents: Array[Double] =
+    cents.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+  @transient private lazy val mVal: Int = m.eval(null).asInstanceOf[Int]
+
+  private def kind: Int =
+    PqExprs.kindOf(vec.dataType.asInstanceOf[ArrayType].elementType)
+
+  override def nullSafeEval(v: Any, c: Any, mm: Any): Any =
+    PqExprs.queryLut(v.asInstanceOf[ArrayData], kind, flatCents, mVal)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("pqCents", flatCents, "double[]")
+    nullSafeCodeGen(ctx, ev, (v, _, _) =>
+      s"""${ev.value} = graft.expressions.PqExprs.queryLut(
+         |  $v, $kind, $centsRef, $mVal);""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PqQueryLut =
+    copy(vec = f, cents = s, m = t)
 }

@@ -835,6 +835,51 @@ object MediaCodec {
     ImageData(width, height, rgb)
   }
 
+  // ---- raster transforms ----------------------------------------------
+
+  /** Bilinear resize of a decoded raster — the REAL pixel path behind
+    * [[Multimodal.resizePayload]] (pixel-center-aligned sampling, the
+    * convention imaging libraries use, so a same-size "resize" is the
+    * identity). Per-channel interpolation in fixed source space; output
+    * dims validated against the same decode bound as the codecs.
+    */
+  def resizeBilinear(img: ImageData, outW: Int, outH: Int): ImageData = {
+    checkDims(outW, outH, "resize target")
+    if (outW == img.width && outH == img.height) return img
+    val out = new Array[Int](outW * outH)
+    val xScale = img.width.toDouble / outW
+    val yScale = img.height.toDouble / outH
+    var y = 0
+    while (y < outH) {
+      // pixel-center alignment: output center maps to source center
+      val sy = math.min(math.max((y + 0.5) * yScale - 0.5, 0.0), img.height - 1.0)
+      val y0 = sy.toInt
+      val y1 = math.min(y0 + 1, img.height - 1)
+      val fy = sy - y0
+      var x = 0
+      while (x < outW) {
+        val sx = math.min(math.max((x + 0.5) * xScale - 0.5, 0.0), img.width - 1.0)
+        val x0 = sx.toInt
+        val x1 = math.min(x0 + 1, img.width - 1)
+        val fx = sx - x0
+        val p00 = img.rgb(y0 * img.width + x0); val p01 = img.rgb(y0 * img.width + x1)
+        val p10 = img.rgb(y1 * img.width + x0); val p11 = img.rgb(y1 * img.width + x1)
+        def ch(shift: Int): Int = {
+          val c00 = (p00 >> shift) & 0xff; val c01 = (p01 >> shift) & 0xff
+          val c10 = (p10 >> shift) & 0xff; val c11 = (p11 >> shift) & 0xff
+          val top = c00 + (c01 - c00) * fx
+          val bot = c10 + (c11 - c10) * fx
+          val v = math.round(top + (bot - top) * fy).toInt
+          if (v < 0) 0 else if (v > 255) 255 else v
+        }
+        out(y * outW + x) = (ch(16) << 16) | (ch(8) << 8) | ch(0)
+        x += 1
+      }
+      y += 1
+    }
+    ImageData(outW, outH, out)
+  }
+
   // ---- dispatch -------------------------------------------------------
 
   /** Decode when the payload's leading bytes AND validated structure
@@ -859,6 +904,9 @@ object MediaCodec {
     else if (bytes(0) == PngSig(0) && bytes(1) == PngSig(1) &&
         bytes(2) == PngSig(2) && bytes(3) == PngSig(3))
       scala.util.Try(decodePng(bytes)).toOption.map(DecodedImage)
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 &&
+        (bytes(2) & 0xff) == 0xff)
+      scala.util.Try(JpegCodec.decodeJpeg(bytes)).toOption.map(DecodedImage)
     else None
   }
 

@@ -55,10 +55,12 @@ object Multimodal {
   /** ======== STUB (fallback only) ========
     * Deterministic fake decode for payloads in formats the pure-JVM
     * [[MediaCodec]] can't parse (codecs that genuinely need native
-    * libs: JPEG, H.264, MP3, ...): "features" are k doubles derived
+    * libs: H.264, MP3, ...): "features" are k doubles derived
     * from payload length and the md5 of the bytes. WAV/PCM, BMP, PPM,
-    * PNG (DEFLATE via java.util.zip) and uncompressed AVI payloads
-    * never reach this — [[decodeFeatures]] really decodes those.
+    * PNG (DEFLATE via java.util.zip), GIF, baseline JPEG
+    * ([[JpegCodec]]: real Huffman + IDCT) and uncompressed AVI
+    * payloads never reach this — [[decodeFeatures]] really decodes
+    * those.
     */
   def stubDecodeFeatures(payload: Array[Byte], k: Int): Array[Double] = {
     if (payload == null) return Array.fill(k)(0.0)
@@ -174,9 +176,49 @@ object Multimodal {
       .filter(col("frame_idx") % everyNth === 0)
   }
 
-  /** ======== STUB ======== resize: a metadata-only transform here (a
-    * real one maps payload through a codec); demonstrates the
-    * metadata-evolution pattern.
+  /** REAL pixel resize: decode each image payload, bilinear-resample so
+    * the longest edge is ≤ `maxDim` (aspect preserved, never upscale),
+    * re-encode losslessly as PPM, and update the metadata to the TRUE
+    * decoded-then-resized dimensions. Payloads [[MediaCodec.decodeAny]]
+    * cannot parse pass through unchanged (flagged `resized = false`) —
+    * the transform never fabricates pixels. Batch shape matches
+    * [[decodeToFeatures]]: per-partition mapPartitions over binary
+    * payloads, the one place imperative code is the right tool.
+    */
+  def resizePayload(media: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim > 0, s"maxDim must be positive, got $maxDim")
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(media.schema.fields :+
+      StructField("resized", BooleanType, nullable = false))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val metaIdx = media.schema.fieldIndex("meta")
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        MediaCodec.decodeAny(payload) match {
+          case Some(MediaCodec.DecodedImage(img))
+              if math.max(img.width, img.height) > maxDim =>
+            val scale = maxDim.toDouble / math.max(img.width, img.height)
+            val outW = math.max(1, math.round(img.width * scale).toInt)
+            val outH = math.max(1, math.round(img.height * scale).toInt)
+            val small = MediaCodec.resizeBilinear(img, outW, outH)
+            val newPayload = MediaCodec.encodePpm(outW, outH,
+              (x, y) => small.rgb(y * outW + x))
+            val oldMeta = r.getStruct(metaIdx)
+            val newMeta = Row(outW, outH, oldMeta.getInt(2), oldMeta.getInt(3))
+            Row.fromSeq(r.toSeq.updated(payloadIdx, newPayload)
+              .updated(metaIdx, newMeta) :+ true)
+          case _ =>
+            Row.fromSeq(r.toSeq :+ false)
+        }
+      }
+    }(enc)
+  }
+
+  /** Metadata-only resize variant (planning/projection use — the real
+    * pixel path is [[resizePayload]]): rescales width/height in `meta`
+    * without touching payloads.
     */
   def resizeMeta(media: DataFrame, maxDim: Int): DataFrame = {
     val w = col("meta.width")

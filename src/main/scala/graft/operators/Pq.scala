@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.expressions.{PqAdc, PqEncode, PqEncodePacked, PqEncodeResidual}
+import graft.expressions.{PqAdc, PqCellResidual, PqEncode, PqEncodePacked,
+  PqEncodeResidual, PqProbeCells, PqQueryLut}
 
 /** Product quantization ANN (Jégou et al.): compress each D-dim vector
   * to m sub-codebook indices (m bytes-ish vs 4·D), then answer top-k by
@@ -110,8 +111,14 @@ object Pq {
       "pq_encode_packed", e => PqEncodePacked(e(0), e(1), e(2)), "built-in")
     graft.GraftFunctions.registerIfAbsent(reg, 
       "pq_encode_residual", e => PqEncodeResidual(e(0), e(1), e(2), e(3)), "built-in")
-    graft.GraftFunctions.registerIfAbsent(reg, 
+    graft.GraftFunctions.registerIfAbsent(reg,
       "pq_adc", e => PqAdc(e(0), e(1)), "built-in")
+    graft.GraftFunctions.registerIfAbsent(reg,
+      "pq_probe_cells", e => PqProbeCells(e(0), e(1), e(2)), "built-in")
+    graft.GraftFunctions.registerIfAbsent(reg,
+      "pq_cell_residual", e => PqCellResidual(e(0), e(1), e(2)), "built-in")
+    graft.GraftFunctions.registerIfAbsent(reg,
+      "pq_query_lut", e => PqQueryLut(e(0), e(1), e(2)), "built-in")
   }
 
   private def asDoubles(v: Any): Array[Double] =

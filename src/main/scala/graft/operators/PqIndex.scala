@@ -184,6 +184,55 @@ object PqIndex {
         (-col("score")).as("adc"))
   }
 
+  /** Join-form bulk serve: [[search]] with NO driver collect of the
+    * query set and therefore no 4096-query LUT-broadcast ceiling — the
+    * offline batch-scoring path (score the whole query table against
+    * the index in one job).
+    *
+    * Queries stay a DataFrame end to end: probe-cell selection
+    * ([[graft.expressions.PqProbeCells]]), per-probe residuals and ADC
+    * LUTs ([[graft.expressions.PqCellResidual]] /
+    * [[graft.expressions.PqQueryLut]]) are native expressions computed
+    * DISTRIBUTED, arithmetic-identical to the driver-side kernels — so
+    * results are BIT-equal to [[search]] (PqIndexSpec pins it). The
+    * probed (query, cell, lut) rows then shuffle-join the postings on
+    * cell_id; at 100k+ queries most cells are probed by someone, so a
+    * full postings scan co-partitioned on cell_id IS the right plan —
+    * static partition pruning only pays when the probe set is small,
+    * which is [[search]]'s regime.
+    */
+  def searchBulk(h: Handle, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= h.numCells, s"bad nprobe $nprobe")
+    val spark = h.store.spark
+    Pq.register(spark)
+    val q = queries.select(
+      col(h.idCol).cast("long").as("query_id"),
+      col(h.vecCol).cast("array<double>").as("__qv"))
+    val probed = q
+      .withColumn("cell_id",
+        explode(call_function("pq_probe_cells",
+          col("__qv"), lit(h.coarse), lit(nprobe))))
+    val withLut = (
+      if (h.residual)
+        probed.withColumn("lut",
+          call_function("pq_query_lut",
+            call_function("pq_cell_residual",
+              col("__qv"), lit(h.coarse), col("cell_id")),
+            lit(h.codebook), lit(h.m)))
+      else
+        probed.withColumn("lut",
+          call_function("pq_query_lut", col("__qv"), lit(h.codebook), lit(h.m)))
+      ).select(col("query_id"), col("cell_id"), col("lut"))
+    val scored = h.postings
+      .join(withLut, Seq("cell_id"))
+      .filter(col(h.idCol) =!= col("query_id"))
+      .withColumn("corpus_id", col(h.idCol))
+      .withColumn("score", -call_function("pq_adc", col("pq_code"), col("lut")))
+    Similarity.topKPerGroup(scored, col("query_id"), k)
+      .select(col("query_id"), col("corpus_id"), col("rank"),
+        (-col("score")).as("adc"))
+  }
+
   /** Shortlist via [[search]], exact L2² re-rank against the raw corpus
     * (the faiss refine stage) — shortlist×queries point lookups of raw
     * vectors, never a corpus scan.

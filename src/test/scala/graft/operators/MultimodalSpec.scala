@@ -383,4 +383,153 @@ class MultimodalSpec extends SparkSpec {
     val bad = good.clone(); bad(2) = 'X'.toByte
     assert(MediaCodec.decodeAny(bad).isEmpty)
   }
+
+  // ---- JPEG (lossy: exactness on DC-only fixtures, bounds elsewhere) ---
+
+  // smooth in all three channels — chroma subsampling averages 2x2
+  // neighborhoods, so a wrapping sawtooth would be a step edge, not a
+  // "smooth content" fixture
+  private def mkRamp(w: Int, h: Int): (Int, Int) => Int = (x, y) => {
+    val r = (x * 255 / math.max(w - 1, 1)) & 0xff
+    val g = (y * 255 / math.max(h - 1, 1)) & 0xff
+    val b = ((x + y) * 255 / math.max(w + h - 2, 1)) & 0xff
+    (r << 16) | (g << 8) | b
+  }
+
+  private def maxChannelError(a: MediaCodec.ImageData, px: (Int, Int) => Int): Int = {
+    var worst = 0
+    for (y <- 0 until a.height; x <- 0 until a.width) {
+      val got = a.rgb(y * a.width + x); val want = px(x, y)
+      worst = math.max(worst, math.abs(((got >> 16) & 0xff) - ((want >> 16) & 0xff)))
+      worst = math.max(worst, math.abs(((got >> 8) & 0xff) - ((want >> 8) & 0xff)))
+      worst = math.max(worst, math.abs((got & 0xff) - (want & 0xff)))
+    }
+    worst
+  }
+
+  test("JPEG 4:4:4 roundtrip: smooth content within tight error bounds, q100 tighter than q50") {
+    for ((w, h) <- Seq((16, 16), (17, 13), (8, 24))) {
+      val px = mkRamp(w, h)
+      val q90 = JpegCodec.decodeJpeg(JpegCodec.encodeJpeg(w, h, px, quality = 90))
+      assert(q90.width == w && q90.height == h)
+      // smooth gradients survive q90 within a small bound (not exact — lossy)
+      assert(maxChannelError(q90, px) <= 12,
+        s"q90 error ${maxChannelError(q90, px)} on ${w}x$h")
+      val e100 = maxChannelError(
+        JpegCodec.decodeJpeg(JpegCodec.encodeJpeg(w, h, px, quality = 100)), px)
+      val e50 = maxChannelError(
+        JpegCodec.decodeJpeg(JpegCodec.encodeJpeg(w, h, px, quality = 50)), px)
+      assert(e100 <= e50, s"quality must be monotone: q100=$e100 q50=$e50")
+      assert(e100 <= 4, s"q100 error $e100 too high for a smooth ramp")
+    }
+  }
+
+  test("JPEG block-constant fixture decodes BIT-exactly (the gate's oracle contract)") {
+    // levels ≡ 2 (mod 3): DC is a multiple of the q90 luma quant step
+    val w = 24; val h = 16
+    def level(bx: Int, by: Int): Int = 2 + 3 * ((bx + 2 * by) % 85)
+    val px: (Int, Int) => Int = (x, y) => {
+      val v = level(x / 8, y / 8); (v << 16) | (v << 8) | v
+    }
+    val img = JpegCodec.decodeJpeg(JpegCodec.encodeJpeg(w, h, px, quality = 90))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img.rgb(y * w + x) == px(x, y), s"pixel ($x,$y)")
+  }
+
+  test("JPEG 4:2:0 subsampling: decoder upsamples, luma detail survives") {
+    val w = 32; val h = 24
+    val px = mkRamp(w, h)
+    val bytes = JpegCodec.encodeJpeg(w, h, px, quality = 90, subsample420 = true)
+    val img = JpegCodec.decodeJpeg(bytes)
+    assert(img.width == w && img.height == h)
+    // chroma is halved so bounds loosen, but a gradient must still track
+    assert(maxChannelError(img, px) <= 24,
+      s"4:2:0 error ${maxChannelError(img, px)}")
+    // and the stream really declares 2x2 sampling (SOF byte check)
+    val sof = bytes.indexOfSlice(Array(0xff.toByte, 0xc0.toByte))
+    assert((bytes(sof + 11) & 0xff) == 0x22, "Y component must be 2x2 sampled")
+  }
+
+  test("JPEG non-multiple-of-MCU sizes decode at declared dims (edge replication)") {
+    val w = 19; val h = 11
+    val px = mkRamp(w, h)
+    val img = JpegCodec.decodeJpeg(
+      JpegCodec.encodeJpeg(w, h, px, quality = 90, subsample420 = true))
+    assert(img.width == w && img.height == h)
+    assert(maxChannelError(img, px) <= 24)
+  }
+
+  test("JPEG refusals: progressive, truncation, bad SOI — loud, never garbage") {
+    val good = JpegCodec.encodeJpeg(16, 16, mkRamp(16, 16))
+    // flip SOF0 to SOF2 (progressive)
+    val prog = good.clone()
+    val sof = prog.indexOfSlice(Array(0xff.toByte, 0xc0.toByte))
+    prog(sof + 1) = 0xc2.toByte
+    val e = intercept[RuntimeException] { JpegCodec.decodeJpeg(prog) }
+    assert(e.getMessage.toLowerCase.contains("progressive"))
+    // truncated entropy stream
+    intercept[IllegalArgumentException] {
+      JpegCodec.decodeJpeg(java.util.Arrays.copyOf(good, good.length / 2))
+    }
+    // not a JPEG at all
+    intercept[IllegalArgumentException] {
+      JpegCodec.decodeJpeg(Array[Byte](1, 2, 3, 4, 5))
+    }
+  }
+
+  test("JPEG payloads take the REAL decode path in decodeFeatures — stub unreachable") {
+    val w = 16; val h = 8
+    // constant mid-gray: decodes exactly, so the luma features are exact
+    val bytes = JpegCodec.encodeJpeg(w, h, (_, _) => 0x808080, quality = 90)
+    MediaCodec.decodeAny(bytes) match {
+      case Some(MediaCodec.DecodedImage(img)) =>
+        assert(img.width == w && img.height == h)
+        assert(img.rgb.forall(_ == 0x808080))
+      case other => fail(s"JPEG did not dispatch as an image: $other")
+    }
+    val feats = Multimodal.decodeFeatures(bytes, 8)
+    assert(feats(0) == 2.0 && feats(1) == w && feats(2) == h,
+      s"JPEG fell back to the stub: ${feats.toSeq}")
+    // and the stub is provably different on these bytes
+    assert(feats.toSeq != Multimodal.stubDecodeFeatures(bytes, 8).toSeq)
+  }
+
+  test("resizeBilinear: identity at same size, exact on linear ramps, bounds checked") {
+    val src = MediaCodec.ImageData(16, 16,
+      Array.tabulate(256)(i => { val v = 2 * (i % 16) + 2 * (i / 16); (v << 16) | (v << 8) | v }))
+    assert(MediaCodec.resizeBilinear(src, 16, 16) eq src)
+    val half = MediaCodec.resizeBilinear(src, 8, 8)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val v = 4 * x + 4 * y + 2 // bilinear of a linear ramp is exact
+      assert(half.rgb(y * 8 + x) == ((v << 16) | (v << 8) | v), s"($x,$y)")
+    }
+    intercept[IllegalArgumentException] {
+      MediaCodec.resizeBilinear(src, 0, 8)
+    }
+    intercept[IllegalArgumentException] {
+      MediaCodec.resizeBilinear(src, 1 << 20, 1 << 20) // pixel bound
+    }
+  }
+
+  test("resizePayload: real pixels shrink, metadata tracks truth, non-images pass through") {
+    import spark.implicits._
+    val bmp = MediaCodec.encodeBmp24(20, 10, (x, y) => ((x * 12) << 16) | ((y * 25) << 8) | 7)
+    val textPayload = "not an image".getBytes("UTF-8")
+    val media = Seq(
+        (1L, "image", bmp, (20, 10, 16000, 1)),
+        (2L, "image", textPayload, (20, 10, 16000, 1)))
+      .toDF("media_id", "modality", "payload", "meta")
+      .select(col("media_id"), col("modality"), col("payload"),
+        col("meta").cast("struct<width:int,height:int,sample_rate:int,n_frames:int>").as("meta"))
+    val out = Multimodal.resizePayload(media, maxDim = 10)
+      .orderBy("media_id").collect()
+    // row 1: really resized — payload is a decodable 10x5 PPM
+    assert(out(0).getAs[Boolean]("resized"))
+    val resized = MediaCodec.decodePpm(out(0).getAs[Array[Byte]]("payload"))
+    assert(resized.width == 10 && resized.height == 5)
+    assert(out(0).getStruct(3).getInt(0) == 10 && out(0).getStruct(3).getInt(1) == 5)
+    // row 2: undecodable payload passes through untouched
+    assert(!out(1).getAs[Boolean]("resized"))
+    assert(out(1).getAs[Array[Byte]]("payload").toSeq == textPayload.toSeq)
+  }
 }

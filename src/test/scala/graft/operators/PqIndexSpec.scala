@@ -147,6 +147,57 @@ class PqIndexSpec extends SparkSpec {
       iters = 1, residual = true, sampleCap = 8 + 16)
   }
 
+  test("searchBulk is bit-equal to the LUT-collect search, raw and residual modes") {
+    val store = freshStore()
+    for ((name, residual) <- Seq(("bulkraw", false), ("bulkres", true))) {
+      PqIndex.build(store, name, emb, numCells = 8, m = 8, k = 16,
+        iters = 2, residual = residual)
+      val h = PqIndex.open(store, name)
+      val queries = emb.filter($"vec_id" < 64)
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))
+      val collectPath = PqIndex.search(h, queries, k = 5, nprobe = 3)
+        .orderBy("query_id", "rank").collect().map(key).toSeq
+      val joinPath = PqIndex.searchBulk(h, queries, k = 5, nprobe = 3)
+        .orderBy("query_id", "rank").collect().map(key).toSeq
+      assert(joinPath == collectPath, s"mode=$name")
+    }
+  }
+
+  test("searchBulk accepts batches past the 4096-query collect ceiling, no driver collect") {
+    val store = freshStore()
+    PqIndex.build(store, "big", emb, numCells = 8, m = 8, k = 16, iters = 1)
+    val h = PqIndex.open(store, "big")
+    // replicate the embeddings into a >4096-query batch with distinct ids
+    val n = emb.count()
+    val reps = (4096 / n + 2).toInt
+    val queries = emb.crossJoin(spark.range(reps).toDF("__rep"))
+      .withColumn("vec_id", $"vec_id" + $"__rep" * n)
+      .drop("__rep")
+    assert(queries.count() > 4096)
+    intercept[IllegalArgumentException] {
+      PqIndex.search(h, queries, k = 3, nprobe = 2) // collect path refuses
+    }
+    val out = PqIndex.searchBulk(h, queries, k = 3, nprobe = 2)
+    // every query gets k hits (corpus >> k even after self-exclusion)
+    val counts = out.groupBy("query_id").count().select("count")
+      .distinct().as[Long].collect().toSeq
+    assert(counts == Seq(3L), s"per-query result counts: $counts")
+    assert(out.count() == queries.count() * 3)
+    // replicas of the same vector (different id) score identical lists
+    val base = out.filter($"query_id" === 1).select("corpus_id", "rank", "adc")
+      .orderBy("rank").collect().toSeq
+    val replica = out.filter($"query_id" === n + 1).select("corpus_id", "rank", "adc")
+      .orderBy("rank").collect().toSeq
+    assert(base.nonEmpty)
+    // the replica probes the same cells and scores the same LUT; only
+    // self-exclusion differs (id 1 excludes itself, n+1 does not), so
+    // compare after dropping corpus ids equal to either query id
+    val b = base.filterNot(r => r.getLong(0) == 1 || r.getLong(0) == n + 1).map(r => (r.getLong(0), r.getDouble(2)))
+    val rr = replica.filterNot(r => r.getLong(0) == 1 || r.getLong(0) == n + 1).map(r => (r.getLong(0), r.getDouble(2)))
+    assert(b.take(2) == rr.take(2), s"replica drift: $b vs $rr")
+  }
+
   test("residual search beats raw-PQ recall at the same code budget") {
     VectorExprs.register(spark)
     val unit = emb.select($"vec_id", VectorExprs.vecUnit($"embedding").as("embedding"))
