@@ -64,18 +64,38 @@ class PlanBudgetSpec extends SparkSpec {
     // TotalOrder are the deliberate constant cost; a regression back to
     // the window form shows as a shuffle-count DROP, which is fine, but
     // a second materialization sneaking in trips the job ceiling)
-    "a92_cochran_armitage" -> Budget(4, 2, 18),
-    "stat_qq_normal" -> Budget(15, 12, 19),
-    "ml_tree_stump" -> Budget(14, 12, 19),
-    "o5_keyset_pagination" -> Budget(0, 2, 12),
-    "a51_runs_test" -> Budget(12, 5, 30),
-    "a49_ks_test" -> Budget(22, 2, 14),
-    "dq_hash_uniformity" -> Budget(25, 21, 22),
-    "a64_spearman" -> Budget(8, 2, 22),
-    "a34_decile_lift" -> Budget(23, 11, 20),
-    "a43_gini" -> Budget(8, 2, 12),
-    "ts_emd_drift" -> Budget(21, 6, 24),
-    "event_interarrival" -> Budget(20, 10, 21),
+    // re-pinned round 8 after the TotalOrder single-pass fusion (one
+    // lazy-checkpoint materialization per call instead of eager-ckpt +
+    // count pass): shuffles and jobs dropped across the whole family
+    "a92_cochran_armitage" -> Budget(4, 2, 16),
+    "stat_qq_normal" -> Budget(8, 12, 17),
+    "ml_tree_stump" -> Budget(10, 12, 18),
+    "o5_keyset_pagination" -> Budget(0, 2, 11),
+    "a51_runs_test" -> Budget(6, 5, 25),
+    "a49_ks_test" -> Budget(20, 2, 14),
+    "dq_hash_uniformity" -> Budget(15, 21, 20),
+    "a64_spearman" -> Budget(4, 2, 20),
+    "a34_decile_lift" -> Budget(14, 11, 18),
+    "a43_gini" -> Budget(4, 2, 11),
+    "ts_emd_drift" -> Budget(17, 5, 23),
+    "event_interarrival" -> Budget(14, 10, 19),
+    // the six r7-verdict "regressed" gates: the r6→r7 drift was proven
+    // to be suite-context (identical isolated timings at both commits —
+    // see BENCH_LOCAL.md), but time-based detection at this amplitude is
+    // noise, so their PLAN cost is pinned here instead — a structural
+    // regression (extra exchange / eager job) now fails a test
+    "sim_ivf_topk" -> Budget(4, 4, 8),
+    "semantic_dedup" -> Budget(2, 2, 10),
+    "sim_lsh_neardup" -> Budget(4, 6, 11),
+    "zorder_cluster" -> Budget(1, 0, 12),
+    "w1_row_number" -> Budget(4, 0, 5),
+    "w2_top1_per_group" -> Budget(4, 0, 5),
+    // round-8 additions: the fused nearest join and the new media / PQ
+    // bulk-serve gates
+    "j24_nearest_join" -> Budget(6, 2, 13),
+    "mm_jpeg_decode" -> Budget(2, 0, 4),
+    "mm_resize_pixels" -> Budget(2, 0, 4),
+    "sim_pq_serve_bulk" -> Budget(4, 4, 16),
   )
 
   // +2 jobs and +2 exchanges of headroom: AQE finalizes plans from
