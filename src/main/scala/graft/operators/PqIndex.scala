@@ -223,6 +223,13 @@ object PqIndex {
         probed.withColumn("lut",
           call_function("pq_query_lut", col("__qv"), lit(h.codebook), lit(h.m)))
       ).select(col("query_id"), col("cell_id"), col("lut"))
+      // exchange barrier = materialization point: without it,
+      // CollapseProject inlines the LUT expression into the post-join
+      // projection and the m·k·subDim LUT build re-runs PER SCORED PAIR
+      // (measured 144 s for a 100k-query serve that takes ~5 s with the
+      // barrier — the [[graft.expressions.VectorExprs]] vecUnit lesson,
+      // again). The join needs this exact partitioning anyway.
+      .repartition(col("cell_id"))
     val scored = h.postings
       .join(withLut, Seq("cell_id"))
       .filter(col(h.idCol) =!= col("query_id"))
