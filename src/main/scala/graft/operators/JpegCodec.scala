@@ -477,6 +477,102 @@ object JpegCodec {
     out.toByteArray
   }
 
+  /** Single-component (grayscale) baseline JFIF — the other SOF shape
+    * real corpora contain (scanned documents, masks); exists mainly so
+    * the decoder's 1-component path is pinned by a real stream, not
+    * dead code. `pixel(x, y)` is the 0..255 luma level.
+    */
+  def encodeJpegGray(width: Int, height: Int, pixel: (Int, Int) => Int,
+      quality: Int = 90, restartInterval: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0 &&
+      width.toLong * height <= MaxPixels, s"bad dimensions ${width}x$height")
+    require(restartInterval >= 0, s"bad restart interval $restartInterval")
+    val qLuma = scaledQuant(QLumaBase, quality)
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8)
+    marker(0xdb); u16(2 + 65); u8(0x00); ZigZag.foreach(z => u8(qLuma(z)))
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
+    marker(0xc0); u16(8 + 3); u8(8); u16(height); u16(width); u8(1)
+    u8(1); u8(0x11); u8(0)
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length)
+      u8((cls << 4) | id)
+      (1 to 16).foreach(l => u8(bits(l)))
+      vals.foreach(u8)
+    }
+    dht(0, 0, DcLumaBits, DcLumaVals); dht(1, 0, AcLumaBits, AcLumaVals)
+    marker(0xda); u16(6 + 2); u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0)
+    val dcC = buildCodes(DcLumaBits, DcLumaVals)
+    val acC = buildCodes(AcLumaBits, AcLumaVals)
+    val bw = new BitWriter(out)
+    var dc = 0
+    val mcuW = (width + 7) / 8; val mcuH = (height + 7) / 8
+    var mcu = 0
+    var rstIdx = 0
+    var my = 0
+    while (my < mcuH) {
+      var mx = 0
+      while (mx < mcuW) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          // byte-align (1-padded), emit RSTn, reset the DC predictor —
+          // the camera-JPEG resync structure the decoder must consume
+          bw.flush()
+          marker(0xd0 + rstIdx)
+          rstIdx = (rstIdx + 1) % 8
+          dc = 0
+        }
+        mcu += 1
+        val blk = new Array[Double](64)
+        var j = 0
+        while (j < 8) {
+          var i = 0
+          while (i < 8) {
+            val sx = math.min(mx * 8 + i, width - 1)
+            val sy = math.min(my * 8 + j, height - 1)
+            blk(j * 8 + i) = (pixel(sx, sy) & 0xff).toDouble - 128.0
+            i += 1
+          }
+          j += 1
+        }
+        val coef = fdct(blk)
+        val zz = new Array[Int](64)
+        var k = 0
+        while (k < 64) {
+          val nat = ZigZag(k)
+          zz(k) = math.round(coef(nat) / qLuma(nat)).toInt
+          k += 1
+        }
+        val diff = zz(0) - dc
+        dc = zz(0)
+        val s = bitSize(diff)
+        val (c, l) = dcC(s); bw.write(c, l)
+        if (s > 0) bw.write(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        var run = 0
+        k = 1
+        while (k < 64) {
+          if (zz(k) == 0) run += 1
+          else {
+            while (run > 15) { val (zc, zl) = acC(0xf0); bw.write(zc, zl); run -= 16 }
+            val sz = bitSize(zz(k))
+            val (ac, al) = acC((run << 4) | sz); bw.write(ac, al)
+            bw.write(if (zz(k) < 0) zz(k) + (1 << sz) - 1 else zz(k), sz)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val (ec, el) = acC(0x00); bw.write(ec, el) }
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    marker(0xd9)
+    out.toByteArray
+  }
+
   // ---- decoder ----------------------------------------------------------
 
   private final case class Component(id: Int, h: Int, v: Int, tq: Int,

@@ -459,6 +459,44 @@ class MultimodalSpec extends SparkSpec {
     assert(maxChannelError(img, px) <= 24)
   }
 
+  test("JPEG grayscale (1-component SOF) decodes: block-constant exact, ramp bounded") {
+    // block-constant levels ≡ 2 (mod 3): DC-exact at q90, like the gate
+    val w = 16; val h = 16
+    def level(bx: Int, by: Int): Int = 2 + 3 * ((bx + 2 * by) % 85)
+    val exact = JpegCodec.decodeJpeg(
+      JpegCodec.encodeJpegGray(w, h, (x, y) => level(x / 8, y / 8), quality = 90))
+    assert(exact.width == w && exact.height == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = level(x / 8, y / 8)
+      assert(exact.rgb(y * w + x) == ((v << 16) | (v << 8) | v), s"($x,$y)")
+    }
+    // smooth ramp within lossy bounds
+    val ramp = JpegCodec.decodeJpeg(
+      JpegCodec.encodeJpegGray(17, 13, (x, y) => (x * 10 + y * 5) & 0xff, 90))
+    var worst = 0
+    for (y <- 0 until 13; x <- 0 until 17)
+      worst = math.max(worst,
+        math.abs(((ramp.rgb(y * 17 + x) >> 16) & 0xff) - ((x * 10 + y * 5) & 0xff)))
+    assert(worst <= 12, s"gray ramp error $worst")
+  }
+
+  test("JPEG restart markers (DRI/RSTn): decoder resyncs and resets DC prediction") {
+    // 6x2 = 12 MCUs with restarts every 2: exercises RST0..RST5 and the
+    // DC-predictor reset; DC-exact fixture so the decode must be
+    // bit-equal to the restart-free stream
+    val w = 48; val h = 16
+    def level(bx: Int, by: Int): Int = 2 + 3 * ((5 * bx + 2 * by) % 85)
+    val px: (Int, Int) => Int = (x, y) => level(x / 8, y / 8)
+    val plain = JpegCodec.decodeJpeg(JpegCodec.encodeJpegGray(w, h, px, 90))
+    val restarted = JpegCodec.decodeJpeg(
+      JpegCodec.encodeJpegGray(w, h, px, 90, restartInterval = 2))
+    assert(restarted.rgb.toSeq == plain.rgb.toSeq)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = level(x / 8, y / 8)
+      assert(restarted.rgb(y * w + x) == ((v << 16) | (v << 8) | v), s"($x,$y)")
+    }
+  }
+
   test("JPEG refusals: progressive, truncation, bad SOI — loud, never garbage") {
     val good = JpegCodec.encodeJpeg(16, 16, mkRamp(16, 16))
     // flip SOF0 to SOF2 (progressive)
