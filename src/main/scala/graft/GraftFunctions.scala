@@ -73,12 +73,18 @@ object GraftFunctions {
     * and spammed every bench/pipeline log with hundreds of
     * "function X replaced a previously registered function" warnings.
     * The builders are all stateless singletons, so first-registration
-    * wins is exactly as correct, and quiet.
+    * wins is exactly as correct, and quiet — but ONLY when the existing
+    * entry is ours: a user UDF squatting on a graft name (source !=
+    * "built-in") must still be replaced, or operators would silently
+    * score through foreign semantics.
     */
   def registerIfAbsent(
       reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry,
       name: String, builder: Seq[Expression] => Expression,
-      source: String): Unit =
-    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+      source: String): Unit = {
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+    val oursAlready = reg.lookupFunction(id).exists(_.getSource == source)
+    if (!oursAlready)
       reg.createOrReplaceTempFunction(name, builder, source)
+  }
 }

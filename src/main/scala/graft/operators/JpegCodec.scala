@@ -317,6 +317,10 @@ object JpegCodec {
       quality: Int = 90, subsample420: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0 &&
       width.toLong * height <= MaxPixels, s"bad dimensions ${width}x$height")
+    // SOF0 carries dimensions as u16: larger values would silently
+    // truncate into a corrupt-but-well-formed stream
+    require(width <= 65535 && height <= 65535,
+      s"JPEG dimensions cap at 65535, got ${width}x$height")
     val qLuma = scaledQuant(QLumaBase, quality)
     val qChroma = scaledQuant(QChromaBase, quality)
 
@@ -486,6 +490,8 @@ object JpegCodec {
       quality: Int = 90, restartInterval: Int = 0): Array[Byte] = {
     require(width > 0 && height > 0 &&
       width.toLong * height <= MaxPixels, s"bad dimensions ${width}x$height")
+    require(width <= 65535 && height <= 65535,
+      s"JPEG dimensions cap at 65535, got ${width}x$height")
     require(restartInterval >= 0, s"bad restart interval $restartInterval")
     val qLuma = scaledQuant(QLumaBase, quality)
     val out = new java.io.ByteArrayOutputStream()

@@ -192,6 +192,10 @@ object Multimodal {
       StructField("resized", BooleanType, nullable = false))
     val payloadIdx = media.schema.fieldIndex("payload")
     val metaIdx = media.schema.fieldIndex("meta")
+    val metaArity = media.schema(metaIdx).dataType
+      .asInstanceOf[StructType].fields.length
+    require(metaArity >= 2,
+      s"meta struct needs width/height leading fields, has $metaArity")
     val enc = RowEncoder.encoderFor(outSchema)
     media.mapPartitions { rows =>
       rows.map { r =>
@@ -205,8 +209,16 @@ object Multimodal {
             val small = MediaCodec.resizeBilinear(img, outW, outH)
             val newPayload = MediaCodec.encodePpm(outW, outH,
               (x, y) => small.rgb(y * outW + x))
+            // meta and its trailing fields are nullable in real feeds
+            // (image assets carry no sample_rate/n_frames): patch the
+            // dimension slots generically, preserve the rest as-is —
+            // getInt on a null field would NPE the whole task
             val oldMeta = r.getStruct(metaIdx)
-            val newMeta = Row(outW, outH, oldMeta.getInt(2), oldMeta.getInt(3))
+            val newMeta =
+              if (oldMeta == null)
+                Row.fromSeq(outW +: outH +: Seq.fill(metaArity - 2)(null))
+              else Row.fromSeq(oldMeta.toSeq
+                .updated(0, outW).updated(1, outH))
             Row.fromSeq(r.toSeq.updated(payloadIdx, newPayload)
               .updated(metaIdx, newMeta) :+ true)
           case _ =>

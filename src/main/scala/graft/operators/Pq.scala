@@ -103,22 +103,17 @@ object Pq {
     }
   }
 
+  /** Register the PQ function surface — sourced from the ONE canonical
+    * (name → builder) list in [[graft.GraftFunctions.all]], so this
+    * operator-local registration can never drift from the
+    * SparkSessionExtensions / registerAll surface.
+    */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    graft.GraftFunctions.registerIfAbsent(reg, 
-      "pq_encode", e => PqEncode(e(0), e(1), e(2)), "built-in")
-    graft.GraftFunctions.registerIfAbsent(reg, 
-      "pq_encode_packed", e => PqEncodePacked(e(0), e(1), e(2)), "built-in")
-    graft.GraftFunctions.registerIfAbsent(reg, 
-      "pq_encode_residual", e => PqEncodeResidual(e(0), e(1), e(2), e(3)), "built-in")
-    graft.GraftFunctions.registerIfAbsent(reg,
-      "pq_adc", e => PqAdc(e(0), e(1)), "built-in")
-    graft.GraftFunctions.registerIfAbsent(reg,
-      "pq_probe_cells", e => PqProbeCells(e(0), e(1), e(2)), "built-in")
-    graft.GraftFunctions.registerIfAbsent(reg,
-      "pq_cell_residual", e => PqCellResidual(e(0), e(1), e(2)), "built-in")
-    graft.GraftFunctions.registerIfAbsent(reg,
-      "pq_query_lut", e => PqQueryLut(e(0), e(1), e(2)), "built-in")
+    graft.GraftFunctions.all
+      .filter { case (name, _) => name.startsWith("pq_") }
+      .foreach { case (name, builder) =>
+        graft.GraftFunctions.registerIfAbsent(reg, name, builder, "built-in") }
   }
 
   private def asDoubles(v: Any): Array[Double] =

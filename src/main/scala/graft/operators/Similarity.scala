@@ -96,6 +96,60 @@ object Similarity {
     topKPerGroup(scored, col("query_id"), k)
   }
 
+  /** 1-bit (sign) embedding signature: ceil(D/32) packed BIGINT words
+    * of 32 bits each, bit i of word w set iff `vec[w*32 + i] > 0` — the
+    * binary
+    * quantization every 2025-era vector store ships (32× less scan
+    * bandwidth than float32; at 100 TB of embeddings the signature
+    * column is ~3 TB and the scan is XOR + POPCNT). Strictly-positive
+    * convention (0.0 and NULL quantize to 0-bit) and little-endian bit
+    * order within a word — both chosen because DuckDB replays them
+    * exactly, so Hamming scans are hash-oracled, not bounds-pinned
+    * (32-bit words because a shift into a BIGINT's sign bit is an
+    * overflow error in DuckDB and silent wrap in Spark — sub-word
+    * packing keeps both engines in exact agreement).
+    * Built from codegen'd builtins (zip_with/shiftleft/aggregate): the
+    * packing runs once per vector, not per pair, so a native Expression
+    * would buy nothing the exchange doesn't already guarantee.
+    */
+  def signBitSignature(vec: Column): Column = {
+    val words = ceil(size(vec) / lit(32.0)).cast("int")
+    transform(sequence(lit(0), words - 1), w =>
+      aggregate(
+        zip_with(
+          slice(vec, w * 32 + 1, lit(32)),
+          sequence(lit(0), lit(31)),
+          (x, i) => when(x > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+        lit(0L), (acc, b) => acc + coalesce(b, lit(0L))))
+  }
+
+  /** Hamming distance between two packed sign signatures. */
+  def hammingDistance(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, d) => acc + d)
+
+  /** Exact top-k by HAMMING distance over 1-bit signatures — the
+    * binary-quantized ANN scan (brute force in shape, 32× less data
+    * than [[bruteForceTopK]], integer-only inner loop). Deterministic:
+    * ties at equal distance break on corpus_id, so — unlike the
+    * float-scored variants — the full ranking is SQL-replayable and the
+    * gate is hash-green. Output (query_id, corpus_id, rank, hamming).
+    */
+  def signBitTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      signBitSignature(col(vecCol)).as("csig"))
+    val q = queries.select(col(idCol).as("query_id"),
+      signBitSignature(col(vecCol)).as("qsig"))
+    val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .withColumn("score",
+        (-hammingDistance(col("csig"), col("qsig"))).cast("double"))
+    topKPerGroup(scored, col("query_id"), k)
+      .select(col("query_id"), col("corpus_id"), col("rank"),
+        (-col("score")).cast("long").as("hamming"))
+  }
+
   /** Shared two-phase top-k tail: bounded-heap aggregate per group, then
     * unnest ranked hits. Output: (group, corpus_id, rank, score) with
     * rank 1..k ordered by (score desc, corpus_id asc).

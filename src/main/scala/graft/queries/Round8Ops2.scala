@@ -117,24 +117,92 @@ object Round8Ops2 {
       idCol = "vec_id", vecCol = "v")
     val encoded = Pq.encode(embs, cb, idCol = "vec_id", vecCol = "v")
     val queries = embs.filter(col("vec_id") < 8)
+    // shortlist scales with the corpus: ADC on raw (un-normalized)
+    // vectors is a coarse ranking, and a fixed 100 covered the exact
+    // top-10 at sf0.01 but not sf0.1 — the in-gate require below caught
+    // exactly that, which is its job
+    val n = embs.count()
+    val shortlist = math.max(100, (n / 5).toInt)
     val reranked = Pq.adcTopKReranked(encoded, embs, queries, cb,
-      topK = 10, shortlist = 100, idCol = "vec_id", vecCol = "v")
-    // coverage proof: the shortlist really contained the exact top-10 —
-    // brute-force rerank over the FULL corpus must give the same sets.
-    // (A miss here means the shortlist is too small for this corpus:
-    // fail loudly and retune, never emit silently-approximate rows.)
-    val exact = Pq.adcTopKReranked(encoded, embs, queries, cb,
-      topK = 10, shortlist = embs.count().toInt, idCol = "vec_id", vecCol = "v")
-    val got = reranked.select("query_id", "rank", "corpus_id")
-      .orderBy("query_id", "rank").collect().toSeq
-    val want = exact.select("query_id", "rank", "corpus_id")
-      .orderBy("query_id", "rank").collect().toSeq
-    require(got == want,
-      "ADC shortlist (100) missed part of the exact top-10 — retune the twin")
+      topK = 10, shortlist = shortlist, idCol = "vec_id", vecCol = "v")
+    // coverage proof: the reranked top-10 IS the exact top-10 iff every
+    // kept distance is strictly below every distance OUTSIDE the
+    // shortlist (one exact-scoring pass over corpus∖shortlist — far
+    // cheaper than a second full rerank, same guarantee; an exact tie
+    // on the boundary fails the strict check loudly, never silently).
+    // A miss means the shortlist is too small for this corpus: fail
+    // loudly and retune, never emit silently-approximate rows.
+    graft.expressions.VectorExprs.register(spark)
+    import graft.expressions.VectorExprs.vecDot
+    val shortRows = Pq.adcTopK(encoded, queries, cb, shortlist,
+        idCol = "vec_id", vecCol = "v")
+      .select(col("query_id"), col("corpus_id"))
+    val q = queries.select(col("vec_id").cast("long").as("query_id"),
+      col("v").as("__qv"))
+    val minExcluded = embs
+      .select(col("vec_id").as("corpus_id"), col("v").as("__cv"))
+      .crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .join(shortRows, Seq("query_id", "corpus_id"), "left_anti")
+      .withColumn("dist",
+        vecDot(col("__cv"), col("__cv"))
+          - lit(2.0) * vecDot(col("__cv"), col("__qv"))
+          + vecDot(col("__qv"), col("__qv")))
+      .groupBy("query_id").agg(min(col("dist")).as("min_excl"))
+    val covered = reranked.groupBy("query_id")
+      .agg(max(col("dist")).as("max_kept"))
+      .join(minExcluded, Seq("query_id"), "left")
+      .filter(col("min_excl").isNotNull && col("max_kept") >= col("min_excl"))
+      .count()
+    require(covered == 0,
+      s"ADC shortlist ($shortlist) missed part of the exact top-10 — retune the twin")
     reranked.select(col("query_id"), col("rank"), col("corpus_id"))
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Binary (1-bit sign) embedding quantization + Hamming top-k — the
+    * 32×-compression ANN scan every current vector store ships. Unlike
+    * the float-scored ANN gates this one is EXACT integer arithmetic
+    * end to end (sign bits → packed 64-bit words → XOR + popcount →
+    * ties to corpus_id), so DuckDB replays the complete ranking and the
+    * gate is hash-green with no approximation caveat. Quality vs float
+    * cosine is pinned separately in SimilaritySpec.
+    */
+  val emb_binary_topk = OpQuery(
+    "emb_binary_topk",
+    """WITH sig AS (
+      |  SELECT vec_id,
+      |         list_transform(
+      |           generate_series(0, (len(embedding) - 1) // 32),
+      |           w -> list_sum(list_transform(
+      |                  generate_series(0, 31),
+      |                  i -> CASE WHEN 32 * w + i < len(embedding)
+      |                             AND embedding[32 * w + i + 1] > 0
+      |                        THEN (CAST(1 AS BIGINT) << i)
+      |                        ELSE CAST(0 AS BIGINT) END))) AS s
+      |  FROM embeddings
+      |), pairs AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+      |         list_sum(list_transform(
+      |           generate_series(1, len(q.s)),
+      |           j -> bit_count(xor(q.s[j], c.s[j])))) AS hamming
+      |  FROM sig q JOIN sig c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 8
+      |), ranked AS (
+      |  SELECT query_id, corpus_id,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |              ORDER BY hamming ASC, corpus_id ASC) AS INT) AS rank,
+      |         CAST(hamming AS BIGINT) AS hamming
+      |  FROM pairs)
+      |SELECT query_id, corpus_id, rank, hamming
+      |FROM ranked WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    import graft.operators.Similarity
+    val emb = t(spark, dir, "embeddings")
+    Similarity.signBitTopK(emb, emb.filter(col("vec_id") < 8), k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[OpQuery] = Seq(bpe_roundtrip, d4_surrogate_props,
-    sim_pq_rerank_verified)
+    sim_pq_rerank_verified, emb_binary_topk)
 }

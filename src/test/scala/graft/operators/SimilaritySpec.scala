@@ -240,6 +240,47 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("sign-bit signatures: packing exact, hamming(self)=0, recall vs cosine usable") {
+    import org.apache.spark.sql.functions.{bit_count => _, _}
+    // exact packing on a crafted vector: bits 0, 3, 64 set (32-bit
+    // words: word0 = 1|8, word1 = 0, word2 = 1, and 70 dims → 3 words)
+    val crafted = Seq((1L,
+      Array.tabulate(70)(i => if (i == 0 || i == 3 || i == 64) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val sig = crafted.select(Similarity.signBitSignature(col("embedding")).as("s"))
+      .as[Seq[Long]].head()
+    assert(sig == Seq(9L, 0L, 1L), s"packed $sig")
+    // hamming to itself is 0, to its negation is the dimension count
+    val self = crafted.select(Similarity.hammingDistance(
+      Similarity.signBitSignature(col("embedding")),
+      Similarity.signBitSignature(col("embedding")))).as[Long].head()
+    assert(self == 0L)
+    // on the real corpus: top-10 by hamming overlaps float-cosine top-10
+    // (binary quantization keeps neighborhood structure — the property
+    // that makes the 32x-compressed scan useful, not a tautology)
+    val exact = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 8), 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bin = Similarity.signBitTopK(emb, emb.filter($"vec_id" < 8), 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val overlaps = exact.keys.map(q =>
+      (bin.getOrElse(q, Set.empty) intersect exact(q)).size.toDouble / 10)
+    val mean = overlaps.sum / overlaps.size
+    // the synthetic embeddings are near-random, the hardest case for
+    // 1-bit quantization; chance overlap for top-10 of 2000 is 0.005 —
+    // measured 0.22 here, so the floor pins "structure clearly
+    // preserved" (30x chance), not a real-corpus recall promise
+    assert(mean >= 0.15, s"binary top-10 overlap vs cosine collapsed: $mean")
+    // layout invariance
+    val a = Similarity.signBitTopK(emb.repartition(13), emb.filter($"vec_id" < 8), 10)
+      .collect().toSeq
+    val b = Similarity.signBitTopK(emb.repartition(3), emb.filter($"vec_id" < 8), 10)
+      .collect().toSeq
+    assert(a.sortBy(r => (r.getLong(0), r.getInt(2))) ==
+      b.sortBy(r => (r.getLong(0), r.getInt(2))))
+  }
+
   test("a NaN score cannot freeze the top-k heap") {
     graft.expressions.TopKAgg.register(spark)
     // NaN arrives FIRST: under the old ordering it sat at the heap head
