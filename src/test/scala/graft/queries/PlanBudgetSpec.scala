@@ -96,6 +96,12 @@ class PlanBudgetSpec extends SparkSpec {
     "mm_jpeg_decode" -> Budget(2, 0, 4),
     "mm_resize_pixels" -> Budget(2, 0, 4),
     "sim_pq_serve_bulk" -> Budget(4, 4, 16),
+    // round-8 verification twins + binary quantization (bpe_roundtrip's
+    // jobs are the distributed merge-training loop, same as bpe_tokenize)
+    "bpe_roundtrip" -> Budget(2, 0, 41),
+    "d4_surrogate_props" -> Budget(4, 0, 4),
+    "sim_pq_rerank_verified" -> Budget(4, 6, 24),
+    "emb_binary_topk" -> Budget(4, 2, 6),
   )
 
   // +2 jobs and +2 exchanges of headroom: AQE finalizes plans from
