@@ -150,6 +150,31 @@ object Similarity {
         (-col("score")).cast("long").as("hamming"))
   }
 
+  /** Binary shortlist + exact cosine re-rank — the production shape for
+    * 1-bit quantization (mirrors [[graft.operators.Pq.adcTopKReranked]]):
+    * the Hamming scan touches only the 32×-compressed signatures, then
+    * ONLY the `shortlist` candidates per query are re-scored against
+    * raw vectors. Recall approaches exact as shortlist grows (equality
+    * at shortlist = |corpus| pinned in SimilaritySpec); at 100 TB the
+    * raw-vector reads are shortlist×queries point lookups, never a scan.
+    */
+  def signBitTopKReranked(
+      corpus: DataFrame, queries: DataFrame, k: Int, shortlist: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < topK $k")
+    VectorExprs.register(corpus.sparkSession)
+    val cand = signBitTopK(corpus, queries, shortlist, idCol, vecCol)
+      .select(col("query_id"), col("corpus_id"))
+    val q = queries.select(col(idCol).as("query_id"),
+      normalize(col(vecCol)).as("__qv"))
+    val scored = cand
+      .join(corpus.select(col(idCol).as("corpus_id"),
+        normalize(col(vecCol)).as("__cv")), "corpus_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("score", VectorExprs.vecDot(col("__cv"), col("__qv")))
+    topKPerGroup(scored, col("query_id"), k)
+  }
+
   /** Shared two-phase top-k tail: bounded-heap aggregate per group, then
     * unnest ranked hits. Output: (group, corpus_id, rank, score) with
     * rank 1..k ordered by (score desc, corpus_id asc).

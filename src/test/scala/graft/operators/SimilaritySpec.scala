@@ -264,7 +264,9 @@ class SimilaritySpec extends SparkSpec {
     val bin = Similarity.signBitTopK(emb, emb.filter($"vec_id" < 8), 10)
       .select("query_id", "corpus_id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val overlaps = exact.keys.map(q =>
+    // keys is a SET: mapping to overlap values would dedup equal
+    // overlaps and silently skew the mean — toSeq first
+    val overlaps = exact.keys.toSeq.map(q =>
       (bin.getOrElse(q, Set.empty) intersect exact(q)).size.toDouble / 10)
     val mean = overlaps.sum / overlaps.size
     // the synthetic embeddings are near-random, the hardest case for
@@ -279,6 +281,29 @@ class SimilaritySpec extends SparkSpec {
       .collect().toSeq
     assert(a.sortBy(r => (r.getLong(0), r.getInt(2))) ==
       b.sortBy(r => (r.getLong(0), r.getInt(2))))
+  }
+
+  test("binary shortlist + exact rerank: recall monotone, exact at full shortlist") {
+    val queries = emb.filter($"vec_id" < 8)
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallAt(shortlist: Int): Double = {
+      val got = Similarity.signBitTopKReranked(emb, queries, 10, shortlist)
+        .select("query_id", "corpus_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.keys.toSeq.map(q =>
+        (got.getOrElse(q, Set.empty) intersect exact(q)).size.toDouble / 10)
+        .sum / exact.size
+    }
+    val n = emb.count().toInt
+    // full shortlist = brute force: exact recovery, bit for bit
+    assert(recallAt(n) == 1.0)
+    // rerank can only help over the raw binary ranking, and a wider
+    // shortlist can only help further
+    val r50 = recallAt(50); val r200 = recallAt(200)
+    assert(r200 >= r50, s"recall not monotone: $r50 -> $r200")
+    assert(r200 >= 0.5, s"reranked recall at shortlist=200 collapsed: $r200")
   }
 
   test("a NaN score cannot freeze the top-k heap") {
