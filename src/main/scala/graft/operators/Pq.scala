@@ -245,11 +245,23 @@ object Pq {
       queries: DataFrame, cb: Codebook, topK: Int, shortlist: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(shortlist >= topK, s"shortlist $shortlist < topK $topK")
-    val spark = encoded.sparkSession
-    graft.expressions.VectorExprs.register(spark)
-    import graft.expressions.VectorExprs.vecDot
     val cand = adcTopK(encoded, queries, cb, shortlist, idCol, vecCol)
       .select(col("query_id"), col("corpus_id"))
+    rerankShortlist(cand, corpus, queries, topK, idCol, vecCol)
+  }
+
+  /** Exact L2² re-rank of a pre-computed (query_id, corpus_id)
+    * shortlist — the refine stage split out so callers that ALSO need
+    * the shortlist (coverage-verification gates) can compute the
+    * expensive ADC scan once and feed it to both consumers instead of
+    * paying it twice inside [[adcTopKReranked]].
+    */
+  def rerankShortlist(cand: DataFrame, corpus: DataFrame,
+      queries: DataFrame, topK: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = cand.sparkSession
+    graft.expressions.VectorExprs.register(spark)
+    import graft.expressions.VectorExprs.vecDot
     val q = queries.select(
       col(idCol).cast("long").as("query_id"), col(vecCol).as("__qv"))
     val scored = cand

@@ -114,13 +114,21 @@ object Similarity {
     */
   def signBitSignature(vec: Column): Column = {
     val words = ceil(size(vec) / lit(32.0)).cast("int")
-    transform(sequence(lit(0), words - 1), w =>
-      aggregate(
-        zip_with(
-          slice(vec, w * 32 + 1, lit(32)),
-          sequence(lit(0), lit(31)),
-          (x, i) => when(x > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-        lit(0L), (acc, b) => acc + coalesce(b, lit(0L))))
+    // empty-vector guard: Spark's sequence(0, -1) COUNTS DOWN (yields
+    // [0, -1]), which would fabricate a 2-word signature that DuckDB's
+    // empty generate_series disagrees with and whose null-padded
+    // Hamming zips poison the ranking — an empty vector must pack to
+    // an empty signature on both engines
+    when(words > 0,
+      transform(sequence(lit(0), words - 1), w =>
+        aggregate(
+          zip_with(
+            slice(vec, w * 32 + 1, lit(32)),
+            sequence(lit(0), lit(31)),
+            (x, i) => when(x > 0, call_function("shiftleft", lit(1L), i))
+              .otherwise(lit(0L))),
+          lit(0L), (acc, b) => acc + coalesce(b, lit(0L)))))
+      .otherwise(array().cast("array<bigint>"))
   }
 
   /** Hamming distance between two packed sign signatures. */

@@ -123,8 +123,14 @@ object Round8Ops2 {
     // exactly that, which is its job
     val n = embs.count()
     val shortlist = math.max(100, (n / 5).toInt)
-    val reranked = Pq.adcTopKReranked(encoded, embs, queries, cb,
-      topK = 10, shortlist = shortlist, idCol = "vec_id", vecCol = "v")
+    // the ADC scan (the gate's dominant cost) runs ONCE: the checkpointed
+    // shortlist feeds both the rerank and the coverage exclusion below
+    val cand = Pq.adcTopK(encoded, queries, cb, shortlist,
+        idCol = "vec_id", vecCol = "v")
+      .select(col("query_id"), col("corpus_id"))
+      .localCheckpoint(true) // tiny: queries × shortlist ids
+    val reranked = Pq.rerankShortlist(cand, embs, queries,
+      topK = 10, idCol = "vec_id", vecCol = "v")
     // coverage proof: the reranked top-10 IS the exact top-10 iff every
     // kept distance is strictly below every distance OUTSIDE the
     // shortlist (one exact-scoring pass over corpus∖shortlist — far
@@ -134,9 +140,7 @@ object Round8Ops2 {
     // loudly and retune, never emit silently-approximate rows.
     graft.expressions.VectorExprs.register(spark)
     import graft.expressions.VectorExprs.vecDot
-    val shortRows = Pq.adcTopK(encoded, queries, cb, shortlist,
-        idCol = "vec_id", vecCol = "v")
-      .select(col("query_id"), col("corpus_id"))
+    val shortRows = cand
     val q = queries.select(col("vec_id").cast("long").as("query_id"),
       col("v").as("__qv"))
     val minExcluded = embs

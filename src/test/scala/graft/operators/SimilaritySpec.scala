@@ -250,6 +250,13 @@ class SimilaritySpec extends SparkSpec {
     val sig = crafted.select(Similarity.signBitSignature(col("embedding")).as("s"))
       .as[Seq[Long]].head()
     assert(sig == Seq(9L, 0L, 1L), s"packed $sig")
+    // empty vector packs to an EMPTY signature (Spark's sequence(0,-1)
+    // counts down — unguarded it fabricated a 2-word signature whose
+    // null-padded Hamming zips poisoned rankings)
+    val empty = Seq((1L, Array.empty[Float])).toDF("vec_id", "embedding")
+      .select(Similarity.signBitSignature(col("embedding")).as("s"))
+      .as[Seq[Long]].head()
+    assert(empty.isEmpty, s"empty vector packed to $empty")
     // hamming to itself is 0, to its negation is the dimension count
     val self = crafted.select(Similarity.hammingDistance(
       Similarity.signBitSignature(col("embedding")),
