@@ -228,6 +228,58 @@ object Multimodal {
     }(enc)
   }
 
+  /** 64-bit difference hash (dHash) of a decoded raster — the standard
+    * perceptual fingerprint for IMAGE dedup in training corpora: resize
+    * to 9×8 luma (bilinear, aspect discarded — dHash is defined on the
+    * fixed grid), then bit `y*8+x` is set iff luma(x+1, y) > luma(x, y).
+    * Robust to re-encoding/scaling, changed by real content edits;
+    * near-dup images differ in a few bits, so grouping on the exact
+    * hash (or banding it like SimHash) is the cross-image dedup join
+    * key. Deterministic integer output — the gate oracle replays it.
+    */
+  def dHash64(img: MediaCodec.ImageData): Long = {
+    val g = if (img.width == 9 && img.height == 8) img
+      else MediaCodec.resizeBilinear(img, 9, 8)
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val l0 = luma(g.r(y * 9 + x), g.g(y * 9 + x), g.b(y * 9 + x))
+        val l1 = luma(g.r(y * 9 + x + 1), g.g(y * 9 + x + 1), g.b(y * 9 + x + 1))
+        if (l1 > l0) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Per-row perceptual hash of image payloads: (all input columns minus
+    * payload) + `phash` (null when the payload doesn't decode as an
+    * image — text/audio/video rows never get a fake fingerprint).
+    * Exact-duplicate and near-duplicate IMAGE dedup then reuse the text
+    * machinery: group by phash, or Hamming-band it.
+    */
+  def perceptualHash(media: DataFrame): DataFrame = {
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val keepIdx = media.schema.fields.indices.filterNot(_ == payloadIdx)
+    val outSchema = StructType(
+      keepIdx.map(media.schema.fields).toArray :+
+        StructField("phash", LongType, nullable = true))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val h = MediaCodec.decodeAny(payload) match {
+          case Some(MediaCodec.DecodedImage(img)) => java.lang.Long.valueOf(dHash64(img))
+          case _ => null
+        }
+        Row.fromSeq(keepIdx.map(r.get) :+ h)
+      }
+    }(enc)
+  }
+
   /** Metadata-only resize variant (planning/projection use — the real
     * pixel path is [[resizePayload]]): rescales width/height in `meta`
     * without touching payloads.

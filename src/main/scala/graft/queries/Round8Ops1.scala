@@ -156,5 +156,56 @@ object Round8Ops1 {
       .orderBy(col("query_id"))
   }
 
-  val all: Seq[OpQuery] = Seq(mm_jpeg_decode, mm_resize_pixels, sim_pq_serve_bulk)
+  /** Perceptual image hashing (dHash) through the REAL decode path:
+    * per-document 9×8 grayscale BMPs carry a per-group luma formula, so
+    * documents sharing `doc_id % 37` are EXACT visual duplicates — the
+    * image-dedup join key. The fixture is dHash-grid-sized (no resize),
+    * so every comparison bit is a pure formula predicate DuckDB
+    * replays; the hash is emitted as two 32-bit halves (a shift into
+    * BIGINT's sign bit is an overflow error in DuckDB). The resize path
+    * and robustness live in MultimodalSpec.
+    */
+  val mm_phash_dedup = OpQuery(
+    "mm_phash_dedup",
+    """WITH b AS (
+      |  SELECT doc_id, CAST(doc_id % 37 AS INT) AS g FROM documents
+      |), bits AS (
+      |  SELECT doc_id, y.y * 8 + x.x AS bit,
+      |         CASE WHEN ((g * 7 + (x.x + 1) * (x.x + 1) * 3 + y.y * 5) % 200)
+      |                 > ((g * 7 + x.x * x.x * 3 + y.y * 5) % 200)
+      |              THEN 1 ELSE 0 END AS v
+      |  FROM b,
+      |       LATERAL unnest(generate_series(0, 7)) AS x(x),
+      |       LATERAL unnest(generate_series(0, 7)) AS y(y))
+      |SELECT doc_id AS media_id,
+      |       CAST(SUM(CASE WHEN v = 1 AND bit < 32
+      |                THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+      |         AS phash_lo,
+      |       CAST(SUM(CASE WHEN v = 1 AND bit >= 32
+      |                THEN (CAST(1 AS BIGINT) << (bit - 32)) ELSE 0 END) AS BIGINT)
+      |         AS phash_hi
+      |FROM bits GROUP BY doc_id
+      |ORDER BY media_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.operators.{MediaCodec, Multimodal}
+    val media = Tables.load(spark, dir, "documents").select("doc_id").as[Long]
+      .mapPartitions(_.map { d =>
+        val g = (d % 37).toInt
+        val payload = MediaCodec.encodeBmp24(9, 8, (x, y) => {
+          val v = (g * 7 + x * x * 3 + y * 5) % 200
+          (v << 16) | (v << 8) | v
+        })
+        (d, payload)
+      })
+      .toDF("media_id", "payload")
+    Multimodal.perceptualHash(media)
+      .select(
+        col("media_id"),
+        col("phash").bitwiseAND(lit(0xFFFFFFFFL)).as("phash_lo"),
+        shiftrightunsigned(col("phash"), 32).as("phash_hi"))
+      .orderBy(col("media_id"))
+  }
+
+  val all: Seq[OpQuery] = Seq(mm_jpeg_decode, mm_resize_pixels,
+    sim_pq_serve_bulk, mm_phash_dedup)
 }

@@ -549,6 +549,37 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("dHash: stable under re-encode and scaling, distinct across content, null for non-images") {
+    import spark.implicits._
+    def grad(scale: Int): (Int, Int) => Int = (x, y) => {
+      val v = math.min(255, (x * 28 / scale + y * 3 / scale))
+      (v << 16) | (v << 8) | v
+    }
+    val base = MediaCodec.decodeBmp(MediaCodec.encodeBmp24(9, 8, grad(1)))
+    val h0 = Multimodal.dHash64(base)
+    // the same CONTENT at 4x resolution hashes identically (dHash's
+    // whole point: the 9x8 resample normalizes scale)
+    val big = MediaCodec.decodeBmp(MediaCodec.encodeBmp24(36, 32, grad(4)))
+    assert(Multimodal.dHash64(big) == h0,
+      s"scale changed the hash: $h0 vs ${Multimodal.dHash64(big)}")
+    // lossless re-encode through PNG: identical
+    val png = MediaCodec.decodePng(MediaCodec.encodePng(9, 8, grad(1)))
+    assert(Multimodal.dHash64(png) == h0)
+    // different content: different hash (a vertical vs horizontal ramp)
+    val other = MediaCodec.decodeBmp(MediaCodec.encodeBmp24(9, 8,
+      (x, y) => { val v = y * 30; (v << 16) | (v << 8) | v }))
+    assert(Multimodal.dHash64(other) != h0)
+    // perceptualHash: image rows get the hash, text rows get NULL
+    val media = Seq(
+        (1L, MediaCodec.encodeBmp24(9, 8, grad(1))),
+        (2L, "just text".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val out = Multimodal.perceptualHash(media).orderBy("media_id").collect()
+    assert(out(0).getLong(1) == h0 && out(0).schema.fieldNames.toSeq ==
+      Seq("media_id", "phash"))
+    assert(out(1).isNullAt(1))
+  }
+
   test("resizePayload: real pixels shrink, metadata tracks truth, non-images pass through") {
     import spark.implicits._
     val bmp = MediaCodec.encodeBmp24(20, 10, (x, y) => ((x * 12) << 16) | ((y * 25) << 8) | 7)
