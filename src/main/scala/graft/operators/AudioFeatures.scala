@@ -174,6 +174,60 @@ object AudioFeatures {
         "wht_dc", "wht_low", "wht_high")
   }
 
+  /** Spectral fingerprint (the Haitsma–Kalker shape on the exact WHT):
+    * per 64-sample frame, the 64 WHT coefficients collapse to 8 band
+    * |magnitude| sums, and bit b of the frame's byte is set iff band b's
+    * energy EXCEEDS the previous frame's (frame 0 → all-zero byte).
+    * Temporal band-energy comparisons survive re-encoding and small
+    * gain changes — the audio near-dup key, completing the modality
+    * set next to MinHash (text) and dHash (images). Exact integer
+    * arithmetic end to end, so the gate oracle replays every bit.
+    */
+  def spectralFingerprint(samples: Array[Short], channels: Int,
+      frameLen: Int = 64): Array[Int] = {
+    require(frameLen > 0 && (frameLen & (frameLen - 1)) == 0 && frameLen >= 8,
+      s"frame length must be a power of two >= 8, got $frameLen")
+    val mono = if (channels == 1) samples
+      else Array.tabulate(samples.length / channels)(i => samples(i * channels))
+    val nFrames = mono.length / frameLen
+    val out = new Array[Int](nFrames)
+    val prev = new Array[Long](8)
+    var f = 0
+    while (f < nFrames) {
+      val xs = Array.tabulate(frameLen)(t => mono(f * frameLen + t).toLong)
+      val h = fwht(xs)
+      val e = new Array[Long](8)
+      var j = 0
+      while (j < frameLen) { e(j * 8 / frameLen) += math.abs(h(j)); j += 1 }
+      var byte = 0
+      if (f > 0) {
+        var b = 0
+        while (b < 8) { if (e(b) > prev(b)) byte |= 1 << b; b += 1 }
+      }
+      Array.copy(e, 0, prev, 0, 8)
+      out(f) = byte
+      f += 1
+    }
+    out
+  }
+
+  /** DataFrame form of [[spectralFingerprint]]: (id, n_frames, fp) with
+    * fp the per-frame byte sequence. Map-only, like [[frameFeatures]].
+    */
+  def audioFingerprints(df: DataFrame, idCol: String, wavCol: String,
+      frameLen: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(wavCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val wav = MediaCodec.decodeWav(bytes)
+        val fp = spectralFingerprint(wav.samples, wav.channels, frameLen)
+        (id, fp.length, fp.toSeq)
+      }
+      .toDF(idCol, "n_frames", "fp")
+  }
+
   /** FFT magnitude spectrogram: one row per (frame, bin) for bins
     * 0..frameSize/2 (real input ⇒ the upper half mirrors). Float path —
     * correctness is pinned by AudioFeaturesSpec (Parseval vs the exact

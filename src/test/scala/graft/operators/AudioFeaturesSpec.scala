@@ -116,4 +116,28 @@ class AudioFeaturesSpec extends SparkSpec {
     }.sum / 64.0
     assert(math.abs(specEnergy - energy) / energy < 1e-9)
   }
+
+  test("spectralFingerprint: gain-invariant, content-sensitive, frame-0 zero, stereo folds") {
+    val rnd = new scala.util.Random(7)
+    val mono = Array.fill(64 * 5)((rnd.nextInt(4000) - 2000).toShort)
+    val fp = AudioFeatures.spectralFingerprint(mono, channels = 1)
+    assert(fp.length == 5 && fp(0) == 0)
+    assert(fp.forall(b => b >= 0 && b <= 255))
+    // positive gain scales every band energy equally: comparisons — and
+    // therefore the fingerprint — are unchanged (the near-dup property)
+    val louder = mono.map(s => (s * 4).toShort)
+    assert(AudioFeatures.spectralFingerprint(louder, 1).toSeq == fp.toSeq)
+    // different content fingerprints differently
+    val other = Array.tabulate(64 * 5)(i => ((i * 37) % 3000 - 1500).toShort)
+    assert(AudioFeatures.spectralFingerprint(other, 1).toSeq != fp.toSeq)
+    // stereo: channel 0 is the analysis channel (frameStats convention)
+    val stereo = new Array[Short](mono.length * 2)
+    for (i <- mono.indices) {
+      stereo(2 * i) = mono(i)
+      stereo(2 * i + 1) = (rnd.nextInt(100) - 50).toShort
+    }
+    assert(AudioFeatures.spectralFingerprint(stereo, 2).toSeq == fp.toSeq)
+    // too-short audio: zero frames, no phantom bytes
+    assert(AudioFeatures.spectralFingerprint(mono.take(63), 1).isEmpty)
+  }
 }

@@ -103,6 +103,7 @@ class PlanBudgetSpec extends SparkSpec {
     "sim_pq_rerank_verified" -> Budget(4, 6, 24),
     "emb_binary_topk" -> Budget(4, 2, 6),
     "mm_phash_dedup" -> Budget(2, 0, 4),
+    "mm_audio_fingerprint" -> Budget(2, 0, 4),
   )
 
   // +2 jobs and +2 exchanges of headroom: AQE finalizes plans from
