@@ -1,5 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry point (driver contract: ONE JSON line on stdout).
+  *
+  * Drift-robust protocol (VERDICT r8 item 1 — two rounds running, the
+  * single-shot in-suite clock manufactured >2x "regressions" on untouched
+  * code that isolated bisects then disproved; see BENCH_LOCAL.md rounds
+  * 7-8 and the context-drift analysis):
+  *
+  *   (a) gates run in a FIXED order (registry name sort — identical
+  *       every round, so suite position, and therefore the JIT/page-cache
+  *       context a gate inherits, is stable round-over-round);
+  *   (b) each gate is timed as the MEDIAN of 3 back-to-back executions
+  *       (the median rejects the one-off GC pause / compilation stall
+  *       that a single shot or a min-of-N cannot distinguish from a real
+  *       plan change);
+  *   (c) any gate whose median exceeds 1.5x its previous-round number
+  *       (committed as bench_baseline.json) is AUTO-RE-RUN in isolation
+  *       at the end of the suite — after a GC + cache clear, with nothing
+  *       running before it — and BOTH numbers are recorded, so a reader
+  *       can tell "reproduces in isolation" (real) from "suite weather"
+  *       (phantom) without a next-round bisect.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -18,13 +40,20 @@ object Bench {
     // driver never sets it)
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // SPARK_GRAFT_WARM=0 drops to single-shot timings (scale studies at
+    // 10x+ data, where two extra passes over the heavy tail cost more
+    // than the noise they remove); the driver never sets it, so the
+    // official artifact is always median-of-3.
+    val reps =
+      if (sys.env.get("SPARK_GRAFT_WARM").exists(_ == "0")) 1
+      else sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
     // failed queries report -1 (never a fake timing) and are excluded
     // from the total, so a regression cannot "improve" the benchmark.
-    // Each run times TWO phases: the gate-fn call (for ordinary gates a
-    // lazy plan build, ~0; for the persisted-index gates the eager
-    // index BUILD) and the count() (the query/probe execution) — so
-    // bench_detail.json can attribute an index gate's cost to build vs
-    // the amortized probe without splitting the gate.
+    // Each execution times TWO phases: the gate-fn call (for ordinary
+    // gates a lazy plan build, ~0; for the persisted-index gates the
+    // eager index BUILD) and the count() (the query/probe execution) —
+    // bench_detail.json attributes an index gate's cost to build vs the
+    // amortized probe without splitting the gate.
     def timeOnce(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Double) =
@@ -39,32 +68,66 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         (-1.0, -1.0)
       }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s(s.size / 2) // odd-count runs: the true middle; even: upper middle
+    }
+    // Back-to-back executions; the gate's number is the median of the
+    // successful totals (a gate that fails EVERY run reports -1; a gate
+    // that fails some runs reports the median of what succeeded — the
+    // failure is already on stderr and in the -1 accounting of reruns).
+    def timeGate(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, (Double, Double), Seq[Double]) = {
+      val runs = (1 to reps).map(_ => timeOnce(name, fn))
+      val totals = runs.map { case (s, e) => if (s < 0) -1.0 else s + e }
+      val ok = totals.filter(_ >= 0)
+      val med = if (ok.isEmpty) -1.0 else median(ok)
+      (med, runs.head, totals)
+    }
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val firstRun: Seq[(String, (Double, Double))] =
-      queries.map { case (name, fn) => name -> timeOnce(name, fn) }
-    val results: Map[String, Double] = firstRun.map { case (name, (setup, exec)) =>
-      name -> (if (setup < 0) -1.0 else setup + exec)
-    }.toMap
-    // repeatability: the top-20 most expensive gates run 2 more times
-    // and report the min-of-3 WARM number alongside the single-shot one
-    // — single-run timings at 0.3-9 s amplitude could not distinguish
-    // JVM/IO noise from a real plan regression (VERDICT r6 item 3).
-    // SPARK_GRAFT_WARM=0 skips the re-runs (scale studies at 10×+ data,
-    // where a second pass over the heavy tail costs more than the
-    // noise it removes); the driver never sets it.
     val fnByName = queries.toMap
-    val warmRuns = sys.env.get("SPARK_GRAFT_WARM").forall(_ != "0")
-    val top20 =
-      if (!warmRuns) Seq.empty
-      else results.toSeq.filter(_._2 > 0).sortBy(-_._2).take(20).map(_._1)
-    val warm: Map[String, Double] = top20.map { name =>
-      val reruns = (1 to 2).map { _ =>
-        val (s, e) = timeOnce(name, fnByName(name))
-        if (s < 0) Double.MaxValue else s + e
-      }
-      name -> math.min(results(name), reruns.min)
+    val timed: Seq[(String, (Double, (Double, Double), Seq[Double]))] =
+      queries.map { case (name, fn) => name -> timeGate(name, fn) }
+    val results: Map[String, Double] =
+      timed.map { case (name, (med, _, _)) => name -> med }.toMap
+    // (c) previous-round comparison: bench_baseline.json is the prior
+    // round's full per-gate map (committed at round close from the same
+    // sf0.1 driver protocol). Only comparable when the scale factor
+    // matches; a gate is flagged when its median is BOTH >1.5x the
+    // baseline and >=0.3 s (below that the delta is under the noise
+    // floor of a local[32] JVM and no bisect would act on it).
+    val baseline: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_baseline.json")), "UTF-8")
+      val sfOk = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(txt)
+        .exists(m => m.group(1).split('/').last == sfDir.split('/').last)
+      if (!sfOk) Map.empty
+      else "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9.]+)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filter { case (k, _) => !Set("total", "round", "reps")(k) }.toMap
+    } catch { case _: Throwable => Map.empty }
+    val flaggedNames = timed.collect {
+      case (name, (med, _, _))
+          if med >= 0.3 && baseline.get(name).exists(b => b > 0 && med > 1.5 * b) =>
+        name
+    }
+    // isolated re-run: GC + catalog cache clear, then the same
+    // median-of-3, with nothing else running — the apples-to-apples
+    // number a bisect would produce, captured in the SAME session so
+    // the next round's verdict doesn't have to. Capped at 20 gates so a
+    // pathological round (machine-wide load spike flagging half the
+    // suite) cannot double the bench wall clock.
+    val isolated: Map[String, Double] = flaggedNames.take(20).map { name =>
+      spark.catalog.clearCache()
+      System.gc()
+      val (med, _, _) = timeGate(name, fnByName(name))
+      name -> med
     }.toMap
+    val reproduced = isolated.count { case (name, iso) =>
+      baseline.get(name).exists(b => iso > 1.5 * b)
+    }
     // The driver captures a fixed-size tail (~2000 chars) of the run
     // output; with 85+ registered queries a full per-query dump pushes
     // the start of the JSON line out of the window and the driver
@@ -105,8 +168,8 @@ object Bench {
     // 0.5 s bar, so shed the non-headline extras first, then the fastest
     // headline entries, before the line can outgrow the window
     var qs = render(shown)
-    if (qs.length > 1600) qs = render(shown.filter { case (k, v) => headline(k) || v < 0 })
-    if (qs.length > 1600)
+    if (qs.length > 1500) qs = render(shown.filter { case (k, v) => headline(k) || v < 0 })
+    if (qs.length > 1500)
       qs = render(shown.filter(_._2 != 0)
         .sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
         .take(45).sortBy(_._1))
@@ -116,24 +179,34 @@ object Bench {
       .mkString("{", ",", "}")
     // phases: only gates whose fn call did real work (index builds) —
     // a lazy plan construction under 50 ms is noise, not a phase
-    val phasesJson = firstRun
-      .filter { case (_, (setup, _)) => setup >= 0.05 }
+    val phasesJson = timed
+      .filter { case (_, (_, (setup, _), _)) => setup >= 0.05 }
       .sortBy(_._1)
-      .map { case (k, (s, e)) =>
+      .map { case (k, (_, (s, e), _)) =>
         s"\"" + k + "\":{\"setup\":" + fmt(s) + ",\"exec\":" + fmt(e) + "}" }
       .mkString("{", ",", "}")
-    val warmJson = warm.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    val runsJson = timed.sortBy(_._1)
+      .map { case (k, (_, _, totals)) =>
+        s"\"" + k + "\":[" + totals.map(fmt).mkString(",") + "]" }
       .mkString("{", ",", "}")
+    val flaggedJson = flaggedNames.sorted.map { name =>
+      s"\"" + name + "\":{\"suite\":" + fmt(results(name)) +
+        ",\"baseline\":" + fmt(baseline.getOrElse(name, -1.0)) +
+        ",\"isolated\":" + fmt(isolated.getOrElse(name, -1.0)) + "}"
+    }.mkString("{", ",", "}")
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_detail.json"),
-        (s"""{"total":${fmt(total)},"sf":"$sfDir","queries":$fullJson,""" +
-          s""""phases":$phasesJson,"warm":$warmJson}""").getBytes("UTF-8"))
+        (s"""{"total":${fmt(total)},"sf":"$sfDir","reps":$reps,""" +
+          s""""queries":$fullJson,"phases":$phasesJson,""" +
+          s""""runs":$runsJson,"flagged":$flaggedJson}""").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     // queries_timed lets a round-over-round reader normalize the total:
-    // the registry grows every round, so total alone is not comparable
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries_timed":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    // the registry grows every round, so total alone is not comparable.
+    // flagged/reproduced: gates >1.5x last round's number, and how many
+    // of those survived an isolated re-run — the drift-vs-real verdict,
+    // in the artifact itself (full numbers in bench_detail.json).
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries_timed":${results.size},"reps":$reps,"flagged":${flaggedNames.size},"reproduced":$reproduced,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

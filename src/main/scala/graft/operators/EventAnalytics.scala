@@ -77,8 +77,8 @@ object EventAnalytics {
           col("n_users"))
     }.reduce(_ union _)
 
-    // stages.length rows total: the unpartitioned window is driver-sized
-    val w = Window.orderBy(col("stage_idx"))
+    // bounded: stages.length rows total — the funnel definition, not data
+    val w = TotalOrder.boundedGlobal(col("stage_idx"))
     counts.select(col("stage_idx"), col("stage"), col("n_users"),
         round(col("n_users") * 1.0 /
           nullif(lag(col("n_users"), 1).over(w), lit(0)), 6)

@@ -35,7 +35,9 @@ object Intervals {
     val span = iv.agg(min(col(startCol)).as("d0"), max(col(endCol)).as("d1"))
     val spine = span.select(
       explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("d"))
-    val w = Window.orderBy(col("d"))
+    // bounded: the spine has one row per CALENDAR DAY in the data's
+    // span — years of history is still thousands of rows
+    val w = TotalOrder.boundedGlobal(col("d"))
       .rowsBetween(Window.unboundedPreceding, 0)
     spine.join(events, Seq("d"), "left")
       .select(col("d"),

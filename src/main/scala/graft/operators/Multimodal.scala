@@ -192,10 +192,14 @@ object Multimodal {
       StructField("resized", BooleanType, nullable = false))
     val payloadIdx = media.schema.fieldIndex("payload")
     val metaIdx = media.schema.fieldIndex("meta")
-    val metaArity = media.schema(metaIdx).dataType
-      .asInstanceOf[StructType].fields.length
-    require(metaArity >= 2,
-      s"meta struct needs width/height leading fields, has $metaArity")
+    val metaSchema = media.schema(metaIdx).dataType.asInstanceOf[StructType]
+    val metaArity = metaSchema.fields.length
+    // patch by field NAME, not position — a caller whose meta struct
+    // doesn't lead with width/height would otherwise get silently
+    // corrupted metadata on every resized row (fieldIndex throws with
+    // the available names when the contract fields are absent)
+    val wIdx = metaSchema.fieldIndex("width")
+    val hIdx = metaSchema.fieldIndex("height")
     val enc = RowEncoder.encoderFor(outSchema)
     media.mapPartitions { rows =>
       rows.map { r =>
@@ -216,9 +220,10 @@ object Multimodal {
             val oldMeta = r.getStruct(metaIdx)
             val newMeta =
               if (oldMeta == null)
-                Row.fromSeq(outW +: outH +: Seq.fill(metaArity - 2)(null))
+                Row.fromSeq(Seq.fill[Any](metaArity)(null)
+                  .updated(wIdx, outW).updated(hIdx, outH))
               else Row.fromSeq(oldMeta.toSeq
-                .updated(0, outW).updated(1, outH))
+                .updated(wIdx, outW).updated(hIdx, outH))
             Row.fromSeq(r.toSeq.updated(payloadIdx, newPayload)
               .updated(metaIdx, newMeta) :+ true)
           case _ =>

@@ -111,6 +111,14 @@ object Similarity {
     * Built from codegen'd builtins (zip_with/shiftleft/aggregate): the
     * packing runs once per vector, not per pair, so a native Expression
     * would buy nothing the exchange doesn't already guarantee.
+    *
+    * Input contract: finite floats. NaN elements quantize to 0-bit here
+    * (Spark: NaN > 0 is false) but to 1-bit in the DuckDB oracle (NaN
+    * sorts above every number there), so NaN-bearing corpora are outside
+    * the hash-oracle contract — same stance as PqAdc. A NULL vector
+    * yields a NULL signature (not an empty one), so downstream Hamming
+    * scores stay NULL and the row sorts out of every top-k instead of
+    * silently ranking with a fabricated signature.
     */
   def signBitSignature(vec: Column): Column = {
     val words = ceil(size(vec) / lit(32.0)).cast("int")
@@ -118,7 +126,8 @@ object Similarity {
     // [0, -1]), which would fabricate a 2-word signature that DuckDB's
     // empty generate_series disagrees with and whose null-padded
     // Hamming zips poison the ranking — an empty vector must pack to
-    // an empty signature on both engines
+    // an empty signature on both engines; `words` is NULL for a NULL
+    // vector, so both when-branches miss and the signature is NULL too
     when(words > 0,
       transform(sequence(lit(0), words - 1), w =>
         aggregate(
@@ -128,7 +137,7 @@ object Similarity {
             (x, i) => when(x > 0, call_function("shiftleft", lit(1L), i))
               .otherwise(lit(0L))),
           lit(0L), (acc, b) => acc + coalesce(b, lit(0L)))))
-      .otherwise(array().cast("array<bigint>"))
+      .when(words <= 0, array().cast("array<bigint>"))
   }
 
   /** Hamming distance between two packed sign signatures. */
@@ -220,7 +229,8 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     corpus.orderBy(col(idCol)).limit(numCells)
       .select(
-        row_number().over(Window.orderBy(col(idCol))).as("cell_id"),
+        // bounded: numCells rows (≤ √n by every caller's convention)
+        row_number().over(TotalOrder.boundedGlobal(col(idCol))).as("cell_id"),
         col(vecCol).as("centroid"))
 
   /** Lloyd (k-means) refinement, expressed relationally: assign → mean
@@ -540,13 +550,48 @@ object Similarity {
   def topPrincipalComponent(
       corpus: DataFrame, vecCol: String = "embedding",
       iterations: Int = 12,
-      quantizeDp: Int = 0): (Double, Array[Double], Double) = {
+      quantizeDp: Int = 0): (Double, Array[Double], Double) =
+    topPrincipalComponents(corpus, vecCol, r = 1, iterations, quantizeDp).head
+
+  /** Top-r principal directions of the (uncentered) Gram matrix XᵀX by
+    * power iteration with PROJECTION deflation (VERDICT r8 item 4):
+    * component c runs the same two-pass distributed walk as the top
+    * component, but each iterate is projected off the found components —
+    * w ← XᵀXv, then w ← w − Σ_{k<c} (v_k·w) v_k. Projection (rather
+    * than λ-weighted operator subtraction) makes every later component
+    * orthogonal to the earlier ones AT MACHINE PRECISION even when the
+    * earlier components are not fully converged — the orthogonality is
+    * enforced by construction, not inherited from eigenvector accuracy.
+    * The projection is a driver-side O(dim·r) correction on the
+    * collected d-vector, so the DISTRIBUTED work per iteration is
+    * unchanged (one map-only X·v pass + one dim-keyed aggregate) and
+    * total driver traffic stays O(dim·r) per iteration. Embedding
+    * whitening/compression at 100 TB runs this exactly as written:
+    * rows never leave the executors.
+    *
+    * Determinism/reproducibility: the projection sum per dimension is
+    * accumulated FIRST and subtracted ONCE (`w[j] − Σ_k coef_k·v_k[j]`),
+    * matching how a SQL replay aggregates the terms; with r ≤ 3 the
+    * per-dimension sum has ≤ 2 addends, so IEEE-754 commutativity makes
+    * the replay bit-identical regardless of aggregation order (the
+    * `emb_pca_topr` gate pins r = 3 for exactly this reason; larger r
+    * is spec-pinned, not hash-oracled).
+    *
+    * Returns, per component in order, (eigenvalue λ_c, vector v_c,
+    * residual ‖P_c XᵀX v_c − λ_c v_c‖/λ_c against the projected
+    * operator the component actually optimized).
+    */
+  def topPrincipalComponents(
+      corpus: DataFrame, vecCol: String = "embedding", r: Int = 1,
+      iterations: Int = 12,
+      quantizeDp: Int = 0): Seq[(Double, Array[Double], Double)] = {
+    require(r >= 1, s"need r >= 1 components, got $r")
     VectorExprs.register(corpus.sparkSession)
     // max(size): robust to ragged rows (a longer later vector indexed
     // past a first-row-sized array) and loud on an empty/all-null corpus
     val dimRow = corpus.agg(max(size(col(vecCol)))).head()
     require(!dimRow.isNullAt(0),
-      "topPrincipalComponent needs at least one non-null vector")
+      "topPrincipalComponents needs at least one non-null vector")
     val dim = dimRow.getInt(0)
 
     def gramTimes(vec: Array[Double]): Array[Double] = {
@@ -567,36 +612,87 @@ object Similarity {
       out
     }
 
-    // Start-vector selection: e1 is deterministic but can sit in the
-    // null space of XᵀX (dimension 0 identically zero — padded/sparse
-    // embeddings), which would turn every later iterate into NaN. Probe
-    // basis vectors in order until one leaves the null space (its probe
-    // IS iteration 1, so the normal path pays no extra pass); once v is
-    // in the image of the symmetric XᵀX it never returns to the null
-    // space, so later lambdas stay nonzero. All-zero data degrades to
-    // the zero component instead of NaN.
+    val found = scala.collection.mutable.ArrayBuffer.empty[(Double, Array[Double])]
+    // P_c (XᵀX v): one distributed Gram pass, then the rank-(c)
+    // driver-side projection OFF the found components — coefficients
+    // come from the GRAM OUTPUT w (not the input v), so the result is
+    // orthogonal to every v_k by construction. Accumulate the
+    // per-dimension correction first so the arithmetic shape (one
+    // subtraction per dimension) is replayable in SQL.
+    def deflatedGram(vec: Array[Double]): Array[Double] = {
+      val w = gramTimes(vec)
+      if (found.nonEmpty) {
+        val dsum = new Array[Double](w.length)
+        found.foreach { case (_, vk) =>
+          var dot = 0.0
+          var j = 0
+          while (j < w.length) { dot += vk(j) * w(j); j += 1 }
+          j = 0
+          while (j < w.length) { dsum(j) += dot * vk(j); j += 1 }
+        }
+        var j = 0
+        while (j < w.length) { w(j) -= dsum(j); j += 1 }
+      }
+      w
+    }
+
+    // Start-vector selection: e1 is deterministic but can sit in (or
+    // within round-off of) the null space of the projected operator —
+    // dimension 0 identically zero (padded/sparse embeddings), or, for
+    // later components, e1 inside the span of the already-found
+    // components, where the probe returns pure deflation ROUND-OFF that
+    // an exact-zero test cannot reject (normalizing that noise turns
+    // every later iterate into garbage and eventually NaN). So the
+    // accept/reject test is RELATIVE to the remaining spectrum mass:
+    // trace(XᵀX) = Σ λ_i is one cheap distributed pass; the mass not
+    // yet captured is R = trace − Σ found λ_k, and since
+    // Σ_i e_iᵀ(PAP)e_i = R, some basis vector always satisfies
+    // ‖PAP e_i‖ ≥ R/dim — tol = R/(10·dim) therefore always accepts a
+    // real direction and sits orders of magnitude above round-off
+    // (~ε·λ₁). Probes run in order (the accepted probe IS iteration 1,
+    // so the normal e1 path pays no extra pass); R ≤ 1e-9·trace means
+    // the spectrum is exhausted (rank < r) and degrades to zero
+    // components instead of NaN.
+    val trace = corpus
+      .select(explode(col(vecCol)).as("__x"))
+      .agg(sum(col("__x").cast("double") * col("__x").cast("double")))
+      .head().getDouble(0)
     def basis(i: Int) = Array.tabulate(dim)(j => if (j == i) 1.0 else 0.0)
-    var start = 0
-    var v = basis(0)
-    var w = gramTimes(v)
-    var lambda = math.sqrt(w.map(x => x * x).sum)
-    while (lambda == 0.0 && start + 1 < dim) {
-      start += 1
-      v = basis(start)
-      w = gramTimes(v)
-      lambda = math.sqrt(w.map(x => x * x).sum)
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Double, Array[Double], Double)]
+    for (_ <- 0 until r) {
+      val remaining = trace - found.map(_._1).sum
+      val exhausted = remaining <= 1e-9 * trace
+      val tol = remaining / (10.0 * dim)
+      var start = 0
+      var v = basis(0)
+      var w = if (exhausted) new Array[Double](dim) else deflatedGram(v)
+      var lambda = math.sqrt(w.map(x => x * x).sum)
+      while (!exhausted && lambda < tol && start + 1 < dim) {
+        start += 1
+        v = basis(start)
+        w = deflatedGram(v)
+        lambda = math.sqrt(w.map(x => x * x).sum)
+      }
+      if (exhausted || lambda < tol) {
+        val zero = new Array[Double](dim)
+        results += ((0.0, zero, 0.0))
+        found += ((0.0, zero))
+      } else {
+        v = w.map(_ / lambda)
+        for (_ <- 2 to iterations) {
+          val w2 = deflatedGram(v)
+          lambda = math.sqrt(w2.map(x => x * x).sum)
+          v = w2.map(_ / lambda)
+        }
+        // self-check residual: ‖A_c v − λv‖ / λ against the DEFLATED
+        // operator (the quantity this component actually optimized)
+        val wf = deflatedGram(v)
+        val resid = math.sqrt(
+          wf.zip(v).map { case (wi, vi) => val d = wi - lambda * vi; d * d }.sum) / lambda
+        results += ((lambda, v, resid))
+        found += ((lambda, v))
+      }
     }
-    if (lambda == 0.0) return (0.0, new Array[Double](dim), 0.0)
-    v = w.map(_ / lambda)
-    for (_ <- 2 to iterations) {
-      val w2 = gramTimes(v)
-      lambda = math.sqrt(w2.map(x => x * x).sum)
-      v = w2.map(_ / lambda)
-    }
-    // self-check residual: ‖XᵀXv − λv‖ / λ
-    val wf = gramTimes(v)
-    val resid = math.sqrt(
-      wf.zip(v).map { case (wi, vi) => val d = wi - lambda * vi; d * d }.sum) / lambda
-    (lambda, v, resid)
+    results.toSeq
   }
 }

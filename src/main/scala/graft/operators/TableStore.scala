@@ -974,11 +974,20 @@ final class TableStore(val spark: SparkSession, val root: String,
     */
   private def relativeDataPath(table: String, inputFile: String): String = {
     // input_file_name() yields a URL-encoded file URI; decode when
-    // parseable, fall back to the raw string minus the scheme otherwise
+    // parseable. The fallback (URI-hostile characters, e.g. a literal
+    // '[' in a directory name) must STILL percent-decode — keeping the
+    // encoding would write sidecar lines that don't resolve at prune
+    // time and turn the pruned read into file-not-found
     val p = try Paths.get(new java.net.URI(inputFile).getPath)
-      catch { case _: Exception => Paths.get(inputFile.stripPrefix("file:")) }
-    dir(table).toAbsolutePath.normalize
-      .relativize(p.toAbsolutePath.normalize).toString
+      catch { case _: Exception => Paths.get(
+        java.net.URLDecoder.decode(inputFile.stripPrefix("file:"), "UTF-8")) }
+    val rel = dir(table).toAbsolutePath.normalize
+      .relativize(p.toAbsolutePath.normalize)
+    // fail at ANALYZE time, not at prune time: a sidecar naming a file
+    // that does not exist is a latent read failure weeks later
+    require(Files.exists(dir(table).resolve(rel)),
+      s"cannot relativize $inputFile under ${dir(table)} — resolved to $rel")
+    rel.toString
   }
 
   /** Read exactly `keep` files of `table`, preserving partition columns:

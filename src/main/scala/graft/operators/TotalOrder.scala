@@ -22,6 +22,21 @@ import org.apache.spark.sql.functions._
   */
 object TotalOrder {
 
+  /** A global window over a PROVABLY BOUNDED frame — a calendar day
+    * spine, a funnel's stage list, ≤`shuffle.partitions` per-partition
+    * summaries, ≤√n centroids. Partitioning by a constant is
+    * semantically identical to `Window.orderBy(...)` (one partition
+    * holds the whole frame) but declares the boundedness to the engine,
+    * so WindowExec's "No Partition Defined" warning — which exists to
+    * flag ACCIDENTAL single-reducer funnels of unbounded data — stays
+    * meaningful instead of crying wolf on every dashboard-sized spine
+    * (VERDICT r8 item 6). Use ONLY where input cardinality is bounded
+    * by construction: an unbounded input still funnels to one reducer,
+    * now silently — each call site must carry the boundedness argument.
+    */
+  def boundedGlobal(order: Column*): org.apache.spark.sql.expressions.WindowSpec =
+    Window.partitionBy(lit(0)).orderBy(order: _*)
+
   /** `ROW_NUMBER() OVER (ORDER BY order...)` as `outCol`, distributed.
     *
     * The caller's `order` should be TOTAL (tie-break on a unique id) —
@@ -133,10 +148,12 @@ object TotalOrder {
     val perPart = spark.createDataFrame(
       java.util.Arrays.asList(perPartDistributed.collect(): _*),
       perPartDistributed.schema)
-    val wPrev = Window.orderBy(col("__pid"))
+    // bounded: `perPart` is the collected ≤`shuffle.partitions`-row
+    // per-partition summary frame, never data-sized
+    val wPrev = boundedGlobal(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     // suffix offsets come from the HIGHER range partitions
-    val wNext = Window.orderBy(col("__pid").desc)
+    val wNext = boundedGlobal(col("__pid").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     // distinct offset prefixes per aggregate KIND: one column in both
     // `sums` and `maxes` (running total + running high-water-mark of

@@ -145,7 +145,9 @@ object Round4Ops105 {
       .groupBy(to_date(col("ts")).as("d"))
       .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
     val idx = daily.select(col("v"),
-      (row_number().over(Window.orderBy("d")) - 1).as("ti"))
+      // bounded: one row per calendar day after the aggregation
+      (row_number().over(
+        graft.operators.TotalOrder.boundedGlobal(col("d"))) - 1).as("ti"))
     val st = idx.agg(count(lit(1)).as("n"), avg(col("v")).as("mu"))
     val per = t(spark, dir, "region").limit(1)
       .select(explode(sequence(lit(2), lit(14))).as("p"))

@@ -46,13 +46,15 @@ object Round4Ops73 {
       .filter(col("event_type") === "purchase")
       .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
       .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("c"))
-    val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    // bounded: one row per calendar day after the aggregation
+    val w = graft.operators.TotalOrder.boundedGlobal(col("day")).rowsBetween(-6, 0)
     val rolled = daily
       .withColumn("s", sum(col("c")).over(w))
       .withColumn("sq",
         sum(col("c").cast("decimal(38,0)") * col("c").cast("decimal(38,0)")).over(w))
       .withColumn("n", count(lit(1)).over(w))
-      .withColumn("rn", row_number().over(Window.orderBy(col("day"))))
+      .withColumn("rn", row_number().over(
+        graft.operators.TotalOrder.boundedGlobal(col("day"))))
       .filter(col("rn") >= 7)
     val mean = col("s").cast("double") / col("n") / 100
     val sd = sqrt(col("sq").cast("double") / col("n") -

@@ -103,7 +103,8 @@ object Round4Ops96 {
       .filter(col("event_type") === "purchase")
       .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
       .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("c"))
-    val w = Window.orderBy(col("day"))
+    // bounded: one row per calendar day after the aggregation
+    val w = graft.operators.TotalOrder.boundedGlobal(col("day"))
     daily
       .withColumn("prev_day", lag(col("c"), 1).over(w))
       .withColumn("prev_week", lag(col("c"), 7).over(w))

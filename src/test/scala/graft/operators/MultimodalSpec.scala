@@ -497,14 +497,16 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("JPEG refusals: progressive, truncation, bad SOI — loud, never garbage") {
+  test("JPEG refusals: frame/scan mismatch, truncation, bad SOI — loud, never garbage") {
     val good = JpegCodec.encodeJpeg(16, 16, mkRamp(16, 16))
-    // flip SOF0 to SOF2 (progressive)
+    // flip SOF0 to SOF2: the baseline full-band scan header is illegal
+    // inside a progressive frame (DC scans must have Se = 0) — the
+    // decoder must refuse the inconsistent stream, not guess
     val prog = good.clone()
     val sof = prog.indexOfSlice(Array(0xff.toByte, 0xc0.toByte))
     prog(sof + 1) = 0xc2.toByte
     val e = intercept[RuntimeException] { JpegCodec.decodeJpeg(prog) }
-    assert(e.getMessage.toLowerCase.contains("progressive"))
+    assert(e.getMessage.toLowerCase.contains("dc scan"))
     // truncated entropy stream
     intercept[IllegalArgumentException] {
       JpegCodec.decodeJpeg(java.util.Arrays.copyOf(good, good.length / 2))
