@@ -30,6 +30,7 @@ object Bench {
       .config("spark.sql.ansi.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.quietBoundedWindowWarn()
     // warmup: JIT + codegen + parquet footer caches, so the first timed
     // query doesn't absorb session start-up
     try {

@@ -18,6 +18,7 @@ object Verify {
       .config("spark.sql.ansi.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.quietBoundedWindowWarn()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

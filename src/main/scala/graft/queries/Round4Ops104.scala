@@ -58,15 +58,27 @@ object Round4Ops104 {
       |         AS DOUBLE) AS ci_hi
       |FROM a10 CROSS JOIN a01""".stripMargin) { (spark, dir) =>
     t(spark, dir, "embeddings").createOrReplaceTempView("graft_delong_emb")
+    val scored = spark.sql(
+      """SELECT vec_id, CAST(element_at(embedding, 1) AS DOUBLE) AS score,
+        |       CAST(label % 2 AS INT) AS y
+        |FROM graft_delong_emb""".stripMargin)
+    // BOTH DeLong ranks from ONE TotalOrder range pass (winscan r9: the
+    // global r and the PARTITION BY y rank were table-/class-sized
+    // single-reducer windows): r is the distributed row number and the
+    // inclusive prefix sum of y gives the within-class rank directly —
+    // for a positive row rg = (# positives ≤ it) = cpos; for a negative
+    // row rg = r − cpos. Bit-equal because the order (score, vec_id) is
+    // total.
+    graft.operators.TotalOrder
+      .prefixAggs(scored, Seq(col("score"), col("vec_id")),
+        sums = Seq("y" -> "cpos"), rnCol = Some("r"))
+      .select(col("y"), col("r"),
+        when(col("y") === 1, col("cpos")).otherwise(col("r") - col("cpos"))
+          .cast("long").as("rg"))
+      .createOrReplaceTempView("graft_delong_ranked")
     spark.sql(
-      """WITH scored AS (
-        |  SELECT vec_id, CAST(element_at(embedding, 1) AS DOUBLE) AS score,
-        |         CAST(label % 2 AS INT) AS y
-        |  FROM graft_delong_emb
-        |), ranked AS (
-        |  SELECT y, ROW_NUMBER() OVER (ORDER BY score, vec_id) AS r,
-        |         ROW_NUMBER() OVER (PARTITION BY y ORDER BY score, vec_id) AS rg
-        |  FROM scored
+      """WITH ranked AS (
+        |  SELECT y, r, rg FROM graft_delong_ranked
         |), m AS (
         |  SELECT SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS np,
         |         SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS nn

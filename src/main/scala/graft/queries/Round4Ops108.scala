@@ -50,17 +50,30 @@ object Round4Ops108 {
       |FROM gs CROSS JOIN h CROSS JOIN tc
       |ORDER BY segment""".stripMargin) { (spark, dir) =>
     Tables.load(spark, dir, "customer").createOrReplaceTempView("graft_kw_customer")
+    // Midranks WITHOUT the table-sized global ROW_NUMBER (winscan r9:
+    // RAW global window): the midrank of value x is
+    // (# values < x) + (t_x + 1)/2 — a function of DISTINCT-value
+    // prefix counts only, so the only unpartitioned window runs over
+    // the ties aggregate, bounded by the c_acctbal value domain
+    // (DECIMAL(15,2) in a fixed range, ≤ ~1.1M distinct at any scale).
+    // Group rank-sums then weight each midrank by its (g, x) count —
+    // exact: midranks are 0.5-multiples held in DECIMAL(28,1), and the
+    // weighted sum equals the per-row sum term-for-term.
     spark.sql(
       """WITH v AS (
         |  SELECT c_mktsegment AS g, CAST(c_acctbal AS DECIMAL(15,2)) AS x
         |  FROM graft_kw_customer),
-        |rn AS (SELECT g, x, ROW_NUMBER() OVER (ORDER BY x) AS r FROM v),
-        |ar AS (
-        |  SELECT g, x,
-        |         CAST(AVG(CAST(r AS DOUBLE)) OVER (PARTITION BY x)
+        |tiesd AS (SELECT x, COUNT(*) AS t FROM v GROUP BY x),
+        |mr AS (
+        |  SELECT x,
+        |         CAST(SUM(t) OVER (ORDER BY x) - t + (t + 1) / 2.0
         |           AS DECIMAL(28,1)) AS ar
-        |  FROM rn),
-        |gs AS (SELECT g, COUNT(*) AS n, SUM(ar) AS s FROM ar GROUP BY g),
+        |  FROM tiesd),
+        |vg AS (SELECT g, x, COUNT(*) AS c FROM v GROUP BY g, x),
+        |gs AS (
+        |  SELECT g, SUM(c) AS n,
+        |         CAST(SUM(CAST(c AS DECIMAL(18,0)) * ar) AS DECIMAL(38,1)) AS s
+        |  FROM vg JOIN mr USING (x) GROUP BY g),
         |nn AS (SELECT SUM(n) AS n FROM gs),
         |ties AS (SELECT x, COUNT(*) AS t FROM v GROUP BY x),
         |tc AS (

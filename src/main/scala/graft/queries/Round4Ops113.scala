@@ -148,17 +148,20 @@ object Round4Ops113 {
       |         + comps.uncertainty), 4) AS DOUBLE) AS residual
       |FROM brier CROSS JOIN comps""".stripMargin) { (spark, dir) =>
     Tables.load(spark, dir, "embeddings").createOrReplaceTempView("graft_bd_emb")
+    val scored = spark.sql(
+      """SELECT vec_id, CAST(element_at(embedding, 1) AS DOUBLE) AS score,
+        |       CAST(label % 2 AS INT) AS y
+        |FROM graft_bd_emb""".stripMargin)
+    // ECDF position + total count via TotalOrder's range-shuffle pair
+    // (winscan r9: RAW table-sized global window) — bit-equal, the
+    // order (score, vec_id) is total
+    graft.operators.TotalOrder
+      .rowNumberWithCount(scored, Seq(col("score"), col("vec_id")),
+        rnCol = "rn1", nCol = "n")
+      .createOrReplaceTempView("graft_bd_ranked")
     spark.sql(
-      """WITH scored AS (
-        |  SELECT vec_id, CAST(element_at(embedding, 1) AS DOUBLE) AS score,
-        |         CAST(label % 2 AS INT) AS y
-        |  FROM graft_bd_emb),
-        |pr AS (
-        |  SELECT y,
-        |         CAST(ROW_NUMBER() OVER (ORDER BY score, vec_id) - 1 AS BIGINT)
-        |           AS rk,
-        |         COUNT(*) OVER () AS n
-        |  FROM scored),
+      """WITH pr AS (
+        |  SELECT y, CAST(rn1 - 1 AS BIGINT) AS rk, n FROM graft_bd_ranked),
         |p AS (
         |  SELECT y, rk, n, CAST((rk * 10) DIV (n - 1) AS INT) AS bin,
         |         CAST(rk AS DOUBLE) / (n - 1) AS prob

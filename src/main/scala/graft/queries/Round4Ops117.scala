@@ -95,17 +95,19 @@ object Round4Ops117 {
         |             (1 - POW(CAST(pos - cpos AS DOUBLE) / (n - r), 2)
         |                - POW(1 - CAST(pos - cpos AS DOUBLE) / (n - r), 2)),
         |           8) AS gini_gain
-        |  FROM cand),
-        |best AS (
-        |  SELECT *, ROW_NUMBER() OVER (ORDER BY gini_gain DESC, threshold) AS rk
-        |  FROM gain)
+        |  FROM cand)
         |SELECT CAST(threshold AS DOUBLE) AS threshold,
         |       CAST(n_left AS BIGINT) AS n_left,
         |       CAST(n_right AS BIGINT) AS n_right,
         |       CAST(pos_left AS BIGINT) AS pos_left,
         |       CAST(pos_right AS BIGINT) AS pos_right,
         |       CAST(gini_gain AS DOUBLE) AS gini_gain
-        |FROM best WHERE rk = 1""".stripMargin)
+        |FROM gain
+        |ORDER BY gini_gain DESC, threshold
+        |LIMIT 1""".stripMargin)
+    // top-1-by-order as ORDER BY + LIMIT (TakeOrderedAndProject) instead
+    // of a ROW_NUMBER window — same row, no unpartitioned WindowExec
+    // (winscan r9; cand is ≤19 rows, but the plan could not prove it)
   }
 
   /** Mutual information (and entropies, and NMI) between customer

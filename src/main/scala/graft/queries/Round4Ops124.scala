@@ -57,12 +57,18 @@ object Round4Ops124 {
       |FROM emd
       |ORDER BY t_closeness DESC, nationkey, segment
       |LIMIT 10""".stripMargin) { (spark, dir) =>
-    Tables.load(spark, dir, "customer").createOrReplaceTempView("graft_tc_customer")
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+        col("c_acctbal"), col("c_custkey"))
+    // global NTILE(10) via TotalOrder's distributed form (winscan r9:
+    // RAW table-sized global window) — bit-equal larger-buckets-first
+    // assignment, one range shuffle + broadcast count
+    graft.operators.TotalOrder
+      .ntile(cust, Seq(col("c_acctbal"), col("c_custkey")), 10, "dcl")
+      .select(col("nat"), col("seg"), col("dcl"))
+      .createOrReplaceTempView("graft_tc_base")
     spark.sql(
-      """WITH base AS (
-        |  SELECT c_nationkey AS nat, c_mktsegment AS seg,
-        |         NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS dcl
-        |  FROM graft_tc_customer),
+      """WITH base AS (SELECT nat, seg, dcl FROM graft_tc_base),
         |n_all AS (SELECT COUNT(*) AS n FROM base),
         |gdist AS (
         |  SELECT dcl, COUNT(*) AS c FROM base GROUP BY dcl),

@@ -77,18 +77,23 @@ object Round4Ops66 {
        |                  / (CAST(np AS DOUBLE) * nn), 6) AS DOUBLE) AS auc
        |FROM m""".stripMargin) { (spark, dir) =>
     Tables.load(spark, dir, "embeddings").createOrReplaceTempView("graft_auc_emb")
+    val scored = spark.sql(
+      """SELECT vec_id, CAST(element_at(embedding, 1) AS DOUBLE) AS score,
+        |       CAST(label % 2 AS INT) AS y
+        |FROM graft_auc_emb""".stripMargin)
+    // global rank via TotalOrder's two-phase range ranks — bit-equal to
+    // ROW_NUMBER() OVER (ORDER BY score, vec_id) without funnelling the
+    // scored table through one reducer (winscan r9: this was a RAW
+    // table-sized global window)
+    graft.operators.TotalOrder
+      .rowNumber(scored, Seq(col("score"), col("vec_id")), "r")
+      .createOrReplaceTempView("graft_auc_ranked")
     spark.sql(
-      """WITH scored AS (
-        |  SELECT vec_id, CAST(element_at(embedding, 1) AS DOUBLE) AS score,
-        |         CAST(label % 2 AS INT) AS y
-        |  FROM graft_auc_emb),
-        |ranked AS (
-        |  SELECT y, ROW_NUMBER() OVER (ORDER BY score, vec_id) AS r FROM scored),
-        |m AS (
+      """WITH m AS (
         |  SELECT SUM(CASE WHEN y = 1 THEN r ELSE 0 END) AS rpos,
         |         SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS np,
         |         SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS nn
-        |  FROM ranked)
+        |  FROM graft_auc_ranked)
         |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
         |       CAST(ROUND((CAST(rpos AS DOUBLE) - CAST(np AS DOUBLE) * (np + 1) / 2)
         |                  / (CAST(np AS DOUBLE) * nn), 6) AS DOUBLE) AS auc

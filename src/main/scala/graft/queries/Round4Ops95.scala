@@ -84,16 +84,23 @@ object Round4Ops95 {
       |         AS weibull_scale_sec
       |FROM fit""".stripMargin) { (spark, dir) =>
     Tables.load(spark, dir, "events").createOrReplaceTempView("graft_wb_events")
-    spark.sql(
+    val clean = spark.sql(
       """WITH gaps AS (
         |  SELECT unix_timestamp(ts) -
         |         LAG(unix_timestamp(ts)) OVER (PARTITION BY user_id
         |           ORDER BY ts, event_id) AS g
-        |  FROM graft_wb_events WHERE event_type = 'purchase'),
-        |clean AS (SELECT g FROM gaps WHERE g IS NOT NULL AND g > 0),
-        |ranked AS (
-        |  SELECT g, ROW_NUMBER() OVER (ORDER BY g) AS i, COUNT(*) OVER () AS n
-        |  FROM clean),
+        |  FROM graft_wb_events WHERE event_type = 'purchase')
+        |SELECT g FROM gaps WHERE g IS NOT NULL AND g > 0""".stripMargin)
+    // gap-table-sized global rank + count → TotalOrder's range-shuffle
+    // pair (winscan r9: RAW global window). Within equal gaps the rank
+    // assignment is arbitrary in both forms, and the Weibull plotting
+    // position y depends only on (i, n) while x depends only on g, so
+    // any within-tie permutation leaves every downstream sum unchanged.
+    graft.operators.TotalOrder
+      .rowNumberWithCount(clean, Seq(col("g")), rnCol = "i", nCol = "n")
+      .createOrReplaceTempView("graft_wb_ranked")
+    spark.sql(
+      """WITH ranked AS (SELECT g, i, n FROM graft_wb_ranked),
         |terms AS (
         |  SELECT ln(CAST(g AS DOUBLE)) AS x,
         |         ln(-ln(1.0 - (i - 0.3) / (n + 0.4))) AS y

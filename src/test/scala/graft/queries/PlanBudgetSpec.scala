@@ -104,6 +104,21 @@ class PlanBudgetSpec extends SparkSpec {
     "emb_binary_topk" -> Budget(4, 2, 6),
     "mm_phash_dedup" -> Budget(2, 0, 4),
     "mm_audio_fingerprint" -> Budget(2, 0, 4),
+    // round 9: new gates + the seven global-window rewrites onto
+    // TotalOrder's distributed forms (winscan audit) — pinned at the
+    // rewrite's measured cost so a regression back to (or past) the
+    // single-reducer shape fails here
+    "a54_hl_approx" -> Budget(9, 2, 7),
+    "dedup_multimodal" -> Budget(4, 6, 20),
+    "emb_pca_topr" -> Budget(2, 0, 86),
+    "mm_jpeg_progressive" -> Budget(2, 0, 4),
+    "eval_auc" -> Budget(4, 2, 10),
+    "ml_delong_auc" -> Budget(15, 13, 18),
+    "eval_brier_decomp" -> Budget(20, 18, 19),
+    "a72_weibull_fit" -> Budget(6, 6, 14),
+    "a86_kruskal_wallis" -> Budget(27, 11, 15),
+    "ml_tree_stump" -> Budget(10, 12, 18),
+    "priv_t_closeness" -> Budget(21, 31, 22),
   )
 
   // +2 jobs and +2 exchanges of headroom: AQE finalizes plans from
