@@ -45,7 +45,11 @@ object StressOcc {
     import spark.implicits._
 
     def freshTable(root: String): TableStore = {
-      val store = new TableStore(spark, root)
+      // the serialized scenario intentionally queues all writers on one
+      // lock: the wait budget must cover (writers - 1) x job time, or
+      // late writers time out and the "serialized" total undercounts
+      // (seen at 8 x 250k: two writers dropped at the 3 s default)
+      val store = new TableStore(spark, root, lockWaitMs = 600000)
       val base = spark.range(writers.toLong * rowsPer)
         .select(col("id").as("k"),
           concat(lit("p"), (col("id") % writers).cast("string")).as("p"),

@@ -114,10 +114,23 @@ object StressWriteScale {
       timed("ivm base write v1 (the changed generation)") {
         store.overwrite("base", v1)
       }
-      timed("ivm REFRESH (delta aggregate + full-outer maintenance join)") {
+      timed("ivm REFRESH from OVERWRITE delta (derived CDC: 2 exceptAlls over both generations)") {
         IncrementalAgg.refresh(store, "agg", "base", 0, 1, Seq("grp"), "v")
       }
       println(s"[wscale] k=$k ivm groups: ${store.read("agg").count()}")
+      // the append-shaped nightly load: CDC resolves from the file-list
+      // diff (changes() fast path), so the refresh reads ONLY the new
+      // rows + the maintained view — O(delta + view), never O(base)
+      val delta = target.filter(pmod(col("o_orderkey"), lit(97)) === 13)
+        .select(
+          concat(col("o_custkey").cast("string"), lit("#"),
+            (col("o_orderkey") / stride).cast("long").cast("string")).as("grp"),
+          col("o_totalprice").as("v"))
+      timed("ivm base APPEND v2 (~1% new rows)") { store.append("base", delta) }
+      timed("ivm REFRESH from APPEND delta (file-diff CDC fast path)") {
+        IncrementalAgg.refresh(store, "agg", "base", 1, 2, Seq("grp"), "v")
+      }
+      println(s"[wscale] k=$k ivm groups after append: ${store.read("agg").count()}")
     }
 
     spark.stop()

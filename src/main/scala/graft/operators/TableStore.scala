@@ -390,13 +390,53 @@ final class TableStore(val spark: SparkSession, val root: String,
     * [[partitionColumns]] pruning.
     */
   def changes(table: String, fromVersion: Int, toVersion: Int): DataFrame = {
-    // generations may straddle a schema evolution — align to the union
-    // of columns (typed nulls) so the diff is well-defined across it
-    val (before, after) = Merge.alignSchemas(
-      read(table, fromVersion), read(table, toVersion))
     import org.apache.spark.sql.functions.lit
-    after.exceptAll(before).withColumn("_change_type", lit("insert"))
-      .unionByName(before.exceptAll(after).withColumn("_change_type", lit("delete")))
+    // APPEND FAST PATH: data files are immutable and never reuse a name
+    // (stage writes fresh UUID part files; appendStaged hardlinks the
+    // current files under their existing names and prefixes new ones
+    // collision-free) — so when the before-generation's file set is a
+    // SUBSET of the after's, the transition chain was append-pure and
+    // the delta is EXACTLY the added files, read directly: O(new data)
+    // instead of the derived diff's two exceptAlls over both full
+    // generations. At a 100 TB table with a 0.1% nightly append this is
+    // the difference between an IVM refresh that reads gigabytes and
+    // one that reads the whole table four times. Conservative: declines
+    // partitioned layouts (overwritePartitions mutates partition dirs
+    // in place) and any same-named file whose size moved.
+    def genDir(v: Int): Path =
+      if (exists(table) && v == currentVersion(table)) dir(table)
+      else historyDir(table).resolve(versionDirName(v))
+    def topLevelDataFiles(d: Path): Option[Map[String, Long]] = {
+      if (!Files.isDirectory(d)) return None
+      val s = Files.list(d)
+      val entries = try s.iterator().asScala.toList finally s.close()
+      if (entries.exists(p => Files.isDirectory(p) &&
+          p.getFileName.toString.contains("="))) None // partitioned: decline
+      else Some(entries.filter { p =>
+        val n = p.getFileName.toString
+        Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".") &&
+          n.endsWith(".parquet")
+      }.map(p => p.getFileName.toString -> Files.size(p)).toMap)
+    }
+    val fast = for {
+      before <- topLevelDataFiles(genDir(fromVersion))
+      after <- topLevelDataFiles(genDir(toVersion))
+      if before.forall { case (n, sz) => after.get(n).contains(sz) }
+    } yield {
+      val added = (after.keySet -- before.keySet).toSeq.sorted
+        .map(n => genDir(toVersion).resolve(n).toString)
+      if (added.isEmpty)
+        read(table, toVersion).limit(0).withColumn("_change_type", lit("insert"))
+      else spark.read.parquet(added: _*).withColumn("_change_type", lit("insert"))
+    }
+    fast.getOrElse {
+      // generations may straddle a schema evolution — align to the union
+      // of columns (typed nulls) so the diff is well-defined across it
+      val (before, after) = Merge.alignSchemas(
+        read(table, fromVersion), read(table, toVersion))
+      after.exceptAll(before).withColumn("_change_type", lit("insert"))
+        .unionByName(before.exceptAll(after).withColumn("_change_type", lit("delete")))
+    }
   }
 
   /** DESCRIBE HISTORY analog: one row per retained generation (newest
@@ -679,7 +719,9 @@ final class TableStore(val spark: SparkSession, val root: String,
     */
   def vacuumVersions(table: String, keep: Int): Int = {
     val drop = historyVersions(table).dropRight(keep)
-    drop.foreach(v => deleteRecursively(historyDir(table).resolve(versionDirName(v))))
+    // runs inside write locks (snapshotCurrent) — dropping the last
+    // hardlink of a retired generation frees its pages, so defer
+    drop.foreach(v => deferDelete(historyDir(table).resolve(versionDirName(v))))
     drop.length
   }
 
@@ -711,6 +753,28 @@ final class TableStore(val spark: SparkSession, val root: String,
     val stream = Files.walk(p)
     try stream.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
     finally stream.close()
+  }
+
+  /** Take `p` out of the commit path NOW (one atomic rename to a
+    * `.gc-` name), free its bytes LATER (async, off the lock).
+    * Physically deleting replaced data is O(data) on many filesystems
+    * (page freeing on tmpfs, extent dealloc on ext4) — measured at a
+    * 23 s worst-case commit critical section in the 8×25M StressOcc run
+    * when the deletes ran inside the table lock. `.gc-` names are NOT
+    * rollback evidence: recover() keys on `.trash-`/inflight markers
+    * only, so a crash between rename and async delete just leaves an
+    * invisible dir for [[vacuum]] to clear. Falls back to inline
+    * deletion if the rename fails (cross-device scratch).
+    */
+  private[operators] def deferDelete(p: Path): Unit = {
+    if (!Files.exists(p)) return
+    val gc = Paths.get(root,
+      s".gc-${p.getFileName.toString.stripPrefix(".")}-${System.nanoTime()}")
+    try {
+      Files.move(p, gc)
+      TableStore.gcExecutor.execute(() =>
+        try deleteRecursively(gc) catch { case _: Throwable => () })
+    } catch { case _: Throwable => deleteRecursively(p) }
   }
 
   /** Partition-level overwrite: replace ONLY the listed `partCol=value`
@@ -833,7 +897,10 @@ final class TableStore(val spark: SparkSession, val root: String,
       if (Files.exists(target)) { Files.move(target, trash); crashHook("opart:part-trashed") }
       Files.move(src, target)
       crashHook("opart:part-moved")
-      if (Files.exists(trash)) deleteRecursively(trash)
+      // replaced data is hardlink-shared with the snapshot just taken,
+      // but freeing it is still O(data) on the last-link drop at vacuum
+      // horizon — either way deletion never belongs inside the lock
+      deferDelete(trash)
     }
     crashHook("opart:pre-cleanup")
     deleteRecursively(tmp)
@@ -1250,7 +1317,8 @@ final class TableStore(val spark: SparkSession, val root: String,
   def vacuum(): Int = {
     val stray = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
       .filter(f => (f.isDirectory &&
-        (f.getName.startsWith(".tmp-") || f.getName.startsWith(".trash-"))) ||
+        (f.getName.startsWith(".tmp-") || f.getName.startsWith(".trash-") ||
+          f.getName.startsWith(".gc-"))) ||
         (f.isFile && f.getName.startsWith(".lock-")))
     stray.foreach(f => deleteRecursively(f.toPath))
     stray.length
@@ -1308,6 +1376,18 @@ final class TableStore(val spark: SparkSession, val root: String,
 }
 
 object TableStore {
+
+  /** Single daemon thread draining deferred `.gc-` deletions
+    * ([[TableStore.deferDelete]]) — serialized so concurrent commits
+    * can't saturate IO with parallel page-freeing storms.
+    */
+  private[operators] lazy val gcExecutor: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "tablestore-gc")
+      t.setDaemon(true)
+      t
+    })
+
   /** Every labeled crash-injection point in the write protocols — the
     * states a dying writer can leave, each exercised by
     * TableStoreCrashSpec via [[TableStore.crashHook]]:

@@ -304,6 +304,30 @@ class TableStoreSpec extends SparkSpec {
     assert(store.changes("t", 1, 2).isEmpty)
   }
 
+  test("changes() append fast path: reads ONLY the appended files, equal to the derived diff") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-cdc-fast-").toString)
+    store.overwrite("t", (1 to 1000).map(i => (i, s"v$i")).toDF("id", "v"))
+    store.append("t", Seq((2001, "x"), (2002, "y")).toDF("id", "v"))
+    val ch = store.changes("t", 0, 1)
+    // value equality with what the exceptAll diff would produce
+    assert(ch.select("id", "v", "_change_type").as[(Int, String, String)]
+      .collect().sorted.toSeq == Seq((2001, "x", "insert"), (2002, "y", "insert")))
+    // and the SCAN is delta-sized: only append-prefixed files are read
+    // (the O(new data) CDC path appendStaged's naming scheme guarantees)
+    val files = ch.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("append-")),
+      s"fast path read non-appended files: ${files.mkString(", ")}")
+    // a second append diffs across BOTH transitions from v0
+    store.append("t", Seq((2003, "z")).toDF("id", "v"))
+    assert(store.changes("t", 0, 2).count() == 3)
+    assert(store.changes("t", 1, 2).as[(Int, String, String)].collect()
+      .toSeq.map(_._1) == Seq(2003))
+    // an overwrite breaks file-set subsetting -> derived diff with deletes
+    store.overwrite("t", Seq((1, "only")).toDF("id", "v"))
+    val slow = store.changes("t", 2, 3)
+    assert(slow.filter(col("_change_type") === "delete").count() == 1003L)
+  }
+
   test("second concurrent writer fails loudly instead of corrupting a swap") {
     val root = Files.createTempDirectory("graft-lock-").toString
     // fail-fast configuration: no queueing, immediate deadline
