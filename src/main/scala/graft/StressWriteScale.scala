@@ -29,7 +29,7 @@ object StressWriteScale {
     val cpus = if (args.length > 2) args(2).toInt else 32
     val families: Set[String] =
       if (args.length > 3) args(3).split(",").toSet
-      else Set("scd1", "scd2", "ivm")
+      else Set("scd1", "scd2", "ivm", "aligned")
     val spark = GraftSession.builder("graft-stress-writescale", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -131,6 +131,40 @@ object StressWriteScale {
         IncrementalAgg.refresh(store, "agg", "base", 1, 2, Seq("grp"), "v")
       }
       println(s"[wscale] k=$k ivm groups after append: ${store.read("agg").count()}")
+    }
+
+    if (families("aligned")) {
+      // The partition-aligned merge claim: with partition SIZE held
+      // constant (count grows with data — the time-partitioned layout a
+      // real lake uses), a nightly load confined to a bounded partition
+      // set costs O(touched), while the full-swap merge costs O(table).
+      // P0 buckets per replica → 8k partitions of constant size; the
+      // partition value is derivable from the key (the aligned contract).
+      val P0 = 8
+      val partExpr = ((col("o_orderkey") / stride).cast("long") * P0 +
+        pmod(col("o_orderkey"), lit(P0))).cast("int").as("part")
+      val ptarget = target.select(col("o_orderkey"), partExpr,
+        col("o_totalprice"), col("o_orderstatus"))
+      val store = new TableStore(spark,
+        graft.queries.GateScratch.dir("graft-wscale-al-").toString)
+      timed(s"aligned: partitioned base write (${P0 * k} partitions)") {
+        store.overwrite("dim", ptarget, partitionBy = Seq("part"))
+      }
+      // nightly source: every row of ONE partition (newest replica,
+      // bucket 3) re-priced — constant-size source at every k
+      val src = ptarget.filter(col("part") === (k - 1) * P0 + 3)
+        .select(col("o_orderkey"), col("part"),
+          (col("o_totalprice") * 2).as("o_totalprice"), col("o_orderstatus"))
+        .localCheckpoint(true)
+      println(s"[wscale] k=$k aligned source rows: ${src.count()}")
+      timed("aligned: scd1PartitionAligned (O(touched partition))") {
+        Merge.scd1PartitionAligned(store, "dim", src,
+          Seq("o_orderkey"), Seq("o_totalprice"), "part")
+      }
+      timed("aligned: mergeInto full swap (same source, O(table))") {
+        Merge.mergeInto(store, "dim", src, Seq("o_orderkey"),
+          Seq("o_totalprice"), partitionBy = Seq("part"))
+      }
     }
 
     spark.stop()

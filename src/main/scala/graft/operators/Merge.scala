@@ -152,6 +152,106 @@ object Merge {
     }
   }
 
+  /** Partition-aligned SCD1 MERGE: the update analog of
+    * [[insertOnlyPartitionAligned]] — only the partitions the source
+    * touches are read, merged, and rewritten; every other partition's
+    * files stay byte-identical on disk. This is the copy-on-write shape
+    * a 100 TB dimension actually needs: a nightly load updating 0.1% of
+    * keys clustered in a handful of partitions (the current year, the
+    * active tenant) rewrites O(touched partitions), where [[mergeInto]]
+    * rewrites the whole table — the difference between minutes and a
+    * full-table job (measured in SCALE.md §merge-aligned: flat vs
+    * linear across 1×/10×/100×).
+    *
+    * CONTRACT (same as [[insertOnlyPartitionAligned]], plus one):
+    * the merge key must determine its partition value, AND `partCol`
+    * must not be in `updateCols` — an update that moved a row across
+    * partitions would have to delete from an untouched partition this
+    * path never opens. Enforced: the require rejects partCol updates;
+    * key→partition is the caller's data contract (as for insert-only).
+    */
+  def scd1PartitionAligned(
+      store: TableStore,
+      table: String,
+      source: DataFrame,
+      keys: Seq[String],
+      updateCols: Seq[String],
+      partCol: String): Unit = store.withTableLock(table) {
+    require(!updateCols.map(_.toLowerCase).contains(partCol.toLowerCase),
+      s"scd1PartitionAligned cannot update the partition column $partCol: " +
+        "a row changing partitions must delete from a partition this path " +
+        "does not rewrite — use mergeInto for partition-moving updates")
+    if (!store.exists(table)) {
+      store.overwrite(table, source, partitionBy = Seq(partCol))
+    } else {
+      val tableCols = store.read(table).columns.map(_.toLowerCase).toSet
+      if (!source.columns.forall(c => tableCols.contains(c.toLowerCase))) {
+        // a WIDER source widens EVERY partition (schema is table-global);
+        // rare path → full versioned swap, as in insertOnlyPartitionAligned
+        val (t, s) = alignSchemas(store.read(table), source)
+        store.overwrite(table, scd1(t, s, keys, updateCols),
+          partitionBy = Seq(partCol))
+      } else {
+        // bounded collect: one row per TOUCHED partition, not per key
+        val values = source.select(col(partCol)).distinct()
+          .collect().map(_.get(0)).toSeq
+        val touched = store.read(table)
+          .filter(col(partCol).isInCollection(values)) // partition-pruned scan
+        val (t, s) = alignSchemas(touched, source)
+        store.overwritePartitions(table, scd1(t, s, keys, updateCols),
+          partCol, values)
+      }
+    }
+  }
+
+  /** Partition-aligned SCD2 MERGE: effective-dated history maintenance
+    * that rewrites only the partitions the source touches. Works because
+    * every version of a key — current row, closeouts, newly-opened
+    * versions — lives in the key's one partition (the key→partition
+    * contract), so the partition-local [[scd2]] sees exactly the history
+    * it needs and untouched partitions cannot hold anything to close.
+    *
+    * CONTRACT: key determines partition; `partCol` is a data column of
+    * the target (not SCD2 metadata) and must not be in `trackCols` —
+    * a tracked partition move would open the new version in a partition
+    * the old version doesn't live in, splitting the key's history.
+    */
+  def scd2PartitionAligned(
+      store: TableStore,
+      table: String,
+      source: DataFrame,
+      keys: Seq[String],
+      trackCols: Seq[String],
+      effectiveDate: String,
+      partCol: String,
+      validFrom: String = "valid_from",
+      validTo: String = "valid_to",
+      isCurrent: String = "is_current"): Unit = store.withTableLock(table) {
+    require(!trackCols.map(_.toLowerCase).contains(partCol.toLowerCase),
+      s"scd2PartitionAligned cannot track the partition column $partCol: " +
+        "a tracked partition move would split a key's history across " +
+        "partitions — use a full scd2 + overwrite for that shape")
+    require(!Seq(validFrom, validTo, isCurrent)
+        .map(_.toLowerCase).contains(partCol.toLowerCase),
+      s"partition column $partCol cannot be SCD2 metadata")
+    if (!store.exists(table)) {
+      val init = source
+        .withColumn(validFrom, lit(effectiveDate))
+        .withColumn(validTo, lit(null).cast("string"))
+        .withColumn(isCurrent, lit(true))
+      store.overwrite(table, init, partitionBy = Seq(partCol))
+    } else {
+      val values = source.select(col(partCol)).distinct()
+        .collect().map(_.get(0)).toSeq
+      val touched = store.read(table)
+        .filter(col(partCol).isInCollection(values)) // partition-pruned scan
+      store.overwritePartitions(table,
+        scd2(touched, source, keys, trackCols, effectiveDate,
+          validFrom, validTo, isCurrent),
+        partCol, values)
+    }
+  }
+
   /** SCD1 with a delete clause — the `WHEN MATCHED AND <cond> THEN
     * DELETE` MERGE shape (GDPR erasure, tombstone propagation): matched
     * rows satisfying `deleteCondition` (evaluated over the source row's

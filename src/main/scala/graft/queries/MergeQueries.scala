@@ -183,6 +183,139 @@ object MergeQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** Partition-aligned SCD1 MERGE through the store: the target is a
+    * partitioned table (part = c_custkey % 5), the source touches ONLY
+    * partitions {0,1} (updates for key % 4 = 0 plus brand-new keys at
+    * +200000 — which stay in-partition because 200000 % 5 = 0), and
+    * [[Merge.scd1PartitionAligned]] rewrites only those two partitions;
+    * partitions 2-4 pass through from files never reopened. The oracle
+    * states the full merge relationally, so the compare proves the
+    * pruned rewrite equals the unpruned semantics.
+    */
+  val s18_scd1_aligned = OpQuery(
+    "s18_scd1_aligned",
+    """WITH target AS (
+      |  SELECT c_custkey, CAST(c_custkey % 5 AS INT) AS part, c_mktsegment,
+      |         concat('orig_', CAST(c_nationkey AS VARCHAR)) AS stable
+      |  FROM customer
+      |), source AS (
+      |  SELECT c_custkey, CAST(c_custkey % 5 AS INT) AS part,
+      |         concat('NEW_', c_mktsegment) AS c_mktsegment, 'src_stable' AS stable
+      |  FROM customer WHERE c_custkey % 4 = 0 AND c_custkey % 5 IN (0, 1)
+      |  UNION ALL
+      |  SELECT c_custkey + 200000, CAST((c_custkey + 200000) % 5 AS INT),
+      |         'INSERTED', 'ins_stable'
+      |  FROM customer WHERE c_custkey % 97 = 0 AND c_custkey % 5 IN (0, 1)
+      |)
+      |SELECT t.c_custkey, t.part, s.c_mktsegment, t.stable
+      |FROM target t JOIN source s ON t.c_custkey = s.c_custkey
+      |UNION ALL
+      |SELECT t.c_custkey, t.part, t.c_mktsegment, t.stable
+      |FROM target t
+      |WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.c_custkey = t.c_custkey)
+      |UNION ALL
+      |SELECT s.c_custkey, s.part, s.c_mktsegment, s.stable
+      |FROM source s
+      |WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.c_custkey = s.c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    val scratch = graft.queries.GateScratch.dir("graft-scd1a-gate-")
+    val store = new graft.operators.TableStore(spark, scratch.toString)
+    val customer = t(spark, dir, "customer")
+    // part cast to INT so the in-memory source matches the partition-dir
+    // inferred type on read-back (alignSchemas refuses type conflicts)
+    val part = (col("c_custkey") % 5).cast("int").as("part")
+    store.overwrite("dim", customer.select(
+      col("c_custkey"), part, col("c_mktsegment"),
+      concat(lit("orig_"), col("c_nationkey").cast("string")).as("stable")),
+      partitionBy = Seq("part"))
+    val updates = customer
+      .filter(col("c_custkey") % 4 === 0 && (col("c_custkey") % 5).isin(0, 1))
+      .select(col("c_custkey"), part,
+        concat(lit("NEW_"), col("c_mktsegment")).as("c_mktsegment"),
+        lit("src_stable").as("stable"))
+    val inserts = customer
+      .filter(col("c_custkey") % 97 === 0 && (col("c_custkey") % 5).isin(0, 1))
+      .select((col("c_custkey") + 200000).as("c_custkey"),
+        ((col("c_custkey") + 200000) % 5).cast("int").as("part"),
+        lit("INSERTED").as("c_mktsegment"), lit("ins_stable").as("stable"))
+    Merge.scd1PartitionAligned(store, "dim", updates.unionByName(inserts),
+      Seq("c_custkey"), updateCols = Seq("c_mktsegment"), partCol = "part")
+    store.read("dim")
+      .select(col("c_custkey"), col("part").cast("int").as("part"),
+        col("c_mktsegment"), col("stable"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Partition-aligned SCD2 MERGE through the store: history maintenance
+    * that opens only the partitions the source touches. Bootstrap load
+    * at 2024-01-01 (everything current), then a second load confined to
+    * partitions {0,1}: segment moved for key % 4 = 0, brand-new keys at
+    * +200000. Changed keys close out and reopen IN their partition;
+    * partitions 2-4 keep their bootstrap files untouched. Oracle states
+    * every SCD2 clause relationally over the same two loads.
+    */
+  val s19_scd2_aligned = OpQuery(
+    "s19_scd2_aligned",
+    """WITH cur AS (
+      |  SELECT c_custkey, CAST(c_custkey % 5 AS INT) AS part, c_mktsegment,
+      |         '2024-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to, TRUE AS f
+      |  FROM customer
+      |), src AS (
+      |  SELECT c_custkey, CAST(c_custkey % 5 AS INT) AS part,
+      |         CASE WHEN c_custkey % 4 = 0 THEN 'SEG_MOVED' ELSE c_mktsegment END AS c_mktsegment
+      |  FROM customer WHERE c_custkey % 5 IN (0, 1)
+      |  UNION ALL
+      |  SELECT c_custkey + 200000, CAST((c_custkey + 200000) % 5 AS INT), 'BRAND_NEW'
+      |  FROM customer WHERE c_custkey % 97 = 0 AND c_custkey % 5 IN (0, 1)
+      |), changed AS (
+      |  SELECT c.c_custkey FROM cur c JOIN src s ON s.c_custkey = c.c_custkey
+      |  WHERE s.c_mktsegment IS DISTINCT FROM c.c_mktsegment
+      |)
+      |SELECT c_custkey, part, c_mktsegment, valid_from, valid_to,
+      |       CAST(f AS INT) AS is_current
+      |FROM (
+      |  SELECT c.c_custkey, c.part, c.c_mktsegment, c.valid_from, c.valid_to, c.f
+      |  FROM cur c
+      |  WHERE NOT EXISTS (SELECT 1 FROM changed ch WHERE ch.c_custkey = c.c_custkey)
+      |  UNION ALL
+      |  SELECT c.c_custkey, c.part, c.c_mktsegment, c.valid_from, '2024-06-01', FALSE
+      |  FROM cur c JOIN changed ch ON ch.c_custkey = c.c_custkey
+      |  UNION ALL
+      |  SELECT s.c_custkey, s.part, s.c_mktsegment, '2024-06-01', NULL, TRUE
+      |  FROM src s JOIN changed ch ON ch.c_custkey = s.c_custkey
+      |  UNION ALL
+      |  SELECT s.c_custkey, s.part, s.c_mktsegment, '2024-06-01', NULL, TRUE
+      |  FROM src s
+      |  WHERE NOT EXISTS (SELECT 1 FROM cur c WHERE c.c_custkey = s.c_custkey)
+      |)
+      |ORDER BY c_custkey, valid_from, is_current""".stripMargin) { (spark, dir) =>
+    val scratch = graft.queries.GateScratch.dir("graft-scd2a-gate-")
+    val store = new graft.operators.TableStore(spark, scratch.toString)
+    val customer = t(spark, dir, "customer")
+    val part = (col("c_custkey") % 5).cast("int").as("part")
+    Merge.scd2PartitionAligned(store, "dim",
+      customer.select(col("c_custkey"), part, col("c_mktsegment")),
+      keys = Seq("c_custkey"), trackCols = Seq("c_mktsegment"),
+      effectiveDate = "2024-01-01", partCol = "part")
+    val load2 = customer.filter((col("c_custkey") % 5).isin(0, 1))
+      .select(col("c_custkey"), part,
+        when(col("c_custkey") % 4 === 0, lit("SEG_MOVED"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      .unionByName(customer
+        .filter(col("c_custkey") % 97 === 0 && (col("c_custkey") % 5).isin(0, 1))
+        .select((col("c_custkey") + 200000).as("c_custkey"),
+          ((col("c_custkey") + 200000) % 5).cast("int").as("part"),
+          lit("BRAND_NEW").as("c_mktsegment")))
+    Merge.scd2PartitionAligned(store, "dim", load2,
+      keys = Seq("c_custkey"), trackCols = Seq("c_mktsegment"),
+      effectiveDate = "2024-06-01", partCol = "part")
+    store.read("dim")
+      .select(col("c_custkey"), col("part").cast("int").as("part"),
+        col("c_mktsegment"), col("valid_from"), col("valid_to"),
+        col("is_current").cast("int").as("is_current"))
+      .orderBy(col("c_custkey"), col("valid_from"), col("is_current"))
+  }
+
   /** DML surface: UPDATE then DELETE as versioned generations on the
     * store. The update's assignments see OLD row values (both reference
     * c_acctbal before the change); the delete drops key % 11 = 0; the
@@ -298,5 +431,6 @@ object MergeQueries {
 
   val all: Seq[OpQuery] = Seq(
     s6_insert_only_merge, s7_scd1_merge, s15_scd2_merge, s16_full_sync_merge,
-    s17_update_delete, cdc_changes, ivm_refresh)
+    s17_update_delete, cdc_changes, ivm_refresh, s18_scd1_aligned,
+    s19_scd2_aligned)
 }

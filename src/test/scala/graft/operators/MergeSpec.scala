@@ -223,6 +223,81 @@ class MergeSpec extends SparkSpec {
     intercept[IllegalArgumentException](Merge.alignSchemas(target, bad))
   }
 
+  private def partFiles(store: TableStore, table: String, part: String) = {
+    val d = java.nio.file.Paths.get(store.root, table, part)
+    val s = java.nio.file.Files.list(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(p => (p.getFileName.toString,
+        java.nio.file.Files.size(p),
+        java.nio.file.Files.getLastModifiedTime(p))).toSet
+    } finally s.close()
+  }
+
+  test("scd1PartitionAligned equals full scd1 and leaves untouched partitions byte-identical") {
+    val store = freshStore()
+    val target = Seq(
+      (1L, 2023, "a", "x"), (2L, 2023, "b", "y"),
+      (3L, 2024, "c", "z"), (4L, 2024, "d", "w")).toDF("k", "year", "v", "stable")
+    store.overwrite("t", target, partitionBy = Seq("year"))
+    val before2023 = partFiles(store, "t", "year=2023")
+    // source updates one 2024 key and inserts another — 2023 untouched
+    val src = Seq((3L, 2024, "C2", "ignored"), (9L, 2024, "new", "n"))
+      .toDF("k", "year", "v", "stable")
+    Merge.scd1PartitionAligned(store, "t", src, Seq("k"), Seq("v"), "year")
+    // partitioned read-back puts the partition column last and types it
+    // from the dir name — normalize the projection before comparing
+    val got = store.read("t")
+      .select($"k", $"year".cast("int"), $"v", $"stable").orderBy("k")
+      .as[(Long, Int, String, String)].collect().toSeq
+    // full-scd1 oracle over the same inputs
+    val want = Merge.scd1(target, src, Seq("k"), Seq("v"))
+      .select($"k", $"year".cast("int"), $"v", $"stable")
+      .orderBy("k").as[(Long, Int, String, String)].collect().toSeq
+    assert(got === want)
+    assert(got.find(_._1 == 3L).get._3 === "C2") // updated col
+    assert(got.find(_._1 == 3L).get._4 === "z")  // non-update col kept
+    // the untouched partition's files: same names, sizes, AND mtimes —
+    // nothing was rewritten, the copy-on-write cost was O(touched)
+    assert(partFiles(store, "t", "year=2023") === before2023)
+    // updating the partition column is refused loudly
+    intercept[IllegalArgumentException] {
+      Merge.scd1PartitionAligned(store, "t", src, Seq("k"), Seq("v", "year"), "year")
+    }
+  }
+
+  test("scd2PartitionAligned: per-partition history maintenance, untouched partitions untouched") {
+    val store = freshStore()
+    val d1 = "2024-01-01"
+    // bootstrap via the aligned path itself (creates metadata columns)
+    val init = Seq((1L, "p0", "a"), (2L, "p0", "b"), (3L, "p1", "c"))
+      .toDF("k", "part", "v")
+    Merge.scd2PartitionAligned(store, "t", init, Seq("k"), Seq("v"), d1, "part")
+    assert(store.read("t").filter($"is_current").count() === 3)
+    val beforeP1 = partFiles(store, "t", "part=p1")
+    // second load: change k=1, no-op k=2, brand-new k=5 in a NEW partition
+    val d2 = "2024-02-01"
+    val src = Seq((1L, "p0", "A2"), (2L, "p0", "b"), (5L, "p2", "e"))
+      .toDF("k", "part", "v")
+    Merge.scd2PartitionAligned(store, "t", src, Seq("k"), Seq("v"), d2, "part")
+    val rows = store.read("t")
+      .select("k", "part", "v", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, String, String, Option[String], Boolean)]
+      .collect().toSet
+    assert(rows === Set(
+      (1L, "p0", "a", d1, Some(d2), false),  // closed
+      (1L, "p0", "A2", d2, None, true),      // reopened
+      (2L, "p0", "b", d1, None, true),       // no-op: no churn version
+      (3L, "p1", "c", d1, None, true),       // untouched partition
+      (5L, "p2", "e", d2, None, true)))      // new key in new partition
+    // p1 was never opened: byte-identical
+    assert(partFiles(store, "t", "part=p1") === beforeP1)
+    // tracking or updating the partition column is refused
+    intercept[IllegalArgumentException] {
+      Merge.scd2PartitionAligned(store, "t", src, Seq("k"), Seq("part"), d2, "part")
+    }
+  }
+
   test("insertOnlyPartitionAligned with a WIDER source widens every partition") {
     val store = freshStore()
     store.overwrite("t",

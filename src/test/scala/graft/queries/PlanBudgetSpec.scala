@@ -57,6 +57,11 @@ class PlanBudgetSpec extends SparkSpec {
     "lm_greedy_decode" -> Budget(2, 0, 58),
     "dedup_minhash_lsh" -> Budget(4, 10, 10),
     "s15_scd2_merge" -> Budget(10, 12, 8),
+    // round 9: partition-aligned merges — the touched-partition scan +
+    // bounded partition-value collect; a fallback to the full-table
+    // swap would show as a job-count jump
+    "s18_scd1_aligned" -> Budget(2, 0, 17),
+    "s19_scd2_aligned" -> Budget(2, 0, 15),
     "graph_shortest_paths" -> Budget(2, 0, 64),
     // the round-7 partition-less-window sweep: these 12 moved from a
     // single-reducer global window to TotalOrder two-phase ranks, and
