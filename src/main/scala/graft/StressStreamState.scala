@@ -51,6 +51,14 @@ object StressStreamState {
     spark.conf.set(
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    // args(3): snapshot cadence (batches between full RocksDB snapshot
+    // constructions). The default (10) folds an O(state) snapshot into
+    // every 10th trigger; raising it isolates the pure lookup/commit
+    // cost — the A/B that attributes any rising trigger-time tail to
+    // snapshot maintenance (tunable, async-able) vs per-lookup growth
+    // (a scaling bug). See SCALE.md §streaming-state.
+    if (args.length > 3)
+      spark.conf.set("spark.sql.streaming.stateStore.minDeltasForSnapshot", args(3))
     import spark.implicits._
 
     // splitmix64 finalizer: content keys must not alias across 5M docs
