@@ -270,68 +270,8 @@ object Round9Ops1 {
   val emb_pca_topr: OpQuery = {
     val iters = 12
     val r = 3
-    def gram(name: String, vPrev: String): String =
-      s"""$name AS MATERIALIZED (
-         |  SELECT list(CAST(wd AS DOUBLE) ORDER BY dd) AS w FROM (
-         |    SELECT dd, SUM(CAST(ROUND(x_el * s, 9) AS DECIMAL(38,9))) AS wd
-         |    FROM (
-         |      SELECT generate_subscripts(x, 1) AS dd, unnest(x) AS x_el,
-         |             list_dot_product(x, (SELECT v FROM $vPrev)) AS s
-         |      FROM e)
-         |    GROUP BY dd))""".stripMargin
-    // projection coefficients come from the GRAM OUTPUT w (k_k = v_k·w),
-    // mirroring Similarity.topPrincipalComponents' projection deflation —
-    // orthogonality holds by construction on both engines
-    def coefCte(name: String, c: Int, wSrc: String): String =
-      s"""$name AS MATERIALIZED (
-         |  SELECT ${(0 until c).map(k =>
-                s"list_dot_product(c$k.v, p.w) AS k$k").mkString(", ")}
-         |  FROM ${(0 until c).map(k => s"comp$k c$k").mkString(", ")}, $wSrc p)""".stripMargin
-    def deflCte(name: String, c: Int, wSrc: String, fSrc: String): String =
-      s"""$name AS MATERIALIZED (
-         |  SELECT list_transform(range(1, (SELECT n FROM d) + 1),
-         |    j -> w.w[CAST(j AS INT)] - (${(0 until c).map(k =>
-                s"f.k$k * c$k.v[CAST(j AS INT)]").mkString(" + ")})) AS w
-         |  FROM $wSrc w, $fSrc f, ${(0 until c).map(k => s"comp$k c$k").mkString(", ")})""".stripMargin
-    def normCte(name: String, src: String): String =
-      s"""$name AS MATERIALIZED (
-         |  SELECT list_transform(w, y -> y / sqrt(list_dot_product(w, w))) AS v,
-         |         sqrt(list_dot_product(w, w)) AS lambda
-         |  FROM $src)""".stripMargin
-    val base =
-      """WITH e AS MATERIALIZED (SELECT embedding::DOUBLE[] AS x FROM embeddings),
-        |d AS MATERIALIZED (SELECT MIN(len(x)) AS n FROM e)""".stripMargin
-    val perComp = (0 until r).flatMap { c =>
-      val start =
-        s"""v${c}_0 AS MATERIALIZED (
-           |  SELECT list_transform(range(1, (SELECT n FROM d) + 1),
-           |           i -> CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE)
-           |                ELSE CAST(0.0 AS DOUBLE) END) AS v)""".stripMargin
-      val steps = (1 to iters).flatMap { i =>
-        val g = gram(s"w${c}_$i", s"v${c}_${i - 1}")
-        if (c == 0) Seq(g, normCte(s"v${c}_$i", s"w${c}_$i"))
-        else Seq(g,
-          coefCte(s"f${c}_$i", c, s"w${c}_$i"),
-          deflCte(s"u${c}_$i", c, s"w${c}_$i", s"f${c}_$i"),
-          normCte(s"v${c}_$i", s"u${c}_$i"))
-      }
-      val compC =
-        s"comp$c AS MATERIALIZED (SELECT v, lambda FROM v${c}_$iters)"
-      val residSrc = if (c == 0) s"wr$c" else s"wrd$c"
-      val residCtes =
-        if (c == 0) Seq(gram(s"wr$c", s"v${c}_$iters"))
-        else Seq(gram(s"wr$c", s"v${c}_$iters"),
-          coefCte(s"fr$c", c, s"wr$c"),
-          deflCte(s"wrd$c", c, s"wr$c", s"fr$c"))
-      val res =
-        s"""res$c AS MATERIALIZED (
-           |  SELECT sqrt(list_dot_product(dl, dl)) / lambda AS resid FROM (
-           |    SELECT list_transform(range(1, (SELECT n FROM d) + 1),
-           |             i -> s.w[CAST(i AS INT)] - vv.lambda * vv.v[CAST(i AS INT)]) AS dl,
-           |           vv.lambda AS lambda
-           |    FROM $residSrc s, v${c}_$iters vv))""".stripMargin
-      Seq(start) ++ steps ++ Seq(compC) ++ residCtes ++ Seq(res)
-    }
+    // the walk CTEs (Gram / deflation / normalization / residual) live
+    // in [[PcaWalkSql]], shared with emb_whiten
     val finals = (0 until r).map { c =>
       s"""SELECT CAST($c AS INT) AS comp_idx, CAST(g.i - 1 AS INT) AS dim,
          |       CAST(ROUND(vv.v[CAST(g.i AS INT)], 6) AS DOUBLE) AS component,
@@ -340,7 +280,7 @@ object Round9Ops1 {
          |FROM v${c}_$iters vv,
          |     (SELECT unnest(range(1, (SELECT n FROM d) + 1)) AS i) g""".stripMargin
     }.mkString("\nUNION ALL\n")
-    val sql = (Seq(base) ++ perComp).mkString(",\n") +
+    val sql = PcaWalkSql.walk(r, iters) +
       "\n" + finals + "\nORDER BY comp_idx, dim"
     OpQuery("emb_pca_topr", sql) { (spark, dir) =>
       val emb = Tables.load(spark, dir, "embeddings")

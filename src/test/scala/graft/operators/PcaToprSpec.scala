@@ -99,4 +99,26 @@ class PcaToprSpec extends SparkSpec {
       assert(resid < 0.1, s"gate convergence bar missed: $resid")
     }
   }
+
+  test("whitened projections are energy-normalized and decorrelated (emb_whiten semantics)") {
+    // λ is the eigenvalue of the (uncentered) second-moment matrix, so
+    // Σ_rows (x·v)² = vᵀXᵀXv = λ for a converged unit eigenvector —
+    // whitening z = (x·v)/√λ gives unit total energy per component and
+    // zero cross-energy between components. Exact on the planted
+    // rank-3 fixture (closed-form spectrum).
+    val comps = Similarity.topPrincipalComponents(
+      planted, "embedding", r = 3, iterations = 30)
+    val rows = planted.as[Seq[Double]].collect().map(_.toArray)
+    val z = Array.tabulate(3)(c =>
+      rows.map(x => dot(x, comps(c)._2) / math.sqrt(comps(c)._1)))
+    for (c <- 0 until 3) {
+      val energy = z(c).map(v => v * v).sum
+      assert(math.abs(energy - 1.0) < 1e-9,
+        s"component $c whitened energy $energy != 1")
+    }
+    for (i <- 0 until 3; j <- (i + 1) until 3) {
+      val cross = z(i).zip(z(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(cross) < 1e-9, s"cross-energy $i/$j = $cross")
+    }
+  }
 }

@@ -117,6 +117,11 @@ class PlanBudgetSpec extends SparkSpec {
     "dedup_multimodal" -> Budget(4, 6, 20),
     "emb_pca_topr" -> Budget(2, 0, 86),
     "mm_jpeg_progressive" -> Budget(2, 0, 4),
+    // round-9 batch 2: whitening inherits the component walk's job
+    // count (the projection itself is one map-side pass); the streaming
+    // IVM gate's jobs are the 3 micro-batch append+refresh cycles
+    "emb_whiten" -> Budget(2, 0, 86),
+    "stream_ivm_refresh" -> Budget(2, 0, 11),
     "eval_auc" -> Budget(4, 2, 10),
     "ml_delong_auc" -> Budget(15, 13, 18),
     "eval_brier_decomp" -> Budget(20, 18, 19),
