@@ -400,34 +400,50 @@ final class TableStore(val spark: SparkSession, val root: String,
     // instead of the derived diff's two exceptAlls over both full
     // generations. At a 100 TB table with a 0.1% nightly append this is
     // the difference between an IVM refresh that reads gigabytes and
-    // one that reads the whole table four times. Conservative: declines
-    // partitioned layouts (overwritePartitions mutates partition dirs
-    // in place) and any same-named file whose size moved.
+    // one that reads the whole table four times. Works for partitioned
+    // layouts too (the nightly NEW-partition load via
+    // overwritePartitions is append-pure at the file level: untouched
+    // partition dirs keep their files, the new value only adds a dir —
+    // while REPLACING an existing partition renames every file in it,
+    // since stage() writes fresh UUID part files, and falls back).
+    // Conservative: any same-named file whose size moved falls back.
     def genDir(v: Int): Path =
       if (exists(table) && v == currentVersion(table)) dir(table)
       else historyDir(table).resolve(versionDirName(v))
-    def topLevelDataFiles(d: Path): Option[Map[String, Long]] = {
-      if (!Files.isDirectory(d)) return None
-      val s = Files.list(d)
-      val entries = try s.iterator().asScala.toList finally s.close()
-      if (entries.exists(p => Files.isDirectory(p) &&
-          p.getFileName.toString.contains("="))) None // partitioned: decline
-      else Some(entries.filter { p =>
-        val n = p.getFileName.toString
-        Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".") &&
-          n.endsWith(".parquet")
-      }.map(p => p.getFileName.toString -> Files.size(p)).toMap)
+    // relative-path → size map of every data file, recursing through
+    // partition dirs (skipping _manifest/_strstats sidecars and hidden
+    // entries at every level)
+    def dataFilesRec(root0: Path): Option[Map[String, Long]] = {
+      if (!Files.isDirectory(root0)) return None
+      def walk(d: Path): List[Path] = {
+        val s = Files.list(d)
+        val entries = try s.iterator().asScala.toList finally s.close()
+        entries.flatMap { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith("_") || n.startsWith(".")) Nil
+          else if (Files.isDirectory(p)) walk(p)
+          else if (Files.isRegularFile(p) && n.endsWith(".parquet")) List(p)
+          else Nil
+        }
+      }
+      Some(walk(root0)
+        .map(p => root0.relativize(p).toString -> Files.size(p)).toMap)
     }
     val fast = for {
-      before <- topLevelDataFiles(genDir(fromVersion))
-      after <- topLevelDataFiles(genDir(toVersion))
+      before <- dataFilesRec(genDir(fromVersion))
+      after <- dataFilesRec(genDir(toVersion))
       if before.forall { case (n, sz) => after.get(n).contains(sz) }
     } yield {
       val added = (after.keySet -- before.keySet).toSeq.sorted
         .map(n => genDir(toVersion).resolve(n).toString)
       if (added.isEmpty)
         read(table, toVersion).limit(0).withColumn("_change_type", lit("insert"))
-      else spark.read.parquet(added: _*).withColumn("_change_type", lit("insert"))
+      else spark.read
+        // basePath resolves partition columns from the added files'
+        // dir components, so partitioned deltas carry them like a scan
+        .option("basePath", genDir(toVersion).toString)
+        .parquet(added: _*)
+        .withColumn("_change_type", lit("insert"))
     }
     fast.getOrElse {
       // generations may straddle a schema evolution — align to the union

@@ -328,6 +328,33 @@ class TableStoreSpec extends SparkSpec {
     assert(slow.filter(col("_change_type") === "delete").count() == 1003L)
   }
 
+  test("changes() fast path on a partitioned table: a new-partition load is its own delta") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-cdc-part-").toString)
+    store.overwrite("t",
+      Seq((1, "p0", "a"), (2, "p1", "b")).toDF("k", "part", "v"),
+      partitionBy = Seq("part"))
+    // the nightly load shape: a brand-new partition value — append-pure
+    // at the file level, so the CDC is the new partition's files only
+    store.overwritePartitions("t",
+      Seq((3, "p2", "c"), (4, "p2", "d")).toDF("k", "part", "v"),
+      "part", Seq("p2"))
+    val ch = store.changes("t", 0, 1)
+    assert(ch.select("k", "v", "part", "_change_type").as[(Int, String, String, String)]
+      .collect().sorted.toSeq ==
+      Seq((3, "c", "p2", "insert"), (4, "d", "p2", "insert")))
+    // scan is delta-sized AND partition columns are resolved via basePath
+    val files = ch.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("part=p2")),
+      s"fast path read beyond the new partition: ${files.mkString(", ")}")
+    // REPLACING an existing partition renames its files (fresh UUIDs) →
+    // subset check fails → derived diff with the delete+insert pair
+    store.overwritePartitions("t",
+      Seq((1, "p0", "A2")).toDF("k", "part", "v"), "part", Seq("p0"))
+    val slow = store.changes("t", 1, 2)
+    assert(slow.filter(col("_change_type") === "delete").count() == 1L)
+    assert(slow.filter(col("_change_type") === "insert").count() == 1L)
+  }
+
   test("second concurrent writer fails loudly instead of corrupting a swap") {
     val root = Files.createTempDirectory("graft-lock-").toString
     // fail-fast configuration: no queueing, immediate deadline
