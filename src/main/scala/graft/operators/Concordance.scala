@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable EXACT pair-concordance counting — the O(n·bucket + B²)
+  * replacement for the O(n²) pair join that Harrell's C, Kendall/
+  * Mann–Kendall S, and every other "count pairs with x_a < x_b and
+  * compare y" statistic is usually written as (e.g. the deliberately
+  * bounded ground-truth gate `a93_harrell_cindex`,
+  * Round4Ops118.scala:20 — whose scaladoc names this operator's
+  * bucket-first decomposition as the scale path).
+  *
+  * Decomposition: bucket x and y into `buckets` VALUE-RANGE buckets
+  * (equal values always share a bucket, bucket order implies value
+  * order — width_bucket over the value range, so no ntile-style split
+  * of a tied run). Every ordered pair (a, b) with x_a < x_b then falls
+  * in exactly one class:
+  *
+  *   1. same x-bucket   → exact bucket-local join (pairs ≤ n·bucketSize)
+  *   2. different x-bucket, same y-bucket → exact bucket-local join
+  *   3. different x-bucket AND different y-bucket → the comparison is
+  *      decided by the bucket indices alone (cross-bucket implies
+  *      strict value inequality), so the counts come from the B×B
+  *      cell-count matrices via 2D prefix sums — no row-level pairs at
+  *      all.
+  *
+  * Cost at scale: two denseIndex rank passes, two bucket-keyed joins
+  * whose fan-out is bounded by the bucket size (n/B per side), and
+  * window passes over a dense B×B grid (a million rows at B = 1024 —
+  * constant, broadcast-scale). With B = √n the total is O(n^1.5)
+  * worst-case; with B chosen so n/B is a constant batch (the 100 TB
+  * setting) it is O(n·batch). The result is EXACT — pinned against the
+  * quadratic definition in ConcordanceSpec.
+  */
+object Concordance {
+
+  /** Count pairs (a, b) with `x_a < x_b`, where `a` ranges over
+    * `df.filter(aFilter)` and `b` over all of `df`:
+    *
+    *   - `comparable`: all such pairs
+    *   - `concordant`: those with `y_a > y_b`
+    *   - `tied`:       those with `y_a = y_b`
+    *
+    * Returns a single row (comparable, concordant, tied), all BIGINT.
+    * Rows with a NULL x or y are excluded (no NULL comparison is ever
+    * true in the quadratic form; dropping them keeps `comparable`
+    * consistent between engines).
+    */
+  def counts(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      aFilter: Column = lit(true),
+      buckets: Int = 256): DataFrame = {
+    require(buckets >= 1, s"need >= 1 bucket, got $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val base = df.select(col(xCol).as("__x"), col(yCol).as("__y"),
+        aFilter.as("__a"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+
+    // value-range buckets: equal values share a bucket, bucket order is
+    // value order — so cross-bucket pairs compare by INDEX alone. The
+    // decomposition is exact for ANY monotone value→bucket map (bucket
+    // boundaries affect only the in-bucket join sizes, never a count),
+    // so the cheapest correct map wins: equal-width width_bucket over
+    // [min, max] — one broadcast agg + a map-side expression, instead
+    // of a rank/join-back pass. Numeric cast to double is monotone and
+    // tie-preserving, which is all bucketing needs; the exact-typed
+    // values still decide every in-bucket comparison.
+    def bucketed(in: DataFrame, vCol: String, outCol: String): DataFrame = {
+      val mm = in.agg(min(col(vCol).cast("double")).as("__mn"),
+        max(col(vCol).cast("double")).as("__mx"))
+      in.crossJoin(broadcast(mm))
+        .withColumn(outCol,
+          when(col("__mn").isNull || col("__mn") === col("__mx"), lit(0))
+            .otherwise(least(
+              expr(s"width_bucket(cast(`$vCol` as double), __mn, __mx, $buckets)"),
+              lit(buckets)) - 1)
+            .cast("int"))
+        .drop("__mn", "__mx")
+    }
+    val bb = bucketed(bucketed(base, "__x", "__bx"), "__y", "__by")
+      .localCheckpoint(false)
+    val sideA = bb.filter(col("__a")).select("__x", "__y", "__bx", "__by")
+    val sideB = bb.select("__x", "__y", "__bx", "__by")
+
+    def pairAgg(joined: DataFrame): DataFrame = joined.agg(
+      count(lit(1)).as("comparable"),
+      sum(when(col("a.__y") > col("b.__y"), 1L).otherwise(0L)).as("concordant"),
+      sum(when(col("a.__y") === col("b.__y"), 1L).otherwise(0L)).as("tied"))
+
+    // class 1: same x-bucket — the only place the raw x order matters
+    val c1 = pairAgg(sideA.as("a").join(sideB.as("b"),
+      col("a.__bx") === col("b.__bx") && col("a.__x") < col("b.__x")))
+    // class 2: x decided by bucket order, same y-bucket — raw y compare
+    val c2 = pairAgg(sideA.as("a").join(sideB.as("b"),
+      col("a.__by") === col("b.__by") && col("a.__bx") < col("b.__bx")))
+
+    // class 3 via cell-count algebra. Sparse cells densify onto the
+    // full B×B grid so the window prefix sums line up index-to-index.
+    val grid = spark.range(buckets.toLong).select(col("id").cast("int").as("__bx"))
+      .crossJoin(spark.range(buckets.toLong).select(col("id").cast("int").as("__by")))
+    val cellsA = grid.join(
+        sideA.groupBy("__bx", "__by").agg(count(lit(1)).as("ca")),
+        Seq("__bx", "__by"), "left")
+      .na.fill(0L, Seq("ca"))
+    // PA[bx, by] = Σ_{bx' ≤ bx} ca[bx', by]; QA[bx, by] = Σ_{by' > by} PA[bx, by']
+    val wX = Window.partitionBy("__by").orderBy("__bx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wY = Window.partitionBy("__bx").orderBy(col("__by").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val qa = cellsA
+      .withColumn("pa", sum(col("ca")).over(wX))
+      .withColumn("qa", coalesce(sum(col("pa")).over(wY), lit(0L)))
+      .select("__bx", "__by", "qa")
+    // per-x-bucket A totals, prefix-summed (bounded: B rows — the
+    // constant-partition spec declares the single-reducer frame safe)
+    val ta = cellsA.groupBy("__bx").agg(sum(col("ca")).as("ca_x"))
+      .withColumn("ta_cum", sum(col("ca_x")).over(
+        TotalOrder.boundedGlobal(col("__bx"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("__bx", "ta_cum")
+    val cellsB = sideB.groupBy("__bx", "__by").agg(count(lit(1)).as("cb"))
+    // strict x-bucket dominance: a B-cell at bx pairs with A-prefixes
+    // through bx − 1 (bx = 0 finds no match → left-join null → 0)
+    val cross = cellsB.as("b")
+      .join(qa.as("q"),
+        col("q.__bx") === col("b.__bx") - 1 && col("q.__by") === col("b.__by"),
+        "left")
+      .join(ta.as("t"), col("t.__bx") === col("b.__bx") - 1, "left")
+      .agg(
+        sum(col("cb") * coalesce(col("ta_cum"), lit(0L))).as("comparable_cross"),
+        sum(col("cb") * coalesce(col("qa"), lit(0L))).as("concordant_c3"))
+
+    // assemble: comparable_cross covers classes 2+3 together (every
+    // cross-x-bucket pair), so class 2's own comparable is NOT re-added;
+    // ties require equal y ⇒ equal y-bucket ⇒ only classes 1 and 2
+    c1.select(col("comparable").as("m1"), col("concordant").as("c1"),
+        col("tied").as("t1"))
+      .crossJoin(c2.select(col("comparable").as("m2"),
+        col("concordant").as("c2t"), col("tied").as("t2")))
+      .crossJoin(cross)
+      .select(
+        (coalesce(col("m1"), lit(0L)) + coalesce(col("comparable_cross"), lit(0L)))
+          .cast("long").as("comparable"),
+        (coalesce(col("c1"), lit(0L)) + coalesce(col("c2t"), lit(0L)) +
+          coalesce(col("concordant_c3"), lit(0L))).cast("long").as("concordant"),
+        (coalesce(col("t1"), lit(0L)) + coalesce(col("t2"), lit(0L)))
+          .cast("long").as("tied"))
+  }
+}

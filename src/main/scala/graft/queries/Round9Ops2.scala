@@ -117,5 +117,55 @@ object Round9Ops2 {
     }
   }
 
-  val all: Seq[OpQuery] = Seq(stream_ivm_refresh, emb_whiten)
+  /** Harrell's C-index via [[graft.operators.Concordance]] — the
+    * scalable EXACT path the bounded ground-truth gate
+    * (`a93_harrell_cindex`, orderkey < 2000) points at: the cohort here
+    * is a fixed FRACTION of lineitem (grows with sf, ~132M pairs at
+    * sf0.01), counted in O(n·bucket + B²) by the bucket-grid
+    * decomposition instead of the O(n²) pair join. The oracle IS the
+    * quadratic definition (DuckDB's IEJoin crunches the inequality
+    * pair join directly), so the gate proves decomposition ≡ definition
+    * on real data at a pair count no row-level Spark join should touch.
+    */
+  val a93_cindex_scalable = OpQuery(
+    "a93_cindex_scalable",
+    """WITH obs AS (
+      |  SELECT CAST(FLOOR(epoch(l.l_shipdate) / 86400)
+      |           - FLOOR(epoch(o.o_orderdate) / 86400) AS INT) AS dur,
+      |         CASE WHEN l.l_returnflag = 'R' THEN 0 ELSE 1 END AS ev,
+      |         CAST(l.l_extendedprice AS DECIMAL(18,2)) AS score
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE l.l_orderkey % 3 = 0),
+      |pairs AS (
+      |  SELECT a.score AS sa, b.score AS sb
+      |  FROM obs a JOIN obs b ON a.dur < b.dur AND a.ev = 1),
+      |m AS (
+      |  SELECT COUNT(*) AS comparable,
+      |         SUM(CASE WHEN sa > sb THEN 1 ELSE 0 END) AS conc,
+      |         SUM(CASE WHEN sa = sb THEN 1 ELSE 0 END) AS tied
+      |  FROM pairs)
+      |SELECT CAST(comparable AS BIGINT) AS comparable,
+      |       CAST(conc AS BIGINT) AS concordant,
+      |       CAST(tied AS BIGINT) AS tied,
+      |       CAST(ROUND((conc + 0.5 * tied) / comparable, 6) AS DOUBLE)
+      |         AS c_index
+      |FROM m""".stripMargin) { (spark, dir) =>
+    val obs = Tables.load(spark, dir, "lineitem").as("l")
+      .join(Tables.load(spark, dir, "orders").as("o"),
+        col("l.l_orderkey") === col("o.o_orderkey"))
+      .filter(col("l.l_orderkey") % 3 === 0)
+      .select(
+        (floor(unix_timestamp(col("l.l_shipdate")) / 86400)
+          - floor(unix_timestamp(col("o.o_orderdate")) / 86400)).cast("int").as("dur"),
+        when(col("l.l_returnflag") === "R", 0).otherwise(1).as("ev"),
+        col("l.l_extendedprice").cast("decimal(18,2)").as("score"))
+    graft.operators.Concordance.counts(obs, "dur", "score",
+        col("ev") === 1, buckets = 2048)
+      .select(
+        col("comparable"), col("concordant"), col("tied"),
+        round((col("concordant") + lit(0.5) * col("tied")) / col("comparable"), 6)
+          .cast("double").as("c_index"))
+  }
+
+  val all: Seq[OpQuery] = Seq(stream_ivm_refresh, emb_whiten, a93_cindex_scalable)
 }
