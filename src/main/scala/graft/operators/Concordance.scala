@@ -93,15 +93,35 @@ object Concordance {
       sum(when(col("a.__y") > col("b.__y"), 1L).otherwise(0L)).as("concordant"),
       sum(when(col("a.__y") === col("b.__y"), 1L).otherwise(0L)).as("tied"))
 
+    // VALUE-PURE buckets (every row one distinct value) need no row
+    // join at all: a pure x-bucket cannot hold a strict x_a < x_b pair,
+    // and a pure y-bucket's class-2 pairs are ALL ties, countable from
+    // the cell matrices. This is what makes low-cardinality dimensions
+    // (day buckets, small-int measures) cost pure algebra: with fewer
+    // distinct values than buckets, BOTH joins are empty.
+    val xPurity = bb.groupBy("__bx")
+      .agg((min(col("__x")) === max(col("__x"))).as("px"))
+    val yPurity = bb.groupBy("__by")
+      .agg((min(col("__y")) === max(col("__y"))).as("py"))
+    def impure(side: DataFrame, purity: DataFrame, bCol: String,
+        pCol: String): DataFrame =
+      side.join(broadcast(purity.filter(!col(pCol)).select(bCol)), Seq(bCol))
+
     // class 1: same x-bucket — the only place the raw x order matters
-    val c1 = pairAgg(sideA.as("a").join(sideB.as("b"),
-      col("a.__bx") === col("b.__bx") && col("a.__x") < col("b.__x")))
-    // class 2: x decided by bucket order, same y-bucket — raw y compare
-    val c2 = pairAgg(sideA.as("a").join(sideB.as("b"),
-      col("a.__by") === col("b.__by") && col("a.__bx") < col("b.__bx")))
+    val c1 = pairAgg(
+      impure(sideA, xPurity, "__bx", "px").as("a")
+        .join(impure(sideB, xPurity, "__bx", "px").as("b"),
+          col("a.__bx") === col("b.__bx") && col("a.__x") < col("b.__x")))
+    // class 2 on IMPURE y-buckets: x decided by bucket order, raw y
+    // compare; pure y-buckets are handled algebraically below
+    val c2 = pairAgg(
+      impure(sideA, yPurity, "__by", "py").as("a")
+        .join(impure(sideB, yPurity, "__by", "py").as("b"),
+          col("a.__by") === col("b.__by") && col("a.__bx") < col("b.__bx")))
 
     // class 3 via cell-count algebra. Sparse cells densify onto the
-    // full B×B grid so the window prefix sums line up index-to-index.
+    // full B×B grid so the window prefix sums line up index-to-index
+    // (the 2D suffix QA needs PA at every by, including ca = 0 cells).
     val grid = spark.range(buckets.toLong).select(col("id").cast("int").as("__bx"))
       .crossJoin(spark.range(buckets.toLong).select(col("id").cast("int").as("__by")))
     val cellsA = grid.join(
@@ -116,7 +136,7 @@ object Concordance {
     val qa = cellsA
       .withColumn("pa", sum(col("ca")).over(wX))
       .withColumn("qa", coalesce(sum(col("pa")).over(wY), lit(0L)))
-      .select("__bx", "__by", "qa")
+      .select("__bx", "__by", "pa", "qa")
     // per-x-bucket A totals, prefix-summed (bounded: B rows — the
     // constant-partition spec declares the single-reducer frame safe)
     val ta = cellsA.groupBy("__bx").agg(sum(col("ca")).as("ca_x"))
@@ -132,9 +152,15 @@ object Concordance {
         col("q.__bx") === col("b.__bx") - 1 && col("q.__by") === col("b.__by"),
         "left")
       .join(ta.as("t"), col("t.__bx") === col("b.__bx") - 1, "left")
+      .join(broadcast(yPurity).as("pyt"), col("pyt.__by") === col("b.__by"), "left")
       .agg(
         sum(col("cb") * coalesce(col("ta_cum"), lit(0L))).as("comparable_cross"),
-        sum(col("cb") * coalesce(col("qa"), lit(0L))).as("concordant_c3"))
+        sum(col("cb") * coalesce(col("qa"), lit(0L))).as("concordant_c3"),
+        // class-2 pairs inside a PURE y-bucket are all ties: Σ over its
+        // B-cells of cb · (A count in strictly lower x-buckets, same by)
+        sum(when(coalesce(col("pyt.py"), lit(false)),
+          col("cb") * coalesce(col("pa"), lit(0L))).otherwise(0L))
+          .as("tied_c2_pure"))
 
     // assemble: comparable_cross covers classes 2+3 together (every
     // cross-x-bucket pair), so class 2's own comparable is NOT re-added;
@@ -149,7 +175,8 @@ object Concordance {
           .cast("long").as("comparable"),
         (coalesce(col("c1"), lit(0L)) + coalesce(col("c2t"), lit(0L)) +
           coalesce(col("concordant_c3"), lit(0L))).cast("long").as("concordant"),
-        (coalesce(col("t1"), lit(0L)) + coalesce(col("t2"), lit(0L)))
+        (coalesce(col("t1"), lit(0L)) + coalesce(col("t2"), lit(0L)) +
+          coalesce(col("tied_c2_pure"), lit(0L)))
           .cast("long").as("tied"))
   }
 }

@@ -167,5 +167,73 @@ object Round9Ops2 {
           .cast("double").as("c_index"))
   }
 
-  val all: Seq[OpQuery] = Seq(stream_ivm_refresh, emb_whiten, a93_cindex_scalable)
+  /** Kendall τ-b at scale from the same [[graft.operators.Concordance]]
+    * machinery (`ts_mann_kendall` runs the pair join on a day-level
+    * aggregate; this runs row-level over an sf-scaled cohort). One
+    * Concordance pass with an open filter yields everything τ-b needs:
+    * pairs with x_a < x_b split into discordant (y_a > y_b), y-tied,
+    * and concordant (the remainder); x-tied pair counts come from a
+    * groupBy on x; the denominators are the classical n0 − t_x / n0 −
+    * t_y. Oracle: the direct quadratic definition (DuckDB IEJoin) plus
+    * the same tie algebra.
+    */
+  val ts_kendall_scalable = OpQuery(
+    "ts_kendall_scalable",
+    """WITH obs AS (
+      |  SELECT CAST(FLOOR(epoch(l.l_shipdate) / 86400)
+      |           - FLOOR(epoch(o.o_orderdate) / 86400) AS INT) AS x,
+      |         CAST(l.l_quantity AS INT) AS y
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE l.l_orderkey % 5 = 0),
+      |p AS (
+      |  SELECT COUNT(*) AS m,
+      |         SUM(CASE WHEN a.y < b.y THEN 1 ELSE 0 END) AS conc,
+      |         SUM(CASE WHEN a.y > b.y THEN 1 ELSE 0 END) AS disc,
+      |         SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS ty_pairs
+      |  FROM obs a JOIN obs b ON a.x < b.x),
+      |n AS (SELECT COUNT(*) AS n FROM obs),
+      |tx AS (
+      |  SELECT COALESCE(SUM(c * (c - 1) / 2), 0) AS t
+      |  FROM (SELECT COUNT(*) AS c FROM obs GROUP BY x)),
+      |ty AS (
+      |  SELECT COALESCE(SUM(c * (c - 1) / 2), 0) AS t
+      |  FROM (SELECT COUNT(*) AS c FROM obs GROUP BY y))
+      |SELECT CAST(p.conc AS BIGINT) AS concordant,
+      |       CAST(p.disc AS BIGINT) AS discordant,
+      |       CAST(p.ty_pairs AS BIGINT) AS tied_y_only,
+      |       CAST(tx.t AS BIGINT) AS tied_x,
+      |       CAST(ROUND((p.conc - p.disc) /
+      |         (sqrt(n.n * (n.n - 1) / 2.0 - tx.t) *
+      |          sqrt(n.n * (n.n - 1) / 2.0 - ty.t)), 6) AS DOUBLE) AS tau_b
+      |FROM p, n, tx, ty""".stripMargin) { (spark, dir) =>
+    val obs = Tables.load(spark, dir, "lineitem").as("l")
+      .join(Tables.load(spark, dir, "orders").as("o"),
+        col("l.l_orderkey") === col("o.o_orderkey"))
+      .filter(col("l.l_orderkey") % 5 === 0)
+      .select(
+        (floor(unix_timestamp(col("l.l_shipdate")) / 86400)
+          - floor(unix_timestamp(col("o.o_orderdate")) / 86400)).cast("int").as("x"),
+        col("l.l_quantity").cast("int").as("y"))
+      .localCheckpoint(false)
+    val counts = graft.operators.Concordance.counts(
+      obs, "x", "y", lit(true), buckets = 2048)
+    def tiePairs(c: String) = obs.groupBy(c).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1) / 2), lit(0.0))
+        .cast("long").as(s"t_$c"))
+    val n = obs.agg(count(lit(1)).as("n"))
+    counts.crossJoin(n).crossJoin(tiePairs("x")).crossJoin(tiePairs("y"))
+      .select(
+        // Concordance's "concordant" is y_a > y_b — Kendall's DISCORDANT
+        (col("comparable") - col("concordant") - col("tied")).as("concordant"),
+        col("concordant").as("discordant"),
+        col("tied").as("tied_y_only"),
+        col("t_x").as("tied_x"),
+        round((col("comparable") - col("concordant") * 2 - col("tied")) /
+          (sqrt(col("n") * (col("n") - 1) / 2.0 - col("t_x")) *
+            sqrt(col("n") * (col("n") - 1) / 2.0 - col("t_y"))), 6)
+          .cast("double").as("tau_b"))
+  }
+
+  val all: Seq[OpQuery] = Seq(stream_ivm_refresh, emb_whiten,
+    a93_cindex_scalable, ts_kendall_scalable)
 }

@@ -122,10 +122,11 @@ class PlanBudgetSpec extends SparkSpec {
     // IVM gate's jobs are the 3 micro-batch append+refresh cycles
     "emb_whiten" -> Budget(2, 0, 86),
     "stream_ivm_refresh" -> Budget(2, 0, 11),
-    // bucket-grid exact concordance: two bounded in-bucket joins + the
-    // B×B cell-grid windows; a regression to a row-level pair join
-    // would blow the job ceiling via the join's task explosion
-    "a93_cindex_scalable" -> Budget(37, 12, 33),
+    // bucket-grid exact concordance: two bounded in-bucket joins (pure
+    // buckets skipped) + the B×B cell-grid windows; a regression to a
+    // row-level pair join would blow the job ceiling
+    "a93_cindex_scalable" -> Budget(45, 22, 38),
+    "ts_kendall_scalable" -> Budget(52, 25, 42),
     "eval_auc" -> Budget(4, 2, 10),
     "ml_delong_auc" -> Budget(15, 13, 18),
     "eval_brier_decomp" -> Budget(20, 18, 19),
