@@ -587,9 +587,16 @@ object Similarity {
       quantizeDp: Int = 0): Seq[(Double, Array[Double], Double)] = {
     require(r >= 1, s"need r >= 1 components, got $r")
     VectorExprs.register(corpus.sparkSession)
+    // every Gram pass (r × iterations of them — 36 for the gate shape)
+    // scans ONLY the vector column; cache that projection once so the
+    // walk re-reads a deserialized in-memory column, not the source
+    // parquet, 36 times. Unpersisted in the finally below.
+    val vecs = corpus.select(col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // max(size): robust to ragged rows (a longer later vector indexed
     // past a first-row-sized array) and loud on an empty/all-null corpus
-    val dimRow = corpus.agg(max(size(col(vecCol)))).head()
+    val dimRow = vecs.agg(max(size(col(vecCol)))).head()
     require(!dimRow.isNullAt(0),
       "topPrincipalComponents needs at least one non-null vector")
     val dim = dimRow.getInt(0)
@@ -601,7 +608,7 @@ object Similarity {
         if (quantizeDp > 0)
           round(contrib, quantizeDp).cast(s"decimal(38,$quantizeDp)")
         else contrib
-      val w = corpus
+      val w = vecs
         .select(posexplode(col(vecCol)).as(Seq("__dim", "__x")),
           VectorExprs.vecDot(col(vecCol), lit_v).as("__s"))
         .groupBy(col("__dim"))
@@ -653,7 +660,7 @@ object Similarity {
     // so the normal e1 path pays no extra pass); R ≤ 1e-9·trace means
     // the spectrum is exhausted (rank < r) and degrades to zero
     // components instead of NaN.
-    val trace = corpus
+    val trace = vecs
       .select(explode(col(vecCol)).as("__x"))
       .agg(sum(col("__x").cast("double") * col("__x").cast("double")))
       .head().getDouble(0)
@@ -694,5 +701,6 @@ object Similarity {
       }
     }
     results.toSeq
+    } finally vecs.unpersist(false)
   }
 }
