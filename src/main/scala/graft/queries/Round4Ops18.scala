@@ -26,12 +26,16 @@ object Round4Ops18 {
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
     Tables.load(spark, dir, "orders").createOrReplaceTempView("graft_udf_orders")
-    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_discount(price DOUBLE)
-                |RETURNS DOUBLE RETURN ROUND(price * (1 - 0.07), 2)""".stripMargin)
-    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_band(price DOUBLE)
-                |RETURNS STRING
-                |RETURN CASE WHEN price >= 100000 THEN 'jumbo'
-                |            WHEN price >= 10000 THEN 'large' ELSE 'standard' END""".stripMargin)
+    // definitions are fixed for the session — create once so a re-run
+    // (the bench's median-of-3) doesn't WARN-spam about replacement
+    if (!spark.catalog.functionExists("graft_discount"))
+      spark.sql("""CREATE TEMPORARY FUNCTION graft_discount(price DOUBLE)
+                  |RETURNS DOUBLE RETURN ROUND(price * (1 - 0.07), 2)""".stripMargin)
+    if (!spark.catalog.functionExists("graft_band"))
+      spark.sql("""CREATE TEMPORARY FUNCTION graft_band(price DOUBLE)
+                  |RETURNS STRING
+                  |RETURN CASE WHEN price >= 100000 THEN 'jumbo'
+                  |            WHEN price >= 10000 THEN 'large' ELSE 'standard' END""".stripMargin)
     spark.sql(
       """SELECT o_orderkey,
         |       CAST(graft_discount(o_totalprice) AS DOUBLE) AS discounted,
