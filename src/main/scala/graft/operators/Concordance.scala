@@ -47,6 +47,13 @@ object Concordance {
     * Rows with a NULL x or y are excluded (no NULL comparison is ever
     * true in the quadratic form; dropping them keeps `comparable`
     * consistent between engines).
+    *
+    * Input contract: FINITE values (same stance as
+    * [[Similarity.signBitSignature]]). A NaN x or y silently drops its
+    * row here (width_bucket maps NaN to a NULL bucket) while the
+    * quadratic Spark form would rank NaN above every double — so
+    * NaN-bearing doubles are outside the exactness claim; filter or
+    * fail them upstream.
     */
   def counts(
       df: DataFrame,

@@ -660,9 +660,13 @@ object Similarity {
     // so the normal e1 path pays no extra pass); R ≤ 1e-9·trace means
     // the spectrum is exhausted (rank < r) and degrades to zero
     // components instead of NaN.
+    // coalesce: a corpus of all-EMPTY vectors explodes to zero rows and
+    // SUM() is NULL — that degenerate spectrum must take the exhausted
+    // zero-component path below, not NPE on getDouble
     val trace = vecs
       .select(explode(col(vecCol)).as("__x"))
-      .agg(sum(col("__x").cast("double") * col("__x").cast("double")))
+      .agg(coalesce(sum(col("__x").cast("double") * col("__x").cast("double")),
+        lit(0.0)))
       .head().getDouble(0)
     def basis(i: Int) = Array.tabulate(dim)(j => if (j == i) 1.0 else 0.0)
     val results = scala.collection.mutable.ArrayBuffer.empty[(Double, Array[Double], Double)]

@@ -1060,10 +1060,31 @@ final class TableStore(val spark: SparkSession, val root: String,
     // parseable. The fallback (URI-hostile characters, e.g. a literal
     // '[' in a directory name) must STILL percent-decode — keeping the
     // encoding would write sidecar lines that don't resolve at prune
-    // time and turn the pruned read into file-not-found
+    // time and turn the pruned read into file-not-found. NOT
+    // URLDecoder: that is FORM decoding ('+' → space, throws on a bare
+    // '%'), and URI percent-encoding never means '+' = space — decode
+    // only well-formed %XX escapes and pass everything else through.
+    def percentDecode(s: String): String = {
+      val out = new java.lang.StringBuilder(s.length)
+      val bytes = new java.io.ByteArrayOutputStream()
+      var i = 0
+      def flush(): Unit = if (bytes.size() > 0) {
+        out.append(new String(bytes.toByteArray, "UTF-8")); bytes.reset()
+      }
+      while (i < s.length) {
+        if (s.charAt(i) == '%' && i + 2 < s.length &&
+            Character.digit(s.charAt(i + 1), 16) >= 0 &&
+            Character.digit(s.charAt(i + 2), 16) >= 0) {
+          bytes.write(Character.digit(s.charAt(i + 1), 16) * 16 +
+            Character.digit(s.charAt(i + 2), 16))
+          i += 3
+        } else { flush(); out.append(s.charAt(i)); i += 1 }
+      }
+      flush(); out.toString
+    }
     val p = try Paths.get(new java.net.URI(inputFile).getPath)
-      catch { case _: Exception => Paths.get(
-        java.net.URLDecoder.decode(inputFile.stripPrefix("file:"), "UTF-8")) }
+      catch { case _: Exception =>
+        Paths.get(percentDecode(inputFile.stripPrefix("file:"))) }
     val rel = dir(table).toAbsolutePath.normalize
       .relativize(p.toAbsolutePath.normalize)
     // fail at ANALYZE time, not at prune time: a sidecar naming a file
@@ -1336,8 +1357,15 @@ final class TableStore(val spark: SparkSession, val root: String,
         (f.getName.startsWith(".tmp-") || f.getName.startsWith(".trash-") ||
           f.getName.startsWith(".gc-"))) ||
         (f.isFile && f.getName.startsWith(".lock-")))
-    stray.foreach(f => deleteRecursively(f.toPath))
-    stray.length
+    // per-entry tolerance: a .gc- dir may be mid-deletion on the
+    // tablestore-gc daemon at this very moment — racing Files.walk
+    // throws NoSuchFile/UncheckedIO there, and that's the GOOD case
+    // (the bytes are going away either way); count it as removed
+    stray.count { f =>
+      try { deleteRecursively(f.toPath); true }
+      catch { case _: java.io.IOException | _: java.io.UncheckedIOException =>
+        !Files.exists(f.toPath) }
+    }
   }
 
   // ---- transactional batch ledger (Delta txnAppId/txnVersion analog) ----

@@ -26,13 +26,17 @@ object TotalOrder {
     * spine, a funnel's stage list, ≤`shuffle.partitions` per-partition
     * summaries, ≤√n centroids. Partitioning by a constant is
     * semantically identical to `Window.orderBy(...)` (one partition
-    * holds the whole frame) but declares the boundedness to the engine,
-    * so WindowExec's "No Partition Defined" warning — which exists to
-    * flag ACCIDENTAL single-reducer funnels of unbounded data — stays
-    * meaningful instead of crying wolf on every dashboard-sized spine
-    * (VERDICT r8 item 6). Use ONLY where input cardinality is bounded
-    * by construction: an unbounded input still funnels to one reducer,
-    * now silently — each call site must carry the boundedness argument.
+    * holds the whole frame; the optimizer folds the constant key away
+    * before the physical plan, so nothing changes at WindowExec — whose
+    * "No Partition Defined" WARN is silenced wholesale in GraftSession).
+    * What this call REALLY does is mark the call site for the
+    * STRUCTURAL guard that replaced the log line: the non-empty
+    * analyzed-plan partitionSpec exempts the window from
+    * [[graft.tools.GlobalWindowScan]]'s RAW-funnel audit (which fails
+    * the build on any unpartitioned window over table-sized input).
+    * That exemption is an UNCHECKED assertion — use ONLY where input
+    * cardinality is bounded by construction, and carry the boundedness
+    * argument in a comment at each call site (VERDICT r8 item 6).
     */
   def boundedGlobal(order: Column*): org.apache.spark.sql.expressions.WindowSpec =
     Window.partitionBy(lit(0)).orderBy(order: _*)

@@ -49,8 +49,11 @@ private[queries] object PcaWalkSql {
        |  FROM $src)""".stripMargin
 
   val base: String =
+    // MAX(len), matching the Scala side's max(size): a ragged corpus
+    // (one shorter row) must walk the FULL dimension count on both
+    // engines or the deflation/residual CTEs truncate on one side only
     """WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
-      |d AS MATERIALIZED (SELECT MIN(len(x)) AS n FROM e)""".stripMargin
+      |d AS MATERIALIZED (SELECT MAX(len(x)) AS n FROM e)""".stripMargin
 
   def perComp(r: Int, iters: Int): Seq[String] = (0 until r).flatMap { c =>
     val start =

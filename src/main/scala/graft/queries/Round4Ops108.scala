@@ -75,9 +75,8 @@ object Round4Ops108 {
         |         CAST(SUM(CAST(c AS DECIMAL(18,0)) * ar) AS DECIMAL(38,1)) AS s
         |  FROM vg JOIN mr USING (x) GROUP BY g),
         |nn AS (SELECT SUM(n) AS n FROM gs),
-        |ties AS (SELECT x, COUNT(*) AS t FROM v GROUP BY x),
         |tc AS (
-        |  SELECT SUM(t * t * t - t) AS tsum FROM ties),
+        |  SELECT SUM(t * t * t - t) AS tsum FROM tiesd),
         |h AS (
         |  SELECT CAST(12 AS DOUBLE) / (nn.n * (nn.n + 1)) *
         |         CAST(SUM(CAST(ROUND(CAST(gs.s AS DOUBLE) * gs.s / gs.n, 6)

@@ -41,7 +41,10 @@ object GlobalWindowScan {
     case _: Aggregate => true
     case _: Distinct => true
     case _: Deduplicate => true
-    case _: GlobalLimit => true
+    // a LIMIT bounds the frame only when the limit itself is small —
+    // limit(2e9) through one reducer is exactly the funnel this audit
+    // exists to catch, so an unfoldable/large limit reads as raw
+    case g: GlobalLimit => g.maxRows.exists(_ <= 100000)
     case l: LocalRelation => l.data.lengthCompare(1000) <= 0
     case _: OneRowRelation => true
     case r: Range => r.numElements.isValidInt && r.numElements.toInt <= 100000
@@ -77,6 +80,7 @@ object GlobalWindowScan {
     spark.sparkContext.setLogLevel("ERROR")
     var raw = 0
     var bounded = 0
+    var errors = 0
     gates.foreach { name =>
       try {
         val hits = scanGate(spark, sfDir, name)
@@ -91,13 +95,18 @@ object GlobalWindowScan {
             ok.map(_.cols).mkString("; "))
       } catch {
         case e: Throwable =>
+          // an unscannable gate is a FAILURE, not a skip — a gate that
+          // never analyzed could hide the exact funnel this audit
+          // exists to catch, so the "zero RAW" claim must not be
+          // issued over it
+          errors += 1
           println(s"[winscan] $name: SCAN ERROR ${e.getClass.getSimpleName}: " +
             s"${Option(e.getMessage).getOrElse("").take(120)}")
       }
     }
     println(s"[winscan] ${gates.size} gates scanned: " +
-      s"$bounded bounded global windows, $raw RAW")
+      s"$bounded bounded global windows, $raw RAW, $errors scan errors")
     spark.stop()
-    if (raw > 0) sys.exit(1)
+    if (raw > 0 || errors > 0) sys.exit(1)
   }
 }

@@ -100,6 +100,15 @@ class PcaToprSpec extends SparkSpec {
     }
   }
 
+  test("a corpus of all-empty vectors degrades to zero components, no crash") {
+    val empty = Seq.fill(5)(Seq.empty[Double]).toDF("embedding")
+    val got = Similarity.topPrincipalComponents(empty, "embedding", r = 2)
+    assert(got.size === 2)
+    got.foreach { case (lambda, v, resid) =>
+      assert(lambda === 0.0 && v.isEmpty && resid === 0.0)
+    }
+  }
+
   test("whitened projections are energy-normalized and decorrelated (emb_whiten semantics)") {
     // λ is the eigenvalue of the (uncentered) second-moment matrix, so
     // Σ_rows (x·v)² = vᵀXᵀXv = λ for a converged unit eigenvector —
