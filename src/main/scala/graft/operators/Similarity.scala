@@ -619,8 +619,35 @@ object Similarity {
       out
     }
 
+    // Trace(XᵀX) = Σ x_i² in one cheap distributed pass — the walk's
+    // probe tolerance is relative to the remaining spectrum mass (see
+    // deflatedPowerWalk).
+    // coalesce: a corpus of all-EMPTY vectors explodes to zero rows and
+    // SUM() is NULL — that degenerate spectrum must take the exhausted
+    // zero-component path below, not NPE on getDouble
+    val trace = vecs
+      .select(explode(col(vecCol)).as("__x"))
+      .agg(coalesce(sum(col("__x").cast("double") * col("__x").cast("double")),
+        lit(0.0)))
+      .head().getDouble(0)
+    deflatedPowerWalk(gramTimes, dim, trace, r, iterations)
+    } finally vecs.unpersist(false)
+  }
+
+  /** The deflated power-iteration loop shared by the multi-pass and
+    * one-pass PCA entry points, abstracted over the Gram product: the
+    * SAME probe/deflation/residual logic runs whether `gramTimes` is a
+    * distributed per-iteration corpus pass ([[topPrincipalComponents]])
+    * or an O(dim²) product against a precomputed in-memory Gram matrix
+    * ([[topPrincipalComponentsGram]]). Behavior-identical extraction of
+    * the round-9 walk — the hash-green gates pin it.
+    */
+  private def deflatedPowerWalk(
+      gramTimes: Array[Double] => Array[Double],
+      dim: Int, trace: Double, r: Int,
+      iterations: Int): Seq[(Double, Array[Double], Double)] = {
     val found = scala.collection.mutable.ArrayBuffer.empty[(Double, Array[Double])]
-    // P_c (XᵀX v): one distributed Gram pass, then the rank-(c)
+    // P_c (XᵀX v): one Gram product, then the rank-(c)
     // driver-side projection OFF the found components — coefficients
     // come from the GRAM OUTPUT w (not the input v), so the result is
     // orthogonal to every v_k by construction. Accumulate the
@@ -660,14 +687,6 @@ object Similarity {
     // so the normal e1 path pays no extra pass); R ≤ 1e-9·trace means
     // the spectrum is exhausted (rank < r) and degrades to zero
     // components instead of NaN.
-    // coalesce: a corpus of all-EMPTY vectors explodes to zero rows and
-    // SUM() is NULL — that degenerate spectrum must take the exhausted
-    // zero-component path below, not NPE on getDouble
-    val trace = vecs
-      .select(explode(col(vecCol)).as("__x"))
-      .agg(coalesce(sum(col("__x").cast("double") * col("__x").cast("double")),
-        lit(0.0)))
-      .head().getDouble(0)
     def basis(i: Int) = Array.tabulate(dim)(j => if (j == i) 1.0 else 0.0)
     val results = scala.collection.mutable.ArrayBuffer.empty[(Double, Array[Double], Double)]
     for (_ <- 0 until r) {
@@ -705,6 +724,104 @@ object Similarity {
       }
     }
     results.toSeq
-    } finally vecs.unpersist(false)
+  }
+
+  /** One-pass Gram matrix G = XᵀX: each partition accumulates its
+    * rows' upper-triangle outer-product sum locally (d(d+1)/2 doubles —
+    * 4 KB·d²/2; ~4 MB at d = 1024, ~67 MB at d = 4096), then the
+    * per-partition summaries reduce pairwise. The corpus is scanned
+    * exactly ONCE — against the per-iteration walk's r·iterations scans
+    * (36 for the top-3 gate shape), this is the 100 TB-preferred shape
+    * whenever d² fits comfortably in task memory (d ≲ 8k; beyond that
+    * the multi-pass walk in [[topPrincipalComponents]] remains the
+    * path, trading scans for memory). Same input semantics as the walk:
+    * max(size) defines d, short/ragged rows contribute zeros past their
+    * length, NULL vectors are skipped. Exact for integer-quantized
+    * inputs: every product and partial sum below 2⁵³ is
+    * order-independent, which the `emb_gram_onepass` gate exploits to
+    * hash-replay the accumulation against both the declarative
+    * explode-join form and DuckDB.
+    */
+  def gramMatrixOnePass(
+      corpus: DataFrame, vecCol: String = "embedding"): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col(vecCol).cast("array<double>").as("__v"))
+      .filter(col("__v").isNotNull)
+    val dimRow = vecs.agg(max(size(col("__v")))).head()
+    if (dimRow.isNullAt(0) || dimRow.getInt(0) <= 0)
+      return Array.empty
+    val dim = dimRow.getInt(0)
+    val triLen = dim * (dim + 1) / 2
+    // one flattened upper-triangle summary per PARTITION (bounded by
+    // spark.sql.shuffle.partitions, not rows) — the established
+    // bounded-collect register; reduce() streams them pairwise so the
+    // driver holds at most two summaries at a time
+    val tri = vecs.as[Seq[Double]].mapPartitions { rows =>
+      val acc = new Array[Double](triLen)
+      rows.foreach { x =>
+        val n = math.min(x.length, dim)
+        var j = 0
+        while (j < n) {
+          val xj = x(j)
+          if (xj != 0.0) {
+            // row j of the packed upper triangle starts at
+            // j*dim - j(j-1)/2 - j, so entry (j,k) sits at base + k
+            val base = j * dim - (j * (j - 1)) / 2 - j
+            var k = j
+            while (k < n) { acc(base + k) += xj * x(k); k += 1 }
+          }
+          j += 1
+        }
+      }
+      Iterator.single(acc)
+    }.reduce { (a, b) =>
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    Array.tabulate(dim, dim) { (j, k) =>
+      val (lo, hi) = if (j <= k) (j, k) else (k, j)
+      tri(lo * dim - (lo * (lo - 1)) / 2 - lo + hi)
+    }
+  }
+
+  /** Top-r principal directions computed from the ONE-PASS Gram matrix:
+    * identical deflated power walk as [[topPrincipalComponents]] (same
+    * probe, deflation, residual — literally [[deflatedPowerWalk]]), but
+    * the Gram product is an O(d²) in-memory mat-vec instead of a
+    * distributed corpus pass, so the corpus is read ONCE total instead
+    * of r·iterations times. At 100 TB that is the difference between 1
+    * and 36 full scans; use this whenever d ≲ 8k (see
+    * [[gramMatrixOnePass]]), the walk when d is larger. Float rounding
+    * differs from the per-pass walk only in summation order, so the two
+    * agree to machine precision on any reasonably-conditioned spectrum
+    * (pinned in PcaToprSpec).
+    */
+  def topPrincipalComponentsGram(
+      corpus: DataFrame, vecCol: String = "embedding", r: Int = 1,
+      iterations: Int = 12): Seq[(Double, Array[Double], Double)] = {
+    require(r >= 1, s"need r >= 1 components, got $r")
+    val g = gramMatrixOnePass(corpus, vecCol)
+    val dim = g.length
+    require(dim > 0,
+      "topPrincipalComponentsGram needs at least one non-null vector")
+    var trace = 0.0
+    var j = 0
+    while (j < dim) { trace += g(j)(j); j += 1 }
+    def gramTimes(v: Array[Double]): Array[Double] = {
+      val out = new Array[Double](dim)
+      var a = 0
+      while (a < dim) {
+        val row = g(a)
+        var s = 0.0
+        var b = 0
+        while (b < dim) { s += row(b) * v(b); b += 1 }
+        out(a) = s
+        a += 1
+      }
+      out
+    }
+    deflatedPowerWalk(gramTimes, dim, trace, r, iterations)
   }
 }

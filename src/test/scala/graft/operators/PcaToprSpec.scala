@@ -109,6 +109,52 @@ class PcaToprSpec extends SparkSpec {
     }
   }
 
+  test("one-pass Gram matrix equals the naive per-row outer-product sum") {
+    // mixed shapes: ragged short row (zero-padded semantics), a NULL
+    // vector (skipped), negative and zero elements
+    val data = Seq(
+      Some(Seq(1.0, -2.0, 3.0, 0.5)),
+      Some(Seq(2.0, 0.0, -1.0)), // ragged: dim 3 of this row reads 0
+      None,
+      Some(Seq(-0.5, 4.0, 2.5, -3.0)))
+    val df = data.toDF("embedding")
+    val g = Similarity.gramMatrixOnePass(df, "embedding")
+    val dim = 4
+    assert(g.length === dim && g.forall(_.length === dim))
+    val rows = data.flatten.map(x => Array.tabulate(dim)(j =>
+      if (j < x.length) x(j) else 0.0))
+    for (j <- 0 until dim; k <- 0 until dim) {
+      val naive = rows.map(x => x(j) * x(k)).sum
+      assert(math.abs(g(j)(k) - naive) < 1e-12, s"G($j,$k)=${g(j)(k)} vs $naive")
+      assert(g(j)(k) === g(k)(j), s"asymmetric at ($j,$k)")
+    }
+  }
+
+  test("gram matrix of an empty/all-null corpus is empty") {
+    assert(Similarity.gramMatrixOnePass(
+      Seq.empty[Option[Seq[Double]]].toDF("embedding"), "embedding").isEmpty)
+    assert(Similarity.gramMatrixOnePass(
+      Seq[Option[Seq[Double]]](None, None).toDF("embedding"),
+      "embedding").isEmpty)
+  }
+
+  test("one-scan Gram walk matches the 36-scan distributed walk") {
+    // the same deflated walk driven by the in-memory G must agree with
+    // the per-iteration distributed Gram product to machine precision —
+    // they differ only in float summation ORDER
+    val multi = Similarity.topPrincipalComponents(
+      planted, "embedding", r = 3, iterations = 20)
+    val viaGram = Similarity.topPrincipalComponentsGram(
+      planted, "embedding", r = 3, iterations = 20)
+    assert(viaGram.size === 3)
+    multi.zip(viaGram).foreach { case ((l1, v1, r1), (l2, v2, r2)) =>
+      assert(math.abs(l1 - l2) / l1 < 1e-9, s"eigenvalue $l1 vs $l2")
+      assert(math.abs(math.abs(dot(v1, v2)) - 1.0) < 1e-9,
+        s"directions disagree: |cos| = ${math.abs(dot(v1, v2))}")
+      assert(r2 < 1e-9, s"gram-walk residual $r2")
+    }
+  }
+
   test("whitened projections are energy-normalized and decorrelated (emb_whiten semantics)") {
     // λ is the eigenvalue of the (uncentered) second-moment matrix, so
     // Σ_rows (x·v)² = vᵀXᵀXv = λ for a converged unit eigenvector —

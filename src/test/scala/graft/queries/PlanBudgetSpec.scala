@@ -38,9 +38,13 @@ class PlanBudgetSpec extends SparkSpec {
     "graph_modularity" -> Budget(26, 17, 16),
     "ml_adaboost_stumps" -> Budget(86, 108, 36),
     "curation_e2e" -> Budget(6, 0, 6),
-    "emb_pca_quantized" -> Budget(2, 0, 24),
+    // re-pinned +3 jobs (r9, worst observed): the walk now persists the
+    // vector projection once (MEMORY_AND_DISK) so the Gram passes
+    // re-read cache, not parquet; shuffles unchanged at 2 (and see the
+    // a86 note — sub-mode job counts vary run-to-run, pin the max)
+    "emb_pca_quantized" -> Budget(2, 0, 27),
     "dedup_fuzzy_names" -> Budget(4, 2, 6),
-    "emb_pca_power" -> Budget(2, 0, 58),
+    "emb_pca_power" -> Budget(2, 0, 61), // +3: same projection persist as emb_pca_quantized
     "corpus_stats" -> Budget(6, 2, 7),
     "graph_jaccard" -> Budget(12, 6, 8),
     "s17_update_delete" -> Budget(2, 0, 14),
@@ -122,6 +126,12 @@ class PlanBudgetSpec extends SparkSpec {
     // IVM gate's jobs are the 3 micro-batch append+refresh cycles
     "emb_whiten" -> Budget(2, 0, 86),
     "stream_ivm_refresh" -> Budget(2, 0, 11),
+    // round-9 batch 3: one-pass Gram — the dim probe + single
+    // mapPartitions/reduce scan, plus the deliberately-quadratic
+    // declarative twin (one join shuffle) the gate REQUIREs equality
+    // against; a second corpus scan sneaking into the one-pass path
+    // fails here
+    "emb_gram_onepass" -> Budget(2, 0, 10),
     // bucket-grid exact concordance: two bounded in-bucket joins (pure
     // buckets skipped) + the B×B cell-grid windows; a regression to a
     // row-level pair join would blow the job ceiling
@@ -131,7 +141,12 @@ class PlanBudgetSpec extends SparkSpec {
     "ml_delong_auc" -> Budget(15, 13, 18),
     "eval_brier_decomp" -> Budget(20, 18, 19),
     "a72_weibull_fit" -> Budget(6, 6, 14),
-    "a86_kruskal_wallis" -> Budget(27, 11, 15),
+    // BIMODAL: a86 measures 27/11/15 or 29/11/18 run-to-run AT THE SAME
+    // COMMIT (bisected r9 — exchange reuse between the query's identical
+    // aggregate subtrees only kicks in when one finishes before the
+    // other starts). Pinned at the worst observed mode; the +2 headroom
+    // then admits both modes and a real +5 materialization still trips.
+    "a86_kruskal_wallis" -> Budget(29, 11, 18),
     "ml_tree_stump" -> Budget(10, 12, 18),
     "priv_t_closeness" -> Budget(21, 31, 22),
   )
