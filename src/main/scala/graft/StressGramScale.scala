@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Scale study for the PCA scan-count fix (round 9): the multi-pass
+  * deflated walk ([[Similarity.topPrincipalComponents]], r·iterations
+  * corpus scans) vs the one-pass Gram path
+  * ([[Similarity.topPrincipalComponentsGram]], ONE corpus scan + an
+  * O(d²)-per-iteration driver walk) on the SAME replicated corpus, with
+  * an agreement check (eigenvalues to 1e-9 relative, |cos| of
+  * directions to 1e-9). Replication multiplies rows at constant d, the
+  * realistic axis: a bigger corpus has more vectors, not wider ones —
+  * so the walk's cost grows ~linearly in k per scan (× 36 scans) while
+  * the one-pass path grows ~linearly in k ONCE and its driver walk is
+  * k-independent.
+  *
+  * Usage: runMain graft.StressGramScale <sfDir> <k> [cpus]
+  */
+object StressGramScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val k = args(1).toInt
+    val cpus = if (args.length > 2) args(2).toInt else 32
+    val spark = GraftSession.builder("graft-stress-gramscale", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](what: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[gramscale] k=$k $what: $s%.2f s")
+      (r, s)
+    }
+
+    // replicate rows with a tiny replica-dependent perturbation on ONE
+    // dimension so replicas are not byte-identical (pure duplication
+    // would leave the spectrum exactly k-scaled anyway, but a real
+    // corpus has noise); the perturbation is orders below the signal so
+    // both paths still converge to the same directions
+    val base = Tables.load(spark, sfDir, "embeddings")
+      .select(col("embedding").cast("array<double>").as("embedding"))
+    val reps = spark.range(k).select(col("id").as("rep"))
+    val corpus = base.crossJoin(broadcast(reps))
+      .select(transform(col("embedding"),
+        (x, i) => x + when(i === 0, col("rep") * 1e-7).otherwise(0.0))
+        .as("embedding"))
+      .repartition(cpus * 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = corpus.count()
+    println(s"[gramscale] k=$k rows=$n")
+
+    val r = 3
+    val iters = 12
+    val (walk, tWalk) = timed(s"multi-pass walk (r=$r, $iters iters, " +
+      s"${r * iters} corpus scans)") {
+      Similarity.topPrincipalComponents(corpus, "embedding", r, iters)
+    }
+    val (gram, tGram) = timed("one-pass Gram + driver walk (1 corpus scan)") {
+      Similarity.topPrincipalComponentsGram(corpus, "embedding", r, iters)
+    }
+
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    walk.zip(gram).zipWithIndex.foreach { case (((l1, v1, _), (l2, v2, _)), c) =>
+      val dl = math.abs(l1 - l2) / math.max(l1, 1e-300)
+      val cos = math.abs(dot(v1, v2))
+      require(dl < 1e-9, s"component $c eigenvalue drift: $l1 vs $l2")
+      require(math.abs(cos - 1.0) < 1e-9, s"component $c direction drift: $cos")
+      println(f"[gramscale] k=$k comp$c lambda=$l1%.6e agree dl=$dl%.2e cos=$cos%.12f")
+    }
+    println(f"[gramscale] k=$k RESULT walk=$tWalk%.2f s gram=$tGram%.2f s " +
+      f"speedup=${tWalk / tGram}%.1fx")
+    corpus.unpersist()
+    spark.stop()
+  }
+}
