@@ -727,63 +727,91 @@ object Similarity {
   }
 
   /** One-pass Gram matrix G = XᵀX: each partition accumulates its
-    * rows' upper-triangle outer-product sum locally (d(d+1)/2 doubles —
-    * 4 KB·d²/2; ~4 MB at d = 1024, ~67 MB at d = 4096), then the
-    * per-partition summaries reduce pairwise. The corpus is scanned
-    * exactly ONCE — against the per-iteration walk's r·iterations scans
+    * rows' LOWER-triangle outer-product sum locally (d(d+1)/2 doubles —
+    * ~4 MB at d = 1024, ~67 MB at d = 4096), then the per-partition
+    * summaries reduce pairwise. The corpus is scanned exactly ONCE —
+    * no separate dimension probe: the lower-triangle row-major layout
+    * (entry (j,k), k ≤ j, at offset j(j+1)/2 + k) is PREFIX-STABLE
+    * under dimension growth, so each partition grows its accumulator
+    * on demand as longer rows arrive and the reduce pads the shorter
+    * summary. Against the per-iteration walk's r·iterations scans
     * (36 for the top-3 gate shape), this is the 100 TB-preferred shape
-    * whenever d² fits comfortably in task memory (d ≲ 8k; beyond that
-    * the multi-pass walk in [[topPrincipalComponents]] remains the
-    * path, trading scans for memory). Same input semantics as the walk:
-    * max(size) defines d, short/ragged rows contribute zeros past their
-    * length, NULL vectors are skipped. Exact for integer-quantized
-    * inputs: every product and partial sum below 2⁵³ is
-    * order-independent, which the `emb_gram_onepass` gate exploits to
-    * hash-replay the accumulation against both the declarative
-    * explode-join form and DuckDB.
+    * whenever d² fits comfortably in task memory (d ≲ 8k, require'd at
+    * 20k where Int offsets are still far from overflow; beyond that the
+    * multi-pass walk in [[topPrincipalComponents]] remains the path,
+    * trading scans for memory). Same input semantics as the walk:
+    * max observed length defines d, short/ragged rows contribute zeros
+    * past their length, NULL vectors are skipped, NULL elements
+    * contribute zero (matching the walk's null-skipping SQL sums).
+    * Returns (G, non-null row count); G is empty when no non-null row
+    * had any element. Exact for integer-quantized inputs: every product
+    * and partial sum below 2⁵³ is order-independent, which the
+    * `emb_gram_onepass` gate exploits to hash-replay the accumulation
+    * against both the declarative explode-join form and DuckDB.
     */
   def gramMatrixOnePass(
-      corpus: DataFrame, vecCol: String = "embedding"): Array[Array[Double]] = {
+      corpus: DataFrame,
+      vecCol: String = "embedding"): (Array[Array[Double]], Long) = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val vecs = corpus.select(col(vecCol).cast("array<double>").as("__v"))
+    // null ELEMENTS → 0.0 up front: the typed deserializer below
+    // refuses null in a non-nullable Double field, and zero is exactly
+    // the walk's semantics (its posexplode sums skip null elements)
+    val vecs = corpus
+      .select(transform(col(vecCol).cast("array<double>"),
+        x => coalesce(x, lit(0.0))).as("__v"))
       .filter(col("__v").isNotNull)
-    val dimRow = vecs.agg(max(size(col("__v")))).head()
-    if (dimRow.isNullAt(0) || dimRow.getInt(0) <= 0)
-      return Array.empty
-    val dim = dimRow.getInt(0)
-    val triLen = dim * (dim + 1) / 2
-    // one flattened upper-triangle summary per PARTITION (bounded by
-    // spark.sql.shuffle.partitions, not rows) — the established
-    // bounded-collect register; reduce() streams them pairwise so the
-    // driver holds at most two summaries at a time
-    val tri = vecs.as[Seq[Double]].mapPartitions { rows =>
-      val acc = new Array[Double](triLen)
+    // one (rowCount, flattened lower triangle) summary per PARTITION —
+    // the established bounded-collect register; reduce() streams them
+    // pairwise so the driver holds at most two summaries at a time
+    val summaries = vecs.as[Seq[Double]].mapPartitions { rows =>
+      var acc = new Array[Double](0)
+      var dim = 0
+      var count = 0L
       rows.foreach { x =>
-        val n = math.min(x.length, dim)
+        count += 1L
+        val n = x.length
+        if (n > dim) {
+          // lower-triangle offsets don't depend on dim, so growth is a
+          // plain copy — no repacking; rare (once per new max length)
+          require(n <= 20000,
+            s"gramMatrixOnePass: vector length $n exceeds the d*d/2 " +
+              "task-memory envelope (~8k advised, 20k hard); use " +
+              "topPrincipalComponents' multi-pass walk for wide vectors")
+          dim = n
+          acc = java.util.Arrays.copyOf(acc, dim * (dim + 1) / 2)
+        }
         var j = 0
         while (j < n) {
           val xj = x(j)
           if (xj != 0.0) {
-            // row j of the packed upper triangle starts at
-            // j*dim - j(j-1)/2 - j, so entry (j,k) sits at base + k
-            val base = j * dim - (j * (j - 1)) / 2 - j
-            var k = j
-            while (k < n) { acc(base + k) += xj * x(k); k += 1 }
+            val base = j * (j + 1) / 2
+            var k = 0
+            while (k <= j) { acc(base + k) += xj * x(k); k += 1 }
           }
           j += 1
         }
       }
-      Iterator.single(acc)
-    }.reduce { (a, b) =>
-      var i = 0
-      while (i < a.length) { a(i) += b(i); i += 1 }
-      a
+      Iterator.single((count, acc))
     }
-    Array.tabulate(dim, dim) { (j, k) =>
+    // reduce throws on a ZERO-PARTITION dataset (every non-empty
+    // partition emits exactly one summary, so only that edge reaches it)
+    val (rowCount, tri) =
+      try summaries.reduce { (a, b) =>
+        val (big, small) = if (a._2.length >= b._2.length) (a, b) else (b, a)
+        var i = 0
+        while (i < small._2.length) { big._2(i) += small._2(i); i += 1 }
+        (a._1 + b._1, big._2)
+      } catch {
+        case _: UnsupportedOperationException => (0L, new Array[Double](0))
+      }
+    // dim back from the triangular length (exact by construction)
+    val dim = ((math.sqrt(8.0 * tri.length + 1) - 1) / 2).round.toInt
+    val g = Array.tabulate(dim, dim) { (j, k) =>
       val (lo, hi) = if (j <= k) (j, k) else (k, j)
-      tri(lo * dim - (lo * (lo - 1)) / 2 - lo + hi)
+      tri(hi * (hi + 1) / 2 + lo)
     }
+    (g, rowCount)
   }
 
   /** Top-r principal directions computed from the ONE-PASS Gram matrix:
@@ -802,10 +830,14 @@ object Similarity {
       corpus: DataFrame, vecCol: String = "embedding", r: Int = 1,
       iterations: Int = 12): Seq[(Double, Array[Double], Double)] = {
     require(r >= 1, s"need r >= 1 components, got $r")
-    val g = gramMatrixOnePass(corpus, vecCol)
-    val dim = g.length
-    require(dim > 0,
+    val (g, rows) = gramMatrixOnePass(corpus, vecCol)
+    // degenerate-input parity with topPrincipalComponents: no non-null
+    // vector at all → same loud require as the walk; rows of EMPTY
+    // vectors → dim 0, trace 0, and deflatedPowerWalk degrades to r
+    // zero components exactly as the walk does (pinned in PcaToprSpec)
+    require(rows > 0,
       "topPrincipalComponentsGram needs at least one non-null vector")
+    val dim = g.length
     var trace = 0.0
     var j = 0
     while (j < dim) { trace += g(j)(j); j += 1 }

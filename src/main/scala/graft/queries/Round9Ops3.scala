@@ -46,7 +46,8 @@ object Round9Ops3 {
         transform(col("embedding").cast("array<double>"),
           y => round(y * 100, 0)).as("qv"))
     // the one-pass operator under test (exact integer sums in double)
-    val g1 = Similarity.gramMatrixOnePass(quantized, "qv")
+    val (g1, nRows) = Similarity.gramMatrixOnePass(quantized, "qv")
+    require(nRows > 0, "embeddings table is empty")
     val dim = g1.length
     // exactness twin: the declarative explode-join form — the shape the
     // oracle replays. Deliberately quadratic in d (n·d² joined rows);

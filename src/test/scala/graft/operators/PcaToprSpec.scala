@@ -118,7 +118,8 @@ class PcaToprSpec extends SparkSpec {
       None,
       Some(Seq(-0.5, 4.0, 2.5, -3.0)))
     val df = data.toDF("embedding")
-    val g = Similarity.gramMatrixOnePass(df, "embedding")
+    val (g, n) = Similarity.gramMatrixOnePass(df, "embedding")
+    assert(n === 3) // the NULL vector is skipped, not counted
     val dim = 4
     assert(g.length === dim && g.forall(_.length === dim))
     val rows = data.flatten.map(x => Array.tabulate(dim)(j =>
@@ -130,12 +131,42 @@ class PcaToprSpec extends SparkSpec {
     }
   }
 
-  test("gram matrix of an empty/all-null corpus is empty") {
-    assert(Similarity.gramMatrixOnePass(
-      Seq.empty[Option[Seq[Double]]].toDF("embedding"), "embedding").isEmpty)
-    assert(Similarity.gramMatrixOnePass(
-      Seq[Option[Seq[Double]]](None, None).toDF("embedding"),
-      "embedding").isEmpty)
+  test("gram matrix of an empty/all-null corpus is empty with zero rows") {
+    val (g0, n0) = Similarity.gramMatrixOnePass(
+      Seq.empty[Option[Seq[Double]]].toDF("embedding"), "embedding")
+    assert(g0.isEmpty && n0 === 0)
+    val (g1, n1) = Similarity.gramMatrixOnePass(
+      Seq[Option[Seq[Double]]](None, None).toDF("embedding"), "embedding")
+    assert(g1.isEmpty && n1 === 0)
+  }
+
+  test("gram path: null ELEMENTS contribute zero (walk parity), all-empty degrades") {
+    // a null element inside a vector must act as 0.0 — the walk's
+    // posexplode sums skip nulls — not crash the typed deserializer
+    val withNullElem = Seq(
+      Seq[java.lang.Double](1.0, null, 2.0),
+      Seq[java.lang.Double](3.0, 4.0, null)).toDF("embedding")
+    val (g, n) = Similarity.gramMatrixOnePass(withNullElem, "embedding")
+    assert(n === 2)
+    assert(g(0)(0) === 10.0) // 1 + 9
+    assert(g(1)(0) === 12.0) // 0*1 + 4*3
+    assert(g(2)(0) === 2.0)  // 2*1 + 0*3
+    assert(g(1)(1) === 16.0)
+    assert(g(2)(2) === 4.0)
+    // all-EMPTY vectors: same degrade-to-zero-components contract as
+    // the multi-pass walk (r zero components, no crash)
+    val empty = Seq.fill(4)(Seq.empty[Double]).toDF("embedding")
+    val got = Similarity.topPrincipalComponentsGram(empty, "embedding", r = 2)
+    assert(got.size === 2)
+    got.foreach { case (lambda, v, resid) =>
+      assert(lambda === 0.0 && v.isEmpty && resid === 0.0)
+    }
+    // all-NULL corpus: same loud require as the walk
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.topPrincipalComponentsGram(
+        Seq[Option[Seq[Double]]](None).toDF("embedding"), "embedding")
+    }
+    assert(ex.getMessage.contains("at least one non-null vector"))
   }
 
   test("one-scan Gram walk matches the 36-scan distributed walk") {

@@ -126,12 +126,12 @@ class PlanBudgetSpec extends SparkSpec {
     // IVM gate's jobs are the 3 micro-batch append+refresh cycles
     "emb_whiten" -> Budget(2, 0, 86),
     "stream_ivm_refresh" -> Budget(2, 0, 11),
-    // round-9 batch 3: one-pass Gram — the dim probe + single
-    // mapPartitions/reduce scan, plus the deliberately-quadratic
-    // declarative twin (one join shuffle) the gate REQUIREs equality
-    // against; a second corpus scan sneaking into the one-pass path
-    // fails here
-    "emb_gram_onepass" -> Budget(2, 0, 10),
+    // round-9 batch 3: one-pass Gram — truly ONE corpus scan (the
+    // prefix-stable lower-triangle layout removed the dim probe), plus
+    // the deliberately-quadratic declarative twin (one join shuffle)
+    // the gate REQUIREs equality against; a probe or second scan
+    // sneaking back into the one-pass path fails here
+    "emb_gram_onepass" -> Budget(2, 0, 8),
     // bucket-grid exact concordance: two bounded in-bucket joins (pure
     // buckets skipped) + the B×B cell-grid windows; a regression to a
     // row-level pair join would blow the job ceiling
