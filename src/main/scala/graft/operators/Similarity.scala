@@ -826,9 +826,21 @@ object Similarity {
     * agree to machine precision on any reasonably-conditioned spectrum
     * (pinned in PcaToprSpec).
     */
+  /** @param quantizeDp when > 0, each per-entry contribution
+    *        `G_jk · v_k` rounds to this many decimals (the SAME
+    *        `BigDecimal.valueOf(x).setScale(dp, HALF_UP)` arithmetic as
+    *        Spark's `round`) and sums exactly in decimal — when G is
+    *        exact-integer (quantized inputs, see [[gramMatrixOnePass]])
+    *        the whole walk is engine-reproducible: each product is one
+    *        IEEE multiply (bit-identical in any engine) and the rounded
+    *        sum is order-independent, so DuckDB replays the walk from
+    *        its own pair-joined G (`emb_pca_gram_quantized`). 0 = raw
+    *        double path.
+    */
   def topPrincipalComponentsGram(
       corpus: DataFrame, vecCol: String = "embedding", r: Int = 1,
-      iterations: Int = 12): Seq[(Double, Array[Double], Double)] = {
+      iterations: Int = 12,
+      quantizeDp: Int = 0): Seq[(Double, Array[Double], Double)] = {
     require(r >= 1, s"need r >= 1 components, got $r")
     val (g, rows) = gramMatrixOnePass(corpus, vecCol)
     // degenerate-input parity with topPrincipalComponents: no non-null
@@ -846,10 +858,24 @@ object Similarity {
       var a = 0
       while (a < dim) {
         val row = g(a)
-        var s = 0.0
         var b = 0
-        while (b < dim) { s += row(b) * v(b); b += 1 }
-        out(a) = s
+        if (quantizeDp > 0) {
+          // mirror the SQL replay term-for-term: one IEEE product,
+          // Spark-round to dp, exact decimal sum (order-free)
+          var acc = java.math.BigDecimal.ZERO
+          while (b < dim) {
+            val prod = row(b) * v(b)
+            if (prod != 0.0)
+              acc = acc.add(java.math.BigDecimal.valueOf(prod)
+                .setScale(quantizeDp, java.math.RoundingMode.HALF_UP))
+            b += 1
+          }
+          out(a) = acc.doubleValue
+        } else {
+          var s = 0.0
+          while (b < dim) { s += row(b) * v(b); b += 1 }
+          out(a) = s
+        }
         a += 1
       }
       out

@@ -79,5 +79,88 @@ object Round9Ops3 {
       .orderBy("j", "k")
   }
 
-  val all: Seq[OpQuery] = Seq(emb_gram_onepass)
+  /** End-to-end hash-reproducible PCA through the ONE-SCAN path: 1dp
+    * integer quantization makes G exact (|q| ≤ ~40, so every product
+    * and partial sum sits far below 2⁵³ even at sf0.1 row counts), and
+    * the walk off G quantizes each G_jk·v_k contribution to 9dp and
+    * sums in exact decimal — each contribution is ONE IEEE multiply
+    * (bit-identical in any engine) of an exact integer by the current
+    * iterate, so DuckDB replays the entire 8-iteration fixpoint from
+    * its own pair-joined G. The companions: `emb_gram_onepass` pins the
+    * G accumulation itself; `emb_pca_quantized` pins the same recipe on
+    * the 36-scan distributed walk. Magnitude note: contributions stay
+    * ≤ ~1e7, so ROUND(x, 9)'s scaled value stays inside the 2⁵³
+    * exact-integer range where double rounding is unambiguous — the
+    * 1dp input quantization (not 2dp) exists precisely for this.
+    */
+  val emb_pca_gram_quantized: OpQuery = {
+    val iters = 8
+    def step(name: String, vPrev: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT list(CAST(wd AS DOUBLE) ORDER BY j) AS w FROM (
+         |    SELECT j,
+         |           SUM(CAST(ROUND(g * (SELECT v FROM $vPrev)[k], 9)
+         |             AS DECIMAL(38,9))) AS wd
+         |    FROM gm GROUP BY j))""".stripMargin
+    val base =
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id,
+        |         list_transform(embedding::DOUBLE[],
+        |                        y -> CAST(ROUND(y * 10, 0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |x AS MATERIALIZED (
+        |  SELECT vec_id, generate_subscripts(q, 1) AS j, unnest(q) AS xj
+        |  FROM e),
+        |gm AS MATERIALIZED (
+        |  SELECT a.j AS j, b.j AS k, SUM(a.xj * b.xj) AS g
+        |  FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
+        |d AS MATERIALIZED (SELECT MAX(j) AS n FROM gm),
+        |v0 AS MATERIALIZED (SELECT list_transform(range(1, (SELECT n FROM d) + 1),
+        |         i -> CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE)
+        |              ELSE CAST(0.0 AS DOUBLE) END) AS v)""".stripMargin
+    val steps = (1 to iters).flatMap { i =>
+      Seq(
+        step(s"w$i", s"v${i - 1}"),
+        s"""v$i AS MATERIALIZED (
+           |  SELECT list_transform(w, y -> y / sqrt(list_dot_product(w, w))) AS v,
+           |         sqrt(list_dot_product(w, w)) AS lambda
+           |  FROM w$i)""".stripMargin)
+    }
+    val tail =
+      Seq(step("wr", s"v$iters"),
+        s"""diffs AS MATERIALIZED (
+           |  SELECT list_transform(range(1, (SELECT n FROM d) + 1),
+           |           i -> wr.w[i] - vv.lambda * vv.v[i]) AS dl,
+           |         vv.lambda AS lambda
+           |  FROM wr, v$iters vv)""".stripMargin,
+        """res AS MATERIALIZED (
+          |  SELECT sqrt(list_dot_product(dl, dl)) / lambda AS resid FROM diffs)""".stripMargin)
+    val sql = (Seq(base) ++ steps ++ tail).mkString(",\n") +
+      s"""
+         |SELECT CAST(g.i - 1 AS INT) AS dim,
+         |       CAST(ROUND(vv.v[CAST(g.i AS INT)], 6) AS DOUBLE) AS component,
+         |       CAST(ROUND(vv.lambda, 3) AS DOUBLE) AS eigenvalue,
+         |       (SELECT resid FROM res) < 0.05 AS converged
+         |FROM v$iters vv,
+         |     (SELECT unnest(range(1, (SELECT n FROM d) + 1)) AS i) g
+         |ORDER BY dim""".stripMargin
+    OpQuery("emb_pca_gram_quantized", sql) { (spark, dir) =>
+      val quantized = Tables.load(spark, dir, "embeddings")
+        .select(transform(col("embedding").cast("array<double>"),
+          y => round(y * 10, 0)).as("qv"))
+      val Seq((lambda, v, resid)) = graft.operators.Similarity
+        .topPrincipalComponentsGram(quantized, "qv", r = 1,
+          iterations = iters, quantizeDp = 9)
+      import spark.implicits._
+      v.zipWithIndex.toSeq.toDF("component", "dim")
+        .select(
+          col("dim").cast("int").as("dim"),
+          round(col("component"), 6).as("component"),
+          round(lit(lambda), 3).as("eigenvalue"),
+          lit(resid < 0.05).as("converged"))
+        .orderBy("dim")
+    }
+  }
+
+  val all: Seq[OpQuery] = Seq(emb_gram_onepass, emb_pca_gram_quantized)
 }

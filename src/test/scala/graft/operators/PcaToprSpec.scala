@@ -186,6 +186,26 @@ class PcaToprSpec extends SparkSpec {
     }
   }
 
+  test("quantized G-walk converges and matches the float G-walk direction (gate regime)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(transform(col("embedding").cast("array<double>"),
+        y => round(y * 10, 0)).as("qv"))
+    val Seq((lq, vq, rq)) = Similarity.topPrincipalComponentsGram(
+      emb, "qv", r = 1, iterations = 8, quantizeDp = 9)
+    val Seq((lf, vf, _)) = Similarity.topPrincipalComponentsGram(
+      emb, "qv", r = 1, iterations = 8)
+    assert(lq > 0.0 && rq < 0.1, s"quantized walk off basin: resid $rq")
+    // 9dp contribution rounding perturbs the iterate by ~1e-9 per step —
+    // directions agree far inside the convergence tolerance
+    val cos = math.abs(vq.zip(vf).map { case (a, b) => a * b }.sum)
+    assert(math.abs(cos - 1.0) < 1e-6, s"|cos| = $cos")
+    assert(math.abs(lq - lf) / lf < 1e-6)
+    // determinism: the quantized path is exactly replayable run-to-run
+    val Seq((lq2, vq2, _)) = Similarity.topPrincipalComponentsGram(
+      emb, "qv", r = 1, iterations = 8, quantizeDp = 9)
+    assert(lq2 === lq && vq2.toSeq === vq.toSeq)
+  }
+
   test("whitened projections are energy-normalized and decorrelated (emb_whiten semantics)") {
     // λ is the eigenvalue of the (uncentered) second-moment matrix, so
     // Σ_rows (x·v)² = vᵀXᵀXv = λ for a converged unit eigenvector —

@@ -132,6 +132,10 @@ class PlanBudgetSpec extends SparkSpec {
     // the gate REQUIREs equality against; a probe or second scan
     // sneaking back into the one-pass path fails here
     "emb_gram_onepass" -> Budget(2, 0, 8),
+    // the full quantized PCA off one-pass G: ONE corpus scan + a
+    // driver-side walk — compare emb_pca_quantized's 27 jobs for the
+    // same 8-iteration fixpoint through the 36-scan distributed walk
+    "emb_pca_gram_quantized" -> Budget(2, 0, 5),
     // bucket-grid exact concordance: two bounded in-bucket joins (pure
     // buckets skipped) + the B×B cell-grid windows; a regression to a
     // row-level pair join would blow the job ceiling
