@@ -752,6 +752,19 @@ object Similarity {
   def gramMatrixOnePass(
       corpus: DataFrame,
       vecCol: String = "embedding"): (Array[Array[Double]], Long) = {
+    val (n, _, g) = momentsOnePass(corpus, vecCol)
+    (g, n)
+  }
+
+  /** One-pass raw moments (n, Σx, XᵀX) — the shared single-scan core:
+    * the same partition accumulator also carries the per-dimension
+    * sums, which is all [[covarianceNumerators]] /
+    * [[correlationMatrixOnePass]] need beyond the Gram triangle
+    * (cov(j,k) ∝ n·G_jk − S_j·S_k). Still exactly one corpus scan.
+    */
+  def momentsOnePass(
+      corpus: DataFrame, vecCol: String = "embedding")
+      : (Long, Array[Double], Array[Array[Double]]) = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // null ELEMENTS → 0.0 up front: the typed deserializer below
@@ -761,11 +774,12 @@ object Similarity {
       .select(transform(col(vecCol).cast("array<double>"),
         x => coalesce(x, lit(0.0))).as("__v"))
       .filter(col("__v").isNotNull)
-    // one (rowCount, flattened lower triangle) summary per PARTITION —
-    // the established bounded-collect register; reduce() streams them
-    // pairwise so the driver holds at most two summaries at a time
+    // one (rowCount, per-dim sums, flattened lower triangle) summary per
+    // PARTITION — the established bounded-collect register; reduce()
+    // streams them pairwise so the driver holds at most two summaries
     val summaries = vecs.as[Seq[Double]].mapPartitions { rows =>
       var acc = new Array[Double](0)
+      var sums = new Array[Double](0)
       var dim = 0
       var count = 0L
       rows.foreach { x =>
@@ -775,16 +789,18 @@ object Similarity {
           // lower-triangle offsets don't depend on dim, so growth is a
           // plain copy — no repacking; rare (once per new max length)
           require(n <= 20000,
-            s"gramMatrixOnePass: vector length $n exceeds the d*d/2 " +
+            s"momentsOnePass: vector length $n exceeds the d*d/2 " +
               "task-memory envelope (~8k advised, 20k hard); use " +
               "topPrincipalComponents' multi-pass walk for wide vectors")
           dim = n
           acc = java.util.Arrays.copyOf(acc, dim * (dim + 1) / 2)
+          sums = java.util.Arrays.copyOf(sums, dim)
         }
         var j = 0
         while (j < n) {
           val xj = x(j)
           if (xj != 0.0) {
+            sums(j) += xj
             val base = j * (j + 1) / 2
             var k = 0
             while (k <= j) { acc(base + k) += xj * x(k); k += 1 }
@@ -792,18 +808,21 @@ object Similarity {
           j += 1
         }
       }
-      Iterator.single((count, acc))
+      Iterator.single((count, sums, acc))
     }
     // reduce throws on a ZERO-PARTITION dataset (every non-empty
     // partition emits exactly one summary, so only that edge reaches it)
-    val (rowCount, tri) =
+    val (rowCount, sums, tri) =
       try summaries.reduce { (a, b) =>
-        val (big, small) = if (a._2.length >= b._2.length) (a, b) else (b, a)
+        val (big, small) = if (a._3.length >= b._3.length) (a, b) else (b, a)
         var i = 0
+        while (i < small._3.length) { big._3(i) += small._3(i); i += 1 }
+        i = 0
         while (i < small._2.length) { big._2(i) += small._2(i); i += 1 }
-        (a._1 + b._1, big._2)
+        (a._1 + b._1, big._2, big._3)
       } catch {
-        case _: UnsupportedOperationException => (0L, new Array[Double](0))
+        case _: UnsupportedOperationException =>
+          (0L, new Array[Double](0), new Array[Double](0))
       }
     // dim back from the triangular length (exact by construction)
     val dim = ((math.sqrt(8.0 * tri.length + 1) - 1) / 2).round.toInt
@@ -811,7 +830,45 @@ object Similarity {
       val (lo, hi) = if (j <= k) (j, k) else (k, j)
       tri(hi * (hi + 1) / 2 + lo)
     }
-    (g, rowCount)
+    (rowCount, sums, g)
+  }
+
+  /** Scaled covariance numerators C_jk = n·G_jk − S_j·S_k (= n² times
+    * the population covariance) from ONE corpus scan. Returned unscaled
+    * on purpose: for integer-quantized inputs every entry is an EXACT
+    * integer (no division), which is what makes the correlation gate
+    * hash-replayable — and Pearson correlation needs no scaling at all
+    * since the n factors cancel.
+    */
+  def covarianceNumerators(
+      corpus: DataFrame,
+      vecCol: String = "embedding"): (Array[Array[Double]], Long) = {
+    val (n, s, g) = momentsOnePass(corpus, vecCol)
+    val dim = g.length
+    val c = Array.tabulate(dim, dim)((j, k) => n.toDouble * g(j)(k) - s(j) * s(k))
+    (c, n)
+  }
+
+  /** Pearson correlation matrix of the vector dimensions in ONE corpus
+    * scan: corr(j,k) = C_jk / (√C_jj·√C_kk) over the covariance
+    * numerators (the n factors cancel). A zero-variance dimension yields
+    * NULL-analog NaN-free 0-guarded entries: corr is Double.NaN exactly
+    * when either variance is zero (matching SQL NULLIF semantics where
+    * the gate emits NULL). Deterministic for integer-quantized inputs:
+    * C is exact-integer, IEEE sqrt/divide are correctly rounded, so both
+    * engines compute bit-identical doubles (`emb_corr_matrix`).
+    */
+  def correlationMatrixOnePass(
+      corpus: DataFrame,
+      vecCol: String = "embedding"): (Array[Array[Double]], Long) = {
+    val (c, n) = covarianceNumerators(corpus, vecCol)
+    val dim = c.length
+    val sd = Array.tabulate(dim)(j => math.sqrt(c(j)(j)))
+    val corr = Array.tabulate(dim, dim) { (j, k) =>
+      val den = sd(j) * sd(k)
+      if (den == 0.0) Double.NaN else c(j)(k) / den
+    }
+    (corr, n)
   }
 
   /** Top-r principal directions computed from the ONE-PASS Gram matrix:

@@ -162,5 +162,65 @@ object Round9Ops3 {
     }
   }
 
-  val all: Seq[OpQuery] = Seq(emb_gram_onepass, emb_pca_gram_quantized)
+  /** Pearson correlation matrix of all 64 embedding dimensions in ONE
+    * corpus scan — the feature-correlation analysis a training pipeline
+    * runs before whitening/pruning, off the same momentsOnePass core as
+    * the Gram gate. Hash-exact by integer arithmetic: covariance
+    * numerators n·G_jk − S_j·S_k are exact BIGINTs on both engines (no
+    * division until the very end), and IEEE sqrt/divide on identical
+    * exact inputs are correctly rounded, so even the 6dp-rounded
+    * correlations match bit-for-bit. Zero-variance dims emit NULL on
+    * both sides (NULLIF / NaN-to-null).
+    */
+  val emb_corr_matrix: OpQuery = OpQuery(
+    "emb_corr_matrix",
+    """WITH e AS MATERIALIZED (
+      |  SELECT vec_id,
+      |         list_transform(embedding::DOUBLE[],
+      |                        y -> CAST(ROUND(y * 10, 0) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |x AS MATERIALIZED (
+      |  SELECT vec_id, generate_subscripts(q, 1) AS j, unnest(q) AS xj
+      |  FROM e),
+      |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM e),
+      |s AS MATERIALIZED (SELECT j, SUM(xj) AS sx FROM x GROUP BY j),
+      |gm AS MATERIALIZED (
+      |  SELECT a.j AS j, b.j AS k, SUM(a.xj * b.xj) AS g
+      |  FROM x a JOIN x b USING (vec_id)
+      |  WHERE a.j <= b.j
+      |  GROUP BY 1, 2),
+      |c AS MATERIALIZED (
+      |  SELECT gm.j, gm.k,
+      |         CAST((SELECT n FROM nn) * gm.g - sj.sx * sk.sx AS DOUBLE) AS cn
+      |  FROM gm
+      |  JOIN s sj ON sj.j = gm.j
+      |  JOIN s sk ON sk.j = gm.k),
+      |d AS MATERIALIZED (SELECT j, sqrt(cn) AS sd FROM c WHERE j = k)
+      |SELECT CAST(c.j - 1 AS INT) AS j, CAST(c.k - 1 AS INT) AS k,
+      |       CAST(ROUND(c.cn / NULLIF(dj.sd * dk.sd, 0), 6) AS DOUBLE) AS corr
+      |FROM c
+      |JOIN d dj ON dj.j = c.j
+      |JOIN d dk ON dk.j = c.k
+      |WHERE c.j < c.k
+      |ORDER BY j, k""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val quantized = Tables.load(spark, dir, "embeddings")
+      .select(transform(col("embedding").cast("array<double>"),
+        y => round(y * 10, 0)).as("qv"))
+    val (corr, nRows) = Similarity.correlationMatrixOnePass(quantized, "qv")
+    require(nRows > 0, "embeddings table is empty")
+    val dim = corr.length
+    // upper triangle (diagonal is identically 1); NaN (zero-variance
+    // dim) → NULL, mirroring the oracle's NULLIF. d² bounded rows.
+    val rows = for (j <- 0 until dim; k <- (j + 1) until dim)
+      yield (j, k,
+        if (corr(j)(k).isNaN) None else Some(corr(j)(k)))
+    rows.toDF("j", "k", "corr_raw")
+      .select(col("j").cast("int"), col("k").cast("int"),
+        round(col("corr_raw"), 6).as("corr"))
+      .orderBy("j", "k")
+  }
+
+  val all: Seq[OpQuery] =
+    Seq(emb_gram_onepass, emb_pca_gram_quantized, emb_corr_matrix)
 }

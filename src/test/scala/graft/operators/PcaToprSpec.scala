@@ -206,6 +206,35 @@ class PcaToprSpec extends SparkSpec {
     assert(lq2 === lq && vq2.toSeq === vq.toSeq)
   }
 
+  test("one-pass correlation matrix equals the naive formula; constant dim is NaN") {
+    // dim 3 is CONSTANT (zero variance) — corr must be NaN against it
+    val data = Seq(
+      Seq(1.0, 2.0, -1.0, 5.0),
+      Seq(2.0, 1.0, 0.0, 5.0),
+      Seq(3.0, 5.0, 2.0, 5.0),
+      Seq(4.0, 3.0, 1.0, 5.0))
+    val (corr, n) = Similarity.correlationMatrixOnePass(
+      data.toDF("embedding"), "embedding")
+    assert(n === 4 && corr.length === 4)
+    val dim = 4
+    def naive(j: Int, k: Int): Double = {
+      val (xs, ys) = (data.map(_(j)), data.map(_(k)))
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val cov = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val (vx, vy) = (xs.map(a => (a - mx) * (a - mx)).sum,
+        ys.map(b => (b - my) * (b - my)).sum)
+      cov / math.sqrt(vx * vy)
+    }
+    for (j <- 0 until dim; k <- 0 until dim) {
+      assert(corr(j)(k) === corr(k)(j) ||
+        (corr(j)(k).isNaN && corr(k)(j).isNaN), s"asymmetric at ($j,$k)")
+      if (j == 3 || k == 3) assert(corr(j)(k).isNaN, s"($j,$k) not NaN")
+      else if (j == k) assert(math.abs(corr(j)(k) - 1.0) < 1e-12)
+      else assert(math.abs(corr(j)(k) - naive(j, k)) < 1e-9,
+        s"corr($j,$k)=${corr(j)(k)} vs ${naive(j, k)}")
+    }
+  }
+
   test("whitened projections are energy-normalized and decorrelated (emb_whiten semantics)") {
     // λ is the eigenvalue of the (uncentered) second-moment matrix, so
     // Σ_rows (x·v)² = vᵀXᵀXv = λ for a converged unit eigenvector —

@@ -136,6 +136,8 @@ class PlanBudgetSpec extends SparkSpec {
     // driver-side walk — compare emb_pca_quantized's 27 jobs for the
     // same 8-iteration fixpoint through the 36-scan distributed walk
     "emb_pca_gram_quantized" -> Budget(2, 0, 5),
+    // all-dims Pearson correlation from the same one-scan moments core
+    "emb_corr_matrix" -> Budget(2, 0, 5),
     // bucket-grid exact concordance: two bounded in-bucket joins (pure
     // buckets skipped) + the B×B cell-grid windows; a regression to a
     // row-level pair join would blow the job ceiling
