@@ -863,7 +863,14 @@ object Similarity {
       vecCol: String = "embedding"): (Array[Array[Double]], Long) = {
     val (c, n) = covarianceNumerators(corpus, vecCol)
     val dim = c.length
-    val sd = Array.tabulate(dim)(j => math.sqrt(c(j)(j)))
+    // clamp: for FLOAT inputs with mean² ≫ variance, n·G_jj − S_j² can
+    // cancel to a slightly negative double; such a dimension's variance
+    // is numerically indistinguishable from zero (and its off-diagonal
+    // numerators are equally cancelled garbage), so it takes the
+    // zero-variance NaN/NULL path rather than poisoning sqrt — center
+    // the data first if those dims matter. Integer-quantized inputs
+    // (the gate regime) are exact and never hit this.
+    val sd = Array.tabulate(dim)(j => math.sqrt(math.max(c(j)(j), 0.0)))
     val corr = Array.tabulate(dim, dim) { (j, k) =>
       val den = sd(j) * sd(k)
       if (den == 0.0) Double.NaN else c(j)(k) / den

@@ -88,10 +88,18 @@ object Round9Ops3 {
     * iterate, so DuckDB replays the entire 8-iteration fixpoint from
     * its own pair-joined G. The companions: `emb_gram_onepass` pins the
     * G accumulation itself; `emb_pca_quantized` pins the same recipe on
-    * the 36-scan distributed walk. Magnitude note: contributions stay
-    * ≤ ~1e7, so ROUND(x, 9)'s scaled value stays inside the 2⁵³
-    * exact-integer range where double rounding is unambiguous — the
-    * 1dp input quantization (not 2dp) exists precisely for this.
+    * the 36-scan distributed walk. Magnitude note: |q| ≤ ~40 and
+    * ‖v‖ = 1 bound each contribution g·v_k by n·40² (8e5 at the
+    * oracle's sf0.01, 8e6 at sf0.1), so ROUND(x, 9)'s ×1e9 scaling
+    * stays below 2⁵³ (8e14 / 8e15 < 9.007e15) — the 1dp input
+    * quantization (not 2dp) exists precisely for this headroom. Two
+    * residual parity caveats shared by every ROUND-based oracle in this
+    * suite, pinned empirically by the hash gate rather than provable:
+    * a contribution landing tie-adjacent at the 9th decimal may round
+    * differently (shortest-repr decimal vs binary scaling), and the
+    * e1-start SQL walk has no probe-advance — data whose dimension 0 is
+    * identically zero is outside the gate regime (the OPERATOR handles
+    * it by advancing the start basis; the replay would NULL out).
     */
   val emb_pca_gram_quantized: OpQuery = {
     val iters = 8
@@ -167,10 +175,12 @@ object Round9Ops3 {
     * runs before whitening/pruning, off the same momentsOnePass core as
     * the Gram gate. Hash-exact by integer arithmetic: covariance
     * numerators n·G_jk − S_j·S_k are exact BIGINTs on both engines (no
-    * division until the very end), and IEEE sqrt/divide on identical
-    * exact inputs are correctly rounded, so even the 6dp-rounded
-    * correlations match bit-for-bit. Zero-variance dims emit NULL on
-    * both sides (NULLIF / NaN-to-null).
+    * division until the very end; n counts NON-NULL vectors on both
+    * sides), and IEEE sqrt/divide on identical exact inputs are
+    * correctly rounded, so the pre-round correlations are bit-identical
+    * doubles — the final ROUND(·, 6) carries the suite's standard
+    * tie-adjacent residual risk, pinned by the hash gate on this data.
+    * Zero-variance dims emit NULL on both sides (NULLIF / NaN-to-null).
     */
   val emb_corr_matrix: OpQuery = OpQuery(
     "emb_corr_matrix",
@@ -182,7 +192,7 @@ object Round9Ops3 {
       |x AS MATERIALIZED (
       |  SELECT vec_id, generate_subscripts(q, 1) AS j, unnest(q) AS xj
       |  FROM e),
-      |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM e),
+      |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM e WHERE q IS NOT NULL),
       |s AS MATERIALIZED (SELECT j, SUM(xj) AS sx FROM x GROUP BY j),
       |gm AS MATERIALIZED (
       |  SELECT a.j AS j, b.j AS k, SUM(a.xj * b.xj) AS g
