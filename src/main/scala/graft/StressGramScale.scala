@@ -55,7 +55,7 @@ object StressGramScale {
     val iters = 12
     val (walk, tWalk) = timed(s"multi-pass walk (r=$r, $iters iters, " +
       s"${r * iters} corpus scans)") {
-      Similarity.topPrincipalComponents(corpus, "embedding", r, iters)
+      Similarity.topPrincipalComponentsMultiPass(corpus, "embedding", r, iters)
     }
     val (gram, tGram) = timed("one-pass Gram + driver walk (1 corpus scan)") {
       Similarity.topPrincipalComponentsGram(corpus, "embedding", r, iters)

@@ -55,14 +55,24 @@ private[queries] object PcaWalkSql {
     """WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
       |d AS MATERIALIZED (SELECT MAX(len(x)) AS n FROM e)""".stripMargin
 
-  def perComp(r: Int, iters: Int): Seq[String] = (0 until r).flatMap { c =>
+  def perComp(r: Int, iters: Int): Seq[String] =
+    perCompWith(r, iters, gram)
+
+  /** The per-component CTE chain abstracted over the Gram-product CTE
+    * builder — [[GramWalkSql]] reuses the identical probe/deflation/
+    * normalization/residual structure with its G-matrix product in
+    * place of the per-row corpus pass (the SQL mirror of how
+    * `Similarity.deflatedPowerWalk` abstracts over `gramTimes`).
+    */
+  def perCompWith(r: Int, iters: Int,
+      gramFn: (String, String) => String): Seq[String] = (0 until r).flatMap { c =>
     val start =
       s"""v${c}_0 AS MATERIALIZED (
          |  SELECT list_transform(range(1, (SELECT n FROM d) + 1),
          |           i -> CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE)
          |                ELSE CAST(0.0 AS DOUBLE) END) AS v)""".stripMargin
     val steps = (1 to iters).flatMap { i =>
-      val g = gram(s"w${c}_$i", s"v${c}_${i - 1}")
+      val g = gramFn(s"w${c}_$i", s"v${c}_${i - 1}")
       if (c == 0) Seq(g, normCte(s"v${c}_$i", s"w${c}_$i"))
       else Seq(g,
         coefCte(s"f${c}_$i", c, s"w${c}_$i"),
@@ -73,8 +83,8 @@ private[queries] object PcaWalkSql {
       s"comp$c AS MATERIALIZED (SELECT v, lambda FROM v${c}_$iters)"
     val residSrc = if (c == 0) s"wr$c" else s"wrd$c"
     val residCtes =
-      if (c == 0) Seq(gram(s"wr$c", s"v${c}_$iters"))
-      else Seq(gram(s"wr$c", s"v${c}_$iters"),
+      if (c == 0) Seq(gramFn(s"wr$c", s"v${c}_$iters"))
+      else Seq(gramFn(s"wr$c", s"v${c}_$iters"),
         coefCte(s"fr$c", c, s"wr$c"),
         deflCte(s"wrd$c", c, s"wr$c", s"fr$c"))
     val res =

@@ -193,7 +193,8 @@ object Round4Ops22 {
     */
   val emb_pca_power = OpQuery.noOracle("emb_pca_power") { (spark, dir) =>
     val emb = Tables.load(spark, dir, "embeddings")
-    val (lambda, v, resid) = Similarity.topPrincipalComponent(emb, "embedding", 25)
+    val Seq((lambda, v, resid)) = Similarity.topPrincipalComponentsMultiPass(
+      emb, "embedding", r = 1, iterations = 25)
     import spark.implicits._
     v.zipWithIndex.toSeq.toDF("component", "dim")
       .select(

@@ -252,26 +252,32 @@ object Round9Ops1 {
       .select(col("a.media_id").as("id1"), col("b.media_id").as("id2"))
   }
 
-  /** Top-3 principal components by deflated power iteration
-    * ([[graft.operators.Similarity.topPrincipalComponents]]), quantized
-    * for engine reproducibility — the multi-component extension of the
-    * `emb_pca_quantized` twin (VERDICT r8 item 4). The oracle replays
-    * the ENTIRE walk in DuckDB: every Gram pass sums per-dimension
-    * contributions rounded to 9 dp in DECIMAL (order-independent), and
-    * the projection deflation w ← w − Σ (v_k·w) v_k is generated as
-    * explicit left-to-right terms (`k0·v0[j] + k1·v1[j]`) matching the
-    * driver's accumulation order exactly — so eigenvalues AND all 3
-    * component vectors hash-match at 6 dp, and orthogonality is checked
-    * by the oracle arithmetic itself (a drifted v₂ changes every later
-    * coefficient). r = 3 keeps every per-dimension projection sum at
-    * ≤ 2 IEEE-754 addends (bit-commutative); larger r is PcaToprSpec
-    * territory.
+  /** Top-3 principal components through the DEFAULT entry point —
+    * which, at d = 64, width-dispatches to the ONE-SCAN Gram path
+    * ([[graft.operators.Similarity.topPrincipalComponentsGram]];
+    * VERDICT r9 item 1: this gate previously pinned the 36-scan
+    * multi-pass walk as the production recipe while the repo's own
+    * StressGramScale measured the one-scan path 17× faster — the gate
+    * now pins what a 100 TB pipeline should actually run; the
+    * multi-pass arithmetic stays pinned by `emb_pca_quantized`). The
+    * oracle replays the ENTIRE walk in DuckDB off its own pair-joined
+    * Gram matrix ([[GramWalkSql]]): 1dp input quantization makes G
+    * exact-integer on both engines, every walk step's G_jk·v_k
+    * contribution rounds to 9dp and sums in DECIMAL
+    * (order-independent), and the projection deflation
+    * w ← w − Σ (v_k·w) v_k is generated as explicit left-to-right
+    * terms matching the driver's accumulation order — so eigenvalues
+    * AND all 3 component vectors hash-match at 6 dp, and orthogonality
+    * is checked by the oracle arithmetic itself (a drifted v₂ changes
+    * every later coefficient). r = 3 keeps every per-dimension
+    * projection sum at ≤ 2 IEEE-754 addends (bit-commutative); larger
+    * r and gram≡multi-pass dispatch equality are PcaToprSpec territory.
     */
   val emb_pca_topr: OpQuery = {
     val iters = 12
     val r = 3
     // the walk CTEs (Gram / deflation / normalization / residual) live
-    // in [[PcaWalkSql]], shared with emb_whiten
+    // in [[GramWalkSql]], shared with emb_whiten
     val finals = (0 until r).map { c =>
       s"""SELECT CAST($c AS INT) AS comp_idx, CAST(g.i - 1 AS INT) AS dim,
          |       CAST(ROUND(vv.v[CAST(g.i AS INT)], 6) AS DOUBLE) AS component,
@@ -280,12 +286,16 @@ object Round9Ops1 {
          |FROM v${c}_$iters vv,
          |     (SELECT unnest(range(1, (SELECT n FROM d) + 1)) AS i) g""".stripMargin
     }.mkString("\nUNION ALL\n")
-    val sql = PcaWalkSql.walk(r, iters) +
+    val sql = GramWalkSql.walk(r, iters) +
       "\n" + finals + "\nORDER BY comp_idx, dim"
     OpQuery("emb_pca_topr", sql) { (spark, dir) =>
       val emb = Tables.load(spark, dir, "embeddings")
+        .select(transform(col("embedding").cast("array<double>"),
+          y => round(y * 10, 0)).as("qv"))
+      // the DEFAULT dispatcher — d = 64 ≤ GramEnvelopeDim routes to the
+      // one-scan Gram path, which is exactly what the oracle replays
       val comps = graft.operators.Similarity.topPrincipalComponents(
-        emb, "embedding", r = r, iterations = iters, quantizeDp = 9)
+        emb, "qv", r = r, iterations = iters, quantizeDp = 9)
       import spark.implicits._
       comps.zipWithIndex.flatMap { case ((lambda, v, resid), c) =>
         v.zipWithIndex.map { case (x, dimIdx) =>

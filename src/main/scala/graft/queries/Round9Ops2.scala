@@ -68,45 +68,52 @@ object Round9Ops2 {
 
   /** PCA whitening of the embedding corpus — the actual downstream USE
     * of the top-r components (`emb_pca_topr` pins the vectors; this
-    * pins what a pipeline does with them): every embedding projected
-    * onto the 3 quantized components and scaled by 1/√λ, giving
-    * energy-normalized coordinates (Σ_rows z_c² = 1 per component,
-    * since λ is the second-moment eigenvalue — asserted in
-    * PcaToprSpec). The oracle replays the identical arithmetic: the
-    * shared [[PcaWalkSql]] walk produces comp0..comp2, both engines
-    * round components to 6 dp and λ to 3 dp BEFORE projecting (so the
+    * pins what a pipeline does with them): every (1dp-quantized)
+    * embedding projected onto the 3 components and scaled by 1/√λ,
+    * giving energy-normalized coordinates (Σ_rows z_c² = 1 per
+    * component, since λ is the second-moment eigenvalue — asserted in
+    * PcaToprSpec). Components come from the DEFAULT width-dispatched
+    * entry point, i.e. the ONE-SCAN Gram path at d = 64 (VERDICT r9
+    * item 1 — this gate was one of the two suite maxima while it ran
+    * the 36-scan walk; the whole extraction is now a single corpus
+    * read). The oracle replays the identical arithmetic: the shared
+    * [[GramWalkSql]] walk produces comp0..comp2, both engines round
+    * components to 6 dp and λ to 3 dp BEFORE projecting (so the
     * projection inputs are decimal-exact across engines), and the
-    * per-row dot product is 64 double multiply-adds in index order.
-    * At 100 TB this plan is one broadcast of an r×dim matrix and a
-    * map-side zip_with per row — no shuffle at all after the
-    * (one-off, driver-bounded) component extraction.
+    * per-row dot product is 64 double multiply-adds in index order
+    * over EXACT-integer quantized coordinates. At 100 TB this plan is
+    * one corpus scan for G, then one broadcast of an r×dim matrix and
+    * a map-side zip_with per row — no shuffle at all.
     */
   val emb_whiten: OpQuery = {
     val iters = 12
     val r = 3
     val projections = (0 until r).map { c =>
       s"""SELECT vec_id, CAST($c AS INT) AS comp_idx,
-         |       CAST(ROUND(list_dot_product(x,
+         |       CAST(ROUND(list_dot_product(
+         |              list_transform(q, y -> CAST(y AS DOUBLE)),
          |              (SELECT list_transform(v, y -> ROUND(y, 6)) FROM comp$c)) /
          |            sqrt((SELECT CAST(ROUND(lambda, 3) AS DOUBLE) FROM comp$c)),
          |            6) AS DOUBLE) AS z
          |FROM e""".stripMargin
     }.mkString("\nUNION ALL\n")
-    val sql = PcaWalkSql.walk(r, iters) +
+    val sql = GramWalkSql.walk(r, iters) +
       "\n" + projections + "\nORDER BY vec_id, comp_idx"
     OpQuery("emb_whiten", sql) { (spark, dir) =>
       val emb = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            y => round(y * 10, 0)).as("qv"))
       val comps = graft.operators.Similarity.topPrincipalComponents(
-        emb, "embedding", r = r, iterations = iters, quantizeDp = 9)
+        emb, "qv", r = r, iterations = iters, quantizeDp = 9)
       // quantize EXACTLY as the oracle does (Spark round() and DuckDB
       // ROUND both round half away from zero), so the projection inputs
       // are identical decimals on both engines
       def q(x: Double, dp: Int): Double =
         BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
-      val xd = transform(col("embedding"), e => e.cast("double"))
       comps.zipWithIndex.map { case ((lambda, v, _), c) =>
         val vLit = typedLit(v.map(q(_, 6)).toSeq)
-        val dot = aggregate(zip_with(xd, vLit, (a, b) => a * b),
+        val dot = aggregate(zip_with(col("qv"), vLit, (a, b) => a * b),
           lit(0.0), (acc, y) => acc + y)
         emb.select(
           col("vec_id"),

@@ -173,7 +173,7 @@ class PcaToprSpec extends SparkSpec {
     // the same deflated walk driven by the in-memory G must agree with
     // the per-iteration distributed Gram product to machine precision —
     // they differ only in float summation ORDER
-    val multi = Similarity.topPrincipalComponents(
+    val multi = Similarity.topPrincipalComponentsMultiPass(
       planted, "embedding", r = 3, iterations = 20)
     val viaGram = Similarity.topPrincipalComponentsGram(
       planted, "embedding", r = 3, iterations = 20)
@@ -184,6 +184,51 @@ class PcaToprSpec extends SparkSpec {
         s"directions disagree: |cos| = ${math.abs(dot(v1, v2))}")
       assert(r2 < 1e-9, s"gram-walk residual $r2")
     }
+  }
+
+  test("width dispatch: below the envelope the default entry IS the one-scan Gram path") {
+    // VERDICT r9 item 1 — dim 8 ≤ GramEnvelopeDim, so the dispatcher
+    // must return BIT-IDENTICAL results to calling the Gram path
+    // directly (same code, not merely close)
+    val viaDefault = Similarity.topPrincipalComponents(
+      planted, "embedding", r = 3, iterations = 12)
+    val viaGram = Similarity.topPrincipalComponentsGram(
+      planted, "embedding", r = 3, iterations = 12)
+    viaDefault.zip(viaGram).foreach { case ((l1, v1, r1), (l2, v2, r2)) =>
+      assert(l1 === l2 && r1 === r2)
+      assert(v1.toSeq === v2.toSeq)
+    }
+  }
+
+  test("width dispatch: past the envelope the default entry takes the multi-pass walk") {
+    // dim = GramEnvelopeDim + 1 would put ~268 MB of d²/2 accumulator in
+    // EVERY task on the Gram path — the dispatcher must route wide
+    // vectors to the O(d)-per-task distributed walk instead. Sparse
+    // rank-1 fixture keeps the test cheap: only two live dimensions.
+    val wide = Similarity.GramEnvelopeDim + 1
+    val rows = Seq(3.0, 4.0, 5.0).map { a =>
+      Seq.tabulate(wide)(j =>
+        if (j == 0) 0.6 * a else if (j == wide - 1) 0.8 * a else 0.0)
+    }
+    val df = rows.toDF("embedding")
+    val viaDefault = Similarity.topPrincipalComponents(
+      df, "embedding", r = 1, iterations = 4)
+    val viaWalk = Similarity.topPrincipalComponentsMultiPass(
+      df, "embedding", r = 1, iterations = 4)
+    val (ld, vd, rd) = viaDefault.head
+    val (lw, vw, _) = viaWalk.head
+    assert(ld === lw && vd.toSeq === vw.toSeq) // same path, bit-identical
+    assert(math.abs(ld - 50.0) < 1e-9) // Σ‖x‖² = 9+16+25
+    assert(rd < 1e-12)
+    // and the Gram path itself REFUSES this width rather than OOMing
+    // (the require fires inside a task, so unwrap the cause chain)
+    val ex = intercept[Exception] {
+      Similarity.topPrincipalComponentsGram(df, "embedding", r = 1,
+        iterations = 2)
+    }
+    val msgs = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString("|")
+    assert(msgs.contains("envelope"), msgs.take(300))
   }
 
   test("quantized G-walk converges and matches the float G-walk direction (gate regime)") {
