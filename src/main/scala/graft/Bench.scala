@@ -20,9 +20,60 @@ import org.apache.spark.sql.SparkSession
   *       at the end of the suite — after a GC + cache clear, with nothing
   *       running before it — and BOTH numbers are recorded, so a reader
   *       can tell "reproduces in isolation" (real) from "suite weather"
-  *       (phantom) without a next-round bisect.
+  *       (phantom) without a next-round bisect;
+  *   (d) flags whose BASELINE is < 1 s get a further COLD-TO-COLD
+  *       adjudication (VERDICT r9 item 4 — the in-session isolated rerun
+  *       carries warm-JIT bias at that scale): one fresh child JVM runs
+  *       the flagged gates plus a fixed calibration set of untouched
+  *       cheap gates; the calibration gates' cold/baseline ratio measures
+  *       the fresh-JVM bias, and a flag "reproduces cold" only if its own
+  *       ratio exceeds 1.5x the calibration median. The verdict lands in
+  *       bench_detail.json's `coldtocold` section — no manual bisect.
   */
 object Bench {
+
+  /** Per-gate timings from a bench JSON artifact, read ONLY from inside
+    * its `"queries":{...}` object (ADVICE r9: the old whole-file
+    * key:number scan bound each gate to its LAST match, so committing a
+    * richer detail shape — `runs`/`flagged`/`phases` repeat gate names
+    * with different numbers — would silently corrupt the >1.5x
+    * flagging). Returns empty when the artifact's sf doesn't match or
+    * the queries object can't be isolated.
+    */
+  private[graft] def loadBaselineQueries(
+      path: String, sfDir: String): Map[String, Double] = try {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    val sfOk = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(txt)
+      .exists(m => m.group(1).split('/').last == sfDir.split('/').last)
+    if (!sfOk) Map.empty
+    else {
+      // isolate the queries object by brace matching (its values are
+      // flat name:number pairs, so the first '}' closes it — but walk
+      // defensively in case a future shape nests)
+      val start = txt.indexOf("\"queries\"")
+      if (start < 0) Map.empty
+      else {
+        val open = txt.indexOf('{', start)
+        var depth = 0
+        var i = open
+        var end = -1
+        while (i < txt.length && end < 0) {
+          txt.charAt(i) match {
+            case '{' => depth += 1
+            case '}' => depth -= 1; if (depth == 0) end = i
+            case _ =>
+          }
+          i += 1
+        }
+        if (open < 0 || end < 0) Map.empty
+        else "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9.]+)".r
+          .findAllMatchIn(txt.substring(open, end + 1))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+  } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -99,17 +150,12 @@ object Bench {
     // matches; a gate is flagged when its median is BOTH >1.5x the
     // baseline and >=0.3 s (below that the delta is under the noise
     // floor of a local[32] JVM and no bisect would act on it).
-    val baseline: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("bench_baseline.json")), "UTF-8")
-      val sfOk = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(txt)
-        .exists(m => m.group(1).split('/').last == sfDir.split('/').last)
-      if (!sfOk) Map.empty
-      else "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9.]+)".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble)
-        .filter { case (k, _) => !Set("total", "round", "reps")(k) }.toMap
-    } catch { case _: Throwable => Map.empty }
-    val flaggedNames = timed.collect {
+    val baseline: Map[String, Double] = loadBaselineQueries(
+      "bench_baseline.json", sfDir)
+    // a cold-to-cold CHILD process times its subset and exits: no
+    // flagging, no isolated re-runs, no recursive children
+    val isChildRun = sys.env.contains("SPARK_GRAFT_COLD")
+    val flaggedNames = if (isChildRun) Seq.empty[String] else timed.collect {
       case (name, (med, _, _))
           if med >= 0.3 && baseline.get(name).exists(b => b > 0 && med > 1.5 * b) =>
         name
@@ -129,6 +175,60 @@ object Bench {
     val reproduced = isolated.count { case (name, iso) =>
       baseline.get(name).exists(b => iso > 1.5 * b)
     }
+    // Sub-second flag adjudication, AUTOMATED (VERDICT r9 item 4): the
+    // in-session isolated re-run inherits warm JIT, so for gates whose
+    // baseline is < 1 s it systematically over-reads — round 9 needed a
+    // hand-run cold-to-cold bisect to dismiss two such flags. Codified:
+    // spawn ONE fresh JVM running the sub-second flagged gates PLUS a
+    // fixed calibration set of code-untouched cheap gates; the calib
+    // gates' cold/baseline ratio measures the fresh-JVM bias directly,
+    // and a flag only "reproduces cold" if its own ratio exceeds 1.5x
+    // the calibration median. Child runs under SPARK_GRAFT_COLD=1 (no
+    // recursion, detail to a temp path) and is hard-capped at 10 min.
+    val calibGates = Seq("a3_distinct", "f_math", "a8_percentile")
+      .filter(fnByName.contains).filterNot(flaggedNames.contains)
+    val subSecFlags = flaggedNames
+      .filter(n => baseline.get(n).exists(b => b > 0 && b < 1.0)).take(5)
+    val coldQueries: Map[String, Double] =
+      if (isChildRun || subSecFlags.isEmpty || calibGates.isEmpty) Map.empty
+      else try {
+        val detailPath = java.nio.file.Files.createTempFile("bench_cold", ".json")
+        val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+          .getInputArguments.toArray.map(_.toString)
+          .filter(a => a.startsWith("--add-opens") ||
+            a.startsWith("--add-exports") || a.startsWith("-Xmx"))
+        val cmd = Seq(
+          System.getProperty("java.home") + "/bin/java") ++ jvmArgs ++ Seq(
+          "-cp", System.getProperty("java.class.path"), "graft.Bench")
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.environment().put("SPARK_GRAFT_COLD", "1")
+        pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+        pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+        pb.environment().put("SPARK_GRAFT_ONLY",
+          (subSecFlags ++ calibGates).distinct.mkString(","))
+        pb.environment().put("SPARK_GRAFT_DETAIL_PATH", detailPath.toString)
+        pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+        val proc = pb.start()
+        val done = proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
+        if (!done) { proc.destroyForcibly(); Map.empty }
+        else loadBaselineQueries(detailPath.toString, sfDir)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] cold-to-cold child failed: ${e.getMessage}")
+        Map.empty
+      }
+    val calibRatios = calibGates.flatMap(g =>
+      for (c <- coldQueries.get(g); b <- baseline.get(g) if b > 0 && c > 0)
+        yield c / b).sorted
+    val calibMedian =
+      if (calibRatios.isEmpty) -1.0 else calibRatios(calibRatios.size / 2)
+    val coldVerdicts: Seq[(String, Double, Double, Boolean)] =
+      if (calibMedian <= 0) Nil
+      else subSecFlags.flatMap { g =>
+        for (c <- coldQueries.get(g); b <- baseline.get(g) if b > 0 && c > 0)
+          yield (g, c, c / b, c / b > 1.5 * calibMedian)
+      }
+    val coldReproduced = coldVerdicts.count(_._4)
     // The driver captures a fixed-size tail (~2000 chars) of the run
     // output; with 85+ registered queries a full per-query dump pushes
     // the start of the JSON line out of the window and the driver
@@ -195,19 +295,28 @@ object Bench {
         ",\"baseline\":" + fmt(baseline.getOrElse(name, -1.0)) +
         ",\"isolated\":" + fmt(isolated.getOrElse(name, -1.0)) + "}"
     }.mkString("{", ",", "}")
+    val coldJson = coldVerdicts.sortBy(_._1).map { case (g, c, ratio, rep) =>
+      s"\"" + g + "\":{\"cold\":" + fmt(c) +
+        ",\"baseline\":" + fmt(baseline.getOrElse(g, -1.0)) +
+        ",\"ratio\":" + fmt(ratio) +
+        ",\"calib_median_ratio\":" + fmt(calibMedian) +
+        ",\"reproduced_cold\":" + rep + "}"
+    }.mkString("{", ",", "}")
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_detail.json"),
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_DETAIL_PATH", "bench_detail.json")),
         (s"""{"total":${fmt(total)},"sf":"$sfDir","reps":$reps,""" +
           s""""queries":$fullJson,"phases":$phasesJson,""" +
-          s""""runs":$runsJson,"flagged":$flaggedJson}""").getBytes("UTF-8"))
+          s""""runs":$runsJson,"flagged":$flaggedJson,""" +
+          s""""coldtocold":$coldJson}""").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     // queries_timed lets a round-over-round reader normalize the total:
     // the registry grows every round, so total alone is not comparable.
     // flagged/reproduced: gates >1.5x last round's number, and how many
     // of those survived an isolated re-run — the drift-vs-real verdict,
     // in the artifact itself (full numbers in bench_detail.json).
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries_timed":${results.size},"reps":$reps,"flagged":${flaggedNames.size},"reproduced":$reproduced,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries_timed":${results.size},"reps":$reps,"flagged":${flaggedNames.size},"reproduced":$reproduced,"cold_adjudicated":${coldVerdicts.size},"cold_reproduced":$coldReproduced,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

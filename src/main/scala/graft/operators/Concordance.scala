@@ -14,9 +14,8 @@ import org.apache.spark.sql.functions._
   *
   * Decomposition: bucket x and y into `buckets` VALUE-RANGE buckets
   * (equal values always share a bucket, bucket order implies value
-  * order — width_bucket over the value range, so no ntile-style split
-  * of a tied run). Every ordered pair (a, b) with x_a < x_b then falls
-  * in exactly one class:
+  * order). Every ordered pair (a, b) with x_a < x_b then falls in
+  * exactly one class:
   *
   *   1. same x-bucket   → exact bucket-local join (pairs ≤ n·bucketSize)
   *   2. different x-bucket, same y-bucket → exact bucket-local join
@@ -26,13 +25,27 @@ import org.apache.spark.sql.functions._
   *      cell-count matrices via 2D prefix sums — no row-level pairs at
   *      all.
   *
-  * Cost at scale: two denseIndex rank passes, two bucket-keyed joins
-  * whose fan-out is bounded by the bucket size (n/B per side), and
-  * window passes over a dense B×B grid (a million rows at B = 1024 —
-  * constant, broadcast-scale). With B = √n the total is O(n^1.5)
-  * worst-case; with B chosen so n/B is a constant batch (the 100 TB
-  * setting) it is O(n·batch). The result is EXACT — pinned against the
-  * quadratic definition in ConcordanceSpec.
+  * Bucket map (ADVICE r9): EQUI-DEPTH over DISTINCT values — one count
+  * per distinct value, a distributed prefix sum in value order
+  * ([[TotalOrder.prefixSum]] — never a single-reducer window), then
+  * bucket = ⌊cumBefore·B/n⌋. The decomposition is exact for ANY
+  * monotone tie-preserving map, and this one adds the skew guarantee
+  * equal-width width_bucket could not give: a heavy value with count
+  * ≥ n/B advances the prefix past a whole bucket width, so it sits
+  * ALONE in its bucket (value-pure → counted in closed form, no row
+  * join at all), and every impure bucket's population is < 2n/B by
+  * construction. One extreme outlier or heavy-hitter therefore costs
+  * nothing — under equal-width it collapsed most rows into a single
+  * impure bucket and made the "bucket-local" joins data-sized.
+  *
+  * Cost at scale: two distinct-count + prefix-sum + join-back passes
+  * (the bucket maps), two bucket-keyed joins whose fan-out is bounded
+  * by 2n/B per side under ARBITRARY distributions, and window passes
+  * over a dense B×B grid (a million rows at B = 1024 — constant,
+  * broadcast-scale). With B = √n the total is O(n^1.5) worst-case;
+  * with B chosen so n/B is a constant batch (the 100 TB setting) it is
+  * O(n·batch). The result is EXACT — pinned against the quadratic
+  * definition in ConcordanceSpec, skew included.
   */
 object Concordance {
 
@@ -48,47 +61,68 @@ object Concordance {
     * true in the quadratic form; dropping them keeps `comparable`
     * consistent between engines).
     *
-    * Input contract: FINITE values (same stance as
-    * [[Similarity.signBitSignature]]). A NaN x or y silently drops its
-    * row here (width_bucket maps NaN to a NULL bucket) while the
-    * quadratic Spark form would rank NaN above every double — so
-    * NaN-bearing doubles are outside the exactness claim; filter or
-    * fail them upstream.
+    * NaN contract (ENFORCED, VERDICT r9 item 5): by default a NaN x or
+    * y RAISES — historically the width_bucket map silently dropped NaN
+    * rows while the quadratic form ranks NaN above every double, a
+    * divergence a caller who missed the scaladoc never saw. Pass
+    * `allowNaN = true` to admit NaN, which under the equi-depth map
+    * follows Spark/DuckDB ORDERING semantics (NaN groups with NaN and
+    * sorts above every value: NaN-x rows are comparable-above all
+    * finite x, NaN-y pairs count as ties) — consistent with the
+    * quadratic form on both engines, but kept opt-in because
+    * NaN-as-data is almost always an upstream bug.
     */
   def counts(
       df: DataFrame,
       xCol: String,
       yCol: String,
       aFilter: Column = lit(true),
-      buckets: Int = 256): DataFrame = {
+      buckets: Int = 256,
+      allowNaN: Boolean = false): DataFrame = {
     require(buckets >= 1, s"need >= 1 bucket, got $buckets")
     val spark = df.sparkSession
     import spark.implicits._
 
-    val base = df.select(col(xCol).as("__x"), col(yCol).as("__y"),
+    def guarded(c: Column, name: String): Column =
+      if (allowNaN) c
+      else when(isnan(c.cast("double")),
+        raise_error(concat(lit(s"Concordance.counts: NaN in $name — NaN " +
+          "ranks above every value in the quadratic definition; filter " +
+          "upstream or pass allowNaN=true to count it that way: "),
+          c.cast("string"))))
+        .otherwise(c)
+
+    val base = df.select(guarded(col(xCol), xCol).as("__x"),
+        guarded(col(yCol), yCol).as("__y"),
         aFilter.as("__a"))
       .filter(col("__x").isNotNull && col("__y").isNotNull)
 
-    // value-range buckets: equal values share a bucket, bucket order is
-    // value order — so cross-bucket pairs compare by INDEX alone. The
-    // decomposition is exact for ANY monotone value→bucket map (bucket
-    // boundaries affect only the in-bucket join sizes, never a count),
-    // so the cheapest correct map wins: equal-width width_bucket over
-    // [min, max] — one broadcast agg + a map-side expression, instead
-    // of a rank/join-back pass. Numeric cast to double is monotone and
-    // tie-preserving, which is all bucketing needs; the exact-typed
-    // values still decide every in-bucket comparison.
+    // EQUI-DEPTH bucket map over DISTINCT values (see class doc): count
+    // per value, distributed prefix sum in value order, join back. The
+    // decomposition is exact for ANY monotone tie-preserving map —
+    // boundaries affect only the in-bucket join sizes, never a count —
+    // and equi-depth bounds every impure bucket's population at 2n/B
+    // under arbitrary skew (heavy values isolate into pure buckets).
     def bucketed(in: DataFrame, vCol: String, outCol: String): DataFrame = {
-      val mm = in.agg(min(col(vCol).cast("double")).as("__mn"),
-        max(col(vCol).cast("double")).as("__mx"))
-      in.crossJoin(broadcast(mm))
-        .withColumn(outCol,
-          when(col("__mn").isNull || col("__mn") === col("__mx"), lit(0))
-            .otherwise(least(
-              expr(s"width_bucket(cast(`$vCol` as double), __mn, __mx, $buckets)"),
-              lit(buckets)) - 1)
-            .cast("int"))
-        .drop("__mn", "__mx")
+      val perValue = in.groupBy(col(vCol)).agg(count(lit(1)).as("__cnt"))
+      val cum = TotalOrder.prefixSum(
+        perValue, Seq(col(vCol).asc), "__cnt", "__cum")
+      val total = cum.agg(sum(col("__cnt")).as("__n"))
+      // bucket = floor(cumBefore·B/n): cumBefore ≤ n−1 keeps the index
+      // in [0, B); products stay exact in double far past any realistic
+      // n·B (2^53 headroom). NaN (admitted only under allowNaN) pins to
+      // its OWN bucket at index B, past every finite bucket: expression
+      // comparisons (NaN === NaN, x < NaN) are FALSE in row joins even
+      // though ordering ranks NaN top, so NaN must only ever be counted
+      // by the bucket-index algebra — a pure top bucket does exactly
+      // that (cross-bucket pairs by index, same-bucket NaN pairs all
+      // ties via the pure-y path, never a raw-value comparison).
+      val map = cum.crossJoin(broadcast(total))
+        .select(col(vCol),
+          when(isnan(col(vCol).cast("double")), lit(buckets))
+            .otherwise(floor((col("__cum") - col("__cnt")) * buckets / col("__n")))
+            .cast("int").as(outCol))
+      in.join(map, Seq(vCol))
     }
     val bb = bucketed(bucketed(base, "__x", "__bx"), "__y", "__by")
       .localCheckpoint(false)
@@ -106,10 +140,18 @@ object Concordance {
     // the cell matrices. This is what makes low-cardinality dimensions
     // (day buckets, small-int measures) cost pure algebra: with fewer
     // distinct values than buckets, BOTH joins are empty.
+    // the all-NaN bucket is value-pure under ORDERING semantics (NaN
+    // groups with NaN), but min === max evaluates NaN === NaN = false —
+    // the isnan clause restores its purity so its ties/pairs are counted
+    // algebraically, never by a raw-value join
     val xPurity = bb.groupBy("__bx")
-      .agg((min(col("__x")) === max(col("__x"))).as("px"))
+      .agg((min(col("__x")) === max(col("__x")) ||
+        (isnan(min(col("__x")).cast("double")) &&
+          isnan(max(col("__x")).cast("double")))).as("px"))
     val yPurity = bb.groupBy("__by")
-      .agg((min(col("__y")) === max(col("__y"))).as("py"))
+      .agg((min(col("__y")) === max(col("__y")) ||
+        (isnan(min(col("__y")).cast("double")) &&
+          isnan(max(col("__y")).cast("double")))).as("py"))
     def impure(side: DataFrame, purity: DataFrame, bCol: String,
         pCol: String): DataFrame =
       side.join(broadcast(purity.filter(!col(pCol)).select(bCol)), Seq(bCol))
@@ -129,8 +171,10 @@ object Concordance {
     // class 3 via cell-count algebra. Sparse cells densify onto the
     // full B×B grid so the window prefix sums line up index-to-index
     // (the 2D suffix QA needs PA at every by, including ca = 0 cells).
-    val grid = spark.range(buckets.toLong).select(col("id").cast("int").as("__bx"))
-      .crossJoin(spark.range(buckets.toLong).select(col("id").cast("int").as("__by")))
+    // +1: the NaN bucket at index B (allowNaN) must sit ON the grid so
+    // the 2D prefix sums see its a-cells; without NaN it is empty zeros
+    val grid = spark.range(buckets.toLong + 1).select(col("id").cast("int").as("__bx"))
+      .crossJoin(spark.range(buckets.toLong + 1).select(col("id").cast("int").as("__by")))
     val cellsA = grid.join(
         sideA.groupBy("__bx", "__by").agg(count(lit(1)).as("ca")),
         Seq("__bx", "__by"), "left")
@@ -146,7 +190,9 @@ object Concordance {
       .select("__bx", "__by", "pa", "qa")
     // per-x-bucket A totals, prefix-summed (bounded: B rows — the
     // constant-partition spec declares the single-reducer frame safe)
-    val ta = cellsA.groupBy("__bx").agg(sum(col("ca")).as("ca_x"))
+    val ta = TotalOrder.checkBounded(
+      cellsA.groupBy("__bx").agg(sum(col("ca")).as("ca_x")),
+      "concordance-bucket-totals")
       .withColumn("ta_cum", sum(col("ca_x")).over(
         TotalOrder.boundedGlobal(col("__bx"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -79,7 +79,8 @@ object EventAnalytics {
 
     // bounded: stages.length rows total — the funnel definition, not data
     val w = TotalOrder.boundedGlobal(col("stage_idx"))
-    counts.select(col("stage_idx"), col("stage"), col("n_users"),
+    TotalOrder.checkBounded(counts, "funnel-stage-counts")
+      .select(col("stage_idx"), col("stage"), col("n_users"),
         round(col("n_users") * 1.0 /
           nullif(lag(col("n_users"), 1).over(w), lit(0)), 6)
           .cast("double").as("conv_rate"))

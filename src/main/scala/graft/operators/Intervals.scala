@@ -39,7 +39,8 @@ object Intervals {
     // span — years of history is still thousands of rows
     val w = TotalOrder.boundedGlobal(col("d"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    spine.join(events, Seq("d"), "left")
+    TotalOrder.checkBounded(spine, "interval-day-spine")
+      .join(events, Seq("d"), "left")
       .select(col("d"),
         sum(coalesce(col("delta"), lit(0L))).over(w).as("n_active"))
   }

@@ -112,32 +112,51 @@ object Similarity {
     * packing runs once per vector, not per pair, so a native Expression
     * would buy nothing the exchange doesn't already guarantee.
     *
-    * Input contract: finite floats. NaN elements quantize to 0-bit here
-    * (Spark: NaN > 0 is false) but to 1-bit in the DuckDB oracle (NaN
-    * sorts above every number there), so NaN-bearing corpora are outside
-    * the hash-oracle contract — same stance as PqAdc. A NULL vector
-    * yields a NULL signature (not an empty one), so downstream Hamming
-    * scores stay NULL and the row sorts out of every top-k instead of
-    * silently ranking with a fabricated signature.
+    * NaN contract (ENFORCED, VERDICT r9 item 5): a NaN element RAISES
+    * by default. Empirically the quantization itself does NOT diverge —
+    * Spark's comparison operators rank NaN above every numeric just
+    * like DuckDB's, so both engines set the bit (pinned in
+    * SimilaritySpec; the round-9 scaladoc claimed a 0-bit/1-bit split
+    * that does not exist) — but a NaN element is an upstream bug that
+    * silently poisons every downstream FLOAT score (cosine rerank,
+    * recall measurement against exact top-k), so the signature build is
+    * where it fails loudly. Pass `allowNaN = true` to admit NaN with
+    * its consistent quantize-to-1-bit behavior. A NULL vector yields a
+    * NULL signature (not an empty one), so downstream Hamming scores
+    * stay NULL and the row sorts out of every top-k instead of silently
+    * ranking with a fabricated signature.
     */
-  def signBitSignature(vec: Column): Column = {
-    val words = ceil(size(vec) / lit(32.0)).cast("int")
+  def signBitSignature(vec: Column, allowNaN: Boolean = false): Column = {
+    // one exists() pre-scan per VECTOR (not per pair) — the guard costs
+    // a second traversal of data that is packed exactly once
+    val checked =
+      if (allowNaN) vec
+      else when(exists(vec, x => isnan(x.cast("double"))),
+        raise_error(lit("signBitSignature: NaN element — NaN poisons " +
+          "every downstream float score; filter upstream or pass " +
+          "allowNaN=true to quantize it as sorts-above-everything " +
+          "(1-bit, consistent across engines)")))
+        .otherwise(vec)
+    val words = ceil(size(checked) / lit(32.0)).cast("int")
     // empty-vector guard: Spark's sequence(0, -1) COUNTS DOWN (yields
     // [0, -1]), which would fabricate a 2-word signature that DuckDB's
     // empty generate_series disagrees with and whose null-padded
     // Hamming zips poison the ranking — an empty vector must pack to
-    // an empty signature on both engines; `words` is NULL for a NULL
-    // vector, so both when-branches miss and the signature is NULL too
-    when(words > 0,
+    // an empty signature on both engines. The explicit isNotNull
+    // conjunct keeps the NULL-vector → NULL-signature contract in BOTH
+    // SQL modes: under non-ANSI, size(NULL) is the legacy -1 (not
+    // NULL), which would otherwise take the words <= 0 branch and
+    // fabricate an EMPTY signature for a NULL vector
+    when(checked.isNotNull && words > 0,
       transform(sequence(lit(0), words - 1), w =>
         aggregate(
           zip_with(
-            slice(vec, w * 32 + 1, lit(32)),
+            slice(checked, w * 32 + 1, lit(32)),
             sequence(lit(0), lit(31)),
             (x, i) => when(x > 0, call_function("shiftleft", lit(1L), i))
               .otherwise(lit(0L))),
           lit(0L), (acc, b) => acc + coalesce(b, lit(0L)))))
-      .when(words <= 0, array().cast("array<bigint>"))
+      .when(checked.isNotNull && words <= 0, array().cast("array<bigint>"))
   }
 
   /** Hamming distance between two packed sign signatures. */
@@ -227,7 +246,8 @@ object Similarity {
     */
   def centroids(corpus: DataFrame, numCells: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    corpus.orderBy(col(idCol)).limit(numCells)
+    TotalOrder.checkBounded(
+      corpus.orderBy(col(idCol)).limit(numCells), "ivf-centroids")
       .select(
         // bounded: numCells rows (≤ √n by every caller's convention)
         row_number().over(TotalOrder.boundedGlobal(col(idCol))).as("cell_id"),
@@ -769,6 +789,175 @@ object Similarity {
       }
     }
     results.toSeq
+  }
+
+  /** Top-r principal directions by BLOCK (simultaneous orthogonal)
+    * power iteration — the WIDE-vector scale path (VERDICT r9 item 2):
+    * where sequential deflation pays r·iterations corpus scans, the
+    * block advances ALL r components per scan, so the distributed pass
+    * count is `iterations + 2` (one trace pass, `iterations` block
+    * passes, one final Rayleigh/residual pass) INDEPENDENT of r —
+    * pinned in PcaBlockSpec with a pass counter. Each pass computes
+    * W = XᵀX·V for the whole block in ONE job: all r map-side dot
+    * products s_k = x·v_k per row, then a single dim-keyed aggregate
+    * sums every component's per-dimension contributions. Driver traffic
+    * stays O(dim·r) per pass.
+    *
+    * After every pass the block re-orthonormalizes driver-side by
+    * CLASSICAL Gram–Schmidt in exactly the deflation walk's arithmetic
+    * shape (coefficients from the Gram OUTPUT against the
+    * already-normalized earlier columns of the same round,
+    * per-dimension corrections accumulated left-to-right and subtracted
+    * once) — so for r ≤ 3 the whole walk is SQL-replayable and the
+    * `emb_pca_block` gate hash-oracles it end-to-end. Eigenvalues are
+    * final-pass Rayleigh quotients λ_k = v_k·(XᵀXv_k); residuals are
+    * against the FULL operator (the honest block-iteration metric —
+    * sequential deflation reports per-deflated-operator residuals).
+    *
+    * Dead columns (a start vector in the operator's null space, or
+    * r > rank): a column whose post-projection norm falls below
+    * trace/(10·dim) is restarted on the next unused basis vector; once
+    * the basis is exhausted it freezes to the zero component (same
+    * degrade-not-NaN stance as [[deflatedPowerWalk]]). Restarts cost no
+    * extra corpus pass. The SQL replay has no restart branch — data
+    * whose leading dimensions are identically zero is outside the gate
+    * regime, exactly like the other quantized-walk oracles.
+    *
+    * @param quantizeDp as in [[topPrincipalComponentsMultiPass]]: > 0
+    *        rounds each per-row contribution `x_dim · (x·v_k)` to this
+    *        many decimals and sums in DECIMAL, making every pass
+    *        order-independent and engine-replayable.
+    */
+  def topPrincipalComponentsBlock(
+      corpus: DataFrame, vecCol: String = "embedding", r: Int = 1,
+      iterations: Int = 12,
+      quantizeDp: Int = 0): Seq[(Double, Array[Double], Double)] =
+    topPrincipalComponentsBlockCounted(
+      corpus, vecCol, r, iterations, quantizeDp)._1
+
+  /** [[topPrincipalComponentsBlock]] plus the DISTRIBUTED pass count it
+    * spent — the r-independence of that count is the operator's whole
+    * point, so it is exposed for the spec to pin.
+    */
+  private[graft] def topPrincipalComponentsBlockCounted(
+      corpus: DataFrame, vecCol: String, r: Int,
+      iterations: Int,
+      quantizeDp: Int): (Seq[(Double, Array[Double], Double)], Int) = {
+    require(r >= 1, s"need r >= 1 components, got $r")
+    require(iterations >= 1, s"need >= 1 iteration, got $iterations")
+    VectorExprs.register(corpus.sparkSession)
+    var passes = 0
+    val vecs = corpus.select(col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dimRow = vecs.agg(max(size(col(vecCol)))).head()
+      require(!dimRow.isNullAt(0),
+        "topPrincipalComponentsBlock needs at least one non-null vector")
+      val dim = dimRow.getInt(0)
+
+      // W = XᵀX·V for the whole block in ONE distributed pass
+      def gramBlock(vs: Array[Array[Double]]): Array[Array[Double]] = {
+        passes += 1
+        val dots = vs.zipWithIndex.map { case (v, k) =>
+          VectorExprs.vecDot(col(vecCol), typedLit(v.toSeq)).as(s"__s$k") }
+        val aggs = vs.indices.map { k =>
+          val contrib = col("__x").cast("double") * col(s"__s$k")
+          val qContrib =
+            if (quantizeDp > 0)
+              round(contrib, quantizeDp).cast(s"decimal(38,$quantizeDp)")
+            else contrib
+          sum(qContrib).cast("double").as(s"__w$k")
+        }
+        val rows = vecs
+          .select(posexplode(col(vecCol)).as(Seq("__dim", "__x")) +: dots: _*)
+          .groupBy(col("__dim"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+        val out = Array.fill(vs.length)(new Array[Double](dim))
+        rows.foreach { row =>
+          val d = row.getInt(0)
+          var k = 0
+          while (k < vs.length) { out(k)(d) = row.getDouble(k + 1); k += 1 }
+        }
+        out
+      }
+
+      passes += 1
+      val trace = vecs
+        .select(explode(col(vecCol)).as("__x"))
+        .agg(coalesce(sum(col("__x").cast("double") * col("__x").cast("double")),
+          lit(0.0)))
+        .head().getDouble(0)
+      val tol = trace / (10.0 * dim)
+      def basis(i: Int) = Array.tabulate(dim)(j => if (j == i) 1.0 else 0.0)
+
+      if (dim == 0 || trace <= 0.0)
+        return (Seq.fill(r)((0.0, new Array[Double](dim), 0.0)), passes)
+
+      var v = Array.tabulate(r)(k => basis(math.min(k, dim - 1)))
+      val frozen = new Array[Boolean](r)   // basis exhausted — stays zero
+      val accepted = new Array[Boolean](r) // probe passed at least once
+      var nextBasis = math.min(r, dim)
+      for (_ <- 1 to iterations) {
+        val w = gramBlock(v)
+        // classical Gram–Schmidt, deflation-walk arithmetic shape:
+        // coefficients against the ALREADY-normalized earlier columns
+        // of THIS round, per-dim corrections accumulated then
+        // subtracted once (≤ r−1 addends; ≤ 2 at the gate's r = 3)
+        val nv = Array.fill(r)(new Array[Double](dim))
+        for (k <- 0 until r if !frozen(k)) {
+          val wk = w(k)
+          if (k > 0) {
+            val dsum = new Array[Double](dim)
+            for (j <- 0 until k if nv(j).exists(_ != 0.0)) {
+              var dotJ = 0.0
+              var i = 0
+              while (i < dim) { dotJ += nv(j)(i) * wk(i); i += 1 }
+              i = 0
+              while (i < dim) { dsum(i) += dotJ * nv(j)(i); i += 1 }
+            }
+            var i = 0
+            while (i < dim) { wk(i) -= dsum(i); i += 1 }
+          }
+          val norm = math.sqrt(wk.map(x => x * x).sum)
+          // probe semantics mirror the sequential walk: the tolerance
+          // gates only the START vector (a null-space basis start must
+          // restart, not normalize noise); once a column has passed it,
+          // every later round normalizes unconditionally — a converged
+          // small-λ column's GS residual legitimately shrinks to λ_k,
+          // which can sit below any trace-scaled probe bar
+          if (norm >= tol || (accepted(k) && norm > 0.0)) {
+            accepted(k) = true
+            nv(k) = wk.map(_ / norm)
+          } else if (nextBasis < dim) {
+            // dead column: restart on the next unused basis vector —
+            // the next pass multiplies it through, no extra scan
+            nv(k) = basis(nextBasis)
+            nextBasis += 1
+          } else {
+            frozen(k) = true // rank exhausted: zero component, no NaN
+          }
+        }
+        v = nv
+      }
+
+      // final pass: Rayleigh eigenvalues + full-operator residuals
+      val wf = gramBlock(v)
+      val results = (0 until r).map { k =>
+        if (frozen(k) || v(k).forall(_ == 0.0)) (0.0, new Array[Double](dim), 0.0)
+        else {
+          var lambda = 0.0
+          var i = 0
+          while (i < dim) { lambda += v(k)(i) * wf(k)(i); i += 1 }
+          val resid =
+            if (lambda <= 0.0) 0.0
+            else math.sqrt(wf(k).zip(v(k)).map { case (wi, vi) =>
+              val d = wi - lambda * vi; d * d }.sum) / lambda
+          (lambda, v(k), resid)
+        }
+      }
+      (results, passes)
+    } finally vecs.unpersist(false)
   }
 
   /** One-pass Gram matrix G = XᵀX: each partition accumulates its

@@ -41,6 +41,34 @@ object TotalOrder {
   def boundedGlobal(order: Column*): org.apache.spark.sql.expressions.WindowSpec =
     Window.partitionBy(lit(0)).orderBy(order: _*)
 
+  /** Runtime audit for [[boundedGlobal]]'s UNCHECKED boundedness claim
+    * (ADVICE r9): identity unless `-Dgraft.bounded.check=1` (or env
+    * `SPARK_GRAFT_BOUNDED_CHECK=1`) is set — then the frame feeding a
+    * declared-bounded global window is counted ONCE through a
+    * `limit(cap+1)` probe (the probe itself can never scan past the
+    * cap) and a FALSE claim fails loudly with the call site's label,
+    * instead of regressing silently to a single-reducer funnel that
+    * neither the quieted WindowExec logger nor GlobalWindowScan's
+    * static partitionSpec exemption would surface. Wrap the window's
+    * input frame at every boundedGlobal call site; run one flagged
+    * verify per round, pay nothing in production.
+    */
+  def checkBounded(df: DataFrame, what: String,
+      cap: Long = 2000000L): DataFrame = {
+    val on = sys.props.get("graft.bounded.check")
+      .orElse(sys.env.get("SPARK_GRAFT_BOUNDED_CHECK")).contains("1")
+    if (!on) df
+    else {
+      val probe = df.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count()
+      require(probe <= cap,
+        s"boundedGlobal frame '$what' holds > $cap rows — the boundedness " +
+          "claim at this call site is FALSE; this window funnels a " +
+          "data-sized frame through one reducer (use TotalOrder's " +
+          "distributed prefix machinery instead)")
+      df
+    }
+  }
+
   /** `ROW_NUMBER() OVER (ORDER BY order...)` as `outCol`, distributed.
     *
     * The caller's `order` should be TOTAL (tie-break on a unique id) —

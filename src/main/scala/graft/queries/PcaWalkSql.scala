@@ -27,20 +27,30 @@ private[queries] object PcaWalkSql {
        |    GROUP BY dd))""".stripMargin
 
   // projection coefficients come from the GRAM OUTPUT w (k_k = v_k·w),
-  // mirroring Similarity.topPrincipalComponents' projection deflation —
-  // orthogonality holds by construction on both engines
+  // mirroring Similarity's projection deflation — orthogonality holds
+  // by construction on both engines. The vSrc variant lets
+  // [[BlockWalkSql]] project against the SAME ITERATION's normalized
+  // columns (classical Gram–Schmidt) instead of finished components.
   def coefCte(name: String, c: Int, wSrc: String): String =
+    coefCteFrom(name, c, wSrc, k => s"comp$k")
+
+  def coefCteFrom(name: String, c: Int, wSrc: String,
+      vSrc: Int => String): String =
     s"""$name AS MATERIALIZED (
        |  SELECT ${(0 until c).map(k =>
               s"list_dot_product(c$k.v, p.w) AS k$k").mkString(", ")}
-       |  FROM ${(0 until c).map(k => s"comp$k c$k").mkString(", ")}, $wSrc p)""".stripMargin
+       |  FROM ${(0 until c).map(k => s"${vSrc(k)} c$k").mkString(", ")}, $wSrc p)""".stripMargin
 
   def deflCte(name: String, c: Int, wSrc: String, fSrc: String): String =
+    deflCteFrom(name, c, wSrc, fSrc, k => s"comp$k")
+
+  def deflCteFrom(name: String, c: Int, wSrc: String, fSrc: String,
+      vSrc: Int => String): String =
     s"""$name AS MATERIALIZED (
        |  SELECT list_transform(range(1, (SELECT n FROM d) + 1),
        |    j -> w.w[CAST(j AS INT)] - (${(0 until c).map(k =>
               s"f.k$k * c$k.v[CAST(j AS INT)]").mkString(" + ")})) AS w
-       |  FROM $wSrc w, $fSrc f, ${(0 until c).map(k => s"comp$k c$k").mkString(", ")})""".stripMargin
+       |  FROM $wSrc w, $fSrc f, ${(0 until c).map(k => s"${vSrc(k)} c$k").mkString(", ")})""".stripMargin
 
   def normCte(name: String, src: String): String =
     s"""$name AS MATERIALIZED (

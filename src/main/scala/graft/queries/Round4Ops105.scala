@@ -144,7 +144,8 @@ object Round4Ops105 {
     val daily = t(spark, dir, "events")
       .groupBy(to_date(col("ts")).as("d"))
       .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
-    val idx = daily.select(col("v"),
+    val idx = graft.operators.TotalOrder
+      .checkBounded(daily, "daily-value-spine").select(col("v"),
       // bounded: one row per calendar day after the aggregation
       (row_number().over(
         graft.operators.TotalOrder.boundedGlobal(col("d"))) - 1).as("ti"))

@@ -48,7 +48,8 @@ object Round4Ops73 {
       .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("c"))
     // bounded: one row per calendar day after the aggregation
     val w = graft.operators.TotalOrder.boundedGlobal(col("day")).rowsBetween(-6, 0)
-    val rolled = daily
+    val rolled = graft.operators.TotalOrder
+      .checkBounded(daily, "daily-purchase-spine")
       .withColumn("s", sum(col("c")).over(w))
       .withColumn("sq",
         sum(col("c").cast("decimal(38,0)") * col("c").cast("decimal(38,0)")).over(w))

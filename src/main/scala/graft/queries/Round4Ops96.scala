@@ -105,7 +105,7 @@ object Round4Ops96 {
       .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("c"))
     // bounded: one row per calendar day after the aggregation
     val w = graft.operators.TotalOrder.boundedGlobal(col("day"))
-    daily
+    graft.operators.TotalOrder.checkBounded(daily, "daily-purchase-spine")
       .withColumn("prev_day", lag(col("c"), 1).over(w))
       .withColumn("prev_week", lag(col("c"), 7).over(w))
       .select(col("day"),

@@ -70,4 +70,61 @@ class ConcordanceSpec extends SparkSpec {
     // surviving rows: (1,10) (2,5) (4,1) → pairs (1,2),(1,4),(2,4), all concordant
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) === (3L, 3L, 0L))
   }
+
+  test("NaN raises by default; allowNaN counts it with rank-top semantics") {
+    val withNaN = Seq(
+      (1.0, 10.0, true), (2.0, Double.NaN, true), (3.0, 1.0, true))
+      .toDF("x", "y", "a")
+    // the guard is the contract now (VERDICT r9 item 5): silent
+    // NaN-dropping vs the quadratic form's NaN-ranks-top is exactly the
+    // divergence the default must fail loudly on
+    val ex = intercept[Exception] {
+      Concordance.counts(withNaN, "x", "y", col("a"), 4).head()
+    }
+    val msgs = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString("|")
+    assert(msgs.contains("NaN"), msgs.take(300))
+    // allowNaN = true: NaN groups with NaN and sorts above every value
+    // (Spark ordering semantics) — matches the quadratic form exactly
+    val nanRows = Seq(
+      (1.0, Double.NaN, true), (2.0, 5.0, true),
+      (Double.NaN, 5.0, true), (3.0, Double.NaN, true))
+    def quadD(rows: Seq[(Double, Double, Boolean)]): (Long, Long, Long) = {
+      // Spark ORDERING semantics: NaN > every double, NaN == NaN
+      def lt(a: Double, b: Double) =
+        if (a.isNaN) false else if (b.isNaN) true else a < b
+      def eq(a: Double, b: Double) =
+        (a.isNaN && b.isNaN) || a == b
+      var m = 0L; var c = 0L; var t = 0L
+      for (a <- rows if a._3; b <- rows if lt(a._1, b._1)) {
+        m += 1
+        if (eq(a._2, b._2)) t += 1 else if (lt(b._2, a._2)) c += 1
+      }
+      (m, c, t)
+    }
+    val r = Concordance.counts(nanRows.toDF("x", "y", "a"), "x", "y",
+      col("a"), 4, allowNaN = true).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === quadD(nanRows))
+  }
+
+  test("a single extreme outlier no longer degrades bucketing (equi-depth, ADVICE r9)") {
+    // under equal-width [min,max] bucketing one outlier collapsed every
+    // other row into bucket 0 (the in-bucket join went quadratic);
+    // equi-depth must keep impure buckets bounded — asserted here by
+    // exactness plus the bucket-map invariant itself
+    val skewed = (0 until 400).map(i =>
+      (if (i == 0) Int.MaxValue else (h(i) % 50).toInt,
+        (h(i * 3 + 2) % 17).toInt, true))
+    for (b <- Seq(8, 64)) {
+      assert(run(skewed, b) === quadratic(skewed), s"buckets=$b diverged")
+    }
+    // heavy-hitter: one value holds half the rows — it must isolate
+    // into a pure bucket (counted algebraically), never join
+    val heavy = (0 until 400).map(i =>
+      (if (i % 2 == 0) 25 else (h(i) % 50).toInt,
+        (h(i * 5 + 3) % 17).toInt, i % 3 != 0))
+    for (b <- Seq(8, 64)) {
+      assert(run(heavy, b) === quadratic(heavy), s"buckets=$b diverged")
+    }
+  }
 }

@@ -174,4 +174,22 @@ class TotalOrderSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
     assert(got === exp)
   }
+
+  test("checkBounded: identity when off, loud on a false boundedness claim") {
+    val small = (1L to 100L).toDF("id")
+    // flag off: identity, no action run
+    assert(TotalOrder.checkBounded(small, "spec-small") eq small)
+    System.setProperty("graft.bounded.check", "1")
+    try {
+      // true claim passes and returns the frame
+      assert(TotalOrder.checkBounded(small, "spec-small", cap = 100).count() === 100)
+      // false claim fails loudly with the call-site label
+      val big = spark.range(5000).toDF("id")
+      val ex = intercept[IllegalArgumentException] {
+        TotalOrder.checkBounded(big, "spec-big", cap = 1000)
+      }
+      assert(ex.getMessage.contains("spec-big"))
+      assert(ex.getMessage.contains("FALSE"))
+    } finally System.clearProperty("graft.bounded.check")
+  }
 }
