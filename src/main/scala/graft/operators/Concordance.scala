@@ -27,21 +27,23 @@ import org.apache.spark.sql.functions._
   *
   * Bucket map (ADVICE r9): EQUI-DEPTH over DISTINCT values — one count
   * per distinct value, a distributed prefix sum in value order
-  * ([[TotalOrder.prefixSum]] — never a single-reducer window), then
-  * bucket = ⌊cumBefore·B/n⌋. The decomposition is exact for ANY
-  * monotone tie-preserving map, and this one adds the skew guarantee
-  * equal-width width_bucket could not give: a heavy value with count
-  * ≥ n/B advances the prefix past a whole bucket width, so it sits
-  * ALONE in its bucket (value-pure → counted in closed form, no row
-  * join at all), and every impure bucket's population is < 2n/B by
-  * construction. One extreme outlier or heavy-hitter therefore costs
-  * nothing — under equal-width it collapsed most rows into a single
-  * impure bucket and made the "bucket-local" joins data-sized.
+  * ([[TotalOrder.prefixSum]] — never a single-reducer window), then the
+  * COMPOSITE id 2·⌊cumBefore·B/n⌋ + isHeavy, where a value is heavy
+  * when its count ≥ n/B. The decomposition is exact for ANY monotone
+  * tie-preserving map, and this one adds the skew guarantee
+  * equal-width width_bucket could not give: every heavy value sits
+  * ALONE in its window's odd slot (value-pure → counted in closed
+  * form, no row join at all — the floor index alone would NOT isolate
+  * it: preceding light values share its window), and every light
+  * bucket's population is < 2n/B by construction. One extreme outlier
+  * or heavy-hitter therefore costs nothing — under equal-width it
+  * collapsed most rows into a single impure bucket and made the
+  * "bucket-local" joins data-sized (measured in StressConcordance).
   *
   * Cost at scale: two distinct-count + prefix-sum + join-back passes
   * (the bucket maps), two bucket-keyed joins whose fan-out is bounded
   * by 2n/B per side under ARBITRARY distributions, and window passes
-  * over a dense B×B grid (a million rows at B = 1024 — constant,
+  * over a dense (2B+1)² grid (a million rows at B = 512 — constant,
   * broadcast-scale). With B = √n the total is O(n^1.5) worst-case;
   * with B chosen so n/B is a constant batch (the 100 TB setting) it is
   * O(n·batch). The result is EXACT — pinned against the quadratic
@@ -108,19 +110,30 @@ object Concordance {
       val cum = TotalOrder.prefixSum(
         perValue, Seq(col(vCol).asc), "__cnt", "__cum")
       val total = cum.agg(sum(col("__cnt")).as("__n"))
-      // bucket = floor(cumBefore·B/n): cumBefore ≤ n−1 keeps the index
-      // in [0, B); products stay exact in double far past any realistic
-      // n·B (2^53 headroom). NaN (admitted only under allowNaN) pins to
-      // its OWN bucket at index B, past every finite bucket: expression
-      // comparisons (NaN === NaN, x < NaN) are FALSE in row joins even
-      // though ordering ranks NaN top, so NaN must only ever be counted
-      // by the bucket-index algebra — a pure top bucket does exactly
-      // that (cross-bucket pairs by index, same-bucket NaN pairs all
-      // ties via the pure-y path, never a raw-value comparison).
+      // COMPOSITE bucket id 2·⌊cumBefore·B/n⌋ + isHeavy: the plain floor
+      // index alone does NOT isolate a heavy value — light values
+      // PRECEDING it inside the same floor window share its bucket,
+      // making that bucket impure with a data-sized population (measured
+      //: a 50%-mass value dragged 213 light values into one 101k-row
+      // bucket and the class-2 join fanned out to 5e9 pairs). Shifting
+      // every heavy value (count ≥ n/B) to its window's odd slot fixes
+      // it: the id stays MONOTONE in value (lights in window p precede
+      // p's heavy value by construction — anything after it overflows
+      // the window), every heavy value sits ALONE (pure → closed-form
+      // algebra), and light buckets hold < 2n/B (window span + one
+      // straddling light value). Products stay exact in double far past
+      // any realistic n·B (2^53 headroom). NaN (admitted only under
+      // allowNaN) pins to its OWN bucket at index 2B, past every finite
+      // id: expression comparisons (NaN === NaN, x < NaN) are FALSE in
+      // row joins even though ordering ranks NaN top, so NaN must only
+      // ever be counted by the bucket-index algebra — a pure top bucket
+      // does exactly that.
       val map = cum.crossJoin(broadcast(total))
         .select(col(vCol),
-          when(isnan(col(vCol).cast("double")), lit(buckets))
-            .otherwise(floor((col("__cum") - col("__cnt")) * buckets / col("__n")))
+          when(isnan(col(vCol).cast("double")), lit(2 * buckets))
+            .otherwise(
+              floor((col("__cum") - col("__cnt")) * buckets / col("__n")) * 2
+                + when(col("__cnt") * buckets >= col("__n"), 1).otherwise(0))
             .cast("int").as(outCol))
       in.join(map, Seq(vCol))
     }
@@ -171,10 +184,12 @@ object Concordance {
     // class 3 via cell-count algebra. Sparse cells densify onto the
     // full B×B grid so the window prefix sums line up index-to-index
     // (the 2D suffix QA needs PA at every by, including ca = 0 cells).
-    // +1: the NaN bucket at index B (allowNaN) must sit ON the grid so
-    // the 2D prefix sums see its a-cells; without NaN it is empty zeros
-    val grid = spark.range(buckets.toLong + 1).select(col("id").cast("int").as("__bx"))
-      .crossJoin(spark.range(buckets.toLong + 1).select(col("id").cast("int").as("__by")))
+    // composite ids span [0, 2B]: even light slots, odd heavy slots,
+    // NaN at 2B — all must sit ON the grid so the 2D prefix sums see
+    // every a-cell; unused slots are empty zeros
+    val gridIds = 2L * buckets + 1
+    val grid = spark.range(gridIds).select(col("id").cast("int").as("__bx"))
+      .crossJoin(spark.range(gridIds).select(col("id").cast("int").as("__by")))
     val cellsA = grid.join(
         sideA.groupBy("__bx", "__by").agg(count(lit(1)).as("ca")),
         Seq("__bx", "__by"), "left")

@@ -285,6 +285,62 @@ object Multimodal {
     }(enc)
   }
 
+  /** Frame-sequence video fingerprint (VERDICT r9 item 3 — the fourth
+    * modality key for cross-modal dedup): decode the AVI, [[dHash64]]
+    * every `everyNth`-th frame, group consecutive sampled-frame hashes
+    * into bands of `bandSize`, and emit one 64-bit band key per
+    * COMPLETE band — the video analog of MinHash banding. Two videos
+    * sharing ANY (band_idx, band_key) are near-dup candidates; only
+    * candidates would pay an exact re-check at scale, so the join is
+    * equality-keyed and never all-pairs. Robust by construction to
+    * container-level re-encodes (identical rasters → identical frame
+    * dHashes → identical bands, whatever the frame rate or byte
+    * layout) and to TRUNCATION (a prefix of the frame sequence keeps
+    * every complete band before the cut; the trailing partial band is
+    * dropped on BOTH sides rather than hashed differently). Output:
+    * (all input columns minus payload) + (band_idx, band_key); rows
+    * whose payload is not decodable video emit NO rows — a text or
+    * image asset never gets a fabricated video fingerprint.
+    */
+  def videoBandFingerprints(media: DataFrame, everyNth: Int = 2,
+      bandSize: Int = 4): DataFrame = {
+    require(everyNth > 0, s"everyNth must be positive, got $everyNth")
+    require(bandSize > 0, s"bandSize must be positive, got $bandSize")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val keepIdx = media.schema.fields.indices.filterNot(_ == payloadIdx)
+    val outSchema = StructType(
+      keepIdx.map(media.schema.fields).toArray ++ Seq(
+        StructField("band_idx", IntegerType, nullable = false),
+        StructField("band_key", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        MediaCodec.decodeAny(payload) match {
+          case Some(MediaCodec.DecodedVideo(avi)) =>
+            val sampled = avi.frames.indices.by(everyNth)
+              .map(i => dHash64(avi.frames(i)))
+            sampled.grouped(bandSize).zipWithIndex.collect {
+              // complete bands only — truncation invariance
+              case (band, idx) if band.length == bandSize =>
+                // order-sensitive 64-bit fold (splitmix finalizer per
+                // step): a reordered frame sequence must change the key
+                var key = 0x9E3779B97F4A7C15L
+                band.foreach { h =>
+                  var z = (key ^ h) * 0xBF58476D1CE4E5B9L
+                  z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+                  key = z ^ (z >>> 31)
+                }
+                // Seq[Any] — a plain Seq(idx, key) would numerically
+                // WIDEN the Int index to Long and break the encoder
+                Row.fromSeq(keepIdx.map(r.get) ++ Seq[Any](idx, key))
+            }
+          case _ => Iterator.empty
+        }
+      }
+    }(enc)
+  }
+
   /** Metadata-only resize variant (planning/projection use — the real
     * pixel path is [[resizePayload]]): rescales width/height in `meta`
     * without touching payloads.

@@ -53,22 +53,30 @@ object Round4Ops108 {
     // Midranks WITHOUT the table-sized global ROW_NUMBER (winscan r9:
     // RAW global window): the midrank of value x is
     // (# values < x) + (t_x + 1)/2 — a function of DISTINCT-value
-    // prefix counts only, so the only unpartitioned window runs over
-    // the ties aggregate, bounded by the c_acctbal value domain
-    // (DECIMAL(15,2) in a fixed range, ≤ ~1.1M distinct at any scale).
-    // Group rank-sums then weight each midrank by its (g, x) count —
-    // exact: midranks are 0.5-multiples held in DECIMAL(28,1), and the
-    // weighted sum equals the per-row sum term-for-term.
+    // prefix counts only. The distinct-value prefix sum itself goes
+    // through TotalOrder.prefixSum (ADVICE r9: the c_acctbal value
+    // domain is ≤ ~1.1M distinct at any scale — "post-agg bounded" but
+    // large enough that a single-reducer ORDER BY frame deserves the
+    // distributed prefix machinery like every other round-9 rewrite).
+    // Exactness unchanged: prefixSum's running total is bit-equal to
+    // SUM(t) OVER (ORDER BY x) on distinct keys, midranks stay exact
+    // 0.5-multiples in DECIMAL(28,1), and the count-weighted group sum
+    // equals the per-row sum term-for-term.
+    val v = spark.table("graft_kw_customer").select(
+      col("c_mktsegment").as("g"),
+      col("c_acctbal").cast("decimal(15,2)").as("x"))
+    v.createOrReplaceTempView("graft_kw_v")
+    val tiesd = v.groupBy(col("x")).agg(count(lit(1)).as("t"))
+    graft.operators.TotalOrder.prefixSum(
+      tiesd, Seq(col("x").asc), "t", "ct")
+      .select(col("x"), col("t"),
+        (col("ct") - col("t") + (col("t") + 1) / 2.0)
+          .cast("decimal(28,1)").as("ar"))
+      .createOrReplaceTempView("graft_kw_mr")
     spark.sql(
-      """WITH v AS (
-        |  SELECT c_mktsegment AS g, CAST(c_acctbal AS DECIMAL(15,2)) AS x
-        |  FROM graft_kw_customer),
-        |tiesd AS (SELECT x, COUNT(*) AS t FROM v GROUP BY x),
-        |mr AS (
-        |  SELECT x,
-        |         CAST(SUM(t) OVER (ORDER BY x) - t + (t + 1) / 2.0
-        |           AS DECIMAL(28,1)) AS ar
-        |  FROM tiesd),
+      """WITH v AS (SELECT g, x FROM graft_kw_v),
+        |tiesd AS (SELECT x, t FROM graft_kw_mr),
+        |mr AS (SELECT x, ar FROM graft_kw_mr),
         |vg AS (SELECT g, x, COUNT(*) AS c FROM v GROUP BY g, x),
         |gs AS (
         |  SELECT g, SUM(c) AS n,

@@ -127,36 +127,43 @@ object Round9Ops1 {
     ((z ^ (z >>> 31)) & 0x7fffffffL).toInt
   }
 
-  /** Cross-modal dedup end-to-end (VERDICT r8 item 3): the three
+  /** Cross-modal dedup end-to-end (VERDICT r8 item 3, extended with the
+    * FOURTH modality in round 10 per VERDICT r9 item 3): the four
     * per-modality near-dup keys — MinHash-LSH over text
     * ([[graft.operators.Dedup.minHashNearDups]]), dHash-64 over decoded
-    * rasters ([[graft.operators.Multimodal.perceptualHash]]), and the
-    * WHT band-energy fingerprint over decoded WAVs
-    * ([[graft.operators.AudioFeatures.audioFingerprints]]) — composed
+    * rasters ([[graft.operators.Multimodal.perceptualHash]]), the WHT
+    * band-energy fingerprint over decoded WAVs
+    * ([[graft.operators.AudioFeatures.audioFingerprints]]), and the
+    * frame-sampled dHash band fingerprint over decoded AVIs
+    * ([[graft.operators.Multimodal.videoBandFingerprints]]) — composed
     * over ONE mixed-media corpus into unified duplicate clusters via
     * [[graft.operators.Dedup.connectedComponents]]. This is the
     * LLM-curation shape the parts were built for: a syndicated web page
     * re-hosts the same image under different prose, the same audio under
-    * a re-written transcript — only the UNION of modality edges finds
-    * the full cluster.
+    * a re-written transcript, the same clip re-encoded and cut short —
+    * only the UNION of modality edges finds the full cluster.
     *
-    * Fixture: documents group into sextets (s = doc_id/6); within a
-    * sextet the chain is 0–1 same text, 1–2 same image, 2–3 same audio,
-    * 3–4 same text, 4–5 same image — so the six docs form ONE component
-    * IFF all three modalities contribute edges; drop any modality and
-    * the cluster splits (pinned in MultimodalDedupSpec). Ground truth is
-    * known by construction (component = 6·(doc_id/6), tail chains stay
-    * prefixes), so the oracle replays clusters without recursive SQL.
+    * Fixture: documents group into OCTETS (s = doc_id/8); within an
+    * octet the chain is 0–1 same text, 1–2 same image, 2–3 same audio,
+    * 3–4 same text, 4–5 same image, 5–6 same VIDEO (doc 6 is the
+    * truncated re-encode of doc 5's clip: 9 of its 12 frames at a
+    * different frame rate — the fingerprint's two robustness claims
+    * exercised inside the cluster gate), 6–7 same text — so the eight
+    * docs form ONE component IFF all four modalities contribute edges;
+    * drop any modality and the cluster splits (pinned in
+    * MultimodalDedupSpec). Ground truth is known by construction
+    * (component = 8·(doc_id/8), tail chains stay prefixes), so the
+    * oracle replays clusters without recursive SQL.
     *
     * Scale: text edges are banded LSH (bucket-join, never all-pairs);
-    * image/audio edges are equality joins on 64-bit content keys; the
-    * component step is the adaptive union-find/pointer-jumping CC. No
-    * stage is quadratic in the corpus.
+    * image/audio/video edges are equality joins on 64-bit content keys;
+    * the component step is the adaptive union-find/pointer-jumping CC.
+    * No stage is quadratic in the corpus.
     */
   val dedup_multimodal = OpQuery(
     "dedup_multimodal",
     """WITH d AS (
-      |  SELECT doc_id, CAST(doc_id - doc_id % 6 AS BIGINT) AS component
+      |  SELECT doc_id, CAST(doc_id - doc_id % 8 AS BIGINT) AS component
       |  FROM documents),
       |c AS (
       |  SELECT component, CAST(COUNT(*) AS INT) AS cluster_size
@@ -170,7 +177,8 @@ object Round9Ops1 {
     val cc = Dedup.connectedComponents(
       mmTextPairs(corpus)
         .unionByName(mmImagePairs(corpus))
-        .unionByName(mmAudioPairs(corpus)))
+        .unionByName(mmAudioPairs(corpus))
+        .unionByName(mmVideoPairs(corpus)))
     val labeled = corpus.select(col("media_id"))
       .join(cc.withColumnRenamed("node", "media_id"), Seq("media_id"), "left")
       // edge-less docs are their own singleton cluster
@@ -182,10 +190,10 @@ object Round9Ops1 {
       .orderBy(col("media_id"))
   }
 
-  /** The mixed-media fixture: one row per doc with (text, image payload,
-    * audio payload) planted on the sextet chain described at
+  /** The mixed-media fixture: one row per doc with (text, image, audio,
+    * video payloads) planted on the octet chain described at
     * [[dedup_multimodal]]. Exposed for MultimodalDedupSpec, which pins
-    * that each single-modality edge set alone SPLITS the sextet and
+    * that each single-modality edge set alone SPLITS the octet and
     * only the union recovers it.
     */
   private[graft] def mmCorpus(
@@ -195,11 +203,12 @@ object Round9Ops1 {
     import graft.operators.MediaCodec
     docs.select(col("doc_id")).as[Long]
       .mapPartitions(_.map { d =>
-        val s = d / 6; val p = (d % 6).toInt
-        // unique-text keys live at 1e9+d, disjoint from group keys (~2s)
+        val s = d / 8; val p = (d % 8).toInt
+        // unique-text keys live at 1e9+d, disjoint from group keys (~3s)
         val textKey = p match {
-          case 0 | 1 => 2 * s
-          case 3 | 4 => 2 * s + 1
+          case 0 | 1 => 3 * s
+          case 3 | 4 => 3 * s + 1
+          case 6 | 7 => 3 * s + 2
           case _     => 1000000000L + d
         }
         val text =
@@ -220,10 +229,24 @@ object Round9Ops1 {
           MediaCodec.encodeWavPcm16(8000,
             Array.tabulate(768)(i => (mix(g, i) % 4093 - 2046).toShort))
         }.orNull
-        (d, text, img, wav)
+        // video chain link 5–6: SAME clip content; doc 6 is the
+        // truncated re-encode (9 of 12 frames, different frame rate) —
+        // exact-byte dedup misses it, the band fingerprint must not
+        val aviSpec: Option[(Long, Int, Int)] = p match {
+          case 5 => Some((s, 12, 40000))
+          case 6 => Some((s, 9, 33333))
+          case _ => None
+        }
+        val avi = aviSpec.map { case (g, nFrames, usPerFrame) =>
+          MediaCodec.encodeAvi(9, 8, nFrames, usPerFrame, (f, x, y) => {
+            val v = mix(g, f * 1024 + y * 9 + x) % 256
+            (v << 16) | (v << 8) | v
+          })
+        }.orNull
+        (d, text, img, wav, avi)
       })
-      .toDF("media_id", "text", "img", "wav")
-      // encode once: three modality passes re-read this frame
+      .toDF("media_id", "text", "img", "wav", "avi")
+      // encode once: four modality passes re-read this frame
       .localCheckpoint(true)
   }
 
@@ -250,6 +273,21 @@ object Round9Ops1 {
         col("a.fp") === col("b.fp") &&
           col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("id1"), col("b.media_id").as("id2"))
+  }
+
+  private[graft] def mmVideoPairs(corpus: org.apache.spark.sql.DataFrame) = {
+    val fp = graft.operators.Multimodal.videoBandFingerprints(
+      corpus.filter(col("avi").isNotNull)
+        .select(col("media_id"), col("avi").as("payload")),
+      everyNth = 2, bandSize = 3)
+    // candidates share any (band_idx, band_key); distinct because a
+    // full-length duplicate collides in EVERY band
+    fp.as("a").join(fp.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id1"), col("b.media_id").as("id2"))
+      .distinct()
   }
 
   /** Top-3 principal components through the DEFAULT entry point —

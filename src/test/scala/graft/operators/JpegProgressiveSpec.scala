@@ -90,6 +90,31 @@ class JpegProgressiveSpec extends AnyFunSuite {
       "perceptual hash diverged across encodings of the same image")
   }
 
+  test("dHash invariant baseline↔progressive on the CHROMATIC 4:2:0 gate fixture") {
+    // the mm_jpeg_progressive_color contract, spec-side: the color
+    // block-constant fixture decodes to the same raster (hence the same
+    // perceptual hash) whether transmitted baseline or progressive,
+    // with chroma subsampled
+    val w = 32; val h = 32
+    def level(bx: Int, by: Int): Int = 20 + 3 * ((2 * bx + by) % 71)
+    val px: (Int, Int) => Int = (x, y) => {
+      val v = level(x / 8, y / 8)
+      ((v + 6) << 16) | (v << 8) | (v + 9)
+    }
+    val base = JpegCodec.decodeJpeg(
+      JpegCodec.encodeJpeg(w, h, px, quality = 90, subsample420 = true))
+    val prog = JpegCodec.decodeJpeg(
+      JpegCodec.encodeJpegProgressive(w, h, px, quality = 90, subsample420 = true))
+    assert(prog.rgb.toSeq == base.rgb.toSeq, "color 4:2:0 progressive diverged")
+    assert(Multimodal.dHash64(base) == Multimodal.dHash64(prog))
+    // and the decoded offsets are exactly the gate's (+6, +1, +8) algebra
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = level(x / 8, y / 8)
+      assert(prog.rgb(y * w + x) ==
+        (((v + 6) << 16) | ((v + 1) << 8) | (v + 8)), s"($x,$y)")
+    }
+  }
+
   test("progressive truncation refuses loudly: mid-scan cuts and lost refinement scans") {
     val good = JpegCodec.encodeJpegProgressive(32, 24, busy(32, 24), quality = 85)
     // cut inside entropy data of an early scan

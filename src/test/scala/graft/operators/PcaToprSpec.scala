@@ -200,11 +200,13 @@ class PcaToprSpec extends SparkSpec {
     }
   }
 
-  test("width dispatch: past the envelope the default entry takes the multi-pass walk") {
+  test("width dispatch: past the envelope the default entry takes the BLOCK walk") {
     // dim = GramEnvelopeDim + 1 would put ~268 MB of d²/2 accumulator in
     // EVERY task on the Gram path — the dispatcher must route wide
-    // vectors to the O(d)-per-task distributed walk instead. Sparse
-    // rank-1 fixture keeps the test cheap: only two live dimensions.
+    // vectors to the O(d)-per-task block iteration (all r components
+    // per scan; VERDICT r9 item 2 names sequential deflation's
+    // r·iterations scans as the wide-vector gap). Sparse rank-1 fixture
+    // keeps the test cheap: only two live dimensions.
     val wide = Similarity.GramEnvelopeDim + 1
     val rows = Seq(3.0, 4.0, 5.0).map { a =>
       Seq.tabulate(wide)(j =>
@@ -213,10 +215,10 @@ class PcaToprSpec extends SparkSpec {
     val df = rows.toDF("embedding")
     val viaDefault = Similarity.topPrincipalComponents(
       df, "embedding", r = 1, iterations = 4)
-    val viaWalk = Similarity.topPrincipalComponentsMultiPass(
+    val viaBlock = Similarity.topPrincipalComponentsBlock(
       df, "embedding", r = 1, iterations = 4)
     val (ld, vd, rd) = viaDefault.head
-    val (lw, vw, _) = viaWalk.head
+    val (lw, vw, _) = viaBlock.head
     assert(ld === lw && vd.toSeq === vw.toSeq) // same path, bit-identical
     assert(math.abs(ld - 50.0) < 1e-9) // Σ‖x‖² = 9+16+25
     assert(rd < 1e-12)
