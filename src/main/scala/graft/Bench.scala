@@ -187,8 +187,17 @@ object Bench {
     // recursion, detail to a temp path) and is hard-capped at 10 min.
     val calibGates = Seq("a3_distinct", "f_math", "a8_percentile")
       .filter(fnByName.contains).filterNot(flaggedNames.contains)
+    // strongest evidence first: a sub-second flag whose ISOLATED rerun
+    // also exceeded 1.5x baseline is the one the cold child must
+    // adjudicate — an alphabetical take(5) once spent the whole budget
+    // on weather flags and missed both isolated-reproduced ones
     val subSecFlags = flaggedNames
-      .filter(n => baseline.get(n).exists(b => b > 0 && b < 1.0)).take(5)
+      .filter(n => baseline.get(n).exists(b => b > 0 && b < 1.0))
+      .sortBy { n =>
+        val b = baseline(n)
+        -(isolated.get(n).filter(_ > 0).getOrElse(results(n)) / b)
+      }
+      .take(5)
     val coldQueries: Map[String, Double] =
       if (isChildRun || subSecFlags.isEmpty || calibGates.isEmpty) Map.empty
       else try {
