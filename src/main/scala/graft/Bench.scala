@@ -55,10 +55,13 @@ object Bench {
       if (start < 0) Map.empty
       else {
         val open = txt.indexOf('{', start)
+        // the open < 0 guard must precede the walk: charAt(-1) would
+        // throw into the blanket catch and silently disable ALL
+        // regression flagging for the round on a truncated artifact
         var depth = 0
         var i = open
         var end = -1
-        while (i < txt.length && end < 0) {
+        while (open >= 0 && i < txt.length && end < 0) {
           txt.charAt(i) match {
             case '{' => depth += 1
             case '}' => depth -= 1; if (depth == 0) end = i
@@ -220,8 +223,14 @@ object Bench {
         pb.redirectError(ProcessBuilder.Redirect.DISCARD)
         val proc = pb.start()
         val done = proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
-        if (!done) { proc.destroyForcibly(); Map.empty }
-        else loadBaselineQueries(detailPath.toString, sfDir)
+        val loaded =
+          if (!done) { proc.destroyForcibly(); Map.empty[String, Double] }
+          else loadBaselineQueries(detailPath.toString, sfDir)
+        // the temp detail file is consumed — don't leave one per round
+        // in the system temp dir (including a partial one on timeout)
+        try java.nio.file.Files.deleteIfExists(detailPath)
+        catch { case _: Throwable => () }
+        loaded
       } catch { case e: Throwable =>
         System.err.println(s"[bench] cold-to-cold child failed: ${e.getMessage}")
         Map.empty
@@ -229,8 +238,13 @@ object Bench {
     val calibRatios = calibGates.flatMap(g =>
       for (c <- coldQueries.get(g); b <- baseline.get(g) if b > 0 && c > 0)
         yield c / b).sorted
+    // clamped at >= 1.0: if the calibration gates happen to run FASTER
+    // cold than a baseline recorded under suite load, an unclamped
+    // median would drop the effective bar below 1.5x and label a gate
+    // that merely MATCHES baseline as a cold-reproduced regression
     val calibMedian =
-      if (calibRatios.isEmpty) -1.0 else calibRatios(calibRatios.size / 2)
+      if (calibRatios.isEmpty) -1.0
+      else math.max(1.0, calibRatios(calibRatios.size / 2))
     val coldVerdicts: Seq[(String, Double, Double, Boolean)] =
       if (calibMedian <= 0) Nil
       else subSecFlags.flatMap { g =>

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.operators.Similarity
 
 /** Scale study for the PCA scan-count fix (round 9): the multi-pass
-  * deflated walk ([[Similarity.topPrincipalComponents]], r·iterations
+  * deflated walk ([[Similarity.topPrincipalComponentsMultiPass]],
+  * r·iterations
   * corpus scans) vs the one-pass Gram path
   * ([[Similarity.topPrincipalComponentsGram]], ONE corpus scan + an
   * O(d²)-per-iteration driver walk) on the SAME replicated corpus, with

@@ -124,10 +124,14 @@ object Concordance {
       // straddling light value). Products stay exact in double far past
       // any realistic n·B (2^53 headroom). NaN (admitted only under
       // allowNaN) pins to its OWN bucket at index 2B, past every finite
-      // id: expression comparisons (NaN === NaN, x < NaN) are FALSE in
-      // row joins even though ordering ranks NaN top, so NaN must only
-      // ever be counted by the bucket-index algebra — a pure top bucket
-      // does exactly that.
+      // id: the floor formula would otherwise land NaN in the top
+      // WINDOW shared with finite light values — an impure bucket whose
+      // raw-value joins would then compare NaN row-by-row, and while
+      // Spark's nan-safe comparisons (NaN = NaN true, x < NaN true)
+      // would count those pairs consistently with its ordering, engines
+      // replaying the algebra (DuckDB's comparisons treat NaN per IEEE
+      // in some paths) need NaN kept out of row joins entirely — a pure
+      // top bucket counts it in closed form on both.
       val map = cum.crossJoin(broadcast(total))
         .select(col(vCol),
           when(isnan(col(vCol).cast("double")), lit(2 * buckets))
@@ -153,18 +157,15 @@ object Concordance {
     // the cell matrices. This is what makes low-cardinality dimensions
     // (day buckets, small-int measures) cost pure algebra: with fewer
     // distinct values than buckets, BOTH joins are empty.
-    // the all-NaN bucket is value-pure under ORDERING semantics (NaN
-    // groups with NaN), but min === max evaluates NaN === NaN = false —
-    // the isnan clause restores its purity so its ties/pairs are counted
-    // algebraically, never by a raw-value join
+    // the all-NaN bucket is value-pure like any other: Spark's
+    // documented NaN semantics make NaN = NaN TRUE (EqualTo nan-safe
+    // compares doubles), so min === max holds on an all-NaN bucket and
+    // its ties/pairs are counted algebraically, never by a raw-value
+    // join
     val xPurity = bb.groupBy("__bx")
-      .agg((min(col("__x")) === max(col("__x")) ||
-        (isnan(min(col("__x")).cast("double")) &&
-          isnan(max(col("__x")).cast("double")))).as("px"))
+      .agg((min(col("__x")) === max(col("__x"))).as("px"))
     val yPurity = bb.groupBy("__by")
-      .agg((min(col("__y")) === max(col("__y")) ||
-        (isnan(min(col("__y")).cast("double")) &&
-          isnan(max(col("__y")).cast("double")))).as("py"))
+      .agg((min(col("__y")) === max(col("__y"))).as("py"))
     def impure(side: DataFrame, purity: DataFrame, bCol: String,
         pCol: String): DataFrame =
       side.join(broadcast(purity.filter(!col(pCol)).select(bCol)), Seq(bCol))

@@ -127,17 +127,7 @@ object Similarity {
     * ranking with a fabricated signature.
     */
   def signBitSignature(vec: Column, allowNaN: Boolean = false): Column = {
-    // one exists() pre-scan per VECTOR (not per pair) — the guard costs
-    // a second traversal of data that is packed exactly once
-    val checked =
-      if (allowNaN) vec
-      else when(exists(vec, x => isnan(x.cast("double"))),
-        raise_error(lit("signBitSignature: NaN element — NaN poisons " +
-          "every downstream float score; filter upstream or pass " +
-          "allowNaN=true to quantize it as sorts-above-everything " +
-          "(1-bit, consistent across engines)")))
-        .otherwise(vec)
-    val words = ceil(size(checked) / lit(32.0)).cast("int")
+    val words = ceil(size(vec) / lit(32.0)).cast("int")
     // empty-vector guard: Spark's sequence(0, -1) COUNTS DOWN (yields
     // [0, -1]), which would fabricate a 2-word signature that DuckDB's
     // empty generate_series disagrees with and whose null-padded
@@ -147,16 +137,28 @@ object Similarity {
     // SQL modes: under non-ANSI, size(NULL) is the legacy -1 (not
     // NULL), which would otherwise take the words <= 0 branch and
     // fabricate an EMPTY signature for a NULL vector
-    when(checked.isNotNull && words > 0,
+    val packed = when(vec.isNotNull && words > 0,
       transform(sequence(lit(0), words - 1), w =>
         aggregate(
           zip_with(
-            slice(checked, w * 32 + 1, lit(32)),
+            slice(vec, w * 32 + 1, lit(32)),
             sequence(lit(0), lit(31)),
             (x, i) => when(x > 0, call_function("shiftleft", lit(1L), i))
               .otherwise(lit(0L))),
           lit(0L), (acc, b) => acc + coalesce(b, lit(0L)))))
-      .when(checked.isNotNull && words <= 0, array().cast("array<bigint>"))
+      .when(vec.isNotNull && words <= 0, array().cast("array<bigint>"))
+    // the NaN guard wraps the OUTSIDE of the packing expression (one
+    // CASE over one exists() per vector). Wrapping the inside — packing
+    // a `checked` alias of vec — would re-run the exists() scan at
+    // every slice() reference, O(d/32) times per row, because
+    // higher-order lambdas are interpreted and share no subexpressions
+    if (allowNaN) packed
+    else when(exists(vec, x => isnan(x.cast("double"))),
+      raise_error(lit("signBitSignature: NaN element — NaN poisons " +
+        "every downstream float score; filter upstream or pass " +
+        "allowNaN=true to quantize it as sorts-above-everything " +
+        "(1-bit, consistent across engines)")))
+      .otherwise(packed)
   }
 
   /** Hamming distance between two packed sign signatures. */
@@ -584,19 +586,28 @@ object Similarity {
   val GramEnvelopeDim = 8192
 
   /** Top-r principal components with WIDTH DISPATCH (VERDICT r9 items
-    * 1–2): probe the corpus' max vector length once, then
+    * 1–2). The dispatch is PROBE-FREE: a separate `max(size(vec))`
+    * pre-scan would itself cost a full corpus read (array lengths
+    * don't push down), doubling the one-scan path it dispatches to —
+    * so the width decision IS the Gram accumulation pass
+    * ([[momentsOnePassCapped]]):
     *
-    *   - d ≤ [[GramEnvelopeDim]] → [[topPrincipalComponentsGram]]: the
-    *     corpus is scanned ONCE into the d(d+1)/2 Gram triangle and the
-    *     whole deflated walk runs driver-side — at 100 TB this is 1 full
-    *     read instead of r·iterations (StressGramScale: 0.68 s vs
-    *     11.7 s for the 36-scan top-3 shape at sf0.1);
-    *   - d > envelope → [[topPrincipalComponentsBlock]]: simultaneous
-    *     orthogonal iteration, ALL r components per distributed scan
+    *   - every vector fits [[GramEnvelopeDim]] → that single scan
+    *     already holds the d(d+1)/2 Gram triangle and the whole
+    *     deflated walk runs driver-side — at 100 TB this is 1 full
+    *     read TOTAL instead of r·iterations (StressGramScale: 0.68 s
+    *     vs 11.7 s for the 36-scan top-3 shape at sf0.1);
+    *   - a wider vector appears → the capped scan short-circuits its
+    *     Gram work (tasks stop accumulating at first overflow, the
+    *     scan degrades to a width probe) and dispatches to
+    *     [[topPrincipalComponentsBlock]]: simultaneous orthogonal
+    *     iteration, ALL r components per distributed scan
     *     (`iterations + 2` passes independent of r) with O(d) task
     *     memory — exactly where scans are most expensive, sequential
     *     deflation's r·iterations passes were the r9 verdict's named
-    *     wide-vector gap. The sequential walk stays available as
+    *     wide-vector gap. (The block path's own dim probe runs on its
+    *     persisted projection, doubling as cache materialization.)
+    *     The sequential walk stays available as
     *     [[topPrincipalComponentsMultiPass]] for callers pinning its
     *     per-deflated-operator residual semantics.
     *
@@ -612,13 +623,14 @@ object Similarity {
       iterations: Int = 12,
       quantizeDp: Int = 0): Seq[(Double, Array[Double], Double)] = {
     require(r >= 1, s"need r >= 1 components, got $r")
-    val dimRow = corpus.agg(max(size(col(vecCol)))).head()
-    require(!dimRow.isNullAt(0),
-      "topPrincipalComponents needs at least one non-null vector")
-    if (dimRow.getInt(0) <= GramEnvelopeDim)
-      topPrincipalComponentsGram(corpus, vecCol, r, iterations, quantizeDp)
-    else
-      topPrincipalComponentsBlock(corpus, vecCol, r, iterations, quantizeDp)
+    momentsOnePassCapped(corpus, vecCol, GramEnvelopeDim) match {
+      case Right((rows, _, g)) =>
+        require(rows > 0,
+          "topPrincipalComponents needs at least one non-null vector")
+        walkFromGram(g, r, iterations, quantizeDp)
+      case Left(_) =>
+        topPrincipalComponentsBlock(corpus, vecCol, r, iterations, quantizeDp)
+    }
   }
 
   /** Top-r principal directions of the (uncentered) Gram matrix XᵀX by
@@ -705,7 +717,8 @@ object Similarity {
   /** The deflated power-iteration loop shared by the multi-pass and
     * one-pass PCA entry points, abstracted over the Gram product: the
     * SAME probe/deflation/residual logic runs whether `gramTimes` is a
-    * distributed per-iteration corpus pass ([[topPrincipalComponents]])
+    * distributed per-iteration corpus pass
+    * ([[topPrincipalComponentsMultiPass]])
     * or an O(dim²) product against a precomputed in-memory Gram matrix
     * ([[topPrincipalComponentsGram]]). Behavior-identical extraction of
     * the round-9 walk — the hash-green gates pin it.
@@ -1002,7 +1015,29 @@ object Similarity {
     */
   def momentsOnePass(
       corpus: DataFrame, vecCol: String = "embedding")
-      : (Long, Array[Double], Array[Array[Double]]) = {
+      : (Long, Array[Double], Array[Array[Double]]) =
+    momentsOnePassCapped(corpus, vecCol, GramEnvelopeDim, failFast = true)
+      .getOrElse(throw new IllegalStateException(
+        "unreachable: failFast raised in-task on any over-cap vector"))
+
+  /** [[momentsOnePass]] with a WIDTH CAP the caller can observe instead
+    * of a hard failure: `Right((n, Σx, G))` when every vector fits
+    * `cap`; `Left(maxLenSeen)` when a wider vector appears — each task
+    * then STOPS accumulating (drops its partial triangle, keeps only a
+    * cheap max-length watch), so the scan degrades into the width probe
+    * the caller was going to need anyway and the dispatcher
+    * ([[topPrincipalComponents]]) pays ONE scan total in the narrow
+    * case and one short-circuited scan in the wide case — never a
+    * separate `max(size())` pre-pass, which cannot push down and costs
+    * a full corpus read by itself. With `failFast` an over-cap vector
+    * raises IN-TASK at first sight instead (the [[momentsOnePass]]
+    * contract: there the wide vector is a caller bug and should kill
+    * the job immediately, not after a wasted scan).
+    */
+  private[graft] def momentsOnePassCapped(
+      corpus: DataFrame, vecCol: String, cap: Int,
+      failFast: Boolean = false)
+      : Either[Int, (Long, Array[Double], Array[Array[Double]])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // null ELEMENTS → 0.0 up front: the typed deserializer below
@@ -1012,65 +1047,81 @@ object Similarity {
       .select(transform(col(vecCol).cast("array<double>"),
         x => coalesce(x, lit(0.0))).as("__v"))
       .filter(col("__v").isNotNull)
-    // one (rowCount, per-dim sums, flattened lower triangle) summary per
-    // PARTITION — the established bounded-collect register; reduce()
-    // streams them pairwise so the driver holds at most two summaries
+    // one (rowCount, per-dim sums, flattened lower triangle, overCap)
+    // summary per PARTITION — the established bounded-collect register;
+    // reduce() streams them pairwise so the driver holds at most two
     val summaries = vecs.as[Seq[Double]].mapPartitions { rows =>
       var acc = new Array[Double](0)
       var sums = new Array[Double](0)
       var dim = 0
       var count = 0L
+      var wide = 0 // max over-cap length seen; > 0 short-circuits the task
       rows.foreach { x =>
         count += 1L
         val n = x.length
-        if (n > dim) {
-          // lower-triangle offsets don't depend on dim, so growth is a
-          // plain copy — no repacking; rare (once per new max length)
-          require(n <= 8192,
+        if (wide > 0) {
+          if (n > wide) wide = n
+        } else if (n > cap) {
+          require(!failFast,
             s"momentsOnePass: vector length $n exceeds the d*d/2 " +
-              "task-memory envelope (8192 hard — d(d+1)/2 doubles per " +
-              "TASK is ~268 MB there; 20k would be ~1.6 GB and OOM " +
+              s"task-memory envelope ($cap hard — d(d+1)/2 doubles per " +
+              "TASK is ~268 MB at 8192; 20k would be ~1.6 GB and OOM " +
               "executors before any guard fires); use " +
               "topPrincipalComponentsMultiPass for wide vectors")
-          dim = n
-          acc = java.util.Arrays.copyOf(acc, dim * (dim + 1) / 2)
-          sums = java.util.Arrays.copyOf(sums, dim)
-        }
-        var j = 0
-        while (j < n) {
-          val xj = x(j)
-          if (xj != 0.0) {
-            sums(j) += xj
-            val base = j * (j + 1) / 2
-            var k = 0
-            while (k <= j) { acc(base + k) += xj * x(k); k += 1 }
+          wide = n
+          acc = new Array[Double](0); sums = new Array[Double](0); dim = 0
+        } else {
+          if (n > dim) {
+            // lower-triangle offsets don't depend on dim, so growth is a
+            // plain copy — no repacking; rare (once per new max length)
+            dim = n
+            acc = java.util.Arrays.copyOf(acc, dim * (dim + 1) / 2)
+            sums = java.util.Arrays.copyOf(sums, dim)
           }
-          j += 1
+          var j = 0
+          while (j < n) {
+            val xj = x(j)
+            if (xj != 0.0) {
+              sums(j) += xj
+              val base = j * (j + 1) / 2
+              var k = 0
+              while (k <= j) { acc(base + k) += xj * x(k); k += 1 }
+            }
+            j += 1
+          }
         }
       }
-      Iterator.single((count, sums, acc))
+      Iterator.single((count, sums, acc, wide))
     }
     // reduce throws on a ZERO-PARTITION dataset (every non-empty
     // partition emits exactly one summary, so only that edge reaches it)
-    val (rowCount, sums, tri) =
+    val (rowCount, sums, tri, wide) =
       try summaries.reduce { (a, b) =>
-        val (big, small) = if (a._3.length >= b._3.length) (a, b) else (b, a)
-        var i = 0
-        while (i < small._3.length) { big._3(i) += small._3(i); i += 1 }
-        i = 0
-        while (i < small._2.length) { big._2(i) += small._2(i); i += 1 }
-        (a._1 + b._1, big._2, big._3)
+        val w = math.max(a._4, b._4)
+        if (w > 0)
+          (a._1 + b._1, new Array[Double](0), new Array[Double](0), w)
+        else {
+          val (big, small) = if (a._3.length >= b._3.length) (a, b) else (b, a)
+          var i = 0
+          while (i < small._3.length) { big._3(i) += small._3(i); i += 1 }
+          i = 0
+          while (i < small._2.length) { big._2(i) += small._2(i); i += 1 }
+          (a._1 + b._1, big._2, big._3, 0)
+        }
       } catch {
         case _: UnsupportedOperationException =>
-          (0L, new Array[Double](0), new Array[Double](0))
+          (0L, new Array[Double](0), new Array[Double](0), 0)
       }
-    // dim back from the triangular length (exact by construction)
-    val dim = ((math.sqrt(8.0 * tri.length + 1) - 1) / 2).round.toInt
-    val g = Array.tabulate(dim, dim) { (j, k) =>
-      val (lo, hi) = if (j <= k) (j, k) else (k, j)
-      tri(hi * (hi + 1) / 2 + lo)
+    if (wide > 0) Left(wide)
+    else {
+      // dim back from the triangular length (exact by construction)
+      val dim = ((math.sqrt(8.0 * tri.length + 1) - 1) / 2).round.toInt
+      val g = Array.tabulate(dim, dim) { (j, k) =>
+        val (lo, hi) = if (j <= k) (j, k) else (k, j)
+        tri(hi * (hi + 1) / 2 + lo)
+      }
+      Right((rowCount, sums, g))
     }
-    (rowCount, sums, g)
   }
 
   /** Scaled covariance numerators C_jk = n·G_jk − S_j·S_k (= n² times
@@ -1119,8 +1170,9 @@ object Similarity {
   }
 
   /** Top-r principal directions computed from the ONE-PASS Gram matrix:
-    * identical deflated power walk as [[topPrincipalComponents]] (same
-    * probe, deflation, residual — literally [[deflatedPowerWalk]]), but
+    * identical deflated power walk as [[topPrincipalComponentsMultiPass]]
+    * (same probe, deflation, residual — literally
+    * [[deflatedPowerWalk]]), but
     * the Gram product is an O(d²) in-memory mat-vec instead of a
     * distributed corpus pass, so the corpus is read ONCE total instead
     * of r·iterations times. At 100 TB that is the difference between 1
@@ -1153,6 +1205,17 @@ object Similarity {
     // zero components exactly as the walk does (pinned in PcaToprSpec)
     require(rows > 0,
       "topPrincipalComponentsGram needs at least one non-null vector")
+    walkFromGram(g, r, iterations, quantizeDp)
+  }
+
+  /** The driver-side half of [[topPrincipalComponentsGram]]: deflated
+    * power walk over an ALREADY-ACCUMULATED Gram matrix. Shared with
+    * the [[topPrincipalComponents]] dispatcher, whose capped one-pass
+    * scan produces G as a side effect of the width decision.
+    */
+  private[graft] def walkFromGram(
+      g: Array[Array[Double]], r: Int, iterations: Int,
+      quantizeDp: Int): Seq[(Double, Array[Double], Double)] = {
     val dim = g.length
     var trace = 0.0
     var j = 0

@@ -2,7 +2,7 @@ package graft.queries
 
 /** DuckDB CTE builder for the quantized deflated-power-iteration PCA
   * walk — the SQL replay of
-  * [[graft.operators.Similarity.topPrincipalComponents]] at
+  * [[graft.operators.Similarity.topPrincipalComponentsMultiPass]] at
   * `quantizeDp = 9`. Extracted from `emb_pca_topr` so the component
   * walk is stated ONCE and every gate that consumes the components
   * (`emb_pca_topr`: the vectors themselves; `emb_whiten`: the

@@ -64,12 +64,7 @@ object Round10Ops1 {
     * content generator, same rationale as Round9Ops1's: 64-bit content
     * keys must not collide accidentally at larger scale factors.
     */
-  private def mix(a: Long, b: Long): Int = {
-    var z = a * 0x9E3779B97F4A7C15L + b
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    ((z ^ (z >>> 31)) & 0x7fffffffL).toInt
-  }
+  private def mix(a: Long, b: Long): Int = Round9Ops1.mix(a, b)
 
   /** Video near-dup via the frame-sampled dHash band fingerprint
     * (VERDICT r9 item 3 — the fourth modality: AVI frames were really

@@ -120,7 +120,7 @@ object Round9Ops1 {
     * cross-cluster collisions at larger scale factors (a `% 200` luma
     * formula repeats every 200 groups — sf0.1 has 1,667 image groups).
     */
-  private def mix(a: Long, b: Long): Int = {
+  private[queries] def mix(a: Long, b: Long): Int = {
     var z = a * 0x9E3779B97F4A7C15L + b
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL

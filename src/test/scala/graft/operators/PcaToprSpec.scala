@@ -303,4 +303,34 @@ class PcaToprSpec extends SparkSpec {
       assert(math.abs(cross) < 1e-9, s"cross-energy $i/$j = $cross")
     }
   }
+
+  test("momentsOnePassCapped: Left(maxLen) on over-cap input, Right moments otherwise") {
+    // the dispatcher's probe-free width decision rests on this contract:
+    // a capped scan must REPORT overflow (never throw, never return a
+    // partial Gram) and the narrow path must be the full moments
+    val mixed = Seq(
+      Seq(1.0, 2.0),
+      Seq.tabulate(10)(_.toDouble), // widest: 10 > cap 4
+      Seq(3.0)).toDF("embedding")
+    Similarity.momentsOnePassCapped(mixed, "embedding", cap = 4) match {
+      case Left(maxLen) => assert(maxLen === 10)
+      case Right(_) => fail("over-cap corpus must report Left")
+    }
+    val narrow = Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)).toDF("embedding")
+    Similarity.momentsOnePassCapped(narrow, "embedding", cap = 4) match {
+      case Right((n, sums, g)) =>
+        assert(n === 2L)
+        assert(sums.toSeq === Seq(4.0, 6.0))
+        assert(g(0)(0) === 10.0 && g(1)(1) === 20.0 && g(0)(1) === 14.0)
+      case Left(w) => fail(s"narrow corpus reported overflow $w")
+    }
+    // failFast preserves the momentsOnePass contract: in-task raise
+    val ex = intercept[Exception] {
+      Similarity.momentsOnePassCapped(mixed, "embedding", cap = 4,
+        failFast = true)
+    }
+    val msgs = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString("|")
+    assert(msgs.contains("envelope"), msgs.take(300))
+  }
 }
