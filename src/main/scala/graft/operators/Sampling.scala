@@ -59,6 +59,41 @@ object Sampling {
       when(col(idCol).isNull, lit(null).cast("string")).otherwise(expr))
   }
 
+  /** GROUP-aware train/val/test split — the leakage-safe form of
+    * [[deterministicSplit]]: every row of a group (a near-dup cluster,
+    * a source domain, a user) lands in the SAME split, because eval
+    * contamination at corpus scale is rarely an identical row — it's
+    * the near-copy or same-domain sibling of a training row, and a
+    * row-hashed split happily puts those on opposite sides. The split
+    * is hashed on the group's REPRESENTATIVE (min id — deterministic
+    * and content-stable like everything else here), so adding rows to
+    * a group never moves it between splits unless the new row becomes
+    * the representative.
+    *
+    * A NULL group is a SINGLETON (keyed by the row's own id), not a
+    * shared bucket: null-keyed rows would otherwise either be silently
+    * dropped by the join or — worse — fused into one giant fake group
+    * that lands whole in one split.
+    *
+    * Scale shape: one groupBy and one join, both hash-partitioned on
+    * the group key (the same exchange, reused), no windows, no
+    * broadcast of anything data-sized. Skew-safe: the per-group state
+    * is one (rep, split) row regardless of group size.
+    */
+  def leakageSafeSplit(
+      df: DataFrame, idCol: String, groupCol: String,
+      splits: Seq[(String, Int)], salt: String = ""): DataFrame = {
+    requireIntegralId(df, idCol, "leakageSafeSplit")
+    val keyed = df.withColumn("__grp",
+      coalesce(col(groupCol).cast("string"),
+        concat(lit("__solo:"), col(idCol).cast("string"))))
+    val assigned = deterministicSplit(
+        keyed.groupBy(col("__grp")).agg(min(col(idCol)).as("__rep")),
+        "__rep", splits, salt)
+      .select(col("__grp"), col("split"))
+    keyed.join(assigned, Seq("__grp")).drop("__grp")
+  }
+
   /** Deterministic uniform k-sample per group: keep the k rows with the
     * SMALLEST md5-derived priority in each group — bottom-k hash
     * sampling, the content-stable "cap every group at k" primitive

@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{QualityModel, RandomProjection, Sampling}
+
+/** Round-10 batch 2: the trainable curation layer — model-based quality
+  * scoring (distributed full-batch GD, hash-replayed end-to-end),
+  * leakage-safe group splits, and JL random projection. These close the
+  * "training-data pipeline" gaps a fixed-formula engine leaves: quality
+  * filters get TRAINED (not hand-tuned), eval splits must respect
+  * dup/domain structure (not row hashes), and wide embeddings get
+  * cheaply compressed before any shuffle-heavy downstream op.
+  */
+object Round10Ops2 {
+
+  private val Epochs = 3
+  private val LrLog2 = -17
+  // 2^-17 written as the exact decimal both engines parse to the same
+  // double (a power of two is exactly representable, so the literal IS
+  // the value — no parse rounding on either side)
+  private val LrSql = "0.00000762939453125"
+
+  /** Feature CTE shared by the GD gates: four cheap, integer-valued,
+    * engine-parity text statistics (bias, whitespace token count, char
+    * count, 'e' count) and the label (long docs). Integer-valued
+    * features make every gradient product one IEEE multiply on exact
+    * operands — the quantized-walk replay regime.
+    */
+  private val featsSql =
+    """feats AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CAST(1 AS DOUBLE) AS f1,
+      |    CAST(length(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS f2,
+      |    CAST(n_chars AS DOUBLE) AS f3,
+      |    CAST(length(text) - length(replace(text, 'e', '')) AS DOUBLE) AS f4,
+      |    CASE WHEN n_chars > 300 THEN CAST(1 AS DOUBLE)
+      |         ELSE CAST(0 AS DOUBLE) END AS y
+      |  FROM documents)""".stripMargin
+
+  /** The E-epoch GD walk as CTEs `w0..w$Epochs` (w0 = zeros): per epoch
+    * one gradient CTE summing 9dp-rounded per-row contributions in
+    * DECIMAL (order-independent — the same arithmetic
+    * [[graft.operators.QualityModel.trainGD]] runs distributed), then
+    * one weight-update CTE of four scalar IEEE ops. The prediction sums
+    * its four terms left-to-right, matching the operator's
+    * left-to-right fold exactly.
+    */
+  private def gdWalkSql: String = {
+    val dims = 1 to 4
+    val steps = (1 to Epochs).flatMap { e =>
+      val pred = dims.map(j => s"f.f$j * w.w$j").mkString(" + ")
+      val grads = dims.map(j =>
+        s"SUM(CAST(ROUND((($pred) - f.y) * f.f$j, 9) AS DECIMAL(38,9))) AS s$j")
+        .mkString(",\n    ")
+      val updates = dims.map(j =>
+        s"w.w$j - $LrSql * (CAST(g.s$j AS DOUBLE) / g.n) AS w$j")
+        .mkString(",\n    ")
+      Seq(
+        s"""g$e AS MATERIALIZED (
+           |  SELECT $grads,
+           |    COUNT(*) AS n
+           |  FROM feats f CROSS JOIN w${e - 1} w)""".stripMargin,
+        s"""w$e AS MATERIALIZED (
+           |  SELECT $updates
+           |  FROM g$e g CROSS JOIN w${e - 1} w)""".stripMargin)
+    }
+    val w0 = "w0 AS (SELECT " +
+      dims.map(j => s"CAST(0 AS DOUBLE) AS w$j").mkString(", ") + ")"
+    (Seq("WITH " + featsSql, w0) ++ steps).mkString(",\n")
+  }
+
+  private def featuresCol = array(
+    lit(1.0),
+    size(split(trim(col("text")), "\\s+")).cast("double"),
+    col("n_chars").cast("double"),
+    (length(col("text")) - length(expr("replace(text, 'e', '')")))
+      .cast("double"))
+
+  private def trainedWeights(
+      spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), featuresCol.as("features"),
+        when(col("n_chars") > 300, 1.0).otherwise(0.0).as("y"))
+    QualityModel.trainGD(docs, "features", "y", dim = 4,
+      epochs = Epochs, lrLog2 = LrLog2, link = QualityModel.Identity,
+      quantizeDp = 9)
+  }
+
+  /** Distributed linear-model training, hash-replayed END-TO-END: all 3
+    * epochs of full-batch GD (one distributed gradient pass per epoch,
+    * weights broadcast as literals) replayed by DuckDB from the same
+    * parquet — per-row contributions rounded to 9dp and summed in
+    * DECIMAL make the gradient order-independent, lr = 2^-17 makes the
+    * update scaling exact, and the left-to-right prediction fold
+    * matches SQL's `+` associativity. Output: every epoch's weight
+    * vector.
+    */
+  val qf_linear_gd: OpQuery = {
+    val finals = (1 to Epochs).flatMap(e => (1 to 4).map(j =>
+      s"SELECT CAST($e AS INT) AS epoch, CAST($j AS INT) AS dim, " +
+        s"CAST(ROUND(w$j, 9) AS DOUBLE) AS weight FROM w$e"))
+      .mkString("\nUNION ALL\n")
+    OpQuery("qf_linear_gd",
+      gdWalkSql + "\n" + finals + "\nORDER BY epoch, dim") { (spark, dir) =>
+      import spark.implicits._
+      trainedWeights(spark, dir).zipWithIndex.flatMap { case (w, e) =>
+        w.zipWithIndex.map { case (x, j) => (e + 1, j + 1, x) }
+      }.toDF("epoch", "dim", "weight")
+        .select(col("epoch").cast("int"), col("dim").cast("int"),
+          round(col("weight"), 9).as("weight"))
+        .orderBy("epoch", "dim")
+    }
+  }
+
+  /** The scoring half: the trained weights travel as literals into a
+    * map-side expression (one scan, no join, no shuffle — the 100 TB
+    * quality-filter shape) and the top-20 quality docs come off a
+    * TakeOrdered. The oracle re-derives the identical weights through
+    * the same CTE walk, so the gate pins train→score end-to-end.
+    */
+  val qf_linear_score: OpQuery = {
+    val pred = (1 to 4).map(j => s"f.f$j * w.w$j").mkString(" + ")
+    OpQuery("qf_linear_score",
+      gdWalkSql +
+        s""",
+           |scored AS (SELECT f.doc_id, ($pred) AS s
+           |           FROM feats f CROSS JOIN w$Epochs w)
+           |SELECT doc_id, CAST(ROUND(s, 9) AS DOUBLE) AS score
+           |FROM scored ORDER BY s DESC, doc_id LIMIT 20""".stripMargin) {
+      (spark, dir) =>
+        val w = trainedWeights(spark, dir).last
+        Tables.load(spark, dir, "documents")
+          .select(col("doc_id"),
+            QualityModel.scoreExpr(featuresCol, w).as("s"))
+          .orderBy(col("s").desc, col("doc_id"))
+          .limit(20)
+          .select(col("doc_id"), round(col("s"), 9).as("score"))
+    }
+  }
+
+  /** Leakage-safe eval split: documents split 80/10/10 at the SOURCE
+    * level (same-domain siblings of a training doc must not reach the
+    * eval set — the contamination a row-hashed split misses). The gate
+    * outputs per-split doc/group counts plus the straddle count, which
+    * the construction forces to zero and the oracle recomputes
+    * independently.
+    */
+  val split_leakage_safe: OpQuery = OpQuery("split_leakage_safe",
+    """WITH assigned AS MATERIALIZED (
+      |  SELECT d.doc_id, d.source,
+      |    CASE WHEN hb < 80 THEN 'train' WHEN hb < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents d JOIN (
+      |    SELECT source,
+      |      CAST(('0x' || substr(md5(CAST(MIN(doc_id) AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS hb
+      |    FROM documents GROUP BY source) r ON d.source = r.source
+      |), strad AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS straddled_groups FROM (
+      |    SELECT source FROM assigned GROUP BY source
+      |    HAVING COUNT(DISTINCT split) > 1)
+      |)
+      |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_groups,
+      |  (SELECT straddled_groups FROM strad) AS straddled_groups
+      |FROM assigned GROUP BY split ORDER BY split""".stripMargin) {
+    (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      val split = Sampling.leakageSafeSplit(docs, "doc_id", "source",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      val strad = split.groupBy(col("source"))
+        .agg(countDistinct(col("split")).as("k"))
+        .agg(coalesce(sum(when(col("k") > 1, 1L).otherwise(0L)), lit(0L))
+          .as("straddled_groups"))
+      split.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_groups"))
+        .crossJoin(broadcast(strad))
+        .orderBy(col("split"))
+  }
+
+  /** JL ±1 random projection of the (10×-quantized) embeddings to k=8:
+    * the sign matrix derives per-entry from md5 hex parity, so DuckDB
+    * regenerates the identical matrix and replays the projection
+    * exactly — integer inputs keep every inner sum exact. Spark runs it
+    * as a PURE MAP-SIDE expression (broadcast literals in codegen, one
+    * scan, zero shuffle); the oracle states the same algebra as an
+    * explode-join. Execution-shape twin of `emb_random_projection`
+    * (Round4Ops21), which shuffles n·d·k exploded rows through a keyed
+    * aggregate — this gate is the shuffle-free form of the same
+    * operator (see [[graft.operators.RandomProjection]]).
+    */
+  val emb_rand_proj: OpQuery = {
+    val dim = 64
+    val k = 8
+    OpQuery("emb_rand_proj",
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(embedding::DOUBLE[], x -> ROUND(x * 10, 0)) AS qv
+         |  FROM embeddings
+         |), ex AS (
+         |  SELECT vec_id, generate_subscripts(qv, 1) - 1 AS j, unnest(qv) AS x
+         |  FROM q
+         |), signs AS MATERIALIZED (
+         |  SELECT j, k,
+         |    CASE WHEN substr(md5('rp:' || CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 1)
+         |      IN ('0','2','4','6','8','a','c','e')
+         |      THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS s
+         |  FROM (SELECT unnest(range(0, $dim)) AS j),
+         |       (SELECT unnest(range(0, $k)) AS k)
+         |), proj AS (
+         |  SELECT e.vec_id, s.k AS proj_dim, SUM(e.x * s.s) AS v
+         |  FROM ex e JOIN signs s ON e.j = s.j
+         |  GROUP BY e.vec_id, s.k
+         |)
+         |SELECT vec_id, CAST(proj_dim AS INT) AS proj_dim,
+         |  CAST(TRUNC(v) AS BIGINT) AS pv
+         |FROM proj ORDER BY vec_id, proj_dim""".stripMargin) { (spark, dir) =>
+      val m = RandomProjection.signMatrix(dim, k, "rp")
+      Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(RandomProjection.projectExpr(
+            transform(col("embedding").cast("array<double>"),
+              x => round(x * 10, 0)), m)).as(Seq("proj_dim", "v")))
+        .select(col("vec_id"), col("proj_dim").cast("int").as("proj_dim"),
+          col("v").cast("long").as("pv"))
+        .orderBy("vec_id", "proj_dim")
+    }
+  }
+
+  val all: Seq[OpQuery] =
+    Seq(qf_linear_gd, qf_linear_score, split_leakage_safe, emb_rand_proj)
+}

@@ -113,7 +113,14 @@ object DumpPlans {
       // 3×3 neighbourhood explode feeding a plain shuffled equi-join on
       // the tile id — the plans that replace BroadcastNestedLoopJoin)
       graft.queries.Round6Ops9.spatial_points_in_boxes,
-      graft.queries.Round6Ops9.spatial_within_radius)
+      graft.queries.Round6Ops9.spatial_within_radius,
+      // round-10: the trainable-curation layer — broadcast-literal
+      // map-side scoring off a TakeOrdered (no join, no shuffle for the
+      // quality filter), and the shuffle-free JL projection (k·d sign
+      // literals inside codegen vs emb_random_projection's exploded
+      // aggregate)
+      graft.queries.Round10Ops2.qf_linear_score,
+      graft.queries.Round10Ops2.emb_rand_proj)
 
     val sections = headliners.map { q =>
       val df = q.build(spark, sfDir)

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Trained quality filtering ([[QualityModel]]): exact one-step recovery
+  * on an orthonormal planted design, quantized-walk determinism across
+  * partitionings, logistic separation, and the input-contract guards.
+  * Cross-engine replay of the identity-link walk is the `qf_linear_gd`
+  * gate's territory.
+  */
+class QualityModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  // balanced ±1 design: Gram/n = I exactly, so mean-gradient GD with
+  // lr = 2^0 recovers a noiseless linear target in ONE epoch — the
+  // closed-form case that pins the update rule's scaling exactly
+  private lazy val orthonormal = {
+    val rows = (0 until 50).map(_ => (Seq(1.0, 1.0), 5.0)) ++
+      (0 until 50).map(_ => (Seq(1.0, -1.0), -1.0)) // y = 2 + 3u
+    rows.toDF("features", "y")
+  }
+
+  test("identity link: one epoch recovers a noiseless target on an orthonormal design") {
+    val w = QualityModel.trainGD(orthonormal, "features", "y", dim = 2,
+      epochs = 1, lrLog2 = 0).head
+    assert(w.toSeq === Seq(2.0, 3.0))
+    // and the recovered model scores exactly
+    val mse = orthonormal
+      .select(pow(QualityModel.scoreExpr(col("features"), w) - col("y"), 2)
+        .as("se"))
+      .agg(sum("se")).head().getDouble(0)
+    assert(mse === 0.0)
+  }
+
+  test("quantized walk is bit-identical across partitionings") {
+    val docs = (0 until 400).map { i =>
+      (Seq(1.0, (i % 37).toDouble, (i % 11).toDouble), (i % 2).toDouble)
+    }.toDF("features", "y")
+    def weights(parts: Int): Seq[Seq[Double]] =
+      QualityModel.trainGD(docs.repartition(parts), "features", "y",
+        dim = 3, epochs = 3, lrLog2 = -12, quantizeDp = 9).map(_.toSeq)
+    assert(weights(1) == weights(13))
+  }
+
+  test("logistic link separates a planted linearly-separable corpus") {
+    val rows = (0 until 200).map { i =>
+      val u = if (i % 2 == 0) 1.0 + (i % 5) * 0.1 else -1.0 - (i % 5) * 0.1
+      (Seq(1.0, u), if (u > 0) 1.0 else 0.0)
+    }
+    val df = rows.toDF("features", "y")
+    val w = QualityModel.trainGD(df, "features", "y", dim = 2,
+      epochs = 50, lrLog2 = 1, link = QualityModel.Logistic).last
+    val acc = df.select(
+        (when(QualityModel.scoreExpr(col("features"), w) > 0, 1.0)
+          .otherwise(0.0) === col("y")).cast("int").as("hit"))
+      .agg(avg("hit")).head().getDouble(0)
+    assert(acc >= 0.95, s"logistic accuracy $acc")
+  }
+
+  test("ragged feature vectors raise; null rows are excluded from n, not zero-filled") {
+    val ragged = Seq((Seq(1.0, 2.0), 1.0), (Seq(1.0), 0.0))
+      .toDF("features", "y")
+    val ex = intercept[Exception] {
+      QualityModel.trainGD(ragged, "features", "y", dim = 2,
+        epochs = 1, lrLog2 = 0)
+    }
+    val msgs = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString("|")
+    assert(msgs.contains("ragged"), msgs.take(200))
+
+    // null label / null feature rows must not dilute the mean gradient
+    val withNulls = Seq(
+      (Some(Seq(1.0, 1.0)), Some(5.0)),
+      (Some(Seq(1.0, -1.0)), Some(-1.0)),
+      (None: Option[Seq[Double]], Some(9.0)),
+      (Some(Seq(1.0, 1.0)), None: Option[Double]))
+      .toDF("features", "y")
+    val clean = Seq((Seq(1.0, 1.0), 5.0), (Seq(1.0, -1.0), -1.0))
+      .toDF("features", "y")
+    val a = QualityModel.trainGD(withNulls, "features", "y", dim = 2,
+      epochs = 2, lrLog2 = -1).map(_.toSeq)
+    val b = QualityModel.trainGD(clean, "features", "y", dim = 2,
+      epochs = 2, lrLog2 = -1).map(_.toSeq)
+    assert(a == b)
+  }
+}

@@ -181,4 +181,50 @@ class SamplingSpec extends SparkSpec {
     assert(splits(None).isEmpty, "null id must get a NULL split")
     assert(splits(Some(1L)).nonEmpty && splits(Some(2L)).nonEmpty)
   }
+
+  test("leakageSafeSplit: groups never straddle; assignment is the representative's") {
+    val rows = (0L until 1000L).map(i => (i, s"grp${i % 40}"))
+    val df = rows.toDF("doc_id", "grp")
+    val split = Sampling.leakageSafeSplit(df, "doc_id", "grp",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    assert(split.count() === 1000L) // the join loses nothing
+    val straddles = split.groupBy("grp")
+      .agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(straddles === 0L)
+    // each group's split IS deterministicSplit of its min id
+    val expected = Sampling.deterministicSplit(
+        df.groupBy("grp").agg(min("doc_id").as("rep")), "rep",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    split.select("grp", "split").distinct().collect().foreach { r =>
+      assert(expected(r.getString(0)) === r.getString(1))
+    }
+  }
+
+  test("leakageSafeSplit: null groups are independent singletons, not one fused bucket") {
+    val df = (0L until 500L).map(i => (i, None: Option[String]))
+      .toDF("doc_id", "grp")
+    val split = Sampling.leakageSafeSplit(df, "doc_id", "grp",
+      Seq("train" -> 50, "test" -> 50))
+    assert(split.count() === 500L, "null-group rows must not be dropped")
+    val perSplit = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a fused null bucket would put all 500 in ONE split; independent
+    // singletons land near 50/50
+    assert(perSplit.keySet === Set("train", "test"))
+    assert(perSplit.values.forall(n => n > 150 && n < 350), perSplit.toString)
+  }
+
+  test("leakageSafeSplit: adding a non-representative row never moves the group") {
+    val base = Seq((10L, "a"), (20L, "a"), (5L, "b")).toDF("doc_id", "grp")
+    val grown = Seq((10L, "a"), (20L, "a"), (30L, "a"), (5L, "b"))
+      .toDF("doc_id", "grp") // 30 > 10: representative unchanged
+    def assign(df: org.apache.spark.sql.DataFrame): Map[String, String] =
+      Sampling.leakageSafeSplit(df, "doc_id", "grp",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select("grp", "split").distinct()
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(assign(base) == assign(grown)) // same group→split map
+  }
 }
