@@ -138,6 +138,11 @@ object QualityModel {
         val g = new Array[Double](dim)
         var n = 0L
         rows.foreach { row =>
+          if (row.isNullAt(1))
+            throw new IllegalStateException(
+              s"trainGD: gradient sum for dim ${row.getInt(0)} overflowed " +
+                s"decimal(38,$quantizeDp) — the walk is diverging; lower " +
+                "the learning rate (lrLog2) or rescale the features")
           g(row.getInt(0)) = row.getDouble(1)
           n = row.getLong(2)
         }

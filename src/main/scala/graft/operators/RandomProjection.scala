@@ -57,7 +57,11 @@ object RandomProjection {
 
   /** array<double> of length k: out[r] = Σ_j vec[j] · M[r][j], each
     * inner sum folded left-to-right from 0.0 (SQL `+` parity). A NULL
-    * element contributes 0; a NULL vector projects to NULL. Unscaled
+    * element contributes 0; a NULL vector projects to NULL; a vector
+    * whose length differs from the matrix width RAISES — zip_with would
+    * otherwise NULL-pad the short side and coalesce would quietly
+    * project a truncated dot product, the silent-wrong-answer failure
+    * the sibling operators (QualityModel.trainGD) also refuse. Unscaled
     * on purpose — for integer-quantized inputs every output is an
     * EXACT integer (the gate regime); callers wanting the JL-normalized
     * embedding divide by √k themselves (one exact-replayable IEEE op
@@ -66,12 +70,20 @@ object RandomProjection {
     */
   def projectExpr(vec: Column, matrix: Array[Array[Double]]): Column = {
     require(matrix.nonEmpty, "empty projection matrix")
+    val dim = matrix.head.length
+    require(matrix.forall(_.length == dim), "ragged projection matrix")
     val dims = matrix.map { row =>
       aggregate(
         zip_with(vec, typedLit(row.toSeq),
           (x, m) => coalesce(x, lit(0.0)) * m),
         lit(0.0), (acc, t) => acc + t)
     }
-    when(vec.isNotNull, array(dims.toIndexedSeq: _*))
+    when(vec.isNull, lit(null).cast("array<double>"))
+      .when(size(vec) === dim, array(dims.toIndexedSeq: _*))
+      .otherwise(raise_error(concat(
+        lit(s"RandomProjection.projectExpr: vector of length "),
+        size(vec),
+        lit(s" != matrix width $dim — a truncated projection would be " +
+          "silently wrong; fix the featurizer or rebuild the matrix"))))
   }
 }

@@ -73,7 +73,13 @@ object Sampling {
     * A NULL group is a SINGLETON (keyed by the row's own id), not a
     * shared bucket: null-keyed rows would otherwise either be silently
     * dropped by the join or — worse — fused into one giant fake group
-    * that lands whole in one split.
+    * that lands whole in one split. Group keys and singleton keys live
+    * under DISTINCT prefixes ("g:"/"s:"), so a group VALUE that happens
+    * to look like a synthetic key can never fuse with one. A row with
+    * BOTH group and id NULL gets a NULL split (retained, visibly
+    * unassigned — [[deterministicSplit]]'s pinned null-id behavior),
+    * never silently dropped. A pre-existing `split` column is REPLACED,
+    * matching [[deterministicSplit]]'s withColumn semantics.
     *
     * Scale shape: one groupBy and one join, both hash-partitioned on
     * the group key (the same exchange, reused), no windows, no
@@ -84,14 +90,17 @@ object Sampling {
       df: DataFrame, idCol: String, groupCol: String,
       splits: Seq[(String, Int)], salt: String = ""): DataFrame = {
     requireIntegralId(df, idCol, "leakageSafeSplit")
-    val keyed = df.withColumn("__grp",
-      coalesce(col(groupCol).cast("string"),
-        concat(lit("__solo:"), col(idCol).cast("string"))))
+    val keyed = df.drop("split").withColumn("__grp",
+      when(col(groupCol).isNotNull,
+        concat(lit("g:"), col(groupCol).cast("string")))
+        .otherwise(concat(lit("s:"), col(idCol).cast("string"))))
     val assigned = deterministicSplit(
         keyed.groupBy(col("__grp")).agg(min(col(idCol)).as("__rep")),
         "__rep", splits, salt)
       .select(col("__grp"), col("split"))
-    keyed.join(assigned, Seq("__grp")).drop("__grp")
+    // LEFT join: the only unmatched key is the NULL __grp of a
+    // (NULL group, NULL id) row — it keeps its row with a NULL split
+    keyed.join(assigned, Seq("__grp"), "left").drop("__grp")
   }
 
   /** Deterministic uniform k-sample per group: keep the k rows with the

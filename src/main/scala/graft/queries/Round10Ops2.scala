@@ -37,7 +37,8 @@ object Round10Ops2 {
       |    CAST(length(text) - length(replace(text, 'e', '')) AS DOUBLE) AS f4,
       |    CASE WHEN n_chars > 300 THEN CAST(1 AS DOUBLE)
       |         ELSE CAST(0 AS DOUBLE) END AS y
-      |  FROM documents)""".stripMargin
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND n_chars IS NOT NULL)""".stripMargin
 
   /** The E-epoch GD walk as CTEs `w0..w$Epochs` (w0 = zeros): per epoch
     * one gradient CTE summing 9dp-rounded per-row contributions in
@@ -78,9 +79,20 @@ object Round10Ops2 {
     (length(col("text")) - length(expr("replace(text, 'e', '')")))
       .cast("double"))
 
+  /** NULL text / n_chars filtered BEFORE featurizing, mirroring the
+    * feats CTE's WHERE: a NULL text would otherwise diverge the two
+    * halves (Spark's trainGD coalesces NULL feature ELEMENTS to 0 and
+    * keeps the row; the SQL prediction goes NULL and voids the row's
+    * gradient while COUNT(*) still includes it in n).
+    */
+  private def cleanDocs(
+      spark: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(spark, dir, "documents")
+      .filter(col("text").isNotNull && col("n_chars").isNotNull)
+
   private def trainedWeights(
       spark: org.apache.spark.sql.SparkSession, dir: String) = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = cleanDocs(spark, dir)
       .select(col("doc_id"), featuresCol.as("features"),
         when(col("n_chars") > 300, 1.0).otherwise(0.0).as("y"))
     QualityModel.trainGD(docs, "features", "y", dim = 4,
@@ -131,7 +143,7 @@ object Round10Ops2 {
            |FROM scored ORDER BY s DESC, doc_id LIMIT 20""".stripMargin) {
       (spark, dir) =>
         val w = trainedWeights(spark, dir).last
-        Tables.load(spark, dir, "documents")
+        cleanDocs(spark, dir)
           .select(col("doc_id"),
             QualityModel.scoreExpr(featuresCol, w).as("s"))
           .orderBy(col("s").desc, col("doc_id"))
@@ -229,6 +241,55 @@ object Round10Ops2 {
     }
   }
 
+  /** The trained-curation pipeline END-TO-END: train the quality model
+    * (3 GD epochs), filter the corpus map-side at score ≥ 0.5, exact-dedup
+    * the survivors on normalized text, then split LEAKAGE-SAFE at the
+    * source level — the full modern curation chain (heuristic
+    * `curation_e2e`'s trained sibling), every stage hash-replayed in one
+    * oracle: DuckDB re-derives the weights through the CTE walk, applies
+    * the same threshold, elects the same min-id survivors, and hashes
+    * the same representatives.
+    */
+  val curation_e2e_trained: OpQuery = {
+    val pred = (1 to 4).map(j => s"f.f$j * w.w$j").mkString(" + ")
+    OpQuery("curation_e2e_trained",
+      gdWalkSql +
+        s""",
+           |scored AS (SELECT f.doc_id, ($pred) AS s
+           |           FROM feats f CROSS JOIN w$Epochs w),
+           |kept AS MATERIALIZED (
+           |  SELECT d.doc_id, d.source, d.lang,
+           |         md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp
+           |  FROM documents d JOIN scored sc ON d.doc_id = sc.doc_id
+           |  WHERE sc.s >= 0.5),
+           |survivors AS (
+           |  SELECT k.doc_id, k.source, k.lang FROM kept k
+           |  JOIN (SELECT fp, MIN(doc_id) AS keeper FROM kept GROUP BY fp) g
+           |    ON k.doc_id = g.keeper),
+           |reps AS (SELECT source,
+           |    CAST(('0x' || substr(md5(CAST(MIN(doc_id) AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS hb
+           |  FROM survivors GROUP BY source),
+           |assigned AS (SELECT s.doc_id, s.lang,
+           |    CASE WHEN r.hb < 80 THEN 'train' WHEN r.hb < 90 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM survivors s JOIN reps r ON s.source = r.source)
+           |SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+           |FROM assigned GROUP BY split, lang ORDER BY split, lang""".stripMargin) {
+      (spark, dir) =>
+        val w = trainedWeights(spark, dir).last
+        val kept = cleanDocs(spark, dir)
+          .filter(QualityModel.scoreExpr(featuresCol, w) >= 0.5)
+        val survivors = graft.operators.Dedup.exact(kept, "doc_id", "text")
+          .select(col("doc_id"), col("source"), col("lang"))
+        Sampling.leakageSafeSplit(survivors, "doc_id", "source",
+            Seq("train" -> 80, "val" -> 10, "test" -> 10))
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("split"), col("lang"))
+    }
+  }
+
   val all: Seq[OpQuery] =
-    Seq(qf_linear_gd, qf_linear_score, split_leakage_safe, emb_rand_proj)
+    Seq(qf_linear_gd, qf_linear_score, split_leakage_safe, emb_rand_proj,
+      curation_e2e_trained)
 }

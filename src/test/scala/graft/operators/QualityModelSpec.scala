@@ -85,4 +85,17 @@ class QualityModelSpec extends SparkSpec {
       epochs = 2, lrLog2 = -1).map(_.toSeq)
     assert(a == b)
   }
+
+  test("a diverging quantized walk fails loudly on decimal overflow, not with an opaque NPE") {
+    // lr far past 2/λmax: residuals grow ~(lr·λ)× per epoch, and the
+    // 9dp DECIMAL(38,9) gradient sum (29 integer digits) overflows to
+    // NULL within a few epochs — the guard must name the cause
+    val docs = (0 until 100).map(i =>
+      (Seq(1.0, 1000.0 + i), 1.0)).toDF("features", "y")
+    val ex = intercept[IllegalStateException] {
+      QualityModel.trainGD(docs, "features", "y", dim = 2,
+        epochs = 12, lrLog2 = 40, quantizeDp = 9)
+    }
+    assert(ex.getMessage.contains("overflowed"), ex.getMessage)
+  }
 }

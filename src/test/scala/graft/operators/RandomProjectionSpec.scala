@@ -50,6 +50,17 @@ class RandomProjectionSpec extends SparkSpec {
     assert(got(3L) === null)
   }
 
+  test("a ragged vector raises instead of projecting a truncated dot product") {
+    val m = RandomProjection.signMatrix(dim = 5, k = 2, salt = "spec")
+    val short = Seq(Tuple1(Seq(1.0, 2.0))).toDF("v") // 2 != 5
+    val ex = intercept[Exception] {
+      short.select(RandomProjection.projectExpr(col("v"), m)).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString("|")
+    assert(msgs.contains("matrix width"), msgs.take(300))
+  }
+
   test("distance preservation on real embeddings (JL sanity at k=16)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

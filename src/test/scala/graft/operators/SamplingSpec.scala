@@ -227,4 +227,53 @@ class SamplingSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(assign(base) == assign(grown)) // same group→split map
   }
+
+  test("leakageSafeSplit: (null group, null id) keeps its row with a NULL split") {
+    val df = Seq(
+      (Some(1L), Some("a")),
+      (None: Option[Long], None: Option[String]),
+      (Some(2L), None: Option[String]))
+      .toDF("doc_id", "grp")
+    val out = Sampling.leakageSafeSplit(df, "doc_id", "grp",
+        Seq("train" -> 50, "test" -> 50))
+      .collect().map(r => Option(r.get(0)) -> Option(r.getString(2))).toMap
+    assert(out.size === 3, "no row may be silently dropped")
+    assert(out(None).isEmpty, "unassignable row must carry a NULL split")
+    assert(out(Some(1L)).nonEmpty && out(Some(2L)).nonEmpty)
+  }
+
+  test("leakageSafeSplit: a group value that LOOKS like a singleton key never fuses") {
+    // group "s:42" (an arbitrary real-world string) vs the null-group
+    // singleton of id 42 — the prefixed keyspace keeps them apart
+    val df = Seq(
+      (100L, Some("s:42")), (101L, Some("s:42")),
+      (42L, None: Option[String]))
+      .toDF("doc_id", "grp")
+    val out = Sampling.leakageSafeSplit(df, "doc_id", "grp",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    // the real group hashes on rep 100, the singleton on 42 — assert the
+    // group rows agree with each other and the singleton is independent
+    val byId = out.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(byId(100L) === byId(101L))
+    val expectSolo = Sampling.deterministicSplit(
+        Seq(42L).toDF("id"), "id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .head().getString(1)
+    val expectGroup = Sampling.deterministicSplit(
+        Seq(100L).toDF("id"), "id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .head().getString(1)
+    assert(byId(42L) === expectSolo)
+    assert(byId(100L) === expectGroup)
+  }
+
+  test("leakageSafeSplit: re-splitting replaces an existing split column") {
+    val df = Seq((1L, "a", "stale"), (2L, "b", "stale"))
+      .toDF("doc_id", "grp", "split")
+    val out = Sampling.leakageSafeSplit(df, "doc_id", "grp",
+      Seq("train" -> 50, "test" -> 50))
+    assert(out.columns.count(_ == "split") === 1)
+    assert(out.select("split").collect().forall(_.getString(0) != "stale"))
+  }
 }
