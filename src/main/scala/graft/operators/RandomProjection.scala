@@ -68,6 +68,12 @@ object RandomProjection {
     * only when k is a power of four; document the engine drift
     * otherwise).
     */
+  /** NOTE: `vec` is referenced k+2 times in the generated expression
+    * (one zip_with per output dim, plus the null/size guards), and
+    * interpreted higher-order lambdas share no subexpressions — pass a
+    * PLAIN COLUMN (materialize any quantize/normalize transform in its
+    * own select first), or that transform re-runs once per output dim.
+    */
   def projectExpr(vec: Column, matrix: Array[Array[Double]]): Column = {
     require(matrix.nonEmpty, "empty projection matrix")
     val dim = matrix.head.length

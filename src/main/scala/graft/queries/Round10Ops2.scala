@@ -230,11 +230,18 @@ object Round10Ops2 {
          |  CAST(TRUNC(v) AS BIGINT) AS pv
          |FROM proj ORDER BY vec_id, proj_dim""".stripMargin) { (spark, dir) =>
       val m = RandomProjection.signMatrix(dim, k, "rp")
+      // quantize in its OWN projection: projectExpr references its input
+      // k+2 times, and interpreted lambdas share no subexpressions — an
+      // inline transform would re-quantize the vector once per output
+      // dim (CollapseProject keeps a non-cheap multi-referenced alias
+      // in its own Project, so this split survives optimization)
       Tables.load(spark, dir, "embeddings")
         .select(col("vec_id"),
-          posexplode(RandomProjection.projectExpr(
-            transform(col("embedding").cast("array<double>"),
-              x => round(x * 10, 0)), m)).as(Seq("proj_dim", "v")))
+          transform(col("embedding").cast("array<double>"),
+            x => round(x * 10, 0)).as("qv"))
+        .select(col("vec_id"),
+          posexplode(RandomProjection.projectExpr(col("qv"), m))
+            .as(Seq("proj_dim", "v")))
         .select(col("vec_id"), col("proj_dim").cast("int").as("proj_dim"),
           col("v").cast("long").as("pv"))
         .orderBy("vec_id", "proj_dim")
