@@ -245,11 +245,26 @@ object Bench {
     val calibMedian =
       if (calibRatios.isEmpty) -1.0
       else math.max(1.0, calibRatios(calibRatios.size / 2))
-    val coldVerdicts: Seq[(String, Double, Double, Boolean)] =
+    // ISOLATED-WARM evidence trumps the cold comparison: the committed
+    // baseline was measured WARM in-suite, so isolated/baseline is the
+    // like-for-like regression test; cold/baseline additionally carries
+    // each gate's own JIT warm-up, which for interpretation-heavy gates
+    // (higher-order lambdas, long generated CASEs) legitimately exceeds
+    // what the codegen-light calibration set measures. A flag whose
+    // isolated warm rerun sits within 1.2x baseline is therefore
+    // warm-cleared — no code regression, whatever its cold ratio says
+    // (round 10 measured exactly this: two untouched stat gates at
+    // isolated 1.03-1.04x but cold 2.3-2.5x vs calib 1.37x).
+    val coldVerdicts: Seq[(String, Double, Double, Boolean, Boolean)] =
       if (calibMedian <= 0) Nil
       else subSecFlags.flatMap { g =>
         for (c <- coldQueries.get(g); b <- baseline.get(g) if b > 0 && c > 0)
-          yield (g, c, c / b, c / b > 1.5 * calibMedian)
+          yield {
+            val warmCleared =
+              isolated.get(g).exists(iso => iso > 0 && iso <= 1.2 * b)
+            (g, c, c / b, !warmCleared && c / b > 1.5 * calibMedian,
+              warmCleared)
+          }
       }
     val coldReproduced = coldVerdicts.count(_._4)
     // The driver captures a fixed-size tail (~2000 chars) of the run
@@ -318,12 +333,15 @@ object Bench {
         ",\"baseline\":" + fmt(baseline.getOrElse(name, -1.0)) +
         ",\"isolated\":" + fmt(isolated.getOrElse(name, -1.0)) + "}"
     }.mkString("{", ",", "}")
-    val coldJson = coldVerdicts.sortBy(_._1).map { case (g, c, ratio, rep) =>
-      s"\"" + g + "\":{\"cold\":" + fmt(c) +
-        ",\"baseline\":" + fmt(baseline.getOrElse(g, -1.0)) +
-        ",\"ratio\":" + fmt(ratio) +
-        ",\"calib_median_ratio\":" + fmt(calibMedian) +
-        ",\"reproduced_cold\":" + rep + "}"
+    val coldJson = coldVerdicts.sortBy(_._1).map {
+      case (g, c, ratio, rep, warmCleared) =>
+        s"\"" + g + "\":{\"cold\":" + fmt(c) +
+          ",\"baseline\":" + fmt(baseline.getOrElse(g, -1.0)) +
+          ",\"isolated\":" + fmt(isolated.getOrElse(g, -1.0)) +
+          ",\"ratio\":" + fmt(ratio) +
+          ",\"calib_median_ratio\":" + fmt(calibMedian) +
+          ",\"warm_cleared\":" + warmCleared +
+          ",\"reproduced_cold\":" + rep + "}"
     }.mkString("{", ",", "}")
     try {
       java.nio.file.Files.write(
