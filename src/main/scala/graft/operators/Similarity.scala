@@ -213,6 +213,61 @@ object Similarity {
     topKPerGroup(scored, col("query_id"), k)
   }
 
+  /** Hard-negative mining for contrastive / embedding-model training:
+    * for each query vector, the top-k most-COSINE-similar corpus
+    * vectors with a DIFFERENT label — the near-miss negatives a metric
+    * model learns most from (random negatives are trivially separable;
+    * same-label neighbors are positives, not negatives). Output:
+    * (query_id, corpus_id, rank, score), rank 1..k by (score desc,
+    * corpus_id asc).
+    *
+    * `shortlist = None` scores every cross-label pair exactly — the
+    * definitional form the `mine_hard_negatives` gate oracles (queries
+    * broadcast, label filter inside the join condition so excluded
+    * pairs never materialize a score). `Some(s)`: the 100 TB path —
+    * label-BLIND 1-bit Hamming shortlist ([[signBitTopK]], 32× less
+    * scan bandwidth), then labels join in and same-label candidates
+    * drop BEFORE the exact rerank touches raw vectors. Oversize `s`
+    * well past k: a label-dense neighborhood (many same-label
+    * near-dups) eats shortlist slots and can starve k — recall vs the
+    * exact form and equality at s = |corpus| are pinned in
+    * SimilaritySpec. NULL-label rows mine nothing and serve as nobody's
+    * negative (an unknown label can't be proven different).
+    */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      shortlist: Option[Int] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    VectorExprs.register(corpus.sparkSession)
+    shortlist match {
+      case None =>
+        val c = corpus.select(col(idCol).as("corpus_id"),
+          col(labelCol).as("__cl"), normalize(col(vecCol)).as("__cv"))
+        val q = queries.select(col(idCol).as("query_id"),
+          col(labelCol).as("__ql"), normalize(col(vecCol)).as("__qv"))
+        val scored = c.join(broadcast(q),
+            col("corpus_id") =!= col("query_id") &&
+              col("__cl") =!= col("__ql"))
+          .withColumn("score", VectorExprs.vecDot(col("__cv"), col("__qv")))
+        topKPerGroup(scored, col("query_id"), k)
+      case Some(s) =>
+        require(s >= k, s"shortlist $s < topK $k")
+        val cand = signBitTopK(corpus, queries, s, idCol, vecCol)
+          .select(col("query_id"), col("corpus_id"))
+        val qSide = queries.select(col(idCol).as("query_id"),
+          col(labelCol).as("__ql"), normalize(col(vecCol)).as("__qv"))
+        val scored = cand
+          .join(corpus.select(col(idCol).as("corpus_id"),
+            col(labelCol).as("__cl"), normalize(col(vecCol)).as("__cv")),
+            "corpus_id")
+          .join(broadcast(qSide), "query_id")
+          .filter(col("__cl") =!= col("__ql"))
+          .withColumn("score", VectorExprs.vecDot(col("__cv"), col("__qv")))
+        topKPerGroup(scored, col("query_id"), k)
+    }
+  }
+
   /** Shared two-phase top-k tail: bounded-heap aggregate per group, then
     * unnest ranked hits. Output: (group, corpus_id, rank, score) with
     * rank 1..k ordered by (score desc, corpus_id asc).

@@ -296,7 +296,42 @@ object Round10Ops2 {
     }
   }
 
+  /** Hard-negative mining for contrastive training data: per query
+    * vector, the top-3 most-cosine-similar vectors of a DIFFERENT
+    * label. The gate runs the definitional exact form
+    * ([[graft.operators.Similarity.hardNegatives]] with no shortlist);
+    * the 1-bit-Hamming-shortlisted 100 TB path's recall and
+    * full-shortlist equality are SimilaritySpec territory. Queries are
+    * every 8th vector so the pair count scales with the corpus, not a
+    * fixed slice.
+    */
+  val mine_hard_negatives: OpQuery = OpQuery("mine_hard_negatives",
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, label AS qlabel, embedding::DOUBLE[] AS qvec
+      |  FROM embeddings WHERE vec_id % 8 = 0
+      |), scored AS (
+      |  SELECT q.query_id, e.vec_id AS corpus_id,
+      |         list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS score
+      |  FROM embeddings e, q
+      |  WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel
+      |), ranked AS (
+      |  SELECT query_id, corpus_id,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |              ORDER BY score DESC, corpus_id ASC) AS INT) AS rank,
+      |         score
+      |  FROM scored
+      |)
+      |SELECT query_id, corpus_id, rank, CAST(ROUND(score, 6) AS DOUBLE) AS score
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    val emb = Tables.load(spark, dir, "embeddings")
+    graft.operators.Similarity.hardNegatives(
+        emb, emb.filter(col("vec_id") % 8 === 0), k = 3)
+      .withColumn("score", round(col("score"), 6).cast("double"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[OpQuery] =
     Seq(qf_linear_gd, qf_linear_score, split_leakage_safe, emb_rand_proj,
-      curation_e2e_trained)
+      curation_e2e_trained, mine_hard_negatives)
 }

@@ -349,4 +349,44 @@ class SimilaritySpec extends SparkSpec {
       .select(col("h.corpus_id")).as[Long].collect().toSet
     assert(got === Set(3L, 4L), s"heap returned $got")
   }
+
+  test("hardNegatives: never a same-label hit; shortlist path converges to exact") {
+    val queries = emb.filter($"vec_id" % 8 === 0)
+    val exact = Similarity.hardNegatives(emb, queries, k = 3)
+    val labels = emb.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = exact.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id"); val c = r.getAs[Long]("corpus_id")
+      assert(labels(q) != labels(c), s"same-label pair ($q, $c) mined")
+    }
+    // full shortlist ≡ exact (the binary scan is a shortlist, not a filter)
+    val n = emb.count().toInt
+    val viaShortlist = Similarity.hardNegatives(emb, queries, k = 3,
+      shortlist = Some(n))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"rank", $"corpus_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(key(viaShortlist) === key(exact))
+    // a small shortlist still returns only cross-label, ranked hits
+    val small = Similarity.hardNegatives(emb, queries, k = 3,
+      shortlist = Some(8))
+    small.collect().foreach { r =>
+      assert(labels(r.getAs[Long]("query_id")) !=
+        labels(r.getAs[Long]("corpus_id")))
+    }
+  }
+
+  test("hardNegatives: NULL-label rows mine nothing and serve as nobody's negative") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), Some(0)),
+      (2L, Array(0.9f, 0.1f), Some(1)),
+      (3L, Array(0.8f, 0.2f), None: Option[Int]))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(df, df, k = 2).collect()
+    val pairs = out.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    assert(pairs === Set((1L, 2L), (2L, 1L)), pairs.toString)
+  }
 }
