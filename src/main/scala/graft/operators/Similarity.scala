@@ -64,11 +64,29 @@ object Similarity {
     */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    bruteForceLabeled(corpus, queries, k, idCol, vecCol, labelCol = None)
+
+  /** [[bruteForceTopK]] with an optional cross-label restriction (the
+    * [[hardNegatives]] exact form): when `labelCol` is set, the label
+    * inequality sits INSIDE the join condition, so excluded pairs never
+    * materialize a score row.
+    */
+  private def bruteForceLabeled(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String, vecCol: String, labelCol: Option[String]): DataFrame = {
     VectorExprs.register(corpus.sparkSession)
-    val c = corpus.select(col(idCol).as("corpus_id"), normalize(col(vecCol)).as("cvec"))
-    val q = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qvec"))
-    val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+    val c = corpus.select(
+      Seq(col(idCol).as("corpus_id"), normalize(col(vecCol)).as("cvec")) ++
+        labelCol.map(l => col(l).as("__cl")): _*)
+    val q = queries.select(
+      Seq(col(idCol).as("query_id"), normalize(col(vecCol)).as("qvec")) ++
+        labelCol.map(l => col(l).as("__ql")): _*)
+    val cond = labelCol
+      .map(_ => col("corpus_id") =!= col("query_id") &&
+        col("__cl") =!= col("__ql"))
+      .getOrElse(col("corpus_id") =!= col("query_id"))
+    val scored = c.join(broadcast(q), cond)
       .withColumn("score", VectorExprs.vecDot(col("cvec"), col("qvec")))
     topKPerGroup(scored, col("query_id"), k)
   }
@@ -200,9 +218,21 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int, shortlist: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist < topK $k")
-    VectorExprs.register(corpus.sparkSession)
     val cand = signBitTopK(corpus, queries, shortlist, idCol, vecCol)
       .select(col("query_id"), col("corpus_id"))
+    exactRerank(cand, corpus, queries, k, idCol, vecCol)
+  }
+
+  /** Shared exact-rerank tail: score an already-shortlisted
+    * (query_id, corpus_id) candidate set against raw vectors and take
+    * the per-query top-k. Raw vectors are fetched ONLY for candidates
+    * that reach this point — callers filter (labels, thresholds) on the
+    * id-only candidate set first.
+    */
+  private def exactRerank(
+      cand: DataFrame, corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    VectorExprs.register(corpus.sparkSession)
     val q = queries.select(col(idCol).as("query_id"),
       normalize(col(vecCol)).as("__qv"))
     val scored = cand
@@ -227,45 +257,35 @@ object Similarity {
     * pairs never materialize a score). `Some(s)`: the 100 TB path —
     * label-BLIND 1-bit Hamming shortlist ([[signBitTopK]], 32× less
     * scan bandwidth), then labels join in and same-label candidates
-    * drop BEFORE the exact rerank touches raw vectors. Oversize `s`
-    * well past k: a label-dense neighborhood (many same-label
-    * near-dups) eats shortlist slots and can starve k — recall vs the
-    * exact form and equality at s = |corpus| are pinned in
-    * SimilaritySpec. NULL-label rows mine nothing and serve as nobody's
-    * negative (an unknown label can't be proven different).
+    * drop BEFORE the exact rerank touches raw vectors (the label filter
+    * runs on the id-only candidate set; only survivors join the vector
+    * columns). Oversize `s` well past k: a label-dense neighborhood
+    * (many same-label near-dups) eats shortlist slots and can starve
+    * k — small-shortlist recall vs the exact form and equality at
+    * s = |corpus| are pinned in SimilaritySpec. NULL-label rows mine
+    * nothing and serve as nobody's negative (an unknown label can't be
+    * proven different).
     */
   def hardNegatives(
       corpus: DataFrame, queries: DataFrame, k: Int,
       shortlist: Option[Int] = None,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      labelCol: String = "label"): DataFrame = {
-    VectorExprs.register(corpus.sparkSession)
-    shortlist match {
-      case None =>
-        val c = corpus.select(col(idCol).as("corpus_id"),
-          col(labelCol).as("__cl"), normalize(col(vecCol)).as("__cv"))
-        val q = queries.select(col(idCol).as("query_id"),
-          col(labelCol).as("__ql"), normalize(col(vecCol)).as("__qv"))
-        val scored = c.join(broadcast(q),
-            col("corpus_id") =!= col("query_id") &&
-              col("__cl") =!= col("__ql"))
-          .withColumn("score", VectorExprs.vecDot(col("__cv"), col("__qv")))
-        topKPerGroup(scored, col("query_id"), k)
-      case Some(s) =>
-        require(s >= k, s"shortlist $s < topK $k")
-        val cand = signBitTopK(corpus, queries, s, idCol, vecCol)
-          .select(col("query_id"), col("corpus_id"))
-        val qSide = queries.select(col(idCol).as("query_id"),
-          col(labelCol).as("__ql"), normalize(col(vecCol)).as("__qv"))
-        val scored = cand
-          .join(corpus.select(col(idCol).as("corpus_id"),
-            col(labelCol).as("__cl"), normalize(col(vecCol)).as("__cv")),
-            "corpus_id")
-          .join(broadcast(qSide), "query_id")
-          .filter(col("__cl") =!= col("__ql"))
-          .withColumn("score", VectorExprs.vecDot(col("__cv"), col("__qv")))
-        topKPerGroup(scored, col("query_id"), k)
-    }
+      labelCol: String = "label"): DataFrame = shortlist match {
+    case None =>
+      bruteForceLabeled(corpus, queries, k, idCol, vecCol, Some(labelCol))
+    case Some(s) =>
+      require(s >= k, s"shortlist $s < topK $k")
+      // label filter on the ID-ONLY candidate set — same-label
+      // candidates drop before any raw-vector column is joined
+      val crossLabel = signBitTopK(corpus, queries, s, idCol, vecCol)
+        .select(col("query_id"), col("corpus_id"))
+        .join(corpus.select(col(idCol).as("corpus_id"),
+          col(labelCol).as("__cl")), "corpus_id")
+        .join(broadcast(queries.select(col(idCol).as("query_id"),
+          col(labelCol).as("__ql"))), "query_id")
+        .filter(col("__cl") =!= col("__ql"))
+        .select(col("query_id"), col("corpus_id"))
+      exactRerank(crossLabel, corpus, queries, k, idCol, vecCol)
   }
 
   /** Shared two-phase top-k tail: bounded-heap aggregate per group, then

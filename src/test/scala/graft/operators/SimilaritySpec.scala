@@ -369,13 +369,34 @@ class SimilaritySpec extends SparkSpec {
       .select($"query_id", $"rank", $"corpus_id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(key(viaShortlist) === key(exact))
-    // a small shortlist still returns only cross-label, ranked hits
+    // a small shortlist still returns only cross-label, ranked hits,
+    // and its recall of the exact top-3 stays usable (deterministic
+    // data, deterministic recall — a signature-packing regression that
+    // starves cross-label candidates breaks this floor)
     val small = Similarity.hardNegatives(emb, queries, k = 3,
       shortlist = Some(8))
-    small.collect().foreach { r =>
+    val smallRows = small.collect()
+    smallRows.foreach { r =>
       assert(labels(r.getAs[Long]("query_id")) !=
         labels(r.getAs[Long]("corpus_id")))
     }
+    val exactPairs = rows.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    def recallAt(s: Int): Double = {
+      val pairs = Similarity.hardNegatives(emb, queries, k = 3,
+        shortlist = Some(s)).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id")))
+        .toSet
+      (pairs & exactPairs).size.toDouble / exactPairs.size
+    }
+    // recall is monotone in the shortlist (rerank scores a SUPERSET
+    // exactly), and at 24 candidates it must clear a usable floor —
+    // deterministic data, so a drop means the signature packing or the
+    // label pre-filter regressed, not noise
+    val r8 = recallAt(8)
+    val r24 = recallAt(24)
+    assert(r24 >= r8, s"recall not monotone: $r8 at 8 vs $r24 at 24")
+    assert(r24 >= 0.5, s"shortlist-24 recall $r24 of exact top-3")
   }
 
   test("hardNegatives: NULL-label rows mine nothing and serve as nobody's negative") {
