@@ -133,7 +133,14 @@ object QualityModel {
           .select(resid.as("__r"), posexplode(col("__f")).as(Seq("__j", "__x")))
           .groupBy(col("__j"))
           .agg(sum(qContrib).cast("double").as("__g"),
-            count(lit(1)).as("__n"))
+            count(lit(1)).as("__n"),
+            // non-null contributions: under quantizeDp > 0 a SINGLE
+            // per-row product with |value| >= 1e29 overflows its cast
+            // to decimal(38,dp) to NULL in non-ANSI mode and sum()
+            // skips it while n still counts the row — the gradient
+            // would be silently wrong for that epoch even though the
+            // SUM-level overflow guard below never fires (ADVICE r10)
+            count(qContrib).as("__nn"))
           .collect()
         val g = new Array[Double](dim)
         var n = 0L
@@ -143,6 +150,13 @@ object QualityModel {
               s"trainGD: gradient sum for dim ${row.getInt(0)} overflowed " +
                 s"decimal(38,$quantizeDp) — the walk is diverging; lower " +
                 "the learning rate (lrLog2) or rescale the features")
+          if (row.getLong(3) != row.getLong(2))
+            throw new IllegalStateException(
+              s"trainGD: ${row.getLong(2) - row.getLong(3)} per-row gradient " +
+                s"contribution(s) for dim ${row.getInt(0)} overflowed " +
+                s"decimal(38,$quantizeDp) and were dropped from the sum — " +
+                "a pathological feature row must fail loudly, not skew the " +
+                "gradient; rescale the features or lower the learning rate")
           g(row.getInt(0)) = row.getDouble(1)
           n = row.getLong(2)
         }

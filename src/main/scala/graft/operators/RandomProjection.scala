@@ -67,8 +67,8 @@ object RandomProjection {
     * embedding divide by √k themselves (one exact-replayable IEEE op
     * only when k is a power of four; document the engine drift
     * otherwise).
-    */
-  /** NOTE: `vec` is referenced k+2 times in the generated expression
+    *
+    * NOTE: `vec` is referenced k+2 times in the generated expression
     * (one zip_with per output dim, plus the null/size guards), and
     * interpreted higher-order lambdas share no subexpressions — pass a
     * PLAIN COLUMN (materialize any quantize/normalize transform in its

@@ -157,37 +157,53 @@ object Round10Ops2 {
     * eval set — the contamination a row-hashed split misses). The gate
     * outputs per-split doc/group counts plus the straddle count, which
     * the construction forces to zero and the oracle recomputes
-    * independently.
+    * independently. Both halves key groups through the operator's OWN
+    * g:/s: scheme (`COALESCE('g:'||source, 's:'||doc_id)`) so a
+    * NULL-source row is a SINGLETON on both sides (ADVICE r10: the old
+    * inner join on bare `source` dropped NULL-source rows in the
+    * oracle while the operator assigned them — the gate only agreed
+    * because current data has no NULL sources; a data refresh would
+    * have broken the gate instead of testing the documented null
+    * semantics).
     */
   val split_leakage_safe: OpQuery = OpQuery("split_leakage_safe",
-    """WITH assigned AS MATERIALIZED (
-      |  SELECT d.doc_id, d.source,
+    """WITH keyed AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    COALESCE('g:' || source, 's:' || CAST(doc_id AS VARCHAR)) AS grp
+      |  FROM documents
+      |), assigned AS MATERIALIZED (
+      |  SELECT k.doc_id, k.grp,
       |    CASE WHEN hb < 80 THEN 'train' WHEN hb < 90 THEN 'val'
       |         ELSE 'test' END AS split
-      |  FROM documents d JOIN (
-      |    SELECT source,
+      |  FROM keyed k JOIN (
+      |    SELECT grp,
       |      CAST(('0x' || substr(md5(CAST(MIN(doc_id) AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS hb
-      |    FROM documents GROUP BY source) r ON d.source = r.source
+      |    FROM keyed GROUP BY grp) r ON k.grp = r.grp
       |), strad AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS straddled_groups FROM (
-      |    SELECT source FROM assigned GROUP BY source
+      |    SELECT grp FROM assigned GROUP BY grp
       |    HAVING COUNT(DISTINCT split) > 1)
       |)
       |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_groups,
+      |  CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups,
       |  (SELECT straddled_groups FROM strad) AS straddled_groups
       |FROM assigned GROUP BY split ORDER BY split""".stripMargin) {
     (spark, dir) =>
       val docs = Tables.load(spark, dir, "documents")
       val split = Sampling.leakageSafeSplit(docs, "doc_id", "source",
-        Seq("train" -> 80, "val" -> 10, "test" -> 10))
-      val strad = split.groupBy(col("source"))
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        // the operator's group identity, restated for the audit aggs:
+        // NULL source = per-row singleton, never one fused NULL group
+        .withColumn("__grp", coalesce(
+          concat(lit("g:"), col("source").cast("string")),
+          concat(lit("s:"), col("doc_id").cast("string"))))
+      val strad = split.groupBy(col("__grp"))
         .agg(countDistinct(col("split")).as("k"))
         .agg(coalesce(sum(when(col("k") > 1, 1L).otherwise(0L)), lit(0L))
           .as("straddled_groups"))
       split.groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("source")).as("n_groups"))
+          countDistinct(col("__grp")).as("n_groups"))
         .crossJoin(broadcast(strad))
         .orderBy(col("split"))
   }
@@ -273,13 +289,16 @@ object Round10Ops2 {
            |  SELECT k.doc_id, k.source, k.lang FROM kept k
            |  JOIN (SELECT fp, MIN(doc_id) AS keeper FROM kept GROUP BY fp) g
            |    ON k.doc_id = g.keeper),
-           |reps AS (SELECT source,
+           |sgrp AS (SELECT doc_id, lang,
+           |    COALESCE('g:' || source, 's:' || CAST(doc_id AS VARCHAR)) AS grp
+           |  FROM survivors),
+           |reps AS (SELECT grp,
            |    CAST(('0x' || substr(md5(CAST(MIN(doc_id) AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS hb
-           |  FROM survivors GROUP BY source),
+           |  FROM sgrp GROUP BY grp),
            |assigned AS (SELECT s.doc_id, s.lang,
            |    CASE WHEN r.hb < 80 THEN 'train' WHEN r.hb < 90 THEN 'val'
            |         ELSE 'test' END AS split
-           |  FROM survivors s JOIN reps r ON s.source = r.source)
+           |  FROM sgrp s JOIN reps r ON s.grp = r.grp)
            |SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
            |FROM assigned GROUP BY split, lang ORDER BY split, lang""".stripMargin) {
       (spark, dir) =>
