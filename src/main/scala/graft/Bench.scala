@@ -28,7 +28,13 @@ import org.apache.spark.sql.SparkSession
   *       cheap gates; the calibration gates' cold/baseline ratio measures
   *       the fresh-JVM bias, and a flag "reproduces cold" only if its own
   *       ratio exceeds 1.5x the calibration median. The verdict lands in
-  *       bench_detail.json's `coldtocold` section — no manual bisect.
+  *       bench_detail.json's `coldtocold` section — no manual bisect;
+  *   (e) SEVERE flags — suite median > 2.5x baseline — always join the
+  *       cold child, whatever their baseline magnitude or warm-isolated
+  *       verdict, and the stdout summary line NAMES every reproduced /
+  *       cold-adjudicated gate with its verdict (VERDICT r10 item 1:
+  *       unnamed `reproduced: 2` counts were unauditable from the
+  *       driver's captured tail alone).
   */
 object Bench {
 
@@ -175,9 +181,10 @@ object Bench {
       val (med, _, _) = timeGate(name, fnByName(name))
       name -> med
     }.toMap
-    val reproduced = isolated.count { case (name, iso) =>
-      baseline.get(name).exists(b => iso > 1.5 * b)
-    }
+    val reproducedGates = isolated.collect {
+      case (name, iso) if baseline.get(name).exists(b => iso > 1.5 * b) => name
+    }.toSeq.sorted
+    val reproduced = reproducedGates.size
     // Sub-second flag adjudication, AUTOMATED (VERDICT r9 item 4): the
     // in-session isolated re-run inherits warm JIT, so for gates whose
     // baseline is < 1 s it systematically over-reads — round 9 needed a
@@ -201,8 +208,20 @@ object Bench {
         -(isolated.get(n).filter(_ > 0).getOrElse(results(n)) / b)
       }
       .take(5)
+    // SEVERE flags (VERDICT r10 item 1): any gate whose suite median
+    // exceeded 2.5x its committed baseline gets the cold-to-cold child
+    // UNCONDITIONALLY — whatever its baseline magnitude and even if the
+    // warm isolated rerun cleared it — so a far-above-median outlier in
+    // the driver artifact always carries its own cold verdict inline
+    // instead of waiting a round for a manual bisect (round 10 left
+    // decontam_overlap 7.2x / q1_agg 4.4x / dedup_clusters 2.9x
+    // adjudicable only from the next round's artifacts).
+    val severeFlags = flaggedNames
+      .filter(n => baseline.get(n).exists(b => b > 0 && results(n) > 2.5 * b))
+      .sorted
+    val coldGates = (severeFlags ++ subSecFlags).distinct.take(8)
     val coldQueries: Map[String, Double] =
-      if (isChildRun || subSecFlags.isEmpty || calibGates.isEmpty) Map.empty
+      if (isChildRun || coldGates.isEmpty || calibGates.isEmpty) Map.empty
       else try {
         val detailPath = java.nio.file.Files.createTempFile("bench_cold", ".json")
         val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -217,7 +236,7 @@ object Bench {
         pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
         pb.environment().put("SPARK_GRAFT_CPUS", cpus)
         pb.environment().put("SPARK_GRAFT_ONLY",
-          (subSecFlags ++ calibGates).distinct.mkString(","))
+          (coldGates ++ calibGates).distinct.mkString(","))
         pb.environment().put("SPARK_GRAFT_DETAIL_PATH", detailPath.toString)
         pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
         pb.redirectError(ProcessBuilder.Redirect.DISCARD)
@@ -257,7 +276,7 @@ object Bench {
     // isolated 1.03-1.04x but cold 2.3-2.5x vs calib 1.37x).
     val coldVerdicts: Seq[(String, Double, Double, Boolean, Boolean)] =
       if (calibMedian <= 0) Nil
-      else subSecFlags.flatMap { g =>
+      else coldGates.flatMap { g =>
         for (c <- coldQueries.get(g); b <- baseline.get(g) if b > 0 && c > 0)
           yield {
             val warmCleared =
@@ -267,6 +286,7 @@ object Bench {
           }
       }
     val coldReproduced = coldVerdicts.count(_._4)
+    val coldReproducedGates = coldVerdicts.collect { case (g, _, _, true, _) => g }.sorted
     // The driver captures a fixed-size tail (~2000 chars) of the run
     // output; with 85+ registered queries a full per-query dump pushes
     // the start of the JSON line out of the window and the driver
@@ -306,12 +326,15 @@ object Bench {
     // the WHOLE line — under heavy machine load many queries cross the
     // 0.5 s bar, so shed the non-headline extras first, then the fastest
     // headline entries, before the line can outgrow the window
+    // 1300, not 1500: the summary line now also carries the named
+    // reproduced/cold-verdict sets (bounded, ~500 chars worst case),
+    // and the whole line must fit the driver's ~2000-char window
     var qs = render(shown)
-    if (qs.length > 1500) qs = render(shown.filter { case (k, v) => headline(k) || v < 0 })
-    if (qs.length > 1500)
+    if (qs.length > 1300) qs = render(shown.filter { case (k, v) => headline(k) || v < 0 })
+    if (qs.length > 1300)
       qs = render(shown.filter(_._2 != 0)
         .sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
-        .take(45).sortBy(_._1))
+        .take(40).sortBy(_._1))
     val total = results.values.filter(_ >= 0).sum
     val fullJson = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
@@ -357,7 +380,20 @@ object Bench {
     // flagged/reproduced: gates >1.5x last round's number, and how many
     // of those survived an isolated re-run — the drift-vs-real verdict,
     // in the artifact itself (full numbers in bench_detail.json).
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries_timed":${results.size},"reps":$reps,"flagged":${flaggedNames.size},"reproduced":$reproduced,"cold_adjudicated":${coldVerdicts.size},"cold_reproduced":$coldReproduced,"queries":$qs,"sf":"$sfDir"}""")
+    // reproduced_gates / cold_verdicts NAME each adjudicated gate with
+    // its verdict inline (VERDICT r10 item 1: the r10 tail said
+    // `reproduced: 2` without names — unauditable from artifacts alone);
+    // both sets are bounded (isolated cap 20, cold cap 8) so the line
+    // stays inside the driver's ~2000-char capture window.
+    def jsonNames(xs: Seq[String]): String =
+      xs.take(12).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val coldVerdictJson = coldVerdicts.sortBy(_._1).map {
+      case (g, _, _, rep, warmCleared) =>
+        val v = if (rep) "reproduced"
+          else if (warmCleared) "warm_cleared" else "weather"
+        s"\"" + g + "\":\"" + v + "\""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries_timed":${results.size},"reps":$reps,"flagged":${flaggedNames.size},"reproduced":$reproduced,"reproduced_gates":${jsonNames(reproducedGates)},"cold_adjudicated":${coldVerdicts.size},"cold_reproduced":$coldReproduced,"cold_reproduced_gates":${jsonNames(coldReproducedGates)},"cold_verdicts":$coldVerdictJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -297,20 +297,42 @@ object Multimodal {
     * dHashes → identical bands, whatever the frame rate or byte
     * layout) and to TRUNCATION (a prefix of the frame sequence keeps
     * every complete band before the cut; the trailing partial band is
-    * dropped on BOTH sides rather than hashed differently). Output:
-    * (all input columns minus payload) + (band_idx, band_key); rows
-    * whose payload is not decodable video emit NO rows — a text or
-    * image asset never gets a fabricated video fingerprint.
+    * dropped on BOTH sides rather than hashed differently).
+    *
+    * HAMMING TOLERANCE (VERDICT r10 item 2): a REAL lossy re-compress
+    * does not preserve rasters bit-exactly — it flips 1–2 dHash bits
+    * per frame, and a band key folded over whole 64-bit hashes then
+    * misses on every band. `subBands > 1` applies the same pigeonhole
+    * sub-banding the simhash family uses ([[Dedup.simHashNearDups]]):
+    * each frame hash splits into `subBands` chunks of 64/subBands
+    * bits, and the band emits one key PER CHUNK LANE (folding lane s
+    * of every frame in the band). A pair whose total flipped bits
+    * within a band is ≤ subBands − 1 leaves at least one lane
+    * untouched on every frame — guaranteed ≥ 1 shared key per band
+    * (e.g. subBands = 4, bandSize = 3: one flipped bit per frame can
+    * at worst hit 3 distinct lanes, the 4th still collides).
+    * `subBands = 1` is the exact mode and reproduces the r10 keys
+    * bit-for-bit (lane 0 over the whole hash, unsalted seed).
+    *
+    * Output: (all input columns minus payload) + (band_idx, sub_idx,
+    * band_key); candidates share any (band_idx, sub_idx, band_key).
+    * Rows whose payload is not decodable video emit NO rows — a text
+    * or image asset never gets a fabricated video fingerprint.
     */
   def videoBandFingerprints(media: DataFrame, everyNth: Int = 2,
-      bandSize: Int = 4): DataFrame = {
+      bandSize: Int = 4, subBands: Int = 1): DataFrame = {
     require(everyNth > 0, s"everyNth must be positive, got $everyNth")
     require(bandSize > 0, s"bandSize must be positive, got $bandSize")
+    require(subBands >= 1 && 64 % subBands == 0,
+      s"subBands must divide 64, got $subBands")
+    val bitsPerSub = 64 / subBands
+    val subMask = if (bitsPerSub >= 64) -1L else (1L << bitsPerSub) - 1
     val payloadIdx = media.schema.fieldIndex("payload")
     val keepIdx = media.schema.fields.indices.filterNot(_ == payloadIdx)
     val outSchema = StructType(
       keepIdx.map(media.schema.fields).toArray ++ Seq(
         StructField("band_idx", IntegerType, nullable = false),
+        StructField("sub_idx", IntegerType, nullable = false),
         StructField("band_key", LongType, nullable = false)))
     val enc = RowEncoder.encoderFor(outSchema)
     media.mapPartitions { rows =>
@@ -320,20 +342,29 @@ object Multimodal {
           case Some(MediaCodec.DecodedVideo(avi)) =>
             val sampled = avi.frames.indices.by(everyNth)
               .map(i => dHash64(avi.frames(i)))
-            sampled.grouped(bandSize).zipWithIndex.collect {
+            sampled.grouped(bandSize).zipWithIndex.flatMap {
               // complete bands only — truncation invariance
               case (band, idx) if band.length == bandSize =>
-                // order-sensitive 64-bit fold (splitmix finalizer per
-                // step): a reordered frame sequence must change the key
-                var key = 0x9E3779B97F4A7C15L
-                band.foreach { h =>
-                  var z = (key ^ h) * 0xBF58476D1CE4E5B9L
-                  z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-                  key = z ^ (z >>> 31)
+                (0 until subBands).map { s =>
+                  // order-sensitive 64-bit fold (splitmix finalizer per
+                  // step): a reordered frame sequence must change the
+                  // key. The seed is lane-salted (xor of a second
+                  // splitmix constant) so lane keys never collide
+                  // cross-lane by construction; lane 0 keeps the
+                  // unsalted r10 seed for bit-compatibility.
+                  var key = 0x9E3779B97F4A7C15L ^
+                    (s.toLong * 0xD1B54A32D192ED03L)
+                  band.foreach { h =>
+                    val chunk = (h >>> (s * bitsPerSub)) & subMask
+                    var z = (key ^ chunk) * 0xBF58476D1CE4E5B9L
+                    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+                    key = z ^ (z >>> 31)
+                  }
+                  // Seq[Any] — a plain Seq(idx, key) would numerically
+                  // WIDEN the Int index to Long and break the encoder
+                  Row.fromSeq(keepIdx.map(r.get) ++ Seq[Any](idx, s, key))
                 }
-                // Seq[Any] — a plain Seq(idx, key) would numerically
-                // WIDEN the Int index to Long and break the encoder
-                Row.fromSeq(keepIdx.map(r.get) ++ Seq[Any](idx, key))
+              case _ => Nil
             }
           case _ => Iterator.empty
         }

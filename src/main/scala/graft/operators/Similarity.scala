@@ -265,27 +265,76 @@ object Similarity {
     * s = |corpus| are pinned in SimilaritySpec. NULL-label rows mine
     * nothing and serve as nobody's negative (an unknown label can't be
     * proven different).
+    *
+    * STARVATION SIGNAL (VERDICT r10 item 4 — contract upgraded to
+    * enforcement, like the r9→r10 NaN fix): a label-dense neighborhood
+    * can eat every shortlist slot and leave a query with fewer than k
+    * negatives — in the worst case ZERO rows, which no per-row column
+    * can flag. `emitFoundK = true` appends `found_k` (the query's
+    * actual negative count) to every output row, so a starved-but-
+    * nonzero query is visible in the result itself; `requireK = true`
+    * additionally RAISES when any labeled query ends below k — the
+    * only signal that also catches fully-starved queries, since they
+    * emit no rows at all. requireK runs the mining eagerly (the
+    * queries×k-bounded result is checkpointed once; the guard and the
+    * found_k window reuse it instead of recomputing the scan). In the
+    * exact path found_k < k means the corpus genuinely holds fewer
+    * than k cross-label vectors — data reality, not starvation — and
+    * requireK raises for that too (the caller asked for k).
     */
   def hardNegatives(
       corpus: DataFrame, queries: DataFrame, k: Int,
       shortlist: Option[Int] = None,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      labelCol: String = "label"): DataFrame = shortlist match {
-    case None =>
-      bruteForceLabeled(corpus, queries, k, idCol, vecCol, Some(labelCol))
-    case Some(s) =>
-      require(s >= k, s"shortlist $s < topK $k")
-      // label filter on the ID-ONLY candidate set — same-label
-      // candidates drop before any raw-vector column is joined
-      val crossLabel = signBitTopK(corpus, queries, s, idCol, vecCol)
-        .select(col("query_id"), col("corpus_id"))
-        .join(corpus.select(col(idCol).as("corpus_id"),
-          col(labelCol).as("__cl")), "corpus_id")
-        .join(broadcast(queries.select(col(idCol).as("query_id"),
-          col(labelCol).as("__ql"))), "query_id")
-        .filter(col("__cl") =!= col("__ql"))
-        .select(col("query_id"), col("corpus_id"))
-      exactRerank(crossLabel, corpus, queries, k, idCol, vecCol)
+      labelCol: String = "label",
+      emitFoundK: Boolean = false,
+      requireK: Boolean = false): DataFrame = {
+    val mined = shortlist match {
+      case None =>
+        bruteForceLabeled(corpus, queries, k, idCol, vecCol, Some(labelCol))
+      case Some(s) =>
+        require(s >= k, s"shortlist $s < topK $k")
+        // label filter on the ID-ONLY candidate set — same-label
+        // candidates drop before any raw-vector column is joined
+        val crossLabel = signBitTopK(corpus, queries, s, idCol, vecCol)
+          .select(col("query_id"), col("corpus_id"))
+          .join(corpus.select(col(idCol).as("corpus_id"),
+            col(labelCol).as("__cl")), "corpus_id")
+          .join(broadcast(queries.select(col(idCol).as("query_id"),
+            col(labelCol).as("__ql"))), "query_id")
+          .filter(col("__cl") =!= col("__ql"))
+          .select(col("query_id"), col("corpus_id"))
+        exactRerank(crossLabel, corpus, queries, k, idCol, vecCol)
+    }
+    if (!emitFoundK && !requireK) mined
+    else {
+      // one materialization of the queries×k-bounded result; both the
+      // starvation guard and the found_k window read it back instead of
+      // re-running the signature scan + rerank
+      val mat = mined.localCheckpoint(true)
+      if (requireK) {
+        val counts = mat.groupBy(col("query_id"))
+          .agg(count(lit(1)).as("__fk"))
+        val starved = queries.filter(col(labelCol).isNotNull)
+          .select(col(idCol).as("query_id"))
+          .join(counts, Seq("query_id"), "left")
+          .filter(coalesce(col("__fk"), lit(0L)) < k)
+        val some = starved.orderBy(col("query_id")).take(4)
+        if (some.nonEmpty)
+          throw new IllegalStateException(
+            s"hardNegatives: ${some.length}+ queries returned fewer than " +
+              s"k=$k negatives (first: ${some.map(_.get(0)).mkString(", ")})" +
+              shortlist.fold(" — the corpus holds fewer cross-label " +
+                "vectors than requested")(s => s" — shortlist $s starved " +
+                "by label-dense neighborhoods; raise the shortlist") +
+              "; pass requireK=false to accept short results " +
+              "(emitFoundK=true makes them visible per row)")
+      }
+      if (emitFoundK)
+        mat.withColumn("found_k",
+          count(lit(1)).over(Window.partitionBy(col("query_id"))).cast("int"))
+      else mat
+    }
   }
 
   /** Shared two-phase top-k tail: bounded-heap aggregate per group, then

@@ -111,9 +111,11 @@ object Round10Ops1 {
       })
       .toDF("media_id", "payload")
       .localCheckpoint(true)
-    val fp = Multimodal.videoBandFingerprints(corpus, everyNth = 2, bandSize = 3)
+    val fp = Multimodal.videoBandFingerprints(corpus, everyNth = 2,
+      bandSize = 3, subBands = 1) // exact mode: bit-identical rasters
     fp.as("a").join(fp.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
+          col("a.sub_idx") === col("b.sub_idx") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.media_id") < col("b.media_id"))
       .groupBy(col("a.media_id").as("id1"), col("b.media_id").as("id2"))

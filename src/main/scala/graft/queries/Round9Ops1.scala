@@ -276,14 +276,20 @@ object Round9Ops1 {
   }
 
   private[graft] def mmVideoPairs(corpus: org.apache.spark.sql.DataFrame) = {
+    // subBands = 4: the Hamming-tolerant production mode (VERDICT r10
+    // item 2) — a lossy re-encode flipping ≤ 3 dHash bits per band
+    // still collides on at least one pigeonhole lane, while exact
+    // rasters (this fixture's octet chain) collide on every lane, so
+    // the recovered components are unchanged
     val fp = graft.operators.Multimodal.videoBandFingerprints(
       corpus.filter(col("avi").isNotNull)
         .select(col("media_id"), col("avi").as("payload")),
-      everyNth = 2, bandSize = 3)
-    // candidates share any (band_idx, band_key); distinct because a
-    // full-length duplicate collides in EVERY band
+      everyNth = 2, bandSize = 3, subBands = 4)
+    // candidates share any (band_idx, sub_idx, band_key); distinct
+    // because a full-length duplicate collides in EVERY band and lane
     fp.as("a").join(fp.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
+          col("a.sub_idx") === col("b.sub_idx") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("id1"), col("b.media_id").as("id2"))

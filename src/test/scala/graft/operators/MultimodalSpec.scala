@@ -582,6 +582,50 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).isNullAt(1))
   }
 
+  test("videoBandFingerprints: pigeonhole sub-bands recall bit-perturbed re-encodes exact mode misses") {
+    import spark.implicits._
+    def mix(a: Long, b: Long): Long = {
+      var z = a * 0x9E3779B97F4A7C15L + b
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def base(f: Int, x: Int, y: Int): Int =
+      30 + (((mix(7L, f * 1024L + y * 9 + x) % 180) + 180) % 180).toInt
+    // clip A: 12 original frames; clip B: the lossy re-encode — ONE
+    // dHash bit flipped per frame (pixel (8, y) of an even row inverts
+    // comparison (7, y), the only bit that pixel feeds)
+    def encode(noisy: Boolean, us: Int) =
+      MediaCodec.encodeAvi(9, 8, 12, us, (f, x, y) => {
+        val flipRow = 2 * (((mix(99L, f) % 4) + 4) % 4).toInt
+        val v =
+          if (noisy && x == 8 && y == flipRow) {
+            val v7 = base(f, 7, y)
+            if (base(f, 8, y) > v7) v7 - 8 else v7 + 8
+          } else base(f, x, y)
+        (v << 16) | (v << 8) | v
+      })
+    val media = Seq(
+        (1L, encode(noisy = false, 40000)),
+        (2L, encode(noisy = true, 33333)))
+      .toDF("media_id", "payload")
+    def pairs(subBands: Int): Long = {
+      val fp = Multimodal.videoBandFingerprints(media, everyNth = 2,
+        bandSize = 3, subBands = subBands)
+      fp.as("a").join(fp.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.sub_idx") === col("b.sub_idx") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.media_id") < col("b.media_id"))
+        .select("a.band_idx").distinct().count()
+    }
+    // exact mode: every band carries ≥ 1 flipped bit — zero recall
+    assert(pairs(subBands = 1) == 0L)
+    // 4 pigeonhole lanes: ≤ 3 flips per 3-frame band leave ≥ 1 lane
+    // untouched — BOTH bands collide (guaranteed, not probabilistic)
+    assert(pairs(subBands = 4) == 2L)
+  }
+
   test("resizePayload: real pixels shrink, metadata tracks truth, non-images pass through") {
     import spark.implicits._
     val bmp = MediaCodec.encodeBmp24(20, 10, (x, y) => ((x * 12) << 16) | ((y * 25) << 8) | 7)

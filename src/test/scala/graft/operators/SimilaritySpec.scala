@@ -399,6 +399,59 @@ class SimilaritySpec extends SparkSpec {
     assert(r24 >= 0.5, s"shortlist-24 recall $r24 of exact top-3")
   }
 
+  test("hardNegatives: starvation is signaled, never silent (found_k / requireK)") {
+    // label-dense adversarial fixture: the query's entire Hamming
+    // neighborhood is same-label, so a small shortlist starves after
+    // the label filter — the r10 verdict's silent-truncation case
+    val corpus = (
+      (1L to 6L).map(i => (i, Array(1.0f, 1.0f + i * 0.01f), 0)) ++
+        Seq((7L, Array(1.0f, 0.5f), 1),
+          (8L, Array(-1.0f, -1.0f), 1), (9L, Array(-1.0f, -0.9f), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val queries = Seq((100L, Array(1.0f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    // shortlist 4 → candidates are the 4 lowest-id hamming-0 vectors,
+    // ALL label 0 → zero negatives survive: the query vanishes from the
+    // output entirely (no per-row column can flag it)...
+    val starvedOut = Similarity.hardNegatives(corpus, queries, k = 2,
+      shortlist = Some(4), emitFoundK = true)
+    assert(starvedOut.count() == 0)
+    // ...and requireK converts exactly that into a loud failure
+    val ex = intercept[IllegalStateException] {
+      Similarity.hardNegatives(corpus, queries, k = 2,
+        shortlist = Some(4), requireK = true)
+    }
+    assert(ex.getMessage.contains("starved"), ex.getMessage)
+    // shortlist 7 reaches one cross-label candidate: rows appear with
+    // found_k = 1 < k visible on every row (starved but nonzero)
+    val partial = Similarity.hardNegatives(corpus, queries, k = 2,
+      shortlist = Some(7), emitFoundK = true).collect()
+    assert(partial.length == 1)
+    assert(partial.head.getAs[Int]("found_k") == 1)
+    assert(partial.head.getAs[Long]("corpus_id") == 7L)
+    // full shortlist: 3 cross-label candidates, k satisfied — requireK
+    // passes and found_k == k on every row
+    val full = Similarity.hardNegatives(corpus, queries, k = 2,
+      shortlist = Some(9), emitFoundK = true, requireK = true).collect()
+    assert(full.length == 2)
+    assert(full.forall(_.getAs[Int]("found_k") == 2))
+    // the exact path raises too when the corpus genuinely holds fewer
+    // than k cross-label vectors (caller asked for k, data has 3 < 4)
+    intercept[IllegalStateException] {
+      Similarity.hardNegatives(corpus, queries, k = 4, requireK = true)
+    }
+    // a NULL-label query mines nothing BY CONTRACT — requireK must not
+    // treat the documented no-op as starvation
+    val nullQ = Seq((101L, Array(1.0f, 1.0f), None: Option[Int]))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.hardNegatives(corpus, nullQ, k = 2,
+      shortlist = Some(4), requireK = true).count() == 0)
+    // default flags unchanged: no found_k column leaks into the
+    // mine_hard_negatives gate schema
+    assert(!Similarity.hardNegatives(corpus, queries, k = 2)
+      .columns.contains("found_k"))
+  }
+
   test("hardNegatives: NULL-label rows mine nothing and serve as nobody's negative") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f), Some(0)),
