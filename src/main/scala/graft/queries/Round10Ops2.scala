@@ -72,7 +72,7 @@ object Round10Ops2 {
     (Seq("WITH " + featsSql, w0) ++ steps).mkString(",\n")
   }
 
-  private def featuresCol = array(
+  private[queries] def featuresCol = array(
     lit(1.0),
     size(split(trim(col("text")), "\\s+")).cast("double"),
     col("n_chars").cast("double"),
@@ -85,7 +85,7 @@ object Round10Ops2 {
     * keeps the row; the SQL prediction goes NULL and voids the row's
     * gradient while COUNT(*) still includes it in n).
     */
-  private def cleanDocs(
+  private[queries] def cleanDocs(
       spark: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.load(spark, dir, "documents")
       .filter(col("text").isNotNull && col("n_chars").isNotNull)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.QualityModel
+import graft.operators.{QualityModel, Sampling}
 
 /** Round-11 batch 1: Hamming-tolerant video near-dup (pigeonhole
   * sub-banding over frame dHashes — VERDICT r10 item 2) and the gated
@@ -104,5 +104,106 @@ object Round11Ops1 {
       .orderBy("id1", "id2")
   }
 
-  val all: Seq[OpQuery] = Seq(mm_video_fingerprint_noisy)
+  /** Scaled features for the LOGISTIC trainer: the same four text
+    * statistics as `qf_linear_gd` but divided to O(1) ranges (tokens/100,
+    * chars/1000, 'e'-count/100) — sigmoid gradients vanish when w·x
+    * saturates, so raw hundreds-scale features would need a vanishing
+    * learning rate; the identity-link gates keep the raw integer
+    * features because THEIR replay depends on exact-integer products.
+    */
+  private def scaledFeaturesCol = array(
+    lit(1.0),
+    (size(split(trim(col("text")), "\\s+")) / 100.0),
+    (col("n_chars") / 1000.0),
+    ((length(col("text")) - length(expr("replace(text, 'e', '')"))) / 100.0))
+
+  private val LogisticEpochs = 8
+  private val LogisticLrLog2 = 2
+  private val LogisticAccuracyBar = 0.85
+
+  /** Train the logistic filter and REQUIRE it actually learned: final
+    * train accuracy ≥ 0.85 against the n_chars > 300 label (chance is
+    * ~0.5; the 8-epoch/lr=4 walk measures 0.94 at sf0.01). The REQUIRE
+    * is the gate's correctness content — σ uses libm exp, which is
+    * correctly-rounded nowhere guaranteed, so the walk is honestly NOT
+    * hash-replayable cross-engine (QualityModel class doc) and the gate
+    * is rows-only with this in-gate assertion instead (the
+    * `sim_pq_rerank_verified` pattern; twin note in COVERAGE.md).
+    */
+  private def trainLogistic(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (Seq[Array[Double]], Double,
+         org.apache.spark.sql.DataFrame) = {
+    val docs = Round10Ops2.cleanDocs(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        scaledFeaturesCol.as("features"),
+        when(col("n_chars") > 300, 1.0).otherwise(0.0).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val walk = QualityModel.trainGD(docs, "features", "y", dim = 4,
+      epochs = LogisticEpochs, lrLog2 = LogisticLrLog2,
+      link = QualityModel.Logistic, quantizeDp = 9)
+    val w = walk.last
+    // σ(w·x) ≥ 0.5 ⇔ w·x ≥ 0: the threshold needs no exp at all
+    val acc = docs.select(
+        (when(QualityModel.scoreExpr(col("features"), w) > 0, 1.0)
+          .otherwise(0.0) === col("y")).cast("int").as("hit"))
+      .agg(avg("hit")).head().getDouble(0)
+    require(acc >= LogisticAccuracyBar,
+      f"qf_logistic_gd: trained classifier accuracy $acc%.4f below the " +
+        f"$LogisticAccuracyBar gate bar — the logistic walk regressed")
+    (walk, acc, docs)
+  }
+
+  /** Trained LOGISTIC quality filter on the driver's correctness
+    * surface (VERDICT r10 item 3 — the spec-pinned classifier was
+    * driver-invisible). Rows-only by necessity (libm exp; see
+    * [[trainLogistic]]); the gate's teeth are the in-gate accuracy
+    * REQUIRE plus determinism of the quantized walk (order-independent
+    * DECIMAL gradient sums make reruns bit-identical within an engine —
+    * pinned across partitionings in QualityModelSpec). Output: the full
+    * per-epoch weight walk and the final train accuracy.
+    */
+  val qf_logistic_gd: OpQuery = OpQuery.noOracle("qf_logistic_gd") {
+    (spark, dir) =>
+      import spark.implicits._
+      val (walk, acc, docs) = trainLogistic(spark, dir)
+      docs.unpersist(false)
+      walk.zipWithIndex.flatMap { case (w, e) =>
+        w.zipWithIndex.map { case (x, j) => (e + 1, j + 1, x, acc) }
+      }.toDF("epoch", "dim", "weight", "train_accuracy")
+        .select(col("epoch").cast("int"), col("dim").cast("int"),
+          round(col("weight"), 9).as("weight"),
+          round(col("train_accuracy"), 4).as("train_accuracy"))
+        .orderBy("epoch", "dim")
+  }
+
+  /** Trained-CLASSIFIER curation end-to-end: featurize → train logistic
+    * → filter at σ ≥ 0.5 (= w·x ≥ 0, exp-free) → exact-dedup survivors
+    * → leakage-safe source-level split — `curation_e2e_trained`'s
+    * classifier sibling (that gate's identity-link model is
+    * hash-replayed; this one is rows-only with the accuracy REQUIRE).
+    * Every stage after training is the oracle-green machinery of the
+    * r10 gates, so what this gate adds to the surface is exactly the
+    * logistic filter feeding them.
+    */
+  val curation_e2e_logistic: OpQuery = OpQuery.noOracle("curation_e2e_logistic") {
+    (spark, dir) =>
+      val (walk, _, docs) = trainLogistic(spark, dir)
+      val w = walk.last
+      val kept = docs.filter(QualityModel.scoreExpr(col("features"), w) > 0)
+        .join(Round10Ops2.cleanDocs(spark, dir).select("doc_id", "text"),
+          "doc_id")
+      val survivors = graft.operators.Dedup.exact(kept, "doc_id", "text")
+        .select(col("doc_id"), col("source"), col("lang"))
+      val out = Sampling.leakageSafeSplit(survivors, "doc_id", "source",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("split"), col("lang"))
+      docs.unpersist(false)
+      out
+  }
+
+  val all: Seq[OpQuery] =
+    Seq(mm_video_fingerprint_noisy, qf_logistic_gd, curation_e2e_logistic)
 }

@@ -86,6 +86,37 @@ class QualityModelSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("quantized LOGISTIC walk is bit-identical across partitionings") {
+    // the qf_logistic_gd gate is rows-only (libm exp is not
+    // cross-engine replayable) — within-engine determinism of the
+    // quantized walk is what makes its rerun rows stable, so pin it
+    val docs = (0 until 400).map { i =>
+      (Seq(1.0, (i % 37) / 37.0, (i % 11) / 11.0), (i % 2).toDouble)
+    }.toDF("features", "y")
+    def weights(parts: Int): Seq[Seq[Double]] =
+      QualityModel.trainGD(docs.repartition(parts), "features", "y",
+        dim = 3, epochs = 4, lrLog2 = 1, link = QualityModel.Logistic,
+        quantizeDp = 9).map(_.toSeq)
+    assert(weights(1) == weights(13))
+  }
+
+  test("a SINGLE overflowing per-row contribution raises; sum() cannot silently skip it") {
+    // ADVICE r10: one |contribution| >= 1e29 overflows its OWN cast to
+    // decimal(38,9) to NULL in non-ANSI mode; sum() skips the NULL
+    // while n still counts the row — without the per-dim non-null
+    // count guard the epoch's gradient would be silently wrong (the
+    // SUM-level overflow guard never fires because the remaining
+    // addends stay tiny)
+    val docs = (Seq((Seq(1.0, 1e30), 1.0)) ++
+      (0 until 50).map(i => (Seq(1.0, (i % 7).toDouble), 0.0)))
+      .toDF("features", "y")
+    val ex = intercept[IllegalStateException] {
+      QualityModel.trainGD(docs, "features", "y", dim = 2,
+        epochs = 1, lrLog2 = -4, quantizeDp = 9)
+    }
+    assert(ex.getMessage.contains("dropped from the sum"), ex.getMessage)
+  }
+
   test("a diverging quantized walk fails loudly on decimal overflow, not with an opaque NPE") {
     // lr far past 2/λmax: residuals grow ~(lr·λ)× per epoch, and the
     // 9dp DECIMAL(38,9) gradient sum (29 integer digits) overflows to
