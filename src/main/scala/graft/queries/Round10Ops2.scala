@@ -15,7 +15,7 @@ import graft.operators.{QualityModel, RandomProjection, Sampling}
   */
 object Round10Ops2 {
 
-  private val Epochs = 3
+  private[queries] val Epochs = 3
   private val LrLog2 = -17
   // 2^-17 written as the exact decimal both engines parse to the same
   // double (a power of two is exactly representable, so the literal IS
@@ -48,7 +48,7 @@ object Round10Ops2 {
     * its four terms left-to-right, matching the operator's
     * left-to-right fold exactly.
     */
-  private def gdWalkSql: String = {
+  private[queries] def gdWalkSql: String = {
     val dims = 1 to 4
     val steps = (1 to Epochs).flatMap { e =>
       val pred = dims.map(j => s"f.f$j * w.w$j").mkString(" + ")
@@ -90,7 +90,7 @@ object Round10Ops2 {
     Tables.load(spark, dir, "documents")
       .filter(col("text").isNotNull && col("n_chars").isNotNull)
 
-  private def trainedWeights(
+  private[queries] def trainedWeights(
       spark: org.apache.spark.sql.SparkSession, dir: String) = {
     val docs = cleanDocs(spark, dir)
       .select(col("doc_id"), featuresCol.as("features"),

@@ -117,6 +117,46 @@ class QualityModelSpec extends SparkSpec {
     assert(ex.getMessage.contains("dropped from the sum"), ex.getMessage)
   }
 
+  test("scoreIncremental: appends score only the batch, untouched partitions byte-identical, equals full recompute") {
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-qm-inc-").toString)
+    def partFiles(part: String) = {
+      val d = java.nio.file.Paths.get(store.root, "scored", part)
+      val s = java.nio.file.Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(p => (p.getFileName.toString,
+          java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p))).toSet
+      } finally s.close()
+    }
+    val w = Array(0.5, 2.0)
+    def docs(ids: Range, part: String) =
+      ids.map(i => (i.toLong, part, Seq(1.0, i.toDouble))).toDF("k", "p", "f")
+    // batch 1 creates partitions p0 + p1
+    QualityModel.scoreIncremental(store, "scored",
+      docs(0 until 4, "p0").union(docs(4 until 8, "p1")),
+      "f", w, keyCol = "k", partCol = "p")
+    val beforeP0 = partFiles("p=p0")
+    // batch 2 touches ONLY p1 — p0's files must not be rewritten
+    QualityModel.scoreIncremental(store, "scored",
+      docs(8 until 12, "p1"), "f", w, keyCol = "k", partCol = "p")
+    assert(partFiles("p=p0") === beforeP0)
+    // incremental state == full map-side recompute over all rows
+    val got = store.read("scored").select($"k", $"score")
+      .as[(Long, Double)].collect().toMap
+    assert(got.size == 12)
+    (0 until 12).foreach { i =>
+      assert(got(i.toLong) === 0.5 + 2.0 * i, s"row $i")
+    }
+    // insert-only: re-sending a key leaves the first score in place
+    QualityModel.scoreIncremental(store, "scored",
+      Seq((5L, "p1", Seq(1.0, 999.0))).toDF("k", "p", "f"),
+      "f", w, keyCol = "k", partCol = "p")
+    assert(store.read("scored").filter($"k" === 5L)
+      .select($"score").as[Double].head() === 0.5 + 2.0 * 5)
+  }
+
   test("a diverging quantized walk fails loudly on decimal overflow, not with an opaque NPE") {
     // lr far past 2/λmax: residuals grow ~(lr·λ)× per epoch, and the
     // 9dp DECIMAL(38,9) gradient sum (29 integer digits) overflows to
