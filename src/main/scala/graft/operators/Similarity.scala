@@ -967,22 +967,36 @@ object Similarity {
     *        rounds each per-row contribution `x_dim · (x·v_k)` to this
     *        many decimals and sums in DECIMAL, making every pass
     *        order-independent and engine-replayable.
+    * @param convergeTol > 0 enables EARLY EXIT (VERDICT r10 item 7):
+    *        the walk stops once every live column's rotation between
+    *        consecutive iterations, 1 − |v_new·v_old|, falls below this
+    *        tolerance (and no column restarted that round) — on a
+    *        converged corpus the remaining iterations only re-multiply
+    *        an already-stationary subspace, and each one is a full
+    *        corpus scan. The iteration budget stays the hard cap; the
+    *        pass count actually spent is surfaced through
+    *        [[topPrincipalComponentsBlockCounted]] (early-exit ≡
+    *        full-walk components pinned in PcaBlockSpec). 0 disables —
+    *        the fixed-length walk the hash-oracle gates replay.
     */
   def topPrincipalComponentsBlock(
       corpus: DataFrame, vecCol: String = "embedding", r: Int = 1,
       iterations: Int = 12,
-      quantizeDp: Int = 0): Seq[(Double, Array[Double], Double)] =
+      quantizeDp: Int = 0,
+      convergeTol: Double = 0.0): Seq[(Double, Array[Double], Double)] =
     topPrincipalComponentsBlockCounted(
-      corpus, vecCol, r, iterations, quantizeDp)._1
+      corpus, vecCol, r, iterations, quantizeDp, convergeTol)._1
 
   /** [[topPrincipalComponentsBlock]] plus the DISTRIBUTED pass count it
     * spent — the r-independence of that count is the operator's whole
-    * point, so it is exposed for the spec to pin.
+    * point (and, under `convergeTol`, the early exit's actual savings),
+    * so it is exposed for the spec to pin.
     */
   private[graft] def topPrincipalComponentsBlockCounted(
       corpus: DataFrame, vecCol: String, r: Int,
       iterations: Int,
-      quantizeDp: Int): (Seq[(Double, Array[Double], Double)], Int) = {
+      quantizeDp: Int,
+      convergeTol: Double = 0.0): (Seq[(Double, Array[Double], Double)], Int) = {
     require(r >= 1, s"need r >= 1 components, got $r")
     require(iterations >= 1, s"need >= 1 iteration, got $iterations")
     VectorExprs.register(corpus.sparkSession)
@@ -1038,13 +1052,17 @@ object Similarity {
       val frozen = new Array[Boolean](r)   // basis exhausted — stays zero
       val accepted = new Array[Boolean](r) // probe passed at least once
       var nextBasis = math.min(r, dim)
-      for (_ <- 1 to iterations) {
+      var iter = 0
+      var stationary = false
+      while (iter < iterations && !stationary) {
+        iter += 1
         val w = gramBlock(v)
         // classical Gram–Schmidt, deflation-walk arithmetic shape:
         // coefficients against the ALREADY-normalized earlier columns
         // of THIS round, per-dim corrections accumulated then
         // subtracted once (≤ r−1 addends; ≤ 2 at the gate's r = 3)
         val nv = Array.fill(r)(new Array[Double](dim))
+        var restarted = false
         for (k <- 0 until r if !frozen(k)) {
           val wk = w(k)
           if (k > 0) {
@@ -1074,9 +1092,24 @@ object Similarity {
             // the next pass multiplies it through, no extra scan
             nv(k) = basis(nextBasis)
             nextBasis += 1
+            restarted = true
           } else {
             frozen(k) = true // rank exhausted: zero component, no NaN
           }
+        }
+        if (convergeTol > 0.0 && !restarted) {
+          // subspace rotation since the last iteration: a restarted
+          // column is brand-new and must multiply through at least
+          // once more, so restart rounds never qualify
+          var maxRot = 0.0
+          for (k <- 0 until r if !frozen(k)) {
+            var d = 0.0
+            var i = 0
+            while (i < dim) { d += nv(k)(i) * v(k)(i); i += 1 }
+            val rot = 1.0 - math.abs(d)
+            if (rot > maxRot) maxRot = rot
+          }
+          stationary = maxRot < convergeTol
         }
         v = nv
       }

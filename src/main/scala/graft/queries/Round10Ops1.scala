@@ -23,12 +23,16 @@ object Round10Ops1 {
     * eigenvalues / full-operator residuals. The gate runs the RAW
     * embeddings (the same regime as `emb_pca_quantized`): each
     * contribution is one IEEE multiply, bit-identical in any engine,
-    * so the 8-iteration fixpoint replays exactly. Block≡deflation
+    * so the truncated 3-iteration
+    * walk replays exactly (VERDICT r10 item 7: the 8-iteration gate
+    * spent 3% of the suite re-proving an already-stationary subspace —
+    * the oracle replays whatever length the gate runs, and convergence
+    * semantics live in PcaBlockSpec's early-exit pin, not here). Block≡deflation
     * component parity and the iterations-not-r·iterations scan count
     * are PcaBlockSpec territory.
     */
   val emb_pca_block: OpQuery = {
-    val iters = 8
+    val iters = 3
     val r = 3
     val finals = (0 until r).map { c =>
       s"""SELECT CAST($c AS INT) AS comp_idx, CAST(g.i - 1 AS INT) AS dim,

@@ -44,6 +44,31 @@ class PcaBlockSpec extends SparkSpec {
     }
   }
 
+  test("early exit: converged walk stops short with the FULL walk's components") {
+    // the planted exact-rank-3 spectrum is stationary within a few
+    // iterations; with convergeTol the walk must stop well under the
+    // 24-iteration budget and return components equal to the full walk
+    val (full, fullPasses) = Similarity.topPrincipalComponentsBlockCounted(
+      planted, "embedding", r = 3, iterations = 24, quantizeDp = 0)
+    val (early, earlyPasses) = Similarity.topPrincipalComponentsBlockCounted(
+      planted, "embedding", r = 3, iterations = 24, quantizeDp = 0,
+      convergeTol = 1e-12)
+    assert(fullPasses === 26)
+    assert(earlyPasses < fullPasses,
+      s"early exit never fired: $earlyPasses passes")
+    full.zip(early).zipWithIndex.foreach { case (((lf, vf, _), (le, ve, _)), k) =>
+      assert(math.abs(lf - le) <= 1e-6 * math.max(1.0, lf), s"λ$k: $lf vs $le")
+      // eigenvector equality up to sign
+      val d = math.abs(dot(vf, ve))
+      assert(d > 1.0 - 1e-9, s"component $k rotated: |dot| = $d")
+    }
+    // convergeTol = 0 (the gate regime) is bit-compatible with the
+    // pre-early-exit walk: exactly iterations + 2 passes, always
+    val (_, p0) = Similarity.topPrincipalComponentsBlockCounted(
+      planted, "embedding", r = 3, iterations = 4, quantizeDp = 9)
+    assert(p0 === 6)
+  }
+
   test("block recovers the planted spectrum and matches sequential deflation") {
     val expected = Seq(
       (0 until 100).map(i => math.pow(4.0 + (i % 7), 2)).sum,
