@@ -120,7 +120,14 @@ object DumpPlans {
       // literals inside codegen vs emb_random_projection's exploded
       // aggregate)
       graft.queries.Round10Ops2.qf_linear_score,
-      graft.queries.Round10Ops2.emb_rand_proj)
+      graft.queries.Round10Ops2.emb_rand_proj,
+      // round-11: string-keyed ANN through the dense-id dictionary
+      // (row-number mapping joined back twice for decode, heap top-k in
+      // the middle), and the incremental-score read-back (the scored
+      // table is partition-pruned aligned-append state, so the plan is
+      // a plain partitioned scan — the maintenance cost lives at ingest)
+      graft.queries.Round11Ops1.sim_topk_string_ids,
+      graft.queries.Round11Ops1.curation_incremental_score)
 
     val sections = headliners.map { q =>
       val df = q.build(spark, sfDir)
