@@ -337,6 +337,80 @@ object Similarity {
     }
   }
 
+  /** ADAPTIVE hard-negative mining: the shortlist knob, turned by the
+    * engine instead of the user. [[hardNegatives]]'s fixed shortlist
+    * starves label-dense neighborhoods (measured in SCALE.md: at
+    * s = k, 98% of adversarial-corpus queries return fewer than k
+    * negatives — the round-11 `emitFoundK`/`requireK` signal makes
+    * that visible; this operator makes it MOOT). Round structure:
+    *
+    *   - round 1 mines every labeled query at `initialShortlist`;
+    *   - queries that reached k keep their result (the smallest
+    *     shortlist that satisfied them — cheapest scan bandwidth);
+    *     starved queries retry at 4× the shortlist, ALONE — satisfied
+    *     queries never pay another pass;
+    *   - once the shortlist would reach the corpus size, the remaining
+    *     stragglers take the EXACT path (shortlist = everything ≡
+    *     brute force), so termination is unconditional and every query
+    *     ends with min(k, available cross-label) negatives — found_k
+    *     < k in the output means the corpus genuinely lacks candidates,
+    *     never that a bucket was starved.
+    *
+    * Cost shape at 100 TB: the common case (most queries satisfied at
+    * a small s) pays one cheap signature scan for the bulk plus
+    * geometrically-shrinking retries for the dense tail — the scan
+    * work is Σ rounds (|pending| × s), dominated by the first round.
+    * NULL-label queries mine nothing, as everywhere. Output carries
+    * `found_k` always (the whole point is the guarantee being
+    * visible). Recall per query is that of the round that satisfied
+    * it — monotone in `initialShortlist` like the fixed-s operator
+    * (SimilaritySpec pins no-starvation, label safety, and exact-tail
+    * equality).
+    */
+  def hardNegativesAdaptive(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      initialShortlist: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val n = corpus.count()
+    val s0 =
+      if (initialShortlist > 0) initialShortlist
+      else math.max(k, 4 * k)
+    require(s0 >= k, s"initialShortlist $s0 < topK $k")
+    var pending = queries.filter(col(labelCol).isNotNull)
+      .localCheckpoint(true)
+    val rounds = Seq.newBuilder[DataFrame]
+    var s = s0.toLong
+    var done = pending.count() == 0
+    while (!done) {
+      if (s >= n) {
+        // exact tail: unconditional termination with the true top-k
+        rounds += hardNegatives(corpus, pending, k,
+          shortlist = None, idCol, vecCol, labelCol, emitFoundK = true)
+        done = true
+      } else {
+        val out = hardNegatives(corpus, pending, k, Some(s.toInt),
+          idCol, vecCol, labelCol, emitFoundK = true)
+          .localCheckpoint(true)
+        val satisfied = out.filter(col("found_k") >= k)
+        rounds += satisfied
+        // starved queries (including zero-row ones, which `out` cannot
+        // contain): everyone not fully satisfied retries at 4s
+        pending = pending.join(
+            satisfied.select(col("query_id").as(idCol)).distinct(),
+            Seq(idCol), "left_anti")
+          .localCheckpoint(true)
+        s = math.min(s * 4, n)
+        done = pending.count() == 0
+      }
+    }
+    val all = rounds.result()
+    if (all.isEmpty) // no labeled queries at all: empty, correct schema
+      hardNegatives(corpus, pending, k, None, idCol, vecCol, labelCol,
+        emitFoundK = true)
+    else all.reduce(_ unionByName _)
+  }
+
   /** Shared two-phase top-k tail: bounded-heap aggregate per group, then
     * unnest ranked hits. Output: (group, corpus_id, rank, score) with
     * rank 1..k ordered by (score desc, corpus_id asc).

@@ -332,7 +332,44 @@ object Round11Ops1 {
       .orderBy("query_key", "rank")
   }
 
+  /** Adaptive hard-negative mining on the gate surface: the engine
+    * turns the shortlist knob itself (starved queries retry alone at
+    * 4× until satisfied or the exact tail fires), so found_k < k can
+    * only mean the corpus lacks candidates. Rows-only (the 1-bit
+    * signature rounds are not SQL-replayable — the `sim_lsh_neardup`
+    * impossibility class; the exact twin is `mine_hard_negatives`);
+    * the gate's teeth are two in-gate REQUIREs: every query ends with
+    * exactly k negatives (the fixed-s operator measurably starves on
+    * label-dense corpora, SCALE.md), and no same-label pair survives
+    * any round.
+    */
+  val mine_hard_negatives_adaptive: OpQuery =
+    OpQuery.noOracle("mine_hard_negatives_adaptive") { (spark, dir) =>
+      import graft.operators.Similarity
+      val emb = Tables.load(spark, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 8 === 0)
+      val out = Similarity.hardNegativesAdaptive(emb, queries, k = 3,
+        initialShortlist = 3).localCheckpoint(true)
+      val nq = queries.count()
+      val short = out.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("c")).filter(col("c") =!= 3).count()
+      val covered = out.select(col("query_id")).distinct().count()
+      require(short == 0 && covered == nq,
+        s"adaptive mining left starvation behind: $short short queries, " +
+          s"$covered/$nq covered")
+      val sameLabel = out
+        .join(emb.select(col("vec_id").as("query_id"), col("label").as("ql")),
+          "query_id")
+        .join(emb.select(col("vec_id").as("corpus_id"), col("label").as("cl")),
+          "corpus_id")
+        .filter(col("ql") === col("cl")).count()
+      require(sameLabel == 0, s"$sameLabel same-label pairs mined")
+      out.withColumn("score", round(col("score"), 6).cast("double"))
+        .orderBy(col("query_id"), col("rank"))
+    }
+
   val all: Seq[OpQuery] =
     Seq(mm_video_fingerprint_noisy, qf_logistic_gd, curation_e2e_logistic,
-      curation_incremental_score, ids_dense_roundtrip, sim_topk_string_ids)
+      curation_incremental_score, ids_dense_roundtrip, sim_topk_string_ids,
+      mine_hard_negatives_adaptive)
 }

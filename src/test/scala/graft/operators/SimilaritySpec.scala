@@ -452,6 +452,49 @@ class SimilaritySpec extends SparkSpec {
       .columns.contains("found_k"))
   }
 
+  test("hardNegativesAdaptive: starved queries retry alone until satisfied; no starvation survives") {
+    val corpus = (
+      (1L to 6L).map(i => (i, Array(1.0f, 1.0f + i * 0.01f), 0)) ++
+        Seq((7L, Array(1.0f, 0.5f), 1),
+          (8L, Array(-1.0f, -1.0f), 1), (9L, Array(-1.0f, -0.9f), 1)))
+      .toDF("vec_id", "embedding", "label")
+    // query A: label-dense neighborhood (starves at s = 4);
+    // query B: satisfied in round 1 at the same s
+    val queries = Seq(
+        (100L, Array(1.0f, 1.0f), 0),
+        (200L, Array(-1.0f, -0.95f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegativesAdaptive(corpus, queries, k = 2,
+      initialShortlist = 4).collect()
+    // every labeled query ends with exactly k negatives — the fixed-s
+    // operator returned ZERO rows for query A at s = 4
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet === Set(100L, 200L))
+    assert(byQuery.values.forall(_.length == 2))
+    assert(out.forall(_.getAs[Int]("found_k") == 2))
+    // label safety holds through every round
+    val labels = corpus.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap ++
+      Map(100L -> 0, 200L -> 1)
+    out.foreach { r =>
+      assert(labels(r.getAs[Long]("query_id")) !=
+        labels(r.getAs[Long]("corpus_id")))
+    }
+    // the straggler fell to the exact tail: its pairs equal the exact
+    // form's top-k, bit for bit
+    val exactA = Similarity.hardNegatives(corpus,
+        queries.filter($"vec_id" === 100L), k = 2).collect()
+      .map(r => (r.getAs[Long]("corpus_id"), r.getAs[Int]("rank"))).toSet
+    val gotA = out.filter(_.getAs[Long]("query_id") == 100L)
+      .map(r => (r.getAs[Long]("corpus_id"), r.getAs[Int]("rank"))).toSet
+    assert(gotA === exactA)
+    // NULL-label queries mine nothing, adaptively too
+    val nullQ = Seq((300L, Array(1.0f, 1.0f), None: Option[Int]))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.hardNegativesAdaptive(corpus, nullQ, k = 2,
+      initialShortlist = 4).count() == 0)
+  }
+
   test("hardNegatives: NULL-label rows mine nothing and serve as nobody's negative") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f), Some(0)),
