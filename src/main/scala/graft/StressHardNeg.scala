@@ -113,6 +113,24 @@ object StressHardNeg {
       println(f"[hardneg] n=$n s=$s%5d recall=$recall%.3f " +
         f"starved_queries=$starvedQ/$nq time=${t}%.2f s (exact ${tExact}%.2f s)")
     }
+
+    // the adaptive operator: starts at s = k, retries starved queries
+    // alone at 4x — the engine turning the knob the table above shows
+    // the user would otherwise have to turn
+    val ((aPairs, aStarved), tAdaptive) = timed {
+      val out = Similarity.hardNegativesAdaptive(corpus, queries, k = K,
+        initialShortlist = K)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val p = pairs(out)
+      val starved = out.select(col("query_id"), col("found_k")).distinct()
+        .filter(col("found_k") < K).count() +
+        (nq - out.select(col("query_id")).distinct().count())
+      out.unpersist(false)
+      (p, starved)
+    }
+    val aRecall = (aPairs & exactPairs).size.toDouble / exactPairs.size
+    println(f"[hardneg] n=$n ADAPTIVE(s0=$K) recall=$aRecall%.3f " +
+      f"starved_queries=$aStarved/$nq time=${tAdaptive}%.2f s")
     spark.stop()
   }
 }
