@@ -59,6 +59,61 @@ object Sampling {
       when(col(idCol).isNull, lit(null).cast("string")).otherwise(expr))
   }
 
+  /** EXACT-count stratified split: within each stratum, rows rank by
+    * md5 priority and the first ⌊n_s·p₁⌋ go to split 1, the next up to
+    * ⌊n_s·(p₁+p₂)⌋ to split 2, … — so every stratum's split sizes are
+    * EXACT integer fractions of that stratum, not binomial like
+    * [[deterministicSplit]] (hash splits wobble ±√n per cell, which at
+    * small strata — a rare language, a tiny domain — can leave an eval
+    * cell empty). Deterministic and content-stable (md5 of the id, no
+    * RNG), and exactly replayable in SQL as `ROW_NUMBER() OVER
+    * (PARTITION BY stratum ORDER BY md5(id))` against the same
+    * cumulative ⌊n_s·Σp⌋ thresholds (the `split_stratified_exact` gate
+    * hash-oracles it).
+    *
+    * Trade-offs vs the hash split, stated honestly: adding rows to a
+    * stratum can MOVE existing rows between splits (the thresholds
+    * shift — exact counts and membership stability are mutually
+    * exclusive; use [[deterministicSplit]]/[[leakageSafeSplit]] when
+    * stability under growth matters more than exact fractions), and
+    * the per-stratum rank is a stratum-local window — fine for the
+    * bounded strata this is for (languages, sources, label classes);
+    * a single giant stratum would funnel through one reducer's sort.
+    * NULL ids get a NULL split (as everywhere); NULL strata form their
+    * own stratum (exact fractions of the null cell, not dropped).
+    */
+  def stratifiedExactSplit(
+      df: DataFrame, idCol: String, stratumCol: String,
+      splits: Seq[(String, Int)], salt: String = ""): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum <= 100,
+      "split percents must sum to <= 100")
+    // null-id rows rank LAST and are excluded from n, so they can never
+    // consume a threshold slot a real row should have gotten (their own
+    // split is forced NULL below)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(col(idCol).isNull.asc,
+        md5(concat(col(idCol).cast("string"), lit(salt))))
+    val n = count(col(idCol)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col(stratumCol)))
+    val rn = row_number().over(w)
+    // cumulative integer thresholds: rank <= (n_s * Σp) / 100, exact
+    // integer arithmetic in both engines
+    val cutoffs = splits.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
+    val expr = splits.map(_._1).zip(cutoffs).init
+      .foldRight(
+        // remainder (if percents sum to 100, the last cutoff covers it;
+        // if < 100, the tail past the last cutoff gets a NULL split —
+        // visibly unassigned, same stance as null ids)
+        when(rn <= floor(n * cutoffs.last / 100), splits.last._1)
+          .otherwise(lit(null).cast("string"))) {
+        case ((name, cutoff), rest) =>
+          when(rn <= floor(n * cutoff / 100), name).otherwise(rest)
+      }
+    df.drop("split").withColumn("split",
+      when(col(idCol).isNull, lit(null).cast("string")).otherwise(expr))
+  }
+
   /** GROUP-aware train/val/test split — the leakage-safe form of
     * [[deterministicSplit]]: every row of a group (a near-dup cluster,
     * a source domain, a user) lands in the SAME split, because eval

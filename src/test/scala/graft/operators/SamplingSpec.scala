@@ -276,4 +276,44 @@ class SamplingSpec extends SparkSpec {
     assert(out.columns.count(_ == "split") === 1)
     assert(out.select("split").collect().forall(_.getString(0) != "stale"))
   }
+
+  test("stratifiedExactSplit: cell counts are exact integer fractions, layout-stable; nulls handled") {
+    val df = (0 until 97).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "g")
+    val out = Sampling.stratifiedExactSplit(df, "id", "g",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val counts = out.groupBy($"g", $"split").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // strata sizes: s0=33, s1=32, s2=32; exact thresholds floor(n*80/100),
+    // floor(n*90/100): s0 -> 26/3/4, s1/s2 -> 25/3/4
+    assert(counts(("s0", "train")) === 26L && counts(("s0", "val")) === 3L &&
+      counts(("s0", "test")) === 4L)
+    for (g <- Seq("s1", "s2"))
+      assert(counts((g, "train")) === 25L && counts((g, "val")) === 3L &&
+        counts((g, "test")) === 4L)
+    // assignment is layout-independent (md5 rank, not partition order)
+    val again = Sampling.stratifiedExactSplit(df.repartition(17), "id", "g",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select($"id", $"split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = out.select($"id", $"split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again === first)
+    // a NULL id gets a NULL split and never consumes a threshold slot
+    val withNull = (Seq((Some(1L), "a"), (None: Option[Long], "a"),
+      (Some(2L), "a"), (Some(3L), "a"), (Some(4L), "a"))).toDF("id", "g")
+    val ns = Sampling.stratifiedExactSplit(withNull, "id", "g",
+      Seq("train" -> 50, "test" -> 50))
+    val rows = ns.select($"id", $"split")
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        Option(r.getString(1))))
+    assert(rows.collect { case (None, sp) => sp } === Array(None))
+    // 4 non-null ids at 50/50: exactly 2 train + 2 test
+    val nn = rows.collect { case (Some(_), Some(sp)) => sp }
+    assert(nn.count(_ == "train") === 2 && nn.count(_ == "test") === 2)
+    // NULL strata form their own exact cell, not dropped
+    val nullG = (0 until 10).map(i => (i.toLong,
+      if (i < 4) null else "x")).toDF("id", "g")
+    val ng = Sampling.stratifiedExactSplit(nullG, "id", "g",
+      Seq("train" -> 50, "test" -> 50))
+    assert(ng.filter($"g".isNull && $"split" === "train").count() === 2L)
+  }
 }
