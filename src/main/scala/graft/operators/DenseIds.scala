@@ -51,6 +51,31 @@ object DenseIds {
     (df.join(mapping, Seq(keyCol), "left"), mapping)
   }
 
+  /** INCREMENTAL dictionary growth: extend an existing mapping with the
+    * keys of a new batch, appending new keys AFTER the current max id
+    * (in key order among themselves) and leaving every existing id
+    * untouched — the production contract for a persisted dictionary
+    * (re-encoding the history on every ingest would invalidate every
+    * downstream index keyed on the old ids). The cost is O(new batch
+    * distinct + mapping anti-join), never a re-rank of the dictionary.
+    *
+    * Note the deliberate asymmetry with [[withDenseIds]]: a one-shot
+    * build is globally key-ordered; a grown dictionary is key-ordered
+    * only WITHIN each ingest generation. Rebuild from scratch when
+    * global order matters more than id stability.
+    */
+  def extendDenseIds(mapping: DataFrame, df: DataFrame, keyCol: String,
+      outCol: String = "dense_id"): DataFrame = {
+    val maxId = mapping.agg(coalesce(max(col(outCol)), lit(0L)))
+      .head().getLong(0)
+    val newKeys = df.select(col(keyCol)).filter(col(keyCol).isNotNull)
+      .distinct()
+      .join(mapping.select(col(keyCol)), Seq(keyCol), "left_anti")
+    val appended = TotalOrder.rowNumber(newKeys, Seq(col(keyCol).asc), outCol)
+      .select((col(outCol).cast("long") + maxId).as(outCol), col(keyCol))
+    mapping.unionByName(appended)
+  }
+
   /** Decode: replace the dense id column `idCol` of `df` with the
     * original key, via the mapping returned by [[withDenseIds]]
     * (`mappingIdCol`/`mappingKeyCol` name the mapping's columns; the

@@ -98,6 +98,33 @@ object QualityModel {
       keys = Seq(keyCol), partCol = partCol)
   }
 
+  /** UPSERT re-score: the CHANGED-document half of incremental score
+    * maintenance ([[scoreIncremental]] covers appends). An edited
+    * document re-ingested under its key carries new features and needs
+    * its stored score REPLACED — the SCD1 shape — so this routes the
+    * map-side-scored batch through [[Merge.scd1PartitionAligned]]:
+    * only the partitions the batch touches are read/merged/rewritten,
+    * the key's other columns update alongside the score, and untouched
+    * partitions stay byte-identical (contract inherited: the key
+    * determines its partition — a doc moving partitions is a
+    * delete+insert the caller must express explicitly).
+    * `curation_incremental_rescore` hash-pins upsert == full recompute
+    * over the edited corpus.
+    */
+  def scoreUpsert(
+      store: TableStore, table: String, changedDocs: DataFrame,
+      featCol: String, weights: Array[Double],
+      keyCol: String, partCol: String,
+      scoreCol: String = "score"): Unit = {
+    val scored = changedDocs
+      .withColumn(scoreCol, scoreExpr(col(featCol), weights))
+      .drop(featCol)
+    val updateCols = scored.columns
+      .filterNot(c => c.equalsIgnoreCase(keyCol) || c.equalsIgnoreCase(partCol))
+    Merge.scd1PartitionAligned(store, table, scored,
+      keys = Seq(keyCol), updateCols = updateCols.toSeq, partCol = partCol)
+  }
+
   /** Full-batch gradient-descent training; returns the weight vector
     * AFTER each epoch (length `epochs`). Weights start at zero.
     *

@@ -50,6 +50,25 @@ class DenseIdsSpec extends SparkSpec {
     assert(dec.isEmpty)
   }
 
+  test("extendDenseIds: existing ids frozen, new keys append after max in key order") {
+    val df1 = Seq("banana", "date", "apple").toDF("key")
+    val (_, m1) = DenseIds.withDenseIds(df1, "key")
+    // second ingest: two known keys, two new ones (one sorting BEFORE
+    // every existing key — it must still append, never re-rank)
+    val df2 = Seq("apple", "cherry", "aardvark", "date").toDF("key")
+    val m2 = DenseIds.extendDenseIds(m1, df2, "key")
+    val got = m2.orderBy("dense_id").as[(Long, String)].collect().toSeq
+    assert(got === Seq((1L, "apple"), (2L, "banana"), (3L, "date"),
+      (4L, "aardvark"), (5L, "cherry")))
+    // idempotent growth: extending with already-known keys is a no-op
+    assert(DenseIds.extendDenseIds(m2, df2, "key").count() === 5)
+    // growing an EMPTY mapping is a plain build from id 1
+    val empty = m1.limit(0)
+    val fresh = DenseIds.extendDenseIds(empty, df1, "key")
+      .orderBy("dense_id").as[(Long, String)].collect().toSeq
+    assert(fresh === Seq((1L, "apple"), (2L, "banana"), (3L, "date")))
+  }
+
   test("an existing output column is refused loudly") {
     val df = Seq(("a", 1L)).toDF("key", "dense_id")
     intercept[IllegalArgumentException] {

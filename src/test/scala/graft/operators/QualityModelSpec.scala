@@ -157,6 +157,37 @@ class QualityModelSpec extends SparkSpec {
       .select($"score").as[Double].head() === 0.5 + 2.0 * 5)
   }
 
+  test("scoreUpsert: edited keys re-score in place, other partitions byte-identical, new keys insert") {
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-qm-ups-").toString)
+    def partFiles(part: String) = {
+      val d = java.nio.file.Paths.get(store.root, "scored", part)
+      val s = java.nio.file.Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(p => (p.getFileName.toString,
+          java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p))).toSet
+      } finally s.close()
+    }
+    val w = Array(1.0, 3.0)
+    def rows(xs: (Long, String, Double)*) =
+      xs.map { case (k, p, x) => (k, p, Seq(1.0, x)) }.toDF("k", "p", "f")
+    QualityModel.scoreIncremental(store, "scored",
+      rows((1L, "p0", 2.0), (2L, "p0", 4.0), (3L, "p1", 6.0)),
+      "f", w, keyCol = "k", partCol = "p")
+    val beforeP1 = partFiles("p=p1")
+    // k=1 edited (2.0 -> 10.0), k=9 brand-new — both land in p0 only
+    QualityModel.scoreUpsert(store, "scored",
+      rows((1L, "p0", 10.0), (9L, "p0", 1.0)),
+      "f", w, keyCol = "k", partCol = "p")
+    val got = store.read("scored").select($"k", $"score")
+      .as[(Long, Double)].collect().toMap
+    assert(got === Map(1L -> 31.0, 2L -> 13.0, 3L -> 19.0, 9L -> 4.0))
+    // p1 never opened
+    assert(partFiles("p=p1") === beforeP1)
+  }
+
   test("a diverging quantized walk fails loudly on decimal overflow, not with an opaque NPE") {
     // lr far past 2/λmax: residuals grow ~(lr·λ)× per epoch, and the
     // 9dp DECIMAL(38,9) gradient sum (29 integer digits) overflows to
