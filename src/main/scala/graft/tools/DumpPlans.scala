@@ -127,7 +127,13 @@ object DumpPlans {
       // table is partition-pruned aligned-append state, so the plan is
       // a plain partitioned scan — the maintenance cost lives at ingest)
       graft.queries.Round11Ops1.sim_topk_string_ids,
-      graft.queries.Round11Ops1.curation_incremental_score)
+      graft.queries.Round11Ops1.curation_incremental_score,
+      // round-11 batches 2-3: the 10-threshold sweep as ONE scan with a
+      // broadcast conditional-sum fan-out, and exact top-p% selection
+      // through the distributed TotalOrder rank (range shuffle +
+      // offsets — no single-reducer sort in either)
+      graft.queries.Round11Ops2.qf_threshold_sweep,
+      graft.queries.Round11Ops3.qf_top_percent)
 
     val sections = headliners.map { q =>
       val df = q.build(spark, sfDir)
