@@ -624,6 +624,35 @@ class MultimodalSpec extends SparkSpec {
     // 4 pigeonhole lanes: ≤ 3 flips per 3-frame band leave ≥ 1 lane
     // untouched — BOTH bands collide (guaranteed, not probabilistic)
     assert(pairs(subBands = 4) == 2L)
+
+    // worst-case pigeonhole: 3 flips per band landing in 3 DISTINCT
+    // lanes (rows 0, 2, 4 → lanes 0, 1, 2) still leave lane 3 clean —
+    // the guarantee's tight edge, not an average case
+    def encodeSpread(us: Int) =
+      MediaCodec.encodeAvi(9, 8, 12, us, (f, x, y) => {
+        val flipRow = 2 * ((f / 2) % 3) // sampled frames hit rows 0,2,4
+        val v =
+          if (x == 8 && y == flipRow) {
+            val v7 = base(f, 7, y)
+            if (base(f, 8, y) > v7) v7 - 8 else v7 + 8
+          } else base(f, x, y)
+        (v << 16) | (v << 8) | v
+      })
+    val spread = Seq(
+        (1L, encode(noisy = false, 40000)),
+        (2L, encodeSpread(29997)))
+      .toDF("media_id", "payload")
+    val fp = Multimodal.videoBandFingerprints(spread, everyNth = 2,
+      bandSize = 3, subBands = 4)
+    val hits = fp.as("a").join(fp.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.sub_idx") === col("b.sub_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.band_idx"), col("a.sub_idx"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    // every band survives on exactly the untouched lane 3
+    assert(hits === Set((0, 3), (1, 3)), hits.toString)
   }
 
   test("resizePayload: real pixels shrink, metadata tracks truth, non-images pass through") {
