@@ -393,7 +393,35 @@ object Bench {
           else if (warmCleared) "warm_cleared" else "weather"
         s"\"" + g + "\":\"" + v + "\""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries_timed":${results.size},"reps":$reps,"flagged":${flaggedNames.size},"reproduced":$reproduced,"reproduced_gates":${jsonNames(reproducedGates)},"cold_adjudicated":${coldVerdicts.size},"cold_reproduced":$coldReproduced,"cold_reproduced_gates":${jsonNames(coldReproducedGates)},"cold_verdicts":$coldVerdictJson,"queries":$qs,"sf":"$sfDir"}""")
+    val summaryLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries_timed":${results.size},"reps":$reps,"flagged":${flaggedNames.size},"reproduced":$reproduced,"reproduced_gates":${jsonNames(reproducedGates)},"cold_adjudicated":${coldVerdicts.size},"cold_reproduced":$coldReproduced,"cold_reproduced_gates":${jsonNames(coldReproducedGates)},"cold_verdicts":$coldVerdictJson,"queries":$qs,"sf":"$sfDir"}"""
+    // sidecar copy of the exact summary line: the driver's tail-parse is
+    // a convenience, not the only recovery path (VERDICT r11 item 2 —
+    // BENCH_r11.json:parsed was null and the number had to be recovered
+    // from BENCH_LOCAL.md by hand)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_SUMMARY_PATH", "bench_summary.json")),
+      (summaryLine + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    // The summary MUST be the LAST stdout/stderr line the driver
+    // captures (VERDICT r11 item 2: a StateStore maintenance thread from
+    // the streaming gates outlived spark.stop() and printed a WARN after
+    // the summary, breaking the driver's tail-parse). Three defenses,
+    // all applied: (a) stop any still-active streaming queries; (b) shut
+    // the StateStore maintenance task down explicitly BEFORE the session
+    // stops, so no tick can fire into a dead SparkEnv; (c) drop that
+    // logger to ERROR in case a tick is already mid-flight; then stop
+    // the session and only THEN print the summary.
+    try spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+    catch { case _: Throwable => () }
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => () }
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.state.StateStore",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
     spark.stop()
+    println(summaryLine)
+    Console.out.flush()
   }
 }

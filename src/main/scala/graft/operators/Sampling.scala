@@ -81,6 +81,14 @@ object Sampling {
     * a single giant stratum would funnel through one reducer's sort.
     * NULL ids get a NULL split (as everywhere); NULL strata form their
     * own stratum (exact fractions of the null cell, not dropped).
+    *
+    * Duplicate ids within a stratum (ADVICE r11): identical ids hash to
+    * identical md5 priorities, so the rank order among them is broken by
+    * a FULL-ROW xxhash64 tie-break — deterministic up to rows that are
+    * identical in every column (which are interchangeable, so any order
+    * is the same split assignment). With unique ids per stratum — the
+    * contract the `split_stratified_exact` oracle replays — the
+    * tie-break never fires and the SQL window order is unchanged.
     */
   def stratifiedExactSplit(
       df: DataFrame, idCol: String, stratumCol: String,
@@ -93,7 +101,8 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol))
       .orderBy(col(idCol).isNull.asc,
-        md5(concat(col(idCol).cast("string"), lit(salt))))
+        md5(concat(col(idCol).cast("string"), lit(salt))),
+        xxhash64(df.columns.map(col).toIndexedSeq: _*))
     val n = count(col(idCol)).over(
       org.apache.spark.sql.expressions.Window.partitionBy(col(stratumCol)))
     val rn = row_number().over(w)

@@ -383,7 +383,12 @@ object Similarity {
     var s = s0.toLong
     var done = pending.count() == 0
     while (!done) {
-      if (s >= n) {
+      // the fixed-s operator takes Some(shortlist: Int); route to the
+      // exact tail once the Long growth reaches EITHER the corpus size
+      // or Int.MaxValue — for n > 2^31 (squarely in the 100 TB
+      // positioning) an unguarded s.toInt would wrap negative and abort
+      // the documented unconditional-termination guarantee (ADVICE r11)
+      if (s >= math.min(n, Int.MaxValue.toLong)) {
         // exact tail: unconditional termination with the true top-k
         rounds += hardNegatives(corpus, pending, k,
           shortlist = None, idCol, vecCol, labelCol, emitFoundK = true)

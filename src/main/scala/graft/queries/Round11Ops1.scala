@@ -232,13 +232,31 @@ object Round11Ops1 {
           Round10Ops2.featuresCol.as("features"))
       val scratch = GateScratch.dir("graft-incscore-gate-")
       val store = new graft.operators.TableStore(spark, scratch.toString)
-      val batches = Seq(Seq("de", "en", "es"), Seq("fr"), Seq("zh"))
-      batches.foreach { langs =>
+      // batches are DERIVED from the data (ADVICE r11: a hardcoded lang
+      // list silently skips any lang a fixture refresh adds, and the
+      // full-recompute oracle would then fail with an opaque hash
+      // mismatch): the distinct langs, sorted, round-robin into 3
+      // ingest groups — same 3-batch shape, no coverage assumption.
+      // Bounded collect: langs are a dictionary column (5 values at the
+      // committed fixture), never corpus-sized.
+      val langs = docs.select(col("lang")).where(col("lang").isNotNull)
+        .distinct().collect().map(_.getString(0)).sorted
+      val batches = langs.zipWithIndex.groupBy(_._2 % 3).toSeq.sortBy(_._1)
+        .map(_._2.map(_._1).toSeq)
+      batches.foreach { group =>
         QualityModel.scoreIncremental(store, "scored_docs",
-          docs.filter(col("lang").isInCollection(langs)),
+          docs.filter(col("lang").isInCollection(group)),
           featCol = "features", weights = w,
           keyCol = "doc_id", partCol = "lang")
       }
+      // completeness REQUIRE: every doc the oracle scores was ingested —
+      // a NULL-lang doc (which the lang-partitioned batches can't carry)
+      // fails HERE with a clear message, not downstream as a hash diff
+      val nIn = docs.count()
+      val nStored = store.read("scored_docs").count()
+      require(nStored == nIn,
+        s"curation_incremental_score: ingested $nStored of $nIn docs — " +
+          "some docs (NULL lang?) missed every lang-partitioned batch")
       store.read("scored_docs")
         .select(col("doc_id"), round(col("score"), 9).as("score"))
         .orderBy("doc_id")

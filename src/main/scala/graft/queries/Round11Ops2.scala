@@ -115,7 +115,8 @@ object Round11Ops2 {
            |           FROM feats f CROSS JOIN w${Round10Ops2.Epochs} w),
            |ext AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM scored),
            |binned AS (
-           |  SELECT CAST(LEAST(FLOOR((s - lo) / ((hi - lo) / 10)), 9) AS INT) AS bin,
+           |  SELECT CAST(LEAST(COALESCE(
+           |           FLOOR((s - lo) / (NULLIF(hi - lo, 0) / 10)), 0), 9) AS INT) AS bin,
            |         y, s
            |  FROM scored, ext)
            |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
@@ -132,7 +133,14 @@ object Round11Ops2 {
         val ext = scored.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
         scored.crossJoin(broadcast(ext))
           .select(
-            least(floor((col("s") - col("lo")) / ((col("hi") - col("lo")) / 10)),
+            // bin width guarded by NULLIF (ADVICE r11): a degenerate
+            // corpus where every score is equal would otherwise divide
+            // 0/0 → NaN, and Spark/DuckDB disagree on CAST(NaN AS INT);
+            // the guard maps everything to bin 0 identically on both
+            least(coalesce(
+                floor((col("s") - col("lo")) /
+                  (nullif(col("hi") - col("lo"), lit(0.0)) / 10)),
+                lit(0L)),
               lit(9L)).cast("int").as("bin"),
             col("y"), col("s"))
           .groupBy(col("bin"))
