@@ -91,6 +91,35 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.quietBoundedWindowWarn()
+    // Suite-interference instrumentation (VERDICT r11 item 5: 8 gates
+    // flagged >1.5x in-suite, 0 reproduced isolated or cold — adjudged
+    // statistically, with no named mechanism). A task-metrics listener
+    // accumulates the residue candidates per gate: executor GC time,
+    // shuffle bytes written/read, memory+disk spill, plus the
+    // persistent-RDD count after the gate (localCheckpoint(true) blocks
+    // linger until the ContextCleaner runs — block-manager pressure is
+    // the leading suspect). bench_detail.json carries the per-gate
+    // deltas so a flag adjudication can point at a cause, not a p-value.
+    val mGc = new java.util.concurrent.atomic.AtomicLong
+    val mSw = new java.util.concurrent.atomic.AtomicLong
+    val mSr = new java.util.concurrent.atomic.AtomicLong
+    val mSp = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val tm = e.taskMetrics
+          if (tm != null) {
+            mGc.addAndGet(tm.jvmGCTime)
+            mSw.addAndGet(tm.shuffleWriteMetrics.bytesWritten)
+            mSr.addAndGet(tm.shuffleReadMetrics.localBytesRead +
+              tm.shuffleReadMetrics.remoteBytesRead)
+            mSp.addAndGet(tm.memoryBytesSpilled + tm.diskBytesSpilled)
+          }
+        }
+      })
+    def residueSnapshot(): (Long, Long, Long, Long) =
+      (mGc.get(), mSw.get(), mSr.get(), mSp.get())
     // warmup: JIT + codegen + parquet footer caches, so the first timed
     // query doesn't absorb session start-up
     try {
@@ -149,8 +178,18 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val fnByName = queries.toMap
+    val residue =
+      scala.collection.mutable.Map.empty[String, (Long, Long, Long, Long, Int)]
     val timed: Seq[(String, (Double, (Double, Double), Seq[Double]))] =
-      queries.map { case (name, fn) => name -> timeGate(name, fn) }
+      queries.map { case (name, fn) =>
+        val before = residueSnapshot()
+        val t = timeGate(name, fn)
+        val after = residueSnapshot()
+        residue(name) = (after._1 - before._1, after._2 - before._2,
+          after._3 - before._3, after._4 - before._4,
+          spark.sparkContext.getPersistentRDDs.size)
+        name -> t
+      }
     val results: Map[String, Double] =
       timed.map { case (name, (med, _, _)) => name -> med }.toMap
     // (c) previous-round comparison: bench_baseline.json is the prior
@@ -356,6 +395,17 @@ object Bench {
         ",\"baseline\":" + fmt(baseline.getOrElse(name, -1.0)) +
         ",\"isolated\":" + fmt(isolated.getOrElse(name, -1.0)) + "}"
     }.mkString("{", ",", "}")
+    // per-gate residue deltas (MB at 1 decimal; GC in ms; rdds = live
+    // persistent-RDD count AFTER the gate — a monotone climb names the
+    // lingering-checkpoint mechanism, a flat line exonerates it)
+    val residueJson = residue.toSeq.sortBy(_._1).map {
+      case (k, (gc, sw, sr, sp, rdds)) =>
+        s"\"" + k + "\":{\"gc_ms\":" + gc +
+          ",\"shuffle_write_mb\":" + fmt(sw / 1e6) +
+          ",\"shuffle_read_mb\":" + fmt(sr / 1e6) +
+          ",\"spill_mb\":" + fmt(sp / 1e6) +
+          ",\"rdds\":" + rdds + "}"
+    }.mkString("{", ",", "}")
     val coldJson = coldVerdicts.sortBy(_._1).map {
       case (g, c, ratio, rep, warmCleared) =>
         s"\"" + g + "\":{\"cold\":" + fmt(c) +
@@ -373,7 +423,7 @@ object Bench {
         (s"""{"total":${fmt(total)},"sf":"$sfDir","reps":$reps,""" +
           s""""queries":$fullJson,"phases":$phasesJson,""" +
           s""""runs":$runsJson,"flagged":$flaggedJson,""" +
-          s""""coldtocold":$coldJson}""").getBytes("UTF-8"))
+          s""""coldtocold":$coldJson,"residue":$residueJson}""").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     // queries_timed lets a round-over-round reader normalize the total:
     // the registry grows every round, so total alone is not comparable.

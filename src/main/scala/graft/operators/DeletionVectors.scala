@@ -1,0 +1,282 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+import java.util.zip.CRC32
+
+/** Delta Lake deletion-vector codec (delta.io PROTOCOL.md, "Deletion
+  * Vectors" + "Deletion Vector Format"): the row-index bitmaps a stock
+  * DELETE-with-DVs writer attaches to `add` actions, so a reader must
+  * drop the marked positions from each data file instead of expecting a
+  * rewritten file. [[DeltaImport]] refused these loudly through round
+  * 11; this implements the read path (and the write path, used by the
+  * `s51_delta_import_dv` fixture to forge a stock-shaped table) without
+  * Delta jars:
+  *
+  *  - Z85 (the ZeroMQ base85 alphabet the protocol mandates) for the
+  *    `pathOrInlineDv` field — a 16-byte UUID encodes to exactly 20
+  *    chars ("u" storage), inline DVs ("i") encode the whole blob;
+  *  - the on-disk DV file: 1 version byte (= 1), then per-DV blobs of
+  *    `int32 size (big-endian) | data | int32 CRC-32 of data (BE)`,
+  *    with each descriptor's `offset` pointing at its size field;
+  *  - the data: a "portable" RoaringBitmapArray — magic 1681511377
+  *    (little-endian), int64 LE count of 32-bit bitmaps, then per
+  *    bitmap `int32 LE key` + a standard-format 32-bit RoaringBitmap
+  *    (RoaringFormatSpec: both cookies, array/bitmap/run containers) —
+  *    row index = (key << 32) | container value.
+  *
+  * Scale posture: one DV is per-file state, bounded by that file's row
+  * count (a few MB for even a pathological 100M-row file); decode runs
+  * wherever the caller maps it — [[DeltaImport]] decodes in executor
+  * tasks, one per deletion vector, never on the driver.
+  */
+object DeletionVectors {
+
+  // ---- Z85 ------------------------------------------------------------
+
+  private val Z85 =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+  private val Z85Rev: Array[Int] = {
+    val a = Array.fill(128)(-1)
+    Z85.zipWithIndex.foreach { case (c, i) => a(c.toInt) = i }
+    a
+  }
+
+  def z85Encode(bytes: Array[Byte]): String = {
+    require(bytes.length % 4 == 0, s"z85 encodes 4-byte groups, got ${bytes.length}")
+    val sb = new StringBuilder(bytes.length / 4 * 5)
+    var i = 0
+    while (i < bytes.length) {
+      var v = 0L
+      var j = 0
+      while (j < 4) { v = (v << 8) | (bytes(i + j) & 0xFFL); j += 1 }
+      var div = 85L * 85 * 85 * 85
+      while (div > 0) { sb.append(Z85(((v / div) % 85).toInt)); div /= 85 }
+      i += 4
+    }
+    sb.toString
+  }
+
+  def z85Decode(s: String): Array[Byte] = {
+    require(s.length % 5 == 0, s"z85 decodes 5-char groups, got ${s.length}")
+    val out = new Array[Byte](s.length / 5 * 4)
+    var i = 0
+    while (i < s.length) {
+      var v = 0L
+      var j = 0
+      while (j < 5) {
+        val c = s.charAt(i + j)
+        val d = if (c < 128) Z85Rev(c.toInt) else -1
+        require(d >= 0, s"invalid z85 character '$c'")
+        v = v * 85 + d
+        j += 1
+      }
+      var k = 0
+      while (k < 4) { out(i / 5 * 4 + k) = ((v >>> (8 * (3 - k))) & 0xFF).toByte; k += 1 }
+      i += 5
+    }
+    out
+  }
+
+  // ---- 32-bit RoaringBitmap (RoaringFormatSpec), read -----------------
+
+  private val SerialCookie = 12347
+  private val SerialCookieNoRun = 12346
+  private val NoOffsetThreshold = 4
+  val Magic = 1681511377
+
+  /** Reads one standard-format 32-bit bitmap from `buf` (little-endian,
+    * positioned at its cookie); advances the buffer past it.
+    */
+  private def readRoaring32(buf: ByteBuffer): Array[Int] = {
+    val cookie = buf.getInt()
+    val hasRuns = (cookie & 0xFFFF) == SerialCookie
+    require(hasRuns || cookie == SerialCookieNoRun,
+      s"not a RoaringBitmap (cookie $cookie)")
+    val n = if (hasRuns) (cookie >>> 16) + 1 else buf.getInt()
+    val runFlags: Array[Byte] =
+      if (hasRuns) { val f = new Array[Byte]((n + 7) / 8); buf.get(f); f }
+      else Array.emptyByteArray
+    def isRun(i: Int) = hasRuns && ((runFlags(i / 8) >> (i % 8)) & 1) == 1
+    val keys = new Array[Int](n)
+    val cards = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      keys(i) = buf.getShort() & 0xFFFF
+      cards(i) = (buf.getShort() & 0xFFFF) + 1
+      i += 1
+    }
+    if (!hasRuns || n >= NoOffsetThreshold)
+      buf.position(buf.position() + 4 * n) // offset index — containers follow in order anyway
+    val out = Array.newBuilder[Int]
+    out.sizeHint(cards.sum)
+    i = 0
+    while (i < n) {
+      val hi = keys(i) << 16
+      if (isRun(i)) {
+        val nRuns = buf.getShort() & 0xFFFF
+        var r = 0
+        while (r < nRuns) {
+          val start = buf.getShort() & 0xFFFF
+          val len = buf.getShort() & 0xFFFF
+          var v = start
+          while (v <= start + len) { out += (hi | v); v += 1 }
+          r += 1
+        }
+      } else if (cards(i) <= 4096) {
+        var c = 0
+        while (c < cards(i)) { out += (hi | (buf.getShort() & 0xFFFF)); c += 1 }
+      } else {
+        var w = 0
+        while (w < 1024) {
+          var bits = buf.getLong()
+          val base = hi | (w << 6)
+          while (bits != 0L) {
+            out += (base | java.lang.Long.numberOfTrailingZeros(bits))
+            bits &= bits - 1
+          }
+          w += 1
+        }
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Decodes a portable RoaringBitmapArray blob into sorted row indexes. */
+  def deserialize(data: Array[Byte]): Array[Long] = {
+    val buf = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = buf.getInt()
+    require(magic == Magic, s"bad deletion-vector magic $magic (want $Magic)")
+    val nBitmaps = buf.getLong()
+    val out = Array.newBuilder[Long]
+    var b = 0L
+    while (b < nBitmaps) {
+      val key = buf.getInt().toLong
+      readRoaring32(buf).foreach(v => out += (key << 32) | (v & 0xFFFFFFFFL))
+      b += 1
+    }
+    out.result()
+  }
+
+  // ---- write (fixture/export side) -------------------------------------
+
+  /** Serializes sorted row indexes as a portable RoaringBitmapArray —
+    * cookie 12346 (no run containers), array containers up to the
+    * spec's 4096-cardinality bound, bitmap containers above it; byte
+    * shape a stock reader accepts.
+    */
+  def serialize(rows: Array[Long]): Array[Byte] = {
+    require(rows.sameElements(rows.sorted), "row indexes must be sorted")
+    val byHigh = rows.groupBy(_ >>> 32).toSeq.sortBy(_._1)
+    def oneBitmap(values: Array[Long]): Array[Byte] = {
+      val byKey = values.map(v => (v & 0xFFFFFFFFL).toInt)
+        .groupBy(v => v >>> 16).toSeq.sortBy(_._1)
+      val n = byKey.size
+      val containers = byKey.map { case (_, vs) =>
+        if (vs.length <= 4096) {
+          val b = ByteBuffer.allocate(2 * vs.length).order(ByteOrder.LITTLE_ENDIAN)
+          vs.foreach(v => b.putShort((v & 0xFFFF).toShort))
+          b.array()
+        } else {
+          val words = new Array[Long](1024)
+          vs.foreach { v => val low = v & 0xFFFF; words(low >> 6) |= 1L << (low & 63) }
+          val b = ByteBuffer.allocate(8192).order(ByteOrder.LITTLE_ENDIAN)
+          words.foreach(b.putLong)
+          b.array()
+        }
+      }
+      val size = 8 + 4 * n + 4 * n + containers.map(_.length).sum
+      val b = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(SerialCookieNoRun)
+      b.putInt(n)
+      byKey.foreach { case (k, vs) =>
+        b.putShort((k & 0xFFFF).toShort)
+        b.putShort(((vs.length - 1) & 0xFFFF).toShort)
+      }
+      var off = 8 + 4 * n + 4 * n
+      containers.foreach { c => b.putInt(off); off += c.length }
+      containers.foreach(b.put)
+      b.array()
+    }
+    val parts = byHigh.map { case (hi, vs) => (hi.toInt, oneBitmap(vs)) }
+    val total = 4 + 8 + parts.map(4 + _._2.length).sum
+    val b = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(Magic)
+    b.putLong(parts.size.toLong)
+    parts.foreach { case (k, bytes) => b.putInt(k); b.put(bytes) }
+    b.array()
+  }
+
+  // ---- DV file framing + descriptor resolution --------------------------
+
+  /** Writes one DV blob into a fresh protocol-shaped `.bin` file under
+    * `tableDir` and returns (pathOrInlineDv, offset) for a "u"
+    * descriptor.
+    */
+  def writeFile(tableDir: Path, rows: Array[Long]): (String, Int) = {
+    val data = serialize(rows)
+    val uuid = UUID.randomUUID()
+    val target = tableDir.resolve(s"deletion_vector_$uuid.bin")
+    val crc = new CRC32; crc.update(data)
+    val buf = ByteBuffer.allocate(1 + 4 + data.length + 4) // big-endian framing
+    buf.put(1.toByte).putInt(data.length).put(data).putInt(crc.getValue.toInt)
+    Files.write(target, buf.array())
+    val idBytes = ByteBuffer.allocate(16)
+      .putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits)
+    (z85Encode(idBytes.array()), 1)
+  }
+
+  /** Resolves a descriptor to its row indexes. Verifies framing CRC and
+    * descriptor cardinality — a silent mis-read would materialize as
+    * wrong query results, so every invariant the descriptor states is
+    * checked.
+    */
+  def load(tablePath: String, storageType: String, pathOrInlineDv: String,
+      offset: Option[Int], sizeInBytes: Int, cardinality: Long): Array[Long] = {
+    val data: Array[Byte] = storageType match {
+      case "i" =>
+        // inline blobs are padded to the z85 4-byte group size on
+        // encode; the descriptor's sizeInBytes is the true length
+        val decoded = z85Decode(pathOrInlineDv)
+        require(decoded.length >= sizeInBytes && decoded.length - sizeInBytes < 4,
+          s"inline DV length ${decoded.length} vs descriptor $sizeInBytes")
+        decoded.take(sizeInBytes)
+      case "u" | "p" =>
+        val file = storageType match {
+          case "p" => Paths.get(pathOrInlineDv)
+          case _ =>
+            // last 20 chars: z85 UUID; anything before: optional random
+            // prefix directory (the protocol's derived-path rule)
+            require(pathOrInlineDv.length >= 20,
+              s"malformed 'u' pathOrInlineDv: $pathOrInlineDv")
+            val (prefix, enc) = pathOrInlineDv.splitAt(pathOrInlineDv.length - 20)
+            val idBytes = z85Decode(enc)
+            val bb = ByteBuffer.wrap(idBytes)
+            val uuid = new UUID(bb.getLong, bb.getLong)
+            val name = s"deletion_vector_$uuid.bin"
+            if (prefix.isEmpty) Paths.get(tablePath, name)
+            else Paths.get(tablePath, prefix, name)
+        }
+        val all = Files.readAllBytes(file)
+        val off = offset.getOrElse(1)
+        val buf = ByteBuffer.wrap(all) // framing ints are big-endian
+        buf.position(off)
+        val size = buf.getInt()
+        require(size == sizeInBytes,
+          s"DV size mismatch at $file:$off — framed $size, descriptor $sizeInBytes")
+        val d = new Array[Byte](size)
+        buf.get(d)
+        val storedCrc = buf.getInt()
+        val crc = new CRC32; crc.update(d)
+        require(storedCrc == crc.getValue.toInt,
+          s"DV checksum mismatch at $file:$off")
+        d
+    }
+    val rows = deserialize(data)
+    require(rows.length == cardinality,
+      s"DV cardinality mismatch: decoded ${rows.length}, descriptor $cardinality")
+    rows
+  }
+}

@@ -20,7 +20,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * whose medallion tables already live in Delta (`01_config.ipynb:
   * 193-226` stores every bronze/silver/gold table that way).
   *
-  * Protocol surface implemented (reader version ≤ 2):
+  * Protocol surface implemented (reader version ≤ 2, and version 3
+  * when the table's readerFeatures are within [deletionVectors]):
   *  - newline-delimited JSON commits `NNNNNNNNNNNNNNNNNNNN.json`
   *  - parquet checkpoints (single- and multi-part) + `_last_checkpoint`,
   *    so tables whose early JSON has been cleaned up still open
@@ -29,9 +30,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *  - partition columns reattached from each add-action's
   *    `partitionValues` (the protocol's source of truth — data files
   *    legitimately omit partition columns), cast to the table schema
+  *  - deletion vectors (round 12 — VERDICT r11 item 7; stock DELETEs
+  *    increasingly write them): each live add's DV decodes in an
+  *    executor task ([[DeletionVectors]]) and the marked positions are
+  *    anti-joined away on `_metadata.row_index`
   *
   * Refused loudly (features that change how DATA bytes are read):
-  * minReaderVersion > 2, column mapping, deletion vectors, and
+  * minReaderVersion > 3, reader features beyond deletionVectors
+  * (column mapping, v2 checkpoints, type widening), and
   * absolute/scheme-qualified add paths (shallow clones). Silent wrong
   * answers are worse than a clear "needs Delta jars".
   *
@@ -64,7 +70,9 @@ object DeltaImport {
       .filter(col("path").isNotNull)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("isAdd"))
-      .select(col("path"), col("partitionValues"))
+      .select(col("path"), col("partitionValues"), col("dvStorage"),
+        col("dvPathOrInline"), col("dvOffset"), col("dvSize"),
+        col("dvCardinality"))
       .localCheckpoint(true)
 
     // add-action paths are URL-encoded table-relative paths per the
@@ -83,7 +91,36 @@ object DeltaImport {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dataSchema)
       else spark.read.schema(dataSchema).parquet(files.toIndexedSeq: _*)
 
-    if (partCols.isEmpty) scan
+    // deletion vectors (reader version 3 / deletionVectors feature): the
+    // live add may carry a row-index bitmap of logically-deleted rows.
+    // Decode each DV in an EXECUTOR task (flatMap over the descriptor
+    // rows — never driver-resident), pair positions with the file's
+    // table-relative path, and anti-join the scan on
+    // (__rel, _metadata.row_index). The _metadata column must be bound
+    // before any join — a post-shuffle input_file_name() is empty.
+    val dvCount = live.filter(col("dvStorage").isNotNull).count()
+    val needRel = partCols.nonEmpty || dvCount > 0
+    val relExpr = url_decode(regexp_extract(input_file_name(),
+      java.util.regex.Pattern.quote(tablePath) + "/(.*)$", 1))
+    var df = if (needRel && files.nonEmpty) scan.withColumn("__rel", relExpr) else scan
+    if (dvCount > 0 && files.nonEmpty) {
+      import spark.implicits._
+      val deleted = live.filter(col("dvStorage").isNotNull)
+        .select(url_decode(col("path")).as("rel"), col("dvStorage"),
+          col("dvPathOrInline"), col("dvOffset"), col("dvSize"),
+          col("dvCardinality"))
+        .as[(String, String, String, Option[Int], Int, Long)]
+        .flatMap { case (rel, st, p, off, sz, card) =>
+          DeletionVectors.load(tablePath, st, p, off, sz, card)
+            .map(pos => (rel, pos))
+        }
+        .toDF("__rel", "__pos")
+      df = df.withColumn("__pos", col("_metadata.row_index"))
+        .join(deleted, Seq("__rel", "__pos"), "left_anti")
+        .drop("__pos")
+    }
+
+    if (partCols.isEmpty) df.drop("__rel")
     else {
       // reattach partition columns: file → partitionValues broadcast
       // join on the table-relative path (input_file_name is a file: URI
@@ -91,14 +128,13 @@ object DeltaImport {
       val mapping = live.select(
         url_decode(col("path")).as("__rel"),
         col("partitionValues"))
-      val joined = scan
-        .withColumn("__rel",
-          url_decode(regexp_extract(input_file_name(),
-            java.util.regex.Pattern.quote(tablePath) + "/(.*)$", 1)))
-        .join(broadcast(mapping), Seq("__rel"))
-      val withParts = partCols.foldLeft(joined) { (df, p) =>
+      val joined =
+        (if (files.isEmpty) df.withColumn("__rel", lit(null).cast("string"))
+         else df)
+          .join(broadcast(mapping), Seq("__rel"))
+      val withParts = partCols.foldLeft(joined) { (df2, p) =>
         val tpe = schema(p).dataType
-        df.withColumn(p, element_at(col("partitionValues"), p).cast(tpe))
+        df2.withColumn(p, element_at(col("partitionValues"), p).cast(tpe))
       }
       withParts.select(schema.map(f => col(f.name)): _*)
     }
@@ -191,8 +227,14 @@ object DeltaImport {
         else lit(null).cast("array<string>")).as("partitionColumns"),
         optMap("metaData.configuration").as("configuration"),
         optCol("protocol.minReaderVersion").cast("int").as("minReaderVersion"),
-        optCol("remove.deletionVector.storageType").as("removeDv"),
-        optCol("add.deletionVector.storageType").as("addDv"))
+        (if (hasField(df.schema, "protocol.readerFeatures"))
+          col("protocol.readerFeatures").cast("array<string>")
+        else lit(null).cast("array<string>")).as("readerFeatures"),
+        optCol("add.deletionVector.storageType").cast("string").as("dvStorage"),
+        optCol("add.deletionVector.pathOrInlineDv").cast("string").as("dvPathOrInline"),
+        optCol("add.deletionVector.offset").cast("int").as("dvOffset"),
+        optCol("add.deletionVector.sizeInBytes").cast("int").as("dvSize"),
+        optCol("add.deletionVector.cardinality").cast("long").as("dvCardinality"))
     }
 
     val fromJson =
@@ -221,16 +263,25 @@ object DeltaImport {
     val probe = actions.agg(
       max(col("minReaderVersion")).as("rv"),
       max(element_at(col("configuration"), "delta.columnMapping.mode")).as("cm"),
-      count(when(col("addDv").isNotNull || col("removeDv").isNotNull, 1)).as("dvs"))
+      array_distinct(flatten(collect_list(col("readerFeatures")))).as("feats"))
       .collect()(0)
     val rv = if (probe.isNullAt(0)) 1 else probe.getInt(0)
-    require(rv <= 2,
-      s"table requires Delta reader version $rv (deletion vectors / v2 features); this offline reader supports <= 2")
+    val feats =
+      if (probe.isNullAt(2)) Seq.empty[String] else probe.getSeq[String](2)
+    // reader version 3 is table-features based: readable iff every
+    // listed reader feature is one we implement (deletionVectors since
+    // round 12). Anything else — columnMapping, v2Checkpoint, typeWidening
+    // — still refuses loudly rather than serving wrong bytes.
+    val unsupported = feats.filterNot(_ == "deletionVectors")
+    require(rv <= 2 || (rv == 3 && unsupported.isEmpty),
+      s"table requires Delta reader version $rv with features " +
+        s"${feats.mkString("[", ",", "]")}; this offline reader supports " +
+        s"<= 2, or 3 with [deletionVectors] only" +
+        (if (unsupported.nonEmpty) s" (unsupported: ${unsupported.mkString(",")})"
+         else ""))
     val cm = if (probe.isNullAt(1)) "none" else probe.getString(1)
     require(cm == "none",
       s"column mapping mode '$cm' not supported by this offline reader")
-    require(probe.getLong(2) == 0L,
-      "deletion vectors present; this offline reader supports reader version <= 2")
   }
 
   private def latestMetadata(spark: SparkSession, actions: DataFrame): (StructType, Seq[String]) = {

@@ -127,8 +127,9 @@ object Round9Ops2 {
   /** Harrell's C-index via [[graft.operators.Concordance]] — the
     * scalable EXACT path the bounded ground-truth gate
     * (`a93_harrell_cindex`, orderkey < 2000) points at: the cohort here
-    * is a fixed FRACTION of lineitem (grows with sf, ~132M pairs at
-    * sf0.01), counted in O(n·bucket + B²) by the bucket-grid
+    * is a fixed FRACTION of lineitem (grows with sf; the 1/12 cohort —
+    * 1/3 until round 12, trimmed per VERDICT r11 item 4 — still crosses
+    * ~8M pairs at sf0.01 and ~1G at sf0.1), counted by the bucket-grid
     * decomposition instead of the O(n²) pair join. The oracle IS the
     * quadratic definition (DuckDB's IEJoin crunches the inequality
     * pair join directly), so the gate proves decomposition ≡ definition
@@ -142,7 +143,7 @@ object Round9Ops2 {
       |         CASE WHEN l.l_returnflag = 'R' THEN 0 ELSE 1 END AS ev,
       |         CAST(l.l_extendedprice AS DECIMAL(18,2)) AS score
       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-      |  WHERE l.l_orderkey % 3 = 0),
+      |  WHERE l.l_orderkey % 12 = 0),
       |pairs AS (
       |  SELECT a.score AS sa, b.score AS sb
       |  FROM obs a JOIN obs b ON a.dur < b.dur AND a.ev = 1),
@@ -160,7 +161,7 @@ object Round9Ops2 {
     val obs = Tables.load(spark, dir, "lineitem").as("l")
       .join(Tables.load(spark, dir, "orders").as("o"),
         col("l.l_orderkey") === col("o.o_orderkey"))
-      .filter(col("l.l_orderkey") % 3 === 0)
+      .filter(col("l.l_orderkey") % 12 === 0)
       .select(
         (floor(unix_timestamp(col("l.l_shipdate")) / 86400)
           - floor(unix_timestamp(col("o.o_orderdate")) / 86400)).cast("int").as("dur"),
