@@ -146,12 +146,12 @@ object Round12Fuzz {
     * and SUM of the per-row hashes is order-independent.
     */
   private def wrap(i: Int, s: Shape, hex8: String => String,
-      name: String => String): String = {
+      name: String => String, strType: String): String = {
     // column aliases the inner SELECT exposes: v1..vk (+ g for grouped)
     val aliases = ("\\bAS (v\\d+|g)\\b".r.findAllMatchIn(
       s.inner.takeWhile(_ != 'F'))).map(_.group(1)).toSeq.distinct
     val rowStr = s"concat_ws('|', ${aliases.map(a =>
-      s"COALESCE(CAST($a AS VARCHAR(64)), '~')").mkString(", ")})"
+      s"COALESCE(CAST($a AS $strType), '~')").mkString(", ")})"
     val inner = s.inner.replace("{" + s.table + "}", name(s.table))
     val inner2 = s.joined.fold(inner)(j => inner.replace("{" + j + "}", name(j)))
     // outer CAST: DuckDB's SUM(BIGINT) widens to HUGEINT (float64 via
@@ -161,17 +161,23 @@ object Round12Fuzz {
        |FROM ($inner2) q$i""".stripMargin
   }
 
-  private def render(hex8: String => String, name: String => String): String = {
+  private def render(hex8: String => String, name: String => String,
+      strType: String): String = {
     val seedRow =
       s"SELECT -1 AS shape_id, CAST($NShapes AS BIGINT) AS n_rows, CAST($Seed AS BIGINT) AS digest"
-    (seedRow +: shapes.zipWithIndex.map { case (s, i) => wrap(i, s, hex8, name) })
+    (seedRow +: shapes.zipWithIndex.map { case (s, i) =>
+      wrap(i, s, hex8, name, strType) })
       .mkString("", "\nUNION ALL\n", "\nORDER BY shape_id")
   }
 
+  // STRING vs VARCHAR: Spark's ANSI session logs a char/varchar WARN
+  // per VARCHAR cast (and treats it as string anyway); DuckDB has no
+  // STRING type — so the canonicalizing cast is dialect-split too
   private val duckSql = render(
-    e => s"(('0x' || substr(md5($e), 1, 8))::BIGINT)", identity)
+    e => s"(('0x' || substr(md5($e), 1, 8))::BIGINT)", identity, "VARCHAR")
   private val sparkSql = render(
-    e => s"CAST(conv(substr(md5($e), 1, 8), 16, 10) AS BIGINT)", "fz_" + _)
+    e => s"CAST(conv(substr(md5($e), 1, 8), 16, 10) AS BIGINT)", "fz_" + _,
+    "STRING")
 
   val fuzz_relational: OpQuery = OpQuery("fuzz_relational", duckSql) {
     (spark, dir) =>

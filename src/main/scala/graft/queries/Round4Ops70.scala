@@ -43,32 +43,43 @@ object Round4Ops70 {
       |       CAST(ROUND(MAX(CASE WHEN rk = 3 THEN mean_b END), 6) AS DOUBLE) AS ci_lo,
       |       CAST(ROUND(MAX(CASE WHEN rk = 98 THEN mean_b END), 6) AS DOUBLE) AS ci_hi
       |FROM sorted""".stripMargin) { (spark, dir) =>
-    Tables.load(spark, dir, "orders").createOrReplaceTempView("graft_boot_orders")
-    spark.sql(
-      """WITH spend AS (
-        |  SELECT o_custkey, CAST(ROUND(SUM(o_totalprice)) AS BIGINT) AS s
-        |  FROM graft_boot_orders GROUP BY o_custkey),
-        |ranked AS (
-        |  SELECT s, ROW_NUMBER() OVER (ORDER BY o_custkey) AS idx FROM spend),
-        |m AS (SELECT COUNT(*) AS n FROM ranked),
-        |draws AS (
-        |  SELECT b.b, i.i,
-        |         ((CAST(b.b AS BIGINT) * 48271 + CAST(i.i AS BIGINT) * 16807)
-        |            % 2147483647) % i.n + 1 AS idx
-        |  FROM (SELECT explode(sequence(1, 100)) AS b) b
-        |  CROSS JOIN (SELECT explode(sequence(1, CAST(n AS INT))) AS i, n FROM m) i),
-        |means AS (
-        |  SELECT d.b, SUM(r.s) AS tot, COUNT(*) AS cnt
-        |  FROM draws d JOIN ranked r ON d.idx = r.idx
-        |  GROUP BY d.b),
-        |sorted AS (
-        |  SELECT CAST(tot AS DOUBLE) / cnt AS mean_b,
-        |         ROW_NUMBER() OVER (ORDER BY CAST(tot AS DOUBLE) / cnt, b) AS rk
-        |  FROM means)
-        |SELECT CAST((SELECT n FROM m) AS BIGINT) AS n_customers,
-        |       CAST(ROUND(MAX(CASE WHEN rk = 3 THEN mean_b END), 6) AS DOUBLE) AS ci_lo,
-        |       CAST(ROUND(MAX(CASE WHEN rk = 98 THEN mean_b END), 6) AS DOUBLE) AS ci_hi
-        |FROM sorted""".stripMargin)
+    // Spark side rebuilt distributed (round-12 sf1 flag, e = 1.20 at
+    // 10x): the SQL form generated all 100*n draw rows by exploding
+    // sequence(1, n) out of ONE row — single-partition generation — and
+    // ranked customers through a partition-less window. Now: customer
+    // ranks via the distributed TotalOrder.rowNumber, draws via two
+    // spark.range cross joins (both sides partitioned), same LCG, same
+    // join+agg, bit-identical output. The oracle keeps the plain
+    // quadratic-free SQL definition.
+    import graft.operators.TotalOrder
+    val spend = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 0).cast("bigint").as("s"))
+    val ranked = TotalOrder.rowNumber(
+        spend, Seq(col("o_custkey").asc), "idx")
+      .select(col("s"), col("idx"))
+      .localCheckpoint(true)
+    val n = ranked.count()
+    val draws = spark.range(1, 101).select(col("id").as("b"))
+      .crossJoin(spark.range(1, n + 1).select(col("id").as("i")))
+      .select(col("b"),
+        ((col("b") * 48271L + col("i") * 16807L) % 2147483647L % n + 1)
+          .as("idx"))
+    val means = draws.join(ranked, "idx")
+      .groupBy(col("b"))
+      .agg(sum(col("s")).as("tot"), count(lit(1)).as("cnt"))
+    // 100 bootstrap means: driver-bounded by construction, so the final
+    // rank is a plain window over 100 rows
+    val sorted = means
+      .select((col("tot").cast("double") / col("cnt")).as("mean_b"), col("b"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("mean_b"), col("b"))))
+    sorted.agg(
+      lit(n).cast("bigint").as("n_customers"),
+      round(max(when(col("rk") === 3, col("mean_b"))), 6).cast("double").as("ci_lo"),
+      round(max(when(col("rk") === 98, col("mean_b"))), 6).cast("double").as("ci_hi"))
+      .select(col("n_customers"), col("ci_lo"), col("ci_hi"))
   }
 
   /** Sentence segmentation stats per language: documents split on

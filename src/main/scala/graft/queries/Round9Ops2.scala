@@ -168,7 +168,7 @@ object Round9Ops2 {
         when(col("l.l_returnflag") === "R", 0).otherwise(1).as("ev"),
         col("l.l_extendedprice").cast("decimal(18,2)").as("score"))
     graft.operators.Concordance.counts(obs, "dur", "score",
-        col("ev") === 1, buckets = 2048)
+        col("ev") === 1, buckets = 1024)
       .select(
         col("comparable"), col("concordant"), col("tied"),
         round((col("concordant") + lit(0.5) * col("tied")) / col("comparable"), 6)

@@ -133,7 +133,14 @@ object DumpPlans {
       // through the distributed TotalOrder rank (range shuffle +
       // offsets — no single-reducer sort in either)
       graft.queries.Round11Ops2.qf_threshold_sweep,
-      graft.queries.Round11Ops3.qf_top_percent)
+      graft.queries.Round11Ops3.qf_top_percent,
+      // round-12: append-maintained IVF serving (static partition-pruned
+      // postings scan — identical plan to the one-shot index, which is
+      // the point), and the deletion-vector read (row-index anti-join
+      // against executor-decoded DV positions, partition values rejoined
+      // broadcast)
+      graft.queries.Round12Ops1.sim_ivf_append,
+      graft.queries.Round12Ops1.s51_delta_import_dv)
 
     val sections = headliners.map { q =>
       val df = q.build(spark, sfDir)
