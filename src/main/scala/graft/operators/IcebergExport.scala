@@ -176,6 +176,157 @@ object IcebergExport {
     out
   }
 
+  /** Append a MERGE-ON-READ position-delete snapshot (Iceberg v2 row
+    * deletes without rewriting data files — what stock Spark/Flink
+    * writers produce for DELETE on a MOR table): one position-delete
+    * parquet (`file_path` string / `pos` long, field-ids 2147483546/5
+    * per the spec, sorted), one delete manifest (`content = 1`), and a
+    * new snapshot whose manifest list carries the prior snapshot's data
+    * manifests (original sequence numbers — position deletes apply to
+    * data files with data sequence number ≤ the delete's) plus the
+    * delete manifest at the NEW sequence number.
+    *
+    * Targets tables laid out by [[exportTable]] (the metadata.json
+    * splice assumes this writer's shape — asserted, never silent); the
+    * RESULT follows the v2 spec's structures, with one stated gap: the
+    * delete parquet is written by Spark without Iceberg field-id
+    * metadata (ids 2147483546/2147483545), so name-based readers (this
+    * engine's [[IcebergImport]], duckdb, pyiceberg) read it while a
+    * strict field-id-resolving reader may not.
+    *
+    * `deletes`: absolute data-file path → 0-based row positions.
+    */
+  def appendPositionDeletes(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, deletes: Seq[(String, Seq[Long])]): Unit = {
+    val out = Paths.get(tablePath).toAbsolutePath.normalize
+    val metaDir = out.resolve("metadata")
+    val hint = Files.readString(metaDir.resolve("version-hint.text")).trim
+    val mdText = Files.readString(metaDir.resolve(s"v$hint.metadata.json"))
+
+    val LastSeq = """"last-sequence-number":\s*(\d+)""".r
+    val CurSnap = """"current-snapshot-id":\s*(\d+)""".r
+    val seq = LastSeq.findFirstMatchIn(mdText).getOrElse(
+      throw new IllegalArgumentException(
+        s"metadata v$hint has no last-sequence-number — not an exportTable layout")
+    ).group(1).toLong + 1
+    val prevSnapId = CurSnap.findFirstMatchIn(mdText).get.group(1).toLong
+    val snapshotId = 3100000000L + seq
+
+    // the delete parquet, written sorted — one file, moved into data/
+    val rows = deletes.flatMap { case (p, ps) => ps.sorted.map(pos => (p, pos)) }
+      .sortBy(identity)
+    require(rows.nonEmpty, "appendPositionDeletes: empty delete set")
+    import spark.implicits._
+    val tmp = Files.createTempDirectory(out, "posdel-tmp-")
+    rows.toDF("file_path", "pos").coalesce(1).sortWithinPartitions("file_path", "pos")
+      .write.mode("overwrite").parquet(tmp.toString)
+    val written = {
+      val w = Files.list(tmp)
+      try w.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+      finally w.close()
+    }
+    val delName = s"delete-${UUID.nameUUIDFromBytes(s"posdel-$seq".getBytes)}.parquet"
+    val delPath = out.resolve("data").resolve(delName)
+    Files.move(written, delPath)
+    deleteRecursively(tmp)
+
+    // delete manifest: one content=1 entry for the delete file (the
+    // fixture scope is unpartitioned — exportTable's partitioned tables
+    // would need partition-scoped delete records)
+    val mSchema = entrySchema(StructType(Nil), Seq.empty)
+    val manifestPath = metaDir.resolve(
+      s"${UUID.nameUUIDFromBytes(s"posdel-m$seq".getBytes)}-m0.avro")
+    writeAvro(manifestPath, mSchema, Map(
+      "schema" -> """{"type": "struct", "schema-id": 0, "fields": []}""",
+      "partition-spec" -> "[]",
+      "partition-spec-id" -> "0",
+      "format-version" -> "2",
+      "content" -> "deletes")) { w =>
+      val entry = new GenericData.Record(mSchema)
+      entry.put("status", 1)
+      entry.put("snapshot_id", snapshotId)
+      entry.put("sequence_number", seq)
+      entry.put("file_sequence_number", seq)
+      val dfSchema = mSchema.getField("data_file").schema()
+      val df = new GenericData.Record(dfSchema)
+      df.put("content", 1) // POSITION_DELETES
+      df.put("file_path", delPath.toString)
+      df.put("file_format", "PARQUET")
+      df.put("partition",
+        new GenericData.Record(dfSchema.getField("partition").schema()))
+      df.put("record_count", rows.size.toLong)
+      df.put("file_size_in_bytes", Files.size(delPath))
+      entry.put("data_file", df)
+      w.append(entry)
+    }
+
+    // new manifest list: the prior snapshot's manifests verbatim + ours
+    val prevListPath = {
+      // non-greedy across the nested summary object: each snapshot is
+      // one line with exactly one manifest-list after its id
+      val SnapList = (""""snapshot-id":""" + prevSnapId +
+        """,.*?"manifest-list":"([^"]+)"""").r
+      SnapList.findFirstMatchIn(mdText).getOrElse(throw new IllegalArgumentException(
+        s"snapshot $prevSnapId has no manifest-list in metadata v$hint")).group(1)
+    }
+    val listSchema = manifestListSchema()
+    val prevEntries = {
+      val r = new org.apache.avro.file.DataFileReader[GenericRecord](
+        new java.io.File(prevListPath),
+        new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.toList finally r.close()
+    }
+    val listPath = metaDir.resolve(
+      s"snap-$snapshotId-1-${UUID.nameUUIDFromBytes(s"posdel-s$seq".getBytes)}.avro")
+    writeAvro(listPath, listSchema, Map(
+      "format-version" -> "2",
+      "snapshot-id" -> snapshotId.toString,
+      "parent-snapshot-id" -> prevSnapId.toString,
+      "sequence-number" -> seq.toString)) { w =>
+      prevEntries.foreach { e =>
+        val copy = new GenericData.Record(listSchema)
+        listSchema.getFields.asScala.foreach(f => copy.put(f.name(), e.get(f.name())))
+        w.append(copy)
+      }
+      val mf = new GenericData.Record(listSchema)
+      mf.put("manifest_path", manifestPath.toString)
+      mf.put("manifest_length", Files.size(manifestPath))
+      mf.put("partition_spec_id", 0)
+      mf.put("content", 1) // DELETES manifest
+      mf.put("sequence_number", seq)
+      mf.put("min_sequence_number", seq)
+      mf.put("added_snapshot_id", snapshotId)
+      mf.put("added_files_count", 1)
+      mf.put("existing_files_count", 0)
+      mf.put("deleted_files_count", 0)
+      mf.put("added_rows_count", rows.size.toLong)
+      mf.put("existing_rows_count", 0L)
+      mf.put("deleted_rows_count", 0L)
+      w.append(mf)
+    }
+
+    val newSnapJson =
+      s"""{"snapshot-id":$snapshotId,"sequence-number":$seq,""" +
+        s""""timestamp-ms":${System.currentTimeMillis()},""" +
+        s""""summary":{"operation":"delete"},""" +
+        s""""manifest-list":"$listPath","schema-id":0}"""
+    val spliced = LastSeq.replaceFirstIn(
+      CurSnap.replaceFirstIn(mdText,
+        s""""current-snapshot-id": $snapshotId"""),
+      s""""last-sequence-number": $seq""")
+    val withSnap = {
+      // exportTable writes "snapshots" as the LAST key, so the final ']'
+      // closes that array — assert the shape instead of trusting it
+      val i = spliced.lastIndexOf("]")
+      require(i > spliced.indexOf("\"snapshots\"") && spliced.indexOf("\"snapshots\"") > 0,
+        "unexpected metadata layout — snapshots array must close the document")
+      spliced.substring(0, i) + "," + newSnapJson + spliced.substring(i)
+    }
+    val newV = hint.toInt + 1
+    Files.writeString(metaDir.resolve(s"v$newV.metadata.json"), withSnap)
+    Files.writeString(metaDir.resolve("version-hint.text"), newV.toString)
+  }
+
   // ---- schema translation --------------------------------------------
 
   private def icebergType(dt: DataType): String = dt match {

@@ -18,10 +18,13 @@ import org.apache.spark.sql.types._
   *
   * Companion to [[IcebergExport]] — together with [[DeltaImport]]/
   * [[DeltaExport]] the engine now speaks both major open table formats
-  * in both directions, offline. The same scope rules: identity
-  * partitions, primitive types; merge-on-read position/equality
-  * deletes are REFUSED loudly (content ≠ data), never silently
-  * mis-read.
+  * in both directions, offline. Scope: identity partitions, primitive
+  * types, and (round 12 — the Delta deletion-vector twin) merge-on-read
+  * POSITION deletes: delete manifests stream like data manifests, each
+  * delete parquet's (file_path, pos) rows join to the per-file data
+  * sequence numbers (deletes apply to files with data seq ≤ the
+  * delete's) and anti-join the scan on `_metadata.row_index`. Equality
+  * deletes are still REFUSED loudly, never silently mis-read.
   *
   * Scale note: metadata parsing is file-count-bound, not data-bound —
   * manifests stream through the bundled Avro reader one record at a
@@ -50,26 +53,60 @@ object IcebergImport {
     val partCols = partitionColsOf(md)
     val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
 
-    val files = manifestEntries(snap.getAs[String]("manifest-list"))
+    val mfs = manifestEntries(snap.getAs[String]("manifest-list"))
+    val files = mfs.data
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], StructType(schema.fields))
 
     val scan = spark.read.schema(dataSchema).parquet(files.map(_._1): _*)
-    if (partCols.isEmpty) scan
+    val pathExpr = regexp_replace(url_decode(input_file_name()), "^file:/*", "/")
+
+    // merge-on-read position deletes (round 12 — previously refused):
+    // each delete parquet holds (file_path, pos) rows; a delete applies
+    // to data files whose DATA sequence number is <= the delete's (the
+    // v2 scoping rule), so join the delete rows to the per-file sequence
+    // map first, then anti-join the scan on (path, row position).
+    val applied =
+      if (mfs.posDeletes.isEmpty) scan
+      else {
+        val fileSeq = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            files.map(f => Row(normPath(f._1), f._3)).toSeq, 1),
+          StructType(Seq(StructField("__path", StringType),
+            StructField("__fseq", LongType))))
+        val deleteRows = mfs.posDeletes.map { case (p, dseq) =>
+          spark.read.schema("file_path string, pos long").parquet(p)
+            .select(
+              regexp_replace(col("file_path"), "^file:/*", "/").as("__path"),
+              col("pos").as("__pos"), lit(dseq).as("__dseq"))
+        }.reduce(_ unionByName _)
+        val applicable = deleteRows
+          .join(broadcast(fileSeq), Seq("__path"))
+          .filter(col("__dseq") >= col("__fseq"))
+          .select(col("__path"), col("__pos"))
+        scan
+          .withColumn("__path", pathExpr)
+          .withColumn("__pos", col("_metadata.row_index"))
+          .join(applicable, Seq("__path", "__pos"), "left_anti")
+          .drop("__pos")
+      }
+
+    if (partCols.isEmpty)
+      (if (mfs.posDeletes.isEmpty) applied else applied.drop("__path"))
     else {
       val mappingSchema = StructType(
         StructField("__path", StringType) +:
           partCols.map(p => StructField(s"__$p", schema(p).dataType)))
-      val mappingRows = files.map { case (path, pvals) =>
-        Row.fromSeq(path +: partCols.map(pvals.get(_).orNull))
+      val mappingRows = files.map { case (path, pvals, _) =>
+        Row.fromSeq(normPath(path) +: partCols.map(pvals.get(_).orNull))
       }
       val mapping = spark.createDataFrame(
         spark.sparkContext.parallelize(mappingRows.toSeq, 1), mappingSchema)
-      val joined = scan
-        .withColumn("__path",
-          regexp_replace(url_decode(input_file_name()), "^file:/*", "/"))
-        .join(broadcast(mapping), Seq("__path"))
+      val withPath =
+        if (mfs.posDeletes.isEmpty) applied.withColumn("__path", pathExpr)
+        else applied // the delete branch already attached __path
+      val joined = withPath.join(broadcast(mapping), Seq("__path"))
       partCols.foldLeft(joined)((df, p) => df.withColumn(p, col(s"__$p")))
         .select(schema.map(f => col(f.name)): _*)
     }
@@ -82,6 +119,12 @@ object IcebergImport {
       .sortBy(_._2).toSeq
 
   // ---- internals ------------------------------------------------------
+
+  /** Manifest paths are plain absolute paths in this layout; strip any
+    * scheme so they key identically with the scan's decoded
+    * input_file_name form.
+    */
+  private def normPath(p: String): String = p.replaceFirst("^file:/*", "/")
 
   private def metadata(spark: SparkSession, tablePath: String): Row = {
     val hintFile = Paths.get(tablePath, "metadata", "version-hint.text")
@@ -138,33 +181,56 @@ object IcebergImport {
     }.toSeq
   }
 
-  /** All data files of a snapshot: (path, partition values). Streams
-    * each Avro manifest; refuses delete manifests (merge-on-read).
+  private final case class ManifestFiles(
+      data: Seq[(String, Map[String, Any], Long)], // path, partition values, data seq
+      posDeletes: Seq[(String, Long)])             // path, delete seq
+
+  /** All files of a snapshot, split into data files and position-delete
+    * files with their sequence numbers (entry sequence, inherited from
+    * the manifest when null — the spec's inheritance rule). Equality
+    * deletes (data_file.content = 2) are still refused loudly: they
+    * need equality-field resolution this offline reader doesn't carry.
     */
-  private def manifestEntries(manifestListPath: String): Seq[(String, Map[String, Any])] = {
-    readAvro(manifestListPath).flatMap { mf =>
-      require(mf.get("content") == null || mf.get("content").asInstanceOf[Int] == 0,
-        "delete manifests (merge-on-read) not supported by this offline reader")
-      readAvro(mf.get("manifest_path").toString).flatMap { entry =>
+  private def manifestEntries(manifestListPath: String): ManifestFiles = {
+    val data = Seq.newBuilder[(String, Map[String, Any], Long)]
+    val dels = Seq.newBuilder[(String, Long)]
+    readAvro(manifestListPath).foreach { mf =>
+      val mfContent =
+        if (mf.get("content") == null) 0 else mf.get("content").asInstanceOf[Int]
+      require(mfContent == 0 || mfContent == 1,
+        s"unknown manifest content $mfContent in $manifestListPath")
+      val mfSeq =
+        if (mf.get("sequence_number") == null) 0L
+        else mf.get("sequence_number").asInstanceOf[Long]
+      readAvro(mf.get("manifest_path").toString).foreach { entry =>
         val status = entry.get("status").asInstanceOf[Int]
-        if (status == 2) None // DELETED entries drop out of the snapshot
-        else {
+        if (status != 2) { // DELETED entries drop out of the snapshot
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
-          require(df.get("content") == null || df.get("content").asInstanceOf[Int] == 0,
-            "position/equality delete files not supported by this offline reader")
-          val part = df.get("partition").asInstanceOf[GenericRecord]
-          val pvals: Map[String, Any] =
-            if (part == null) Map.empty
-            else part.getSchema.getFields.asScala.map { f =>
-              f.name() -> (part.get(f.name()) match {
-                case u: org.apache.avro.util.Utf8 => u.toString
-                case v => v
-              })
-            }.toMap
-          Some(df.get("file_path").toString -> pvals)
+          val content =
+            if (df.get("content") == null) 0 else df.get("content").asInstanceOf[Int]
+          val seq =
+            if (entry.get("sequence_number") == null) mfSeq
+            else entry.get("sequence_number").asInstanceOf[Long]
+          content match {
+            case 0 =>
+              val part = df.get("partition").asInstanceOf[GenericRecord]
+              val pvals: Map[String, Any] =
+                if (part == null) Map.empty
+                else part.getSchema.getFields.asScala.map { f =>
+                  f.name() -> (part.get(f.name()) match {
+                    case u: org.apache.avro.util.Utf8 => u.toString
+                    case v => v
+                  })
+                }.toMap
+              data += ((df.get("file_path").toString, pvals, seq))
+            case 1 => dels += ((df.get("file_path").toString, seq))
+            case other => throw new IllegalArgumentException(
+              s"equality delete files (content=$other) not supported by this offline reader")
+          }
         }
       }
     }
+    ManifestFiles(data.result(), dels.result())
   }
 
   private def readAvro(path: String): Seq[GenericRecord] = {

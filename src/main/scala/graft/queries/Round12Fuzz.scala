@@ -117,7 +117,7 @@ object Round12Fuzz {
         () => s"COUNT(DISTINCT ${r.pick(intCols ++ strCols)})")
       (1 to 1 + r.nextInt(3)).map(k => s"${pool(r.nextInt(pool.size))()} AS v$k")
     }
-    val inner = r.nextInt(3) match {
+    val inner = r.nextInt(4) match {
       case 0 => // plain projection digest
         val cols = (1 to 1 + r.nextInt(3)).map(k => s"${intExpr()} AS v$k")
         s"SELECT ${cols.mkString(", ")} $from WHERE $where"
@@ -129,6 +129,23 @@ object Round12Fuzz {
         s"SELECT $gkey AS g, ${aggList().mkString(", ")} $from WHERE $where GROUP BY 1$having"
       case 2 => // global aggregate
         s"SELECT ${aggList().mkString(", ")} $from WHERE $where"
+      case 3 =>
+        // window family (§2.5 surface): ROW_NUMBER / running SUM / LAG
+        // over ONE window spec whose ORDER BY is made TOTAL by
+        // appending the base table's full int-column list (every table
+        // carries a unique key inside it, and FK joins are N:1 so the
+        // left key stays unique through the join) — with a total
+        // order, the default RANGE frame equals ROWS and every
+        // engine's tie-break question vanishes
+        val pexpr =
+          if (r.chance(50)) r.pick(strCols)
+          else s"(${big(r.pick(intCols))} % ${2 + r.nextInt(11)})"
+        val total = (Seq(r.pick(intCols)) ++ t.ints.map("a." + _))
+          .distinct.mkString(", ")
+        val x = big(r.pick(intCols))
+        val w = s"(PARTITION BY $pexpr ORDER BY $total)"
+        s"SELECT ROW_NUMBER() OVER $w AS v1, SUM($x) OVER $w AS v2, " +
+          s"LAG($x, 1) OVER $w AS v3 $from WHERE $where"
     }
     Shape(t.name, fk.map(_._2), inner)
   }

@@ -193,5 +193,58 @@ object Round12Ops1 {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[OpQuery] = Seq(sim_ivf_append, s51_delta_import_dv)
+  /** Iceberg v2 merge-on-read position deletes — the
+    * [[s51_delta_import_dv]] twin for the other open table format: a
+    * TableStore table exports as Iceberg ([[graft.operators
+    * .IcebergExport]]), a DELETE lands as a position-delete snapshot
+    * (`appendPositionDeletes` — delete parquet + content-1 manifest +
+    * new manifest list, no data file rewritten), and the
+    * protocol-level reader serves the table MINUS the deleted
+    * positions. The oracle is the logical filter, so the delete-file
+    * schema, manifest content codes, sequence-number scoping, and the
+    * row-index anti-join must all be exact. An in-gate REQUIRE pins
+    * time travel: the pre-delete snapshot still serves every row.
+    */
+  val s52_iceberg_import_mor: OpQuery = OpQuery(
+    "s52_iceberg_import_mor",
+    """SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+      |FROM documents
+      |WHERE NOT (doc_id % 5 = 2)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import graft.operators.{IcebergExport, IcebergImport, TableStore}
+    val scratch = GateScratch.dir("graft-iceberg-mor-")
+    val store = new TableStore(spark, scratch.resolve("store").toString)
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    store.overwrite("mor", docs)
+    val exported = IcebergExport.exportTable(
+      store, "mor", scratch.resolve("ice").toString)
+    // (file, position) of every to-delete row, off the scan metadata —
+    // bounded fixture collect (the deleted slice of documents)
+    val withPos = spark.read.parquet(s"$exported/data/*")
+      .select(col("doc_id"),
+        regexp_replace(url_decode(expr("_metadata.file_path")), "^file:/*", "/")
+          .as("f"),
+        expr("_metadata.row_index").as("p"))
+      .filter(col("doc_id") % 5 === 2)
+      .collect()
+    val byFile = withPos.groupBy(_.getString(1)).toSeq
+      .map { case (f, rs) => f -> rs.map(_.getLong(2)).toSeq }
+    val before = docs.count()
+    IcebergExport.appendPositionDeletes(spark, exported.toString, byFile)
+    // time travel REQUIRE: the pre-delete snapshot is untouched
+    val origSnap = IcebergImport.snapshots(spark, exported.toString)
+      .minBy(_._2)._1
+    val preCount = IcebergImport.read(spark, exported.toString, Some(origSnap)).count()
+    require(preCount == before,
+      s"s52: pre-delete snapshot serves $preCount of $before rows — " +
+        "the MOR append rewrote history")
+    IcebergImport.read(spark, exported.toString)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars").cast("bigint").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[OpQuery] = Seq(sim_ivf_append, s51_delta_import_dv,
+    s52_iceberg_import_mor)
 }

@@ -118,4 +118,39 @@ class IcebergImportSpec extends SparkSpec {
       IcebergImport.read(spark, Files.createTempDirectory("graft-nope-").toString)
     }
   }
+
+  test("position deletes: applied at the new snapshot, invisible to the old (MOR)") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-imor-").toString)
+    store.overwrite("m",
+      (1L to 40L).map(i => (i, 2000 + (i % 2).toInt, s"v$i"))
+        .toDF("id", "year", "v"),
+      partitionBy = Seq("year"))
+    val out = IcebergExport.exportTable(store, "m",
+      Files.createTempDirectory("graft-imoro-").toString).toString
+
+    // delete every id % 5 == 0 row by (file, position)
+    import org.apache.spark.sql.functions._
+    val pos = spark.read.parquet(s"$out/data/*")
+      .select(col("id"),
+        regexp_replace(url_decode(expr("_metadata.file_path")), "^file:/*", "/").as("f"),
+        expr("_metadata.row_index").as("p"))
+      .filter(col("id") % 5 === 0).collect()
+    assert(pos.nonEmpty)
+    val byFile = pos.groupBy(_.getString(1)).toSeq
+      .map { case (f, rs) => f -> rs.map(_.getLong(2)).toSeq }
+    IcebergExport.appendPositionDeletes(spark, out, byFile)
+
+    // new snapshot: deleted rows gone, partition column still typed
+    val served = IcebergImport.read(spark, out)
+    assert(served.schema("year").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(served.filter(col("id") % 5 === 0).count() == 0)
+    assert(served.count() == 32)
+    assert(sortedRows(served.select("id", "year", "v")) ==
+      sortedRows(store.read("m").filter(col("id") % 5 =!= 0)
+        .select("id", "year", "v")))
+    // old snapshot: untouched (time travel across a MOR delete)
+    val first = IcebergImport.snapshots(spark, out).minBy(_._2)._1
+    assert(IcebergImport.read(spark, out, Some(first)).count() == 40)
+  }
 }
