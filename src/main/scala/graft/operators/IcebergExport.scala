@@ -229,13 +229,80 @@ object IcebergExport {
     val delPath = out.resolve("data").resolve(delName)
     Files.move(written, delPath)
     deleteRecursively(tmp)
+    commitDeleteSnapshot(out, delPath, rows.size.toLong,
+      fileContent = 1, equalityIds = Seq.empty)
+  }
 
-    // delete manifest: one content=1 entry for the delete file (the
-    // fixture scope is unpartitioned — exportTable's partitioned tables
-    // would need partition-scoped delete records)
-    val mSchema = entrySchema(StructType(Nil), Seq.empty)
+  /** Append a MERGE-ON-READ EQUALITY-delete snapshot (what Flink CDC
+    * writers produce): the delete parquet holds one row per deleted
+    * KEY (the `equalityCols` projection), and a reader drops every
+    * data row — in files with data sequence number STRICTLY BELOW the
+    * delete's (the v2 rule that lets one commit delete-and-reinsert a
+    * key) — whose equality columns null-safely match a delete row.
+    * Same [[exportTable]]-layout scope and field-id caveat as
+    * [[appendPositionDeletes]].
+    */
+  def appendEqualityDeletes(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, deleteKeys: org.apache.spark.sql.DataFrame,
+      equalityCols: Seq[String]): Unit = {
+    val out = Paths.get(tablePath).toAbsolutePath.normalize
+    val metaDir = out.resolve("metadata")
+    val hint = Files.readString(metaDir.resolve("version-hint.text")).trim
+    val mdText = Files.readString(metaDir.resolve(s"v$hint.metadata.json"))
+    // resolve the equality field ids from the table schema (exportTable
+    // writes {"id": N, "name": "..."} pairs)
+    val FieldRe = """\{"id":\s*(\d+),\s*"name":\s*"([^"]+)"""".r
+    val idByName: Map[String, Int] = FieldRe.findAllMatchIn(mdText)
+      .map(m => m.group(2) -> m.group(1).toInt).toMap
+    val eqIds = equalityCols.map(c => idByName.getOrElse(c,
+      throw new IllegalArgumentException(
+        s"equality column $c not in table schema (have ${idByName.keys.mkString(",")})")))
+
+    val rows = deleteKeys.select(equalityCols.map(
+      org.apache.spark.sql.functions.col): _*).distinct()
+    val tmp = Files.createTempDirectory(out, "eqdel-tmp-")
+    rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val written = {
+      val w = Files.list(tmp)
+      try w.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+      finally w.close()
+    }
+    val n = spark.read.parquet(tmp.toString).count()
+    require(n > 0, "appendEqualityDeletes: empty delete set")
+    val seqProbe = """"last-sequence-number":\s*(\d+)""".r
+      .findFirstMatchIn(mdText).get.group(1).toLong + 1
+    val delPath = out.resolve("data").resolve(
+      s"eq-delete-${UUID.nameUUIDFromBytes(s"eqdel-$seqProbe".getBytes)}.parquet")
+    Files.move(written, delPath)
+    deleteRecursively(tmp)
+    commitDeleteSnapshot(out, delPath, n, fileContent = 2, equalityIds = eqIds)
+  }
+
+  /** Shared tail of both delete writers: content-1 delete manifest for
+    * `delPath`, a new manifest list carrying the prior snapshot's
+    * manifests verbatim (original sequence numbers), and the spliced
+    * v(N+1) metadata + version hint.
+    */
+  private def commitDeleteSnapshot(out: Path, delPath: Path,
+      recordCount: Long, fileContent: Int, equalityIds: Seq[Int]): Unit = {
+    val metaDir = out.resolve("metadata")
+    val hint = Files.readString(metaDir.resolve("version-hint.text")).trim
+    val mdText = Files.readString(metaDir.resolve(s"v$hint.metadata.json"))
+    val LastSeq = """"last-sequence-number":\s*(\d+)""".r
+    val CurSnap = """"current-snapshot-id":\s*(\d+)""".r
+    val seq = LastSeq.findFirstMatchIn(mdText).getOrElse(
+      throw new IllegalArgumentException(
+        s"metadata v$hint has no last-sequence-number — not an exportTable layout")
+    ).group(1).toLong + 1
+    val prevSnapId = CurSnap.findFirstMatchIn(mdText).get.group(1).toLong
+    val snapshotId = 3100000000L + seq
+
+    // delete manifest: one entry for the delete file (unpartitioned
+    // scope — exportTable's partitioned tables would need
+    // partition-scoped delete records)
+    val mSchema = deleteEntrySchema(withEqualityIds = equalityIds.nonEmpty)
     val manifestPath = metaDir.resolve(
-      s"${UUID.nameUUIDFromBytes(s"posdel-m$seq".getBytes)}-m0.avro")
+      s"${UUID.nameUUIDFromBytes(s"del-m$seq-$fileContent".getBytes)}-m0.avro")
     writeAvro(manifestPath, mSchema, Map(
       "schema" -> """{"type": "struct", "schema-id": 0, "fields": []}""",
       "partition-spec" -> "[]",
@@ -249,13 +316,15 @@ object IcebergExport {
       entry.put("file_sequence_number", seq)
       val dfSchema = mSchema.getField("data_file").schema()
       val df = new GenericData.Record(dfSchema)
-      df.put("content", 1) // POSITION_DELETES
+      df.put("content", fileContent) // 1 = position, 2 = equality
       df.put("file_path", delPath.toString)
       df.put("file_format", "PARQUET")
       df.put("partition",
         new GenericData.Record(dfSchema.getField("partition").schema()))
-      df.put("record_count", rows.size.toLong)
+      df.put("record_count", recordCount)
       df.put("file_size_in_bytes", Files.size(delPath))
+      if (equalityIds.nonEmpty)
+        df.put("equality_ids", equalityIds.map(Int.box).asJava)
       entry.put("data_file", df)
       w.append(entry)
     }
@@ -277,7 +346,7 @@ object IcebergExport {
       try r.iterator().asScala.toList finally r.close()
     }
     val listPath = metaDir.resolve(
-      s"snap-$snapshotId-1-${UUID.nameUUIDFromBytes(s"posdel-s$seq".getBytes)}.avro")
+      s"snap-$snapshotId-1-${UUID.nameUUIDFromBytes(s"del-s$seq".getBytes)}.avro")
     writeAvro(listPath, listSchema, Map(
       "format-version" -> "2",
       "snapshot-id" -> snapshotId.toString,
@@ -299,7 +368,7 @@ object IcebergExport {
       mf.put("added_files_count", 1)
       mf.put("existing_files_count", 0)
       mf.put("deleted_files_count", 0)
-      mf.put("added_rows_count", rows.size.toLong)
+      mf.put("added_rows_count", recordCount)
       mf.put("existing_rows_count", 0L)
       mf.put("deleted_rows_count", 0L)
       w.append(mf)
@@ -325,6 +394,34 @@ object IcebergExport {
     val newV = hint.toInt + 1
     Files.writeString(metaDir.resolve(s"v$newV.metadata.json"), withSnap)
     Files.writeString(metaDir.resolve("version-hint.text"), newV.toString)
+  }
+
+  /** Manifest-entry schema for delete manifests: the [[entrySchema]]
+    * shape (empty partition record) plus the spec's optional
+    * `equality_ids` list (field-id 135) when writing equality deletes.
+    */
+  private def deleteEntrySchema(withEqualityIds: Boolean): Schema = {
+    val eqField =
+      if (!withEqualityIds) ""
+      else """,
+        |    {"name": "equality_ids", "field-id": 135,
+        |     "type": {"type": "array", "items": "int", "element-id": 136}}""".stripMargin
+    new Schema.Parser().parse(
+      s"""{"type": "record", "name": "manifest_entry", "fields": [
+         |  {"name": "status", "type": "int", "field-id": 0},
+         |  {"name": "snapshot_id", "type": "long", "field-id": 1},
+         |  {"name": "sequence_number", "type": "long", "field-id": 3},
+         |  {"name": "file_sequence_number", "type": "long", "field-id": 4},
+         |  {"name": "data_file", "field-id": 2, "type": {"type": "record", "name": "r2", "fields": [
+         |    {"name": "content", "type": "int", "field-id": 134},
+         |    {"name": "file_path", "type": "string", "field-id": 100},
+         |    {"name": "file_format", "type": "string", "field-id": 101},
+         |    {"name": "partition", "field-id": 102,
+         |     "type": {"type": "record", "name": "r102", "fields": []}},
+         |    {"name": "record_count", "type": "long", "field-id": 103},
+         |    {"name": "file_size_in_bytes", "type": "long", "field-id": 104}$eqField
+         |  ]}}
+         |]}""".stripMargin)
   }
 
   // ---- schema translation --------------------------------------------

@@ -20,11 +20,13 @@ import org.apache.spark.sql.types._
   * [[DeltaExport]] the engine now speaks both major open table formats
   * in both directions, offline. Scope: identity partitions, primitive
   * types, and (round 12 — the Delta deletion-vector twin) merge-on-read
-  * POSITION deletes: delete manifests stream like data manifests, each
-  * delete parquet's (file_path, pos) rows join to the per-file data
-  * sequence numbers (deletes apply to files with data seq ≤ the
-  * delete's) and anti-join the scan on `_metadata.row_index`. Equality
-  * deletes are still REFUSED loudly, never silently mis-read.
+  * row-level deletes, BOTH kinds: POSITION deletes (delete parquet's
+  * (file_path, pos) rows, scoped to files with data seq ≤ the delete's,
+  * anti-joined on `_metadata.row_index`) and EQUALITY deletes (the
+  * Flink-CDC shape: key rows matched null-safely on the equality
+  * field-id columns, scoped STRICTLY below the delete's sequence).
+  * Unknown delete contents still refuse loudly, never silently
+  * mis-read.
   *
   * Scale note: metadata parsing is file-count-bound, not data-bound —
   * manifests stream through the bundled Avro reader one record at a
@@ -61,20 +63,23 @@ object IcebergImport {
 
     val scan = spark.read.schema(dataSchema).parquet(files.map(_._1): _*)
     val pathExpr = regexp_replace(url_decode(input_file_name()), "^file:/*", "/")
+    val anyDeletes = mfs.posDeletes.nonEmpty || mfs.eqDeletes.nonEmpty
+    lazy val fileSeq = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        files.map(f => Row(normPath(f._1), f._3)).toSeq, 1),
+      StructType(Seq(StructField("__path", StringType),
+        StructField("__fseq", LongType))))
 
-    // merge-on-read position deletes (round 12 — previously refused):
+    // merge-on-read POSITION deletes (round 12 — previously refused):
     // each delete parquet holds (file_path, pos) rows; a delete applies
     // to data files whose DATA sequence number is <= the delete's (the
     // v2 scoping rule), so join the delete rows to the per-file sequence
     // map first, then anti-join the scan on (path, row position).
-    val applied =
-      if (mfs.posDeletes.isEmpty) scan
-      else {
-        val fileSeq = spark.createDataFrame(
-          spark.sparkContext.parallelize(
-            files.map(f => Row(normPath(f._1), f._3)).toSeq, 1),
-          StructType(Seq(StructField("__path", StringType),
-            StructField("__fseq", LongType))))
+    val posApplied =
+      if (mfs.posDeletes.isEmpty) {
+        if (anyDeletes || partCols.nonEmpty) scan.withColumn("__path", pathExpr)
+        else scan
+      } else {
         val deleteRows = mfs.posDeletes.map { case (p, dseq) =>
           spark.read.schema("file_path string, pos long").parquet(p)
             .select(
@@ -92,8 +97,32 @@ object IcebergImport {
           .drop("__pos")
       }
 
+    // merge-on-read EQUALITY deletes (the Flink-CDC shape): each delete
+    // parquet holds one row per deleted key; a data row is dropped when
+    // its equality columns null-safely match any delete row AND its
+    // file's data sequence number is STRICTLY below the delete's (the
+    // v2 rule that lets one commit delete-and-reinsert a key).
+    val applied =
+      if (mfs.eqDeletes.isEmpty) posApplied
+      else {
+        val idToName: Map[Int, String] = fieldIdToName(md)
+        val withSeq = posApplied.join(broadcast(fileSeq), Seq("__path"))
+        mfs.eqDeletes.foldLeft(withSeq) { case (acc, (p, dseq, ids)) =>
+          val names = ids.map(id => idToName.getOrElse(id,
+            throw new IllegalArgumentException(
+              s"equality field id $id not in table schema")))
+          names.foreach(n => require(acc.columns.contains(n),
+            s"equality delete on '$n' — partition-column equality deletes " +
+              "not supported by this offline reader"))
+          val delDf = spark.read.parquet(p).select(names.map(col): _*)
+          val cond = names.map(n => acc(n) <=> delDf(n)).reduce(_ && _) &&
+            acc("__fseq") < lit(dseq)
+          acc.join(delDf, cond, "left_anti")
+        }.drop("__fseq")
+      }
+
     if (partCols.isEmpty)
-      (if (mfs.posDeletes.isEmpty) applied else applied.drop("__path"))
+      (if (anyDeletes) applied.drop("__path") else applied)
     else {
       val mappingSchema = StructType(
         StructField("__path", StringType) +:
@@ -103,10 +132,8 @@ object IcebergImport {
       }
       val mapping = spark.createDataFrame(
         spark.sparkContext.parallelize(mappingRows.toSeq, 1), mappingSchema)
-      val withPath =
-        if (mfs.posDeletes.isEmpty) applied.withColumn("__path", pathExpr)
-        else applied // the delete branch already attached __path
-      val joined = withPath.join(broadcast(mapping), Seq("__path"))
+      // __path is always attached upstream when partCols is non-empty
+      val joined = applied.join(broadcast(mapping), Seq("__path"))
       partCols.foldLeft(joined)((df, p) => df.withColumn(p, col(s"__$p")))
         .select(schema.map(f => col(f.name)): _*)
     }
@@ -136,6 +163,18 @@ object IcebergImport {
     require(md.getAs[Long]("format-version") == 2L,
       s"only Iceberg format-version 2 supported, got ${md.getAs[Long]("format-version")}")
     md
+  }
+
+  /** field id → column name for the current schema (equality deletes
+    * reference columns by field id).
+    */
+  private def fieldIdToName(md: Row): Map[Int, String] = {
+    val currentId = md.getAs[Long]("current-schema-id")
+    val schemas = md.getAs[scala.collection.Seq[Row]]("schemas")
+    val s = schemas.find(_.getAs[Long]("schema-id") == currentId)
+      .getOrElse(throw new IllegalArgumentException("current schema not found"))
+    s.getAs[scala.collection.Seq[Row]]("fields")
+      .map(f => f.getAs[Long]("id").toInt -> f.getAs[String]("name")).toMap
   }
 
   private def schemaOf(md: Row): StructType = {
@@ -183,17 +222,18 @@ object IcebergImport {
 
   private final case class ManifestFiles(
       data: Seq[(String, Map[String, Any], Long)], // path, partition values, data seq
-      posDeletes: Seq[(String, Long)])             // path, delete seq
+      posDeletes: Seq[(String, Long)],             // path, delete seq
+      eqDeletes: Seq[(String, Long, Seq[Int])])    // path, delete seq, equality field ids
 
   /** All files of a snapshot, split into data files and position-delete
     * files with their sequence numbers (entry sequence, inherited from
-    * the manifest when null — the spec's inheritance rule). Equality
-    * deletes (data_file.content = 2) are still refused loudly: they
-    * need equality-field resolution this offline reader doesn't carry.
+    * the manifest when null — the spec's inheritance rule); equality
+    * delete entries carry their equality field-id list.
     */
   private def manifestEntries(manifestListPath: String): ManifestFiles = {
     val data = Seq.newBuilder[(String, Map[String, Any], Long)]
     val dels = Seq.newBuilder[(String, Long)]
+    val eqs = Seq.newBuilder[(String, Long, Seq[Int])]
     readAvro(manifestListPath).foreach { mf =>
       val mfContent =
         if (mf.get("content") == null) 0 else mf.get("content").asInstanceOf[Int]
@@ -224,13 +264,23 @@ object IcebergImport {
                 }.toMap
               data += ((df.get("file_path").toString, pvals, seq))
             case 1 => dels += ((df.get("file_path").toString, seq))
+            case 2 =>
+              val ids = df.get("equality_ids") match {
+                case null => throw new IllegalArgumentException(
+                  s"equality delete file ${df.get("file_path")} carries no equality_ids")
+                case l: java.util.List[_] =>
+                  l.asScala.map(_.asInstanceOf[Int]).toSeq
+                case a: org.apache.avro.generic.GenericData.Array[_] =>
+                  a.asScala.map(_.asInstanceOf[Int]).toSeq
+              }
+              eqs += ((df.get("file_path").toString, seq, ids))
             case other => throw new IllegalArgumentException(
-              s"equality delete files (content=$other) not supported by this offline reader")
+              s"unknown delete file content=$other in $manifestListPath")
           }
         }
       }
     }
-    ManifestFiles(data.result(), dels.result())
+    ManifestFiles(data.result(), dels.result(), eqs.result())
   }
 
   private def readAvro(path: String): Seq[GenericRecord] = {

@@ -245,6 +245,46 @@ object Round12Ops1 {
       .orderBy(col("doc_id"))
   }
 
+  /** Iceberg v2 EQUALITY deletes (the Flink-CDC shape — one row per
+    * deleted KEY, no file or position named): the keys of every
+    * `doc_id % 17 = 0` document land in an equality-delete snapshot on
+    * (lang, source), and the reader must drop every row matching any
+    * key null-safely, scoped strictly below the delete's sequence
+    * number. Oracle: the NOT EXISTS form of the same key filter
+    * (null-robust, unlike NOT IN). The in-gate REQUIRE again pins
+    * pre-delete time travel.
+    */
+  val s53_iceberg_import_eqdel: OpQuery = OpQuery(
+    "s53_iceberg_import_eqdel",
+    """SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+      |FROM documents d
+      |WHERE NOT EXISTS (SELECT 1 FROM documents k
+      |                  WHERE k.doc_id % 17 = 0
+      |                    AND k.lang = d.lang AND k.source = d.source)
+      |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+    import graft.operators.{IcebergExport, IcebergImport, TableStore}
+    val scratch = GateScratch.dir("graft-iceberg-eq-")
+    val store = new TableStore(spark, scratch.resolve("store").toString)
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    store.overwrite("eq", docs)
+    val exported = IcebergExport.exportTable(
+      store, "eq", scratch.resolve("ice").toString)
+    val keys = docs.filter(col("doc_id") % 17 === 0)
+      .select(col("lang"), col("source"))
+    IcebergExport.appendEqualityDeletes(
+      spark, exported.toString, keys, Seq("lang", "source"))
+    val origSnap = IcebergImport.snapshots(spark, exported.toString)
+      .minBy(_._2)._1
+    val preCount = IcebergImport.read(spark, exported.toString, Some(origSnap)).count()
+    require(preCount == docs.count(),
+      s"s53: pre-delete snapshot serves $preCount rows — history rewritten")
+    IcebergImport.read(spark, exported.toString)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars").cast("bigint").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[OpQuery] = Seq(sim_ivf_append, s51_delta_import_dv,
-    s52_iceberg_import_mor)
+    s52_iceberg_import_mor, s53_iceberg_import_eqdel)
 }

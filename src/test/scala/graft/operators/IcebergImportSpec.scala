@@ -153,4 +153,25 @@ class IcebergImportSpec extends SparkSpec {
     val first = IcebergImport.snapshots(spark, out).minBy(_._2)._1
     assert(IcebergImport.read(spark, out, Some(first)).count() == 40)
   }
+
+  test("equality deletes: null-safe key matching, old snapshot untouched") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-ieq-").toString)
+    store.overwrite("e",
+      Seq((1L, Option("a")), (2L, Option("b")), (3L, Option.empty[String]),
+        (4L, Option("b")), (5L, Option.empty[String]), (6L, Option("c")))
+        .toDF("id", "v"))
+    val out = IcebergExport.exportTable(store, "e",
+      Files.createTempDirectory("graft-ieqo-").toString).toString
+
+    // delete keys: v = 'b' and v IS NULL — the null key must match the
+    // null rows (null-safe equality), not silently match nothing
+    IcebergExport.appendEqualityDeletes(spark, out,
+      Seq(Option("b"), Option.empty[String]).toDF("v"), Seq("v"))
+
+    import org.apache.spark.sql.functions._
+    val served = IcebergImport.read(spark, out)
+    assert(sortedRows(served.select("id")) == Seq("[1]", "[6]"))
+    val first = IcebergImport.snapshots(spark, out).minBy(_._2)._1
+    assert(IcebergImport.read(spark, out, Some(first)).count() == 6)
+  }
 }
