@@ -103,6 +103,59 @@ object DeltaExport {
     out
   }
 
+  /** Append a DELETE commit that removes rows via DELETION VECTORS
+    * (reader version 3 + the deletionVectors table feature) instead of
+    * rewriting data files — the write-side twin of [[DeltaImport]]'s DV
+    * read: per touched file, `remove` + re-`add` with a
+    * deletionVector descriptor pointing at a fresh
+    * `deletion_vector_<uuid>.bin` ([[DeletionVectors.writeFile]] —
+    * z85-uuid "u" addressing, CRC framing). The commit carries the
+    * protocol upgrade, so a pre-DV reader refuses the table loudly
+    * rather than resurrecting the deleted rows.
+    *
+    * `deletes`: table-root-relative data-file path → 0-based row
+    * positions. Scope: each targeted file must not already carry a DV
+    * (merging an existing bitmap needs a log replay this writer doesn't
+    * do — pass the union yourself when re-deleting from the same file).
+    */
+  def appendDeletionVectors(tablePath: String,
+      deletes: Seq[(String, Seq[Long])]): Unit = {
+    require(deletes.nonEmpty && deletes.forall(_._2.nonEmpty),
+      "appendDeletionVectors: empty delete set")
+    val out = Paths.get(tablePath).toAbsolutePath.normalize
+    val logDir = out.resolve("_delta_log")
+    require(Files.isDirectory(logDir), s"not a Delta table: $tablePath")
+    val JsonCommit = """(\d{20})\.json""".r
+    val listing = Files.list(logDir)
+    val versions = try listing.iterator().asScala
+      .map(_.getFileName.toString).collect { case JsonCommit(v) => v.toLong }
+      .toSeq
+    finally listing.close()
+    require(versions.nonEmpty, s"empty _delta_log at $tablePath")
+    val next = versions.max + 1
+    val ts = System.currentTimeMillis()
+    val actions = Seq.newBuilder[String]
+    actions += s"""{"commitInfo":{"timestamp":$ts,"operation":"DELETE","operationParameters":{},"engineInfo":"graft"}}"""
+    actions += """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+    deletes.foreach { case (rel, positions) =>
+      val dataFile = out.resolve(rel)
+      require(Files.isRegularFile(dataFile), s"no such data file: $rel")
+      val sorted = positions.distinct.sorted.toArray
+      val (dvPath, offset) = DeletionVectors.writeFile(out, sorted)
+      val dvSize = DeletionVectors.serialize(sorted).length
+      actions += s"""{"remove":{"path":${jsonStr(rel)},"deletionTimestamp":$ts,"dataChange":true}}"""
+      actions += s"""{"add":{"path":${jsonStr(rel)},""" +
+        s""""partitionValues":${partitionValuesJson(rel)},""" +
+        s""""size":${Files.size(dataFile)},"modificationTime":${
+          Files.getLastModifiedTime(dataFile).toMillis},"dataChange":true,""" +
+        s""""deletionVector":{"storageType":"u","pathOrInlineDv":${jsonStr(dvPath)},""" +
+        s""""offset":$offset,"sizeInBytes":$dvSize,"cardinality":${sorted.length}}}}"""
+    }
+    Files.writeString(
+      logDir.resolve(f"$next%020d.json"),
+      actions.result().mkString("", "\n", "\n"))
+  }
+
   private case class FileEntry(path: String, size: Long, mtime: Long)
 
   /** Hardlink one generation's parquet files under `genDir`, preserving

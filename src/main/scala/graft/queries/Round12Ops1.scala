@@ -285,6 +285,54 @@ object Round12Ops1 {
       .orderBy(col("doc_id"))
   }
 
+  /** Delta deletion-vector ROUND TRIP through the engine's own two
+    * halves: [[graft.operators.DeltaExport.appendDeletionVectors]]
+    * writes the DELETE commit (protocol upgrade + remove/re-add with a
+    * z85-uuid DV file per touched data file — no data rewritten) and
+    * [[graft.operators.DeltaImport]] reads it back. `s51` proves the
+    * reader against a foreign-shaped forge (incl. inline DVs); this
+    * proves the WRITE path emits what the reader (and any stock
+    * DV-aware reader) consumes, plus time travel across the DV commit.
+    */
+  val s54_delta_dv_roundtrip: OpQuery = OpQuery(
+    "s54_delta_dv_roundtrip",
+    """SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+      |FROM documents
+      |WHERE NOT (doc_id % 9 = 4)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import graft.operators.{DeltaExport, DeltaImport, TableStore}
+    val scratch = GateScratch.dir("graft-delta-dvrt-")
+    val store = new TableStore(spark, scratch.resolve("store").toString)
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    store.overwrite("rt", docs)
+    val exported = DeltaExport.exportTable(
+      store, "rt", scratch.resolve("delta").toString)
+    // table-root-relative (file, position) pairs of the doomed rows
+    val exp = exported.toString
+    val pos = spark.read.parquet(s"$exp/gen-*")
+      .select(col("doc_id"),
+        regexp_replace(url_decode(expr("_metadata.file_path")), "^file:/*", "/")
+          .as("f"),
+        expr("_metadata.row_index").as("p"))
+      .filter(col("doc_id") % 9 === 4)
+      .collect()
+    val root = java.nio.file.Paths.get(exp).toAbsolutePath.normalize.toString
+    val byFile = pos.groupBy(_.getString(1)).toSeq.map { case (f, rs) =>
+      f.stripPrefix(root + "/") -> rs.map(_.getLong(2)).toSeq
+    }
+    DeltaExport.appendDeletionVectors(exp, byFile)
+    // time travel REQUIRE: the pre-delete version still serves all rows
+    val prevV = DeltaImport.versions(exp).dropRight(1).last
+    val preCount = DeltaImport.read(spark, exp, Some(prevV)).count()
+    require(preCount == docs.count(),
+      s"s54: pre-delete version serves $preCount rows — history rewritten")
+    DeltaImport.read(spark, exp)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars").cast("bigint").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[OpQuery] = Seq(sim_ivf_append, s51_delta_import_dv,
-    s52_iceberg_import_mor, s53_iceberg_import_eqdel)
+    s52_iceberg_import_mor, s53_iceberg_import_eqdel, s54_delta_dv_roundtrip)
 }

@@ -174,4 +174,44 @@ class DeltaImportSpec extends SparkSpec {
     assert(e.getMessage.contains("reader version") ||
       e.getMessage.contains("column mapping"))
   }
+
+  test("appendDeletionVectors: partitioned table, two sequential DV commits") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-dvw-").toString)
+    store.overwrite("t",
+      (1L to 30L).map(i => (i, 2000 + (i % 2).toInt, s"v$i")).toDF("id", "year", "v"),
+      partitionBy = Seq("year"))
+    val out = DeltaExport.exportTable(store, "t",
+      Files.createTempDirectory("graft-dvwo-").toString).toString
+    val root = Paths.get(out).toAbsolutePath.normalize.toString
+
+    def positionsOf(pred: org.apache.spark.sql.Column) =
+      spark.read.parquet(s"$out/gen-*")
+        .select(col("id"),
+          regexp_replace(url_decode(expr("_metadata.file_path")), "^file:/*", "/").as("f"),
+          expr("_metadata.row_index").as("p"))
+        .filter(pred).collect()
+        .groupBy(_.getString(1)).toSeq
+        .map { case (f, rs) => f.stripPrefix(root + "/") -> rs.map(_.getLong(2)).toSeq }
+
+    // commit 1: delete id % 5 == 0; commit 2: delete id % 7 == 0 —
+    // DIFFERENT files may overlap, so restrict commit 2 to files commit
+    // 1 did not touch (the documented no-remerge scope)
+    val first = positionsOf(col("id") % 5 === 0)
+    DeltaExport.appendDeletionVectors(out, first)
+    val touched = first.map(_._1).toSet
+    val second = positionsOf(col("id") % 7 === 0 && col("id") % 5 =!= 0)
+      .filterNot { case (f, _) => touched(f) }
+    if (second.nonEmpty) DeltaExport.appendDeletionVectors(out, second)
+
+    val served = DeltaImport.read(spark, out)
+    assert(served.filter(col("id") % 5 === 0).count() == 0)
+    val expectedGone = second.flatMap(_._2).size + first.flatMap(_._2).size
+    assert(served.count() == 30 - expectedGone)
+    // partition column survives the DV anti-join
+    assert(served.schema("year").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // pre-delete version intact
+    val v0 = DeltaImport.versions(out).head
+    assert(DeltaImport.read(spark, out, Some(v0)).count() == 30)
+  }
 }
