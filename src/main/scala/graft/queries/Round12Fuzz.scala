@@ -117,7 +117,7 @@ object Round12Fuzz {
         () => s"COUNT(DISTINCT ${r.pick(intCols ++ strCols)})")
       (1 to 1 + r.nextInt(3)).map(k => s"${pool(r.nextInt(pool.size))()} AS v$k")
     }
-    val inner = r.nextInt(4) match {
+    val inner = r.nextInt(6) match {
       case 0 => // plain projection digest
         val cols = (1 to 1 + r.nextInt(3)).map(k => s"${intExpr()} AS v$k")
         s"SELECT ${cols.mkString(", ")} $from WHERE $where"
@@ -146,6 +146,25 @@ object Round12Fuzz {
         val w = s"(PARTITION BY $pexpr ORDER BY $total)"
         s"SELECT ROW_NUMBER() OVER $w AS v1, SUM($x) OVER $w AS v2, " +
           s"LAG($x, 1) OVER $w AS v3 $from WHERE $where"
+      case 4 =>
+        // set operations between two filtered projections of the same
+        // relation — UNION/INTERSECT/EXCEPT are the DISTINCT variants
+        // in both engines, so the result SET is well-defined; single
+        // line, so the wrapper's \n-delimited UNION ALL stays unique
+        val op = r.pick(Seq("UNION ALL", "UNION", "INTERSECT", "EXCEPT"))
+        val c = intExpr()
+        val where2 = (1 to 1 + r.nextInt(2)).map(_ => atomicPred())
+          .mkString(if (r.chance(60)) " AND " else " OR ")
+        s"SELECT $c AS v1 $from WHERE $where $op SELECT $c AS v1 $from WHERE $where2"
+      case 5 =>
+        // top-k: ORDER BY made total (unique key in the int-column
+        // suffix) so LIMIT keeps a well-defined row set in both engines
+        val k = 5 + r.nextInt(95)
+        val dir = if (r.chance(50)) "ASC" else "DESC"
+        val total = (Seq(s"${r.pick(intCols)} $dir") ++
+          t.ints.map(c => s"a.$c $dir")).distinct.mkString(", ")
+        s"SELECT ${intExpr()} AS v1, ${intExpr()} AS v2 $from WHERE $where " +
+          s"ORDER BY $total LIMIT $k"
     }
     Shape(t.name, fk.map(_._2), inner)
   }

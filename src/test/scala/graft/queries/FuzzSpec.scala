@@ -12,8 +12,10 @@ class FuzzSpec extends AnyFunSuite {
 
   test("generation is deterministic: the oracle embeds the seed row and N shapes") {
     assert(oracle.contains(s"CAST(${Round12Fuzz.Seed} AS BIGINT) AS digest"))
-    // one UNION ALL per shape (the seed row + NShapes branches)
-    assert("UNION ALL".r.findAllIn(oracle).size === Round12Fuzz.NShapes)
+    // one newline-delimited UNION ALL separator per shape (the seed row
+    // + NShapes branches); set-op SHAPES carry their own inline
+    // "UNION ALL" on a single line, so only the \n-framed form counts
+    assert("\nUNION ALL\n".r.findAllIn(oracle).size === Round12Fuzz.NShapes)
   }
 
   test("every shape digests at least one aliased column") {
