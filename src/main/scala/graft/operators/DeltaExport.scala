@@ -114,9 +114,15 @@ object DeltaExport {
     * rather than resurrecting the deleted rows.
     *
     * `deletes`: table-root-relative data-file path → 0-based row
-    * positions. Scope: each targeted file must not already carry a DV
-    * (merging an existing bitmap needs a log replay this writer doesn't
-    * do — pass the union yourself when re-deleting from the same file).
+    * positions. The log is REPLAYED first (ADVICE r12): each targeted
+    * path must be a LIVE add — a tombstoned or never-added path refuses
+    * loudly — and when the live add already carries a deletion vector,
+    * its bitmap is MERGED into the new one (the old writer silently
+    * replaced the descriptor, resurrecting previously deleted rows).
+    * The protocol action unions the table's existing features — both
+    * explicit (`readerFeatures`/`writerFeatures`) and those implied by
+    * a legacy version (e.g. minWriterVersion 2 → appendOnly,
+    * invariants) — with deletionVectors, instead of overwriting them.
     */
   def appendDeletionVectors(tablePath: String,
       deletes: Seq[(String, Seq[Long])]): Unit = {
@@ -125,22 +131,31 @@ object DeltaExport {
     val out = Paths.get(tablePath).toAbsolutePath.normalize
     val logDir = out.resolve("_delta_log")
     require(Files.isDirectory(logDir), s"not a Delta table: $tablePath")
-    val JsonCommit = """(\d{20})\.json""".r
-    val listing = Files.list(logDir)
-    val versions = try listing.iterator().asScala
-      .map(_.getFileName.toString).collect { case JsonCommit(v) => v.toLong }
-      .toSeq
-    finally listing.close()
-    require(versions.nonEmpty, s"empty _delta_log at $tablePath")
-    val next = versions.max + 1
+    val (liveAdds, protocol, maxVersion) = DeltaLogReplay.replay(out)
+    val next = maxVersion + 1
     val ts = System.currentTimeMillis()
     val actions = Seq.newBuilder[String]
     actions += s"""{"commitInfo":{"timestamp":$ts,"operation":"DELETE","operationParameters":{},"engineInfo":"graft"}}"""
-    actions += """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+    val readerFeats = (protocol.readerFeaturesWithLegacy :+ "deletionVectors")
+      .distinct.sorted
+    val writerFeats = (protocol.writerFeaturesWithLegacy :+ "deletionVectors")
+      .distinct.sorted
+    actions += s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+      s""""readerFeatures":${readerFeats.map(jsonStr).mkString("[", ",", "]")},""" +
+      s""""writerFeatures":${writerFeats.map(jsonStr).mkString("[", ",", "]")}}}"""
     deletes.foreach { case (rel, positions) =>
+      val live = liveAdds.getOrElse(rel, throw new IllegalArgumentException(
+        s"appendDeletionVectors: '$rel' is not a live add in the log — " +
+          "deleting from a tombstoned or unknown file would corrupt the table"))
       val dataFile = out.resolve(rel)
       require(Files.isRegularFile(dataFile), s"no such data file: $rel")
-      val sorted = positions.distinct.sorted.toArray
+      val existing: Array[Long] = live.dv match {
+        case None => Array.emptyLongArray
+        case Some(d) => DeletionVectors.load(
+          out.toString, d.storageType, d.pathOrInlineDv, d.offset,
+          d.sizeInBytes, d.cardinality)
+      }
+      val sorted = (existing ++ positions).distinct.sorted
       val (dvPath, offset) = DeletionVectors.writeFile(out, sorted)
       val dvSize = DeletionVectors.serialize(sorted).length
       actions += s"""{"remove":{"path":${jsonStr(rel)},"deletionTimestamp":$ts,"dataChange":true}}"""
@@ -154,6 +169,131 @@ object DeltaExport {
     Files.writeString(
       logDir.resolve(f"$next%020d.json"),
       actions.result().mkString("", "\n", "\n"))
+  }
+
+  /** Write a protocol-shaped parquet CHECKPOINT of the table state at
+    * `version` — plus `_last_checkpoint` — so the JSON commits at or
+    * below it can be cleaned up and the table still opens (the
+    * metadata-retention lifecycle every long-lived Delta table goes
+    * through; [[DeltaImport]] reads checkpoints, and gate
+    * `s55_delta_checkpoint_dv` proves the round trip with the JSON
+    * history actually deleted). `parts > 1` writes a MULTI-PART
+    * checkpoint (`<v>.checkpoint.<i>.<n>.parquet`, add actions hashed
+    * across parts, metaData/protocol in part 1) — the shape large
+    * tables' checkpoints take in the wild.
+    *
+    * Checkpoint contents per PROTOCOL.md: the latest protocol and
+    * metaData at-or-before `version`, and every LIVE add (expired
+    * remove tombstones are omitted — this writer checkpoints for
+    * readers, not for vacuum bookkeeping). Add actions carry
+    * partitionValues as a true map and the deletionVector descriptor
+    * when present, so a DV table survives the round trip.
+    */
+  def writeCheckpoint(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, version: Long, parts: Int = 1): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DataType, StructType}
+    require(parts >= 1 && parts <= 9999, s"parts out of range: $parts")
+    val out = Paths.get(tablePath).toAbsolutePath.normalize
+    val logDir = out.resolve("_delta_log")
+    val JsonCommit = """(\d{20})\.json""".r
+    val listing = Files.list(logDir)
+    val names = try listing.iterator().asScala
+      .map(_.getFileName.toString).toSeq finally listing.close()
+    val versions = names.collect { case JsonCommit(v) => v.toLong }.sorted
+    require(versions.contains(version),
+      s"no JSON commit for version $version (have ${versions.mkString(",")})")
+    require(versions.head == 0L,
+      "checkpointing needs the full JSON history from version 0")
+    val files = versions.filter(_ <= version)
+      .map(v => logDir.resolve(f"$v%020d.json").toString)
+    val raw0 = spark.read.json(files: _*)
+    def hasField(schema: StructType, dotted: String): Boolean =
+      dotted.split('.').foldLeft(Option[DataType](schema)) {
+        case (Some(s: StructType), n) => s.find(_.name == n).map(_.dataType)
+        case _ => None
+      }.isDefined
+    val raw = raw0.withColumn("version",
+      regexp_extract(input_file_name(), """(\d{20})\.json""", 1).cast("long"))
+    def optCol(name: String) =
+      if (hasField(raw0.schema, name)) col(name) else lit(null).cast("string")
+    val pathCol = coalesce(
+      optCol("add.path").cast("string"), optCol("remove.path").cast("string"))
+    val isAdd =
+      if (hasField(raw0.schema, "add")) col("add").isNotNull else lit(false)
+    val w = Window.partitionBy(col("__path"))
+      .orderBy(col("version").desc, col("__isAdd").desc)
+    val liveAdds = raw
+      .withColumn("__path", pathCol).withColumn("__isAdd", isAdd)
+      .filter(col("__path").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("__isAdd"))
+    val dvType = "struct<storageType:string,pathOrInlineDv:string," +
+      "offset:int,sizeInBytes:int,cardinality:bigint>"
+    val dvStruct =
+      if (hasField(raw0.schema, "add.deletionVector.storageType"))
+        when(col("add.deletionVector").isNotNull, struct(
+          col("add.deletionVector.storageType").cast("string").as("storageType"),
+          col("add.deletionVector.pathOrInlineDv").cast("string").as("pathOrInlineDv"),
+          col("add.deletionVector.offset").cast("int").as("offset"),
+          col("add.deletionVector.sizeInBytes").cast("int").as("sizeInBytes"),
+          col("add.deletionVector.cardinality").cast("long").as("cardinality")))
+      else lit(null).cast(dvType)
+    val pvMap = coalesce(
+      from_json(to_json(col("add.partitionValues")),
+        DataType.fromDDL("map<string,string>")),
+      map().cast("map<string,string>"))
+    val addRows = liveAdds.select(struct(
+      col("add.path").cast("string").as("path"),
+      pvMap.as("partitionValues"),
+      col("add.size").cast("long").as("size"),
+      col("add.modificationTime").cast("long").as("modificationTime"),
+      coalesce(col("add.dataChange").cast("boolean"), lit(true)).as("dataChange"),
+      dvStruct.as("deletionVector")).as("add"))
+    val metaRows = raw.filter(
+        if (hasField(raw0.schema, "metaData")) col("metaData").isNotNull
+        else lit(false))
+      .orderBy(col("version").desc).limit(1).select(col("metaData"))
+    val protoRows = raw.filter(
+        if (hasField(raw0.schema, "protocol")) col("protocol").isNotNull
+        else lit(false))
+      .orderBy(col("version").desc).limit(1).select(col("protocol"))
+    require(!metaRows.isEmpty && !protoRows.isEmpty,
+      "log carries no metaData/protocol at-or-before the checkpoint version")
+    val cp = addRows
+      .unionByName(metaRows, allowMissingColumns = true)
+      .unionByName(protoRows, allowMissingColumns = true)
+      // metaData/protocol in part 1 (hash 0); adds spread across parts
+      .withColumn("__part",
+        when(col("add").isNull, lit(0))
+          .otherwise(pmod(xxhash64(col("add.path")), lit(parts.toLong)).cast("int")))
+      .localCheckpoint(true) // one plan, N part-filtered writes below
+    val nActions = cp.count()
+    val partNames = (0 until parts).map { i =>
+      if (parts == 1) f"$version%020d.checkpoint.parquet"
+      else f"$version%020d.checkpoint.${i + 1}%010d.$parts%010d.parquet"
+    }
+    partNames.zipWithIndex.foreach { case (name, i) =>
+      val tmp = Files.createTempDirectory(logDir, ".cp-tmp-")
+      cp.filter(col("__part") === i).drop("__part")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val s = Files.list(tmp)
+        try s.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException("no checkpoint part written"))
+        finally s.close()
+      }
+      Files.move(part, logDir.resolve(name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val walk = Files.walk(tmp)
+      val leftover = try walk.iterator().asScala.toSeq finally walk.close()
+      leftover.reverse.foreach(p => Files.deleteIfExists(p))
+    }
+    val partsField = if (parts == 1) "" else s""","parts":$parts"""
+    Files.writeString(logDir.resolve("_last_checkpoint"),
+      s"""{"version":$version,"size":$nActions$partsField}""")
   }
 
   private case class FileEntry(path: String, size: Long, mtime: Long)

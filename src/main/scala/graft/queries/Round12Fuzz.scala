@@ -28,7 +28,16 @@ import graft.Tables
 object Round12Fuzz {
 
   val Seed = 0x12fe5eedL
-  val NShapes = 120
+
+  /** 200 = the 120 round-12 shapes (walk-stable: they draw from the
+    * same 6-family grammar in the same Rng sequence, so their SQL is
+    * byte-identical to r12) + 80 round-13 shapes over the four new
+    * families (VERDICT r12 item 2): LEFT/FULL outer joins with
+    * null-bearing keys, IN/NOT IN subqueries (three-valued logic), and
+    * exact DECIMAL arithmetic with explicit result casts.
+    */
+  val NShapes = 200
+  val LegacyShapes = 120
 
   /** splitmix64 — fixed, engine-independent walk. */
   private final class Rng(seed: Long) {
@@ -71,9 +80,14 @@ object Round12Fuzz {
 
   /** One generated shape: the table names left abstract so the same AST
     * renders against DuckDB's bare parquet views and the gate's
-    * collision-safe `fz_`-prefixed Spark temp views.
+    * collision-safe `fz_`-prefixed Spark temp views. `aliases` is the
+    * shape's OWN record of its output columns (ADVICE r12: the old
+    * regex re-extraction scanned the inner SQL up to the first literal
+    * 'F' as a FROM proxy — any future token containing an F would have
+    * silently truncated the digest's column coverage).
     */
-  private final case class Shape(table: String, joined: Option[String], inner: String)
+  private final case class Shape(table: String, joined: Option[String],
+      inner: String, aliases: Seq[String])
 
   private def genShape(r: Rng): Shape = {
     val t = r.pick(tbls)
@@ -117,18 +131,23 @@ object Round12Fuzz {
         () => s"COUNT(DISTINCT ${r.pick(intCols ++ strCols)})")
       (1 to 1 + r.nextInt(3)).map(k => s"${pool(r.nextInt(pool.size))()} AS v$k")
     }
-    val inner = r.nextInt(6) match {
+    def vAliases(n: Int): Seq[String] = (1 to n).map(k => s"v$k")
+    val (inner, aliases) = r.nextInt(6) match {
       case 0 => // plain projection digest
         val cols = (1 to 1 + r.nextInt(3)).map(k => s"${intExpr()} AS v$k")
-        s"SELECT ${cols.mkString(", ")} $from WHERE $where"
+        (s"SELECT ${cols.mkString(", ")} $from WHERE $where",
+          vAliases(cols.size))
       case 1 => // grouped aggregate (positional GROUP BY — both dialects)
         val gkey =
           if (r.chance(50)) r.pick(strCols)
           else s"(${big(r.pick(intCols))} % ${2 + r.nextInt(23)})"
         val having = if (r.chance(30)) s" HAVING COUNT(*) > ${r.nextInt(5)}" else ""
-        s"SELECT $gkey AS g, ${aggList().mkString(", ")} $from WHERE $where GROUP BY 1$having"
+        val aggs = aggList()
+        (s"SELECT $gkey AS g, ${aggs.mkString(", ")} $from WHERE $where GROUP BY 1$having",
+          "g" +: vAliases(aggs.size))
       case 2 => // global aggregate
-        s"SELECT ${aggList().mkString(", ")} $from WHERE $where"
+        val aggs = aggList()
+        (s"SELECT ${aggs.mkString(", ")} $from WHERE $where", vAliases(aggs.size))
       case 3 =>
         // window family (§2.5 surface): ROW_NUMBER / running SUM / LAG
         // over ONE window spec whose ORDER BY is made TOTAL by
@@ -144,8 +163,8 @@ object Round12Fuzz {
           .distinct.mkString(", ")
         val x = big(r.pick(intCols))
         val w = s"(PARTITION BY $pexpr ORDER BY $total)"
-        s"SELECT ROW_NUMBER() OVER $w AS v1, SUM($x) OVER $w AS v2, " +
-          s"LAG($x, 1) OVER $w AS v3 $from WHERE $where"
+        (s"SELECT ROW_NUMBER() OVER $w AS v1, SUM($x) OVER $w AS v2, " +
+          s"LAG($x, 1) OVER $w AS v3 $from WHERE $where", vAliases(3))
       case 4 =>
         // set operations between two filtered projections of the same
         // relation — UNION/INTERSECT/EXCEPT are the DISTINCT variants
@@ -155,7 +174,8 @@ object Round12Fuzz {
         val c = intExpr()
         val where2 = (1 to 1 + r.nextInt(2)).map(_ => atomicPred())
           .mkString(if (r.chance(60)) " AND " else " OR ")
-        s"SELECT $c AS v1 $from WHERE $where $op SELECT $c AS v1 $from WHERE $where2"
+        (s"SELECT $c AS v1 $from WHERE $where $op SELECT $c AS v1 $from WHERE $where2",
+          vAliases(1))
       case 5 =>
         // top-k: ORDER BY made total (unique key in the int-column
         // suffix) so LIMIT keeps a well-defined row set in both engines
@@ -163,16 +183,162 @@ object Round12Fuzz {
         val dir = if (r.chance(50)) "ASC" else "DESC"
         val total = (Seq(s"${r.pick(intCols)} $dir") ++
           t.ints.map(c => s"a.$c $dir")).distinct.mkString(", ")
-        s"SELECT ${intExpr()} AS v1, ${intExpr()} AS v2 $from WHERE $where " +
-          s"ORDER BY $total LIMIT $k"
+        (s"SELECT ${intExpr()} AS v1, ${intExpr()} AS v2 $from WHERE $where " +
+          s"ORDER BY $total LIMIT $k", vAliases(2))
     }
-    Shape(t.name, fk.map(_._2), inner)
+    Shape(t.name, fk.map(_._2), inner, aliases)
+  }
+
+  /** Round-13 families (shapes 121..200). Kept in a separate generator
+    * so the legacy shapes' Rng walk — and therefore their SQL — stays
+    * byte-identical to round 12.
+    */
+  private def genShape13(r: Rng): Shape = {
+    def big(c: String) = s"CAST($c AS BIGINT)"
+    def intExprOf(ints: Seq[String], strs: Seq[String]): String = r.nextInt(5) match {
+      case 0 => r.pick(ints)
+      case 1 => s"(${big(r.pick(ints))} % ${2 + r.nextInt(97)})"
+      case 2 => s"(${big(r.pick(ints))} + ${big(r.pick(ints))})"
+      case 3 =>
+        s"(CASE WHEN ${big(r.pick(ints))} % ${2 + r.nextInt(7)} = ${r.nextInt(2)} " +
+          s"THEN ${big(r.pick(ints))} ELSE ${big(r.pick(ints))} END)"
+      case 4 => s"LENGTH(${r.pick(strs)})"
+    }
+    def predOf(ints: Seq[String], strs: Seq[String]): String = r.nextInt(5) match {
+      case 0 =>
+        s"${r.pick(ints)} ${r.pick(Seq("<", "<=", ">", ">=", "=", "<>"))} ${r.nextInt(5000)}"
+      case 1 => s"${big(r.pick(ints))} % ${2 + r.nextInt(13)} = ${r.nextInt(5)}"
+      case 2 =>
+        s"${r.pick(ints)} IN (${Seq.fill(3)(r.nextInt(3000)).mkString(", ")})"
+      case 3 => s"${r.pick(strs)} LIKE '${('A' + r.nextInt(26)).toChar}%'"
+      case 4 =>
+        s"${r.pick(strs)} ${if (r.chance(50)) ">=" else "<"} '${('A' + r.nextInt(26)).toChar}'"
+    }
+    def whereOf(ints: Seq[String], strs: Seq[String], maxPreds: Int): String =
+      (1 to 1 + r.nextInt(maxPreds)).map(_ => predOf(ints, strs))
+        .mkString(if (r.chance(60)) " AND " else " OR ")
+    val fkTbls = tbls.filter(t => fks.contains(t.name))
+    def vAliases(n: Int): Seq[String] = (1 to n).map(k => s"v$k")
+    r.nextInt(4) match {
+      case 0 =>
+        // LEFT OUTER join against a FILTERED right side: the filter
+        // breaks the FK's totality, so unmatched left rows carry NULL
+        // b-columns through expressions, aggregates, and (half the
+        // time) a null-bearing GROUP BY key — the three-valued corners
+        // the fixed gates pin only once each
+        val t = r.pick(fkTbls)
+        val (l, jtn, rk) = r.pick(fks(t.name))
+        val jt = tbl(jtn)
+        val aI = t.ints.map("a." + _); val aS = t.strs.map("a." + _)
+        val bI = jt.ints.map("b." + _); val bS = jt.strs.map("b." + _)
+        val bPred = predOf(bI, bS)
+        val from = s"FROM {${t.name}} a LEFT JOIN " +
+          s"(SELECT * FROM {$jtn} b WHERE $bPred) b ON a.$l = b.$rk"
+        val where = whereOf(aI, aS, 2) // a-side only: keep the NULLs alive
+        if (r.chance(50)) {
+          val cols = (1 to 1 + r.nextInt(3))
+            .map(k => s"${intExprOf(aI ++ bI, aS ++ bS)} AS v$k")
+          Shape(t.name, Some(jtn),
+            s"SELECT ${cols.mkString(", ")} $from WHERE $where",
+            vAliases(cols.size))
+        } else {
+          // group by the RIGHT side's string column: the unmatched rows
+          // form a NULL group both engines must agree on
+          val gkey = r.pick(bS)
+          Shape(t.name, Some(jtn),
+            s"SELECT $gkey AS g, COUNT(*) AS v1, " +
+              s"COUNT(${r.pick(bI)}) AS v2, " +
+              s"SUM(${big(intExprOf(aI, aS))}) AS v3 " +
+              s"$from WHERE $where GROUP BY 1",
+            Seq("g", "v1", "v2", "v3"))
+        }
+      case 1 =>
+        // FULL OUTER join of two filtered slices: nulls on BOTH sides
+        val t = r.pick(fkTbls)
+        val (l, jtn, rk) = r.pick(fks(t.name))
+        val jt = tbl(jtn)
+        val aI = t.ints.map("a." + _); val aS = t.strs.map("a." + _)
+        val bI = jt.ints.map("b." + _); val bS = jt.strs.map("b." + _)
+        val aPred = whereOf(aI, aS, 2)
+        val bPred = predOf(bI, bS)
+        val from = s"FROM (SELECT * FROM {${t.name}} a WHERE $aPred) a " +
+          s"FULL JOIN (SELECT * FROM {$jtn} b WHERE $bPred) b ON a.$l = b.$rk"
+        val cols = (1 to 1 + r.nextInt(3))
+          .map(k => s"${intExprOf(aI ++ bI, aS ++ bS)} AS v$k")
+        Shape(t.name, Some(jtn), s"SELECT ${cols.mkString(", ")} $from",
+          vAliases(cols.size))
+      case 2 =>
+        // IN / NOT IN subquery; half the subqueries project a NULLable
+        // CASE so NOT IN exercises the any-NULL → empty-result trap
+        val t = r.pick(fkTbls)
+        val (l, jtn, rk) = r.pick(fks(t.name))
+        val jt = tbl(jtn)
+        val aI = t.ints.map("a." + _); val aS = t.strs.map("a." + _)
+        val bI = jt.ints.map("b." + _); val bS = jt.strs.map("b." + _)
+        val bPred = predOf(bI, bS)
+        val sub =
+          if (r.chance(50))
+            s"SELECT CASE WHEN $bPred THEN b.$rk END FROM {$jtn} b"
+          else s"SELECT b.$rk FROM {$jtn} b WHERE $bPred"
+        val op = if (r.chance(50)) "NOT IN" else "IN"
+        val where = whereOf(aI, aS, 2)
+        val cols = (1 to 1 + r.nextInt(2)).map(k => s"${intExprOf(aI, aS)} AS v$k")
+        Shape(t.name, Some(jtn),
+          s"SELECT ${cols.mkString(", ")} FROM {${t.name}} a " +
+            s"WHERE $where AND a.$l $op ($sub)",
+          vAliases(cols.size))
+      case 3 =>
+        // DECIMAL arithmetic, exact by construction: narrow operand
+        // casts (so neither engine's implicit result type can overflow
+        // 38 digits), multiply/add/subtract only (division's result
+        // scale rules differ between engines), and an explicit final
+        // CAST to DECIMAL(38,6) that renders identically ("1.000000")
+        // in both dialects. Large literal multipliers push values to
+        // the 1e13 range so the final cast's precision headroom — not
+        // the operands' — is what keeps the math exact.
+        val t = r.pick(tbls)
+        val ints = t.ints.map("a." + _); val strs = t.strs.map("a." + _)
+        def dec(): String = {
+          val d1 = s"CAST(${r.pick(ints)} AS DECIMAL(12,2))"
+          val arith = r.nextInt(3) match {
+            case 0 => s"$d1 * CAST(${1 + r.nextInt(9999999)} AS DECIMAL(8,0))"
+            case 1 => s"$d1 + CAST(${r.pick(ints)} AS DECIMAL(12,2)) " +
+              s"* CAST(${1 + r.nextInt(999)} AS DECIMAL(4,0))"
+            case 2 => s"$d1 - CAST(${r.pick(ints)} AS DECIMAL(12,2))"
+          }
+          s"CAST($arith AS DECIMAL(38,6))"
+        }
+        val where = whereOf(ints, strs, 3)
+        if (r.chance(50)) {
+          val cols = (1 to 1 + r.nextInt(2)).map(k => s"${dec()} AS v$k")
+          Shape(t.name, None,
+            s"SELECT ${cols.mkString(", ")} FROM {${t.name}} a WHERE $where",
+            vAliases(cols.size))
+        } else {
+          val gkey =
+            if (r.chance(50)) r.pick(strs)
+            else s"(${big(r.pick(ints))} % ${2 + r.nextInt(23)})"
+          Shape(t.name, None,
+            s"SELECT $gkey AS g, CAST(SUM(${dec()}) AS DECIMAL(38,6)) AS v1, " +
+              s"CAST(MIN(${dec()}) AS DECIMAL(38,6)) AS v2 " +
+              s"FROM {${t.name}} a WHERE $where GROUP BY 1",
+            Seq("g", "v1", "v2"))
+        }
+    }
   }
 
   private val shapes: Seq[Shape] = {
     val r = new Rng(Seed)
-    (1 to NShapes).map(_ => genShape(r))
+    val legacy = (1 to LegacyShapes).map(_ => genShape(r))
+    val extra = ((LegacyShapes + 1) to NShapes).map(_ => genShape13(r))
+    legacy ++ extra
   }
+
+  /** Test hook: the abstract (pre-dialect) SQL of every shape, in shape
+    * order — FuzzSpec checksums the legacy prefix to pin walk
+    * stability and counts the new families.
+    */
+  private[queries] def innerShapes: Seq[String] = shapes.map(_.inner)
 
   /** Digest wrapper around one shape, dialect-parameterized: `hex8` maps
     * "first 8 md5 hex chars of <expr>" to a BIGINT in each engine. The
@@ -183,9 +349,13 @@ object Round12Fuzz {
     */
   private def wrap(i: Int, s: Shape, hex8: String => String,
       name: String => String, strType: String): String = {
-    // column aliases the inner SELECT exposes: v1..vk (+ g for grouped)
-    val aliases = ("\\bAS (v\\d+|g)\\b".r.findAllMatchIn(
-      s.inner.takeWhile(_ != 'F'))).map(_.group(1)).toSeq.distinct
+    // column aliases the inner SELECT exposes, recorded at generation
+    // time (never re-parsed from SQL); the sanity check below keeps a
+    // future grammar case honest about declaring its full arity
+    val aliases = s.aliases
+    require(aliases.nonEmpty &&
+      aliases.forall(a => s.inner.contains(s"AS $a")),
+      s"shape $i declares aliases ${aliases.mkString(",")} the SQL doesn't bind")
     val rowStr = s"concat_ws('|', ${aliases.map(a =>
       s"COALESCE(CAST($a AS $strType), '~')").mkString(", ")})"
     val inner = s.inner.replace("{" + s.table + "}", name(s.table))

@@ -260,7 +260,8 @@ object Round12Ops1 {
       |FROM documents d
       |WHERE NOT EXISTS (SELECT 1 FROM documents k
       |                  WHERE k.doc_id % 17 = 0
-      |                    AND k.lang = d.lang AND k.source = d.source)
+      |                    AND k.lang IS NOT DISTINCT FROM d.lang
+      |                    AND k.source IS NOT DISTINCT FROM d.source)
       |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
     import graft.operators.{IcebergExport, IcebergImport, TableStore}
     val scratch = GateScratch.dir("graft-iceberg-eq-")

@@ -193,25 +193,40 @@ class DeltaImportSpec extends SparkSpec {
         .groupBy(_.getString(1)).toSeq
         .map { case (f, rs) => f.stripPrefix(root + "/") -> rs.map(_.getLong(2)).toSeq }
 
-    // commit 1: delete id % 5 == 0; commit 2: delete id % 7 == 0 —
-    // DIFFERENT files may overlap, so restrict commit 2 to files commit
-    // 1 did not touch (the documented no-remerge scope)
+    // commit 1: delete id % 5 == 0; commit 2: delete id % 7 == 0 over
+    // the SAME files — the writer must MERGE each touched file's
+    // existing bitmap into the new one (ADVICE r12: the old writer
+    // replaced the descriptor outright, resurrecting the %5 rows)
     val first = positionsOf(col("id") % 5 === 0)
     DeltaExport.appendDeletionVectors(out, first)
-    val touched = first.map(_._1).toSet
     val second = positionsOf(col("id") % 7 === 0 && col("id") % 5 =!= 0)
-      .filterNot { case (f, _) => touched(f) }
-    if (second.nonEmpty) DeltaExport.appendDeletionVectors(out, second)
+    DeltaExport.appendDeletionVectors(out, second)
 
     val served = DeltaImport.read(spark, out)
-    assert(served.filter(col("id") % 5 === 0).count() == 0)
-    val expectedGone = second.flatMap(_._2).size + first.flatMap(_._2).size
-    assert(served.count() == 30 - expectedGone)
+    assert(served.filter(col("id") % 5 === 0 || col("id") % 7 === 0).count() == 0)
+    assert(served.count() ==
+      (1L to 30L).count(i => i % 5 != 0 && i % 7 != 0))
     // partition column survives the DV anti-join
     assert(served.schema("year").dataType ==
       org.apache.spark.sql.types.IntegerType)
     // pre-delete version intact
     val v0 = DeltaImport.versions(out).head
     assert(DeltaImport.read(spark, out, Some(v0)).count() == 30)
+
+    // the protocol upgrade UNIONS the legacy-implied writer features
+    // (minWriterVersion 2 → appendOnly, invariants) with deletionVectors
+    // instead of clobbering them (ADVICE r12)
+    val lastCommit = Files.readAllLines(Paths.get(out, "_delta_log")
+      .toFile.listFiles().map(_.toPath).filter(_.toString.endsWith(".json"))
+      .maxBy(_.getFileName.toString)).asScala.mkString("\n")
+    for (feat <- Seq("appendOnly", "invariants", "deletionVectors"))
+      assert(lastCommit.contains("\"" + feat + "\""),
+        s"protocol lost feature $feat: $lastCommit")
+
+    // deleting from a path that is not a live add refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      DeltaExport.appendDeletionVectors(out, Seq("no/such/file.parquet" -> Seq(0L)))
+    }
+    assert(e.getMessage.contains("not a live add"))
   }
 }

@@ -38,4 +38,30 @@ class FuzzSpec extends AnyFunSuite {
     // parquet tables — a prefix leaking into the oracle would 404
     assert(!oracle.contains("fz_"))
   }
+
+  test("the legacy 120-shape prefix is walk-stable (round-12 SQL, byte for byte)") {
+    // the r13 families were appended AFTER the legacy walk — if a
+    // generator edit ever perturbs the shared Rng sequence, the first
+    // 120 shapes' SQL changes and this checksum names the break
+    val legacy = Round12Fuzz.innerShapes
+      .take(Round12Fuzz.LegacyShapes).mkString("\n")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(legacy.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(md5 === "5703bacea9e1e25d738bd0a263f21ed2")
+  }
+
+  test("the round-13 families are all present at their generated counts") {
+    val extra = Round12Fuzz.innerShapes.drop(Round12Fuzz.LegacyShapes)
+    assert(extra.size === 80)
+    assert(extra.count(_.contains("LEFT JOIN")) === 23)
+    assert(extra.count(_.contains("FULL JOIN")) === 19)
+    // IN/NOT IN subqueries (12 of the 20 negated — the 3VL trap)
+    assert(extra.count(s =>
+      s.contains(" IN (SELECT") || s.contains("NOT IN (SELECT")) === 20)
+    assert(extra.count(_.contains("NOT IN (")) === 12)
+    assert(extra.count(_.contains("DECIMAL(38,6)")) === 18)
+    // division is OFF the decimal surface: result-scale rules differ
+    // between the engines, so only exact *, +, - are generated
+    assert(!extra.exists(_.contains(" / ")))
+  }
 }
