@@ -170,6 +170,85 @@ object AnnIndex {
     h
   }
 
+  /** Cell-split maintenance for drifted corpora (VERDICT r12 item 6):
+    * [[append]] freezes the coarse quantizer, so a skewed ingest stream
+    * slowly concentrates postings in a few cells — probe cost for those
+    * cells grows toward a corpus scan. `rebalance` splits every cell
+    * whose posting count exceeds `maxCellSize`: a LOCAL Lloyd run over
+    * just that cell's vectors (seeded deterministically with the cell's
+    * first `subCells` vectors by id) produces sub-centroids that replace
+    * the split cell's centroid, and ONLY the split cells' vectors are
+    * reassigned — against the full updated centroid set, so a moved
+    * vector always lands under its nearest current centroid (never
+    * force-bucketed into a sub-cell a neighboring cell's centroid
+    * out-scores). Untouched cells keep their partition files byte for
+    * byte ([[TableStore.overwritePartitions]] copy-on-write); cost is
+    * O(split-cell rows × centroids), never O(index).
+    *
+    * Quantized (SQ8) indexes refuse loudly: their postings carry int8
+    * codes, not the raw embeddings a re-Lloyd needs — rebuild those.
+    *
+    * Search behavior: with every cell probed, search over the
+    * rebalanced index is EXACTLY brute force (pinned by the
+    * `sim_ivf_rebalance` oracle gate); at partial nprobe the sub-cells
+    * raise per-probe selectivity back toward the balanced design point
+    * (decade study in AnnIndexSpec / SCALE.md).
+    */
+  def rebalance(h: Handle, maxCellSize: Long, subCells: Int = 2,
+      refineIterations: Int = 2): Handle = {
+    require(subCells >= 2, s"subCells must split, got $subCells")
+    require(!h.postings.columns.contains("cq"),
+      "rebalance needs raw embeddings — an SQ8 (buildQuantized) index " +
+        "cannot re-Lloyd its int8 codes; rebuild it instead")
+    val splitCells = h.postings.groupBy(col("cell_id"))
+      .count().filter(col("count") > maxCellSize)
+      .select(col("cell_id").cast("int"))
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (splitCells.isEmpty) return h
+    val cents = h.centroids
+      .select(col("cell_id").cast("int"), col("centroid").cast("array<double>"))
+    val maxCellId = cents.agg(max(col("cell_id"))).head().getInt(0)
+    // per split cell: local Lloyd over ONLY that cell's postings
+    // (partition-pruned scan), fresh ids above the current max
+    var nextBase = maxCellId
+    val subCentroids = splitCells.map { c =>
+      val cellRows = h.postings.filter(col("cell_id") === c)
+      val seed = Similarity.centroids(cellRows, subCells, h.idCol, h.vecCol)
+      val refined =
+        if (refineIterations == 0) seed
+        else Similarity.refineCentroids(cellRows, seed, refineIterations,
+          h.idCol, h.vecCol)
+      val base = nextBase
+      nextBase += subCells
+      refined.select((col("cell_id") + lit(base)).cast("int").as("cell_id"),
+        col("centroid").cast("array<double>"))
+    }.reduce(_ unionByName _)
+    val newCents = cents.filter(!col("cell_id").isin(splitCells.map(Int.box): _*))
+      .unionByName(subCentroids)
+      .localCheckpoint(true) // feeds assignCells' collect + the final write
+    // reassign ONLY the split cells' vectors, against the FULL new set
+    val splitRows = h.postings
+      .filter(col("cell_id").isin(splitCells.map(Int.box): _*))
+      .drop("cell_id")
+    val reassigned = Similarity.assignCells(splitRows, newCents, h.idCol, h.vecCol)
+      .localCheckpoint(true) // one execution: dest list + merge
+    val destCells = reassigned.select(col("cell_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val keepDest = destCells.filterNot(splitCells.contains)
+    val existing =
+      if (keepDest.isEmpty) h.postings.filter(lit(false))
+      else h.postings.filter(col("cell_id").isin(keepDest.map(Int.box): _*))
+    val merged = existing.unionByName(
+        reassigned.select(existing.columns.map(col): _*))
+      .repartition(col("cell_id")) // one-ish file per cell, see build()
+    // split cells legitimately end EMPTY (their centroid is gone), so the
+    // partition-aligned write drops those directories instead of refusing
+    h.store.overwritePartitions(h.postingsTable, merged, "cell_id",
+      (splitCells ++ destCells).distinct, allowEmpty = true)
+    h.store.overwrite(h.centroidsTable, newCents, numFiles = 1)
+    h
+  }
+
   /** Reattach to a previously built index (any session). */
   def open(store: TableStore, name: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Handle = {

@@ -192,7 +192,11 @@ object DeltaExport {
   def writeCheckpoint(spark: org.apache.spark.sql.SparkSession,
       tablePath: String, version: Long, parts: Int = 1): Unit = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions._
+    // selective import: functions._ would shadow the `version` parameter
+    // with the built-in version() function
+    import org.apache.spark.sql.functions.{col, lit, when, coalesce, struct,
+      map, from_json, to_json, regexp_extract, input_file_name, row_number,
+      pmod, xxhash64}
     import org.apache.spark.sql.types.{DataType, StructType}
     require(parts >= 1 && parts <= 9999, s"parts out of range: $parts")
     val out = Paths.get(tablePath).toAbsolutePath.normalize
@@ -240,10 +244,15 @@ object DeltaExport {
           col("add.deletionVector.sizeInBytes").cast("int").as("sizeInBytes"),
           col("add.deletionVector.cardinality").cast("long").as("cardinality")))
       else lit(null).cast(dvType)
-    val pvMap = coalesce(
-      from_json(to_json(col("add.partitionValues")),
-        DataType.fromDDL("map<string,string>")),
-      map().cast("map<string,string>"))
+    // an unpartitioned table writes "partitionValues":{} — JSON schema
+    // inference DROPS an always-empty object field entirely
+    val pvMap =
+      if (hasField(raw0.schema, "add.partitionValues"))
+        coalesce(
+          from_json(to_json(col("add.partitionValues")),
+            DataType.fromDDL("map<string,string>")),
+          map().cast("map<string,string>"))
+      else map().cast("map<string,string>")
     val addRows = liveAdds.select(struct(
       col("add.path").cast("string").as("path"),
       pvMap.as("partitionValues"),

@@ -197,7 +197,8 @@ object IcebergExport {
     * `deletes`: absolute data-file path → 0-based row positions.
     */
   def appendPositionDeletes(spark: org.apache.spark.sql.SparkSession,
-      tablePath: String, deletes: Seq[(String, Seq[Long])]): Unit = {
+      tablePath: String, deletes: Seq[(String, Seq[Long])],
+      inheritSequence: Boolean = false): Unit = {
     val out = Paths.get(tablePath).toAbsolutePath.normalize
     val metaDir = out.resolve("metadata")
     val hint = Files.readString(metaDir.resolve("version-hint.text")).trim
@@ -230,7 +231,8 @@ object IcebergExport {
     Files.move(written, delPath)
     deleteRecursively(tmp)
     commitDeleteSnapshot(out, delPath, rows.size.toLong,
-      fileContent = 1, equalityIds = Seq.empty)
+      fileContent = 1, equalityIds = Seq.empty,
+      inheritSequence = inheritSequence)
   }
 
   /** Append a MERGE-ON-READ EQUALITY-delete snapshot (what Flink CDC
@@ -278,13 +280,79 @@ object IcebergExport {
     commitDeleteSnapshot(out, delPath, n, fileContent = 2, equalityIds = eqIds)
   }
 
-  /** Shared tail of both delete writers: content-1 delete manifest for
+  /** One-snapshot DELETE-AND-REINSERT — the CDC upsert shape the v2
+    * sequence-number rules exist for: a single new snapshot at sequence
+    * N carries BOTH an equality-delete file (keyed on `equalityCols`)
+    * and a new DATA file with the `reinsert` rows. A correct reader
+    * applies the equality delete STRICTLY below N — killing the old
+    * versions of the keys — while the reinserted file, at data sequence
+    * N itself, survives. Both manifests' ENTRIES leave
+    * `sequence_number` null, so the reader must also exercise the
+    * spec's manifest-level sequence INHERITANCE to land on N at all
+    * (gate `s58_iceberg_upsert_seq`; a reader that defaulted null to 0
+    * would delete the reinserted rows, one that scoped `<=` would too).
+    */
+  def appendEqualityUpsert(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, deleteKeys: org.apache.spark.sql.DataFrame,
+      equalityCols: Seq[String],
+      reinsert: org.apache.spark.sql.DataFrame): Unit = {
+    val out = Paths.get(tablePath).toAbsolutePath.normalize
+    val metaDir = out.resolve("metadata")
+    val hint = Files.readString(metaDir.resolve("version-hint.text")).trim
+    val mdText = Files.readString(metaDir.resolve(s"v$hint.metadata.json"))
+    val FieldRe = """\{"id":\s*(\d+),\s*"name":\s*"([^"]+)"""".r
+    val idByName: Map[String, Int] = FieldRe.findAllMatchIn(mdText)
+      .map(m => m.group(2) -> m.group(1).toInt).toMap
+    val eqIds = equalityCols.map(c => idByName.getOrElse(c,
+      throw new IllegalArgumentException(
+        s"equality column $c not in table schema (have ${idByName.keys.mkString(",")})")))
+    val seqProbe = """"last-sequence-number":\s*(\d+)""".r
+      .findFirstMatchIn(mdText).get.group(1).toLong + 1
+
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): (Path, Long) = {
+      val tmp = Files.createTempDirectory(out, "upsert-tmp-")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val written = {
+        val w = Files.list(tmp)
+        try w.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+        finally w.close()
+      }
+      val n = spark.read.parquet(tmp.toString).count()
+      val dst = out.resolve("data").resolve(name)
+      Files.move(written, dst)
+      deleteRecursively(tmp)
+      (dst, n)
+    }
+    val (delPath, nKeys) = writeOne(
+      deleteKeys.select(equalityCols.map(
+        org.apache.spark.sql.functions.col): _*).distinct(),
+      s"eq-delete-${UUID.nameUUIDFromBytes(s"upsert-del-$seqProbe".getBytes)}.parquet")
+    require(nKeys > 0, "appendEqualityUpsert: empty delete-key set")
+    val (dataPath, nData) = writeOne(reinsert,
+      s"upsert-${UUID.nameUUIDFromBytes(s"upsert-data-$seqProbe".getBytes)}.parquet")
+    require(nData > 0, "appendEqualityUpsert: empty reinsert set")
+    commitDeleteSnapshot(out, delPath, nKeys, fileContent = 2,
+      equalityIds = eqIds, inheritSequence = true,
+      reinsert = Some((dataPath, nData)))
+  }
+
+  /** Shared tail of the delete writers: content-1 delete manifest for
     * `delPath`, a new manifest list carrying the prior snapshot's
     * manifests verbatim (original sequence numbers), and the spliced
     * v(N+1) metadata + version hint.
+    *
+    * `inheritSequence = true` writes the new manifests' ENTRY
+    * `sequence_number`/`file_sequence_number` as NULL (the spec's
+    * inheritance form — a reader resolves them from the manifest-list
+    * entry's sequence number; round 13, VERDICT item 3).
+    * `reinsert = Some((path, rows))` additionally commits a new DATA
+    * manifest at the SAME sequence number — the delete-and-reinsert
+    * snapshot [[appendEqualityUpsert]] builds.
     */
   private def commitDeleteSnapshot(out: Path, delPath: Path,
-      recordCount: Long, fileContent: Int, equalityIds: Seq[Int]): Unit = {
+      recordCount: Long, fileContent: Int, equalityIds: Seq[Int],
+      inheritSequence: Boolean = false,
+      reinsert: Option[(Path, Long)] = None): Unit = {
     val metaDir = out.resolve("metadata")
     val hint = Files.readString(metaDir.resolve("version-hint.text")).trim
     val mdText = Files.readString(metaDir.resolve(s"v$hint.metadata.json"))
@@ -300,33 +368,46 @@ object IcebergExport {
     // delete manifest: one entry for the delete file (unpartitioned
     // scope — exportTable's partitioned tables would need
     // partition-scoped delete records)
-    val mSchema = deleteEntrySchema(withEqualityIds = equalityIds.nonEmpty)
+    val mSchema = deleteEntrySchema(
+      withEqualityIds = equalityIds.nonEmpty, nullableSeq = inheritSequence)
+    def writeOneFileManifest(path: Path, content: String, filePath: Path,
+        fContent: Int, rows: Long, eqIds: Seq[Int]): Unit =
+      writeAvro(path, mSchema, Map(
+        "schema" -> """{"type": "struct", "schema-id": 0, "fields": []}""",
+        "partition-spec" -> "[]",
+        "partition-spec-id" -> "0",
+        "format-version" -> "2",
+        "content" -> content)) { w =>
+        val entry = new GenericData.Record(mSchema)
+        entry.put("status", 1)
+        entry.put("snapshot_id", snapshotId)
+        // inheritance form: null entry sequence numbers — the reader
+        // resolves them from the manifest-list entry (spec §manifests)
+        entry.put("sequence_number", if (inheritSequence) null else Long.box(seq))
+        entry.put("file_sequence_number", if (inheritSequence) null else Long.box(seq))
+        val dfSchema = mSchema.getField("data_file").schema()
+        val df = new GenericData.Record(dfSchema)
+        df.put("content", fContent) // 0 = data, 1 = position, 2 = equality
+        df.put("file_path", filePath.toString)
+        df.put("file_format", "PARQUET")
+        df.put("partition",
+          new GenericData.Record(dfSchema.getField("partition").schema()))
+        df.put("record_count", rows)
+        df.put("file_size_in_bytes", Files.size(filePath))
+        if (eqIds.nonEmpty)
+          df.put("equality_ids", eqIds.map(Int.box).asJava)
+        entry.put("data_file", df)
+        w.append(entry)
+      }
     val manifestPath = metaDir.resolve(
       s"${UUID.nameUUIDFromBytes(s"del-m$seq-$fileContent".getBytes)}-m0.avro")
-    writeAvro(manifestPath, mSchema, Map(
-      "schema" -> """{"type": "struct", "schema-id": 0, "fields": []}""",
-      "partition-spec" -> "[]",
-      "partition-spec-id" -> "0",
-      "format-version" -> "2",
-      "content" -> "deletes")) { w =>
-      val entry = new GenericData.Record(mSchema)
-      entry.put("status", 1)
-      entry.put("snapshot_id", snapshotId)
-      entry.put("sequence_number", seq)
-      entry.put("file_sequence_number", seq)
-      val dfSchema = mSchema.getField("data_file").schema()
-      val df = new GenericData.Record(dfSchema)
-      df.put("content", fileContent) // 1 = position, 2 = equality
-      df.put("file_path", delPath.toString)
-      df.put("file_format", "PARQUET")
-      df.put("partition",
-        new GenericData.Record(dfSchema.getField("partition").schema()))
-      df.put("record_count", recordCount)
-      df.put("file_size_in_bytes", Files.size(delPath))
-      if (equalityIds.nonEmpty)
-        df.put("equality_ids", equalityIds.map(Int.box).asJava)
-      entry.put("data_file", df)
-      w.append(entry)
+    writeOneFileManifest(manifestPath, "deletes", delPath, fileContent,
+      recordCount, equalityIds)
+    val reinsertManifest = reinsert.map { case (dataPath, rows) =>
+      val p = metaDir.resolve(
+        s"${UUID.nameUUIDFromBytes(s"upsert-m$seq".getBytes)}-m0.avro")
+      writeOneFileManifest(p, "data", dataPath, 0, rows, Seq.empty)
+      (p, rows)
     }
 
     // new manifest list: the prior snapshot's manifests verbatim + ours
@@ -357,21 +438,25 @@ object IcebergExport {
         listSchema.getFields.asScala.foreach(f => copy.put(f.name(), e.get(f.name())))
         w.append(copy)
       }
-      val mf = new GenericData.Record(listSchema)
-      mf.put("manifest_path", manifestPath.toString)
-      mf.put("manifest_length", Files.size(manifestPath))
-      mf.put("partition_spec_id", 0)
-      mf.put("content", 1) // DELETES manifest
-      mf.put("sequence_number", seq)
-      mf.put("min_sequence_number", seq)
-      mf.put("added_snapshot_id", snapshotId)
-      mf.put("added_files_count", 1)
-      mf.put("existing_files_count", 0)
-      mf.put("deleted_files_count", 0)
-      mf.put("added_rows_count", recordCount)
-      mf.put("existing_rows_count", 0L)
-      mf.put("deleted_rows_count", 0L)
-      w.append(mf)
+      def appendManifest(path: Path, content: Int, rows: Long): Unit = {
+        val mf = new GenericData.Record(listSchema)
+        mf.put("manifest_path", path.toString)
+        mf.put("manifest_length", Files.size(path))
+        mf.put("partition_spec_id", 0)
+        mf.put("content", content) // 0 = data, 1 = deletes
+        mf.put("sequence_number", seq)
+        mf.put("min_sequence_number", seq)
+        mf.put("added_snapshot_id", snapshotId)
+        mf.put("added_files_count", 1)
+        mf.put("existing_files_count", 0)
+        mf.put("deleted_files_count", 0)
+        mf.put("added_rows_count", rows)
+        mf.put("existing_rows_count", 0L)
+        mf.put("deleted_rows_count", 0L)
+        w.append(mf)
+      }
+      appendManifest(manifestPath, 1, recordCount)
+      reinsertManifest.foreach { case (p, rows) => appendManifest(p, 0, rows) }
     }
 
     val newSnapJson =
@@ -400,18 +485,26 @@ object IcebergExport {
     * shape (empty partition record) plus the spec's optional
     * `equality_ids` list (field-id 135) when writing equality deletes.
     */
-  private def deleteEntrySchema(withEqualityIds: Boolean): Schema = {
+  private def deleteEntrySchema(withEqualityIds: Boolean,
+      nullableSeq: Boolean = false): Schema = {
+    // optional per the spec (data files never carry it — the upsert
+    // snapshot writes a data manifest with the same entry schema)
     val eqField =
       if (!withEqualityIds) ""
       else """,
-        |    {"name": "equality_ids", "field-id": 135,
-        |     "type": {"type": "array", "items": "int", "element-id": 136}}""".stripMargin
+        |    {"name": "equality_ids", "field-id": 135, "default": null,
+        |     "type": ["null", {"type": "array", "items": "int", "element-id": 136}]}""".stripMargin
+    // inheritance form: the spec marks entry sequence numbers OPTIONAL —
+    // null means "inherit from the manifest-list entry"
+    val seqType =
+      if (nullableSeq) """["null", "long"], "default": null"""
+      else "\"long\""
     new Schema.Parser().parse(
       s"""{"type": "record", "name": "manifest_entry", "fields": [
          |  {"name": "status", "type": "int", "field-id": 0},
          |  {"name": "snapshot_id", "type": "long", "field-id": 1},
-         |  {"name": "sequence_number", "type": "long", "field-id": 3},
-         |  {"name": "file_sequence_number", "type": "long", "field-id": 4},
+         |  {"name": "sequence_number", "type": $seqType, "field-id": 3},
+         |  {"name": "file_sequence_number", "type": $seqType, "field-id": 4},
          |  {"name": "data_file", "field-id": 2, "type": {"type": "record", "name": "r2", "fields": [
          |    {"name": "content", "type": "int", "field-id": 134},
          |    {"name": "file_path", "type": "string", "field-id": 100},

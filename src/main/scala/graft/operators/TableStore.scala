@@ -872,22 +872,32 @@ final class TableStore(val spark: SparkSession, val root: String,
   }
 
   def overwritePartitions(
-      table: String, df: DataFrame, partCol: String, values: Seq[Any]): Unit =
+      table: String, df: DataFrame, partCol: String, values: Seq[Any],
+      allowEmpty: Boolean = false): Unit =
     withTableLock(table) {
     require(exists(table), s"$table must exist for a partition-level overwrite")
     require(!values.contains(null),
       s"null $partCol partition values are not supported by the partition-aligned path")
     val tmp = stage(table, df, numFiles = 0, partitionBy = Seq(partCol))
     crashHook("opart:staged")
-    applyStagedPartitions(table, tmp, partCol, values)
+    applyStagedPartitions(table, tmp, partCol, values, allowEmpty)
   }
 
   /** Commit half of [[overwritePartitions]]: swap the pre-staged
     * partition directories in `tmp` into the CURRENT generation (and
     * consume `tmp`). Caller must hold the table lock.
+    *
+    * `allowEmpty = true` turns a listed value with NO staged rows into a
+    * partition DROP (the old directory is trashed, nothing moves in) —
+    * the "this partition legitimately ended empty" case a rebalance or
+    * retention sweep produces. The default stays the loud mismatch
+    * refusal: for a merge-style caller a missing staged partition means
+    * the df/values wiring is broken, and silently dropping data is the
+    * worst possible outcome.
     */
   private[operators] def applyStagedPartitions(
-      table: String, tmp: Path, partCol: String, values: Seq[Any]): Unit = {
+      table: String, tmp: Path, partCol: String, values: Seq[Any],
+      allowEmpty: Boolean = false): Unit = {
     snapshotCurrent(table) // hardlink snapshot AFTER staging succeeds
     crashHook("opart:snapshotted")
     // in-flight intent marker: the partition loop below mutates the
@@ -905,14 +915,17 @@ final class TableStore(val spark: SparkSession, val root: String,
       val src = tmp.resolve(partDir)
       // a value present in `values` but absent from the staged write means
       // the caller's df didn't contain it — failing loudly beats silently
-      // dropping the partition's merged rows
-      require(Files.exists(src),
+      // dropping the partition's merged rows (unless the caller declared
+      // empty-partition drops legitimate via allowEmpty)
+      require(allowEmpty || Files.exists(src),
         s"staged write is missing partition $partDir — df/values mismatch")
       val target = dir(table).resolve(partDir)
       val trash = Paths.get(root, s".trash-${flat(table)}-${System.nanoTime()}")
       if (Files.exists(target)) { Files.move(target, trash); crashHook("opart:part-trashed") }
-      Files.move(src, target)
-      crashHook("opart:part-moved")
+      if (Files.exists(src)) {
+        Files.move(src, target)
+        crashHook("opart:part-moved")
+      }
       // replaced data is hardlink-shared with the snapshot just taken,
       // but freeing it is still O(data) on the last-link drop at vacuum
       // horizon — either way deletion never belongs inside the lock

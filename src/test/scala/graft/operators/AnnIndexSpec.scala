@@ -165,4 +165,99 @@ class AnnIndexSpec extends SparkSpec {
     assert(store.read("hits").count() === before)
     assert(asTuples(store.read("hits")) === batch)
   }
+
+  /** Relative-path → size inventory of the postings table's data files —
+    * the byte-identity probe for rebalance's copy-on-write claim.
+    */
+  private def inventory(store: TableStore, h: AnnIndex.Handle): Map[String, Long] = {
+    val root = java.nio.file.Paths.get(store.path(h.postingsTable))
+    val s = java.nio.file.Files.walk(root)
+    try {
+      import scala.collection.JavaConverters._
+      s.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString -> java.nio.file.Files.size(p))
+        .toMap
+    } finally s.close()
+  }
+
+  test("rebalance splits only oversized cells; untouched partitions stay byte-identical") {
+    val store = freshStore()
+    AnnIndex.build(store, "e", emb, numCells = 8)
+    val h = AnnIndex.open(store, "e")
+    val n = emb.count()
+    val sizes = h.postings.groupBy($"cell_id").count()
+      .select($"cell_id".cast("int"), $"count")
+      .as[(Int, Long)].collect().toMap
+    val threshold = sizes.values.max - 1 // split exactly the largest cell(s)
+    val splitCells = sizes.filter(_._2 > threshold).keySet
+    assert(splitCells.nonEmpty)
+    val splitIds = h.postings
+      .filter($"cell_id".isin(splitCells.toSeq.map(Int.box): _*))
+      .select($"vec_id".cast("long")).as[Long].collect().toSet
+    val before = inventory(store, h)
+
+    AnnIndex.rebalance(h, maxCellSize = threshold, subCells = 2)
+
+    // postings conserved, split partitions physically gone
+    assert(h.postings.count() === n)
+    splitCells.foreach(c =>
+      assert(!inventory(store, h).keys.exists(_.startsWith(s"cell_id=$c/")),
+        s"split cell $c directory survived"))
+    // destinations = cells the split vectors actually landed in; every
+    // OTHER partition must be byte-for-byte the file set it was before
+    val destCells = h.postings
+      .filter($"vec_id".isin(splitIds.toSeq.map(Long.box): _*))
+      .select($"cell_id".cast("int")).distinct().as[Int].collect().toSet
+    val after = inventory(store, h)
+    val changed = (before.keySet ++ after.keySet)
+      .filter(k => before.get(k) != after.get(k))
+      .map(_.split('/').head.stripPrefix("cell_id=").toInt)
+    assert(changed.subsetOf(splitCells ++ destCells),
+      s"partitions $changed changed beyond split=$splitCells dest=$destCells")
+    assert((before.keySet -- after.keySet).nonEmpty) // split files removed
+    // at least one untouched partition kept its exact files (copy-on-write)
+    val untouchedKept = before.keySet.intersect(after.keySet)
+      .filter(k => before(k) == after(k))
+    assert(untouchedKept.nonEmpty)
+
+    // FULL-PROBE search over the rebalanced index is exactly brute force
+    val nCells = h.centroids.count().toInt
+    val served = asTuples(
+      AnnIndex.search(h, emb.filter($"vec_id" < 8), k = 5, nprobe = nCells))
+    val brute = asTuples(
+      Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 8), k = 5))
+    assert(served === brute)
+
+    // every rebalanced posting sits under its NEAREST current centroid
+    // for the moved set (the global-assignment invariant the reassign
+    // step promises — moved vectors are never force-bucketed)
+    val reassigned = Similarity.assignCells(
+        h.postings.filter($"vec_id".isin(splitIds.toSeq.map(Long.box): _*))
+          .drop("cell_id"),
+        h.centroids)
+      .select($"vec_id".cast("long"), $"cell_id".cast("int"))
+      .as[(Long, Int)].collect().toMap
+    val actual = h.postings
+      .filter($"vec_id".isin(splitIds.toSeq.map(Long.box): _*))
+      .select($"vec_id".cast("long"), $"cell_id".cast("int"))
+      .as[(Long, Int)].collect().toMap
+    assert(actual === reassigned)
+  }
+
+  test("rebalance: no-op below threshold, loud refusal on a quantized index") {
+    val store = freshStore()
+    AnnIndex.build(store, "e", emb, numCells = 8)
+    val h = AnnIndex.open(store, "e")
+    val before = inventory(store, h)
+    AnnIndex.rebalance(h, maxCellSize = emb.count() + 1)
+    assert(inventory(store, h) === before) // nothing oversized, nothing touched
+    AnnIndex.buildQuantized(store, "q", emb, numCells = 8)
+    val hq = AnnIndex.open(store, "q")
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.rebalance(hq, maxCellSize = 1)
+    }
+    assert(e.getMessage.contains("rebuild"))
+  }
 }

@@ -229,4 +229,37 @@ class DeltaImportSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not a live add"))
   }
+
+  test("checkpoint: partitioned + DV table reads back from the checkpoint alone") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-cpw-").toString)
+    store.overwrite("t",
+      (1L to 40L).map(i => (i, 2000 + (i % 3).toInt, s"v$i")).toDF("id", "year", "v"),
+      partitionBy = Seq("year"))
+    val out = DeltaExport.exportTable(store, "t",
+      Files.createTempDirectory("graft-cpwo-").toString).toString
+    val root = Paths.get(out).toAbsolutePath.normalize.toString
+    val doomed = spark.read.parquet(s"$out/gen-*")
+      .select(col("id"),
+        regexp_replace(url_decode(expr("_metadata.file_path")), "^file:/*", "/").as("f"),
+        expr("_metadata.row_index").as("p"))
+      .filter(col("id") % 4 === 1).collect()
+      .groupBy(_.getString(1)).toSeq
+      .map { case (f, rs) => f.stripPrefix(root + "/") -> rs.map(_.getLong(2)).toSeq }
+    DeltaExport.appendDeletionVectors(out, doomed)
+
+    // single-part checkpoint at the DV commit, then burn the JSON history
+    DeltaExport.writeCheckpoint(spark, out, version = 1L)
+    val logDir = Paths.get(out, "_delta_log")
+    Seq(0L, 1L).foreach(v => Files.delete(logDir.resolve(f"$v%020d.json")))
+    assert(Files.exists(logDir.resolve("_last_checkpoint")))
+
+    val served = DeltaImport.read(spark, out)
+    assert(served.filter(col("id") % 4 === 1).count() == 0)
+    assert(served.count() == (1L to 40L).count(_ % 4 != 1))
+    // partition column type + values come from the checkpoint's
+    // metaData/partitionValues, not the data files
+    assert(served.schema("year").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(served.select("year").distinct().count() == 3)
+  }
 }

@@ -164,6 +164,32 @@ class PlanBudgetSpec extends SparkSpec {
     "a86_kruskal_wallis" -> Budget(29, 19, 24),
     "ml_tree_stump" -> Budget(10, 12, 18),
     "priv_t_closeness" -> Budget(21, 31, 22),
+    // round 13 (VERDICT r12 item 7): the r12 table-format + ANN gates,
+    // previously unpinned — a regression in the DV anti-join (e.g.
+    // losing the _metadata.row_index pushdown into one shuffle per
+    // file) or a checkpoint reader that re-lists per action now fails
+    // here, not the bench. fuzz_relational is ONE union of 200
+    // sub-queries, so its absolute counts are large by design; the pin
+    // is against them growing further per-shape.
+    "s51_delta_import_dv" -> Budget(2, 2, 22),
+    "s52_iceberg_import_mor" -> Budget(6, 3, 26),
+    "s53_iceberg_import_eqdel" -> Budget(2, 4, 27),
+    "s54_delta_dv_roundtrip" -> Budget(2, 2, 31),
+    "sim_ivf_append" -> Budget(5, 5, 57),
+    // AQE decides broadcast-vs-shuffle per sub-query from runtime sizes,
+    // so at 200 sub-queries the run-to-run jitter is ~±15 exchanges
+    // (measured 127 and 140 broadcasts at the SAME commit) — pinned at
+    // worst-observed + a proportional margin; a per-shape structural
+    // regression (+200) still trips
+    "fuzz_relational" -> Budget(620, 160, 385),
+    // round-13 gates: checkpoint read path, REORG purge (jobs = the
+    // per-DV-file rewrite loop), inheritance fixtures, and rebalance
+    // (jobs = per-split-cell local Lloyd — a maintenance op, priced in)
+    "s55_delta_checkpoint_dv" -> Budget(2, 2, 27),
+    "s56_dv_reorg" -> Budget(2, 0, 37),
+    "s57_iceberg_seq_inherit" -> Budget(6, 3, 27),
+    "s58_iceberg_upsert_seq" -> Budget(2, 4, 44),
+    "sim_ivf_rebalance" -> Budget(5, 5, 112),
   )
 
   // +2 jobs and +2 exchanges of headroom: AQE finalizes plans from
