@@ -153,6 +153,66 @@ object DeltaImport {
     (json ++ cp).distinct.sorted
   }
 
+  /** Time travel BY TIMESTAMP (`timestampAsOf` in stock Delta): resolve
+    * the latest commit whose timestamp is <= `tsMillis`, then delegate
+    * to [[read]]. Per the protocol, each commit's timestamp is its
+    * `commitInfo.timestamp` when present (the in-commit form modern
+    * writers emit), falling back to the log file's modification time;
+    * and because both sources are wall clocks that can run backwards
+    * across writers, stock readers apply the monotonicity adjustment
+    * `ts(v) = max(ts(v), ts(v-1) + 1)` before the comparison — we do
+    * the same, so a clock-skewed middle commit can never shadow its
+    * successor (ref: the reference pipeline's daily reruns rely on
+    * Databricks `timestampAsOf` audits, ironman_dag.py:189-244 retry
+    * semantics).
+    *
+    * A timestamp earlier than the first commit refuses loudly (there is
+    * no table state to serve) — same posture as stock Delta.
+    */
+  def readAsOfTimestamp(spark: SparkSession, tablePath: String,
+                        tsMillis: Long): DataFrame = {
+    val ts = commitTimestamps(spark, tablePath)
+    val eligible = ts.filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"timestamp $tsMillis predates the first commit " +
+        s"(${ts.head._2} at version ${ts.head._1}) — no state to serve")
+    read(spark, tablePath, Some(eligible.maxBy(_._1)._1))
+  }
+
+  /** (version, monotonically-adjusted commit timestamp) for every JSON
+    * commit in the log, ascending by version. Checkpoint-only floors
+    * (vacuumed JSON) carry the checkpoint parquet's mtime.
+    */
+  def commitTimestamps(spark: SparkSession, tablePath: String): Seq[(Long, Long)] = {
+    val log = Paths.get(tablePath, "_delta_log")
+    require(Files.isDirectory(log), s"not a Delta table (no _delta_log): $tablePath")
+    val entries = listFileNames(log)
+    val jsonByV = entries.collect { case n @ JsonCommit(v) => v.toLong -> n }.toMap
+    val raw = versions(tablePath).map { v =>
+      val fromCommitInfo = jsonByV.get(v).flatMap { n =>
+        val p = log.resolve(n)
+        // one tiny file per commit; driver-side line scan, same posture
+        // as the action-frame's metadata walk
+        Files.readAllLines(p).asScala.iterator
+          .filter(_.contains("\"commitInfo\""))
+          .flatMap(CommitInfoTs.findFirstMatchIn(_))
+          .map(_.group(1).toLong).toSeq.headOption
+      }
+      val fname = jsonByV.getOrElse(v,
+        entries.collectFirst {
+          case n @ CheckpointFile(cv, _, _) if cv.toLong == v => n
+        }.getOrElse(throw new IllegalStateException(s"version $v vanished")))
+      v -> fromCommitInfo.getOrElse(
+        Files.getLastModifiedTime(log.resolve(fname)).toMillis)
+    }
+    // stock Delta's monotonicity adjustment for backwards wall clocks
+    raw.scanLeft((-1L, Long.MinValue)) { case ((_, prev), (v, t)) =>
+      (v, math.max(t, if (prev == Long.MinValue) t else prev + 1))
+    }.tail
+  }
+
+  private val CommitInfoTs = """"timestamp"\s*:\s*(\d+)""".r
+
   // ---- internals ------------------------------------------------------
 
   /** Files.list holds an open DirectoryStream — materialize and close,
@@ -192,9 +252,24 @@ object DeltaImport {
       .collect { case CheckpointFile(v, _, _) => v.toLong }
       .filter(_ <= target).sorted.lastOption
     val cpParts: Seq[String] = cpVersion.toSeq.flatMap { v =>
-      entries.collect {
-        case n @ CheckpointFile(cv, _, _) if cv.toLong == v => s"$log/$n"
+      val parts = entries.collect {
+        case n @ CheckpointFile(cv, idx, total) if cv.toLong == v =>
+          (s"$log/$n", Option(total).map(_.toInt))
       }
+      // multi-part completeness: every part file NAMES the total part
+      // count (<v>.checkpoint.<i>.<n>.parquet) — reading a checkpoint
+      // with a part missing would silently drop a slice of the live
+      // add set, the worst possible failure mode. Refuse loudly.
+      parts.map(_._2).distinct match {
+        case Seq(Some(n)) =>
+          require(parts.size == n,
+            s"multi-part checkpoint at version $v is incomplete: " +
+              s"${parts.size} of $n parts present — refusing a partial live set")
+        case Seq(None) => // single-part checkpoint
+        case other => throw new IllegalArgumentException(
+          s"checkpoint at version $v mixes part shapes: $other")
+      }
+      parts.map(_._1)
     }
     val jsonFiles = entries.collect {
       case n @ JsonCommit(v)

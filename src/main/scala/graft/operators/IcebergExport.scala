@@ -336,6 +336,264 @@ object IcebergExport {
       reinsert = Some((dataPath, nData)))
   }
 
+  /** SCHEMA EVOLUTION append (add-column, the v2 spec's safe evolution):
+    * commit a new snapshot whose data file carries the table's columns
+    * PLUS trailing new ones, registering an evolved schema (next
+    * schema-id, new columns assigned fresh field-ids from
+    * `last-column-id` — existing ids never move, the invariant every
+    * Iceberg reader relies on) and pointing `current-schema-id` at it.
+    * Old data files stay untouched; readers null-fill the added columns
+    * for them, and time travel to a pre-evolution snapshot serves the
+    * OLD shape via the snapshot's own `schema-id` (gate
+    * `s61_iceberg_schema_evolution` pins both).
+    *
+    * `rows`' schema must be exactly the current schema followed by ≥1
+    * new column — anything else (rename, drop, type change, reorder)
+    * refuses loudly; those evolutions have different id-mapping rules
+    * this writer does not implement. Unpartitioned tables only.
+    */
+  def appendEvolvedColumns(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, rows: org.apache.spark.sql.DataFrame): Unit = {
+    val out = Paths.get(tablePath).toAbsolutePath.normalize
+    val metaDir = out.resolve("metadata")
+    val hint = Files.readString(metaDir.resolve("version-hint.text")).trim
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val root = mapper.readTree(Files.readString(metaDir.resolve(s"v$hint.metadata.json")))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+
+    val specs = root.get("partition-specs")
+    val defaultSpec = (0 until specs.size).map(specs.get)
+      .find(_.get("spec-id").asInt == root.get("default-spec-id").asInt).get
+    require(defaultSpec.get("fields").size == 0,
+      "appendEvolvedColumns supports unpartitioned tables only")
+
+    val schemas = root.get("schemas")
+    val curSchemaId = root.get("current-schema-id").asInt
+    val cur = (0 until schemas.size).map(schemas.get)
+      .find(_.get("schema-id").asInt == curSchemaId).get
+    val curFields = {
+      val f = cur.get("fields"); (0 until f.size).map(f.get)
+    }
+    val sparkFields = rows.schema.fields
+    require(sparkFields.length > curFields.size,
+      s"rows carry ${sparkFields.length} columns but the table already has " +
+        s"${curFields.size} — nothing to evolve")
+    curFields.zip(sparkFields).foreach { case (cf, sf) =>
+      require(cf.get("name").asText == sf.name &&
+        cf.get("type").asText == icebergType(sf.dataType),
+        s"existing column mismatch: table has ${cf.get("name").asText}:" +
+          s"${cf.get("type").asText}, rows have ${sf.name}:" +
+          s"${icebergType(sf.dataType)} — only trailing ADD-column evolution " +
+          "is supported")
+    }
+    val newCols = sparkFields.drop(curFields.size)
+
+    var lastColId = root.get("last-column-id").asInt
+    val newSchemaId = (0 until schemas.size).map(schemas.get(_).get("schema-id").asInt).max + 1
+    val evolved = mapper.createObjectNode()
+    evolved.put("type", "struct")
+    evolved.put("schema-id", newSchemaId)
+    val fieldsArr = mapper.createArrayNode()
+    curFields.foreach(f => fieldsArr.add(f))
+    newCols.foreach { sf =>
+      lastColId += 1
+      val fn = mapper.createObjectNode()
+      fn.put("id", lastColId)
+      fn.put("name", sf.name)
+      // added columns are never required — old files have no value
+      fn.put("required", false)
+      fn.put("type", icebergType(sf.dataType))
+      fieldsArr.add(fn)
+    }
+    evolved.set("fields", fieldsArr)
+
+    val seq = root.get("last-sequence-number").asLong + 1
+    val snapshotId = 3200000000L + seq
+
+    // data file
+    val tmp = Files.createTempDirectory(out, "evolve-tmp-")
+    rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val written = {
+      val w = Files.list(tmp)
+      try w.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+      finally w.close()
+    }
+    val nRows = spark.read.parquet(tmp.toString).count()
+    require(nRows > 0, "appendEvolvedColumns: empty row set")
+    val dataPath = out.resolve("data").resolve(
+      s"evolve-${UUID.nameUUIDFromBytes(s"evolve-$seq".getBytes)}.parquet")
+    Files.move(written, dataPath)
+    deleteRecursively(tmp)
+
+    // data manifest under the EVOLVED schema
+    val mSchema = entrySchema(rows.schema, Seq.empty)
+    val manifestPath = metaDir.resolve(
+      s"${UUID.nameUUIDFromBytes(s"evolve-m$seq".getBytes)}-m0.avro")
+    writeAvro(manifestPath, mSchema, Map(
+      "schema" -> evolved.toString,
+      "partition-spec" -> "[]",
+      "partition-spec-id" -> "0",
+      "format-version" -> "2",
+      "content" -> "data")) { w =>
+      val entry = new GenericData.Record(mSchema)
+      entry.put("status", 1)
+      entry.put("snapshot_id", snapshotId)
+      entry.put("sequence_number", seq)
+      entry.put("file_sequence_number", seq)
+      val dfSchema = mSchema.getField("data_file").schema()
+      val df = new GenericData.Record(dfSchema)
+      df.put("content", 0)
+      df.put("file_path", dataPath.toString)
+      df.put("file_format", "PARQUET")
+      df.put("partition",
+        new GenericData.Record(dfSchema.getField("partition").schema()))
+      df.put("record_count", nRows)
+      df.put("file_size_in_bytes", Files.size(dataPath))
+      entry.put("data_file", df)
+      w.append(entry)
+    }
+
+    // manifest list: prior snapshot's manifests verbatim + ours
+    val prevSnapId = root.get("current-snapshot-id").asLong
+    val snapsNode = root.get("snapshots")
+    val prevSnap = (0 until snapsNode.size).map(snapsNode.get)
+      .find(_.get("snapshot-id").asLong == prevSnapId).get
+    val listSchema = manifestListSchema()
+    val prevEntries = {
+      val r = new org.apache.avro.file.DataFileReader[GenericRecord](
+        new java.io.File(normalize(prevSnap.get("manifest-list").asText)),
+        new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.toList finally r.close()
+    }
+    val listPath = metaDir.resolve(
+      s"snap-$snapshotId-1-${UUID.nameUUIDFromBytes(s"evolve-s$seq".getBytes)}.avro")
+    writeAvro(listPath, listSchema, Map(
+      "format-version" -> "2",
+      "snapshot-id" -> snapshotId.toString,
+      "parent-snapshot-id" -> prevSnapId.toString,
+      "sequence-number" -> seq.toString)) { w =>
+      prevEntries.foreach { e =>
+        val copy = new GenericData.Record(listSchema)
+        listSchema.getFields.asScala.foreach(f => copy.put(f.name(), e.get(f.name())))
+        w.append(copy)
+      }
+      val mf = new GenericData.Record(listSchema)
+      mf.put("manifest_path", manifestPath.toString)
+      mf.put("manifest_length", Files.size(manifestPath))
+      mf.put("partition_spec_id", 0)
+      mf.put("content", 0)
+      mf.put("sequence_number", seq)
+      mf.put("min_sequence_number", seq)
+      mf.put("added_snapshot_id", snapshotId)
+      mf.put("added_files_count", 1)
+      mf.put("existing_files_count", 0)
+      mf.put("deleted_files_count", 0)
+      mf.put("added_rows_count", nRows)
+      mf.put("existing_rows_count", 0L)
+      mf.put("deleted_rows_count", 0L)
+      w.append(mf)
+    }
+
+    // splice the metadata: evolved schema registered, current pointers
+    // advanced, the new snapshot stamped with ITS schema-id
+    schemas.asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].add(evolved)
+    root.put("current-schema-id", newSchemaId)
+    root.put("last-column-id", lastColId)
+    root.put("last-sequence-number", seq)
+    root.put("current-snapshot-id", snapshotId)
+    val snapNode = mapper.createObjectNode()
+    snapNode.put("snapshot-id", snapshotId)
+    snapNode.put("sequence-number", seq)
+    snapNode.put("timestamp-ms", System.currentTimeMillis())
+    snapNode.set("summary",
+      mapper.createObjectNode().put("operation", "append"))
+    snapNode.put("manifest-list", listPath.toString)
+    snapNode.put("schema-id", newSchemaId)
+    snapsNode.asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].add(snapNode)
+    val newV = hint.toInt + 1
+    Files.writeString(metaDir.resolve(s"v$newV.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    Files.writeString(metaDir.resolve("version-hint.text"), newV.toString)
+  }
+
+  /** EXPIRE SNAPSHOTS — the Iceberg metadata-retention lifecycle (the
+    * twin of Delta's checkpoint+JSON-cleanup, gate `s55`): retain the
+    * `keep` most recent snapshots by sequence number (the current
+    * snapshot always survives), write a v(N+1) metadata.json with the
+    * expired entries pruned, and physically delete everything only
+    * they referenced — their manifest lists, manifests not shared with
+    * a retained snapshot, and data/delete files not referenced by any
+    * retained manifest. Returns the number of snapshots expired.
+    *
+    * Reference semantics: Iceberg's own `expireSnapshots` — time
+    * travel to an expired snapshot must fail loudly afterwards while
+    * the current state reads byte-identically (gate
+    * `s59_iceberg_expire` pins both). Metadata-sized driver work, same
+    * posture as the import's manifest walk.
+    */
+  def expireSnapshots(tablePath: String, keep: Int): Int = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val out = Paths.get(tablePath).toAbsolutePath.normalize
+    val metaDir = out.resolve("metadata")
+    val hint = Files.readString(metaDir.resolve("version-hint.text")).trim
+    val mdText = Files.readString(metaDir.resolve(s"v$hint.metadata.json"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val root = mapper.readTree(mdText)
+    val snaps = root.get("snapshots")
+    require(snaps != null && snaps.isArray, "metadata carries no snapshots array")
+    val all = (0 until snaps.size).map(snaps.get)
+    if (all.size <= keep) return 0
+    val current = root.get("current-snapshot-id").asLong()
+    val bySeq = all.sortBy(-_.get("sequence-number").asLong())
+    val retained = bySeq.take(keep)
+    require(retained.exists(_.get("snapshot-id").asLong() == current),
+      s"expire would drop the CURRENT snapshot $current — keep=$keep is " +
+        "smaller than the current snapshot's recency rank; refusing")
+    val expired = bySeq.drop(keep)
+
+    def manifestsOf(listPath: String): Seq[String] = {
+      val r = new org.apache.avro.file.DataFileReader[GenericRecord](
+        new java.io.File(listPath.replaceFirst("^file:/*", "/")),
+        new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.map(_.get("manifest_path").toString).toList
+      finally r.close()
+    }
+    def filesOf(manifestPath: String): Seq[String] = {
+      val r = new org.apache.avro.file.DataFileReader[GenericRecord](
+        new java.io.File(manifestPath.replaceFirst("^file:/*", "/")),
+        new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.map(e =>
+        e.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString)
+        .toList
+      finally r.close()
+    }
+    val retainedLists = retained.map(_.get("manifest-list").asText())
+    val expiredLists = expired.map(_.get("manifest-list").asText())
+    val retainedManifests = retainedLists.flatMap(manifestsOf).toSet
+    val expiredManifests =
+      expiredLists.flatMap(manifestsOf).toSet -- retainedManifests
+    val retainedFiles = retainedManifests.toSeq.flatMap(filesOf).toSet
+    val expiredFiles =
+      expiredManifests.toSeq.flatMap(filesOf).toSet -- retainedFiles
+
+    // prune the metadata FIRST (the only pointer readers follow), then
+    // delete orphans — a crash mid-cleanup leaves unreferenced files,
+    // never a referenced-but-deleted one
+    val pruned = mapper.createArrayNode()
+    retained.sortBy(_.get("sequence-number").asLong())
+      .foreach(s => pruned.add(s))
+    root.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .set("snapshots", pruned)
+    val newV = hint.toInt + 1
+    Files.writeString(metaDir.resolve(s"v$newV.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    Files.writeString(metaDir.resolve("version-hint.text"), newV.toString)
+    (expiredLists ++ expiredManifests ++ expiredFiles).foreach { p =>
+      Files.deleteIfExists(Paths.get(p.replaceFirst("^file:/*", "/")))
+    }
+    expired.size
+  }
+
   /** Shared tail of the delete writers: content-1 delete manifest for
     * `delPath`, a new manifest list carrying the prior snapshot's
     * manifests verbatim (original sequence numbers), and the spliced

@@ -51,7 +51,16 @@ object IcebergImport {
           throw new IllegalArgumentException(s"current snapshot $cur missing"))
     }
 
-    val schema = schemaOf(md)
+    // schema evolution: each snapshot names the schema it was written
+    // under (`schema-id`) — time travel must serve THAT shape, not the
+    // current one, or a pre-evolution read would grow phantom null
+    // columns (spec §snapshots; gate s61 pins it)
+    val snapSchemaId: Long =
+      if (snap.schema.fieldNames.contains("schema-id") &&
+        !snap.isNullAt(snap.fieldIndex("schema-id")))
+        snap.getAs[Long]("schema-id")
+      else md.getAs[Long]("current-schema-id")
+    val schema = schemaOf(md, snapSchemaId)
     val partCols = partitionColsOf(md)
     val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
 
@@ -177,11 +186,11 @@ object IcebergImport {
       .map(f => f.getAs[Long]("id").toInt -> f.getAs[String]("name")).toMap
   }
 
-  private def schemaOf(md: Row): StructType = {
-    val currentId = md.getAs[Long]("current-schema-id")
+  private def schemaOf(md: Row, schemaId: Long): StructType = {
     val schemas = md.getAs[scala.collection.Seq[Row]]("schemas")
-    val s = schemas.find(_.getAs[Long]("schema-id") == currentId)
-      .getOrElse(throw new IllegalArgumentException("current schema not found"))
+    val s = schemas.find(_.getAs[Long]("schema-id") == schemaId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"schema $schemaId not found in metadata"))
     StructType(s.getAs[scala.collection.Seq[Row]]("fields").map { f =>
       StructField(f.getAs[String]("name"), icebergToSpark(f.getAs[String]("type")),
         nullable = !f.getAs[Boolean]("required"))

@@ -36,8 +36,10 @@ object Round12Fuzz {
     * null-bearing keys, IN/NOT IN subqueries (three-valued logic), and
     * exact DECIMAL arithmetic with explicit result casts.
     */
-  val NShapes = 200
+  val NShapes = 260
   val LegacyShapes = 120
+  /** End of the round-13 batch-1 families (walk-stable boundary). */
+  val R13Shapes = 200
 
   /** splitmix64 — fixed, engine-independent walk. */
   private final class Rng(seed: Long) {
@@ -282,10 +284,18 @@ object Round12Fuzz {
           else s"SELECT b.$rk FROM {$jtn} b WHERE $bPred"
         val op = if (r.chance(50)) "NOT IN" else "IN"
         val where = whereOf(aI, aS, 2)
+        // fixed selectivity guard on the outer side: a NULL-bearing
+        // NOT IN compiles to a null-aware anti join, which degrades to
+        // O(outer x subquery) in the worst engine plan — 20 unguarded
+        // shapes cost as much as the 120 legacy ones (measured 14.8 s
+        // vs 15.4 s cold at sf0.1). The 3VL semantics under test are
+        // row-count-independent, so 1/7th of the fact side buys the
+        // same oracle surface at testbed cost.
+        val guard = s"${big(s"a.$l")} % 7 = 0"
         val cols = (1 to 1 + r.nextInt(2)).map(k => s"${intExprOf(aI, aS)} AS v$k")
         Shape(t.name, Some(jtn),
           s"SELECT ${cols.mkString(", ")} FROM {${t.name}} a " +
-            s"WHERE $where AND a.$l $op ($sub)",
+            s"WHERE ($where) AND $guard AND a.$l $op ($sub)",
           vAliases(cols.size))
       case 3 =>
         // DECIMAL arithmetic, exact by construction: narrow operand
@@ -327,11 +337,96 @@ object Round12Fuzz {
     }
   }
 
+  /** Round-13 batch-2 families (shapes 201..260): correlated
+    * EXISTS / NOT EXISTS (the semi/anti-join surface the IN-subquery
+    * family doesn't reach — correlation is resolved per-row, and a
+    * NULL correlation key makes EXISTS false where `= ANY` would make
+    * it UNKNOWN), and GROUPING SETS / ROLLUP / CUBE (multi-grouping
+    * expansion: subtotal rows carry NULL group keys both engines must
+    * emit identically, including the empty grouping set's one global
+    * row over EMPTY filtered input). Separate generator so the earlier
+    * walks stay byte-stable.
+    */
+  private def genShape13b(r: Rng): Shape = {
+    def big(c: String) = s"CAST($c AS BIGINT)"
+    def intExprOf(ints: Seq[String], strs: Seq[String]): String = r.nextInt(5) match {
+      case 0 => r.pick(ints)
+      case 1 => s"(${big(r.pick(ints))} % ${2 + r.nextInt(97)})"
+      case 2 => s"(${big(r.pick(ints))} + ${big(r.pick(ints))})"
+      case 3 =>
+        s"(CASE WHEN ${big(r.pick(ints))} % ${2 + r.nextInt(7)} = ${r.nextInt(2)} " +
+          s"THEN ${big(r.pick(ints))} ELSE ${big(r.pick(ints))} END)"
+      case 4 => s"LENGTH(${r.pick(strs)})"
+    }
+    def predOf(ints: Seq[String], strs: Seq[String]): String = r.nextInt(5) match {
+      case 0 =>
+        s"${r.pick(ints)} ${r.pick(Seq("<", "<=", ">", ">=", "=", "<>"))} ${r.nextInt(5000)}"
+      case 1 => s"${big(r.pick(ints))} % ${2 + r.nextInt(13)} = ${r.nextInt(5)}"
+      case 2 =>
+        s"${r.pick(ints)} IN (${Seq.fill(3)(r.nextInt(3000)).mkString(", ")})"
+      case 3 => s"${r.pick(strs)} LIKE '${('A' + r.nextInt(26)).toChar}%'"
+      case 4 =>
+        s"${r.pick(strs)} ${if (r.chance(50)) ">=" else "<"} '${('A' + r.nextInt(26)).toChar}'"
+    }
+    def whereOf(ints: Seq[String], strs: Seq[String], maxPreds: Int): String =
+      (1 to 1 + r.nextInt(maxPreds)).map(_ => predOf(ints, strs))
+        .mkString(if (r.chance(60)) " AND " else " OR ")
+    val fkTbls = tbls.filter(t => fks.contains(t.name))
+    def vAliases(n: Int): Seq[String] = (1 to n).map(k => s"v$k")
+    r.nextInt(2) match {
+      case 0 =>
+        // correlated EXISTS / NOT EXISTS — plans as a hash semi/anti
+        // join on the correlation key, so no selectivity guard needed
+        val t = r.pick(fkTbls)
+        val (l, jtn, rk) = r.pick(fks(t.name))
+        val jt = tbl(jtn)
+        val aI = t.ints.map("a." + _); val aS = t.strs.map("a." + _)
+        val bI = jt.ints.map("b." + _); val bS = jt.strs.map("b." + _)
+        val op = if (r.chance(50)) "EXISTS" else "NOT EXISTS"
+        val where = whereOf(aI, aS, 2)
+        val bPred = predOf(bI, bS)
+        val cols = (1 to 1 + r.nextInt(2)).map(k => s"${intExprOf(aI, aS)} AS v$k")
+        Shape(t.name, Some(jtn),
+          s"SELECT ${cols.mkString(", ")} FROM {${t.name}} a " +
+            s"WHERE ($where) AND $op " +
+            s"(SELECT 1 FROM {$jtn} b WHERE b.$rk = a.$l AND $bPred)",
+          vAliases(cols.size))
+      case 1 =>
+        // GROUPING SETS / ROLLUP / CUBE over (string key, modulo key):
+        // the grouping expressions repeat VERBATIM in the select list —
+        // both engines match them syntactically
+        val t = r.pick(tbls)
+        val ints = t.ints.map("a." + _); val strs = t.strs.map("a." + _)
+        val g1 = r.pick(strs)
+        val g2 = s"(${big(r.pick(ints))} % ${2 + r.nextInt(11)})"
+        // the EMPTY grouping set stays OUT of the random grammar: over
+        // empty filtered input DuckDB (standard, like Postgres) emits
+        // its one global row while Spark's Expand-based rewrite emits
+        // zero rows — a documented engine divergence this generator's
+        // random predicates would trip on ~half the shapes. Every
+        // non-empty grouping set agrees on empty input, and the ()
+        // subtotal itself is pinned by the fixed a12_rollup gate on
+        // guaranteed non-empty input.
+        val grouping = r.nextInt(3) match {
+          case 0 => s"GROUPING SETS (($g1, $g2), ($g1))"        // partial rollup
+          case 1 => s"GROUPING SETS (($g1, $g2), ($g1), ($g2))" // partial cube
+          case 2 => s"GROUPING SETS (($g1), ($g2))"
+        }
+        val where = whereOf(ints, strs, 2)
+        Shape(t.name, None,
+          s"SELECT $g1 AS g1, $g2 AS g2, COUNT(*) AS v1, " +
+            s"SUM(${big(intExprOf(ints, strs))}) AS v2 " +
+            s"FROM {${t.name}} a WHERE $where GROUP BY $grouping",
+          Seq("g1", "g2", "v1", "v2"))
+    }
+  }
+
   private val shapes: Seq[Shape] = {
     val r = new Rng(Seed)
     val legacy = (1 to LegacyShapes).map(_ => genShape(r))
-    val extra = ((LegacyShapes + 1) to NShapes).map(_ => genShape13(r))
-    legacy ++ extra
+    val extra = ((LegacyShapes + 1) to R13Shapes).map(_ => genShape13(r))
+    val extra13b = ((R13Shapes + 1) to NShapes).map(_ => genShape13b(r))
+    legacy ++ extra ++ extra13b
   }
 
   /** Test hook: the abstract (pre-dialect) SQL of every shape, in shape

@@ -266,7 +266,163 @@ object Round13Ops1 {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Iceberg EXPIRE SNAPSHOTS — the metadata-retention twin of s55's
+    * Delta checkpoint cleanup: three table generations export as three
+    * snapshots, `expireSnapshots(keep = 1)` prunes the two old ones
+    * from metadata and physically deletes their manifest lists,
+    * unshared manifests, and unreferenced data files. Pinned: the
+    * CURRENT state reads identically (the oracle), exactly 2 snapshots
+    * expired, time travel to an expired snapshot refuses loudly, and
+    * the expired snapshots' data bytes are really gone from disk
+    * (hardlink-backed, so the space claim is real).
+    */
+  val s59_iceberg_expire: OpQuery = OpQuery(
+    "s59_iceberg_expire",
+    """SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+      |FROM documents
+      |WHERE NOT (doc_id % 5 = 0)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import graft.operators.{IcebergExport, IcebergImport}
+    val scratch = GateScratch.dir("graft-iceberg-expire-")
+    val store = new TableStore(spark, scratch.resolve("store").toString)
+    val docs = t(spark, dir, "documents").select(docCols.map(col): _*)
+    store.overwrite("exp", docs)
+    store.overwrite("exp", docs.filter(col("doc_id") % 3 =!= 0))
+    store.overwrite("exp", docs.filter(col("doc_id") % 5 =!= 0))
+    val exported = IcebergExport.exportTable(
+      store, "exp", scratch.resolve("ice").toString)
+    val snapsBefore = IcebergImport.snapshots(spark, exported.toString)
+    require(snapsBefore.size == 3,
+      s"s59: expected 3 exported snapshots, got ${snapsBefore.size}")
+    val oldest = snapsBefore.minBy(_._2)._1
+    def dataBytes(): Long = {
+      val s = java.nio.file.Files.walk(exported)
+      try {
+        import scala.collection.JavaConverters._
+        s.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.toString.endsWith(".parquet"))
+          .map(java.nio.file.Files.size(_)).sum
+      } finally s.close()
+    }
+    val bytesBefore = dataBytes()
+    val expired = IcebergExport.expireSnapshots(exported.toString, keep = 1)
+    require(expired == 2, s"s59: expired $expired snapshots, expected 2")
+    require(IcebergImport.snapshots(spark, exported.toString).size == 1,
+      "s59: metadata still lists expired snapshots")
+    require(dataBytes() < bytesBefore,
+      "s59: expiry deleted no data bytes — orphan cleanup is a no-op")
+    val refused = try {
+      IcebergImport.read(spark, exported.toString, Some(oldest)).count(); false
+    } catch { case _: IllegalArgumentException => true }
+    require(refused, "s59: time travel to an expired snapshot still served rows")
+    docSelect(IcebergImport.read(spark, exported.toString))
+  }
+
+  /** Delta time travel BY TIMESTAMP (`timestampAsOf`): three table
+    * generations export as three commits whose `commitInfo.timestamp`s
+    * the gate pins to a deliberately NON-monotonic wall clock (1000,
+    * 3000, 2000 — a skewed second writer). The reader must apply stock
+    * Delta's monotonicity adjustment (`ts(v)=max(ts(v),ts(v-1)+1)` →
+    * 1000, 3000, 3001) before resolving: a reader comparing raw clocks
+    * would serve the LATEST version for asOf(2500) (version 2's raw
+    * 2000 <= 2500) instead of version 0, silently showing a future
+    * state. Pinned: asOf(2500)→v0, asOf(3000)→v1 (the oracle),
+    * asOf(now)→v2, and a timestamp before the first commit refuses
+    * loudly.
+    */
+  val s60_delta_timestamp_as_of: OpQuery = OpQuery(
+    "s60_delta_timestamp_as_of",
+    """SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+      |FROM documents
+      |WHERE NOT (doc_id % 3 = 0)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import graft.operators.{DeltaExport, DeltaImport}
+    import java.nio.file.{Files, Paths}
+    val scratch = GateScratch.dir("graft-delta-tts-")
+    val store = new TableStore(spark, scratch.resolve("store").toString)
+    val docs = t(spark, dir, "documents").select(docCols.map(col): _*)
+    store.overwrite("tt", docs)
+    store.overwrite("tt", docs.filter(col("doc_id") % 3 =!= 0))
+    store.overwrite("tt", docs.filter(col("doc_id") % 5 =!= 0))
+    val exp = DeltaExport.exportTable(
+      store, "tt", scratch.resolve("delta").toString).toString
+    // pin each commit's in-commit timestamp; version 2's clock runs
+    // BEHIND version 1's (skewed writer) to exercise the adjustment
+    val logDir = Paths.get(exp, "_delta_log")
+    Seq(0L -> 1000L, 1L -> 3000L, 2L -> 2000L).foreach { case (v, ts) =>
+      val p = logDir.resolve(f"$v%020d.json")
+      val patched = Files.readString(p).replaceFirst(
+        """("commitInfo":\{"timestamp":)\d+""", "$1" + ts)
+      Files.writeString(p, patched)
+    }
+    val adjusted = DeltaImport.commitTimestamps(spark, exp)
+    require(adjusted.map(_._2) == Seq(1000L, 3000L, 3001L),
+      s"s60: monotonicity adjustment wrong: $adjusted")
+    val full = docs.count()
+    require(DeltaImport.readAsOfTimestamp(spark, exp, 2500L).count() == full,
+      "s60: asOf(2500) must serve version 0 — raw-clock resolution leaked a future state")
+    require(DeltaImport.readAsOfTimestamp(spark, exp, 3001L).count() ==
+      docs.filter(col("doc_id") % 5 =!= 0).count(),
+      "s60: asOf(3001) must serve the current version")
+    val refused = try {
+      DeltaImport.readAsOfTimestamp(spark, exp, 999L); false
+    } catch { case _: IllegalArgumentException => true }
+    require(refused, "s60: a timestamp before the first commit must refuse")
+    docSelect(DeltaImport.readAsOfTimestamp(spark, exp, 3000L))
+  }
+
+  /** Iceberg ADD-COLUMN schema evolution:
+    * [[graft.operators.IcebergExport.appendEvolvedColumns]] commits a
+    * snapshot whose data file carries a NEW trailing column under an
+    * evolved schema (next schema-id, fresh field-id — existing ids
+    * never move), and the reader must (a) null-fill the added column
+    * for pre-evolution data files and (b) serve the OLD shape when
+    * time-traveling to a pre-evolution snapshot (each snapshot names
+    * its own schema-id). A reader pinned to the current schema would
+    * grow a phantom column in the old snapshot; one resolving
+    * positionally instead of by schema would misalign the evolved
+    * file's columns and hash-fail.
+    */
+  val s61_iceberg_schema_evolution: OpQuery = OpQuery(
+    "s61_iceberg_schema_evolution",
+    """SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+      |       CAST(NULL AS BIGINT) AS extra_tokens
+      |FROM documents
+      |UNION ALL
+      |SELECT doc_id + 10000000, lang, source, CAST(n_chars AS BIGINT),
+      |       CAST(n_chars * 2 AS BIGINT)
+      |FROM documents WHERE doc_id % 9 = 0
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import graft.operators.{IcebergExport, IcebergImport}
+    val scratch = GateScratch.dir("graft-iceberg-evolve-")
+    val store = new TableStore(spark, scratch.resolve("store").toString)
+    val docs = t(spark, dir, "documents").select(docCols.map(col): _*)
+    store.overwrite("ev", docs)
+    val exp = IcebergExport.exportTable(
+      store, "ev", scratch.resolve("ice").toString).toString
+    val preSnap = IcebergImport.snapshots(spark, exp).maxBy(_._2)._1
+    val evolvedRows = docs.filter(col("doc_id") % 9 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000000)
+      .withColumn("extra_tokens", (col("n_chars") * 2).cast("bigint"))
+    IcebergExport.appendEvolvedColumns(spark, exp, evolvedRows)
+    // time travel to the pre-evolution snapshot serves the OLD shape
+    val old = IcebergImport.read(spark, exp, Some(preSnap))
+    require(!old.columns.contains("extra_tokens"),
+      "s61: pre-evolution snapshot grew a phantom evolved column")
+    require(old.count() == docs.count(),
+      "s61: pre-evolution snapshot row count changed")
+    val now = IcebergImport.read(spark, exp)
+    require(now.columns.last == "extra_tokens",
+      s"s61: evolved column missing from current read: ${now.columns.mkString(",")}")
+    now.select(col("doc_id"), col("lang"), col("source"),
+      col("n_chars").cast("bigint").as("n_chars"),
+      col("extra_tokens").cast("bigint").as("extra_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[OpQuery] = Seq(
     s55_delta_checkpoint_dv, s56_dv_reorg, s57_iceberg_seq_inherit,
-    s58_iceberg_upsert_seq, sim_ivf_rebalance)
+    s58_iceberg_upsert_seq, s59_iceberg_expire, s60_delta_timestamp_as_of,
+    s61_iceberg_schema_evolution, sim_ivf_rebalance)
 }

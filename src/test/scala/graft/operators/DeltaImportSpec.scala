@@ -262,4 +262,24 @@ class DeltaImportSpec extends SparkSpec {
       org.apache.spark.sql.types.IntegerType)
     assert(served.select("year").distinct().count() == 3)
   }
+
+  test("a multi-part checkpoint with a missing part refuses loudly") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-cpp-").toString)
+    store.overwrite("t", (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val out = DeltaExport.exportTable(store, "t",
+      Files.createTempDirectory("graft-cppo-").toString).toString
+    DeltaExport.writeCheckpoint(spark, out, version = 0L, parts = 2)
+    val logDir = Paths.get(out, "_delta_log")
+    Files.delete(logDir.resolve(f"${0L}%020d.json"))
+    // intact: reads fine through both parts
+    assert(DeltaImport.read(spark, out).count() == 20)
+    // drop part 2 of 2 → a silent read would serve roughly half the
+    // adds; the reader must refuse instead
+    Files.delete(logDir.resolve(
+      f"${0L}%020d.checkpoint.${2}%010d.${2}%010d.parquet"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaImport.read(spark, out).count()
+    }
+    assert(e.getMessage.contains("incomplete"))
+  }
 }

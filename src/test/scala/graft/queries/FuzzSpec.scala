@@ -51,7 +51,8 @@ class FuzzSpec extends AnyFunSuite {
   }
 
   test("the round-13 families are all present at their generated counts") {
-    val extra = Round12Fuzz.innerShapes.drop(Round12Fuzz.LegacyShapes)
+    val extra = Round12Fuzz.innerShapes
+      .slice(Round12Fuzz.LegacyShapes, Round12Fuzz.R13Shapes)
     assert(extra.size === 80)
     assert(extra.count(_.contains("LEFT JOIN")) === 23)
     assert(extra.count(_.contains("FULL JOIN")) === 19)
@@ -62,6 +63,25 @@ class FuzzSpec extends AnyFunSuite {
     assert(extra.count(_.contains("DECIMAL(38,6)")) === 18)
     // division is OFF the decimal surface: result-scale rules differ
     // between the engines, so only exact *, +, - are generated
+    assert(!extra.exists(_.contains(" / ")))
+  }
+
+  test("the round-13b families (EXISTS, multi-grouping) are present at their counts") {
+    val extra = Round12Fuzz.innerShapes.drop(Round12Fuzz.R13Shapes)
+    assert(extra.size === 60)
+    val exists = extra.count(_.contains("EXISTS (SELECT 1"))
+    val grouping = extra.count(_.contains("GROUPING SETS"))
+    assert(exists + grouping === 60, "every 13b shape is one of the two families")
+    assert(exists === 28)
+    assert(extra.count(_.contains("NOT EXISTS")) === 11)
+    // the EMPTY grouping set is a documented Spark-vs-standard
+    // divergence on empty input — it must never enter the grammar
+    assert(!extra.exists(_.contains("()")), "empty grouping set leaked into a shape")
+    // correlation is always an equi-key — the semi/anti join must plan
+    // as a hash join, never a nested-loop over the fact side
+    assert(extra.filter(_.contains("EXISTS (SELECT 1"))
+      .forall(_.matches("""(?s).*WHERE b\.\w+ = a\.\w+ AND.*""")))
+    // division stays off the surface here too
     assert(!extra.exists(_.contains(" / ")))
   }
 }

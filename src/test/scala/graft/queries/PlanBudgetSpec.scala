@@ -181,7 +181,10 @@ class PlanBudgetSpec extends SparkSpec {
     // (measured 127 and 140 broadcasts at the SAME commit) — pinned at
     // worst-observed + a proportional margin; a per-shape structural
     // regression (+200) still trips
-    "fuzz_relational" -> Budget(620, 160, 385),
+    // re-pinned r13: 200→260 shapes (EXISTS + multi-grouping families);
+    // measured 783/204/495 — the margin below follows the same ±15-ish
+    // AQE jitter rule scaled to 260 sub-queries
+    "fuzz_relational" -> Budget(810, 230, 510),
     // round-13 gates: checkpoint read path, REORG purge (jobs = the
     // per-DV-file rewrite loop), inheritance fixtures, and rebalance
     // (jobs = per-split-cell local Lloyd — a maintenance op, priced in)
@@ -189,6 +192,11 @@ class PlanBudgetSpec extends SparkSpec {
     "s56_dv_reorg" -> Budget(2, 0, 37),
     "s57_iceberg_seq_inherit" -> Budget(6, 3, 27),
     "s58_iceberg_upsert_seq" -> Budget(2, 4, 44),
+    "s59_iceberg_expire" -> Budget(2, 0, 25),
+    // s60 jobs = the three-generation export + four as-of probes (each
+    // resolves + reads); a per-commit re-list regression would jump it
+    "s60_delta_timestamp_as_of" -> Budget(2, 0, 45),
+    "s61_iceberg_schema_evolution" -> Budget(2, 0, 23),
     "sim_ivf_rebalance" -> Budget(5, 5, 112),
   )
 
