@@ -233,6 +233,32 @@ object DeletionVectors {
     * wrong query results, so every invariant the descriptor states is
     * checked.
     */
+  /** On-disk file a DV descriptor points at: absolute ("p") or derived
+    * from the z85 UUID with optional random-prefix directory ("u", the
+    * protocol's derived-path rule); None for inline ("i") blobs. Shared
+    * by [[load]] and the VACUUM keep-set (a live DV's file must never
+    * be collected).
+    */
+  def resolveFile(tablePath: String, storageType: String,
+      pathOrInlineDv: String): Option[Path] = storageType match {
+    case "i" => None
+    case "p" => Some(Paths.get(pathOrInlineDv))
+    case "u" =>
+      // last 20 chars: z85 UUID; anything before: optional random
+      // prefix directory
+      require(pathOrInlineDv.length >= 20,
+        s"malformed 'u' pathOrInlineDv: $pathOrInlineDv")
+      val (prefix, enc) = pathOrInlineDv.splitAt(pathOrInlineDv.length - 20)
+      val idBytes = z85Decode(enc)
+      val bb = ByteBuffer.wrap(idBytes)
+      val uuid = new UUID(bb.getLong, bb.getLong)
+      val name = s"deletion_vector_$uuid.bin"
+      Some(if (prefix.isEmpty) Paths.get(tablePath, name)
+      else Paths.get(tablePath, prefix, name))
+    case other =>
+      throw new IllegalArgumentException(s"unknown DV storageType '$other'")
+  }
+
   def load(tablePath: String, storageType: String, pathOrInlineDv: String,
       offset: Option[Int], sizeInBytes: Int, cardinality: Long): Array[Long] = {
     val data: Array[Byte] = storageType match {
@@ -244,21 +270,7 @@ object DeletionVectors {
           s"inline DV length ${decoded.length} vs descriptor $sizeInBytes")
         decoded.take(sizeInBytes)
       case "u" | "p" =>
-        val file = storageType match {
-          case "p" => Paths.get(pathOrInlineDv)
-          case _ =>
-            // last 20 chars: z85 UUID; anything before: optional random
-            // prefix directory (the protocol's derived-path rule)
-            require(pathOrInlineDv.length >= 20,
-              s"malformed 'u' pathOrInlineDv: $pathOrInlineDv")
-            val (prefix, enc) = pathOrInlineDv.splitAt(pathOrInlineDv.length - 20)
-            val idBytes = z85Decode(enc)
-            val bb = ByteBuffer.wrap(idBytes)
-            val uuid = new UUID(bb.getLong, bb.getLong)
-            val name = s"deletion_vector_$uuid.bin"
-            if (prefix.isEmpty) Paths.get(tablePath, name)
-            else Paths.get(tablePath, prefix, name)
-        }
+        val file = resolveFile(tablePath, storageType, pathOrInlineDv).get
         val all = Files.readAllBytes(file)
         val off = offset.getOrElse(1)
         val buf = ByteBuffer.wrap(all) // framing ints are big-endian

@@ -70,6 +70,20 @@ object IcebergImport {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], StructType(schema.fields))
 
+    // derived-transform partitions (bucket/truncate/date): the source
+    // columns must actually be IN the data files — the explicit-schema
+    // scan below would null-fill a missing one silently, the worst
+    // failure mode. One footer probe, metadata-sized.
+    val derived = nonIdentitySources(md)
+    if (derived.nonEmpty) {
+      val probe = spark.read.parquet(files.head._1).schema.fieldNames.toSet
+      derived.foreach { case (t, src) =>
+        require(probe.contains(src),
+          s"partition transform $t: source column '$src' absent from data " +
+            s"file ${files.head._1} — cannot reconstruct a derived partition value")
+      }
+    }
+
     val scan = spark.read.schema(dataSchema).parquet(files.map(_._1): _*)
     val pathExpr = regexp_replace(url_decode(input_file_name()), "^file:/*", "/")
     val anyDeletes = mfs.posDeletes.nonEmpty || mfs.eqDeletes.nonEmpty
@@ -215,18 +229,49 @@ object IcebergImport {
       s"unsupported Iceberg type: $other")
   }
 
+  /** Identity-transform partition columns — the only ones whose values
+    * must be REATTACHED from the partition record (data files
+    * legitimately omit them). Non-identity transforms (bucket[N],
+    * truncate[W], year/month/day/hour, void) are DERIVED values: the
+    * source column is stored in the data file itself, so the reader
+    * scans it directly and ignores the derived partition value —
+    * [[nonIdentitySources]] names the source columns so [[read]] can
+    * verify they really are in the files (a file missing its source
+    * column would otherwise null-fill silently).
+    */
   private def partitionColsOf(md: Row): Seq[String] = {
+    val fields = defaultSpecFields(md)
+    fields.filter(_.getAs[String]("transform") == "identity")
+      .map(_.getAs[String]("name"))
+  }
+
+  private val KnownDerived =
+    """(bucket\[\d+\]|truncate\[\d+\]|year|month|day|hour|void)""".r
+
+  /** (transform, source column name) for every non-identity partition
+    * field of the default spec; unknown transforms refuse loudly.
+    */
+  private def nonIdentitySources(md: Row): Seq[(String, String)] = {
+    lazy val idToName = fieldIdToName(md)
+    defaultSpecFields(md)
+      .filter(_.getAs[String]("transform") != "identity")
+      .map { f =>
+        val t = f.getAs[String]("transform")
+        require(KnownDerived.pattern.matcher(t).matches(),
+          s"unknown partition transform '$t' — refusing to guess its semantics")
+        val sid = f.getAs[Long]("source-id").toInt
+        t -> idToName.getOrElse(sid, throw new IllegalArgumentException(
+          s"partition transform $t references unknown source field id $sid"))
+      }
+  }
+
+  private def defaultSpecFields(md: Row): Seq[Row] = {
     val specId = md.getAs[Long]("default-spec-id")
     val specs = md.getAs[scala.collection.Seq[Row]]("partition-specs")
     val spec = specs.find(_.getAs[Long]("spec-id") == specId)
       .getOrElse(throw new IllegalArgumentException("default partition spec not found"))
     val fields = spec.getAs[scala.collection.Seq[Row]]("fields")
-    if (fields == null) Seq.empty
-    else fields.map { f =>
-      require(f.getAs[String]("transform") == "identity",
-        s"only identity partition transforms supported, got ${f.getAs[String]("transform")}")
-      f.getAs[String]("name")
-    }.toSeq
+    if (fields == null) Seq.empty else fields.toSeq
   }
 
   private final case class ManifestFiles(

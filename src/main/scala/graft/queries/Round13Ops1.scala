@@ -421,8 +421,121 @@ object Round13Ops1 {
       .orderBy(col("doc_id"))
   }
 
+  /** Delta VACUUM — the data-file-retention lifecycle (s59's Iceberg
+    * expire, Delta side): after three overwrite generations and a DV
+    * DELETE, [[graft.operators.DeltaVacuum.vacuum]] at retention-0
+    * deletes exactly the tombstoned old-generation files while keeping
+    * every live add AND the live deletion-vector file. Pinned: a
+    * within-retention vacuum deletes NOTHING (the tombstone clock is
+    * honored), the logical table reads identically after the purge
+    * (the oracle), the DV file survives, a second vacuum finds nothing,
+    * and time travel to a vacuumed version fails instead of serving a
+    * partial table.
+    */
+  val s62_delta_vacuum: OpQuery = OpQuery(
+    "s62_delta_vacuum",
+    """SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+      |FROM documents
+      |WHERE NOT (doc_id % 5 = 0) AND NOT (doc_id % 7 = 3)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import graft.operators.{DeltaExport, DeltaImport, DeltaVacuum}
+    import java.nio.file.{Files, Paths}
+    val scratch = GateScratch.dir("graft-delta-vacuum-")
+    val store = new TableStore(spark, scratch.resolve("store").toString)
+    val docs = t(spark, dir, "documents").select(docCols.map(col): _*)
+    store.overwrite("vc", docs)
+    store.overwrite("vc", docs.filter(col("doc_id") % 3 =!= 0))
+    store.overwrite("vc", docs.filter(col("doc_id") % 5 =!= 0))
+    val currentGen = f"gen-v${store.currentVersion("vc")}%05d"
+    val exp = DeltaExport.exportTable(
+      store, "vc", scratch.resolve("delta").toString).toString
+    // DV DELETE on the CURRENT generation only (old gens aren't live)
+    val targets = dvTargets(spark, exp, col("doc_id") % 7 === 3)
+      .filter(_._1.startsWith(currentGen))
+    require(targets.nonEmpty, "s62: no DV targets in the current generation")
+    DeltaExport.appendDeletionVectors(exp, targets)
+    def files(prefix: String): Seq[java.nio.file.Path] = {
+      val w = Files.walk(Paths.get(exp))
+      try {
+        import scala.collection.JavaConverters._
+        w.iterator().asScala.filter(p => Files.isRegularFile(p) &&
+          Paths.get(exp).relativize(p).toString.startsWith(prefix)).toList
+      } finally w.close()
+    }
+    val oldGenFiles = files("gen-").filterNot(p =>
+      Paths.get(exp).relativize(p).toString.startsWith(currentGen))
+    require(oldGenFiles.nonEmpty, "s62: no old-generation files to vacuum")
+    val now = System.currentTimeMillis()
+    // within the retention window the tombstones are too fresh to collect
+    require(DeltaVacuum.vacuum(exp, 7L * 24 * 3600 * 1000, now) == 0,
+      "s62: a within-retention vacuum deleted files")
+    val n = DeltaVacuum.vacuum(exp, 0L, now + 60000)
+    require(n == oldGenFiles.size,
+      s"s62: vacuumed $n files, expected the ${oldGenFiles.size} old-gen ones")
+    require(DeltaVacuum.vacuum(exp, 0L, now + 60000) == 0,
+      "s62: a second vacuum still found files")
+    require(files("deletion_vector_").nonEmpty,
+      "s62: the LIVE deletion-vector file was collected")
+    val timeTravelFails = try {
+      DeltaImport.read(spark, exp, Some(0L)).count(); false
+    } catch { case _: Throwable => true }
+    require(timeTravelFails,
+      "s62: time travel to a vacuumed version served rows from deleted files")
+    docSelect(DeltaImport.read(spark, exp))
+  }
+
+  /** Iceberg DERIVED partition transforms (bucket / truncate): a table
+    * whose default spec buckets `doc_id` and truncates `lang` must read
+    * correctly — the derived partition values are IGNORED (the source
+    * columns live in the data files; only identity transforms need
+    * reattachment) after a footer probe proves the source columns are
+    * really there. An unknown transform still refuses loudly. The
+    * fixture patches an exported table's spec — the manifest shape real
+    * writers produce after a spec evolution on existing manifests.
+    */
+  val s63_iceberg_bucket_transform: OpQuery = OpQuery(
+    "s63_iceberg_bucket_transform",
+    """SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import graft.operators.{IcebergExport, IcebergImport}
+    import java.nio.file.{Files, Paths}
+    val scratch = GateScratch.dir("graft-iceberg-bucket-")
+    val store = new TableStore(spark, scratch.resolve("store").toString)
+    val docs = t(spark, dir, "documents").select(docCols.map(col): _*)
+    store.overwrite("bk", docs)
+    val exp = IcebergExport.exportTable(
+      store, "bk", scratch.resolve("ice").toString).toString
+    val mdFile = Paths.get(exp, "metadata", "v1.metadata.json")
+    val plainSpec = """"partition-specs": [{"spec-id": 0, "fields": []}]"""
+    val md = Files.readString(mdFile)
+    require(md.contains(plainSpec), "s63: unexpected exported spec layout")
+    // field ids are position+1 in the exported schema: doc_id=1, lang=2
+    def withSpec(fields: String): Unit = Files.writeString(mdFile,
+      md.replace(plainSpec,
+        s""""partition-specs": [{"spec-id": 0, "fields": [$fields]}]"""))
+    withSpec(
+      """{"name": "doc_id_bucket", "transform": "bucket[4]", "source-id": 1, "field-id": 1000},
+        | {"name": "lang_trunc", "transform": "truncate[2]", "source-id": 2, "field-id": 1001}"""
+        .stripMargin.replace("\n", ""))
+    val read = IcebergImport.read(spark, exp)
+    require(read.count() == docs.count(),
+      "s63: bucketed table read lost rows")
+    require(!read.columns.contains("doc_id_bucket"),
+      "s63: a derived partition value leaked into the schema")
+    // unknown transforms must refuse, never guess
+    withSpec("""{"name": "z", "transform": "zorder", "source-id": 1, "field-id": 1000}""")
+    val refused = try { IcebergImport.read(spark, exp).count(); false }
+    catch { case _: IllegalArgumentException => true }
+    require(refused, "s63: an unknown partition transform was silently served")
+    withSpec(
+      """{"name": "doc_id_bucket", "transform": "bucket[4]", "source-id": 1, "field-id": 1000}""")
+    docSelect(IcebergImport.read(spark, exp))
+  }
+
   val all: Seq[OpQuery] = Seq(
     s55_delta_checkpoint_dv, s56_dv_reorg, s57_iceberg_seq_inherit,
     s58_iceberg_upsert_seq, s59_iceberg_expire, s60_delta_timestamp_as_of,
-    s61_iceberg_schema_evolution, sim_ivf_rebalance)
+    s61_iceberg_schema_evolution, s62_delta_vacuum,
+    s63_iceberg_bucket_transform, sim_ivf_rebalance)
 }

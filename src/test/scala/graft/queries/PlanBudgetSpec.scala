@@ -197,6 +197,8 @@ class PlanBudgetSpec extends SparkSpec {
     // resolves + reads); a per-commit re-list regression would jump it
     "s60_delta_timestamp_as_of" -> Budget(2, 0, 45),
     "s61_iceberg_schema_evolution" -> Budget(2, 0, 23),
+    "s62_delta_vacuum" -> Budget(2, 2, 29),
+    "s63_iceberg_bucket_transform" -> Budget(2, 0, 21),
     "sim_ivf_rebalance" -> Budget(5, 5, 112),
   )
 
