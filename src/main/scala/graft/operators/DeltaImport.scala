@@ -57,8 +57,34 @@ object DeltaImport {
     val actions = actionFrame(spark, tablePath, target)
     checkReadable(spark, actions)
 
-    val (schema, partCols) = latestMetadata(spark, actions)
-    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    val (schema, rawPartCols, cmMode) = latestMetadata(spark, actions)
+    // column mapping (NAME mode): each logical field carries its
+    // parquet-physical name in the schemaString metadata; data files and
+    // partitionValues keys speak PHYSICAL, the returned DataFrame speaks
+    // LOGICAL. ID mode (parquet field-id resolution) stays refused in
+    // checkReadable. Nested mapped columns are out of scope — refuse.
+    val phys: Map[String, String] = schema.fields.map { f =>
+      val p =
+        if (f.metadata.contains("delta.columnMapping.physicalName"))
+          f.metadata.getString("delta.columnMapping.physicalName")
+        else f.name
+      if (cmMode == "name" && f.dataType.isInstanceOf[StructType])
+        throw new IllegalArgumentException(
+          s"nested column '${f.name}' under column mapping not supported")
+      f.name -> p
+    }.toMap
+    val physToLogical = phys.map(_.swap)
+    // metaData.partitionColumns: stock writers disagree on logical vs
+    // physical entries under column mapping — accept either, resolve to
+    // logical, refuse names matching neither
+    val partCols = rawPartCols.map { pc =>
+      if (schema.fieldNames.contains(pc)) pc
+      else physToLogical.getOrElse(pc, throw new IllegalArgumentException(
+        s"partition column '$pc' matches neither a logical nor a physical field"))
+    }
+    val dataSchema = StructType(
+      schema.filterNot(f => partCols.contains(f.name))
+        .map(f => f.copy(name = phys(f.name))))
 
     // live set: per path, the LAST action at-or-before target must be an
     // add (a later remove tombstones it). Window by path, order by
@@ -120,7 +146,9 @@ object DeltaImport {
         .drop("__pos")
     }
 
-    if (partCols.isEmpty) df.drop("__rel")
+    if (partCols.isEmpty)
+      df.drop("__rel")
+        .select(schema.map(f => col(phys(f.name)).as(f.name)): _*)
     else {
       // reattach partition columns: file → partitionValues broadcast
       // join on the table-relative path (input_file_name is a file: URI
@@ -134,9 +162,16 @@ object DeltaImport {
           .join(broadcast(mapping), Seq("__rel"))
       val withParts = partCols.foldLeft(joined) { (df2, p) =>
         val tpe = schema(p).dataType
-        df2.withColumn(p, element_at(col("partitionValues"), p).cast(tpe))
+        // partitionValues keys are PHYSICAL under column mapping (spec);
+        // coalesce with the logical key for legacy writers that logged
+        // logical names — a genuinely-null partition value stays null
+        df2.withColumn(p,
+          coalesce(element_at(col("partitionValues"), phys(p)),
+            element_at(col("partitionValues"), p)).cast(tpe))
       }
-      withParts.select(schema.map(f => col(f.name)): _*)
+      withParts.select(schema.map(f =>
+        (if (partCols.contains(f.name)) col(f.name)
+        else col(phys(f.name))).as(f.name)): _*)
     }
   }
 
@@ -345,29 +380,43 @@ object DeltaImport {
       if (probe.isNullAt(2)) Seq.empty[String] else probe.getSeq[String](2)
     // reader version 3 is table-features based: readable iff every
     // listed reader feature is one we implement (deletionVectors since
-    // round 12). Anything else — columnMapping, v2Checkpoint, typeWidening
-    // — still refuses loudly rather than serving wrong bytes.
-    val unsupported = feats.filterNot(_ == "deletionVectors")
+    // round 12, columnMapping in NAME mode since round 13). Anything
+    // else — v2Checkpoint, typeWidening — still refuses loudly rather
+    // than serving wrong bytes.
+    val unsupported =
+      feats.filterNot(Set("deletionVectors", "columnMapping").contains)
     require(rv <= 2 || (rv == 3 && unsupported.isEmpty),
       s"table requires Delta reader version $rv with features " +
         s"${feats.mkString("[", ",", "]")}; this offline reader supports " +
-        s"<= 2, or 3 with [deletionVectors] only" +
+        s"<= 2, or 3 with [deletionVectors, columnMapping] only" +
         (if (unsupported.nonEmpty) s" (unsupported: ${unsupported.mkString(",")})"
          else ""))
     val cm = if (probe.isNullAt(1)) "none" else probe.getString(1)
-    require(cm == "none",
-      s"column mapping mode '$cm' not supported by this offline reader")
+    // ID mode resolves columns by parquet field-id metadata, which this
+    // reader does not implement — refuse rather than resolve by name
+    // and silently misread a renamed column
+    require(cm == "none" || cm == "name",
+      s"column mapping mode '$cm' not supported by this offline reader " +
+        "(only 'none' and 'name')")
   }
 
-  private def latestMetadata(spark: SparkSession, actions: DataFrame): (StructType, Seq[String]) = {
+  /** (schema, partitionColumns, columnMapping mode) from the latest
+    * metaData action. `DataType.fromJson` preserves field metadata, so
+    * the per-field `delta.columnMapping.physicalName` survives into the
+    * StructType for the reader's physical→logical projection.
+    */
+  private def latestMetadata(
+      spark: SparkSession, actions: DataFrame): (StructType, Seq[String], String) = {
     val md = actions.filter(col("schemaString").isNotNull)
       .orderBy(col("version").desc)
-      .select("schemaString", "partitionColumns")
+      .select(col("schemaString"), col("partitionColumns"),
+        element_at(col("configuration"), "delta.columnMapping.mode").as("cm"))
       .limit(1).collect()
     require(md.nonEmpty, "no metaData action found in log")
     val schema = DataType.fromJson(md(0).getString(0)).asInstanceOf[StructType]
     val partCols =
       if (md(0).isNullAt(1)) Seq.empty[String] else md(0).getSeq[String](1)
-    (schema, partCols)
+    val cm = if (md(0).isNullAt(2)) "none" else md(0).getString(2)
+    (schema, partCols, cm)
   }
 }

@@ -533,9 +533,85 @@ object Round13Ops1 {
     docSelect(IcebergImport.read(spark, exp))
   }
 
+  /** Delta COLUMN MAPPING (name mode) — the modern-writer shape this
+    * reader previously refused: parquet files and `partitionValues`
+    * keys carry PHYSICAL names (`col-*`), the schemaString's per-field
+    * `delta.columnMapping.physicalName` metadata maps them back, and
+    * the DataFrame speaks logical names. The fixture is a handcrafted
+    * stock-shaped log (protocol 2/5, mode=name, lang-partitioned with a
+    * physical partitionValues key — the spec's writer requirement).
+    * ID mode (parquet field-id resolution) still refuses loudly.
+    */
+  val s64_delta_column_mapping: OpQuery = OpQuery(
+    "s64_delta_column_mapping",
+    """SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import graft.operators.DeltaImport
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types.{MetadataBuilder, StructType}
+    import scala.collection.JavaConverters._
+    val scratch = GateScratch.dir("graft-delta-cm-")
+    val table = scratch.resolve("table")
+    Files.createDirectories(table.resolve("_delta_log"))
+    val docs = t(spark, dir, "documents").select(docCols.map(col): _*)
+    val physOf = Map("doc_id" -> "col-d0", "lang" -> "col-l1",
+      "source" -> "col-s2", "n_chars" -> "col-n3")
+    def jsonStr(s: String): String =
+      "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString } + "\""
+    // data files: one per lang partition, PHYSICAL column names, the
+    // partition column physically omitted (the stock layout)
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).sorted
+    val adds = langs.zipWithIndex.map { case (l, i) =>
+      val tmp = Files.createTempDirectory(scratch, "cm-part-")
+      docs.filter(col("lang") === l)
+        .select(col("doc_id").as("col-d0"), col("source").as("col-s2"),
+          col("n_chars").as("col-n3"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val w = Files.list(tmp)
+        try w.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+        finally w.close()
+      }
+      val name = f"part-$i%05d.parquet"
+      Files.move(part, table.resolve(name))
+      s"""{"add":{"path":"$name","partitionValues":{"col-l1":${jsonStr(l)}},""" +
+        s""""size":${Files.size(table.resolve(name))},""" +
+        s""""modificationTime":0,"dataChange":true}}"""
+    }
+    val mapped = StructType(docs.schema.fields.zipWithIndex.map { case (f, i) =>
+      f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .putLong("delta.columnMapping.id", i + 1L)
+        .putString("delta.columnMapping.physicalName", physOf(f.name)).build())
+    })
+    val commit = Seq(
+      """{"commitInfo":{"timestamp":0,"operation":"WRITE","engineInfo":"stock-shaped fixture"}}""",
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"cm-fixture","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jsonStr(mapped.json)},"partitionColumns":["lang"],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name",""" +
+        s""""delta.columnMapping.maxColumnId":"4"},"createdTime":0}}""") ++ adds
+    val logFile = table.resolve("_delta_log").resolve(f"${0L}%020d.json")
+    Files.writeString(logFile, commit.mkString("", "\n", "\n"))
+    // ID mode must refuse — it resolves by parquet field id, which this
+    // reader does not implement
+    val asId = Files.readString(logFile).replace(
+      """"delta.columnMapping.mode":"name"""",
+      """"delta.columnMapping.mode":"id"""")
+    Files.writeString(logFile, asId)
+    val refused = try { DeltaImport.read(spark, table.toString).count(); false }
+    catch { case _: IllegalArgumentException => true }
+    require(refused, "s64: column mapping ID mode was silently served")
+    Files.writeString(logFile, commit.mkString("", "\n", "\n"))
+    val read = DeltaImport.read(spark, table.toString)
+    require(read.columns.toSeq == docCols,
+      s"s64: logical schema mismatch: ${read.columns.mkString(",")}")
+    docSelect(read)
+  }
+
   val all: Seq[OpQuery] = Seq(
     s55_delta_checkpoint_dv, s56_dv_reorg, s57_iceberg_seq_inherit,
     s58_iceberg_upsert_seq, s59_iceberg_expire, s60_delta_timestamp_as_of,
     s61_iceberg_schema_evolution, s62_delta_vacuum,
-    s63_iceberg_bucket_transform, sim_ivf_rebalance)
+    s63_iceberg_bucket_transform, s64_delta_column_mapping, sim_ivf_rebalance)
 }

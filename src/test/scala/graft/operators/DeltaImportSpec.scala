@@ -157,22 +157,34 @@ class DeltaImportSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L), "multi-part checkpoint must union all parts")
   }
 
-  test("refuses column mapping and reader-version-3 tables loudly") {
-    val table = Files.createTempDirectory("graft-dir3-")
-    val log = table.resolve("_delta_log")
-    Files.createDirectories(log)
+  test("refuses unsupported reader-v3 features and column-mapping ID mode loudly") {
+    // name mode is READ since round 13; the refusal surface is now ID
+    // mode (parquet field-id resolution) and any rv3 feature beyond
+    // [deletionVectors, columnMapping]
     val schemaJson = Seq((1L, "x")).toDF("id", "v").schema.json
       .replace("\"", "\\\"")
-    Files.writeString(log.resolve(f"${0L}%020d.json"), Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""",
-      s"""{"metaData":{"id":"00000000-0000-0000-0000-000000000002","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":1}}""",
-      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
-    ).mkString("", "\n", "\n"))
-    val e = intercept[IllegalArgumentException] {
-      DeltaImport.read(spark, table.toString)
+    def forge(protocol: String, cmMode: String): String = {
+      val table = Files.createTempDirectory("graft-dir3-")
+      val log = table.resolve("_delta_log")
+      Files.createDirectories(log)
+      Files.writeString(log.resolve(f"${0L}%020d.json"), Seq(
+        protocol,
+        s"""{"metaData":{"id":"00000000-0000-0000-0000-000000000002","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"$cmMode"},"createdTime":1}}""",
+        """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+      ).mkString("", "\n", "\n"))
+      table.toString
     }
-    assert(e.getMessage.contains("reader version") ||
-      e.getMessage.contains("column mapping"))
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaImport.read(spark, forge(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+        "none"))
+    }
+    assert(e1.getMessage.contains("v2Checkpoint"))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaImport.read(spark, forge(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""", "id"))
+    }
+    assert(e2.getMessage.contains("column mapping mode 'id'"))
   }
 
   test("appendDeletionVectors: partitioned table, two sequential DV commits") {
@@ -261,6 +273,35 @@ class DeltaImportSpec extends SparkSpec {
     assert(served.schema("year").dataType ==
       org.apache.spark.sql.types.IntegerType)
     assert(served.select("year").distinct().count() == 3)
+  }
+
+  test("column mapping name mode survives a column RENAME (logical differs from history)") {
+    // the point of name mode: renaming a column only rewrites the
+    // schemaString's logical name — the parquet files keep the original
+    // physical name. A reader resolving by CURRENT logical name against
+    // the file would null-fill; physical resolution reads the data.
+    val dir = Files.createTempDirectory("graft-cmr-")
+    val table = dir.resolve("t")
+    Files.createDirectories(table.resolve("_delta_log"))
+    writeSingleParquet(
+      Seq((1L, 10L), (2L, 20L)).toDF("col-a", "col-b"),
+      table.resolve("part-0.parquet"))
+    val schema =
+      """{"type":"struct","fields":[
+        |{"name":"id","type":"long","nullable":true,"metadata":
+        |  {"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-a"}},
+        |{"name":"renamed_chars","type":"long","nullable":true,"metadata":
+        |  {"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-b"}}
+        |]}""".stripMargin.replace("\n", "")
+    val esc = schema.replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.writeString(table.resolve("_delta_log").resolve(f"${0L}%020d.json"),
+      s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+         |{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":0}}
+         |{"add":{"path":"part-0.parquet","partitionValues":{},"size":${Files.size(table.resolve("part-0.parquet"))},"modificationTime":0,"dataChange":true}}
+         |""".stripMargin)
+    val df = DeltaImport.read(spark, table.toString)
+    assert(df.columns.toSeq == Seq("id", "renamed_chars"))
+    assert(df.as[(Long, Long)].collect().sorted.toSeq == Seq((1L, 10L), (2L, 20L)))
   }
 
   test("a multi-part checkpoint with a missing part refuses loudly") {

@@ -199,6 +199,7 @@ class PlanBudgetSpec extends SparkSpec {
     "s61_iceberg_schema_evolution" -> Budget(2, 0, 23),
     "s62_delta_vacuum" -> Budget(2, 2, 29),
     "s63_iceberg_bucket_transform" -> Budget(2, 0, 21),
+    "s64_delta_column_mapping" -> Budget(2, 2, 24),
     "sim_ivf_rebalance" -> Budget(5, 5, 112),
   )
 
