@@ -188,6 +188,164 @@ object DeltaImport {
     (json ++ cp).distinct.sorted
   }
 
+  /** Log-derived CHANGE FEED (stock `table_changes` semantics without
+    * cdc files): for each commit in `(fromVersion, toVersion]`, emit the
+    * row-level changes its actions imply, tagged `_change_type`
+    * (insert/delete) + `_commit_version` —
+    *
+    *   - an added file (dataChange=true): its rows minus its DV →
+    *     `insert`; a removed file: its rows minus its PRIOR DV (the
+    *     state consumers had seen) → `delete` — file-level granularity,
+    *     exactly what stock CDF emits for rewrites;
+    *   - a file removed AND re-added in one commit (the DV DELETE
+    *     shape): only the DV DIFF rows — newly-covered positions →
+    *     `delete`, uncovered positions (a DV shrink) → `insert` — so a
+    *     1-row delete on a 1M-row file emits 1 change row, not 2M.
+    *
+    * Scale: only CHANGED files are scanned (the log names them — this
+    * is the point of log-derived CDC vs a two-sided diff), position
+    * filters ride the same `_metadata.row_index` joins as [[read]].
+    * Every version in the range must still have its JSON commit
+    * (checkpoint-collapsed history cannot be split per-commit — refuse
+    * loudly); cdc actions and column mapping are out of scope for this
+    * derivation, also refused.
+    */
+  def readChanges(spark: SparkSession, tablePath: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"empty change range: ($fromVersion, $toVersion]")
+    val vs = versions(tablePath)
+    require(vs.contains(fromVersion) && vs.contains(toVersion),
+      s"versions [$fromVersion, $toVersion] not in available ${vs.mkString(",")}")
+    val log = Paths.get(tablePath, "_delta_log")
+    ((fromVersion + 1) to toVersion).foreach { v =>
+      require(Files.exists(log.resolve(f"$v%020d.json")),
+        s"version $v has no JSON commit (checkpoint-collapsed?) — " +
+          "a change feed cannot be split per-commit without it")
+      val lines = Files.readAllLines(log.resolve(f"$v%020d.json")).asScala
+      require(!lines.exists(_.contains("\"cdc\"")),
+        s"version $v carries cdc actions — reading writer-provided change " +
+          "files is not implemented; refusing a possibly-partial derivation")
+    }
+    val actions = actionFrame(spark, tablePath, toVersion)
+    val (schema, partCols, cmMode) = latestMetadata(spark, actions)
+    require(cmMode == "none",
+      "change feed over column-mapped tables not supported")
+    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+
+    // driver-side replay of (path → (partitionValues, DV rows)) — one
+    // pass ascending; state BEFORE each commit in range feeds the
+    // remove/diff branches. DV bitmaps are per-file and small; loading
+    // the few descriptors a commit touches on the driver is
+    // metadata-sized work.
+    val rows = actions.select(col("version"), col("isAdd"), col("path"),
+        col("partitionValues"), col("dvStorage"), col("dvPathOrInline"),
+        col("dvOffset"), col("dvSize"), col("dvCardinality"))
+      .filter(col("path").isNotNull)
+      .collect().sortBy(r => (r.getLong(0), r.getBoolean(1)))
+    final case class FState(pvals: Map[String, String], dv: Array[Long])
+    val state = scala.collection.mutable.Map[String, FState]()
+    def dvOf(r: org.apache.spark.sql.Row): Array[Long] =
+      if (r.isNullAt(4)) Array.emptyLongArray
+      else DeletionVectors.load(tablePath, r.getString(4), r.getString(5),
+        if (r.isNullAt(6)) None else Some(r.getInt(6)), r.getInt(7), r.getLong(8))
+    // (relPath, pvals, changeType, version, include: Some(positions) |
+    //  exclude positions when include empty)
+    val changes = scala.collection.mutable.ArrayBuffer[
+      (String, Map[String, String], String, Long, Option[Array[Long]], Array[Long])]()
+    rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).foreach { case (v, acts) =>
+      val adds = acts.filter(_.getBoolean(1)).map(r => r.getString(2) -> r).toMap
+      val rems = acts.filterNot(_.getBoolean(1)).map(_.getString(2)).toSet
+      if (v > fromVersion) {
+        adds.foreach { case (p, r) =>
+          val pv = Option(r.getMap[String, String](3))
+            .map(_.toMap).getOrElse(Map.empty)
+          val newDv = dvOf(r)
+          if (rems.contains(p)) {
+            val oldDv = state.get(p).map(_.dv).getOrElse(Array.emptyLongArray)
+            val covered = newDv.toSet -- oldDv.toSet
+            val uncovered = oldDv.toSet -- newDv.toSet
+            if (covered.nonEmpty)
+              changes += ((p, pv, "delete", v, Some(covered.toArray.sorted), Array.emptyLongArray))
+            if (uncovered.nonEmpty)
+              changes += ((p, pv, "insert", v, Some(uncovered.toArray.sorted), Array.emptyLongArray))
+          } else {
+            changes += ((p, pv, "insert", v, None, newDv))
+          }
+        }
+        rems.filterNot(adds.contains).foreach { p =>
+          val st = state.getOrElse(p, FState(Map.empty, Array.emptyLongArray))
+          changes += ((p, st.pvals, "delete", v, None, st.dv))
+        }
+      }
+      // advance the state AFTER emitting (removes drop, adds set)
+      rems.foreach(state.remove)
+      adds.foreach { case (p, r) =>
+        state(p) = FState(Option(r.getMap[String, String](3))
+          .map(_.toMap).getOrElse(Map.empty), dvOf(r))
+      }
+    }
+
+    val outSchema = StructType(schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType)))
+    if (changes.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+
+    // one scan per (changeType, version) group, position filters via
+    // broadcast joins on (_rel, row_index)
+    val groups = changes.groupBy(c => (c._3, c._4)).toSeq.sortBy(_._1._2)
+    val parts: Seq[DataFrame] = groups.map { case ((ctype, v), cs0) =>
+      val cs = cs0.toSeq
+      val files = cs.map(c => s"$tablePath/${
+        java.net.URLDecoder.decode(c._1, "UTF-8")}")
+      val relExpr = url_decode(regexp_extract(input_file_name(),
+        java.util.regex.Pattern.quote(tablePath) + "/(.*)$", 1))
+      val scan = spark.read.schema(dataSchema).parquet(files.distinct: _*)
+        .withColumn("__rel", relExpr)
+        .withColumn("__pos", col("_metadata.row_index"))
+      import spark.implicits._
+      val incl = cs.filter(_._5.isDefined)
+        .flatMap(c => c._5.get.map(p => (java.net.URLDecoder.decode(c._1, "UTF-8"), p)))
+      val excl = cs.filter(_._5.isEmpty)
+        .flatMap(c => c._6.map(p => (java.net.URLDecoder.decode(c._1, "UTF-8"), p)))
+      val inclPaths = cs.filter(_._5.isDefined)
+        .map(c => java.net.URLDecoder.decode(c._1, "UTF-8")).toSet
+      var df = scan
+      if (incl.nonEmpty) {
+        // include-filtered files keep ONLY the listed positions; files
+        // in the same group without an include list keep everything
+        val inclDf = broadcast(incl.toDF("__rel", "__pos"))
+        val keepAll = df.filter(!col("__rel").isin(inclPaths.toSeq: _*))
+        val keepSome = df.join(inclDf, Seq("__rel", "__pos"), "left_semi")
+        df = keepAll.unionByName(keepSome)
+      }
+      if (excl.nonEmpty)
+        df = df.join(broadcast(excl.toDF("__rel", "__pos")),
+          Seq("__rel", "__pos"), "left_anti")
+      // partition reattach from the action's own partitionValues
+      val pvRows = cs.map(c =>
+        org.apache.spark.sql.Row.fromSeq(
+          java.net.URLDecoder.decode(c._1, "UTF-8") +:
+            partCols.map(c._2.get(_).orNull)))
+      val mapping = spark.createDataFrame(
+        spark.sparkContext.parallelize(pvRows.distinct.toSeq, 1),
+        StructType(org.apache.spark.sql.types.StructField("__rel",
+          org.apache.spark.sql.types.StringType) +:
+          partCols.map(p => org.apache.spark.sql.types.StructField(
+            s"__pv_$p", org.apache.spark.sql.types.StringType))))
+      val withParts = partCols.foldLeft(df.join(broadcast(mapping), Seq("__rel"))) {
+        (d, p) => d.withColumn(p, col(s"__pv_$p").cast(schema(p).dataType))
+      }
+      withParts.select(schema.map(f => col(f.name)) ++ Seq(
+        lit(ctype).as("_change_type"), lit(v).as("_commit_version")): _*)
+    }
+    parts.reduce(_ unionByName _)
+  }
+
   /** Time travel BY TIMESTAMP (`timestampAsOf` in stock Delta): resolve
     * the latest commit whose timestamp is <= `tsMillis`, then delegate
     * to [[read]]. Per the protocol, each commit's timestamp is its

@@ -609,9 +609,64 @@ object Round13Ops1 {
     docSelect(read)
   }
 
+  /** Log-derived Delta CHANGE FEED: two overwrite commits then a DV
+    * DELETE, read back as per-commit row changes. The overwrites emit
+    * file-level delete+insert (stock CDF's rewrite granularity); the DV
+    * commit emits ONLY the newly-covered rows as deletes — the log
+    * names the changed files and the DV diff names the rows, so a
+    * 1-row delete never scans-and-emits the whole table. Oracle: the
+    * five change slices stated directly in SQL. REQUIREs pin the
+    * DV-diff-only tail and the checkpoint-collapse refusal.
+    */
+  val s65_delta_changes: OpQuery = OpQuery(
+    "s65_delta_changes",
+    """SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+      |       'delete' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+      |FROM documents
+      |UNION ALL
+      |SELECT doc_id, lang, source, CAST(n_chars AS BIGINT), 'insert', 1
+      |FROM documents WHERE NOT (doc_id % 3 = 0)
+      |UNION ALL
+      |SELECT doc_id, lang, source, CAST(n_chars AS BIGINT), 'delete', 2
+      |FROM documents WHERE NOT (doc_id % 3 = 0)
+      |UNION ALL
+      |SELECT doc_id, lang, source, CAST(n_chars AS BIGINT), 'insert', 2
+      |FROM documents WHERE NOT (doc_id % 5 = 0)
+      |UNION ALL
+      |SELECT doc_id, lang, source, CAST(n_chars AS BIGINT), 'delete', 3
+      |FROM documents WHERE NOT (doc_id % 5 = 0) AND doc_id % 7 = 3
+      |ORDER BY _commit_version, _change_type, doc_id""".stripMargin) { (spark, dir) =>
+    import graft.operators.{DeltaExport, DeltaImport}
+    val scratch = GateScratch.dir("graft-delta-cdf-")
+    val store = new TableStore(spark, scratch.resolve("store").toString)
+    val docs = t(spark, dir, "documents").select(docCols.map(col): _*)
+    store.overwrite("cf", docs)
+    store.overwrite("cf", docs.filter(col("doc_id") % 3 =!= 0))
+    store.overwrite("cf", docs.filter(col("doc_id") % 5 =!= 0))
+    val currentGen = f"gen-v${store.currentVersion("cf")}%05d"
+    val exp = DeltaExport.exportTable(
+      store, "cf", scratch.resolve("delta").toString).toString
+    val targets = dvTargets(spark, exp, col("doc_id") % 7 === 3)
+      .filter(_._1.startsWith(currentGen))
+    DeltaExport.appendDeletionVectors(exp, targets)
+    // the DV-commit slice alone: exactly the diff rows, no full-file echo
+    val dvOnly = DeltaImport.readChanges(spark, exp, 2L, 3L)
+    val expectDv = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 3).count()
+    require(dvOnly.count() == expectDv,
+      s"s65: DV commit emitted ${dvOnly.count()} changes, expected the $expectDv diff rows")
+    require(dvOnly.filter(col("_change_type") =!= "delete").count() == 0,
+      "s65: a pure DV-cover commit emitted non-delete changes")
+    val all = DeltaImport.readChanges(spark, exp, 0L, 3L)
+    all.select(col("doc_id"), col("lang"), col("source"),
+      col("n_chars").cast("bigint").as("n_chars"),
+      col("_change_type"), col("_commit_version").cast("bigint").as("_commit_version"))
+      .orderBy(col("_commit_version"), col("_change_type"), col("doc_id"))
+  }
+
   val all: Seq[OpQuery] = Seq(
     s55_delta_checkpoint_dv, s56_dv_reorg, s57_iceberg_seq_inherit,
     s58_iceberg_upsert_seq, s59_iceberg_expire, s60_delta_timestamp_as_of,
     s61_iceberg_schema_evolution, s62_delta_vacuum,
-    s63_iceberg_bucket_transform, s64_delta_column_mapping, sim_ivf_rebalance)
+    s63_iceberg_bucket_transform, s64_delta_column_mapping, s65_delta_changes,
+    sim_ivf_rebalance)
 }

@@ -304,6 +304,94 @@ class DeltaImportSpec extends SparkSpec {
     assert(df.as[(Long, Long)].collect().sorted.toSeq == Seq((1L, 10L), (2L, 20L)))
   }
 
+  test("column mapping survives the checkpoint path (configuration + field metadata)") {
+    // a checkpoint that dropped metaData.configuration (or the
+    // schemaString's physicalName metadata) would make a
+    // checkpoint-floored read resolve cm=none and serve PHYSICAL
+    // col-* names — silently. Pin the full lifecycle: forge cm table →
+    // checkpoint → delete JSON history → read from checkpoint alone.
+    val dir = Files.createTempDirectory("graft-cmcp-")
+    val table = dir.resolve("t")
+    Files.createDirectories(table.resolve("_delta_log"))
+    writeSingleParquet(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("col-a", "col-b"),
+      table.resolve("part-0.parquet"))
+    val schema =
+      """{"type":"struct","fields":[
+        |{"name":"id","type":"long","nullable":true,"metadata":
+        |  {"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-a"}},
+        |{"name":"n","type":"long","nullable":true,"metadata":
+        |  {"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-b"}}
+        |]}""".stripMargin.replace("\n", "")
+    val esc = schema.replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.writeString(table.resolve("_delta_log").resolve(f"${0L}%020d.json"),
+      s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+         |{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":0}}
+         |{"add":{"path":"part-0.parquet","partitionValues":{},"size":${Files.size(table.resolve("part-0.parquet"))},"modificationTime":0,"dataChange":true}}
+         |""".stripMargin)
+    DeltaExport.writeCheckpoint(spark, table.toString, version = 0L)
+    Files.delete(table.resolve("_delta_log").resolve(f"${0L}%020d.json"))
+    val df = DeltaImport.read(spark, table.toString)
+    assert(df.columns.toSeq == Seq("id", "n"),
+      s"checkpoint lost the column mapping: ${df.columns.mkString(",")}")
+    assert(df.as[(Long, Long)].collect().sorted.toSeq ==
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+  }
+
+  test("readChanges: a DV shrink (restore) emits the uncovered rows as inserts; refusals") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-cdf-").toString)
+    store.overwrite("t", (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val out = DeltaExport.exportTable(store, "t",
+      Files.createTempDirectory("graft-cdfo-").toString).toString
+    val root = Paths.get(out).toAbsolutePath.normalize.toString
+    val targets = spark.read.parquet(s"$out/gen-*")
+      .select(col("id"),
+        regexp_replace(url_decode(expr("_metadata.file_path")), "^file:/*", "/").as("f"),
+        expr("_metadata.row_index").as("p"))
+      .filter(col("id") % 5 === 0)
+      .collect().groupBy(_.getString(1)).toSeq
+      .map { case (f, rs) => f.stripPrefix(root + "/") -> rs.map(_.getLong(2)).toSeq }
+    DeltaExport.appendDeletionVectors(out, targets)
+
+    // forge v2: remove + re-add every DV-bearing file WITHOUT its DV —
+    // the RESTORE shape; readChanges must emit exactly the previously
+    // covered rows as inserts
+    val dvPaths = targets.map(_._1).toSet
+    val logDir = Paths.get(out, "_delta_log")
+    val v1Lines = Files.readAllLines(logDir.resolve(f"${1L}%020d.json")).asScala
+    val readds = v1Lines.filter(l => l.contains("\"add\"") &&
+      dvPaths.exists(p => l.contains(s""""path":"$p"""")))
+      .map(_.replaceAll(""","deletionVector":\{[^}]*\}""", ""))
+    assert(readds.nonEmpty && !readds.exists(_.contains("deletionVector")))
+    val removes = dvPaths.toSeq.sorted.map(p =>
+      s"""{"remove":{"path":"$p","deletionTimestamp":0,"dataChange":true}}""")
+    Files.writeString(logDir.resolve(f"${2L}%020d.json"),
+      (removes ++ readds).mkString("", "\n", "\n"))
+    val restored = DeltaImport.readChanges(spark, out, 1L, 2L)
+    assert(restored.filter(col("_change_type") === "insert").count() == 4)
+    assert(restored.count() == 4)
+    assert(restored.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(5L, 10L, 15L, 20L))
+    assert(DeltaImport.read(spark, out).count() == 20) // the restore took
+
+    // cdc actions refuse (a writer-provided change feed we don't read)
+    Files.writeString(logDir.resolve(f"${3L}%020d.json"),
+      """{"cdc":{"path":"_change_data/x.parquet","partitionValues":{},"size":1,"dataChange":false}}""" + "\n")
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaImport.readChanges(spark, out, 1L, 3L)
+    }
+    assert(e1.getMessage.contains("cdc"))
+    Files.delete(logDir.resolve(f"${3L}%020d.json"))
+
+    // checkpoint-collapsed history refuses per-commit derivation
+    DeltaExport.writeCheckpoint(spark, out, version = 2L)
+    Files.delete(logDir.resolve(f"${1L}%020d.json"))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaImport.readChanges(spark, out, 0L, 2L)
+    }
+    assert(e2.getMessage.contains("no JSON commit"))
+  }
+
   test("a multi-part checkpoint with a missing part refuses loudly") {
     val store = new TableStore(spark, Files.createTempDirectory("graft-cpp-").toString)
     store.overwrite("t", (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"))

@@ -200,6 +200,9 @@ class PlanBudgetSpec extends SparkSpec {
     "s62_delta_vacuum" -> Budget(2, 2, 29),
     "s63_iceberg_bucket_transform" -> Budget(2, 0, 21),
     "s64_delta_column_mapping" -> Budget(2, 2, 24),
+    // broadcasts = the per-(type, version) position filters + partition
+    // maps — small by construction (the log names only changed files)
+    "s65_delta_changes" -> Budget(2, 12, 31),
     "sim_ivf_rebalance" -> Budget(5, 5, 112),
   )
 
