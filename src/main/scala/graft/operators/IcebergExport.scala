@@ -202,7 +202,7 @@ object IcebergExport {
     val out = Paths.get(tablePath).toAbsolutePath.normalize
     val metaDir = out.resolve("metadata")
     val hint = Files.readString(metaDir.resolve("version-hint.text")).trim
-    val mdText = Files.readString(metaDir.resolve(s"v$hint.metadata.json"))
+    val mdText = compactMetadata(metaDir, hint)
 
     val LastSeq = """"last-sequence-number":\s*(\d+)""".r
     val CurSnap = """"current-snapshot-id":\s*(\d+)""".r
@@ -250,7 +250,7 @@ object IcebergExport {
     val out = Paths.get(tablePath).toAbsolutePath.normalize
     val metaDir = out.resolve("metadata")
     val hint = Files.readString(metaDir.resolve("version-hint.text")).trim
-    val mdText = Files.readString(metaDir.resolve(s"v$hint.metadata.json"))
+    val mdText = compactMetadata(metaDir, hint)
     // resolve the equality field ids from the table schema (exportTable
     // writes {"id": N, "name": "..."} pairs)
     val FieldRe = """\{"id":\s*(\d+),\s*"name":\s*"([^"]+)"""".r
@@ -299,7 +299,7 @@ object IcebergExport {
     val out = Paths.get(tablePath).toAbsolutePath.normalize
     val metaDir = out.resolve("metadata")
     val hint = Files.readString(metaDir.resolve("version-hint.text")).trim
-    val mdText = Files.readString(metaDir.resolve(s"v$hint.metadata.json"))
+    val mdText = compactMetadata(metaDir, hint)
     val FieldRe = """\{"id":\s*(\d+),\s*"name":\s*"([^"]+)"""".r
     val idByName: Map[String, Int] = FieldRe.findAllMatchIn(mdText)
       .map(m => m.group(2) -> m.group(1).toInt).toMap
@@ -353,7 +353,20 @@ object IcebergExport {
     * this writer does not implement. Unpartitioned tables only.
     */
   def appendEvolvedColumns(spark: org.apache.spark.sql.SparkSession,
-      tablePath: String, rows: org.apache.spark.sql.DataFrame): Unit = {
+      tablePath: String, rows: org.apache.spark.sql.DataFrame): Unit =
+    appendDataSnapshot(spark, tablePath, rows, evolve = true)
+
+  /** Plain APPEND snapshot (operation=append, current schema): the shape
+    * [[IcebergImport.readIncremental]] consumes. `rows`' schema must
+    * equal the table's current schema exactly.
+    */
+  def appendRows(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, rows: org.apache.spark.sql.DataFrame): Unit =
+    appendDataSnapshot(spark, tablePath, rows, evolve = false)
+
+  private def appendDataSnapshot(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, rows: org.apache.spark.sql.DataFrame,
+      evolve: Boolean): Unit = {
     val out = Paths.get(tablePath).toAbsolutePath.normalize
     val metaDir = out.resolve("metadata")
     val hint = Files.readString(metaDir.resolve("version-hint.text")).trim
@@ -375,9 +388,13 @@ object IcebergExport {
       val f = cur.get("fields"); (0 until f.size).map(f.get)
     }
     val sparkFields = rows.schema.fields
-    require(sparkFields.length > curFields.size,
+    require(!evolve || sparkFields.length > curFields.size,
       s"rows carry ${sparkFields.length} columns but the table already has " +
         s"${curFields.size} — nothing to evolve")
+    require(evolve || sparkFields.length == curFields.size,
+      s"appendRows: rows carry ${sparkFields.length} columns, table has " +
+        s"${curFields.size} — schema must match exactly (use " +
+        "appendEvolvedColumns to add columns)")
     curFields.zip(sparkFields).foreach { case (cf, sf) =>
       require(cf.get("name").asText == sf.name &&
         cf.get("type").asText == icebergType(sf.dataType),
@@ -389,7 +406,9 @@ object IcebergExport {
     val newCols = sparkFields.drop(curFields.size)
 
     var lastColId = root.get("last-column-id").asInt
-    val newSchemaId = (0 until schemas.size).map(schemas.get(_).get("schema-id").asInt).max + 1
+    val newSchemaId =
+      if (!evolve) curSchemaId
+      else (0 until schemas.size).map(schemas.get(_).get("schema-id").asInt).max + 1
     val evolved = mapper.createObjectNode()
     evolved.put("type", "struct")
     evolved.put("schema-id", newSchemaId)
@@ -494,11 +513,14 @@ object IcebergExport {
       w.append(mf)
     }
 
-    // splice the metadata: evolved schema registered, current pointers
-    // advanced, the new snapshot stamped with ITS schema-id
-    schemas.asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].add(evolved)
-    root.put("current-schema-id", newSchemaId)
-    root.put("last-column-id", lastColId)
+    // splice the metadata: evolved schema registered (evolution only),
+    // current pointers advanced, the new snapshot stamped with ITS
+    // schema-id
+    if (evolve) {
+      schemas.asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].add(evolved)
+      root.put("current-schema-id", newSchemaId)
+      root.put("last-column-id", lastColId)
+    }
     root.put("last-sequence-number", seq)
     root.put("current-snapshot-id", snapshotId)
     val snapNode = mapper.createObjectNode()
@@ -607,13 +629,26 @@ object IcebergExport {
     * manifest at the SAME sequence number — the delete-and-reinsert
     * snapshot [[appendEqualityUpsert]] builds.
     */
+  /** metadata.json text normalized to COMPACT JSON: the regex-based
+    * splice helpers assume `"key":value` with no whitespace around the
+    * colon and single-line snapshot objects, while the jackson-rewriting
+    * writers (expireSnapshots, appendDataSnapshot) emit pretty-printed
+    * form — without this, an upsert after an appendRows would fail to
+    * find any schema field (caught by gate s66).
+    */
+  private def compactMetadata(metaDir: Path, hint: String): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    mapper.readTree(
+      Files.readString(metaDir.resolve(s"v$hint.metadata.json"))).toString
+  }
+
   private def commitDeleteSnapshot(out: Path, delPath: Path,
       recordCount: Long, fileContent: Int, equalityIds: Seq[Int],
       inheritSequence: Boolean = false,
       reinsert: Option[(Path, Long)] = None): Unit = {
     val metaDir = out.resolve("metadata")
     val hint = Files.readString(metaDir.resolve("version-hint.text")).trim
-    val mdText = Files.readString(metaDir.resolve(s"v$hint.metadata.json"))
+    val mdText = compactMetadata(metaDir, hint)
     val LastSeq = """"last-sequence-number":\s*(\d+)""".r
     val CurSnap = """"current-snapshot-id":\s*(\d+)""".r
     val seq = LastSeq.findFirstMatchIn(mdText).getOrElse(

@@ -162,6 +162,110 @@ object IcebergImport {
     }
   }
 
+  /** INCREMENTAL APPEND SCAN (stock `IncrementalAppendScan` semantics):
+    * the rows added by snapshots in `(fromSnapshotId, toSnapshotId]`,
+    * reading ONLY the data files those snapshots appended — the log
+    * names them, so a nightly 0.1% append reads 0.1% of the table.
+    * Stock parity on the refusal surface too: any snapshot in range
+    * whose operation is not `append` (overwrite, delete, CDC upsert)
+    * refuses loudly — its changes are not expressible as pure adds, and
+    * serving just the added files would silently misstate them.
+    *
+    * Identity partition values reattach from the manifests' partition
+    * records exactly as in [[read]]; the schema is the TO snapshot's.
+    */
+  def readIncremental(spark: SparkSession, tablePath: String,
+      fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    val md = metadata(spark, tablePath)
+    val snaps = md.getAs[scala.collection.Seq[Row]]("snapshots")
+    def seqOf(id: Long): Long = snaps.find(_.getAs[Long]("snapshot-id") == id)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot $id not found; have ${snaps.map(_.getAs[Long]("snapshot-id"))}"))
+      .getAs[Long]("sequence-number")
+    val (fromSeq, toSeq) = (seqOf(fromSnapshotId), seqOf(toSnapshotId))
+    require(fromSeq < toSeq,
+      s"empty incremental range: sequence $fromSeq !< $toSeq")
+    val inRange = snaps.filter { s =>
+      val q = s.getAs[Long]("sequence-number"); q > fromSeq && q <= toSeq
+    }.sortBy(_.getAs[Long]("sequence-number"))
+    inRange.foreach { s =>
+      val op = Option(s.getAs[Row]("summary"))
+        .map(_.getAs[String]("operation")).getOrElse("?")
+      require(op == "append",
+        s"snapshot ${s.getAs[Long]("snapshot-id")} in range is '$op' — an " +
+          "incremental APPEND scan cannot express overwrites or deletes; " +
+          "read full snapshots instead")
+    }
+
+    val toSnap = inRange.last
+    val snapSchemaId: Long =
+      if (toSnap.schema.fieldNames.contains("schema-id") &&
+        !toSnap.isNullAt(toSnap.fieldIndex("schema-id")))
+        toSnap.getAs[Long]("schema-id")
+      else md.getAs[Long]("current-schema-id")
+    val schema = schemaOf(md, snapSchemaId)
+    val partCols = partitionColsOf(md)
+    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+
+    // files ADDED by each in-range snapshot: its own manifests (by
+    // added_snapshot_id), ADDED entries only; a delete manifest or a
+    // DELETED entry inside an "append" snapshot is a mislabeled writer —
+    // refuse rather than misread
+    val added: Seq[(String, Map[String, Any])] = inRange.toSeq.flatMap { s =>
+      val sid = s.getAs[Long]("snapshot-id")
+      readAvro(s.getAs[String]("manifest-list"))
+        .filter(_.get("added_snapshot_id").asInstanceOf[Long] == sid)
+        .flatMap { mf =>
+          val content =
+            if (mf.get("content") == null) 0 else mf.get("content").asInstanceOf[Int]
+          require(content == 0,
+            s"append snapshot $sid added a DELETE manifest — refusing")
+          readAvro(mf.get("manifest_path").toString).flatMap { entry =>
+            val status = entry.get("status").asInstanceOf[Int]
+            require(status != 2,
+              s"append snapshot $sid carries a DELETED entry — refusing")
+            val esid =
+              if (entry.get("snapshot_id") == null) sid
+              else entry.get("snapshot_id").asInstanceOf[Long]
+            if (status == 1 && esid == sid) {
+              val df = entry.get("data_file").asInstanceOf[GenericRecord]
+              val part = df.get("partition").asInstanceOf[GenericRecord]
+              val pvals: Map[String, Any] =
+                if (part == null) Map.empty
+                else part.getSchema.getFields.asScala.map { f =>
+                  f.name() -> (part.get(f.name()) match {
+                    case u: org.apache.avro.util.Utf8 => u.toString
+                    case v => v
+                  })
+                }.toMap
+              Some(df.get("file_path").toString -> pvals)
+            } else None
+          }
+        }
+    }
+    if (added.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], StructType(schema.fields))
+
+    val scan = spark.read.schema(dataSchema).parquet(added.map(_._1): _*)
+    if (partCols.isEmpty) scan
+    else {
+      val pathExpr = regexp_replace(url_decode(input_file_name()), "^file:/*", "/")
+      val mappingSchema = StructType(
+        StructField("__path", StringType) +:
+          partCols.map(p => StructField(s"__$p", schema(p).dataType)))
+      val mappingRows = added.map { case (path, pvals) =>
+        Row.fromSeq(normPath(path) +: partCols.map(pvals.get(_).orNull))
+      }
+      val mapping = spark.createDataFrame(
+        spark.sparkContext.parallelize(mappingRows.toSeq, 1), mappingSchema)
+      val joined = scan.withColumn("__path", pathExpr)
+        .join(broadcast(mapping), Seq("__path"))
+      partCols.foldLeft(joined)((df, p) => df.withColumn(p, col(s"__$p")))
+        .select(schema.map(f => col(f.name)): _*)
+    }
+  }
+
   /** (snapshot-id, sequence-number) pairs, ascending by sequence. */
   def snapshots(spark: SparkSession, tablePath: String): Seq[(Long, Long)] =
     metadata(spark, tablePath).getAs[scala.collection.Seq[Row]]("snapshots")

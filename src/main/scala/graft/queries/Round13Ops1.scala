@@ -663,10 +663,56 @@ object Round13Ops1 {
       .orderBy(col("_commit_version"), col("_change_type"), col("doc_id"))
   }
 
+  /** Iceberg INCREMENTAL APPEND SCAN — s65's Delta change feed, Iceberg
+    * side: two `IcebergExport.appendRows` snapshots on top of the
+    * initial load, read back incrementally. Only the appended data
+    * files are scanned (the manifests name them — a nightly 0.1%
+    * append reads 0.1% of the table). Stock parity on refusal: a range
+    * crossing a non-append snapshot (here the CDC upsert, operation
+    * `delete`) refuses loudly instead of misstating it as adds.
+    */
+  val s66_iceberg_incremental: OpQuery = OpQuery(
+    "s66_iceberg_incremental",
+    """SELECT doc_id + 20000000 AS doc_id, lang, source,
+      |       CAST(n_chars AS BIGINT) AS n_chars
+      |FROM documents WHERE doc_id % 3 = 0
+      |UNION ALL
+      |SELECT doc_id + 40000000, lang, source, CAST(n_chars AS BIGINT)
+      |FROM documents WHERE doc_id % 7 = 0
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import graft.operators.{IcebergExport, IcebergImport}
+    val scratch = GateScratch.dir("graft-iceberg-inc-")
+    val store = new TableStore(spark, scratch.resolve("store").toString)
+    val docs = t(spark, dir, "documents").select(docCols.map(col): _*)
+    store.overwrite("inc", docs)
+    val exp = IcebergExport.exportTable(
+      store, "inc", scratch.resolve("ice").toString).toString
+    def shifted(mod: Int, off: Long) = docs.filter(col("doc_id") % mod === 0)
+      .withColumn("doc_id", col("doc_id") + off)
+    IcebergExport.appendRows(spark, exp, shifted(3, 20000000L))
+    IcebergExport.appendRows(spark, exp, shifted(7, 40000000L))
+    val snapIds = IcebergImport.snapshots(spark, exp).sortBy(_._2).map(_._1)
+    require(snapIds.size == 3, s"s66: expected 3 snapshots, got ${snapIds.size}")
+    // the tail-only range sees only the second append
+    val tail = IcebergImport.readIncremental(spark, exp, snapIds(1), snapIds(2))
+    require(tail.count() == shifted(7, 0).count(),
+      "s66: tail incremental range read more than the last append's files")
+    // a range crossing a non-append snapshot refuses
+    IcebergExport.appendEqualityUpsert(spark, exp,
+      docs.filter(col("doc_id") % 11 === 0).limit(5), Seq("doc_id"),
+      shifted(11, 60000000L).limit(5))
+    val snapIds2 = IcebergImport.snapshots(spark, exp).sortBy(_._2).map(_._1)
+    val refused = try {
+      IcebergImport.readIncremental(spark, exp, snapIds2(2), snapIds2(3)); false
+    } catch { case _: IllegalArgumentException => true }
+    require(refused, "s66: an incremental scan silently crossed a delete snapshot")
+    docSelect(IcebergImport.readIncremental(spark, exp, snapIds(0), snapIds(2)))
+  }
+
   val all: Seq[OpQuery] = Seq(
     s55_delta_checkpoint_dv, s56_dv_reorg, s57_iceberg_seq_inherit,
     s58_iceberg_upsert_seq, s59_iceberg_expire, s60_delta_timestamp_as_of,
     s61_iceberg_schema_evolution, s62_delta_vacuum,
     s63_iceberg_bucket_transform, s64_delta_column_mapping, s65_delta_changes,
-    sim_ivf_rebalance)
+    s66_iceberg_incremental, sim_ivf_rebalance)
 }

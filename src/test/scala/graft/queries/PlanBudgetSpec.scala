@@ -203,6 +203,7 @@ class PlanBudgetSpec extends SparkSpec {
     // broadcasts = the per-(type, version) position filters + partition
     // maps — small by construction (the log names only changed files)
     "s65_delta_changes" -> Budget(2, 12, 31),
+    "s66_iceberg_incremental" -> Budget(2, 0, 41),
     "sim_ivf_rebalance" -> Budget(5, 5, 112),
   )
 
