@@ -36,10 +36,12 @@ object Round12Fuzz {
     * null-bearing keys, IN/NOT IN subqueries (three-valued logic), and
     * exact DECIMAL arithmetic with explicit result casts.
     */
-  val NShapes = 260
+  val NShapes = 300
   val LegacyShapes = 120
   /** End of the round-13 batch-1 families (walk-stable boundary). */
   val R13Shapes = 200
+  /** End of the round-13 batch-2 families (walk-stable boundary). */
+  val R13bShapes = 260
 
   /** splitmix64 — fixed, engine-independent walk. */
   private final class Rng(seed: Long) {
@@ -421,12 +423,72 @@ object Round12Fuzz {
     }
   }
 
+  /** Round-13 batch-3 family (shapes 261..300): STRING-function
+    * compositions over the surface where the two dialects' semantics
+    * are character-identical on ASCII input — UPPER/LOWER, TRIM,
+    * SUBSTR (1-based, non-negative length), REPLACE, LPAD/RPAD,
+    * REVERSE, LEFT/RIGHT, LENGTH. Functions whose NAMES or NULL/edge
+    * semantics differ (INSTR vs STRPOS, SPLIT_PART's out-of-range,
+    * CONCAT's NULL handling) stay off the grammar — the shape text is
+    * rendered ONCE for both engines. Inputs are the tables' non-null
+    * string columns, so NULL-propagation differences cannot trigger.
+    */
+  private def genShape13c(r: Rng): Shape = {
+    def big(c: String) = s"CAST($c AS BIGINT)"
+    val t = r.pick(tbls)
+    val ints = t.ints.map("a." + _); val strs = t.strs.map("a." + _)
+    def strExpr(depth: Int): String = {
+      val base = r.pick(strs)
+      if (depth <= 0) base
+      else r.nextInt(8) match {
+        case 0 => s"UPPER(${strExpr(depth - 1)})"
+        case 1 => s"LOWER(${strExpr(depth - 1)})"
+        case 2 => s"TRIM(${strExpr(depth - 1)})"
+        case 3 => s"SUBSTR(${strExpr(depth - 1)}, ${1 + r.nextInt(4)}, ${r.nextInt(9)})"
+        case 4 =>
+          val ch = ('A' + r.nextInt(26)).toChar
+          s"REPLACE(${strExpr(depth - 1)}, '$ch', '${ch.toLower}${ch.toLower}')"
+        case 5 =>
+          val pad = if (r.chance(50)) "LPAD" else "RPAD"
+          s"$pad(${strExpr(depth - 1)}, ${1 + r.nextInt(19)}, '${('a' + r.nextInt(26)).toChar}')"
+        case 6 => s"REVERSE(${strExpr(depth - 1)})"
+        case 7 =>
+          val side = if (r.chance(50)) "LEFT" else "RIGHT"
+          s"$side(${strExpr(depth - 1)}, ${r.nextInt(7)})"
+      }
+    }
+    def pred(): String = r.nextInt(3) match {
+      case 0 => s"${big(r.pick(ints))} % ${2 + r.nextInt(13)} = ${r.nextInt(5)}"
+      case 1 => s"${r.pick(strs)} LIKE '${('A' + r.nextInt(26)).toChar}%'"
+      case 2 => s"LENGTH(${strExpr(1)}) ${r.pick(Seq("<", ">=", "="))} ${2 + r.nextInt(18)}"
+    }
+    val where = (1 to 1 + r.nextInt(2)).map(_ => pred())
+      .mkString(if (r.chance(60)) " AND " else " OR ")
+    if (r.chance(50)) {
+      val cols = (1 to 1 + r.nextInt(3)).map(k => s"${strExpr(1 + r.nextInt(2))} AS v$k")
+      Shape(t.name, None,
+        s"SELECT ${cols.mkString(", ")} FROM {${t.name}} a WHERE $where",
+        (1 to cols.size).map(k => s"v$k"))
+    } else {
+      // group by a string-function key: the function runs on BOTH the
+      // projection and the grouping side in each engine
+      val gkey = strExpr(1)
+      Shape(t.name, None,
+        s"SELECT $gkey AS g, COUNT(*) AS v1, " +
+          s"MIN(${strExpr(1 + r.nextInt(2))}) AS v2, " +
+          s"SUM(LENGTH(${strExpr(1)})) AS v3 " +
+          s"FROM {${t.name}} a WHERE $where GROUP BY 1",
+        Seq("g", "v1", "v2", "v3"))
+    }
+  }
+
   private val shapes: Seq[Shape] = {
     val r = new Rng(Seed)
     val legacy = (1 to LegacyShapes).map(_ => genShape(r))
     val extra = ((LegacyShapes + 1) to R13Shapes).map(_ => genShape13(r))
-    val extra13b = ((R13Shapes + 1) to NShapes).map(_ => genShape13b(r))
-    legacy ++ extra ++ extra13b
+    val extra13b = ((R13Shapes + 1) to R13bShapes).map(_ => genShape13b(r))
+    val extra13c = ((R13bShapes + 1) to NShapes).map(_ => genShape13c(r))
+    legacy ++ extra ++ extra13b ++ extra13c
   }
 
   /** Test hook: the abstract (pre-dialect) SQL of every shape, in shape

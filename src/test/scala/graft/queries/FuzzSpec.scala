@@ -67,7 +67,8 @@ class FuzzSpec extends AnyFunSuite {
   }
 
   test("the round-13b families (EXISTS, multi-grouping) are present at their counts") {
-    val extra = Round12Fuzz.innerShapes.drop(Round12Fuzz.R13Shapes)
+    val extra = Round12Fuzz.innerShapes
+      .slice(Round12Fuzz.R13Shapes, Round12Fuzz.R13bShapes)
     assert(extra.size === 60)
     val exists = extra.count(_.contains("EXISTS (SELECT 1"))
     val grouping = extra.count(_.contains("GROUPING SETS"))
@@ -83,5 +84,26 @@ class FuzzSpec extends AnyFunSuite {
       .forall(_.matches("""(?s).*WHERE b\.\w+ = a\.\w+ AND.*""")))
     // division stays off the surface here too
     assert(!extra.exists(_.contains(" / ")))
+  }
+
+  test("the round-13c string-function family stays on the common surface") {
+    val extra = Round12Fuzz.innerShapes.drop(Round12Fuzz.R13bShapes)
+    assert(extra.size === 40)
+    // every shape exercises at least one string function
+    val fns = Seq("UPPER(", "LOWER(", "TRIM(", "SUBSTR(", "REPLACE(",
+      "LPAD(", "RPAD(", "REVERSE(", "LEFT(", "RIGHT(", "LENGTH(")
+    assert(extra.forall(s => fns.exists(s.contains)))
+    // the dialect-divergent names must never appear — the shape text is
+    // rendered once for both engines
+    for (bad <- Seq("INSTR(", "STRPOS(", "SPLIT_PART(", "CONCAT(", "||"))
+      assert(!extra.exists(_.contains(bad)), s"divergent function $bad leaked")
+    // SUBSTR is always 1-based with a non-negative length (negative
+    // starts/lengths are where the dialects part ways)
+    val sub = """SUBSTR\([^,]+, (-?\d+), (-?\d+)\)""".r
+    extra.foreach { s =>
+      sub.findAllMatchIn(s).foreach { m =>
+        assert(m.group(1).toInt >= 1 && m.group(2).toInt >= 0)
+      }
+    }
   }
 }
