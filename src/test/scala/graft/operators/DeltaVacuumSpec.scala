@@ -72,6 +72,28 @@ class DeltaVacuumSpec extends SparkSpec {
     assert(after.length == 16 && !after.exists(_._1 % 10 == 0))
   }
 
+  test("partitioned layout: old generation collected, empty partition dirs pruned") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-dvp-").toString)
+    store.overwrite("t",
+      (1L to 30L).map(i => (i, 2000 + (i % 3).toInt, s"v$i")).toDF("id", "year", "v"),
+      partitionBy = Seq("year"))
+    store.overwrite("t",
+      (1L to 30L).filter(_ % 2 == 0)
+        .map(i => (i, 2000 + ((i / 2) % 2).toInt, s"v$i")).toDF("id", "year", "v"),
+      partitionBy = Seq("year"))
+    val out = DeltaExport.exportTable(store, "t",
+      Files.createTempDirectory("graft-dvpo-").toString).toString
+    val n = DeltaVacuum.vacuum(out, 0L, System.currentTimeMillis() + 60000)
+    assert(n > 0)
+    // gen-0's partition tree is gone entirely — files AND the now-empty
+    // year=... / gen dirs; the live generation still reads with its
+    // partition values intact
+    assert(!Files.exists(Paths.get(out, "gen-v00000")))
+    val df = DeltaImport.read(spark, out)
+    assert(df.count() == 15)
+    assert(df.select("year").distinct().count() == 2)
+  }
+
   test("the log directory is immune at any retention") {
     val (out, _) = export2gen()
     val logBefore = regularFiles(out).filter(_.startsWith("_delta_log")).sorted
