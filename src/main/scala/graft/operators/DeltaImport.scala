@@ -240,7 +240,7 @@ object DeltaImport {
     // metadata-sized work.
     val rows = actions.select(col("version"), col("isAdd"), col("path"),
         col("partitionValues"), col("dvStorage"), col("dvPathOrInline"),
-        col("dvOffset"), col("dvSize"), col("dvCardinality"))
+        col("dvOffset"), col("dvSize"), col("dvCardinality"), col("dataChange"))
       .filter(col("path").isNotNull)
       .collect().sortBy(r => (r.getLong(0), r.getBoolean(1)))
     final case class FState(pvals: Map[String, String], dv: Array[Long])
@@ -256,12 +256,22 @@ object DeltaImport {
     rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).foreach { case (v, acts) =>
       val adds = acts.filter(_.getBoolean(1)).map(r => r.getString(2) -> r).toMap
       val rems = acts.filterNot(_.getBoolean(1)).map(_.getString(2)).toSet
+      // dataChange=false actions (OPTIMIZE / compaction / Z-order
+      // rewrites) rearrange bytes without changing the logical table —
+      // stock CDF emits NOTHING for them; a derivation that echoed them
+      // as delete+insert would misstate every maintenance commit. The
+      // emission filter is per-ACTION (a commit may mix); state-apply
+      // below still sees everything, so the live-file replay stays
+      // correct across maintenance commits inside the range.
+      val remDataChange = acts.filterNot(_.getBoolean(1))
+        .map(r => r.getString(2) -> r.getBoolean(9)).toMap
       if (v > fromVersion) {
         adds.foreach { case (p, r) =>
           val pv = Option(r.getMap[String, String](3))
             .map(_.toMap).getOrElse(Map.empty)
           val newDv = dvOf(r)
-          if (rems.contains(p)) {
+          if (!r.getBoolean(9)) ()
+          else if (rems.contains(p)) {
             val oldDv = state.get(p).map(_.dv).getOrElse(Array.emptyLongArray)
             val covered = newDv.toSet -- oldDv.toSet
             val uncovered = oldDv.toSet -- newDv.toSet
@@ -273,7 +283,8 @@ object DeltaImport {
             changes += ((p, pv, "insert", v, None, newDv))
           }
         }
-        rems.filterNot(adds.contains).foreach { p =>
+        rems.filterNot(adds.contains)
+          .filter(p => remDataChange.getOrElse(p, true)).foreach { p =>
           val st = state.getOrElse(p, FState(Map.empty, Array.emptyLongArray))
           changes += ((p, st.pvals, "delete", v, None, st.dv))
         }
@@ -498,6 +509,10 @@ object DeltaImport {
         (if (hasField(df.schema, "protocol.readerFeatures"))
           col("protocol.readerFeatures").cast("array<string>")
         else lit(null).cast("array<string>")).as("readerFeatures"),
+        coalesce(
+          optCol("add.dataChange").cast("boolean"),
+          optCol("remove.dataChange").cast("boolean"),
+          lit(true)).as("dataChange"),
         optCol("add.deletionVector.storageType").cast("string").as("dvStorage"),
         optCol("add.deletionVector.pathOrInlineDv").cast("string").as("dvPathOrInline"),
         optCol("add.deletionVector.offset").cast("int").as("dvOffset"),

@@ -392,6 +392,41 @@ class DeltaImportSpec extends SparkSpec {
     assert(e2.getMessage.contains("no JSON commit"))
   }
 
+  test("readChanges: dataChange=false (OPTIMIZE) commits emit nothing but apply to state") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-cdc0-").toString)
+    store.overwrite("t", (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val out = DeltaExport.exportTable(store, "t",
+      Files.createTempDirectory("graft-cdc0o-").toString).toString
+    val logDir = Paths.get(out, "_delta_log")
+    val root = Paths.get(out).toAbsolutePath.normalize.toString
+    val liveFiles = DeltaImport.read(spark, out)
+      .select(regexp_replace(url_decode(expr("_metadata.file_path")), "^file:/*", "/")
+        .as("f")).distinct().as[String].collect().toSeq
+      .map(_.stripPrefix(root + "/")).sorted
+    // v1: compaction — remove every live file, add one merged file, ALL
+    // with dataChange:false (the stock OPTIMIZE shape)
+    writeSingleParquet(DeltaImport.read(spark, out),
+      Paths.get(out, "compact-0.parquet"))
+    Files.writeString(logDir.resolve(f"${1L}%020d.json"),
+      (liveFiles.map(p =>
+        s"""{"remove":{"path":"$p","deletionTimestamp":0,"dataChange":false}}""") :+
+        s"""{"add":{"path":"compact-0.parquet","partitionValues":{},"size":${
+          Files.size(Paths.get(out, "compact-0.parquet"))},"modificationTime":0,"dataChange":false}}""")
+        .mkString("", "\n", "\n"))
+    assert(DeltaImport.read(spark, out).count() == 20) // compaction took
+    assert(DeltaImport.readChanges(spark, out, 0L, 1L).count() == 0,
+      "an OPTIMIZE commit leaked into the change feed")
+    // v2: a REAL delete of the merged file — the state replay must know
+    // the compacted file (applied from the dataChange=false add) to
+    // serve its rows as deletes
+    Files.writeString(logDir.resolve(f"${2L}%020d.json"),
+      """{"remove":{"path":"compact-0.parquet","deletionTimestamp":0,"dataChange":true}}""" + "\n")
+    val ch = DeltaImport.readChanges(spark, out, 0L, 2L)
+    assert(ch.count() == 20)
+    assert(ch.filter(col("_change_type") === "delete").count() == 20)
+    assert(ch.select("_commit_version").distinct().as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("a multi-part checkpoint with a missing part refuses loudly") {
     val store = new TableStore(spark, Files.createTempDirectory("graft-cpp-").toString)
     store.overwrite("t", (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"))
