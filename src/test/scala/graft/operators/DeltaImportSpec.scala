@@ -361,7 +361,10 @@ class DeltaImportSpec extends SparkSpec {
     val v1Lines = Files.readAllLines(logDir.resolve(f"${1L}%020d.json")).asScala
     val readds = v1Lines.filter(l => l.contains("\"add\"") &&
       dvPaths.exists(p => l.contains(s""""path":"$p"""")))
-      .map(_.replaceAll(""","deletionVector":\{[^}]*\}""", ""))
+      // the DV object is the add's LAST field and z85 pathOrInlineDv may
+      // contain literal '}' (hit: "ObAF^3}9)=…"), so a [^}]* strip can
+      // truncate mid-blob and corrupt the line — anchor to the tail
+      .map(_.replaceAll(""","deletionVector":\{.*\}\}\}\s*$""", "}}"))
     assert(readds.nonEmpty && !readds.exists(_.contains("deletionVector")))
     val removes = dvPaths.toSeq.sorted.map(p =>
       s"""{"remove":{"path":"$p","deletionTimestamp":0,"dataChange":true}}""")
