@@ -78,8 +78,15 @@ object TotalOrder {
   def rowNumber(df: DataFrame, order: Seq[Column], outCol: String = "rn"): DataFrame = {
     // freeze the input before the range shuffle: repartitionByRange
     // samples its input to pick boundaries, which would recompute an
-    // expensive upstream a second time
-    val slim = df.localCheckpoint(true)
+    // expensive upstream a second time. LAZY localCheckpoint, not an
+    // eager one: the boundary-sampling job is the FIRST reader, so it
+    // populates the checkpoint cache in the same pass it samples — the
+    // eager form paid one extra full materialization of the input
+    // before any sampling began (r13-opt: one pass saved per
+    // rowNumber/prefixAggs call across all 24 TotalOrder call sites;
+    // Dataset.persist was tried and rejected — InMemoryRelation's
+    // columnar encode cost more than the saved pass on several gates)
+    val slim = df.localCheckpoint(false)
     val spark = slim.sparkSession
     val n = spark.sessionState.conf.numShufflePartitions
     // ONE materializing pass instead of two: the ranged layout is
@@ -158,7 +165,8 @@ object TotalOrder {
       maxes: Seq[(String, String)] = Nil,
       rnCol: Option[String] = None,
       suffixMaxes: Seq[(String, String)] = Nil): DataFrame = {
-    val slim = df.localCheckpoint(true)
+    // lazy checkpoint for the same one-pass-saved reason as [[rowNumber]]
+    val slim = df.localCheckpoint(false)
     val spark = slim.sparkSession
     val n = spark.sessionState.conf.numShufflePartitions
     // same single-materializing-pass shape as [[rowNumber]]: the cache

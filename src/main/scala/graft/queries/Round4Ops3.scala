@@ -73,9 +73,18 @@ object Round4Ops3 {
     val qs = (1 to 9).map(_ / 10.0)
     val bounds = cents.agg(
       percentile(col("cents"), lit(qs.toArray)).as("bounds"))
+    // bucket = 1 + #(bounds below cents), written as 9 unrolled
+    // element_at comparisons instead of size(filter(bounds, λ)):
+    // higher-order functions are CodegenFallback (interpreted per row
+    // over the whole fact table), the unrolled form whole-stage-codegens
+    // — same integer count, bounds is sorted either way (r13-opt §4)
     cents.crossJoin(broadcast(bounds))
       .select(col("cents"),
-        (size(filter(col("bounds"), x => col("cents") > x)) + 1).as("bucket"))
+        qs.indices.map(i =>
+            when(col("cents") > element_at(col("bounds"), i + 1), 1)
+              .otherwise(0))
+          .reduce[org.apache.spark.sql.Column](_ + _)
+          .+(lit(1)).as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
         min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))
