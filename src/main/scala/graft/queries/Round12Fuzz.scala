@@ -545,8 +545,25 @@ object Round12Fuzz {
   val fuzz_relational: OpQuery = OpQuery("fuzz_relational", duckSql) {
     (spark, dir) =>
       val needed = shapes.flatMap(s => s.table +: s.joined.toSeq).distinct
-      needed.foreach(t =>
-        Tables.load(spark, dir, t).createOrReplaceTempView("fz_" + t))
+      // ~300 branches re-scan the same handful of parquet tables; a
+      // lazy RDD-level freeze (localCheckpoint, NOT Dataset.persist —
+      // no cross-invocation CacheManager reuse, so every bench rep
+      // still computes from parquet inside the timed region) makes
+      // branch 2..n read decoded rows instead of re-running the
+      // parquet scan 100+ times per table. Projected FIRST to the
+      // exact column set the grammar can reference, so the freeze
+      // keeps the scans' column pruning (guide §6 / §2.3). A shared
+      // GROUP-BY-shape_id digest rewrite was also tried and REVERTED:
+      // the single big aggregate's barrier + union partition explosion
+      // measured SLOWER (exec ~10 s → ~13 s) than the per-branch
+      // digest aggregates AQE coalesces individually.
+      needed.foreach { t =>
+        val cols = tbl(t).ints ++ tbl(t).strs
+        Tables.load(spark, dir, t).select(cols.map(org.apache.spark.sql
+            .functions.col): _*)
+          .localCheckpoint(false)
+          .createOrReplaceTempView("fz_" + t)
+      }
       spark.sql(sparkSql)
   }
 

@@ -109,17 +109,23 @@ object Round4Ops102 {
       |              - CAST(sy AS DOUBLE) / n * (CAST(sy AS DOUBLE) / n))), 6)
       |         AS DOUBLE) AS assortativity
       |FROM m""".stripMargin) { (spark, dir) =>
+    // e0 is referenced 3x (deg's two arms + the dd join) and `joined`
+    // twice (dd's two arms) — the before-plan re-ran the whole
+    // join+distinct chain 4x (40 parquet scans). Freeze both shared
+    // frames; every arm then reads the cache (r13-opt §3.3).
     val e0 = t(spark, dir, "lineitem")
       .filter(col("l_linenumber") === 1)
       .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .select(concat(lit("c"), col("o_custkey")).as("a"),
         concat(lit("s"), col("l_suppkey")).as("b"))
       .distinct()
+      .localCheckpoint(false)
     val deg = e0.select(col("a").as("id")).union(e0.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
     val joined = e0
       .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
+      .localCheckpoint(false)
     val dd = joined.select(col("da").as("x"), col("db").as("y"))
       .union(joined.select(col("db").as("x"), col("da").as("y")))
     val m = dd.agg(count(lit(1)).as("n"),

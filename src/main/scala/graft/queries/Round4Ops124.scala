@@ -152,19 +152,29 @@ object Round4Ops124 {
     // edge-level DISTINCT can collapse it — deduping first feeds the
     // join ~4x fewer rows for identical edges (the same
     // push-the-distinct-down shape as graph_triangles)
+    // edges is referenced by m AND (via lab) by intra + degs' two arms:
+    // Spark inlines CTEs, so the self-join+distinct chain re-ran 4x in
+    // the before-plan. Materialize edges once (lazy checkpoint — the
+    // first job populates the cache) and lab once on top of it
+    // (r13-opt §3.3). Counts are integers; results bit-identical.
     spark.sql(
       """WITH ps AS (
-        |  SELECT DISTINCT l_partkey, l_suppkey FROM graft_mod_li),
-        |edges AS (
-        |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
-        |  FROM ps a JOIN ps b
-        |    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
-        |m AS (SELECT COUNT(*) AS m FROM edges),
-        |lab AS (
-        |  SELECT e.u, e.v, su.s_nationkey AS cu, sv.s_nationkey AS cv
-        |  FROM edges e
-        |  JOIN graft_mod_supp su ON su.s_suppkey = e.u
-        |  JOIN graft_mod_supp sv ON sv.s_suppkey = e.v),
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM graft_mod_li)
+        |SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        |FROM ps a JOIN ps b
+        |  ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey""".stripMargin)
+      .localCheckpoint(false)
+      .createOrReplaceTempView("graft_mod_edges")
+    spark.sql(
+      """SELECT e.u, e.v, su.s_nationkey AS cu, sv.s_nationkey AS cv
+        |FROM graft_mod_edges e
+        |JOIN graft_mod_supp su ON su.s_suppkey = e.u
+        |JOIN graft_mod_supp sv ON sv.s_suppkey = e.v""".stripMargin)
+      .localCheckpoint(false)
+      .createOrReplaceTempView("graft_mod_lab")
+    spark.sql(
+      """WITH m AS (SELECT COUNT(*) AS m FROM graft_mod_edges),
+        |lab AS (SELECT * FROM graft_mod_lab),
         |intra AS (
         |  SELECT cu AS c, COUNT(*) AS ec FROM lab WHERE cu = cv GROUP BY cu),
         |degs AS (

@@ -89,11 +89,14 @@ object Round4Ops9 {
       |WHERE n_ab >= 20
       |ORDER BY lift DESC, type_a, type_b
       |LIMIT 25""".stripMargin) { (spark, dir) =>
+    // items is referenced 4x (n, freq, both pair sides) — freeze it so
+    // the join+distinct runs once instead of four times (r13-opt §3.3)
     val items = t(spark, dir, "lineitem")
       .join(broadcast(t(spark, dir, "part")),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey"), col("p_type"))
       .distinct()
+      .localCheckpoint(false)
     val nOrders = items.agg(
       countDistinct(col("l_orderkey")).cast("double").as("n_orders"))
     val freq = items.groupBy(col("p_type"))

@@ -165,8 +165,13 @@ object Round4Ops99 {
       |         AS jaccard
       |FROM pairs JOIN deg d1 ON d1.s = s1 JOIN deg d2 ON d2.s = s2
       |ORDER BY jaccard DESC, s1, s2 LIMIT 20""".stripMargin) { (spark, dir) =>
+    // sp is referenced 3x (deg + both self-join sides); without the
+    // freeze each reference re-runs the scan+distinct — the before-plan
+    // carries the subtree 3x (r13-opt: materialize shared subtrees,
+    // guide §3.3). Lazy checkpoint: the first job populates the cache.
     val sp = t(spark, dir, "lineitem")
       .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
+      .localCheckpoint(false)
     val deg = sp.groupBy("s").agg(count(lit(1)).as("d"))
     val pairs = sp.as("a")
       .join(sp.as("b"), col("a.p") === col("b.p") && col("a.s") < col("b.s"))
