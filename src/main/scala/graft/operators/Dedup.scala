@@ -657,14 +657,37 @@ object Dedup {
           i => step(del(cur, i), i, concat_ws("_", key, i.cast("string")), depth - 1)))
       }
     val s = col(strCol)
-    val variants = when(length(s) <= maxDist,
-        array(struct(lit("*").as("k"), lit("").as("v"))))
-      .otherwise(step(s, lit(0), lit(""), maxDist))
-    val banded = df.select(
-        col(idCol).as("__id"), s.as("__s"), length(s).as("__len"),
-        explode(variants).as("c"))
-      .select(col("__id"), col("__s"), col("__len"),
-        col("c.k").as("seg_key"), col("c.v").as("seg_val"))
+    // maxDist = 1 FAST PATH (r13-opt §4): the recursive generator
+    // builds a per-row array of structs through transform/flatten/
+    // filter — higher-order functions are CodegenFallback, interpreted
+    // per row. At d = 1 the variant set is just "delete character i"
+    // for i in 0..len-1, expressible as explode(sequence(...)) + two
+    // substrs — whole-stage-codegen end to end. Key/value encoding is
+    // IDENTICAL to step()'s d=1 output ("_i" keys, deleted string), so
+    // the join and the distance decode are unchanged.
+    val base = df.select(
+      col(idCol).as("__id"), s.as("__s"), length(s).as("__len"))
+    val banded =
+      if (maxDist == 1) {
+        val long = base.filter(col("__len") > 1)
+          .select(col("__id"), col("__s"), col("__len"),
+            explode(sequence(lit(0), col("__len") - 1)).as("__i"))
+          .select(col("__id"), col("__s"), col("__len"),
+            concat(lit("_"), col("__i").cast("string")).as("seg_key"),
+            del(col("__s"), col("__i")).as("seg_val"))
+        val short = base.filter(col("__len") <= 1)
+          .select(col("__id"), col("__s"), col("__len"),
+            lit("*").as("seg_key"), lit("").as("seg_val"))
+        long.unionByName(short)
+      } else {
+        val variants = when(length(col("__s")) <= maxDist,
+            array(struct(lit("*").as("k"), lit("").as("v"))))
+          .otherwise(step(col("__s"), lit(0), lit(""), maxDist))
+        base.select(col("__id"), col("__s"), col("__len"),
+            explode(variants).as("c"))
+          .select(col("__id"), col("__s"), col("__len"),
+            col("c.k").as("seg_key"), col("c.v").as("seg_val"))
+      }
     val a = banded.as("a")
     val b = banded.as("b")
     // Sharing a deletion variant PROVES the pair differs only within the
@@ -677,15 +700,24 @@ object Dedup {
     // prior deletions (each deletion shifts the tail left by one).
     val sa = col("a.__s")
     val sb = col("b.__s")
-    val positions = filter(split(col("a.seg_key"), "_"), p => p =!= "")
-    val posDist = aggregate(
-      zip_with(positions, sequence(lit(0), lit(maxDist - 1)),
-        (p, i) => {
-          val orig = p.cast("int") + i + 1 // 1-based original position
-          when(sa.substr(orig, lit(1)) =!= sb.substr(orig, lit(1)), 1)
-            .otherwise(0)
-        }),
-      lit(0), (acc, d) => acc + d)
+    // d = 1: one decoded position, no array machinery — codegen'd
+    // substr compare (the generic path's aggregate/zip_with lambdas
+    // are interpreted per candidate row)
+    val posDist = if (maxDist == 1) {
+      val orig = col("a.seg_key")
+        .substr(lit(2), length(col("a.seg_key"))).cast("int") + 1
+      when(sa.substr(orig, lit(1)) =!= sb.substr(orig, lit(1)), 1).otherwise(0)
+    } else {
+      val positions = filter(split(col("a.seg_key"), "_"), p => p =!= "")
+      aggregate(
+        zip_with(positions, sequence(lit(0), lit(maxDist - 1)),
+          (p, i) => {
+            val orig = p.cast("int") + i + 1 // 1-based original position
+            when(sa.substr(orig, lit(1)) =!= sb.substr(orig, lit(1)), 1)
+              .otherwise(0)
+          }),
+        lit(0), (acc, d) => acc + d)
+    }
     val dist = when(sa === sb, lit(0))
       .when(col("a.seg_key") === "*", stringHamming(sa, sb)) // len<=d strings
       .otherwise(posDist)

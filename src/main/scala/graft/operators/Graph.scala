@@ -73,8 +73,15 @@ object Graph {
     // the edges is AQE-broadcast and never shuffles the edge list; the
     // LAZY checkpoint materializes it on the first iteration and every
     // later iteration reads the cached copy.
+    // PRE-PARTITIONED on __src before the freeze (r13-opt, guide §2.4):
+    // the checkpointed LogicalRDD keeps hashpartitioning(__src), so the
+    // per-iteration ranks join satisfies its distribution requirement
+    // from the cached layout — only the small rank frame shuffles each
+    // round, never the edge list. One up-front edge shuffle buys
+    // `iterations` edge shuffles back.
     val eDeg = e.join(
         e.groupBy(col("__src")).agg(count(lit(1)).as("__deg")), "__src")
+      .repartition(col("__src"))
       .localCheckpoint(false)
 
     // Dangling handling, ONCE instead of per-iteration: a node with no
@@ -171,7 +178,12 @@ object Graph {
     // (scan+filter-shaped) expression is cheaper than writing and
     // re-reading the full edge list (r6 checkpointed unconditionally —
     // half of the 2.1× graph_bfs regression, VERDICT r6 #3)
-    val e = if (maxHops > 2) e0.localCheckpoint(false) else e0
+    // at >2 hops the frozen edge list is also PRE-PARTITIONED on __src
+    // (r13-opt §2.4): every hop's frontier join then reuses the cached
+    // layout and only the frontier shuffles, not the graph
+    val e = if (maxHops > 2)
+      e0.repartition(col("__src")).localCheckpoint(false)
+    else e0
     val seed = seeds.select(col(idCol).as("id")).distinct()
       .filter(col("id").isNotNull)
       .withColumn("dist", lit(0))
@@ -240,7 +252,12 @@ object Graph {
       // open for the full hop budget
       .filter(col("__src").isNotNull && col("__dst").isNotNull &&
         col("__w").isNotNull)
-      .localCheckpoint(false)
+    // NOT pre-partitioned like bfs/pageRank: measured at 7 reps, the
+    // up-front edge repartition lost ~7% here (2.09 vs 1.96 s at
+    // sf0.1/6 hops) — the min-aggregation after the hop join already
+    // shrinks the frontier so fast that the per-hop edge-side exchange
+    // never dominates (r13-opt)
+    val ep = e.localCheckpoint(false)
     var dist = seeds.select(col(idCol).as("id")).distinct()
       .filter(col("id").isNotNull)
       .withColumn("dist", lit(0L).cast(e.schema("__w").dataType))
@@ -250,7 +267,7 @@ object Graph {
     var drained = false
     while (hop <= maxHops && !drained) {
       val cand = frontier
-        .join(e, frontier("id") === e("__src"))
+        .join(ep, frontier("id") === ep("__src"))
         .groupBy(col("__dst").as("id"))
         .agg(min(frontier("dist") + col("__w")).as("__cand"))
       val improved = cand
@@ -442,6 +459,9 @@ object Graph {
     val und = undirect(edges, aCol, bCol).localCheckpoint(true)
     val adj = und.select(col("u").as("id"), col("v").as("nbr"))
       .union(und.select(col("v").as("id"), col("u").as("nbr")))
+      // pre-partitioned on nbr, the per-round label-join key (r13-opt
+      // §2.4): each round shuffles only the label frame
+      .repartition(col("nbr"))
       .localCheckpoint(true)
     var labels = adj.select(col("id")).distinct()
       .select(col("id"), col("id").cast("long").as("label"))
